@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.ConcurrentHashMap
+
+/** One correctness/bench query: a Spark plan builder plus (optionally) an
+  * equivalent DuckDB SQL oracle the driver hash-compares against at sf0.01.
+  *
+  * Oracle-parity rules (see SURVEY.md §5):
+  *   - every computed column aliased identically on both sides;
+  *   - money doubles are exact 2-decimal values → aggregate via
+  *     CAST(x AS DECIMAL(18,2)) (exact) and CAST(... AS DOUBLE) at the end
+  *     (decimal→double is deterministic, so both engines emit identical bits);
+  *   - ints that Spark types as INT but DuckDB as BIGINT (length(), extract())
+  *     are cast to BIGINT explicitly;
+  *   - never emit raw `events.ts` (ns precision in parquet; Spark truncates
+  *     to µs) — bucket or format it first;
+  *   - every query is totally ordered (ORDER BY with tie-breaks) so the
+  *     result set is deterministic under LIMIT.
+  */
+final case class QuerySpec(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = true)
+
+object QuerySpec {
+  /** SQL that parses and evaluates identically in Spark SQL and DuckDB. */
+  def both(name: String, sql: String, bench: Boolean = true): QuerySpec =
+    QuerySpec(name, (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, Some(sql), bench)
+
+  /** Divergent dialects: Spark SQL text + DuckDB oracle text. */
+  def dialect(name: String, sparkSql: String, duckSql: String, bench: Boolean = true): QuerySpec =
+    QuerySpec(name, (s, dir) => { Tables.registerAll(s, dir); s.sql(sparkSql) }, Some(duckSql), bench)
+
+  /** DataFrame-API plan + DuckDB oracle text. */
+  def plan(name: String, fn: (SparkSession, String) => DataFrame, duckSql: String,
+           bench: Boolean = true): QuerySpec =
+    QuerySpec(name, fn, Some(duckSql), bench)
+
+  /** Not SQL-expressible → driver records rows-only check. */
+  def planOnly(name: String, fn: (SparkSession, String) => DataFrame,
+               bench: Boolean = true): QuerySpec =
+    QuerySpec(name, fn, None, bench)
+}
+
+/** Loaders for the driver-generated testdata (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark has no timestamp
+    // type for; read it as epoch-nanos BIGINT instead. This is also the
+    // parity-safe choice: no silent µs truncation vs the DuckDB oracle
+    // (duck-side ns values are exposed via epoch_ns(ts) when needed).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  private val registered = new ConcurrentHashMap[String, Boolean]()
+
+  /** Register all testdata tables as temp views, once per (session, dir). */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val key = System.identityHashCode(spark) + "|" + dir
+    registered.computeIfAbsent(key, { _ =>
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      true
+    })
+    ()
+  }
+}
+
+object QueryRegistry {
+  def all: Seq[QuerySpec] = queries.Relational.specs
+  def byName: Map[String, QuerySpec] = all.map(s => s.name -> s).toMap
+  def flagship: QuerySpec = queries.Relational.flagship
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.QuerySpec
+import graft.QuerySpec._
+
+/** Relational operator battery covering SURVEY.md §2.2–2.8: projections,
+  * filters (range/compound/null/like), joins (equi, broadcast-dim,
+  * semi/EXISTS, anti/NOT EXISTS, cross-with-aggregate), aggregations
+  * (count, sum, distinct, stddev-via-moments, histogram), window last-wins
+  * dedup (ref: PaimonStream.java:91 merge-engine semantics), sort/limit
+  * top-k, UNION ALL, scalar string/date functions.
+  *
+  * All SQL here is dialect-shared (runs identically on Spark SQL and DuckDB).
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary — A1/A2 aggregation shapes
+    * (ref: Getting Started.ipynb c9/c25 counts; Berlin Buzzwords c12). */
+  val q01 = both("q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  /** Range + compound filter → grouped agg — P3/P4 filter shapes. */
+  val q02 = both("q02_filter_range",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |WHERE l_quantity BETWEEN 10 AND 20
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND (l_discount > 0.02 OR l_tax > 0.05)
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin)
+
+  /** 3-way equi-join fact×fact×dim with revenue agg — J-shapes + A2. */
+  val q03 = both("q03_revenue_by_segment",
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin)
+
+  /** Star join through two broadcastable dims (region→nation→customer→orders). */
+  val q04 = both("q04_region_revenue",
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(*) AS n_orders
+      |FROM region
+      |JOIN nation ON r_regionkey = n_regionkey
+      |JOIN customer ON n_nationkey = c_nationkey
+      |JOIN orders ON c_custkey = o_custkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin)
+
+  /** Top-k by aggregate — O1+O2 sort-then-limit (TakeOrderedAndProject). */
+  val q05 = both("q05_top_customers",
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+      |  COUNT(*) AS n_orders
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY spend DESC, c_custkey
+      |LIMIT 10""".stripMargin)
+
+  /** DISTINCT set semantics — A4 (ref: Integrated Audits c32 audit compare). */
+  val q06 = both("q06_distinct",
+    """SELECT DISTINCT o_orderstatus, o_orderpriority
+      |FROM orders
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+
+  /** UNION ALL of two filtered slices — U1 (ref: Table Maintenance c5). */
+  val q07 = both("q07_union_slices",
+    """SELECT event_type, COUNT(*) AS n
+      |FROM (
+      |  SELECT event_type FROM events WHERE value < 50
+      |  UNION ALL
+      |  SELECT event_type FROM events WHERE value >= 400
+      |) u
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin)
+
+  /** Last-wins dedup per key via row_number window — J3/A7
+    * (ref: PaimonStream.java:91 'merge-engine'='deduplicate'). */
+  val q08 = both("q08_lastwins_dedup",
+    """SELECT user_id, event_id, event_type, value
+      |FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |) t
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin)
+
+  /** Z-score outlier filter via 1-row aggregate cross join — A3/A5/J1/P10
+    * (ref: PyIceberg….ipynb c18/c25). stddev computed from exact decimal
+    * moments so both engines derive the identical double threshold. */
+  val q09 = both("q09_zscore_outliers",
+    """WITH s AS (
+      |  SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv,
+      |         COUNT(*) AS n
+      |  FROM events
+      |)
+      |SELECT e.event_type, COUNT(*) AS n_outliers
+      |FROM events e, s
+      |WHERE ABS(e.value - s.sv / s.n) > 2.0 * SQRT(s.svv / s.n - (s.sv / s.n) * (s.sv / s.n))
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin)
+
+  /** Histogram binning — A6 (ref: PyIceberg….ipynb c17/c19 hist). */
+  val q10 = both("q10_histogram",
+    """SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bin, COUNT(*) AS n
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin)
+
+  /** Scalar string functions — F1/F2 battery + LIKE filter (P6). */
+  val q11 = both("q11_string_funcs",
+    """SELECT doc_id, UPPER(lang) AS lang_u,
+      |  CAST(LENGTH(text) AS BIGINT) AS len,
+      |  SUBSTR(text, 1, 10) AS head10,
+      |  n_chars % 7 AS m7
+      |FROM documents
+      |WHERE doc_id < 100 AND text LIKE '%spark%'
+      |ORDER BY doc_id""".stripMargin)
+
+  /** EXISTS → left-semi join (planned as SortMergeJoin LeftSemi / BHJ). */
+  val q12 = both("q12_exists_semi",
+    """SELECT o_orderpriority, COUNT(*) AS n
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49
+      |)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin)
+
+  /** NOT EXISTS → left-anti join — J2 shape (equality-delete semantics,
+    * ref: IcebergStream.java:118). */
+  val q13 = both("q13_notexists_anti",
+    """SELECT c_mktsegment, COUNT(*) AS n
+      |FROM customer c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+      |)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin)
+
+  /** Time bucketing (date_trunc / extract) — F7/F9 partition-transform math. */
+  val q14 = both("q14_monthly_orders",
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 100 + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS ym,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin)
+
+  /** NULL-generating division + null test — P5/F10 (ref: Getting
+    * Started.ipynb c18 fare_per_distance_unit, c23 null filter).
+    * NULLIF guards 0-discount; counts null vs non-null per flag. */
+  val q15 = both("q15_null_division",
+    """SELECT l_returnflag,
+      |  COUNT(*) AS n,
+      |  COUNT(l_extendedprice / NULLIF(l_discount, 0.0)) AS n_nonnull,
+      |  SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS n_zero_disc
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin)
+
+  val flagship: QuerySpec = q04
+
+  def specs: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
+    q09, q10, q11, q12, q13, q14, q15)
+}
