@@ -1,0 +1,98 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+
+import java.util.UUID
+
+/** Catalog of lake tables under a warehouse directory:
+  * `<warehouse>/<namespace>/<table>/`. Mirrors the reference's catalog
+  * surface (D1-D3: CREATE DATABASE / CREATE TABLE / DROP TABLE —
+  * Getting Started.ipynb c5-c6, IcebergStream.java:76-80). */
+class LakeCatalog(val spark: SparkSession, val warehouse: String) {
+
+  private val hadoopConf = spark.sessionState.newHadoopConf()
+  private def fs: FileSystem = new Path(warehouse).getFileSystem(hadoopConf)
+
+  private def tableLocation(ident: String): String = {
+    val parts = ident.split("\\.")
+    (warehouse +: parts).mkString("/")
+  }
+
+  def createNamespace(name: String): Unit =
+    fs.mkdirs(new Path(s"$warehouse/$name"))
+
+  def namespaceExists(name: String): Boolean = fs.exists(new Path(s"$warehouse/$name"))
+
+  /** CREATE TABLE with typed columns, hidden-partition transforms and
+    * properties (D2). `partitionBy` entries are (columnName, transform). */
+  def createTable(ident: String, schema: StructType,
+                  partitionBy: Seq[(String, String)] = Seq.empty,
+                  properties: Map[String, String] = Map.empty): LakeTable = {
+    require(!tableExists(ident), s"table $ident already exists")
+    val location = tableLocation(ident)
+    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+      LakeColumn(i + 1, f.name, f.dataType.json, f.nullable,
+        if (f.metadata.contains("comment")) Some(f.metadata.getString("comment")) else None)
+    }.toSeq
+    val lakeSchema = LakeSchema(0, cols)
+    val specFields = partitionBy.map { case (colName, transform) =>
+      val c = lakeSchema.byName(colName).getOrElse(
+        throw new IllegalArgumentException(s"partition column $colName not in schema"))
+      PartitionField(c.id, transform)
+    }
+    val meta = TableMeta(
+      formatVersion = 1,
+      tableId = UUID.randomUUID().toString,
+      name = ident,
+      location = location,
+      schemas = Seq(lakeSchema),
+      currentSchemaId = 0,
+      partitionSpecs = Seq(PartitionSpec(0, specFields)),
+      defaultSpecId = 0,
+      snapshots = Seq.empty,
+      refs = Map.empty,
+      history = Seq.empty,
+      properties = properties,
+      lastColumnId = cols.map(_.id).maxOption.getOrElse(0),
+      lastSnapshotId = 0L,
+      version = 1)
+    val metaDir = new Path(location, "metadata")
+    fs.mkdirs(metaDir)
+    val out = fs.create(new Path(metaDir, "v1.json"), false)
+    try out.write(Meta.toJson(meta).getBytes("UTF-8")) finally out.close()
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write("1".getBytes("UTF-8")) finally hint.close()
+    loadTable(ident)
+  }
+
+  def tableExists(ident: String): Boolean =
+    fs.exists(new Path(s"${tableLocation(ident)}/metadata/v1.json"))
+
+  def loadTable(ident: String): LakeTable = {
+    require(tableExists(ident), s"table $ident does not exist")
+    new LakeTable(spark, tableLocation(ident))
+  }
+
+  def dropTable(ident: String): Unit =
+    fs.delete(new Path(tableLocation(ident)), true)
+
+  def listTables(namespace: String): Seq[String] = {
+    val ns = new Path(s"$warehouse/$namespace")
+    if (!fs.exists(ns)) Seq.empty
+    else fs.listStatus(ns).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(t => tableExists(s"$namespace.$t"))
+  }
+
+  /** Register `<name>` plus `<name>__snapshots` etc. as temp views — the
+    * SQL-parity route for S3/S6 metadata-table scans. */
+  def registerViews(ident: String, viewName: String): LakeTable = {
+    val t = loadTable(ident)
+    t.toDF.createOrReplaceTempView(viewName)
+    MetadataTables.kinds.foreach { k =>
+      MetadataTables(t, k).createOrReplaceTempView(s"${viewName}__$k")
+    }
+    t
+  }
+}

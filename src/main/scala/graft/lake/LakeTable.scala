@@ -1,0 +1,534 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+/** A versioned lake table: Parquet data files + JSON snapshot metadata,
+  * providing the reference's Iceberg-table capabilities (SURVEY.md §2.9):
+  * snapshot isolation, time travel, branches, WAP staging, copy-on-write
+  * DML with a metadata-only DELETE fast path, schema & partition evolution,
+  * metadata tables, and maintenance procedures.
+  *
+  * Scale notes: commits are metadata-file writes (no data read); stats come
+  * from parquet footers at write time; reads hand Spark a pruned file list,
+  * so Catalyst's parquet scan keeps its own row-group pruning, column
+  * pruning and whole-stage codegen on top.
+  */
+class LakeTable private[lake] (val spark: SparkSession, val location: String) {
+  import LakeTable._
+
+  private val hadoopConf = spark.sessionState.newHadoopConf()
+  private def fs: FileSystem = new Path(location).getFileSystem(hadoopConf)
+  private def metaDir = new Path(location, "metadata")
+  private def dataDir = new Path(location, "data")
+
+  // ---- metadata IO -------------------------------------------------------
+
+  private def versionPath(v: Int) = new Path(metaDir, s"v$v.json")
+  private def hintPath = new Path(metaDir, "version-hint.text")
+
+  private def readFile(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  private def writeFile(p: Path, s: String, overwrite: Boolean): Boolean = {
+    try {
+      val out = fs.create(p, overwrite)
+      try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      true
+    } catch { case _: java.io.IOException if !overwrite => false }
+  }
+
+  /** Latest committed version: start from the hint, probe forward. */
+  def currentVersion: Int = {
+    val hint = try readFile(hintPath).trim.toInt catch { case _: Exception => 0 }
+    var v = math.max(hint, 0)
+    while (fs.exists(versionPath(v + 1))) v += 1
+    v
+  }
+
+  def meta: TableMeta = Meta.fromJson(readFile(versionPath(currentVersion)))
+
+  /** Optimistic-concurrency commit: apply `transform` to the latest metadata
+    * and win the race to create the next version file; retry on collision. */
+  private[lake] def commit(transform: TableMeta => TableMeta): TableMeta = {
+    var attempts = 0
+    while (attempts < 20) {
+      val base = meta
+      val next = transform(base).copy(version = base.version + 1)
+      if (writeFile(versionPath(next.version), Meta.toJson(next), overwrite = false)) {
+        writeFile(hintPath, next.version.toString, overwrite = true)
+        return next
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(s"commit contention on $location after 20 attempts")
+  }
+
+  // ---- session-conf plumbing (WAP, ref: Integrated Audits c13-c27) --------
+
+  private def confOpt(key: String): Option[String] =
+    try spark.conf.getOption(key).filter(_.nonEmpty) catch { case _: Exception => None }
+
+  private def wapId: Option[String] = confOpt("spark.wap.id")
+  private def wapBranch: Option[String] = confOpt("spark.wap.branch")
+
+  private def resolveWriteBranch(explicit: Option[String]): String =
+    explicit.orElse(wapBranch).getOrElse(MainBranch)
+
+  // ---- write path ----------------------------------------------------------
+
+  /** Align an input DataFrame to the table schema by column name and rename
+    * to physical ids; unmentioned nullable columns become null. */
+  private def toPhysical(df: DataFrame, schema: LakeSchema): DataFrame = {
+    val inCols = df.columns.toSet
+    val cols = schema.columns.map { c =>
+      if (inCols.contains(c.name)) df.col(c.name).cast(c.sparkType).as(c.physicalName)
+      else if (c.nullable) lit(null).cast(c.sparkType).as(c.physicalName)
+      else throw new IllegalArgumentException(s"missing required column ${c.name}")
+    }
+    df.select(cols: _*)
+  }
+
+  /** Write `df` (already physical-named) as data files under the given spec;
+    * returns DataFile entries with footer stats. */
+  private def writeDataFiles(physical: DataFrame, m: TableMeta): Seq[DataFile] = {
+    val schema = m.schema
+    val spec = m.spec
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val tmp = new Path(location, s"tmp-${UUID.randomUUID().toString.take(8)}")
+    val partCols = spec.fields.map(_.physicalName)
+    val withParts = spec.fields.foldLeft(physical) { (d, f) =>
+      val src = schema.byId(f.sourceId).getOrElse(
+        throw new IllegalStateException(s"partition source id ${f.sourceId} not in schema"))
+      d.withColumn(f.physicalName, Transforms.expr(f.transform, d.col(src.physicalName), src.sparkType))
+    }
+    val writer = withParts.write.mode("overwrite")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(tmp.toString)
+
+    // enumerate written parquet files; parse partition values from dirs;
+    // move to flat data/ names (layout is cosmetic — metadata is the truth)
+    val found = listParquet(fs, tmp)
+    fs.mkdirs(dataDir)
+    val files = found.map { p =>
+      val rel = p.toString.stripPrefix(tmp.toString).stripPrefix("/")
+      val partVals = rel.split("/").dropRight(1).flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap
+      val target = new Path(dataDir, s"${UUID.randomUUID().toString.take(12)}.parquet")
+      if (!fs.rename(p, target))
+        throw new IllegalStateException(s"failed to move $p -> $target")
+      val (rows, bytes, stats) = Stats.fromFooter(target.toString, hadoopConf)
+      DataFile(target.toString, spec.specId, schema.schemaId, partVals, rows, bytes, stats)
+    }
+    fs.delete(tmp, true)
+    files
+  }
+
+  /** Append rows — one new snapshot (ref: S11/S12 sinks; every append = a
+    * snapshot, like the reference's checkpoint-cadence commits). Honors WAP:
+    * with `spark.wap.id` set and `write.wap.enabled=true` the snapshot is
+    * staged (invisible to all refs); with `spark.wap.branch` set it commits
+    * to that branch. */
+  def append(df: DataFrame, toBranch: Option[String] = None): TableMeta = {
+    val m0 = meta
+    val newFiles = writeDataFiles(toPhysical(df, m0.schema), m0)
+    val staged = wapId.isDefined &&
+      m0.properties.get("write.wap.enabled").contains("true") && toBranch.isEmpty
+    val branch = resolveWriteBranch(toBranch)
+    commit { m =>
+      val parent = m.snapshotFor(branch).orElse(m.currentSnapshot)
+      val snapId = m.lastSnapshotId + 1
+      val now = System.currentTimeMillis()
+      val base = parent.map(_.files).getOrElse(Seq.empty)
+      val summary = Map(
+        "operation" -> "append",
+        "added-data-files" -> newFiles.size.toString,
+        "added-records" -> newFiles.map(_.rowCount).sum.toString,
+        "total-records" -> (base.map(_.rowCount).sum + newFiles.map(_.rowCount).sum).toString
+      ) ++ wapId.map("wap.id" -> _)
+      val snap = Snapshot(snapId, parent.map(_.snapshotId), now, "append", summary,
+        base ++ newFiles, staged = staged)
+      val m2 = m.copy(snapshots = m.snapshots :+ snap, lastSnapshotId = snapId)
+      if (staged) m2
+      else m2.copy(
+        refs = m.refs + (branch -> Ref(snapId)),
+        history = m.history :+ HistoryEntry(now, snapId, branch))
+    }
+  }
+
+  // ---- read path -----------------------------------------------------------
+
+  /** Build FileBounds for pruning: logical column names resolved against the
+    * file's *write-time* physical names and the table's current types. */
+  private def fileBounds(m: TableMeta, f: DataFile): Pruning.FileBounds = {
+    val schema = m.schemas.find(_.schemaId == f.schemaId).getOrElse(m.schema)
+    val cols = m.schema.columns.flatMap { cur =>
+      schema.byId(cur.id).flatMap { written =>
+        f.stats.get(written.physicalName).map(st => cur.name -> (st, written.sparkType))
+      }
+    }.toMap
+    val spec = m.partitionSpecs.find(_.specId == f.specId)
+    val partition = spec.map(_.fields.flatMap { pf =>
+      for {
+        src <- m.schema.byId(pf.sourceId)
+        v <- f.partitionValues.get(pf.physicalName)
+      } yield src.name -> (pf.transform, v)
+    }.toMap).getOrElse(Map.empty)
+    Pruning.FileBounds(f.rowCount, cols, partition)
+  }
+
+  /** DataFrame over a set of files, mapped to the current logical schema
+    * (rename/widen/add handled per write-time schema group — SURVEY §4
+    * "split planning"). */
+  private def dataFrameFor(m: TableMeta, files: Seq[DataFile]): DataFrame = {
+    val cur = m.schema
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cur.sparkSchema)
+    } else {
+      val groups = files.groupBy(_.schemaId)
+      val parts = groups.map { case (schemaId, fs) =>
+        val written = m.schemas.find(_.schemaId == schemaId).getOrElse(cur)
+        val raw = spark.read.schema(written.physicalSchema)
+          .parquet(fs.map(_.path): _*)
+        val cols = cur.columns.map { c =>
+          written.byId(c.id) match {
+            case Some(w) => raw.col(w.physicalName).cast(c.sparkType).as(c.name)
+            case None => lit(null).cast(c.sparkType).as(c.name)
+          }
+        }
+        raw.select(cols: _*)
+      }.toSeq
+      parts.reduce(_ unionByName _)
+    }
+  }
+
+  /** Resolve which snapshot a read sees: explicit snapshot-id > explicit
+    * branch > session `spark.wap.branch` > main (S3-S5, D16). Staged WAP
+    * snapshots are only visible via explicit snapshot-id (D15). */
+  def resolveSnapshot(snapshotId: Option[Long] = None, branch: Option[String] = None,
+                      asOfTimestampMs: Option[Long] = None): Option[Snapshot] = {
+    val m = meta
+    snapshotId.map(id => m.snapshot(id).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $id")))
+      .orElse(asOfTimestampMs.map { ts =>
+        m.snapshots.filter(s => !s.staged && s.timestampMs <= ts)
+          .sortBy(s => (s.timestampMs, s.snapshotId)).lastOption.getOrElse(
+            throw new IllegalArgumentException(s"no snapshot as of $ts"))
+      })
+      .orElse(branch.map(b => m.snapshotFor(b).getOrElse(
+        throw new IllegalArgumentException(s"no branch $b"))))
+      .orElse(wapBranch.flatMap(m.snapshotFor))
+      .orElse(m.currentSnapshot)
+  }
+
+  /** Scan → DataFrame. `filter` both prunes whole files (stats + hidden
+    * partitions) and is applied to rows. */
+  def read(snapshotId: Option[Long] = None, branch: Option[String] = None,
+           asOfTimestampMs: Option[Long] = None, filter: Option[Column] = None): DataFrame = {
+    val m = meta
+    val snap = resolveSnapshot(snapshotId, branch, asOfTimestampMs)
+    val all = snap.map(_.files).getOrElse(Seq.empty)
+    val files = filter match {
+      case Some(f) =>
+        val p = Pruning.translate(f)
+        all.filter(df => Pruning.mayMatch(p, fileBounds(m, df)))
+      case None => all
+    }
+    val df = dataFrameFor(m, files)
+    filter.map(df.filter).getOrElse(df)
+  }
+
+  def toDF: DataFrame = read()
+
+  // ---- DML (D10-D13, D3) ---------------------------------------------------
+
+  /** DELETE FROM WHERE — metadata-only when stats prove a file wholly
+    * matches (Getting Started.ipynb c20), copy-on-write otherwise (c21/23). */
+  def delete(condition: Column): TableMeta = {
+    val m0 = meta
+    val branch = resolveWriteBranch(None)
+    val snap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
+    val all = snap.map(_.files).getOrElse(Seq.empty)
+    val p = Pruning.translate(condition)
+    val keep = scala.collection.mutable.ArrayBuffer[DataFile]()
+    val drop = scala.collection.mutable.ArrayBuffer[DataFile]()
+    val rewrite = scala.collection.mutable.ArrayBuffer[DataFile]()
+    all.foreach { f =>
+      val b = fileBounds(m0, f)
+      if (!Pruning.mayMatch(p, b)) keep += f
+      else if (Pruning.allMatch(p, b)) drop += f
+      else rewrite += f
+    }
+    val rewritten: Seq[DataFile] = if (rewrite.isEmpty) Seq.empty else {
+      // keep rows where the predicate is NOT TRUE (false or null survive)
+      val remaining = dataFrameFor(m0, rewrite.toSeq)
+        .filter(!coalesce(condition, lit(false)))
+      writeDataFiles(toPhysical(remaining, m0.schema), m0)
+    }
+    commitReplace(branch, keep.toSeq ++ rewritten, "delete", Map(
+      "deleted-data-files" -> drop.size.toString,
+      "rewritten-data-files" -> rewrite.size.toString,
+      "metadata-only" -> rewrite.isEmpty.toString))
+  }
+
+  /** UPDATE SET — copy-on-write rewrite of files that may match
+    * (Getting Started.ipynb c18). */
+  def update(assignments: Map[String, Column], condition: Option[Column] = None): TableMeta = {
+    val m0 = meta
+    val branch = resolveWriteBranch(None)
+    val snap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
+    val all = snap.map(_.files).getOrElse(Seq.empty)
+    val (touched, untouched) = condition match {
+      case Some(c) =>
+        val p = Pruning.translate(c)
+        all.partition(f => Pruning.mayMatch(p, fileBounds(m0, f)))
+      case None => (all, Seq.empty[DataFile])
+    }
+    val rewritten: Seq[DataFile] = if (touched.isEmpty) Seq.empty else {
+      val src = dataFrameFor(m0, touched)
+      val updated = assignments.foldLeft(src) { case (d, (name, expr0)) =>
+        condition match {
+          case Some(c) => d.withColumn(name, when(coalesce(c, lit(false)), expr0).otherwise(d.col(name)))
+          case None => d.withColumn(name, expr0)
+        }
+      }
+      writeDataFiles(toPhysical(updated, m0.schema), m0)
+    }
+    commitReplace(branch, untouched ++ rewritten, "overwrite", Map(
+      "rewritten-data-files" -> touched.size.toString))
+  }
+
+  /** TRUNCATE (D3): new empty snapshot. */
+  def truncate(): TableMeta =
+    commitReplace(resolveWriteBranch(None), Seq.empty, "truncate", Map.empty)
+
+  private def commitReplace(branch: String, files: Seq[DataFile], op: String,
+                            extraSummary: Map[String, String]): TableMeta =
+    commit { m =>
+      val parent = m.snapshotFor(branch).orElse(m.currentSnapshot)
+      val snapId = m.lastSnapshotId + 1
+      val now = System.currentTimeMillis()
+      val summary = extraSummary ++ Map(
+        "operation" -> op, "total-records" -> files.map(_.rowCount).sum.toString)
+      val snap = Snapshot(snapId, parent.map(_.snapshotId), now, op, summary, files)
+      m.copy(
+        snapshots = m.snapshots :+ snap,
+        lastSnapshotId = snapId,
+        refs = m.refs + (branch -> Ref(snapId)),
+        history = m.history :+ HistoryEntry(now, snapId, branch))
+    }
+
+  // ---- schema evolution (D5-D7) -------------------------------------------
+
+  private def evolveSchema(f: LakeSchema => Seq[LakeColumn]): TableMeta = commit { m =>
+    val next = LakeSchema(m.schemas.map(_.schemaId).max + 1, f(m.schema))
+    m.copy(schemas = m.schemas :+ next, currentSchemaId = next.schemaId,
+      lastColumnId = math.max(m.lastColumnId, next.columns.map(_.id).max))
+  }
+
+  def renameColumn(from: String, to: String): TableMeta = evolveSchema { s =>
+    require(s.byName(from).isDefined, s"no column $from")
+    require(s.byName(to).isEmpty, s"column $to exists")
+    s.columns.map(c => if (c.name == from) c.copy(name = to) else c)
+  }
+
+  /** Widening-only type change (int→bigint/double, float→double, …). */
+  def updateColumnType(name: String, newType: DataType): TableMeta = evolveSchema { s =>
+    val c = s.byName(name).getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    require(isWidening(c.sparkType, newType), s"cannot change ${c.sparkType} to $newType")
+    s.columns.map(x => if (x.name == name) x.copy(dataType = newType.json) else x)
+  }
+
+  def updateColumnComment(name: String, comment: String): TableMeta = evolveSchema { s =>
+    require(s.byName(name).isDefined, s"no column $name")
+    s.columns.map(c => if (c.name == name) c.copy(comment = Some(comment)) else c)
+  }
+
+  def addColumn(name: String, dataType: DataType, after: Option[String] = None,
+                comment: Option[String] = None): TableMeta = evolveSchema { s =>
+    require(s.byName(name).isEmpty, s"column $name exists")
+    val col = LakeColumn(s.columns.map(_.id).max + 1, name, dataType.json,
+      nullable = true, comment)
+    insertAfter(s.columns, col, after)
+  }
+
+  /** ALTER COLUMN ... FIRST / AFTER <col> (D6 reorder). */
+  def moveColumn(name: String, after: Option[String]): TableMeta = evolveSchema { s =>
+    val c = s.byName(name).getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    insertAfter(s.columns.filterNot(_.name == name), c, after)
+  }
+
+  def dropColumn(name: String): TableMeta = evolveSchema { s =>
+    require(s.byName(name).isDefined, s"no column $name")
+    s.columns.filterNot(_.name == name)
+  }
+
+  private def insertAfter(cols: Seq[LakeColumn], c: LakeColumn,
+                          after: Option[String]): Seq[LakeColumn] = after match {
+    case None => cols :+ c
+    case Some("") => c +: cols // FIRST
+    case Some(a) =>
+      val i = cols.indexWhere(_.name == a)
+      require(i >= 0, s"no column $a")
+      (cols.take(i + 1) :+ c) ++ cols.drop(i + 1)
+  }
+
+  // ---- partition evolution (D8) ---------------------------------------------
+
+  /** Replace the default partition spec; existing files keep their old
+    * spec-id and are planned per-spec at scan (SURVEY §4 split planning). */
+  def replacePartitionSpec(fields: Seq[(String, String)]): TableMeta = commit { m =>
+    val resolved = fields.map { case (colName, transform) =>
+      val c = m.schema.byName(colName).getOrElse(
+        throw new IllegalArgumentException(s"no column $colName"))
+      PartitionField(c.id, transform)
+    }
+    val next = PartitionSpec(m.partitionSpecs.map(_.specId).max + 1, resolved)
+    m.copy(partitionSpecs = m.partitionSpecs :+ next, defaultSpecId = next.specId)
+  }
+
+  // ---- refs / time travel / WAP publication (D14-D18) -----------------------
+
+  def createBranch(name: String, at: Option[Long] = None): TableMeta = commit { m =>
+    require(!m.refs.contains(name), s"ref $name exists")
+    val target = at.orElse(m.refs.get(MainBranch).map(_.snapshotId)).getOrElse(
+      throw new IllegalStateException("cannot branch an empty table"))
+    m.copy(refs = m.refs + (name -> Ref(target)))
+  }
+
+  def dropBranch(name: String): TableMeta = commit { m =>
+    require(name != MainBranch, "cannot drop main")
+    m.copy(refs = m.refs - name)
+  }
+
+  /** CALL rollback_to_snapshot (D17, Getting Started.ipynb c36). */
+  def rollbackTo(snapshotId: Long): TableMeta = commit { m =>
+    require(m.snapshot(snapshotId).isDefined, s"no snapshot $snapshotId")
+    m.copy(
+      refs = m.refs + (MainBranch -> Ref(snapshotId)),
+      history = m.history :+ HistoryEntry(System.currentTimeMillis(), snapshotId, MainBranch))
+  }
+
+  /** CALL cherrypick_snapshot (D18): publish a staged WAP snapshot onto main
+    * — metadata-only; re-applies the staged snapshot's added files on top of
+    * the current main (Integrated Audits c37, WAP c52). */
+  def cherrypick(snapshotId: Long): TableMeta = commit { m =>
+    val staged = m.snapshot(snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $snapshotId"))
+    val parentFiles = staged.parentId.flatMap(m.snapshot).map(_.files.map(_.path).toSet)
+      .getOrElse(Set.empty)
+    val added = staged.files.filterNot(f => parentFiles.contains(f.path))
+    val mainSnap = m.currentSnapshot
+    val snapId = m.lastSnapshotId + 1
+    val now = System.currentTimeMillis()
+    val files = mainSnap.map(_.files).getOrElse(Seq.empty) ++ added
+    val snap = Snapshot(snapId, mainSnap.map(_.snapshotId), now, staged.operation,
+      staged.summary ++ Map("published-wap-id" -> staged.summary.getOrElse("wap.id", ""),
+        "source-snapshot-id" -> snapshotId.toString),
+      files)
+    m.copy(snapshots = m.snapshots :+ snap, lastSnapshotId = snapId,
+      refs = m.refs + (MainBranch -> Ref(snapId)),
+      history = m.history :+ HistoryEntry(now, snapId, MainBranch))
+  }
+
+  // ---- maintenance (D19-D21) -------------------------------------------------
+
+  /** CALL expire_snapshots (D19): drop snapshots older than `olderThanMs`
+    * (keeping ref targets and the newest `retainLast`), then delete data
+    * files no surviving snapshot references. */
+  def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): TableMeta = {
+    val before = meta.snapshots.flatMap(_.files).map(_.path).toSet
+    val m2 = commit { m =>
+      val refTargets = m.refs.values.map(_.snapshotId).toSet
+      val newest = m.snapshots.filter(!_.staged).sortBy(s => (s.timestampMs, s.snapshotId))
+        .takeRight(math.max(retainLast, 1)).map(_.snapshotId).toSet
+      val keep = m.snapshots.filter(s =>
+        refTargets.contains(s.snapshotId) || newest.contains(s.snapshotId) ||
+          s.timestampMs >= olderThanMs)
+      m.copy(snapshots = keep)
+    }
+    val live = m2.snapshots.flatMap(_.files).map(_.path).toSet
+    (before -- live).foreach(p => fs.delete(new Path(p), false))
+    m2
+  }
+
+  /** CALL rewrite_data_files (D20): compact to ~targetSizeBytes files; new
+    * `replace` snapshot, logical content unchanged (Table Maintenance c9). */
+  def rewriteDataFiles(targetSizeBytes: Long = 512L * 1024 * 1024): TableMeta = {
+    val m0 = meta
+    val branch = resolveWriteBranch(None)
+    val files = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
+      .map(_.files).getOrElse(Seq.empty)
+    if (files.isEmpty) return m0
+    val totalBytes = files.map(_.sizeBytes).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetSizeBytes).toInt)
+    val df = dataFrameFor(m0, files).repartition(n)
+    val rewritten = writeDataFiles(toPhysical(df, m0.schema), m0)
+    commitReplace(branch, rewritten, "replace", Map(
+      "rewritten-data-files" -> files.size.toString,
+      "added-data-files" -> rewritten.size.toString))
+  }
+
+  /** CALL rewrite_manifests (D21): in our single-JSON design the manifest IS
+    * the metadata file — rewriting it is a fresh commit of the same state. */
+  def rewriteManifests(): TableMeta = commit(m => m)
+
+  /** String procedure dispatcher for CALL-style parity (SURVEY §2.11). */
+  def call(procedure: String, args: Map[String, String] = Map.empty): TableMeta =
+    procedure match {
+      case "rollback_to_snapshot" => rollbackTo(args("snapshot_id").toLong)
+      case "cherrypick_snapshot" => cherrypick(args("snapshot_id").toLong)
+      case "expire_snapshots" => expireSnapshots(
+        args.get("older_than").map(_.toLong).getOrElse(System.currentTimeMillis()),
+        args.get("retain_last").map(_.toInt).getOrElse(1))
+      case "rewrite_data_files" => rewriteDataFiles(
+        args.get("target-file-size-bytes").map(_.toLong).getOrElse(512L * 1024 * 1024))
+      case "rewrite_manifests" => rewriteManifests()
+      case other => throw new IllegalArgumentException(s"unknown procedure $other")
+    }
+
+  // ---- properties (D9) --------------------------------------------------------
+
+  def setProperties(props: Map[String, String]): TableMeta =
+    commit(m => m.copy(properties = m.properties ++ props))
+  def unsetProperties(keys: Seq[String]): TableMeta =
+    commit(m => m.copy(properties = m.properties -- keys))
+
+  def metadataTable(kind: String): DataFrame = MetadataTables(this, kind)
+}
+
+object LakeTable {
+  val MainBranch = "main"
+
+  private[lake] def listParquet(fs: FileSystem, dir: Path): Seq[Path] = {
+    val it = fs.listFiles(dir, true)
+    val buf = scala.collection.mutable.ArrayBuffer[Path]()
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath
+    }
+    buf.toSeq
+  }
+
+  private[lake] def isWidening(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (ByteType, ShortType | IntegerType | LongType | FloatType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
+    case (IntegerType, LongType | FloatType | DoubleType) => true
+    case (LongType, DoubleType) => true
+    case (FloatType, DoubleType) => true
+    case (d1: DecimalType, d2: DecimalType) =>
+      d2.precision >= d1.precision && d2.scale >= d1.scale
+    case _ => false
+  }
+}

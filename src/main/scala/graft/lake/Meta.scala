@@ -1,0 +1,132 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.annotation.JsonDeserialize
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.{ClassTagExtensions, DefaultScalaModule}
+import org.apache.spark.sql.types.{DataType, StructField, StructType, Metadata => SparkMetadata}
+
+/** Table-metadata model for graft's versioned lake tables.
+  *
+  * Provides the *capabilities* of the reference's Iceberg tables (snapshots,
+  * refs/branches, WAP staging, schema & partition evolution, per-file column
+  * stats — see SURVEY.md §2.9 and /root/reference/src/main/java/com/arecadata/
+  * clickstream/IcebergStream.java:67-80 for the reference's table model), but
+  * as a small JSON manifest of our own design, not the Iceberg format.
+  *
+  * Layout on disk:
+  * {{{
+  *   <tableDir>/data/<uuid>.parquet          (physical column names = "c<id>")
+  *   <tableDir>/metadata/v<N>.json           (immutable TableMeta versions)
+  *   <tableDir>/metadata/version-hint.text   (atomic pointer to current N)
+  * }}}
+  *
+  * Columns are identified by stable integer ids; files are written with
+  * physical names `c<id>` so renames / reorders / widenings are
+  * metadata-only and files written under older schemas stay readable.
+  */
+final case class LakeColumn(
+    id: Int,
+    name: String,
+    /** DataType.json string (round-trips via DataType.fromJson). */
+    dataType: String,
+    nullable: Boolean = true,
+    comment: Option[String] = None) {
+  def sparkType: DataType = DataType.fromJson(dataType)
+  def physicalName: String = s"c$id"
+  def toField: StructField = {
+    val md = comment.fold(SparkMetadata.empty)(c =>
+      new org.apache.spark.sql.types.MetadataBuilder().putString("comment", c).build())
+    StructField(name, sparkType, nullable, md)
+  }
+}
+
+final case class LakeSchema(schemaId: Int, columns: Seq[LakeColumn]) {
+  def sparkSchema: StructType = StructType(columns.map(_.toField))
+  def physicalSchema: StructType =
+    StructType(columns.map(c => StructField(c.physicalName, c.sparkType, c.nullable)))
+  def byName(name: String): Option[LakeColumn] = columns.find(_.name == name)
+  def byId(id: Int): Option[LakeColumn] = columns.find(_.id == id)
+}
+
+/** One partition-spec field: `transform(sourceColumn)` (hidden partitioning,
+  * ref: Berlin Buzzwords 2023.ipynb:105 `PARTITIONED BY (days(...))`).
+  * Transforms: identity | years | months | days | hours | bucket[N].
+  * Partition values are string-encoded transform outputs (Iceberg-style
+  * ordinals for time transforms: days since epoch, etc.). */
+final case class PartitionField(sourceId: Int, transform: String) {
+  /** Physical partition directory column name (stable across renames). */
+  def physicalName: String = s"_p_${transform.replaceAll("[\\[\\]]", "_")}_$sourceId"
+}
+
+final case class PartitionSpec(specId: Int, fields: Seq[PartitionField])
+
+/** Column stats string-encoded by type (timestamps as epoch-micros strings)
+  * so JSON round-trips are lossless and engine-agnostic. */
+final case class ColStat(min: Option[String], max: Option[String], nullCount: Long)
+
+final case class DataFile(
+    path: String,
+    specId: Int,
+    schemaId: Int,
+    /** physical partition column name → string-encoded value ("" key absent for unpartitioned). */
+    partitionValues: Map[String, String],
+    rowCount: Long,
+    sizeBytes: Long,
+    /** physical column name ("c<id>") → stats. */
+    stats: Map[String, ColStat])
+
+final case class Snapshot(
+    snapshotId: Long,
+    // contentAs guards against Jackson's erasure default (Option[Integer])
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    parentId: Option[Long],
+    timestampMs: Long,
+    /** append | overwrite | delete | replace | truncate. */
+    operation: String,
+    summary: Map[String, String],
+    files: Seq[DataFile],
+    /** WAP: staged snapshots are not reachable from any ref until
+      * cherry-picked (ref: Integrated Audits….ipynb c16/c27). */
+    staged: Boolean = false)
+
+final case class Ref(snapshotId: Long)
+
+final case class HistoryEntry(timestampMs: Long, snapshotId: Long, ref: String)
+
+final case class TableMeta(
+    formatVersion: Int,
+    tableId: String,
+    name: String,
+    location: String,
+    schemas: Seq[LakeSchema],
+    currentSchemaId: Int,
+    partitionSpecs: Seq[PartitionSpec],
+    defaultSpecId: Int,
+    snapshots: Seq[Snapshot],
+    refs: Map[String, Ref],
+    history: Seq[HistoryEntry],
+    properties: Map[String, String],
+    lastColumnId: Int,
+    lastSnapshotId: Long,
+    version: Int) {
+
+  def schema: LakeSchema = schemas.find(_.schemaId == currentSchemaId).get
+  def spec: PartitionSpec = partitionSpecs.find(_.specId == defaultSpecId).get
+  def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
+  def currentSnapshot: Option[Snapshot] =
+    refs.get(LakeTable.MainBranch).flatMap(r => snapshot(r.snapshotId))
+  def snapshotFor(branch: String): Option[Snapshot] =
+    refs.get(branch).flatMap(r => snapshot(r.snapshotId))
+}
+
+object Meta {
+  private val mapper: ObjectMapper with ClassTagExtensions = {
+    val m = new ObjectMapper() with ClassTagExtensions
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+  def toJson(meta: TableMeta): String =
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta)
+  def fromJson(json: String): TableMeta = mapper.readValue[TableMeta](json)
+}

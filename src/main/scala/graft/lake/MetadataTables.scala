@@ -1,0 +1,69 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Metadata tables (S6): `snapshots, files, partitions, history, refs,
+  * manifests` as DataFrames derived from the table metadata JSON — the
+  * same query surface as the reference's `SELECT * FROM tbl.snapshots`
+  * (Berlin Buzzwords 2023.ipynb c12-c21, Getting Started.ipynb c29-c33,
+  * WAP….ipynb c49). */
+object MetadataTables {
+
+  val kinds: Seq[String] =
+    Seq("snapshots", "files", "partitions", "history", "refs", "manifests")
+
+  def apply(table: LakeTable, kind: String): DataFrame = {
+    val spark = table.spark
+    import spark.implicits._
+    val m = table.meta
+    kind match {
+      case "snapshots" =>
+        m.snapshots.map { s =>
+          (new java.sql.Timestamp(s.timestampMs), s.snapshotId, s.parentId,
+            s.operation, s.summary, s.staged)
+        }.toDF("committed_at", "snapshot_id", "parent_id", "operation", "summary", "staged")
+
+      case "files" =>
+        val files = m.currentSnapshot.map(_.files).getOrElse(Seq.empty)
+        // surface stats keyed by *logical* column names of each file's schema
+        files.map { f =>
+          val schema = m.schemas.find(_.schemaId == f.schemaId).getOrElse(m.schema)
+          def logical(phys: String): String =
+            schema.columns.find(_.physicalName == phys).map(_.name).getOrElse(phys)
+          (f.path, f.specId, f.partitionValues, f.rowCount, f.sizeBytes,
+            f.stats.map { case (k, v) => logical(k) -> v.nullCount },
+            f.stats.collect { case (k, ColStat(Some(mn), _, _)) => logical(k) -> mn },
+            f.stats.collect { case (k, ColStat(_, Some(mx), _)) => logical(k) -> mx })
+        }.toDF("file_path", "spec_id", "partition", "record_count",
+          "file_size_in_bytes", "null_value_counts", "lower_bounds", "upper_bounds")
+
+      case "partitions" =>
+        val files = m.currentSnapshot.map(_.files).getOrElse(Seq.empty)
+        files.groupBy(_.partitionValues).map { case (pv, fs) =>
+          (pv, fs.map(_.rowCount).sum, fs.size.toLong)
+        }.toSeq.toDF("partition", "record_count", "file_count")
+
+      case "history" =>
+        m.history.map { h =>
+          (new java.sql.Timestamp(h.timestampMs), h.snapshotId, h.ref,
+            // is_current_ancestor analog: still reachable as the ref target chain
+            m.refs.get(h.ref).exists(_.snapshotId == h.snapshotId))
+        }.toDF("made_current_at", "snapshot_id", "ref", "is_ref_current")
+
+      case "refs" =>
+        m.refs.toSeq.map { case (name, r) => (name, "BRANCH", r.snapshotId) }
+          .toDF("name", "type", "snapshot_id")
+
+      case "manifests" =>
+        // our single-JSON design: one manifest row per snapshot
+        m.snapshots.map { s =>
+          (s"${table.location}/metadata/v${m.version}.json", s.snapshotId,
+            s.files.size.toLong, s.files.map(_.rowCount).sum)
+        }.toDF("path", "added_snapshot_id", "existing_data_files_count", "existing_rows_count")
+
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown metadata table $other (expected one of ${kinds.mkString(", ")})")
+    }
+  }
+}

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` Spark internals: Spark 4 removed the public
+  * `Column.expr`; the supported conversion lives in
+  * `org.apache.spark.sql.classic.ExpressionUtils`. Living under
+  * `org.apache.spark.sql` grants access — the same technique Spark
+  * extensions use. */
+object ColumnBridge {
+  /** Fully convert the Column's ColumnNode tree to a catalyst Expression
+    * (ExpressionUtils.expression alone returns a lazy ColumnNodeExpression
+    * wrapper whose children are still ColumnNodes — useless for analysis). */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+}

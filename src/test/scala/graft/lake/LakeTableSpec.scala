@@ -1,0 +1,283 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** End-to-end lake-table scenarios mirroring the reference notebooks'
+  * observable behavior (SURVEY.md §5: counts drop after DELETE and return
+  * after rollback — Getting Started.ipynb c40; WAP staging invisible until
+  * cherry-pick — Integrated Audits c22/c37; etc.). */
+class LakeTableSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def freshCatalog(): LakeCatalog =
+    new LakeCatalog(spark, Files.createTempDirectory("graft-lake").toString)
+
+  def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  def taxis: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, ts("2022-01-01 08:30:00"), 10.0, 2.0),
+      (2L, ts("2022-01-01 09:30:00"), 20.0, 4.0),
+      (3L, ts("2022-01-02 10:00:00"), 30.0, 0.0),
+      (4L, ts("2022-02-01 11:00:00"), 40.0, 8.0),
+      (5L, ts("2022-02-02 12:00:00"), 50.0, 10.0)
+    ).toDF("vendor_id", "pickup", "fare", "distance")
+  }
+
+  val taxiSchema: StructType = StructType(Seq(
+    StructField("vendor_id", LongType),
+    StructField("pickup", TimestampType),
+    StructField("fare", DoubleType),
+    StructField("distance", DoubleType)))
+
+  test("create + append + scan round-trips") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.taxis", taxiSchema)
+    t.append(taxis)
+    assert(t.toDF.count() === 5)
+    assert(t.toDF.columns.toSeq === Seq("vendor_id", "pickup", "fare", "distance"))
+    assert(t.toDF.agg(sum("fare")).head.getDouble(0) === 150.0)
+  }
+
+  test("every append is a snapshot; time travel by snapshot-id and timestamp") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.taxis", taxiSchema)
+    t.append(taxis.limit(2))
+    val v1 = t.meta.currentSnapshot.get
+    t.append(taxis.filter(col("vendor_id") > 2))
+    assert(t.toDF.count() === 5)
+    assert(t.read(snapshotId = Some(v1.snapshotId)).count() === 2)
+    assert(t.read(asOfTimestampMs = Some(v1.timestampMs)).count() === 2)
+    assert(t.meta.snapshots.size === 2)
+  }
+
+  test("UPDATE SET expr rewrites matching rows copy-on-write (c18)") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.taxis", taxiSchema)
+    t.append(taxis)
+    t.addColumn("fare_per_distance_unit", FloatType)
+    t.update(Map("fare_per_distance_unit" ->
+      (col("fare") / when(col("distance") =!= 0.0, col("distance"))).cast(FloatType)))
+    val out = t.toDF.orderBy("vendor_id").collect()
+    assert(out(0).getFloat(4) === 5.0f)
+    assert(out(2).isNullAt(4)) // 0-distance → null (matches c23 scenario)
+    // conditional update
+    t.update(Map("fare" -> lit(99.0)), Some(col("vendor_id") === 5L))
+    assert(t.toDF.filter(col("vendor_id") === 5).head.getDouble(2) === 99.0)
+    assert(t.toDF.filter(col("vendor_id") === 1).head.getDouble(2) === 10.0)
+  }
+
+  test("DELETE: metadata-only when stats prove whole files match (c20/c21)") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.taxis", taxiSchema,
+      partitionBy = Seq("pickup" -> "days"))
+    t.append(taxis.coalesce(1)) // 1 writer task → exactly one file per day partition
+    val filesBefore = t.meta.currentSnapshot.get.files.size
+    assert(filesBefore === 4)
+    // row-level predicate partially matching the 2-row Jan-1 file → copy-on-write
+    t.delete(col("fare") === 10.0)
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.summary("metadata-only") === "false")
+    assert(t.toDF.count() === 4)
+    // whole-partition predicate → metadata-only (no rewrite)
+    t.delete(col("pickup") < lit(ts("2022-01-03 00:00:00")))
+    val snap2 = t.meta.currentSnapshot.get
+    assert(snap2.summary("metadata-only") === "true")
+    assert(t.toDF.count() === 2)
+    assert(t.toDF.agg(min("fare")).head.getDouble(0) === 40.0)
+  }
+
+  test("schema evolution: rename, widen, add-after, reorder, comment (c11-c16)") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.taxis", StructType(Seq(
+      StructField("id", IntegerType), StructField("fare_amount", DoubleType),
+      StructField("trip_distance", FloatType))))
+    import spark.implicits._
+    t.append(Seq((1, 10.5, 2.5f), (2, 20.0, 5.0f)).toDF("id", "fare_amount", "trip_distance"))
+    t.renameColumn("fare_amount", "fare")
+    t.renameColumn("trip_distance", "distance")
+    t.updateColumnType("distance", DoubleType) // float → double widen
+    t.updateColumnType("id", LongType)         // int → bigint widen
+    t.updateColumnComment("fare", "money money")
+    t.addColumn("fare_per_distance_unit", FloatType, after = Some("distance"))
+    val df = t.toDF
+    assert(df.columns.toSeq === Seq("id", "fare", "distance", "fare_per_distance_unit"))
+    assert(df.schema("distance").dataType === DoubleType)
+    assert(df.schema("id").dataType === LongType)
+    // old files still readable through the mapping
+    assert(df.filter(col("id") === 1L).head.getDouble(1) === 10.5)
+    assert(df.filter(col("id") === 2L).head.getDouble(2) === 5.0)
+    assert(df.filter(col("id") === 1L).head.isNullAt(3))
+    // reorder is metadata-only
+    t.moveColumn("fare", after = Some("distance"))
+    assert(t.toDF.columns.toSeq === Seq("id", "distance", "fare", "fare_per_distance_unit"))
+    // widening rejects narrowing
+    assertThrows[IllegalArgumentException](t.updateColumnType("fare", IntegerType))
+    // appends after evolution write the new schema; both generations union
+    t.append(Seq((3L, 7.5, 30.0, 4.0f)).toDF("id", "distance", "fare", "fare_per_distance_unit"))
+    assert(t.toDF.count() === 3)
+    assert(t.toDF.filter(col("id") === 3).head.getDouble(1) === 7.5)
+  }
+
+  test("partition evolution: days → hours applies only to new writes (D8)") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.taxis", taxiSchema, partitionBy = Seq("pickup" -> "days"))
+    t.append(taxis.limit(3))
+    t.replacePartitionSpec(Seq("pickup" -> "hours"))
+    t.append(taxis.filter(col("vendor_id") > 3))
+    val files = t.meta.currentSnapshot.get.files
+    assert(files.map(_.specId).toSet === Set(0, 1))
+    assert(t.toDF.count() === 5)
+    // pruning still works across both specs via file stats
+    val pruned = t.read(filter = Some(col("pickup") >= lit(ts("2022-02-01 00:00:00"))))
+    assert(pruned.count() === 2)
+  }
+
+  test("rollback_to_snapshot restores previous counts (c36/c40)") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.taxis", taxiSchema)
+    t.append(taxis)
+    val before = t.meta.currentSnapshot.get.snapshotId
+    t.delete(col("fare") > 25.0)
+    assert(t.toDF.count() === 2)
+    t.call("rollback_to_snapshot", Map("snapshot_id" -> before.toString))
+    assert(t.toDF.count() === 5)
+  }
+
+  test("WAP: staged write invisible until cherry-pick (D15/D18)") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.permits", taxiSchema,
+      properties = Map("write.wap.enabled" -> "true"))
+    t.append(taxis.limit(3))
+    spark.conf.set("spark.wap.id", "job-42")
+    try {
+      t.append(taxis.filter(col("vendor_id") > 3))
+      // reads don't see the staged snapshot
+      assert(t.toDF.count() === 3)
+      val staged = t.meta.snapshots.find(_.staged).get
+      assert(staged.summary("wap.id") === "job-42")
+      // audit pass reads it explicitly by snapshot id (c30/c32)
+      assert(t.read(snapshotId = Some(staged.snapshotId)).count() === 5)
+      // publish
+      t.call("cherrypick_snapshot", Map("snapshot_id" -> staged.snapshotId.toString))
+      assert(t.toDF.count() === 5)
+    } finally spark.conf.unset("spark.wap.id")
+  }
+
+  test("branches: write via spark.wap.branch, read main unchanged (D14/D16)") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.permits", taxiSchema)
+    t.append(taxis.limit(3))
+    t.createBranch("etl_job_42")
+    spark.conf.set("spark.wap.branch", "etl_job_42")
+    try {
+      t.append(taxis.filter(col("vendor_id") > 3))
+      // session-conf-routed read sees the branch (c27)
+      assert(t.toDF.count() === 5)
+    } finally spark.conf.unset("spark.wap.branch")
+    // main unchanged (c29)
+    assert(t.toDF.count() === 3)
+    assert(t.read(branch = Some("etl_job_42")).count() === 5)
+    // publish = fast-forward main to the branch head here via rollback ref
+    val head = t.meta.refs("etl_job_42").snapshotId
+    t.rollbackTo(head)
+    assert(t.toDF.count() === 5)
+    t.dropBranch("etl_job_42")
+    assert(!t.meta.refs.contains("etl_job_42"))
+  }
+
+  test("expire_snapshots deletes unreferenced files (D19)") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.taxis", taxiSchema)
+    t.append(taxis.limit(2))
+    t.append(taxis.filter(col("vendor_id") > 2))
+    t.delete(col("vendor_id") === 1L) // rewrites first file
+    val allPaths = t.meta.snapshots.flatMap(_.files).map(_.path).toSet
+    t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    val live = t.meta.snapshots.flatMap(_.files).map(_.path).toSet
+    assert(t.meta.snapshots.size === 1)
+    assert(t.toDF.count() === 4)
+    // physically removed
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    (allPaths -- live).foreach { p =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(p)), s"$p should be deleted")
+    }
+  }
+
+  test("rewrite_data_files compacts without changing content (D20)") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.taxis", taxiSchema)
+    (1 to 4).foreach(i => t.append(taxis)) // 4 small appends → ≥4 files
+    val before = t.meta.currentSnapshot.get.files.size
+    assert(before >= 4)
+    val sumBefore = t.toDF.agg(sum("fare")).head.getDouble(0)
+    t.call("rewrite_data_files", Map("target-file-size-bytes" -> (64L * 1024 * 1024).toString))
+    val after = t.meta.currentSnapshot.get
+    assert(after.operation === "replace")
+    assert(after.files.size === 1)
+    assert(t.toDF.count() === 20)
+    assert(t.toDF.agg(sum("fare")).head.getDouble(0) === sumBefore)
+  }
+
+  test("metadata tables: snapshots/files/history/refs/partitions (S6)") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.taxis", taxiSchema, partitionBy = Seq("pickup" -> "days"))
+    t.append(taxis)
+    t.delete(col("fare") === 10.0)
+    val snaps = t.metadataTable("snapshots")
+    assert(snaps.count() === 2)
+    assert(snaps.columns.contains("committed_at"))
+    assert(snaps.filter(col("operation") === "delete").count() === 1)
+    val files = t.metadataTable("files")
+    assert(files.count() === t.meta.currentSnapshot.get.files.size.toLong)
+    val lower = files.selectExpr("lower_bounds['fare']").collect().map(_.getString(0))
+    assert(lower.forall(_ != null))
+    assert(t.metadataTable("refs").filter(col("name") === "main").count() === 1)
+    assert(t.metadataTable("history").count() === 2)
+    assert(t.metadataTable("partitions").count() >= 3)
+    // SQL route via registered views
+    cat.registerViews("nyc.taxis", "taxis")
+    assert(spark.sql("SELECT COUNT(*) FROM taxis").head.getLong(0) === 4)
+    assert(spark.sql("SELECT snapshot_id FROM taxis__snapshots ORDER BY committed_at DESC LIMIT 1").count() === 1)
+  }
+
+  test("truncate empties the table but history survives (D3)") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.taxis", taxiSchema)
+    t.append(taxis)
+    val before = t.meta.currentSnapshot.get.snapshotId
+    t.truncate()
+    assert(t.toDF.count() === 0)
+    assert(t.read(snapshotId = Some(before)).count() === 5)
+  }
+
+  test("file pruning: predicate prunes files before the scan (§4)") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.taxis", taxiSchema, partitionBy = Seq("pickup" -> "days"))
+    t.append(taxis)
+    val m = t.meta
+    val all = m.currentSnapshot.get.files
+    val p = Pruning.translate(col("pickup") >= lit(ts("2022-02-01 00:00:00")))
+    // use the same internals the scan uses: count files surviving mayMatch
+    val survivors = all.count { f =>
+      val method = classOf[LakeTable].getDeclaredMethods.find(_.getName == "fileBounds").get
+      method.setAccessible(true)
+      val b = method.invoke(t, m, f).asInstanceOf[Pruning.FileBounds]
+      Pruning.mayMatch(p, b)
+    }
+    assert(survivors === 2) // only the two February day-partitions
+    assert(t.read(filter = Some(col("pickup") >= lit(ts("2022-02-01 00:00:00")))).count() === 2)
+  }
+}
