@@ -308,6 +308,32 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       "rewritten-data-files" -> touched.size.toString))
   }
 
+  /** Equality-field upsert (J2: `MERGE` = anti-join + union, ref:
+    * IcebergStream.java:118 equalityFieldColumns): delete every table row
+    * whose `key` is in `keys`, then append `upserts`. Only files whose key
+    * bounds overlap `keys` are rewritten — at scale the rewrite set is the
+    * files the changelog touches, never the whole table. */
+  def mergeByKey(key: String, keys: Seq[Any], upserts: DataFrame,
+                 extraSummary: Map[String, String] = Map.empty): TableMeta = {
+    val m0 = meta
+    val branch = resolveWriteBranch(None)
+    val snap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
+    val all = snap.map(_.files).getOrElse(Seq.empty)
+    val p = Pruning.In(key, keys)
+    val (touched, untouched) = all.partition(f => Pruning.mayMatch(p, fileBounds(m0, f)))
+    val survivors: Seq[DataFile] = if (touched.isEmpty) Seq.empty else {
+      val remaining = dataFrameFor(m0, touched).filter(!col(key).isin(keys: _*))
+      writeDataFiles(toPhysical(remaining, m0.schema), m0)
+    }
+    val inserted =
+      if (upserts.isEmpty) Seq.empty
+      else writeDataFiles(toPhysical(upserts, m0.schema), m0)
+    commitReplace(branch, untouched ++ survivors ++ inserted, "overwrite",
+      extraSummary ++ Map(
+        "merge-keys" -> keys.size.toString,
+        "rewritten-data-files" -> touched.size.toString))
+  }
+
   /** TRUNCATE (D3): new empty snapshot. */
   def truncate(): TableMeta =
     commitReplace(resolveWriteBranch(None), Seq.empty, "truncate", Map.empty)

@@ -1,0 +1,167 @@
+package graft.streaming
+
+import graft.lake.{DataFile, LakeTable, Pruning}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Changelog-stream ingestion (SURVEY.md §2.10, M7).
+  *
+  * Reproduces the reference's Flink jobs Spark-first:
+  *   - CSV changelog parse with malformed-line drop
+  *     (ref: IcebergStream.java:87-98, PaimonStream.java:54-66)
+  *   - synthetic faker source as a rate-source + expressions
+  *     (ref: FakerSource.java:27-70)
+  *   - clickstream JSON generator (ref: datagen/datagen.py:28-60)
+  *   - equality-field upsert / last-wins dedup merge into a LakeTable via
+  *     foreachBatch (ref: IcebergStream.java:116-120 equalityFieldColumns,
+  *     PaimonStream.java:91 'merge-engine'='deduplicate')
+  *
+  * Scale design: each micro-batch merge only rewrites data files whose key
+  * bounds overlap the batch's key set (stats-pruned copy-on-write). The
+  * batch's distinct keys are collected to the driver — bounded by the
+  * micro-batch size, not the table size — while the table side stays fully
+  * distributed; at 100 TB the rewrite set is the handful of files the
+  * changelog actually touches, not the table.
+  */
+object Changelog {
+
+  /** RowKind domain (ref: IcebergStream.java:46-47 I/D,
+    * PaimonStream.java:41-42 adds -U/+U). */
+  val Insert = "I"; val Delete = "D"; val UpdateBefore = "-U"; val UpdateAfter = "U"
+
+  val changelogSchema: StructType = StructType(Seq(
+    StructField("op", StringType, nullable = false),
+    StructField("block_number", IntegerType, nullable = false),
+    StructField("hash", StringType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false)))
+
+  /** Parse raw text lines `type,block_number,hash` into the changelog
+    * schema; malformed lines (field count != 3, non-int key) are dropped
+    * (ref: IcebergStream.java:90-98). Works on both batch and streaming
+    * DataFrames with a `value: String` column. */
+  def parseCsvLines(lines: DataFrame): DataFrame = {
+    lines
+      .select(split(col("value"), ",").as("f"))
+      .filter(size(col("f")) === 3)
+      .select(
+        col("f").getItem(0).as("op"),
+        // try_cast: ANSI-safe — a non-integer key nulls out and is dropped
+        // below, mirroring the reference's parse-failure drop
+        col("f").getItem(1).try_cast("int").as("block_number"),
+        col("f").getItem(2).as("hash"),
+        date_trunc("second", current_timestamp()).as("timestamp"))
+      .filter(col("block_number").isNotNull && col("op").isin(Insert, Delete, UpdateBefore, UpdateAfter))
+  }
+
+  /** Socket text stream source (ref: IcebergStream.java:87-88 socket on
+    * localhost:9999). */
+  def socketLines(spark: SparkSession, host: String = "localhost", port: Int = 9999): DataFrame =
+    spark.readStream.format("socket").option("host", host).option("port", port).load()
+
+  /** Synthetic faker source: rate stream shaped to the reference's record
+    * `{block_number: rand 0-10, hash: sha256, timestamp: now, type: I/D
+    * coinflip}` (ref: FakerSource.java:53-64). Deterministic in `value` so
+    * replays produce identical rows (exactly-once friendly). */
+  def fakerSource(spark: SparkSession, rowsPerSecond: Int = 1): DataFrame =
+    spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond).load()
+      .select(
+        when(pmod(crc32(concat(lit("op"), col("value"))), lit(2)) === 0, Insert).otherwise(Delete).as("op"),
+        pmod(col("value"), lit(10)).cast(IntegerType).as("block_number"),
+        sha2(col("value").cast(StringType), 256).as("hash"),
+        date_trunc("second", col("timestamp")).as("timestamp"))
+
+  /** Clickstream JSON event generator (ref: datagen/datagen.py:28-60):
+    * same columns/domains as the Kafka producer, as a rate stream. */
+  def clickstreamSource(spark: SparkSession, rowsPerSecond: Int = 10): DataFrame = {
+    val events = array(Seq("view_item", "add_to_cart", "remove_from_cart",
+      "purchase", "logout", "login", "view_cart").map(lit): _*)
+    val sites = array(Seq("amazing-store.com", "horrible-store.com", "meh-store.com").map(lit): _*)
+    spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond).load()
+      .select(
+        date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss").as("timestamp"),
+        element_at(events, pmod(crc32(concat(lit("e"), col("value"))), lit(7)).cast(IntegerType) + 1).as("event"),
+        concat(lit("user_"), pmod(col("value"), lit(10))).as("user_id"),
+        element_at(sites, pmod(crc32(concat(lit("s"), col("value"))), lit(3)).cast(IntegerType) + 1).as("site_id"),
+        concat(lit("/item/"), pmod(crc32(concat(lit("u"), col("value"))), lit(10))).as("url"),
+        pmod(crc32(concat(lit("o"), col("value"))), lit(101)).cast(IntegerType).as("on_site_seconds"),
+        pmod(crc32(concat(lit("v"), col("value"))), lit(101)).cast(IntegerType).as("viewed_percent"))
+  }
+
+  /** JSON-line round trip for the clickstream schema (F13; the datagen
+    * emits `json.dumps(data)` — datagen.py:55). */
+  def toJsonLines(clickstream: DataFrame): DataFrame =
+    clickstream.select(to_json(struct(clickstream.columns.map(col): _*)).as("value"))
+
+  val clickstreamSchema: StructType = StructType(Seq(
+    StructField("timestamp", StringType), StructField("event", StringType),
+    StructField("user_id", StringType), StructField("site_id", StringType),
+    StructField("url", StringType), StructField("on_site_seconds", IntegerType),
+    StructField("viewed_percent", IntegerType)))
+
+  def parseJsonLines(lines: DataFrame): DataFrame =
+    lines.select(from_json(col("value"), clickstreamSchema).as("r")).select(col("r.*"))
+
+  /** Apply one changelog micro-batch to a lake table with equality-field
+    * upsert semantics on `key` (ref: IcebergStream.java:118, J2-J4):
+    *
+    *   1. last-wins per key within the batch (`seqCol` descending; ties to
+    *      the reference's deterministic source order — PaimonStream.java:91)
+    *   2. -U rows are retractions of a prior version → treated as D unless
+    *      a later +U/I for the key exists (same anti-join machinery)
+    *   3. table rows with a key present in the batch are deleted
+    *      (file-pruned copy-on-write), then surviving I/U rows appended
+    *
+    * Idempotent on `batchId` (T4): a batch already recorded in the latest
+    * snapshot summary is skipped, so foreachBatch replays after a
+    * checkpoint recovery cannot double-apply. */
+  def mergeChangelog(table: LakeTable, batch: DataFrame, key: String,
+                     seqCol: String, opCol: String = "op",
+                     batchId: Long = -1L): Unit = {
+    val m0 = table.meta
+    if (batchId >= 0) {
+      val applied = m0.currentSnapshot.flatMap(_.summary.get("streaming.batch-id"))
+      if (applied.exists(_.toLong >= batchId)) return
+    }
+    import org.apache.spark.sql.expressions.Window
+    val latest = batch
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col(seqCol).desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+      .cache()
+    try {
+      val keys = latest.select(col(key)).collect().map(_.get(0)).toSeq
+      if (keys.nonEmpty) {
+        val upserts = latest.filter(col(opCol).isin(Insert, UpdateAfter)).drop(opCol)
+        table.mergeByKey(key, keys, upserts,
+          if (batchId >= 0) Map("streaming.batch-id" -> batchId.toString) else Map.empty)
+      }
+    } finally { latest.unpersist(); () }
+  }
+
+  /** Start a continuous changelog ingest: 5 s micro-batches (the
+    * reference's checkpoint cadence — IcebergStream.java:84) with
+    * exactly-once via checkpointLocation + the batch-id guard. */
+  def startIngest(table: LakeTable, parsed: DataFrame, key: String, seqCol: String,
+                  checkpointDir: String, triggerMs: Long = 5000L): StreamingQuery =
+    parsed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeChangelog(table, batch, key, seqCol, batchId = id)
+      }
+      .start()
+
+  /** Streaming read-back of a lake table printed per trigger — the
+    * console analog of StreamRead.java:31-34 / PaimonStream.java:97-100.
+    * (File-source streaming over our data dir would miss CoW rewrites, so
+    * this re-reads the snapshot per tick like the reference's changelog
+    * console loop.) */
+  def consoleReadBack(table: LakeTable, intervalMs: Long = 5000L, ticks: Int = 3): Unit =
+    (1 to ticks).foreach { _ =>
+      table.toDF.show(20, truncate = false)
+      Thread.sleep(intervalMs)
+    }
+}

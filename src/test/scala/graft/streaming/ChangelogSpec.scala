@@ -1,0 +1,154 @@
+package graft.streaming
+
+import graft.lake.LakeCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Changelog ingestion scenarios (M7) mirroring the reference's Flink jobs:
+  * CSV parse with malformed-line drop (IcebergStream.java:90-93), equality-
+  * field upsert (:118), last-wins dedup (PaimonStream.java:91), -U/+U
+  * retract-insert pairs (:41-42), idempotent batch replay (T4). */
+class ChangelogSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def freshCatalog(): LakeCatalog =
+    new LakeCatalog(spark, Files.createTempDirectory("graft-stream").toString)
+
+  val tableSchema: StructType = StructType(Seq(
+    StructField("block_number", IntegerType),
+    StructField("hash", StringType),
+    StructField("seq", LongType)))
+
+  def batchDF(rows: Seq[(String, Int, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("op", "block_number", "hash", "seq")
+  }
+
+  test("CSV changelog parse drops malformed lines (IcebergStream.java:90-93)") {
+    import spark.implicits._
+    val lines = Seq("I,3,abc", "D,4,def", "garbage", "I,5", "I,notanint,xyz",
+      "U,6,ggg", "-U,6,old").toDF("value")
+    val parsed = Changelog.parseCsvLines(lines)
+    assert(parsed.columns.toSeq === Seq("op", "block_number", "hash", "timestamp"))
+    assert(parsed.count() === 4)
+    assert(parsed.select("block_number").collect().map(_.getInt(0)).sorted === Array(3, 4, 6, 6))
+  }
+
+  test("equality-field upsert: I appends, D deletes, last-wins per key (J2/J3)") {
+    val cat = freshCatalog()
+    val t = cat.createTable("test.blocks", tableSchema)
+    // batch 1: inserts for keys 1..3
+    Changelog.mergeChangelog(t, batchDF(Seq(
+      ("I", 1, "h1", 1L), ("I", 2, "h2", 2L), ("I", 3, "h3", 3L))),
+      key = "block_number", seqCol = "seq", batchId = 0L)
+    assert(t.toDF.count() === 3)
+    // batch 2: update key 2 (two versions — later seq wins), delete key 3,
+    // insert key 4
+    Changelog.mergeChangelog(t, batchDF(Seq(
+      ("U", 2, "h2-old", 10L), ("U", 2, "h2-new", 11L),
+      ("D", 3, "h3", 12L), ("I", 4, "h4", 13L))),
+      key = "block_number", seqCol = "seq", batchId = 1L)
+    val out = t.toDF.orderBy("block_number").collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(1, 2, 4))
+    assert(out(1).getString(1) === "h2-new")
+  }
+
+  test("-U/+U retract-insert pair collapses to the +U row (PaimonStream J4)") {
+    val cat = freshCatalog()
+    val t = cat.createTable("test.blocks", tableSchema)
+    Changelog.mergeChangelog(t, batchDF(Seq(("I", 7, "old", 1L))),
+      key = "block_number", seqCol = "seq")
+    Changelog.mergeChangelog(t, batchDF(Seq(("-U", 7, "old", 2L), ("U", 7, "new", 3L))),
+      key = "block_number", seqCol = "seq")
+    val out = t.toDF.collect()
+    assert(out.length === 1 && out(0).getString(1) === "new")
+    // a trailing -U with no +U removes the key
+    Changelog.mergeChangelog(t, batchDF(Seq(("-U", 7, "new", 4L))),
+      key = "block_number", seqCol = "seq")
+    assert(t.toDF.count() === 0)
+  }
+
+  test("batch replay is idempotent on batchId (T4 exactly-once)") {
+    val cat = freshCatalog()
+    val t = cat.createTable("test.blocks", tableSchema)
+    val b = batchDF(Seq(("I", 1, "h1", 1L)))
+    Changelog.mergeChangelog(t, b, "block_number", "seq", batchId = 5L)
+    val snapCount = t.meta.snapshots.size
+    Changelog.mergeChangelog(t, b, "block_number", "seq", batchId = 5L) // replay
+    assert(t.meta.snapshots.size === snapCount)
+    assert(t.toDF.count() === 1)
+  }
+
+  test("merge rewrites only files whose key bounds overlap the batch") {
+    val cat = freshCatalog()
+    val t = cat.createTable("test.blocks", tableSchema)
+    import spark.implicits._
+    // two disjoint key-range files
+    t.append(Seq((1, "a", 1L), (2, "b", 2L)).toDF("block_number", "hash", "seq").coalesce(1))
+    t.append(Seq((100, "x", 3L), (200, "y", 4L)).toDF("block_number", "hash", "seq").coalesce(1))
+    Changelog.mergeChangelog(t, batchDF(Seq(("U", 1, "a2", 9L))),
+      key = "block_number", seqCol = "seq")
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.summary("rewritten-data-files") === "1") // high-range file untouched
+    assert(t.toDF.count() === 4)
+    assert(t.toDF.filter($"block_number" === 1).head.getString(1) === "a2")
+  }
+
+  test("faker source schema matches the reference record shape (S8)") {
+    val df = Changelog.fakerSource(spark)
+    assert(df.columns.toSeq === Seq("op", "block_number", "hash", "timestamp"))
+    assert(df.schema("block_number").dataType === IntegerType)
+    assert(df.isStreaming)
+  }
+
+  test("clickstream generator round-trips its JSON schema (S9/F13)") {
+    import spark.implicits._
+    // exercise the parse path on a batch analog of the generator output
+    val sample = Seq(
+      """{"timestamp":"2024-01-01 10:00:00","event":"purchase","user_id":"user_3","site_id":"meh-store.com","url":"/item/7","on_site_seconds":42,"viewed_percent":99}""")
+      .toDF("value")
+    val parsed = Changelog.parseJsonLines(sample)
+    assert(parsed.columns.toSeq === Changelog.clickstreamSchema.fieldNames.toSeq)
+    val r = parsed.head
+    assert(r.getString(1) === "purchase" && r.getInt(5) === 42)
+    val stream = Changelog.clickstreamSource(spark)
+    assert(stream.isStreaming && stream.columns.toSeq === Changelog.clickstreamSchema.fieldNames.toSeq)
+  }
+
+  test("end-to-end micro-batch ingest via foreachBatch + trigger (T1)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cat = freshCatalog()
+    val t = cat.createTable("test.stream", StructType(Seq(
+      StructField("block_number", IntegerType),
+      StructField("hash", StringType),
+      StructField("timestamp", TimestampType))))
+    val mem = MemoryStream[String]
+    val parsed = Changelog.parseCsvLines(mem.toDF())
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = parsed.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Changelog.mergeChangelog(t, batch, "block_number", "timestamp", batchId = id)
+      }.start()
+    try {
+      mem.addData("I,1,aa", "I,2,bb", "bogus line")
+      q.processAllAvailable()
+      assert(t.toDF.count() === 2)
+      mem.addData("D,1,aa", "I,3,cc")
+      q.processAllAvailable()
+      assert(t.toDF.orderBy("block_number").collect().map(_.getInt(0)).toSeq === Seq(2, 3))
+    } finally q.stop()
+  }
+}
