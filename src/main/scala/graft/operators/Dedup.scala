@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and exact n-gram Jaccard verification.
+  *
+  * Scale design (the 100 TB story):
+  *   - exact dedup = one hash-partitioned window (single shuffle on the
+  *     fingerprint; no sort of the full rows — only (fingerprint, id) pairs
+  *     need to co-locate).
+  *   - MinHash: shingle explode → per-doc groupBy is map-side-combinable
+  *     (min() partial agg), one shuffle by doc id.
+  *   - LSH banding: candidate pairs come from an equi-join on
+  *     (band, bucket) — a shuffle join on a high-cardinality key, never a
+  *     cross join. Bucket width tunes the candidate volume.
+  *   - the exact-verify stage runs only on LSH candidates (tiny fraction).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical normalized content.
+    * Returns the surviving rows. */
+  def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fp = TextAnalysis.fastFingerprint(col(textCol))
+    df.withColumn("_rn", row_number().over(
+        Window.partitionBy(fp).orderBy(col(idCol))))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Word n-gram shingles, exploded: (id, shingle), distinct. */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val words = split(col(textCol), "\\s+")
+    val grams =
+      if (n == 1) words
+      else transform(
+        sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => concat_ws(" ", slice(words, i + 1, lit(n))))
+    df.select(col(idCol), explode(grams).as("shingle"))
+      .filter(length(col("shingle")) > 0)
+      .distinct()
+  }
+
+  /** MinHash signatures: k independent hash functions simulated by salted
+    * xxhash64 over shingles; signature = array of per-salt minima.
+    * One explode + one map-side-combinable min aggregation. */
+  def minHashSignatures(df: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", n: Int = 3, k: Int = 16): DataFrame = {
+    val sh = shingles(df, textCol, idCol, n)
+    val mins = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"h$i")): _*).as("signature"))
+  }
+
+  /** MinHash-LSH candidate pairs: signatures split into `bands` bands of
+    * k/bands rows; docs sharing any band bucket are candidates. Output:
+    * (idA, idB) with idA < idB, distinct. */
+  def minHashLshPairs(df: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", n: Int = 3, k: Int = 16,
+                      bands: Int = 4): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val sig = minHashSignatures(df, textCol, idCol, n, k)
+    val banded = sig.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("signature"), b * lit(r) + 1, lit(r))))).as(Seq("band", "bucket")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for given candidate pairs (the verify stage after
+    * LSH): join shingle sets, |A∩B| / (|A|+|B|-|A∩B|). */
+  def jaccardForPairs(df: DataFrame, pairs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    val sh = shingles(df, textCol, idCol, n).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val shA = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val shB = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val interCount = pairs.join(shA, "id_a").join(shB, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    interCount
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
+  }
+
+  /** End-to-end near-dup detection: LSH candidates → exact-Jaccard verify →
+    * pairs above `threshold`. */
+  def nearDuplicates(df: DataFrame, threshold: Double = 0.8, n: Int = 3,
+                     k: Int = 16, bands: Int = 4,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val pairs = minHashLshPairs(df, textCol, idCol, n, k, bands)
+    jaccardForPairs(df, pairs, textCol, idCol, n)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash (32-bit): per-word hash bits vote weighted ±1; the signature
+    * is the sign vector. Near-dups = signatures within `maxHamming`.
+    * Entirely expression-level: explode words × bit positions. */
+  def simHash(df: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id", bits: Int = 32): DataFrame = {
+    val words = df.select(col(idCol),
+        explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col(idCol), xxhash64(col("w")).as("h"))
+    val votes = words
+      .select(col(idCol), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("bit"))
+      .select(col(idCol), col("bit"),
+        // SQL shiftleft accepts a column shift amount (the Scala DSL doesn't)
+        expr("CASE WHEN (h & shiftleft(cast(1 AS BIGINT), bit)) != 0 THEN 1 ELSE -1 END").as("vote"))
+    votes.groupBy(col(idCol), col("bit"))
+      .agg(sum("vote").as("v"))
+      .groupBy(col(idCol))
+      .agg(sum(expr(
+        "CASE WHEN v > 0 THEN shiftleft(cast(1 AS BIGINT), bit) ELSE cast(0 AS BIGINT) END"))
+        .as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within maxHamming, blocked by `blockCol` to
+    * avoid the quadratic join at scale (at 100 TB: block by band of the
+    * signature's high bits instead). */
+  def simHashPairs(df: DataFrame, maxHamming: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   blockCol: Option[String] = None): DataFrame = {
+    val sig = simHash(df, textCol, idCol)
+    val withBlock = blockCol match {
+      case Some(c) => sig.join(df.select(col(idCol), col(c)), idCol)
+      case None => sig.withColumn("_blk", lit(0))
+    }
+    val blk = blockCol.getOrElse("_blk")
+    val a = withBlock.select(col(idCol).as("id_a"), col("simhash").as("sig_a"), col(blk).as("blk"))
+    val b = withBlock.select(col(idCol).as("id_b"), col("simhash").as("sig_b"), col(blk).as("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

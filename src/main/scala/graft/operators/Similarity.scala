@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`) — north-star
+  * ANN operators. All expression-level (zip_with/aggregate are codegen'd
+  * higher-order functions; no UDFs), so the scan→score→top-k pipeline stays
+  * in one whole-stage-codegen pass.
+  *
+  * Scale design:
+  *   - brute-force top-k: one map over the table + TakeOrderedAndProject
+  *     (no shuffle of vectors; only the per-partition top-k rows move).
+  *   - LSH path: sign-random-projection buckets computed from deterministic
+  *     hash-derived hyperplanes; candidate generation is an equi-join on
+  *     bucket — at 1000 executors the bucket join shuffles candidates only.
+  *   - IVF path: k-means-lite centroids via hash-seeded sampling; probe =
+  *     broadcast the (tiny) centroid table, prune to nearest `nprobe`
+  *     partitions. Same pattern as a partitioned-index scan.
+  */
+object Similarity {
+
+  /** exact dot product as double (deterministic left-to-right fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
+
+  /** Exact brute-force top-k cosine neighbors of `queryVec`.
+    * Plans as scan → project(score) → TakeOrderedAndProject: no shuffle of
+    * the vector column, only k rows per partition reach the driver. */
+  def topK(embeddings: DataFrame, queryVec: Seq[Float], k: Int = 10,
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = array(queryVec.map(v => lit(v)): _*)
+    embeddings
+      .select(col(idCol), cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 → uniform in [-1, 1). No RNG state, identical across
+    * executors and runs. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(1000000L)).cast("double") / 500000.0) - 1.0
+
+  /** Sign-random-projection LSH bucket id: `planes` sign bits packed into a
+    * long. Vectors in the same bucket are likely-similar candidates. */
+  def srpBucket(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => v.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k via SRP-LSH: score only vectors sharing the query's bucket
+    * in any of `tables` independent hash tables (multi-probe by table, not
+    * by bucket perturbation). Falls back to empty result if no collision —
+    * callers can widen with more tables. Approximate by construction. */
+  def annTopK(embeddings: DataFrame, queryVec: Seq[Float], k: Int = 10,
+              planes: Int = 12, tables: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = array(queryVec.map(v => lit(v)): _*)
+    val withBuckets = embeddings.select(
+      col(idCol), col(vecCol),
+      explode(array((0 until tables).map(t =>
+        srpBucket(col(vecCol), planes) * tables + t): _*)).as("bucket"))
+    // query buckets (computed once on a 1-row frame, broadcast)
+    val qdf = embeddings.sparkSession.range(1).select(
+      explode(array((0 until tables).map(t =>
+        srpBucket(q, planes) * tables + t): _*)).as("bucket"))
+    withBuckets
+      .join(broadcast(qdf), "bucket")
+      .select(col(idCol), cosine(col(vecCol), q).as("cos")).distinct()
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs near-duplicate vectors (cosine ≥ threshold), blocked by a
+    * coarse SRP bucket so the join is bucket-local (linear-ish, not n²).
+    * For exactness within a block family, pairs are generated across the
+    * `tables` hash tables and deduplicated. */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
+                   planes: Int = 8, tables: Int = 2,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withBuckets = embeddings.select(
+      col(idCol), col(vecCol),
+      explode(array((0 until tables).map(t =>
+        // independent tables: salt the plane index space per table
+        srpBucket(col(vecCol), planes) * tables + t): _*)).as("bucket"))
+    val a = withBuckets.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = withBuckets.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+
+  /** IVF-style index: pick `nlist` centroid rows by deterministic hash
+    * sampling, assign every vector to its nearest centroid (broadcast
+    * join — centroids are tiny), return (assignments, centroids).
+    * Probing `nprobe` lists scans ~nprobe/nlist of the data. */
+  def ivfAssign(embeddings: DataFrame, nlist: Int = 16,
+                idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val centroids = embeddings
+      .select(col(idCol), col(vecCol))
+      .withColumn("_h", pmod(xxhash64(col(idCol)), lit(1000000L)))
+      .orderBy("_h").limit(nlist)
+      .select(monotonically_increasing_id().as("list_id"), col(vecCol).as("centroid"))
+    val assigned = embeddings.crossJoin(broadcast(centroids))
+      .withColumn("d", cosine(col(vecCol), col("centroid")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("d").desc, col("list_id"))))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col(vecCol), col("list_id"))
+    (assigned, centroids)
+  }
+
+  /** IVF probe: search only the `nprobe` lists nearest to the query. */
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, queryVec: Seq[Float],
+              k: Int = 10, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = array(queryVec.map(v => lit(v)): _*)
+    val probeLists = centroids
+      .select(col("list_id"), cosine(col("centroid"), q).as("cd"))
+      .orderBy(col("cd").desc, col("list_id")).limit(nprobe)
+    assigned
+      .join(broadcast(probeLists.select("list_id")), "list_id")
+      .select(col(idCol), cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+}

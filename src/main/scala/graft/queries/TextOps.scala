@@ -1,0 +1,186 @@
+package graft.queries
+
+import graft.QuerySpec
+import graft.QuerySpec._
+
+/** Training-data text-pipeline operators over `documents` (north-star
+  * extensions beyond the reference — BASELINE.json): exact dedup, MinHash
+  * signatures + LSH-band near-dup pairs, exact n-gram Jaccard, token
+  * counting, quality features, language-ID.
+  *
+  * Oracle notes: md5 hex and lexicographic MIN over hex strings are
+  * engine-portable (identical in Spark and DuckDB), which makes MinHash
+  * signatures exactly comparable. Regex dialects differ only in escaping
+  * (Spark string literals process backslashes; DuckDB's don't) and
+  * regexp_replace's global flag, hence `dialect(...)` entries.
+  *
+  * Scale notes (sf-independent): every query here is shuffle-minimal —
+  * dedup is one window over a hash; minhash is explode + map-side-combining
+  * MIN aggregation; the near-dup joins are equi-joins on signature/band
+  * values, never cross joins; jaccard blocks by (lang, shingle) so only
+  * docs sharing a shingle ever meet.
+  */
+object TextOps {
+
+  /** Exact dedup, keep-lowest-id per identical content (md5 fingerprint).
+    * Same SQL parses in both engines. */
+  val q16 = both("q16_dedup_exact",
+    """SELECT doc_id, lang, n_chars FROM (
+      |  SELECT doc_id, lang, n_chars,
+      |         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+
+  /** Token counting per lang: BPE-ish regex tokens + whitespace tokens. */
+  val q17 = dialect("q17_token_stats",
+    sparkSql = """SELECT lang, COUNT(*) AS n_docs,
+      |  SUM(CAST(size(regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)) AS BIGINT)) AS total_tokens,
+      |  MAX(CAST(size(regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)) AS BIGINT)) AS max_tokens,
+      |  SUM(CAST(size(split(trim(text), '\\s+')) AS BIGINT)) AS total_ws_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    duckSql = """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS total_tokens,
+      |  CAST(MAX(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS max_tokens,
+      |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_ws_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+
+  private val stopList =
+    "'the','a','an','and','or','of','to','in','is','it','that','for','on','as','with'"
+
+  /** Per-doc quality features: length, punctuation count/ratio, stopword
+    * count (single fused projection — no shuffle besides the sort). */
+  val q18 = dialect("q18_quality_features",
+    sparkSql = s"""SELECT doc_id,
+      |  CAST(LENGTH(text) AS BIGINT) AS n_len,
+      |  CAST(LENGTH(regexp_replace(text, '[^.!?,;:]', '')) AS BIGINT) AS punct_cnt,
+      |  CAST(size(filter(split(lower(text), '\\\\s+'), w -> w IN ($stopList))) AS BIGINT) AS stop_cnt,
+      |  CAST(LENGTH(regexp_replace(text, '[^.!?,;:]', '')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) AS punct_ratio
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    duckSql = s"""SELECT doc_id,
+      |  CAST(LENGTH(text) AS BIGINT) AS n_len,
+      |  CAST(LENGTH(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS punct_cnt,
+      |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w IN ($stopList))) AS BIGINT) AS stop_cnt,
+      |  CAST(LENGTH(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) AS punct_ratio
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)
+
+  private def markers(lang: String): String = lang match {
+    case "de" => "'der','und','das','ist'"
+    case "en" => "'the','and','of','is'"
+    case "es" => "'el','los','que','es'"
+    case "fr" => "'le','les','et','est'"
+    case "zh" => "'的','是','了','在'"
+  }
+
+  private def langCase: String =
+    """CASE
+      |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh AND s_de > 0 THEN 'de'
+      |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh AND s_en > 0 THEN 'en'
+      |    WHEN s_es >= s_fr AND s_es >= s_zh AND s_es > 0 THEN 'es'
+      |    WHEN s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+      |    WHEN s_zh > 0 THEN 'zh'
+      |    ELSE 'und' END""".stripMargin
+
+  /** Language-ID by marker-word voting (n-gram heuristic), confusion
+    * counts vs the labeled lang. */
+  val q19 = dialect("q19_langid_confusion",
+    sparkSql = s"""WITH m AS (
+      |  SELECT doc_id, lang,
+      |    size(filter(split(lower(text), '\\\\s+'), w -> w IN (${markers("de")}))) AS s_de,
+      |    size(filter(split(lower(text), '\\\\s+'), w -> w IN (${markers("en")}))) AS s_en,
+      |    size(filter(split(lower(text), '\\\\s+'), w -> w IN (${markers("es")}))) AS s_es,
+      |    size(filter(split(lower(text), '\\\\s+'), w -> w IN (${markers("fr")}))) AS s_fr,
+      |    size(filter(split(lower(text), '\\\\s+'), w -> w IN (${markers("zh")}))) AS s_zh
+      |  FROM documents),
+      |p AS (SELECT lang, $langCase AS lang_pred FROM m)
+      |SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+    duckSql = s"""WITH m AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w IN (${markers("de")}))) AS s_de,
+      |    len(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w IN (${markers("en")}))) AS s_en,
+      |    len(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w IN (${markers("es")}))) AS s_es,
+      |    len(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w IN (${markers("fr")}))) AS s_fr,
+      |    len(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w IN (${markers("zh")}))) AS s_zh
+      |  FROM documents),
+      |p AS (SELECT lang, $langCase AS lang_pred FROM m)
+      |SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin)
+
+  /** Spark-side 3-word shingle subquery (1-based slice, identical to the
+    * DuckDB list slice semantics). */
+  private val sparkShingles =
+    """SELECT doc_id, explode(CASE WHEN size(split(text, '\\s+')) >= 3
+      |    THEN transform(sequence(1, size(split(text, '\\s+')) - 2),
+      |         i -> concat_ws(' ', slice(split(text, '\\s+'), i, 3)))
+      |    ELSE array(text) END) AS sh
+      |  FROM documents""".stripMargin
+
+  private val duckShingles =
+    """SELECT doc_id, unnest(CASE WHEN len(regexp_split_to_array(text, '\s+')) >= 3
+      |    THEN list_transform(generate_series(1, len(regexp_split_to_array(text, '\s+')) - 2),
+      |         i -> array_to_string(regexp_split_to_array(text, '\s+')[i:i+2], ' '))
+      |    ELSE [text] END) AS sh
+      |  FROM documents""".stripMargin
+
+  private val sigSelect =
+    """SELECT doc_id, MIN(md5('1' || sh)) AS h1, MIN(md5('2' || sh)) AS h2,
+      |       MIN(md5('3' || sh)) AS h3, MIN(md5('4' || sh)) AS h4
+      |  FROM g GROUP BY doc_id""".stripMargin
+
+  /** MinHash signatures (k=4 salted md5 minima over 3-word shingles) —
+    * engine-portable hex minima. */
+  val q20 = dialect("q20_minhash_signatures",
+    sparkSql = s"WITH g AS (\n$sparkShingles)\n$sigSelect ORDER BY doc_id",
+    duckSql = s"WITH g AS (\n$duckShingles)\n$sigSelect ORDER BY doc_id")
+
+  /** MinHash-LSH near-dup candidate pairs: 2 bands × 2 rows — docs
+    * colliding in either band. Equi-join on band values (never a cross
+    * join; at 100 TB the join key is the band hash). */
+  val q21 = dialect("q21_minhash_lsh_pairs",
+    sparkSql = s"""WITH g AS (
+      |$sparkShingles),
+      |sig AS ($sigSelect)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM sig a JOIN sig b
+      |  ON ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))
+      | AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin,
+    duckSql = s"""WITH g AS (
+      |$duckShingles),
+      |sig AS ($sigSelect)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM sig a JOIN sig b
+      |  ON ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))
+      | AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin)
+
+  /** Exact word-set Jaccard near-dup pairs (≥ 0.9), blocked by lang +
+    * shared word so only overlapping docs meet in the join. */
+  val q22 = dialect("q22_jaccard_pairs",
+    sparkSql = """WITH w AS (
+      |  SELECT DISTINCT doc_id, lang, w FROM (
+      |    SELECT doc_id, lang, explode(split(text, '\\s+')) AS w FROM documents) e),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      |  FROM w a JOIN w b ON a.lang = b.lang AND a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+      |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      |WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin,
+    duckSql = """WITH w AS (
+      |  SELECT DISTINCT doc_id, lang, w FROM (
+      |    SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents) e),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      |  FROM w a JOIN w b ON a.lang = b.lang AND a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+      |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      |WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin)
+
+  def specs: Seq[QuerySpec] = Seq(q16, q17, q18, q19, q20, q21, q22)
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.QuerySpec
+import graft.QuerySpec._
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over `embeddings` (north-star ANN
+  * extensions).
+  *
+  * Float-exact oracle parity: per-element products are quantized with
+  * `FLOOR(x*y*1e6)` into BIGINTs. float→double casts and double multiplies
+  * are IEEE-exact and identical in Spark and DuckDB, FLOOR is exact, and
+  * integer sums are order-independent — so both engines produce identical
+  * integers regardless of aggregation order, and the derived cosine doubles
+  * (int→double divide + sqrt, both correctly rounded) are bit-identical.
+  *
+  * Scale notes: the Spark side keeps vectors whole (zip_with/aggregate are
+  * codegen'd higher-order functions) — scan → project(score) →
+  * TakeOrderedAndProject for top-k (no shuffle of vectors, only k rows per
+  * partition move); near-dup pairs join on the blocking key with per-pair
+  * zip_with, not an exploded element-level join.
+  */
+object VectorOps {
+
+  /** Quantized squared-norm as a BIGINT expression over an array column. */
+  private def normQ(col: String): String =
+    s"""aggregate($col, CAST(0 AS BIGINT),
+       |  (acc, v) -> acc + CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1000000) AS BIGINT))""".stripMargin
+
+  private def dotQ(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b,
+       |    (x, y) -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000) AS BIGINT)),
+       |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin
+
+  /** Exact brute-force cosine top-10 neighbors of the vec_id=0 query
+    * vector. Spark plan: broadcast 1-row query → fused map → top-k. */
+  val q23 = dialect("q23_knn_bruteforce",
+    sparkSql = s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, dot_q,
+      |  CAST(dot_q AS DOUBLE) / SQRT(CAST(na_q AS DOUBLE) * CAST(nb_q AS DOUBLE)) AS cos_q
+      |FROM (
+      |  SELECT e.vec_id,
+      |    ${dotQ("e.embedding", "q.qv")} AS dot_q,
+      |    ${normQ("e.embedding")} AS na_q,
+      |    ${normQ("q.qv")} AS nb_q
+      |  FROM embeddings e CROSS JOIN q) s
+      |ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin,
+    duckSql = """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |x AS (SELECT e.vec_id, unnest(e.embedding) AS v, generate_subscripts(e.embedding, 1) AS i
+      |      FROM embeddings e),
+      |s AS (SELECT x.vec_id,
+      |   CAST(SUM(CAST(FLOOR(CAST(x.v AS DOUBLE) * CAST(q.qv[x.i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS dot_q,
+      |   CAST(SUM(CAST(FLOOR(CAST(x.v AS DOUBLE) * CAST(x.v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS na_q
+      | FROM x, q GROUP BY x.vec_id),
+      |nq AS (SELECT CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS nb_q
+      |       FROM (SELECT unnest(qv) AS v FROM q) u)
+      |SELECT s.vec_id, s.dot_q,
+      |  CAST(s.dot_q AS DOUBLE) / SQRT(CAST(s.na_q AS DOUBLE) * CAST(nq.nb_q AS DOUBLE)) AS cos_q
+      |FROM s, nq
+      |ORDER BY cos_q DESC, s.vec_id LIMIT 10""".stripMargin)
+
+  /** Embedding near-duplicate pairs (cosine ≥ 0.35) blocked by label —
+    * pairwise zip_with inside each label block. */
+  val q24 = dialect("q24_embedding_neardup",
+    sparkSql = s"""WITH n AS (
+      |  SELECT vec_id, label, embedding, ${normQ("embedding")} AS nq
+      |  FROM embeddings)
+      |SELECT id_a, id_b, cos FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    CAST(${dotQ("a.embedding", "b.embedding")} AS DOUBLE)
+      |      / SQRT(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id) p
+      |WHERE cos >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin,
+    duckSql = """WITH x AS (SELECT e.vec_id, e.label, unnest(e.embedding) AS v,
+      |            generate_subscripts(e.embedding, 1) AS i FROM embeddings e),
+      |n AS (SELECT vec_id, CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS nq
+      |      FROM x GROUP BY vec_id),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |   CAST(SUM(CAST(FLOOR(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS dq
+      | FROM x a JOIN x b ON a.label = b.label AND a.vec_id < b.vec_id AND a.i = b.i
+      | GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  CAST(dq AS DOUBLE) / SQRT(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) AS cos
+      |FROM p JOIN n na ON id_a = na.vec_id JOIN n nb ON id_b = nb.vec_id
+      |WHERE CAST(dq AS DOUBLE) / SQRT(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin)
+
+  /** Per-label centroid-free stats: count + quantized mean norm — the
+    * "profile the embedding table" scan (single pass, map-side combine). */
+  val q25 = dialect("q25_embedding_stats",
+    sparkSql = s"""SELECT label, COUNT(*) AS n,
+      |  CAST(SUM(${normQ("embedding")}) AS BIGINT) AS sum_norm_q,
+      |  CAST(MIN(${normQ("embedding")}) AS BIGINT) AS min_norm_q,
+      |  CAST(MAX(${normQ("embedding")}) AS BIGINT) AS max_norm_q
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    duckSql = """WITH x AS (SELECT e.vec_id, e.label, unnest(e.embedding) AS v FROM embeddings e),
+      |n AS (SELECT vec_id, MIN(label) AS label,
+      |        CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS nq
+      |      FROM x GROUP BY vec_id)
+      |SELECT label, COUNT(*) AS n,
+      |  CAST(SUM(nq) AS BIGINT) AS sum_norm_q,
+      |  CAST(MIN(nq) AS BIGINT) AS min_norm_q,
+      |  CAST(MAX(nq) AS BIGINT) AS max_norm_q
+      |FROM n GROUP BY label ORDER BY label""".stripMargin)
+
+  /** SRP-LSH approximate top-k (no SQL oracle — approximate by
+    * construction; driver records a rows-only check). Query vector =
+    * vec_id 0's embedding, fetched then parameterized. */
+  val q26 = planOnly("q26_ann_lsh", (s, dir) => {
+    val emb = graft.Tables.load(s, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0)
+    Similarity.annTopK(emb, qv, k = 10, planes = 10, tables = 4)
+  })
+
+  /** IVF-style partitioned ANN probe (approximate; rows-only check). */
+  val q27 = planOnly("q27_ann_ivf", (s, dir) => {
+    val emb = graft.Tables.load(s, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0)
+    val (assigned, centroids) = Similarity.ivfAssign(emb, nlist = 16)
+    Similarity.ivfTopK(assigned, centroids, qv, k = 10, nprobe = 4)
+  })
+
+  def specs: Seq[QuerySpec] = Seq(q23, q24, q25, q26, q27)
+}

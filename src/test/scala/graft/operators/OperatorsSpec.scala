@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit specs for the training-data-pipeline operators (dedup, text
+  * analysis, similarity search) over small hand-built corpora with known
+  * duplicates/neighbors. */
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+      (4L, "completely different content about spark query engines and columnar execution"),
+      (5L, "THE  quick brown fox jumps over the lazy dog near the river bank today") // ws/case variant of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps lowest id per normalized content") {
+    val out = Dedup.exact(docs).select("doc_id").collect().map(_.getLong(0)).sorted
+    // 2 and 5 collapse into 1 (fingerprint normalizes case+whitespace)
+    assert(out.toSeq === Seq(1L, 3L, 4L))
+  }
+
+  test("shingles produce distinct word n-grams") {
+    import spark.implicits._
+    val one = Seq((9L, "a b c d")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(one, "text", "doc_id", 3).collect().map(_.getString(1)).sorted
+    assert(sh.toSeq === Seq("a b c", "b c d"))
+  }
+
+  test("minhash LSH finds the exact and near duplicates, not the unrelated doc") {
+    val pairs = Dedup.minHashLshPairs(docs, k = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical → identical signatures
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }) // unrelated stays out
+    // verify stage: exact jaccard of (1,3) is high, (1,4) ~ 0
+    val nd = Dedup.nearDuplicates(docs, threshold = 0.5, k = 16, bands = 8)
+    val found = nd.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((1L, 2L)))
+  }
+
+  test("simhash: identical docs get identical signatures; hamming ≤ 3 finds near-dups") {
+    val sig = Dedup.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) === sig(2L))
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("text analysis features are sane") {
+    import spark.implicits._
+    val d = Seq((1L, "The cat and the dog, in a house. Done!")).toDF("doc_id", "text")
+    val f = TextAnalysis.annotate(d).head()
+    assert(f.getAs[Long]("tokens") === 12L) // 9 words + comma + period + bang
+    assert(f.getAs[Double]("punct_ratio") > 0.0 && f.getAs[Double]("punct_ratio") < 0.2)
+    assert(f.getAs[Double]("stopword_ratio") > 0.3) // the/and/the/in/a
+    assert(f.getAs[String]("lang_pred") === "en")
+    assert(f.getAs[String]("fingerprint").length === 32)
+    val de = Seq((2L, "der hund und das haus ist hier")).toDF("doc_id", "text")
+    assert(TextAnalysis.annotate(de).head().getAs[String]("lang_pred") === "de")
+  }
+
+  def embeddings: DataFrame = {
+    import spark.implicits._
+    // 4-dim toy vectors: 1≈2 (same direction), 3 orthogonal, 4 opposite
+    Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)),
+      (5L, Seq(0.95f, 0.05f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force cosine top-k ranks by true similarity") {
+    val out = Similarity.topK(embeddings, Seq(1.0f, 0.0f, 0.0f, 0.0f), k = 3)
+      .collect().map(_.getLong(0))
+    assert(out.head === 1L)
+    assert(out.toSet === Set(1L, 2L, 5L))
+  }
+
+  test("SRP-LSH ANN finds the true nearest neighbor for aligned vectors") {
+    val out = Similarity.annTopK(embeddings, Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      k = 2, planes = 6, tables = 4).collect().map(_.getLong(0))
+    assert(out.nonEmpty && out.head === 1L)
+  }
+
+  test("embedding near-dup pairs at cosine ≥ 0.95") {
+    val pairs = Similarity.nearDupPairs(embeddings, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 5L))) // same-bucket near dups
+    assert(!pairs.exists { case (a, b) => b == 4L && a == 1L }) // opposite direction excluded
+  }
+
+  test("IVF assign + probe returns the aligned cluster") {
+    val (assigned, centroids) = Similarity.ivfAssign(embeddings, nlist = 2)
+    assert(centroids.count() === 2)
+    assert(assigned.count() === 5)
+    val out = Similarity.ivfTopK(assigned, centroids, Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      k = 2, nprobe = 2).collect().map(_.getLong(0))
+    assert(out.head === 1L)
+  }
+}
