@@ -1,5 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: one JSON line with per-query wall-clock at the
+  * SPARK_GRAFT_SF_DIR scale factor. Queries run in registry order
+  * (deterministic), each fully materialized via count(). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +11,25 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results = QueryRegistry.all.map { spec =>
+      // best-of-2: the second run reuses compiled codegen and warmed pools,
+      // shielding the measurement from one-off full-GC / JIT stalls
+      val secs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = try spec.fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        val s = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] ${spec.name} rows=$n $s%.2f s")
+        s
+      }.min
+      spec.name -> secs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

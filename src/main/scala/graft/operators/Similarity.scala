@@ -106,36 +106,47 @@ object Similarity {
       .distinct()
   }
 
-  /** IVF-style index: pick `nlist` centroid rows by deterministic hash
-    * sampling, assign every vector to its nearest centroid (broadcast
-    * join — centroids are tiny), return (assignments, centroids).
+  /** IVF-style index: pick `nlist` centroid vectors by deterministic hash
+    * sampling (collected to the driver — centroids are tiny and become
+    * literals, so assignment is a pure fused projection: no join, no
+    * window, no shuffle of vectors). Returns (assignments, centroids).
     * Probing `nprobe` lists scans ~nprobe/nlist of the data. */
   def ivfAssign(embeddings: DataFrame, nlist: Int = 16,
-                idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
-    val centroids = embeddings
+                idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, Seq[Seq[Float]]) = {
+    val centroids: Seq[Seq[Float]] = embeddings
       .select(col(idCol), col(vecCol))
       .withColumn("_h", pmod(xxhash64(col(idCol)), lit(1000000L)))
       .orderBy("_h").limit(nlist)
-      .select(monotonically_increasing_id().as("list_id"), col(vecCol).as("centroid"))
-    val assigned = embeddings.crossJoin(broadcast(centroids))
-      .withColumn("d", cosine(col(vecCol), col("centroid")))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("d").desc, col("list_id"))))
-      .filter(col("_rn") === 1)
-      .select(col(idCol), col(vecCol), col("list_id"))
+      .select(vecCol).collect().map(_.getSeq[Float](0)).toSeq
+    // nearest centroid via argmax over nlist literal cosines — one
+    // expression tree, whole-stage codegen'd, zero shuffles
+    val scores = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col(vecCol), array(c.map(lit): _*)).as("d"),
+        lit(-i).as("neg_list"))
+    }
+    val best = greatest(scores: _*)
+    val assigned = embeddings.select(
+      col(idCol), col(vecCol), (-best.getField("neg_list")).as("list_id"))
     (assigned, centroids)
   }
 
-  /** IVF probe: search only the `nprobe` lists nearest to the query. */
-  def ivfTopK(assigned: DataFrame, centroids: DataFrame, queryVec: Seq[Float],
+  /** IVF probe: search only the `nprobe` lists whose centroids are nearest
+    * to the query (list choice computed driver-side — centroids are local). */
+  def ivfTopK(assigned: DataFrame, centroids: Seq[Seq[Float]], queryVec: Seq[Float],
               k: Int = 10, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def localCos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val probe = centroids.zipWithIndex
+      .sortBy { case (c, i) => (-localCos(c, queryVec), i) }
+      .take(nprobe).map(_._2)
     val q = array(queryVec.map(v => lit(v)): _*)
-    val probeLists = centroids
-      .select(col("list_id"), cosine(col("centroid"), q).as("cd"))
-      .orderBy(col("cd").desc, col("list_id")).limit(nprobe)
     assigned
-      .join(broadcast(probeLists.select("list_id")), "list_id")
+      .filter(col("list_id").isin(probe: _*)) // partition-prunable at scale
       .select(col(idCol), cosine(col(vecCol), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)

@@ -152,22 +152,32 @@ object TextOps {
       | AND a.doc_id < b.doc_id
       |ORDER BY id_a, id_b""".stripMargin)
 
-  /** Exact word-set Jaccard near-dup pairs (≥ 0.9), blocked by lang +
-    * shared word so only overlapping docs meet in the join. */
-  val q22 = dialect("q22_jaccard_pairs",
-    sparkSql = """WITH w AS (
-      |  SELECT DISTINCT doc_id, lang, w FROM (
-      |    SELECT doc_id, lang, explode(split(text, '\\s+')) AS w FROM documents) e),
-      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY doc_id),
-      |inter AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-      |  FROM w a JOIN w b ON a.lang = b.lang AND a.w = b.w AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT id_a, id_b,
-      |  CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
-      |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-      |WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.9
-      |ORDER BY id_a, id_b""".stripMargin,
+  /** Exact word-set Jaccard near-dup pairs (≥ 0.9), blocked by lang.
+    *
+    * Spark plan: per-doc distinct word-set arrays, then a lang-blocked
+    * broadcast self-join with array_intersect/array_union — identical
+    * semantics to the oracle's word-level join, but no skewed
+    * (lang, word) merge-join: the exploded formulation makes the hottest
+    * word a single straggler key, while this one streams pairs through a
+    * fused projection. (The truly-at-scale path is q21's LSH candidates →
+    * verify; this is the exact-oracle variant.) */
+  val q22 = plan("q22_jaccard_pairs",
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.registerAll(s, dir)
+      val w = s.table("documents").select(
+        col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), "\\s+")).as("ws"))
+      val a = w.select(col("lang"), col("doc_id").as("id_a"), col("ws").as("wa"))
+      val b = w.select(col("lang"), col("doc_id").as("id_b"), col("ws").as("wb"))
+      a.join(broadcast(b), Seq("lang"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("wa"), col("wb"))).cast("double") /
+            size(array_union(col("wa"), col("wb"))).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= 0.9)
+        .orderBy("id_a", "id_b")
+    },
     duckSql = """WITH w AS (
       |  SELECT DISTINCT doc_id, lang, w FROM (
       |    SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents) e),

@@ -91,10 +91,11 @@ object VectorOps {
     * "profile the embedding table" scan (single pass, map-side combine). */
   val q25 = dialect("q25_embedding_stats",
     sparkSql = s"""SELECT label, COUNT(*) AS n,
-      |  CAST(SUM(${normQ("embedding")}) AS BIGINT) AS sum_norm_q,
-      |  CAST(MIN(${normQ("embedding")}) AS BIGINT) AS min_norm_q,
-      |  CAST(MAX(${normQ("embedding")}) AS BIGINT) AS max_norm_q
-      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+      |  CAST(SUM(nq) AS BIGINT) AS sum_norm_q,
+      |  CAST(MIN(nq) AS BIGINT) AS min_norm_q,
+      |  CAST(MAX(nq) AS BIGINT) AS max_norm_q
+      |FROM (SELECT label, ${normQ("embedding")} AS nq FROM embeddings) t
+      |GROUP BY label ORDER BY label""".stripMargin,
     duckSql = """WITH x AS (SELECT e.vec_id, e.label, unnest(e.embedding) AS v FROM embeddings e),
       |n AS (SELECT vec_id, MIN(label) AS label,
       |        CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS nq

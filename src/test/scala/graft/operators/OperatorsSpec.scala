@@ -107,7 +107,7 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("IVF assign + probe returns the aligned cluster") {
     val (assigned, centroids) = Similarity.ivfAssign(embeddings, nlist = 2)
-    assert(centroids.count() === 2)
+    assert(centroids.size === 2)
     assert(assigned.count() === 5)
     val out = Similarity.ivfTopK(assigned, centroids, Seq(1.0f, 0.0f, 0.0f, 0.0f),
       k = 2, nprobe = 2).collect().map(_.getLong(0))
