@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.QueryRegistry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates (the 100 TB checklist): filters reach the
+  * parquet scan, small dims broadcast, aggregations are partial+final,
+  * top-k plans as TakeOrderedAndProject, scans prune columns. Runs against
+  * sf0.001 — plan shape, not data volume, is what's asserted. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  def planOf(name: String): String = {
+    val df = QueryRegistry.byName(name).fn(spark, sfDir)
+    // executedPlan string via explain formatted
+    val sw = new java.io.StringWriter()
+    Console.withOut(new java.io.PrintStream(new java.io.OutputStream {
+      override def write(b: Int): Unit = sw.write(b)
+    })) { df.explain("formatted") }
+    sw.toString
+  }
+
+  test("q01: shipdate filter is pushed to the parquet scan") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q01: aggregation is partial then final (map-side combine)") {
+    val p = planOf("q01_pricing_summary")
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("q04: star joins broadcast the small dims (no shuffle join for region/nation)") {
+    val p = planOf("q04_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q05: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = planOf("q05_top_customers")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q11: scan prunes to referenced columns only") {
+    val p = planOf("q11_string_funcs")
+    // documents has 5 columns; text/lang/doc_id/n_chars referenced
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("source"), s"unreferenced column 'source' should be pruned:\n$p")
+  }
+
+  test("q12/q13: EXISTS/NOT EXISTS plan as semi/anti joins, not subquery loops") {
+    assert(planOf("q12_exists_semi").contains("LeftSemi"))
+    assert(planOf("q13_notexists_anti").contains("LeftAnti"))
+  }
+
+  test("q23: brute-force knn is scan → project → TakeOrdered (no vector shuffle)") {
+    val p = planOf("q23_knn_bruteforce")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), s"knn must not shuffle-join vectors:\n$p")
+  }
+
+  test("q22: jaccard pairs use a broadcast join (skew-free), not a merge join") {
+    val p = planOf("q22_jaccard_pairs")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q27/IVF: assignment is a pure projection — no join, no window, no exchange before the top-k") {
+    val df = QueryRegistry.byName("q27_ann_ivf").fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("whole-stage codegen covers the relational queries' hot path") {
+    val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
+    df.collect() // AQE finalizes (and codegens) the plan only on execution
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString // unwrap: AQE's toString elides children
+      case p => p.toString
+    }
+    assert(plan.contains("*(") || plan.contains("WholeStageCodegen"), plan) // "*(n)" marks codegen stages
+  }
+}
