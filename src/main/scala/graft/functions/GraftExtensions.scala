@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for graft's native expressions.
+  *
+  * Two routes:
+  *  - config: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (the standard SparkSessionExtensions hook, like the reference stack's
+  *    `IcebergSparkSessionExtensions` — spark/spark-defaults.conf:22)
+  *  - runtime: `GraftExtensions.register(spark)` on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  type Description = (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression)
+
+  val descriptions: Seq[Description] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim takes (array<float>, array<float>)")
+        CosineSimilarity(args.head, args(1))
+      }))
+
+  /** Register on a live session (temp-function registry). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graftbridge.FunctionBridge.register(spark, descriptions)
+}

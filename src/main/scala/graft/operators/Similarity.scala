@@ -28,8 +28,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
+  /** Cosine via composed higher-order functions (three interpreted array
+    * walks — kept for cross-checking the native expression). */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
+
+  /** Cosine via the native codegen expression (one fused loop —
+    * graft.functions.CosineSimilarity); same null semantics as cosineHof. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
 
   /** Exact brute-force top-k cosine neighbors of `queryVec`.
     * Plans as scan → project(score) → TakeOrderedAndProject: no shuffle of

@@ -178,8 +178,22 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin)
 
+  /** Changelog-merge materialization as a batch query (J2-J4/S12
+    * semantics over `events`): last event per user wins, users whose final
+    * event is a 'logout' are deleted — the same last-wins + delete-kind
+    * collapse the streaming foreachBatch merge applies
+    * (ref: PaimonStream.java:91 dedup merge-engine, IcebergStream.java:118
+    * equality delete). */
+  val q28 = both("q28_changelog_merge",
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 AND event_type <> 'logout'
+      |ORDER BY user_id""".stripMargin)
+
   val flagship: QuerySpec = q04
 
   def specs: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15)
+    q09, q10, q11, q12, q13, q14, q15, q28)
 }

@@ -165,13 +165,29 @@ object TextOps {
     fn = (s, dir) => {
       import org.apache.spark.sql.functions._
       graft.Tables.registerAll(s, dir)
+      // words → distinct xxhash64 longs: set ops run on 8-byte longs, not
+      // UTF8Strings (same sets — the tiny vocabulary is collision-free, and
+      // hashing is per-word-once, not per-pair)
+      // the groupBy is an optimizer barrier: without it CollapseProject
+      // inlines the (interpreted) transform lambda into the post-join
+      // projection and re-evaluates it once per PAIR instead of per doc
       val w = s.table("documents").select(
-        col("doc_id"), col("lang"),
-        array_distinct(split(col("text"), "\\s+")).as("ws"))
-      val a = w.select(col("lang"), col("doc_id").as("id_a"), col("ws").as("wa"))
+          col("doc_id"), col("lang"),
+          array_distinct(transform(split(col("text"), "\\s+"), w => xxhash64(w))).as("ws"))
+        .groupBy("doc_id", "lang").agg(first("ws").as("ws"))
+      // explicit repartition: the doc table is one small file (1 scan
+      // partition) and AQE would coalesce by bytes — but the pair join is
+      // CPU-bound, so fan the stream side out across all cores
+      val cores = s.sparkContext.defaultParallelism
+      val a = w.repartition(cores)
+        .select(col("lang"), col("doc_id").as("id_a"), col("ws").as("wa"))
       val b = w.select(col("lang"), col("doc_id").as("id_b"), col("ws").as("wb"))
       a.join(broadcast(b), Seq("lang"))
         .filter(col("id_a") < col("id_b"))
+        // size-ratio prescreen: J ≥ 0.9 ⇒ |A| ≥ 0.9·|B| and |B| ≥ 0.9·|A|
+        // (sound implication — never changes the result set)
+        .filter(size(col("wa")) * 10 >= size(col("wb")) * 9 &&
+                size(col("wb")) * 10 >= size(col("wa")) * 9)
         .select(col("id_a"), col("id_b"),
           (size(array_intersect(col("wa"), col("wb"))).cast("double") /
             size(array_union(col("wa"), col("wb"))).cast("double")).as("jaccard"))

@@ -14,4 +14,9 @@ object ColumnBridge {
     * wrapper whose children are still ColumnNodes — useless for analysis). */
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Wrap a catalyst Expression back into a public Column (for custom
+    * native expressions — graft.functions). */
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }
