@@ -531,6 +531,27 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     commit(m => m.copy(properties = m.properties -- keys))
 
   def metadataTable(kind: String): DataFrame = MetadataTables(this, kind)
+
+  /** DESCRIBE EXTENDED analog (D4, Getting Started.ipynb c8): column
+    * rows (name, type, comment) followed by table-detail rows. */
+  def describeExtended: DataFrame = {
+    val m = meta
+    import spark.implicits._
+    val cols = m.schema.columns.map(c =>
+      (c.name, c.sparkType.simpleString, c.comment.getOrElse("")))
+    val spec = m.spec.fields.map(f =>
+      s"${f.transform}(${m.schema.byId(f.sourceId).map(_.name).getOrElse("?")})")
+    val details = Seq(
+      ("", "", ""),
+      ("# Detailed Table Information", "", ""),
+      ("Name", m.name, ""),
+      ("Location", m.location, ""),
+      ("Provider", "graft-lake", ""),
+      ("Partitioning", spec.mkString(", "), ""),
+      ("Current snapshot", m.currentSnapshot.map(_.snapshotId.toString).getOrElse("none"), ""),
+      ("Table Properties", m.properties.map { case (k, v) => s"$k=$v" }.mkString("[", ",", "]"), ""))
+    (cols ++ details).toDF("col_name", "data_type", "comment")
+  }
 }
 
 object LakeTable {

@@ -253,6 +253,34 @@ class LakeTableSpec extends AnyFunSuite {
     assert(spark.sql("SELECT snapshot_id FROM taxis__snapshots ORDER BY committed_at DESC LIMIT 1").count() === 1)
   }
 
+  test("DESCRIBE EXTENDED surfaces columns + table detail (D4)") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.taxis", taxiSchema,
+      partitionBy = Seq("pickup" -> "days"), properties = Map("k" -> "v"))
+    t.append(taxis)
+    val d = t.describeExtended.collect()
+    assert(d.take(4).map(_.getString(0)).toSeq === Seq("vendor_id", "pickup", "fare", "distance"))
+    val detail = d.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(detail("Partitioning") === "days(pickup)")
+    assert(detail("Name") === "nyc.taxis")
+    assert(detail("Table Properties").contains("k=v"))
+  }
+
+  test("JSON batch scan with inference feeds a lake table (S2)") {
+    // ref: Integrated Audits c8 — multiline JSON read with inferSchema
+    val dir = Files.createTempDirectory("graft-json")
+    Files.writeString(dir.resolve("permits.json"),
+      """[{"borough": "Manhattan", "eventid": "1"},
+        |{"borough": "Brooklyn", "eventid": "2"}]""".stripMargin)
+    val df = spark.read.option("multiline", "true").option("inferSchema", "true")
+      .json(dir.toString)
+    assert(df.count() === 2)
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.permits", df.schema)
+    t.append(df)
+    assert(t.toDF.select("borough").distinct().count() === 2)
+  }
+
   test("truncate empties the table but history survives (D3)") {
     val cat = freshCatalog()
     val t = cat.createTable("nyc.taxis", taxiSchema)
