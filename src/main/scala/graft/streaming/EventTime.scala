@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Event-time streaming extensions (beyond the reference's
+  * processing-time-only jobs — SURVEY.md §2.10 notes the reference has no
+  * watermarks/windows; these are the Spark-first additions a clickstream
+  * pipeline needs): watermarked tumbling/sliding windows, session windows,
+  * watermark-bounded dedup, and custom per-key state.
+  *
+  * Scale notes: all of these keep state in the state store partitioned by
+  * key/window — the watermark bounds state size (expired windows are
+  * dropped), which is what makes them runnable indefinitely at high
+  * event rates.
+  */
+object EventTime {
+
+  /** Tumbling (or sliding, if slide != width) event-time window counts
+    * with late-data tolerance `watermarkDelay`. Input needs an event-time
+    * column `ts` (TimestampType) — late rows beyond the watermark are
+    * dropped instead of corrupting closed windows. */
+  def windowedCounts(events: DataFrame, tsCol: String = "ts",
+                     width: String = "1 minute", slide: Option[String] = None,
+                     watermarkDelay: String = "2 minutes"): DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col(tsCol), width, s)
+      case None => window(col(tsCol), width)
+    }
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(win.as("w"), col("event"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event"), col("n"))
+  }
+
+  /** Session windows: events within `gap` of each other (per user)
+    * collapse into one session row. */
+  def sessionized(events: DataFrame, tsCol: String = "ts",
+                  gap: String = "30 seconds",
+                  watermarkDelay: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("on_site_seconds")).as("total_on_site"))
+      .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_on_site"))
+
+  /** Exactly-once-per-id dedup bounded by the watermark — the streaming
+    * analog of exact dedup (state for ids older than the watermark is
+    * dropped, so state size stays bounded). */
+  def dedupWithinWatermark(events: DataFrame, idCols: Seq[String],
+                           tsCol: String = "ts",
+                           watermarkDelay: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  case class UserRunning(userId: String, nEvents: Long, lastEvent: String)
+
+  /** Custom keyed state via mapGroupsWithState: per-user running event
+    * count + last event type (the KeyValueGroupedDataset custom-state
+    * shape). NoTimeout: with a timeout configured Spark schedules
+    * continuous empty timeout-check batches even when no data arrives —
+    * wasteful in micro-batch pipelines; expire idle keys with a TTL state
+    * store policy or a watermark instead. */
+  def runningUserState(events: DataFrame): Dataset[UserRunning] = {
+    implicit val enc = Encoders.product[UserRunning]
+    implicit val tupleEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    events.selectExpr("user_id", "event")
+      .as[(String, String)](tupleEnc)
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.NoTimeout) { (userId, rows, state) =>
+        val events = rows.toSeq
+        val prev = state.getOption.getOrElse(UserRunning(userId, 0L, ""))
+        val next = UserRunning(userId, prev.nEvents + events.size,
+          events.lastOption.map(_._2).getOrElse(prev.lastEvent))
+        state.update(next)
+        next
+      }
+  }
+}

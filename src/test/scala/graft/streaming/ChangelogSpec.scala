@@ -19,6 +19,10 @@ class ChangelogSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // see EventTimeSpec: in-JVM checkpoint renames, no checksum await
+    .config("spark.sql.streaming.checkpointFileManagerClass",
+      "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+    .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     .getOrCreate()
 
   def freshCatalog(): LakeCatalog =
