@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // whole-stage codegen emits thousands of classes across a many-query
+  // run; the JDK default 240m code cache fills and stalls the JIT
+  "-XX:ReservedCodeCacheSize=1g",
 )

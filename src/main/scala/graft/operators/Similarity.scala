@@ -77,14 +77,17 @@ object Similarity {
               planes: Int = 12, tables: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = array(queryVec.map(v => lit(v)): _*)
-    val withBuckets = embeddings.select(
-      col(idCol), col(vecCol),
-      explode(array((0 until tables).map(t =>
-        srpBucket(col(vecCol), planes) * tables + t): _*)).as("bucket"))
+    // compute the (expensive, interpreted-lambda) bucket projection ONCE
+    // per row, then fan out per table from the materialized column
+    val withBuckets = embeddings
+      .select(col(idCol), col(vecCol), srpBucket(col(vecCol), planes).as("b"))
+      .select(col(idCol), col(vecCol),
+        explode(array((0 until tables).map(t => col("b") * tables + t): _*)).as("bucket"))
     // query buckets (computed once on a 1-row frame, broadcast)
-    val qdf = embeddings.sparkSession.range(1).select(
-      explode(array((0 until tables).map(t =>
-        srpBucket(q, planes) * tables + t): _*)).as("bucket"))
+    val qdf = embeddings.sparkSession.range(1)
+      .select(srpBucket(q, planes).as("b"))
+      .select(explode(array((0 until tables).map(t =>
+        col("b") * tables + t): _*)).as("bucket"))
     withBuckets
       .join(broadcast(qdf), "bucket")
       .select(col(idCol), cosine(col(vecCol), q).as("cos")).distinct()
@@ -99,11 +102,10 @@ object Similarity {
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
                    planes: Int = 8, tables: Int = 2,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val withBuckets = embeddings.select(
-      col(idCol), col(vecCol),
-      explode(array((0 until tables).map(t =>
-        // independent tables: salt the plane index space per table
-        srpBucket(col(vecCol), planes) * tables + t): _*)).as("bucket"))
+    val withBuckets = embeddings
+      .select(col(idCol), col(vecCol), srpBucket(col(vecCol), planes).as("b"))
+      .select(col(idCol), col(vecCol),
+        explode(array((0 until tables).map(t => col("b") * tables + t): _*)).as("bucket"))
     val a = withBuckets.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = withBuckets.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, Seq("bucket"))
