@@ -192,8 +192,43 @@ object Relational {
       |WHERE rn = 1 AND event_type <> 'logout'
       |ORDER BY user_id""".stripMargin)
 
+  /** As-of join: each purchase matched to the user's most recent prior
+    * signup (union + carry-forward window — one shuffle; DuckDB's native
+    * ASOF JOIN is the oracle). Inner semantics via the null filter. */
+  val q29 = plan("q29_asof_join",
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.registerAll(s, dir)
+      // DuckDB reads the TIMESTAMP(NANOS) parquet at µs precision; truncate
+      // our epoch-ns BIGINT the same way so join + output agree exactly
+      val ev = s.table("events")
+        .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val snup = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"))
+      graft.operators.AsofJoin.asofJoin(p, snup, "user_id", "ts", asofCol = "l_ts")
+        .filter(col("l_ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts").as("p_ts"), col("l_ts"))
+        .orderBy("user_id", "event_id")
+    },
+    duckSql = """WITH p AS (SELECT user_id, event_id, epoch_ns(ts) AS ts FROM events WHERE event_type = 'purchase'),
+      |l AS (SELECT user_id, epoch_ns(ts) AS ts FROM events WHERE event_type = 'signup')
+      |SELECT p.user_id, p.event_id, p.ts AS p_ts, l.ts AS l_ts
+      |FROM p ASOF JOIN l ON p.user_id = l.user_id AND p.ts >= l.ts
+      |ORDER BY p.user_id, p.event_id""".stripMargin)
+
+  /** ROLLUP aggregation (grand + per-status subtotals) — the grouping-sets
+    * shape SURVEY §2.4 flags as a cheap extension. */
+  val q30 = both("q30_rollup",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+
   val flagship: QuerySpec = q04
 
   def specs: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q28)
+    q09, q10, q11, q12, q13, q14, q15, q28, q29, q30)
 }
