@@ -45,11 +45,20 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     } catch { case _: java.io.IOException if !overwrite => false }
   }
 
-  /** Latest committed version: start from the hint, probe forward. */
+  /** Monotonic cache of the highest version this handle has observed —
+    * version files are never deleted (rollback only moves refs), so probing
+    * can start here instead of re-walking from the hint. Keeps `meta` access
+    * at one existence probe amortized instead of O(versions) filesystem
+    * round-trips per read (a real cost on object storage with thousands of
+    * snapshots). */
+  @volatile private var lastSeenVersion: Int = 0
+
+  /** Latest committed version: start from max(hint, last-seen), probe forward. */
   def currentVersion: Int = {
     val hint = try readFile(hintPath).trim.toInt catch { case _: Exception => 0 }
-    var v = math.max(hint, 0)
+    var v = math.max(math.max(hint, lastSeenVersion), 0)
     while (fs.exists(versionPath(v + 1))) v += 1
+    lastSeenVersion = v
     v
   }
 
@@ -64,6 +73,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       val next = transform(base).copy(version = base.version + 1)
       if (writeFile(versionPath(next.version), Meta.toJson(next), overwrite = false)) {
         writeFile(hintPath, next.version.toString, overwrite = true)
+        lastSeenVersion = math.max(lastSeenVersion, next.version)
         return next
       }
       attempts += 1
@@ -315,14 +325,22 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * files the changelog touches, never the whole table. */
   def mergeByKey(key: String, keys: Seq[Any], upserts: DataFrame,
                  extraSummary: Map[String, String] = Map.empty): TableMeta = {
+    // NULL keys can never equal a delete key: drop them from the key set
+    // (a null in an IN-list would make the predicate NULL for every
+    // non-matching row and wipe whole files) and keep null-keyed table rows
+    // via the coalesce below.
+    val ks = keys.filter(_ != null)
     val m0 = meta
     val branch = resolveWriteBranch(None)
     val snap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
     val all = snap.map(_.files).getOrElse(Seq.empty)
-    val p = Pruning.In(key, keys)
-    val (touched, untouched) = all.partition(f => Pruning.mayMatch(p, fileBounds(m0, f)))
+    val p = Pruning.In(key, ks)
+    val (touched, untouched) =
+      if (ks.isEmpty) (Seq.empty[DataFile], all)
+      else all.partition(f => Pruning.mayMatch(p, fileBounds(m0, f)))
     val survivors: Seq[DataFile] = if (touched.isEmpty) Seq.empty else {
-      val remaining = dataFrameFor(m0, touched).filter(!col(key).isin(keys: _*))
+      val remaining = dataFrameFor(m0, touched)
+        .filter(!coalesce(col(key).isin(ks: _*), lit(false)))
       writeDataFiles(toPhysical(remaining, m0.schema), m0)
     }
     val inserted =
@@ -330,8 +348,48 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       else writeDataFiles(toPhysical(upserts, m0.schema), m0)
     commitReplace(branch, untouched ++ survivors ++ inserted, "overwrite",
       extraSummary ++ Map(
-        "merge-keys" -> keys.size.toString,
+        "merge-keys" -> ks.size.toString,
         "rewritten-data-files" -> touched.size.toString))
+  }
+
+  /** Distributed equality-field upsert: like [[mergeByKey]] but the delete
+    * keys stay in a DataFrame end-to-end — nothing key-shaped is collected
+    * to the driver, so a CDC catch-up burst of millions of keys is fine.
+    * File pruning uses the batch's aggregated [min,max] key bounds (one
+    * 1-row agg), and survivors are computed with a LEFT ANTI join (which is
+    * naturally null-safe: null-keyed table rows never match and survive). */
+  def mergeByKeys(key: String, keyDf: DataFrame, upserts: DataFrame,
+                  extraSummary: Map[String, String] = Map.empty): TableMeta = {
+    val kd = keyDf.select(keyDf.col(key)).filter(col(key).isNotNull).distinct().cache()
+    try {
+      // single 1-row driver fetch: count + bounds (bounded regardless of batch size)
+      val r = kd.agg(count(lit(1)).as("n"), min(col(key)).as("lo"), max(col(key)).as("hi")).head()
+      val nKeys = r.getLong(0)
+      val m0 = meta
+      val branch = resolveWriteBranch(None)
+      val snap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
+      val all = snap.map(_.files).getOrElse(Seq.empty)
+      val (touched, untouched) =
+        if (nKeys == 0) (Seq.empty[DataFile], all)
+        else {
+          val p = Pruning.And(Pruning.GtE(key, r.get(1)), Pruning.LtE(key, r.get(2)))
+          all.partition(f => Pruning.mayMatch(p, fileBounds(m0, f)))
+        }
+      val survivors: Seq[DataFile] = if (touched.isEmpty) Seq.empty else {
+        // broadcast the key side when it is provably small; else let the
+        // planner shuffle both sides on the key
+        val keySide = if (nKeys <= 1000000L) broadcast(kd) else kd
+        val remaining = dataFrameFor(m0, touched).join(keySide, Seq(key), "left_anti")
+        writeDataFiles(toPhysical(remaining, m0.schema), m0)
+      }
+      val inserted =
+        if (upserts.isEmpty) Seq.empty
+        else writeDataFiles(toPhysical(upserts, m0.schema), m0)
+      commitReplace(branch, untouched ++ survivors ++ inserted, "overwrite",
+        extraSummary ++ Map(
+          "merge-keys" -> nKeys.toString,
+          "rewritten-data-files" -> touched.size.toString))
+    } finally { kd.unpersist(); () }
   }
 
   /** TRUNCATE (D3): new empty snapshot. */

@@ -195,7 +195,11 @@ object Pruning {
     case Unknown => false
     case And(l, r) => allMatch(l, f) && allMatch(r, f)
     case Or(l, r) => allMatch(l, f) || allMatch(r, f)
-    case Not(q) => !mayMatch(q, f)
+    // NOT(q) holds for a row only when q is FALSE there — not when q is NULL.
+    // !mayMatch proves no row makes q TRUE; we must also prove q never
+    // evaluates NULL (else null-rows would be wrongly dropped by the
+    // metadata-only DELETE fast path).
+    case Not(q) => !mayMatch(q, f) && nullFree(q, f)
     case IsNull(c) => f.cols.get(c).exists(s => s._1.nullCount >= f.rowCount)
     case NotNull(c) => f.cols.get(c).exists(_._1.nullCount == 0L)
     case Eq(c, v) => noNulls(c, f) && boundsWithin(c, v, v, f)
@@ -208,6 +212,23 @@ object Pruning {
 
   private def noNulls(c: String, f: FileBounds): Boolean =
     f.cols.get(c).exists(_._1.nullCount == 0L)
+
+  /** Does `p` provably evaluate to a non-NULL boolean on every row of the
+    * file? Comparisons are NULL when the column value (or literal) is NULL;
+    * IS [NOT] NULL never is. Conservative: Unknown → false. */
+  private def nullFree(p: Pred, f: FileBounds): Boolean = p match {
+    case Unknown => false
+    case And(l, r) => nullFree(l, f) && nullFree(r, f)
+    case Or(l, r) => nullFree(l, f) && nullFree(r, f)
+    case Not(q) => nullFree(q, f)
+    case IsNull(_) | NotNull(_) => true
+    case Eq(c, v) => v != null && noNulls(c, f)
+    case In(c, vs) => vs.forall(_ != null) && noNulls(c, f)
+    case Lt(c, v) => v != null && noNulls(c, f)
+    case LtE(c, v) => v != null && noNulls(c, f)
+    case Gt(c, v) => v != null && noNulls(c, f)
+    case GtE(c, v) => v != null && noNulls(c, f)
+  }
 
   private def bound(c: String, f: FileBounds, min: Boolean): Option[Any] =
     f.cols.get(c).flatMap { case (st, dt) =>
@@ -248,14 +269,25 @@ object Pruning {
     }
 
   /** Hidden-partition check for Eq-style ranges on a time-transformed
-    * column: days(col)==D constrains col ∈ [D*day, (D+1)*day). */
+    * column: days(col)==D constrains col ∈ [D*day, (D+1)*day).
+    *
+    * norm() yields epoch-MICROS for timestamp values but epoch-DAYS for
+    * date values — convert to micros based on the source column's type
+    * before applying the transform, else a days(date_col) table would
+    * compare applyToMicros(days, epochDay)≈0 against the stored ordinal
+    * and silently prune every file. Unknown source type → no pruning. */
   private def partitionMay(c: String, lo: Any, hi: Any, f: FileBounds): Boolean =
     f.partition.get(c) match {
       case Some((t, vStr)) if Transforms.isTimeTransform(t) =>
-        (norm(lo), norm(hi)) match {
-          case (l: Long, h: Long) => // micros domain
+        val toMicros: Option[Long => Long] = f.cols.get(c).map(_._2) match {
+          case Some(DateType) => Some((d: Long) => d * Transforms.MicrosPerDay)
+          case Some(TimestampType) | Some(TimestampNTZType) => Some(identity[Long] _)
+          case _ => None
+        }
+        (toMicros, norm(lo), norm(hi)) match {
+          case (Some(fm), l: Long, h: Long) =>
             val pv = vStr.toLong
-            Transforms.applyToMicros(t, l) <= pv && pv <= Transforms.applyToMicros(t, h)
+            Transforms.applyToMicros(t, fm(l)) <= pv && pv <= Transforms.applyToMicros(t, fm(h))
           case _ => true
         }
       case Some(("identity", vStr)) =>

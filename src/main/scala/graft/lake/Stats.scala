@@ -49,7 +49,8 @@ object Stats {
               else (None, None, n, st.isNumNullsSet)
             }
           val prev = acc.getOrElse(name, (None: Option[String], None: Option[String], 0L, true))
-          val dt = columnComparator(col.getPrimitiveType.getPrimitiveTypeName)
+          val dt = columnComparator(col.getPrimitiveType.getPrimitiveTypeName,
+                                    col.getPrimitiveType.getLogicalTypeAnnotation)
           acc(name) = (
             mergeBound(prev._1, mn, dt, min = true),
             mergeBound(prev._2, mx, dt, min = false),
@@ -64,8 +65,18 @@ object Stats {
     } finally reader.close()
   }
 
+  private def decimalScale(logical: LogicalTypeAnnotation): Option[Int] = logical match {
+    case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => Some(d.getScale)
+    case _ => None
+  }
+
   private def encode(v: Any, t: PrimitiveTypeName, logical: LogicalTypeAnnotation): Option[String] =
     t match {
+      // Spark writes DecimalType(p<=18) as INT32/INT64 with UNSCALED values;
+      // store the scaled decimal string so pruning compares in the same
+      // domain as the predicate literal (e.g. "123.45", not "12345").
+      case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 if decimalScale(logical).isDefined =>
+        Some(java.math.BigDecimal.valueOf(v.toString.toLong, decimalScale(logical).get).toPlainString)
       case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 |
            PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE |
            PrimitiveTypeName.BOOLEAN => Some(v.toString)
@@ -74,7 +85,10 @@ object Stats {
       case _ => None // INT96 / FIXED / raw binary: no usable bounds
     }
 
-  private def columnComparator(t: PrimitiveTypeName): (String, String) => Int = t match {
+  private def columnComparator(t: PrimitiveTypeName,
+                               logical: LogicalTypeAnnotation): (String, String) => Int = t match {
+    case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 if decimalScale(logical).isDefined =>
+      (a, b) => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
     case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
       (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
     case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>

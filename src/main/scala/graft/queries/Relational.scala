@@ -173,7 +173,7 @@ object Relational {
     """SELECT l_returnflag,
       |  COUNT(*) AS n,
       |  COUNT(l_extendedprice / NULLIF(l_discount, 0.0)) AS n_nonnull,
-      |  SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS n_zero_disc
+      |  CAST(SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_disc
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin)

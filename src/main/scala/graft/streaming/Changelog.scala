@@ -19,11 +19,11 @@ import org.apache.spark.sql.types._
   *     PaimonStream.java:91 'merge-engine'='deduplicate')
   *
   * Scale design: each micro-batch merge only rewrites data files whose key
-  * bounds overlap the batch's key set (stats-pruned copy-on-write). The
-  * batch's distinct keys are collected to the driver — bounded by the
-  * micro-batch size, not the table size — while the table side stays fully
-  * distributed; at 100 TB the rewrite set is the handful of files the
-  * changelog actually touches, not the table.
+  * bounds overlap the batch's aggregated [min,max] key bounds (stats-pruned
+  * copy-on-write). Keys are never collected to the driver — the survivor
+  * set is a distributed LEFT ANTI join against the batch-key DataFrame —
+  * so at 100 TB a CDC catch-up burst rewrites only the files the changelog
+  * touches and the driver sees a single 1-row bounds aggregate.
   */
 object Changelog {
 
@@ -125,16 +125,21 @@ object Changelog {
       if (applied.exists(_.toLong >= batchId)) return
     }
     import org.apache.spark.sql.expressions.Window
+    // null-keyed changelog rows are unmergeable noise — drop them up front
+    // (a null key must never reach the delete-key set)
     val latest = batch
+      .filter(col(key).isNotNull)
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col(key)).orderBy(col(seqCol).desc)))
       .filter(col("_rn") === 1).drop("_rn")
       .cache()
     try {
-      val keys = latest.select(col(key)).collect().map(_.get(0)).toSeq
-      if (keys.nonEmpty) {
+      if (!latest.isEmpty) {
         val upserts = latest.filter(col(opCol).isin(Insert, UpdateAfter)).drop(opCol)
-        table.mergeByKey(key, keys, upserts,
+        // keys stay distributed end-to-end (LEFT ANTI survivor join +
+        // min/max-bounds file pruning) — no driver-side key collection,
+        // so a CDC catch-up burst cannot blow up the driver
+        table.mergeByKeys(key, latest.select(col(key)), upserts,
           if (batchId >= 0) Map("streaming.batch-id" -> batchId.toString) else Map.empty)
       }
     } finally { latest.unpersist(); () }

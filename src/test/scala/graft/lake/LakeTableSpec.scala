@@ -291,6 +291,84 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.read(snapshotId = Some(before)).count() === 5)
   }
 
+  test("DELETE NOT-predicate keeps NULL rows (three-valued logic)") {
+    // delete(a =!= 5) on a file whose range excludes 5 but contains NULLs:
+    // NULL rows satisfy neither a=5 nor NOT(a=5) and must survive — the
+    // metadata-only fast path may not drop the whole file.
+    val cat = freshCatalog()
+    val t = cat.createTable("t.nulls", StructType(Seq(
+      StructField("a", IntegerType, nullable = true),
+      StructField("tag", StringType))))
+    import spark.implicits._
+    t.append(Seq((Some(1), "x"), (Some(2), "y"), (None: Option[Int], "z"))
+      .toDF("a", "tag").coalesce(1))
+    t.delete(col("a") =!= lit(5))
+    val out = t.toDF.collect()
+    assert(out.length === 1, "null-keyed row must survive NOT-delete")
+    assert(out.head.isNullAt(0) && out.head.getString(1) === "z")
+  }
+
+  test("decimal column stats prune in the scaled domain") {
+    val cat = freshCatalog()
+    val t = cat.createTable("t.dec", StructType(Seq(
+      StructField("d", DecimalType(10, 2)), StructField("id", IntegerType))))
+    import spark.implicits._
+    val rows = Seq((BigDecimal("100.50"), 1), (BigDecimal("200.75"), 2))
+    t.append(rows.toDF("d", "id").select(col("d").cast(DecimalType(10, 2)).as("d"), col("id")))
+    // unscaled-vs-scaled bug: stored min "10050" vs literal 150.00 would
+    // wrongly prune the file for this filter (10050 > 150)
+    assert(t.read(filter = Some(col("d") <= lit(new java.math.BigDecimal("150.00")))).count() === 1)
+    assert(t.read(filter = Some(col("d") > lit(new java.math.BigDecimal("150.00")))).count() === 1)
+    // and the metadata-only DELETE path must not drop the file wholesale
+    t.delete(col("d") > lit(new java.math.BigDecimal("1000.00")))
+    assert(t.toDF.count() === 2)
+  }
+
+  test("days() partitioning on a DATE column prunes correctly") {
+    // norm(date)=epoch-days, not micros: equality on the date column must
+    // still find its partition (the unit bug pruned every file → 0 rows)
+    val cat = freshCatalog()
+    val t = cat.createTable("t.dated", StructType(Seq(
+      StructField("d", DateType), StructField("v", IntegerType))),
+      partitionBy = Seq("d" -> "days"))
+    import spark.implicits._
+    val d1 = java.sql.Date.valueOf("2022-01-01")
+    val d2 = java.sql.Date.valueOf("2022-03-15")
+    t.append(Seq((d1, 1), (d2, 2)).toDF("d", "v").coalesce(1))
+    assert(t.read(filter = Some(col("d") === lit(d1))).count() === 1)
+    assert(t.read(filter = Some(col("d") === lit(d2))).count() === 1)
+    assert(t.read(filter = Some(col("d") === lit(java.sql.Date.valueOf("2023-06-01")))).count() === 0)
+  }
+
+  test("mergeByKey(s) is null-safe and keeps null-keyed rows") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", IntegerType, nullable = true), StructField("v", StringType)))
+    def fresh(): LakeTable = {
+      val t = freshCatalog().createTable("t.merge", schema)
+      t.append(Seq((Some(1), "a"), (Some(2), "b"), (None: Option[Int], "keepme"))
+        .toDF("k", "v").coalesce(1))
+      t
+    }
+    // Seq-based API: a null in the key list must not wipe non-matching rows
+    val t1 = fresh()
+    t1.mergeByKey("k", Seq(1, null), Seq((Some(1), "a2")).toDF("k", "v"))
+    val out1 = t1.toDF.orderBy("k").collect()
+    assert(out1.map(r => if (r.isNullAt(0)) "null" else r.getInt(0).toString).toSeq
+      === Seq("null", "1", "2"))
+    assert(out1.exists(r => !r.isNullAt(0) && r.getInt(0) == 1 && r.getString(1) == "a2"))
+    assert(out1.exists(r => r.isNullAt(0) && r.getString(1) == "keepme"))
+    // distributed API: anti-join path, no driver key collection
+    val t2 = fresh()
+    t2.mergeByKeys("k", Seq(Some(1), None: Option[Int]).toDF("k"),
+      Seq((Some(1), "a3")).toDF("k", "v"))
+    val out2 = t2.toDF.collect()
+    assert(out2.length === 3)
+    assert(out2.exists(r => !r.isNullAt(0) && r.getInt(0) == 1 && r.getString(1) == "a3"))
+    assert(out2.exists(r => r.isNullAt(0) && r.getString(1) == "keepme"))
+    assert(out2.exists(r => !r.isNullAt(0) && r.getInt(0) == 2 && r.getString(1) == "b"))
+  }
+
   test("file pruning: predicate prunes files before the scan (§4)") {
     val cat = freshCatalog()
     val t = cat.createTable("nyc.taxis", taxiSchema, partitionBy = Seq("pickup" -> "days"))
