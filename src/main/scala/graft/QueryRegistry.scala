@@ -65,6 +65,9 @@ object Tables {
     val key = System.identityHashCode(spark) + "|" + dir
     registered.computeIfAbsent(key, { _ =>
       names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      // native SQL functions (cosine_sim, quantized_dot) ride along so
+      // dialect() query text can use them
+      functions.GraftExtensions.register(spark)
       true
     })
     ()

@@ -58,19 +58,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: the same expression can occur many times in one
+      // projection (e.g. argmax over centroid cosines) — fixed local names
+      // would collide and silently demote the whole projection to
+      // interpreted mode
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv"); val denom = ctx.freshName("denom")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xv = $a.isNullAt(i) ? 0.0 : (double) $a.getFloat(i);
-         |  double yv = $b.isNullAt(i) ? 0.0 : (double) $b.getFloat(i);
-         |  dot += xv * yv; na += xv * xv; nb += yv * yv;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i);
+         |  double $yv = $b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
-         |double denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
-         |if (denom == 0.0) {
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($denom == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = dot / denom;
+         |  ${ev.value} = $dot / $denom;
          |}
        """.stripMargin
     })

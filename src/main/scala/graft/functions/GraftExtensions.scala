@@ -27,6 +27,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_sim takes (array<float>, array<float>)")
         CosineSimilarity(args.head, args(1))
+      }),
+    (FunctionIdentifier("quantized_dot"),
+      new ExpressionInfo(classOf[QuantizedDotProduct].getName, "quantized_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "quantized_dot takes (array<float>, array<float>)")
+        QuantizedDotProduct(args.head, args(1))
       }))
 
   /** Register on a live session (temp-function registry). */

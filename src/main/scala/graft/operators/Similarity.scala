@@ -43,31 +43,27 @@ object Similarity {
     * the vector column, only k rows per partition reach the driver. */
   def topK(embeddings: DataFrame, queryVec: Seq[Float], k: Int = 10,
            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = array(queryVec.map(v => lit(v)): _*)
+    val q = typedLit(queryVec)
     embeddings
       .select(col(idCol), cosine(col(vecCol), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 → uniform in [-1, 1). No RNG state, identical across
-    * executors and runs. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(1000000L)).cast("double") / 500000.0) - 1.0
-
   /** Sign-random-projection LSH bucket id: `planes` sign bits packed into a
-    * long. Vectors in the same bucket are likely-similar candidates. */
-  def srpBucket(vec: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
-  }
+    * long, via the native codegen'd [[graft.functions.SrpBucket]] (one
+    * fused vector pass; deterministic splitmix64 hyperplanes). `seed`
+    * selects an independent hyperplane set — one seed per hash table, so
+    * multi-table probing widens recall with independent collision events
+    * (a shared projection re-bucketed per table is a no-op). */
+  def srpBucket(vec: Column, planes: Int, seed: Long = 0L): Column =
+    graft.functions.SrpBucket(vec, planes, seed)
+
+  /** Per-table bucket ids, namespaced so different tables never collide:
+    * bucket_t = srp(vec, planes, seed=t) * tables + t. */
+  private def tableBuckets(vec: Column, planes: Int, tables: Int): Column =
+    array((0 until tables).map(t =>
+      srpBucket(vec, planes, t.toLong) * tables + t): _*)
 
   /** ANN top-k via SRP-LSH: score only vectors sharing the query's bucket
     * in any of `tables` independent hash tables (multi-probe by table, not
@@ -76,18 +72,13 @@ object Similarity {
   def annTopK(embeddings: DataFrame, queryVec: Seq[Float], k: Int = 10,
               planes: Int = 12, tables: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = array(queryVec.map(v => lit(v)): _*)
-    // compute the (expensive, interpreted-lambda) bucket projection ONCE
-    // per row, then fan out per table from the materialized column
+    val q = typedLit(queryVec)
     val withBuckets = embeddings
-      .select(col(idCol), col(vecCol), srpBucket(col(vecCol), planes).as("b"))
       .select(col(idCol), col(vecCol),
-        explode(array((0 until tables).map(t => col("b") * tables + t): _*)).as("bucket"))
+        explode(tableBuckets(col(vecCol), planes, tables)).as("bucket"))
     // query buckets (computed once on a 1-row frame, broadcast)
     val qdf = embeddings.sparkSession.range(1)
-      .select(srpBucket(q, planes).as("b"))
-      .select(explode(array((0 until tables).map(t =>
-        col("b") * tables + t): _*)).as("bucket"))
+      .select(explode(tableBuckets(q, planes, tables)).as("bucket"))
     withBuckets
       .join(broadcast(qdf), "bucket")
       .select(col(idCol), cosine(col(vecCol), q).as("cos")).distinct()
@@ -98,14 +89,13 @@ object Similarity {
   /** All-pairs near-duplicate vectors (cosine ≥ threshold), blocked by a
     * coarse SRP bucket so the join is bucket-local (linear-ish, not n²).
     * For exactness within a block family, pairs are generated across the
-    * `tables` hash tables and deduplicated. */
+    * `tables` independent hash tables and deduplicated. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
                    planes: Int = 8, tables: Int = 2,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val withBuckets = embeddings
-      .select(col(idCol), col(vecCol), srpBucket(col(vecCol), planes).as("b"))
       .select(col(idCol), col(vecCol),
-        explode(array((0 until tables).map(t => col("b") * tables + t): _*)).as("bucket"))
+        explode(tableBuckets(col(vecCol), planes, tables)).as("bucket"))
     val a = withBuckets.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = withBuckets.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, Seq("bucket"))
@@ -115,27 +105,55 @@ object Similarity {
       .distinct()
   }
 
-  /** IVF-style index: pick `nlist` centroid vectors by deterministic hash
-    * sampling (collected to the driver — centroids are tiny and become
-    * literals, so assignment is a pure fused projection: no join, no
-    * window, no shuffle of vectors). Returns (assignments, centroids).
-    * Probing `nprobe` lists scans ~nprobe/nlist of the data. */
-  def ivfAssign(embeddings: DataFrame, nlist: Int = 16,
+  /** Assign every vector to its nearest centroid's list — a pure fused
+    * projection over literal centroids (no join/window/shuffle). Use with
+    * memoized centroids to probe a prebuilt IVF index. */
+  def ivfAssignWith(embeddings: DataFrame, centroids: Seq[Seq[Float]],
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddings.select(col(idCol), col(vecCol), nearestList(vecCol, centroids).as("list_id"))
+
+  /** Nearest-centroid list id via argmax over nlist literal cosines — one
+    * expression tree, whole-stage codegen'd, zero shuffles. */
+  private def nearestList(vecCol: String, centroids: Seq[Seq[Float]]): Column = {
+    val scores = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col(vecCol), typedLit(c)).as("d"),
+        lit(-i).as("neg_list"))
+    }
+    -greatest(scores: _*).getField("neg_list")
+  }
+
+  /** IVF-style index: `nlist` k-means centroids (hash-sampled init +
+    * `iters` distributed Lloyd steps), then every vector assigned to its
+    * nearest centroid. Each Lloyd step is one posexplode → groupBy(list,
+    * dim) mean — a map-side-combined shuffle of nlist×dim aggregates, not
+    * of vectors — and the only driver materialization is the nlist×dim
+    * centroid matrix itself (tiny, becomes plan literals). Probing
+    * `nprobe` lists then scans ~nprobe/nlist of the data. */
+  def ivfAssign(embeddings: DataFrame, nlist: Int = 16, iters: Int = 3,
                 idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, Seq[Seq[Float]]) = {
-    val centroids: Seq[Seq[Float]] = embeddings
+    var centroids: Seq[Seq[Float]] = embeddings
       .select(col(idCol), col(vecCol))
       .withColumn("_h", pmod(xxhash64(col(idCol)), lit(1000000L)))
       .orderBy("_h").limit(nlist)
       .select(vecCol).collect().map(_.getSeq[Float](0)).toSeq
-    // nearest centroid via argmax over nlist literal cosines — one
-    // expression tree, whole-stage codegen'd, zero shuffles
-    val scores = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(col(vecCol), array(c.map(lit): _*)).as("d"),
-        lit(-i).as("neg_list"))
+    var it = 0
+    while (it < iters) {
+      // element-wise mean per assigned list; lists that lose all members
+      // keep their previous centroid
+      val means = embeddings
+        .select(nearestList(vecCol, centroids).as("list_id"),
+          posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("list_id", "pos").agg(avg("v").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (list, rows) =>
+          list -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+        }
+      centroids = centroids.zipWithIndex.map { case (c, i) => means.getOrElse(i, c) }
+      it += 1
     }
-    val best = greatest(scores: _*)
     val assigned = embeddings.select(
-      col(idCol), col(vecCol), (-best.getField("neg_list")).as("list_id"))
+      col(idCol), col(vecCol), nearestList(vecCol, centroids).as("list_id"))
     (assigned, centroids)
   }
 
@@ -153,7 +171,7 @@ object Similarity {
     val probe = centroids.zipWithIndex
       .sortBy { case (c, i) => (-localCos(c, queryVec), i) }
       .take(nprobe).map(_._2)
-    val q = array(queryVec.map(v => lit(v)): _*)
+    val q = typedLit(queryVec)
     assigned
       .filter(col("list_id").isin(probe: _*)) // partition-prunable at scale
       .select(col(idCol), cosine(col(vecCol), q).as("cos"))

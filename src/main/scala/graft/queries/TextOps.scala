@@ -154,45 +154,73 @@ object TextOps {
 
   /** Exact word-set Jaccard near-dup pairs (≥ 0.9), blocked by lang.
     *
-    * Spark plan: per-doc distinct word-set arrays, then a lang-blocked
-    * broadcast self-join with array_intersect/array_union — identical
-    * semantics to the oracle's word-level join, but no skewed
-    * (lang, word) merge-join: the exploded formulation makes the hottest
-    * word a single straggler key, while this one streams pairs through a
-    * fused projection. (The truly-at-scale path is q21's LSH candidates →
-    * verify; this is the exact-oracle variant.) */
+    * Spark plan: collapse-then-pair. Docs are first grouped by their exact
+    * (lang, word-set): near-dup corpora are dominated by identical sets,
+    * and every same-set pair is J = 1.0 with no verify at all. Pairwise
+    * work then runs over *distinct* sets only — candidates from a prefix-
+    * filter equi-join (AllPairs family: a J ≥ 0.9 pair must share a token
+    * among the first n − ceil(0.9n) + 1 of both sorted sets), verified by
+    * a native sorted-merge intersect count ([[graft.functions.
+    * SortedIntersectCount]], |A∪B| = na+nb−i so no union allocation) —
+    * and qualifying set pairs expand back to doc pairs through member
+    * joins, which is output-bound work. Every stage is a bounded-key
+    * shuffle: no broadcast of an unbounded side, no all-pairs stream over
+    * docs, and collapse keeps the pairwise stage at #distinct-sets — on
+    * this corpus (31-token vocabulary) that is hundreds instead of
+    * thousands, and at 100 TB the collapse is exactly the exact-dedup
+    * pass a pipeline runs anyway. Completeness: collapse is lossless and
+    * the prefix filter is a theorem, so the result set is exactly the
+    * oracle's. */
   val q22 = plan("q22_jaccard_pairs",
     fn = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
       graft.Tables.registerAll(s, dir)
-      // words → distinct xxhash64 longs: set ops run on 8-byte longs, not
-      // UTF8Strings (same sets — the tiny vocabulary is collision-free, and
-      // hashing is per-word-once, not per-pair)
-      // the groupBy is an optimizer barrier: without it CollapseProject
-      // inlines the (interpreted) transform lambda into the post-join
-      // projection and re-evaluates it once per PAIR instead of per doc
+      // words → distinct xxhash64 longs, sorted: set ops run on 8-byte
+      // longs (tiny vocabulary is collision-free; hashing per-word-once)
       val w = s.table("documents").select(
-          col("doc_id"), col("lang"),
-          array_distinct(transform(split(col("text"), "\\s+"), w => xxhash64(w))).as("ws"))
-        .groupBy("doc_id", "lang").agg(first("ws").as("ws"))
-      // explicit repartition: the doc table is one small file (1 scan
-      // partition) and AQE would coalesce by bytes — but the pair join is
-      // CPU-bound, so fan the stream side out across all cores
-      val cores = s.sparkContext.defaultParallelism
-      val a = w.repartition(cores)
-        .select(col("lang"), col("doc_id").as("id_a"), col("ws").as("wa"))
-      val b = w.select(col("lang"), col("doc_id").as("id_b"), col("ws").as("wb"))
-      a.join(broadcast(b), Seq("lang"))
+        col("doc_id"), col("lang"),
+        sort_array(array_distinct(transform(split(col("text"), "\\s+"), c => xxhash64(c)))).as("ws"))
+      // group id = min doc_id per distinct (lang, set)
+      val members = w.withColumn("gid",
+        min("doc_id").over(Window.partitionBy("lang", "ws")))
+      // same-set pairs: J = 1.0 by identity, no verify
+      val same = members.select(col("lang"), col("gid"), col("doc_id").as("id_a"))
+        .join(members.select(col("lang"), col("gid"), col("doc_id").as("id_b")),
+          Seq("lang", "gid"))
         .filter(col("id_a") < col("id_b"))
-        // size-ratio prescreen: J ≥ 0.9 ⇒ |A| ≥ 0.9·|B| and |B| ≥ 0.9·|A|
-        // (sound implication — never changes the result set)
-        .filter(size(col("wa")) * 10 >= size(col("wb")) * 9 &&
-                size(col("wb")) * 10 >= size(col("wa")) * 9)
-        .select(col("id_a"), col("id_b"),
-          (size(array_intersect(col("wa"), col("wb"))).cast("double") /
-            size(array_union(col("wa"), col("wb"))).cast("double")).as("jaccard"))
+        .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+      // distinct sets, one row per group
+      val g = members.groupBy("lang", "gid")
+        .agg(first("ws").as("ws"), count(lit(1)).as("cnt"))
+        .withColumn("n", size(col("ws")))
+      // prefix filter over distinct sets: p = n − ceil(0.9n) + 1
+      val p = col("n") - floor((col("n") * 9 + 9) / 10.0).cast("int") + 1
+      val pref = g.select(col("lang"), col("gid"),
+        explode(slice(col("ws"), lit(1), p)).as("tok"))
+      val cand = pref.select(col("lang"), col("tok"), col("gid").as("gid_a"))
+        .join(pref.select(col("lang"), col("tok"), col("gid").as("gid_b")), Seq("lang", "tok"))
+        .filter(col("gid_a") < col("gid_b"))
+        .select("gid_a", "gid_b").distinct()
+      // verify candidate SET pairs (sorted-merge intersect; size-ratio
+      // prescreen is a sound implication of J ≥ 0.9)
+      val gp = cand
+        .join(g.select(col("gid").as("gid_a"), col("ws").as("wa"), col("n").as("na")), Seq("gid_a"))
+        .join(g.select(col("gid").as("gid_b"), col("ws").as("wb"), col("n").as("nb")), Seq("gid_b"))
+        .filter(col("na") * 10 >= col("nb") * 9 && col("nb") * 10 >= col("na") * 9)
+        .select(col("gid_a"), col("gid_b"),
+          graft.functions.SortedIntersectCount.count(col("wa"), col("wb")).as("i"),
+          col("na"), col("nb"))
+        .select(col("gid_a"), col("gid_b"),
+          (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
         .filter(col("jaccard") >= 0.9)
-        .orderBy("id_a", "id_b")
+      // expand qualifying set pairs to doc pairs (output-bound joins)
+      val cross = gp
+        .join(members.select(col("gid").as("gid_a"), col("doc_id").as("da")), Seq("gid_a"))
+        .join(members.select(col("gid").as("gid_b"), col("doc_id").as("db")), Seq("gid_b"))
+        .select(least(col("da"), col("db")).as("id_a"),
+          greatest(col("da"), col("db")).as("id_b"), col("jaccard"))
+      same.unionByName(cross).orderBy("id_a", "id_b")
     },
     duckSql = """WITH w AS (
       |  SELECT DISTINCT doc_id, lang, w FROM (

@@ -105,6 +105,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => b == 4L && a == 1L }) // opposite direction excluded
   }
 
+  test("ANN quality gate: recall@10 ≥ 0.8 vs exact kNN on real testdata") {
+    // the CORRECTNESS gate is rows-only for q26/q27 (approximate by
+    // construction) — this is the quality gate: average recall@10 over 5
+    // query vectors at sf0.001 must be ≥ 0.8 for both ANN paths, at the
+    // same parameters the registered queries use
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    val queryIds = Seq(0L, 7L, 42L, 99L, 123L)
+    def vecOf(qid: Long): Seq[Float] =
+      emb.filter(col("vec_id") === qid).select("embedding").head.getSeq[Float](0)
+    val exact = queryIds.map(qid =>
+      qid -> Similarity.topK(emb, vecOf(qid), 10).collect().map(_.getLong(0)).toSet).toMap
+    def avgRecall(approx: Long => Set[Long]): Double =
+      queryIds.map(qid => approx(qid).intersect(exact(qid)).size / 10.0).sum / queryIds.size
+    val lsh = avgRecall(qid => Similarity.annTopK(emb, vecOf(qid), k = 10,
+      planes = 3, tables = 12).collect().map(_.getLong(0)).toSet)
+    assert(lsh >= 0.8, s"SRP-LSH recall@10 $lsh < 0.8")
+    val (assigned, centroids) = Similarity.ivfAssign(emb, nlist = 16)
+    val a = assigned.cache(); a.count()
+    val ivf = avgRecall(qid => Similarity.ivfTopK(a, centroids, vecOf(qid),
+      k = 10, nprobe = 8).collect().map(_.getLong(0)).toSet)
+    a.unpersist(); emb.unpersist()
+    assert(ivf >= 0.8, s"IVF recall@10 $ivf < 0.8")
+  }
+
   test("IVF assign + probe returns the aligned cluster") {
     val (assigned, centroids) = Similarity.ivfAssign(embeddings, nlist = 2)
     assert(centroids.size === 2)

@@ -69,10 +69,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"knn must not shuffle-join vectors:\n$p")
   }
 
-  test("q22: jaccard pairs use a broadcast join (skew-free), not a merge join") {
+  test("q22: jaccard pairs never cross-join and never broadcast an unbounded side") {
     val p = planOf("q22_jaccard_pairs")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    // prefix-filtered candidates: every join is an equi-join on bounded
+    // keys; the full documents table must not be broadcast or all-paired
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q22: prefix filtering is complete — matches brute-force jaccard on sf0.001") {
+    import org.apache.spark.sql.functions._
+    val out = QueryRegistry.byName("q22_jaccard_pairs").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: lang-blocked all-pairs exact jaccard (fine at 500 docs)
+    val w = spark.read.parquet(s"$sfDir/documents.parquet").select(
+        col("doc_id"), col("lang"),
+        array_distinct(transform(split(col("text"), "\\s+"), c => xxhash64(c))).as("ws"))
+      .groupBy("doc_id", "lang").agg(first("ws").as("ws"))
+    val brute = w.select(col("lang"), col("doc_id").as("id_a"), col("ws").as("wa"))
+      .join(w.select(col("lang"), col("doc_id").as("id_b"), col("ws").as("wb")), Seq("lang"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(size(array_intersect(col("wa"), col("wb"))).cast("double") /
+        size(array_union(col("wa"), col("wb"))).cast("double") >= 0.9)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === brute, s"missing=${brute -- out} extra=${out -- brute}")
   }
 
   test("q27/IVF: assignment is a pure projection — no join, no window, no exchange before the top-k") {
