@@ -13,8 +13,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - runtime: `GraftExtensions.register(spark)` on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptions.foreach(ext.injectFunction)
+    // DSv2 read path: substitute GraftTable relations with the LakeTable
+    // read plan (graft.lake.dsv2.GraftReadRule)
+    ext.injectResolutionRule(spark => graft.lake.dsv2.GraftReadRule(spark))
+  }
 }
 
 object GraftExtensions {

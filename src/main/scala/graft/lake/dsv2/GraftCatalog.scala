@@ -1,0 +1,234 @@
+package graft.lake.dsv2
+
+import graft.lake.{LakeCatalog, LakeTable, MetadataTables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DSv2 `TableCatalog` over the graft lake — registered as e.g.
+  * {{{
+  *   spark.sql.catalog.lake           = graft.lake.dsv2.GraftCatalog
+  *   spark.sql.catalog.lake.warehouse = /path/to/warehouse
+  * }}}
+  * so the reference's dominant `%%sql` surface works verbatim
+  * (spark-defaults.conf:22-29 registers Iceberg's catalog the same way):
+  * CREATE DATABASE / CREATE TABLE ... PARTITIONED BY (days(ts)) /
+  * INSERT INTO / DELETE FROM / ALTER TABLE / DROP TABLE, `spark.table`,
+  * `VERSION AS OF` & `TIMESTAMP AS OF`, branch-suffix identifiers
+  * (`db.t.branch_etl_job_42` — WAP….ipynb:440-443), metadata-table
+  * suffixes (`db.t.snapshots` — Getting Started.ipynb:353), and SQL
+  * `CALL lake.system.rollback_to_snapshot(...)` (Getting
+  * Started.ipynb:429) via [[GraftProcedures]].
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+
+  private var catalogName: String = _
+  private var lake: LakeCatalog = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+    lake = new LakeCatalog(spark, wh)
+  }
+
+  override def name(): String = catalogName
+
+  private def identString(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  // ---- tables --------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    lake.listTables(namespace.mkString("."))
+      .map(t => Identifier.of(namespace, t)).toArray
+
+  override def tableExists(ident: Identifier): Boolean =
+    lake.tableExists(identString(ident)) || resolveSpecial(ident).isDefined
+
+  /** Branch-suffix (`db.t.branch_x`) and metadata-table (`db.t.snapshots`)
+    * identifiers: the suffix rides in the name position with the base
+    * table as the namespace tail. */
+  private def resolveSpecial(ident: Identifier): Option[GraftTable] = {
+    if (ident.namespace().isEmpty) return None
+    val base = ident.namespace().mkString(".")
+    if (!lake.tableExists(base)) return None
+    val t = lake.loadTable(base)
+    val n = ident.name()
+    if (n.startsWith("branch_")) {
+      val branch = n.stripPrefix("branch_")
+      if (t.meta.refs.contains(branch))
+        Some(GraftTable(t, s"$base.$n", pinnedBranch = Some(branch)))
+      else None
+    } else if (MetadataTables.kinds.contains(n)) {
+      Some(GraftTable(t, s"$base.$n", metaKind = Some(n)))
+    } else None
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val s = identString(ident)
+    if (lake.tableExists(s)) GraftTable(lake.loadTable(s), s)
+    else resolveSpecial(ident).getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  /** SQL `VERSION AS OF v`: numeric → snapshot id; string → branch name,
+    * or a wap.id recorded in a snapshot summary (WAP….ipynb:279). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val s = identString(ident)
+    if (!lake.tableExists(s)) throw new NoSuchTableException(ident)
+    val t = lake.loadTable(s)
+    val m = t.meta
+    if (version.forall(_.isDigit) && m.snapshot(version.toLong).isDefined)
+      GraftTable(t, s, pinnedSnapshotId = Some(version.toLong))
+    else if (m.refs.contains(version))
+      GraftTable(t, s, pinnedBranch = Some(version))
+    else m.snapshots.find(_.summary.get("wap.id").contains(version)) match {
+      case Some(snap) => GraftTable(t, s, pinnedSnapshotId = Some(snap.snapshotId))
+      case None => throw new IllegalArgumentException(
+        s"no snapshot, branch, or wap.id '$version' on $s")
+    }
+  }
+
+  /** SQL `TIMESTAMP AS OF ts` (micros since epoch). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val s = identString(ident)
+    if (!lake.tableExists(s)) throw new NoSuchTableException(ident)
+    GraftTable(lake.loadTable(s), s, pinnedTimestampMs = Some(timestamp / 1000L))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val s = identString(ident)
+    if (lake.tableExists(s)) throw new TableAlreadyExistsException(ident)
+    val partitionBy = partitions.toSeq.map(transformToPair)
+    val props = properties.asScala.toMap -- Seq("provider", "owner", "location")
+    lake.createTable(s, schema, partitionBy, props)
+    GraftTable(lake.loadTable(s), s)
+  }
+
+  private def transformToPair(t: Transform): (String, String) = {
+    val colName = t.references().head.fieldNames().mkString(".")
+    t.name() match {
+      case "identity" => (colName, "identity")
+      case n @ ("days" | "hours" | "months" | "years") => (colName, n)
+      case "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value().toString
+        }.getOrElse(throw new IllegalArgumentException(s"bucket without count: $t"))
+        (colName, s"bucket[$n]")
+      case other => throw new IllegalArgumentException(s"unsupported transform $other")
+    }
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val s = identString(ident)
+    if (!lake.tableExists(s)) throw new NoSuchTableException(ident)
+    val t = lake.loadTable(s)
+    changes.foreach(applyChange(t, _))
+    GraftTable(t, s)
+  }
+
+  private def applyChange(t: LakeTable, change: TableChange): Unit = change match {
+    case c: TableChange.RenameColumn =>
+      t.renameColumn(c.fieldNames.mkString("."), c.newName); ()
+    case c: TableChange.AddColumn =>
+      val after = c.position() match {
+        case a: TableChange.After => Some(a.column())
+        case _: TableChange.First => Some("")
+        case _ => None
+      }
+      t.addColumn(c.fieldNames.mkString("."), c.dataType(), after,
+        Option(c.comment())); ()
+    case c: TableChange.DeleteColumn =>
+      t.dropColumn(c.fieldNames.mkString(".")); ()
+    case c: TableChange.UpdateColumnType =>
+      t.updateColumnType(c.fieldNames.mkString("."), c.newDataType()); ()
+    case c: TableChange.UpdateColumnComment =>
+      t.updateColumnComment(c.fieldNames.mkString("."), c.newComment()); ()
+    case c: TableChange.UpdateColumnPosition =>
+      val after = c.position() match {
+        case a: TableChange.After => Some(a.column())
+        case _: TableChange.First => Some("")
+        case _ => None
+      }
+      t.moveColumn(c.fieldNames.mkString("."), after); ()
+    case c: TableChange.SetProperty =>
+      t.setProperties(Map(c.property() -> c.value())); ()
+    case c: TableChange.RemoveProperty =>
+      t.unsetProperties(Seq(c.property())); ()
+    case other =>
+      throw new UnsupportedOperationException(s"unsupported table change $other")
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val s = identString(ident)
+    if (!lake.tableExists(s)) false
+    else { lake.dropTable(s); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+
+  // ---- namespaces ----------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val wh = new org.apache.hadoop.fs.Path(lake.warehouse)
+    if (!fs.exists(wh)) Array.empty
+    else fs.listStatus(wh).filter(_.isDirectory).map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    lake.namespaceExists(namespace.mkString("."))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) Map.empty[String, String].asJava
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    lake.createNamespace(namespace.mkString("."))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val ns = namespace.mkString(".")
+    if (!lake.namespaceExists(ns)) false
+    else if (!cascade && lake.listTables(ns).nonEmpty)
+      throw new IllegalStateException(s"namespace $ns is not empty")
+    else {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"${lake.warehouse}/$ns"), true)
+    }
+  }
+
+  // ---- procedures (CALL lake.system.<proc>(...)) ---------------------------
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live in the 'system' namespace, got ${identString(ident)}")
+    GraftProcedures.load(lake, ident.name()).getOrElse(
+      throw new IllegalArgumentException(s"unknown procedure ${ident.name()}"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+}

@@ -1,0 +1,76 @@
+package graft.lake.dsv2
+
+import graft.lake.LakeCatalog
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+
+import java.util.Collections
+
+/** SQL `CALL lake.system.<proc>(...)` — the reference's maintenance
+  * procedures (Getting Started.ipynb:429 `rollback_to_snapshot`,
+  * Integrated Audits….ipynb:398 `cherrypick_snapshot`, :580 + Table
+  * Maintenance….ipynb:165 `expire_snapshots`, :123 `rewrite_data_files`,
+  * :193 `rewrite_manifests`), mapped to the [[graft.lake.LakeTable]]
+  * maintenance methods through Spark 4's ProcedureCatalog. Procedures
+  * return no rows; their effect is a new metadata version. */
+object GraftProcedures {
+
+  val names: Seq[String] = Seq("rollback_to_snapshot", "cherrypick_snapshot",
+    "expire_snapshots", "rewrite_data_files", "rewrite_manifests")
+
+  private def param(name: String, dt: DataType, default: Option[String] = None) = {
+    val b = ProcedureParameter.in(name, dt)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  def load(lake: LakeCatalog, name: String): Option[UnboundProcedure] = name match {
+    case "rollback_to_snapshot" => Some(proc(name,
+      Array(param("table", StringType), param("snapshot_id", LongType)),
+      row => lake.loadTable(row.getString(0)).rollbackTo(row.getLong(1))))
+    case "cherrypick_snapshot" => Some(proc(name,
+      Array(param("table", StringType), param("snapshot_id", LongType)),
+      row => lake.loadTable(row.getString(0)).cherrypick(row.getLong(1))))
+    case "expire_snapshots" => Some(proc(name,
+      Array(param("table", StringType),
+        param("older_than", LongType, Some("-1")),
+        param("retain_last", LongType, Some("1"))),
+      row => {
+        val olderThan =
+          if (row.isNullAt(1) || row.getLong(1) < 0) System.currentTimeMillis()
+          else row.getLong(1)
+        val retain = if (row.isNullAt(2)) 1 else row.getLong(2).toInt
+        lake.loadTable(row.getString(0)).expireSnapshots(olderThan, retain)
+      }))
+    case "rewrite_data_files" => Some(proc(name,
+      Array(param("table", StringType),
+        param("target_file_size_bytes", LongType, Some((512L * 1024 * 1024).toString))),
+      row => {
+        val target = if (row.isNullAt(1)) 512L * 1024 * 1024 else row.getLong(1)
+        lake.loadTable(row.getString(0)).rewriteDataFiles(target)
+      }))
+    case "rewrite_manifests" => Some(proc(name,
+      Array(param("table", StringType)),
+      row => lake.loadTable(row.getString(0)).rewriteManifests()))
+    case _ => None
+  }
+
+  private def proc(procName: String, params: Array[ProcedureParameter],
+                   body: InternalRow => Any): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft lake procedure $procName"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = s"graft lake procedure $procName"
+        override def parameters(): Array[ProcedureParameter] = params
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          body(input)
+          Collections.emptyIterator[Scan]()
+        }
+      }
+    }
+}

@@ -1,0 +1,51 @@
+package graft.lake.dsv2
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** Analyzer rule: substitute a [[GraftTable]] DSv2 relation with the
+  * LakeTable read plan (parquet scan over the snapshot's pruned file
+  * list, with the rename/widen schema mapping). SQL reads thereby get
+  * the exact semantics and pushdown of the Scala read path without a
+  * custom DSv2 Scan/Batch implementation — Catalyst sees a plain parquet
+  * relation and applies its own filter/column pushdown below our
+  * projection.
+  *
+  * Write/DML targets keep the DSv2 relation (AppendData needs
+  * SupportsWrite, DELETE needs SupportsDelete), so those relations are
+  * excluded by reference identity.
+  */
+case class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // relations serving as write/DML targets must stay DSv2
+    val writeTargets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case w: V2WriteCommand => writeTargets.add(w.table); ()
+      case d: DeleteFromTable => writeTargets.add(d.table); ()
+      case u: UpdateTable => writeTargets.add(u.table); ()
+      case m: MergeIntoTable => writeTargets.add(m.targetTable); ()
+      case _ => ()
+    }
+    // transformUp (not resolveOperatorsUp): the substitution must also
+    // apply to already-analyzed subtrees (e.g. cached plan fragments);
+    // the pattern is idempotent — once substituted there is no relation
+    // left to match
+    plan.transformUp {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftTable] && !writeTargets.contains(r) =>
+        val gt = r.table.asInstanceOf[GraftTable]
+        val child = gt.readDataFrame().queryExecution.analyzed
+        // preserve the relation's output attribute ids so parent operator
+        // references stay bound
+        val aliased = r.output.zip(child.output).map { case (ro, co) =>
+          Alias(co, ro.name)(exprId = ro.exprId)
+        }
+        Project(aliased, child)
+    }
+  }
+}

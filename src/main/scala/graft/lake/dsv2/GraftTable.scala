@@ -1,0 +1,189 @@
+package graft.lake.dsv2
+
+import graft.lake.{LakeTable, MetadataTables}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DSv2 face of a [[LakeTable]] — the SQL-native access path the reference
+  * exercises in every notebook cell (`%%sql` against the Iceberg catalog,
+  * spark-defaults.conf:22-29).
+  *
+  * Reads: the table declares BATCH_READ but scan planning is handled by
+  * [[GraftReadRule]], which substitutes the relation with the LakeTable
+  * read plan (parquet scan of the pruned snapshot file list, with
+  * rename/widen mapping) — so SQL reads get the exact same semantics and
+  * pushdown as the Scala API. `pinned*` carry time travel (`VERSION AS
+  * OF` / `TIMESTAMP AS OF` / branch-suffix identifiers).
+  *
+  * Writes: V1Write fallback → InsertableRelation → LakeTable.append, which
+  * honors WAP session confs. DELETE FROM → SupportsDelete with the same
+  * metadata-only fast path as the Scala API.
+  */
+case class GraftTable(
+    lakeTable: LakeTable,
+    identName: String,
+    pinnedSnapshotId: Option[Long] = None,
+    pinnedBranch: Option[String] = None,
+    pinnedTimestampMs: Option[Long] = None,
+    metaKind: Option[String] = None)
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  override def name(): String = identName
+
+  override def schema(): StructType = metaKind match {
+    case Some(k) => MetadataTables(lakeTable, k).schema
+    case None => lakeTable.meta.schema.sparkSchema
+  }
+
+  /** The DataFrame this table reads as (used by GraftReadRule). */
+  def readDataFrame(): DataFrame = metaKind match {
+    case Some(k) => lakeTable.metadataTable(k)
+    case None => lakeTable.read(pinnedSnapshotId, pinnedBranch, pinnedTimestampMs)
+  }
+
+  override def partitioning(): Array[Transform] = {
+    val m = lakeTable.meta
+    m.spec.fields.flatMap { f =>
+      m.schema.byId(f.sourceId).map { src =>
+        f.transform match {
+          case "identity" => Expressions.identity(src.name)
+          case "days" => Expressions.days(src.name)
+          case "hours" => Expressions.hours(src.name)
+          case "months" => Expressions.months(src.name)
+          case "years" => Expressions.years(src.name)
+          case b if b.startsWith("bucket[") =>
+            Expressions.bucket(b.stripPrefix("bucket[").stripSuffix("]").toInt, src.name)
+          case other => Expressions.apply(other, Expressions.column(src.name))
+        }
+      }
+    }.toArray
+  }
+
+  override def properties(): util.Map[String, String] = {
+    val m = lakeTable.meta
+    (m.properties ++ Map(
+      "provider" -> "graft-lake",
+      "location" -> m.location,
+      "format" -> "graft/parquet",
+      "current-snapshot-id" -> m.currentSnapshot.map(_.snapshotId.toString).getOrElse("none")
+    )).asJava
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  // ---- reads (V1Scan fallback) --------------------------------------------
+  //
+  // [[GraftReadRule]] substitutes this relation with the LakeTable read
+  // plan when the session carries GraftExtensions (full-speed path). When
+  // it doesn't (runtime-registered catalog), this V1Scan serves reads:
+  // pushed filters reach LakeTable.read (file-level stats/partition
+  // pruning + row filter) and pruned columns reach the parquet scan, so
+  // the 100 TB behaviors survive the fallback; the only cost is one
+  // InternalRow→Row conversion at the boundary.
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      private var pushed: Array[Filter] = Array.empty
+      private var required: StructType = schema()
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        if (metaKind.isEmpty) pushed = filters.filter(filterToColumn(_).isDefined)
+        filters // all filters stay as residuals — pruning may keep extra rows
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val rel = new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = required
+            override def buildScan(): RDD[Row] = {
+              val cond = pushed.flatMap(filterToColumn).reduceOption(_ && _)
+              val base = metaKind match {
+                case Some(k) => lakeTable.metadataTable(k)
+                case None => lakeTable.read(pinnedSnapshotId, pinnedBranch,
+                  pinnedTimestampMs, filter = cond)
+              }
+              val projected =
+                if (required.isEmpty) base.select() // zero-column rows (count-only scans)
+                else base.select(required.fieldNames.map(col).toIndexedSeq: _*)
+              projected.rdd
+            }
+          }
+          rel.asInstanceOf[T]
+        }
+      }
+    }
+
+  // ---- writes (INSERT INTO / INSERT OVERWRITE / df.writeTo) ---------------
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(metaKind.isEmpty, s"metadata table $identName is read-only")
+    require(pinnedSnapshotId.isEmpty && pinnedTimestampMs.isEmpty,
+      s"cannot write to a time-travel snapshot of $identName")
+    new WriteBuilder with SupportsTruncate {
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: DataFrame, _: Boolean) => {
+            if (overwriteAll) lakeTable.truncate()
+            lakeTable.append(data, toBranch = pinnedBranch)
+            ()
+          }
+      }
+    }
+  }
+
+  // ---- DELETE FROM ---------------------------------------------------------
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    metaKind.isEmpty && filters.forall(filterToColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.flatMap(filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    lakeTable.delete(cond)
+    ()
+  }
+
+  /** V1 source Filter → Column (top-level attributes only; None = cannot
+    * translate, which makes canDeleteWhere reject the pushdown). */
+  private def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+    case Not(c) => filterToColumn(c).map(!_)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+}

@@ -129,24 +129,49 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within maxHamming, blocked by `blockCol` to
-    * avoid the quadratic join at scale (at 100 TB: block by band of the
-    * signature's high bits instead). */
+  /** SimHash near-dup pairs within maxHamming. Default blocking is
+    * pigeonhole banding over the signature itself: split the `bits`-bit
+    * signature into maxHamming+1 chunks — a pair with hamming ≤ m differs
+    * in ≤ m chunks, so it must agree EXACTLY on at least one chunk. The
+    * candidate join is then an equi-join on (chunk-index, chunk-value):
+    * complete (never misses a qualifying pair) and never a cross join, so
+    * the default path is safe at 100 TB. An explicit `blockCol` restricts
+    * pairs to equal block values instead (changes semantics: only
+    * within-block pairs are reported). */
   def simHashPairs(df: DataFrame, maxHamming: Int = 3,
                    textCol: String = "text", idCol: String = "doc_id",
-                   blockCol: Option[String] = None): DataFrame = {
-    val sig = simHash(df, textCol, idCol)
-    val withBlock = blockCol match {
-      case Some(c) => sig.join(df.select(col(idCol), col(c)), idCol)
-      case None => sig.withColumn("_blk", lit(0))
+                   blockCol: Option[String] = None, bits: Int = 32): DataFrame = {
+    val sig = simHash(df, textCol, idCol, bits)
+    blockCol match {
+      case Some(c) =>
+        val withBlock = sig.join(df.select(col(idCol), col(c)), idCol)
+        val a = withBlock.select(col(idCol).as("id_a"), col("simhash").as("sig_a"), col(c).as("blk"))
+        val b = withBlock.select(col(idCol).as("id_b"), col("simhash").as("sig_b"), col(c).as("blk"))
+        a.join(b, Seq("blk"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
+          .filter(col("hamming") <= maxHamming)
+          .select("id_a", "id_b", "hamming")
+      case None =>
+        val nb = maxHamming + 1
+        require(nb <= bits, s"maxHamming=$maxHamming needs more than $bits signature bits")
+        val cs = (bits + nb - 1) / nb
+        val banded = sig.select(col(idCol), col("simhash"),
+          posexplode(array((0 until nb).map { i =>
+            val lo = i * cs
+            val width = math.min(cs, bits - lo)
+            shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1))
+          }: _*)).as(Seq("band", "key")))
+        val a = banded.select(col("band"), col("key"),
+          col(idCol).as("id_a"), col("simhash").as("sig_a"))
+        val b = banded.select(col("band"), col("key"),
+          col(idCol).as("id_b"), col("simhash").as("sig_b"))
+        a.join(b, Seq("band", "key"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
+          .filter(col("hamming") <= maxHamming)
+          .select("id_a", "id_b", "hamming")
+          .distinct()
     }
-    val blk = blockCol.getOrElse("_blk")
-    val a = withBlock.select(col(idCol).as("id_a"), col("simhash").as("sig_a"), col(blk).as("blk"))
-    val b = withBlock.select(col(idCol).as("id_b"), col("simhash").as("sig_b"), col(blk).as("blk"))
-    a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
   }
 }

@@ -19,4 +19,11 @@ object ColumnBridge {
     * native expressions — graft.functions). */
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** DataFrame over an arbitrary logical plan (Dataset.ofRows is
+    * `private[sql]`) — used to test analyzer rules in isolation. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -54,10 +54,21 @@ class OperatorsSpec extends AnyFunSuite {
   test("simhash: identical docs get identical signatures; hamming ≤ 3 finds near-dups") {
     val sig = Dedup.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sig(1L) === sig(2L))
-    val pairs = Dedup.simHashPairs(docs, maxHamming = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairsDf = Dedup.simHashPairs(docs, maxHamming = 3)
+    val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 4L)))
+    // default banding must equal the brute-force all-pairs result
+    // (pigeonhole blocking is complete) and must not plan a cross join
+    val brute = Dedup.simHashPairs(docs, maxHamming = 3, blockCol = None, bits = 32)
+    val sigs = Dedup.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val bruteSet = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(pairs === bruteSet)
+    val plan = pairsDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("text analysis features are sane") {
