@@ -107,8 +107,14 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   }
 
   /** Write `df` (already physical-named) as data files under the given spec;
-    * returns DataFile entries with footer stats. */
-  private def writeDataFiles(physical: DataFrame, m: TableMeta): Seq[DataFile] = {
+    * returns DataFile entries with footer stats.
+    * `filePrefix` encodes the producing operation in the data file name:
+    * "app" for append snapshots, "rw" for copy-on-write rewrites. The
+    * streaming read-back (Changelog.streamRead) filters on "app-*" so a
+    * CoW rewrite never re-delivers rows — the same append-only streaming
+    * semantics Iceberg's streaming read enforces. */
+  private def writeDataFiles(physical: DataFrame, m: TableMeta,
+                             filePrefix: String = "rw"): Seq[DataFile] = {
     val schema = m.schema
     val spec = m.spec
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -134,7 +140,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
           case _ => None
         }
       }.toMap
-      val target = new Path(dataDir, s"${UUID.randomUUID().toString.take(12)}.parquet")
+      val target = new Path(dataDir, s"$filePrefix-${UUID.randomUUID().toString.take(12)}.parquet")
       if (!fs.rename(p, target))
         throw new IllegalStateException(s"failed to move $p -> $target")
       val (rows, bytes, stats) = Stats.fromFooter(target.toString, hadoopConf)
@@ -151,7 +157,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * to that branch. */
   def append(df: DataFrame, toBranch: Option[String] = None): TableMeta = {
     val m0 = meta
-    val newFiles = writeDataFiles(toPhysical(df, m0.schema), m0)
+    val newFiles = writeDataFiles(toPhysical(df, m0.schema), m0, filePrefix = "app")
     val staged = wapId.isDefined &&
       m0.properties.get("write.wap.enabled").contains("true") && toBranch.isEmpty
     val branch = resolveWriteBranch(toBranch)
@@ -345,7 +351,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     }
     val inserted =
       if (upserts.isEmpty) Seq.empty
-      else writeDataFiles(toPhysical(upserts, m0.schema), m0)
+      else writeDataFiles(toPhysical(upserts, m0.schema), m0, filePrefix = "app")
     commitReplace(branch, untouched ++ survivors ++ inserted, "overwrite",
       extraSummary ++ Map(
         "merge-keys" -> ks.size.toString,
@@ -384,7 +390,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       }
       val inserted =
         if (upserts.isEmpty) Seq.empty
-        else writeDataFiles(toPhysical(upserts, m0.schema), m0)
+        else writeDataFiles(toPhysical(upserts, m0.schema), m0, filePrefix = "app")
       commitReplace(branch, untouched ++ survivors ++ inserted, "overwrite",
         extraSummary ++ Map(
           "merge-keys" -> nKeys.toString,

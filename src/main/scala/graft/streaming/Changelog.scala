@@ -159,14 +159,49 @@ object Changelog {
       }
       .start()
 
-  /** Streaming read-back of a lake table printed per trigger — the
-    * console analog of StreamRead.java:31-34 / PaimonStream.java:97-100.
-    * (File-source streaming over our data dir would miss CoW rewrites, so
-    * this re-reads the snapshot per tick like the reference's changelog
-    * console loop.) */
-  def consoleReadBack(table: LakeTable, intervalMs: Long = 5000L, ticks: Int = 3): Unit =
-    (1 to ticks).foreach { _ =>
-      table.toDF.show(20, truncate = false)
-      Thread.sleep(intervalMs)
-    }
+  /** Incremental streaming read-back of a lake table — the Spark-first
+    * analog of the reference's continuous changelog read
+    * (StreamRead.java:31-34 `toChangelogStream`): Spark's file streaming
+    * source over the table's data directory, restricted to append-snapshot
+    * files (`app-*` — LakeTable.writeDataFiles prefixes CoW-rewrite output
+    * `rw-` so compaction/DELETE/UPDATE rewrites are never re-delivered).
+    * These are append-only streaming semantics, the same contract
+    * Iceberg's streaming read enforces. New appends arrive incrementally
+    * per trigger; offsets/exactly-once come from the file source's own
+    * tracking + checkpointLocation.
+    *
+    * Caveat: files are mapped to the CURRENT logical schema by stable
+    * physical column id (renames/adds are fine; widened columns need the
+    * stream restarted to pick up the new read schema). */
+  def streamRead(table: LakeTable): DataFrame = {
+    val spark = table.spark
+    val m = table.meta
+    val schema = m.schema
+    val dataDir = s"${table.location}/data"
+    // the file source requires the directory to exist before start
+    val fs = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dataDir))
+    val raw = spark.readStream
+      .schema(schema.physicalSchema)
+      .option("pathGlobFilter", "app-*.parquet")
+      .parquet(dataDir)
+    raw.select(schema.columns.map(c =>
+      col(c.physicalName).cast(c.sparkType).as(c.name)): _*)
+  }
+
+  /** Console read-back per trigger (StreamRead.java:34 print loop /
+    * PaimonStream.java:100): the streaming source above + console sink,
+    * stopped after roughly `ticks` trigger intervals. */
+  def consoleReadBack(table: LakeTable, intervalMs: Long = 5000L, ticks: Int = 3): Unit = {
+    val q = streamRead(table).writeStream
+      .format("console")
+      .option("numRows", 20)
+      .option("truncate", false)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .start()
+    try q.awaitTermination(intervalMs * ticks)
+    finally q.stop()
+    ()
+  }
 }

@@ -155,4 +155,38 @@ class ChangelogSpec extends AnyFunSuite {
       assert(t.toDF.orderBy("block_number").collect().map(_.getInt(0)).toSeq === Seq(2, 3))
     } finally q.stop()
   }
+
+  test("streaming read-back: appends arrive across triggers, rewrites don't re-deliver (S10/T6)") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val t = cat.createTable("test.readback", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType))))
+    val out = Changelog.streamRead(t)
+    assert(out.isStreaming)
+    val ckpt = Files.createTempDirectory("graft-rb-ckpt").toString
+    val q = out.writeStream
+      .format("memory").queryName("rb_sink")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // append 1 arrives on the next trigger (StreamRead.java:31-34 semantics)
+      t.append(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(spark.table("rb_sink").count() === 2)
+      // append 2 arrives incrementally
+      t.append(Seq((3, "c")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(spark.table("rb_sink").count() === 3)
+      // a CoW rewrite (DELETE rewriting a file) must NOT re-deliver rows —
+      // append-only stream semantics, like Iceberg's streaming read
+      t.delete(col("id") === 1)
+      q.processAllAvailable()
+      assert(spark.table("rb_sink").count() === 3)
+      // and appends after the rewrite still flow
+      t.append(Seq((4, "d")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(spark.table("rb_sink").select("id").collect().map(_.getInt(0)).sorted
+        === Array(1, 2, 3, 4))
+    } finally q.stop()
+  }
 }
