@@ -1,0 +1,133 @@
+package graft.lake.dsv2
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** SQL `MERGE INTO` for graft lake tables (SURVEY §2.9 / the reference's
+  * equality-delete upsert semantics, IcebergStream.java:118), without the
+  * SupportsRowLevelOperations machinery: a resolved [[MergeIntoTable]]
+  * whose shape is an equality-key merge with source-only action
+  * expressions is rewritten to a command over
+  * [[graft.lake.LakeTable.mergeByKeys]] — keys stay distributed, files
+  * are stats-pruned, survivors are anti-joined.
+  *
+  * Translatable shape (everything else is left for Spark to reject):
+  *   - ON target.k = <expr over source>
+  *   - WHEN MATCHED [AND cond] THEN UPDATE SET <all columns> | DELETE
+  *   - WHEN NOT MATCHED [AND cond] THEN INSERT <all columns>
+  *   - no NOT MATCHED BY SOURCE clauses
+  *   - action conditions/values reference only source columns
+  *
+  * Semantics: a matched target row is deleted iff SOME matched action
+  * wins for a matching source row (first-true-condition wins, SQL order);
+  * winning UPDATE/INSERT actions contribute replacement rows. Target rows
+  * whose matched source rows win no action are left untouched.
+  */
+object GraftMerge {
+
+  def unwrapGraftTarget(plan: LogicalPlan): Option[GraftTable] = plan match {
+    case SubqueryAlias(_, child) => unwrapGraftTarget(child)
+    case r: DataSourceV2Relation => r.table match {
+      case gt: GraftTable => Some(gt)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Extract (targetKeyName, sourceKeyExpression) from `ON t.k = <src expr>`. */
+  private def keyOf(m: MergeIntoTable): Option[(String, Expression)] = {
+    val targetAttrs = m.targetTable.outputSet
+    val sourceAttrs = m.sourceTable.outputSet
+    m.mergeCondition match {
+      case EqualTo(a: AttributeReference, b)
+          if targetAttrs.contains(a) && b.references.subsetOf(sourceAttrs) =>
+        Some((a.name, b))
+      case EqualTo(b, a: AttributeReference)
+          if targetAttrs.contains(a) && b.references.subsetOf(sourceAttrs) =>
+        Some((a.name, b))
+      case _ => None
+    }
+  }
+
+  private def sourceOnly(m: MergeIntoTable, e: Expression): Boolean =
+    e.references.subsetOf(m.sourceTable.outputSet)
+
+  private def actionsOk(m: MergeIntoTable): Boolean = {
+    val targetCols = m.targetTable.output.map(_.name).toSet
+    def assignsOk(assigns: Seq[Assignment]): Boolean =
+      assigns.nonEmpty &&
+        assigns.forall(a => a.key.isInstanceOf[Attribute] && sourceOnly(m, a.value)) &&
+        assigns.map(_.key.asInstanceOf[Attribute].name).toSet == targetCols
+    m.matchedActions.forall {
+      case UpdateAction(cond, assigns, _) =>
+        cond.forall(sourceOnly(m, _)) && assignsOk(assigns)
+      case DeleteAction(cond) => cond.forall(sourceOnly(m, _))
+      case _ => false
+    } && m.notMatchedActions.forall {
+      case InsertAction(cond, assigns) =>
+        cond.forall(sourceOnly(m, _)) && assignsOk(assigns)
+      case _ => false
+    } && m.notMatchedBySourceActions.isEmpty
+  }
+
+  /** Rewrite if translatable; None leaves the plan for Spark to reject. */
+  def translate(m: MergeIntoTable): Option[LogicalPlan] =
+    for {
+      gt <- unwrapGraftTarget(m.targetTable)
+      if m.resolved && actionsOk(m)
+      (keyName, keyExpr) <- keyOf(m)
+    } yield MergeIntoGraftCommand(gt, m.sourceTable, keyName, keyExpr,
+      m.matchedActions, m.notMatchedActions)
+}
+
+case class MergeIntoGraftCommand(
+    gt: GraftTable,
+    source: LogicalPlan,
+    targetKeyName: String,
+    sourceKeyExpr: Expression,
+    matchedActions: Seq[MergeAction],
+    notMatchedActions: Seq[MergeAction]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    def c(e: Expression): Column = ColumnBridge.column(e)
+    val src = ColumnBridge.ofRows(spark, source)
+    // matched-ness per source row: semi-style left join against the
+    // target's distinct keys (distributed; no key collection)
+    val tgtKeys = gt.lakeTable.read().select(col(targetKeyName).as("_tk")).distinct()
+    val marked = src.join(tgtKeys, c(sourceKeyExpr) === col("_tk"), "left")
+      .withColumn("_matched", col("_tk").isNotNull)
+    def condOf(a: MergeAction): Column =
+      a.condition.map(e => coalesce(c(e), lit(false))).getOrElse(lit(true))
+    // first-true-condition-wins per SQL MERGE order
+    def winFilter(actions: Seq[MergeAction], i: Int): Column =
+      actions.take(i).map(condOf).foldLeft(condOf(actions(i)))((acc, p) => acc && !p)
+    def branches(actions: Seq[MergeAction], base: Column): Seq[DataFrame] =
+      actions.zipWithIndex.collect {
+        case (UpdateAction(_, assigns, _), i) =>
+          marked.filter(base && winFilter(actions, i))
+            .select(assigns.map(a =>
+              c(a.value).as(a.key.asInstanceOf[Attribute].name)): _*)
+        case (InsertAction(_, assigns), i) =>
+          marked.filter(base && winFilter(actions, i))
+            .select(assigns.map(a =>
+              c(a.value).as(a.key.asInstanceOf[Attribute].name)): _*)
+      }
+    val upserts = (branches(matchedActions, col("_matched")) ++
+        branches(notMatchedActions, !col("_matched")))
+      .reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataFrame)
+    // delete a matched key iff some matched action wins for its source row
+    val anyMatchedWin = matchedActions.map(condOf)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val keyDf = marked.filter(col("_matched") && anyMatchedWin)
+      .select(c(sourceKeyExpr).as(targetKeyName))
+    gt.lakeTable.mergeByKeys(targetKeyName, keyDf, upserts,
+      Map("merged-by" -> "sql-merge-into"))
+    Seq.empty
+  }
+}

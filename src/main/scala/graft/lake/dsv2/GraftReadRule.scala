@@ -21,14 +21,20 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 case class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    // relations serving as write/DML targets must stay DSv2
+    // relations serving as write/DML targets must stay DSv2 — register
+    // every relation under the target plan (DML targets arrive wrapped in
+    // SubqueryAlias layers, so the top node alone is not enough)
     val writeTargets = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    def addTarget(p: LogicalPlan): Unit = p.foreach {
+      case r: DataSourceV2Relation => writeTargets.add(r); ()
+      case _ => ()
+    }
     plan.foreach {
-      case w: V2WriteCommand => writeTargets.add(w.table); ()
-      case d: DeleteFromTable => writeTargets.add(d.table); ()
-      case u: UpdateTable => writeTargets.add(u.table); ()
-      case m: MergeIntoTable => writeTargets.add(m.targetTable); ()
+      case w: V2WriteCommand => addTarget(w.table)
+      case d: DeleteFromTable => addTarget(d.table)
+      case u: UpdateTable => addTarget(u.table)
+      case m: MergeIntoTable => addTarget(m.targetTable)
       case _ => ()
     }
     // transformUp (not resolveOperatorsUp): the substitution must also
@@ -46,6 +52,10 @@ case class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Alias(co, ro.name)(exprId = ro.exprId)
         }
         Project(aliased, child)
+      // SQL MERGE INTO on a graft target: translate the equality-key shape
+      // to the distributed mergeByKeys command (GraftMerge scaladoc)
+      case m: MergeIntoTable if GraftMerge.unwrapGraftTarget(m.targetTable).isDefined =>
+        GraftMerge.translate(m).getOrElse(m)
     }
   }
 }

@@ -210,6 +210,65 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("FileScan parquet"))
   }
 
+  /** A second session built WITH GraftExtensions (builder.create() forces a
+    * fresh session on the shared context): reads go through GraftReadRule
+    * and SQL MERGE INTO is translated to the distributed merge command. */
+  lazy val extSpark: SparkSession = {
+    spark // ensure the shared context exists first
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions()(_))
+      .create()
+    s.conf.set("spark.sql.catalog.lake", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.lake.warehouse",
+      spark.conf.get("spark.sql.catalog.lake.warehouse"))
+    s
+  }
+
+  test("extensions session: reads are substituted at analysis (no V1 boundary)") {
+    sql("CREATE DATABASE IF NOT EXISTS lake.db")
+    sql("CREATE TABLE lake.db.ext (id BIGINT, v DOUBLE)")
+    sql("INSERT INTO lake.db.ext VALUES (1, 1.0), (2, 2.0)")
+    val df = extSpark.sql("SELECT SUM(v) AS s FROM lake.db.ext")
+    assert(!df.queryExecution.analyzed.toString.contains("RelationV2"))
+    assert(df.head.getDouble(0) === 3.0)
+  }
+
+  test("MERGE INTO: upsert (WHEN MATCHED UPDATE SET *, NOT MATCHED INSERT *)") {
+    sql("CREATE TABLE lake.db.mu (id BIGINT, v STRING)")
+    sql("INSERT INTO lake.db.mu VALUES (1, 'a'), (2, 'b')")
+    extSpark.sql(
+      """MERGE INTO lake.db.mu t
+        |USING (SELECT * FROM VALUES (2, 'b2'), (3, 'c') AS s(id, v)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = sql("SELECT id, v FROM lake.db.mu ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("MERGE INTO: changelog shape with conditional DELETE (IcebergStream.java:118)") {
+    sql("CREATE TABLE lake.db.mc (id BIGINT, v STRING)")
+    sql("INSERT INTO lake.db.mc VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    extSpark.sql(
+      """MERGE INTO lake.db.mc t
+        |USING (SELECT * FROM VALUES
+        |  (2, 'b2', 'U'), (3, 'c', 'D'), (4, 'd', 'I'), (5, 'x', 'D')
+        |  AS s(id, v, op)) s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET id = s.id, v = s.v
+        |WHEN NOT MATCHED AND s.op != 'D' THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val out = sql("SELECT id, v FROM lake.db.mc ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // 1 untouched, 2 updated, 3 deleted, 4 inserted, 5 (unmatched D) skipped
+    assert(out.toSeq === Seq((1L, "a"), (2L, "b2"), (4L, "d")))
+  }
+
   test("DROP TABLE / TRUNCATE-style overwrite (c6, D3)") {
     sql("CREATE TABLE lake.db.drop1 (id BIGINT)")
     sql("INSERT INTO lake.db.drop1 VALUES (1)")
