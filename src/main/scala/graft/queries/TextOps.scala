@@ -132,16 +132,32 @@ object TextOps {
     duckSql = s"WITH g AS (\n$duckShingles)\n$sigSelect ORDER BY doc_id")
 
   /** MinHash-LSH near-dup candidate pairs: 2 bands × 2 rows — docs
-    * colliding in either band. Equi-join on band values (never a cross
-    * join; at 100 TB the join key is the band hash). */
+    * colliding in either band.
+    *
+    * Spark side: band-EXPLODED equi-join on (band, bucket). The natural
+    * OR-of-band-equalities join condition cannot hash-join and Spark
+    * plans it as a BroadcastNestedLoopJoin — quadratic comparisons AND a
+    * broadcast of the unbounded signature table. Unpivoting each doc to
+    * one row per band turns candidate generation into a plain shuffle
+    * hash join on the band bucket; GROUP BY dedups pairs colliding in
+    * both bands. Same result set, linear-ish work — the 100 TB plan. */
   val q21 = dialect("q21_minhash_lsh_pairs",
     sparkSql = s"""WITH g AS (
       |$sparkShingles),
-      |sig AS ($sigSelect)
+      |sig AS ($sigSelect),
+      |banded AS (
+      |  -- inline() unpivots bands in ONE pass over sig (Spark inlines
+      |  -- CTEs, so a UNION ALL would recompute the signature pipeline
+      |  -- once per branch per join side)
+      |  SELECT doc_id, inline(array(
+      |    struct(1 AS band, concat(h1, h2) AS bucket),
+      |    struct(2 AS band, concat(h3, h4) AS bucket)))
+      |  FROM sig
+      |)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |FROM sig a JOIN sig b
-      |  ON ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))
-      | AND a.doc_id < b.doc_id
+      |FROM banded a JOIN banded b
+      |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id
       |ORDER BY id_a, id_b""".stripMargin,
     duckSql = s"""WITH g AS (
       |$duckShingles),

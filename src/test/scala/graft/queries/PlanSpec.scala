@@ -69,6 +69,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"knn must not shuffle-join vectors:\n$p")
   }
 
+  test("q21: LSH banding is an equi-join, not a nested-loop over signatures") {
+    val p = planOf("q21_minhash_lsh_pairs")
+    // the OR-of-band-equalities form planned as BroadcastNestedLoopJoin:
+    // quadratic comparisons and a broadcast of the unbounded sig table
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q22: jaccard pairs never cross-join and never broadcast an unbounded side") {
     val p = planOf("q22_jaccard_pairs")
     // prefix-filtered candidates: every join is an equi-join on bounded

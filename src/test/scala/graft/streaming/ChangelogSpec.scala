@@ -156,6 +156,41 @@ class ChangelogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("socket text stream feeds the changelog parse (S7, IcebergStream.java:87-88)") {
+    // a local server stands in for the reference's `nc localhost 9999` peer
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val writer = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      out.println("I,1,aa")
+      out.println("D,2,bb")
+      out.println("garbage line")
+      out.println("I,3,cc")
+      out.flush()
+      // keep the connection open until the test is done reading
+      Thread.sleep(30000)
+      sock.close()
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val parsed = Changelog.parseCsvLines(Changelog.socketLines(spark, "localhost", port))
+    val q = parsed.writeStream.format("memory").queryName("sock_sink").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n < 3 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        n = spark.table("sock_sink").count()
+        if (n < 3) Thread.sleep(200)
+      }
+      assert(n === 3, "expected 3 well-formed changelog rows from the socket")
+      val rows = spark.table("sock_sink").select("op", "block_number")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      assert(rows === Set(("I", 1), ("D", 2), ("I", 3)))
+    } finally { q.stop(); server.close() }
+  }
+
   test("streaming read-back: appends arrive across triggers, rewrites don't re-deliver (S10/T6)") {
     import spark.implicits._
     val cat = freshCatalog()
