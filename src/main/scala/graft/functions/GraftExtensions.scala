@@ -37,6 +37,17 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "quantized_dot takes (array<float>, array<float>)")
         QuantizedDotProduct(args.head, args(1))
+      }),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_shingles takes (text, n)")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles n must be an integer literal, got $other")
+        }
+        WordShingles(args.head, n)
       }))
 
   /** Register on a live session (temp-function registry). */

@@ -104,13 +104,12 @@ object TextOps {
       |p AS (SELECT lang, $langCase AS lang_pred FROM m)
       |SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin)
 
-  /** Spark-side 3-word shingle subquery (1-based slice, identical to the
-    * DuckDB list slice semantics). */
+  /** Spark-side 3-word shingles via the native generator (identical
+    * strings to the DuckDB list-slice formulation below — see
+    * functions/WordShingles; the HOF slice/concat_ws form walked
+    * interpreted lambdas per shingle). */
   private val sparkShingles =
-    """SELECT doc_id, explode(CASE WHEN size(split(text, '\\s+')) >= 3
-      |    THEN transform(sequence(1, size(split(text, '\\s+')) - 2),
-      |         i -> concat_ws(' ', slice(split(text, '\\s+'), i, 3)))
-      |    ELSE array(text) END) AS sh
+    """SELECT doc_id, word_shingles(text, 3) AS sh
       |  FROM documents""".stripMargin
 
   private val duckShingles =

@@ -61,6 +61,26 @@ class QuantizedDotSpec extends AnyFunSuite {
     assert(plan.contains("*("), plan)
   }
 
+  test("word_shingles generator matches the HOF slice/concat_ws formulation") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // includes: normal text, short text (< 3 words), trailing/leading
+    // whitespace (split keeps trailing empties, limit -1), repeated words
+    Seq((1L, "a b c d e"), (2L, "one two"), (3L, "x y z "), (4L, " p q r"),
+      (5L, "w w w w")).toDF("doc_id", "text").createOrReplaceTempView("ws_docs")
+    val native = spark.sql(
+      "SELECT doc_id, word_shingles(text, 3) AS sh FROM ws_docs")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val hof = spark.sql(
+      """SELECT doc_id, explode(CASE WHEN size(split(text, '\\s+')) >= 3
+        |    THEN transform(sequence(1, size(split(text, '\\s+')) - 2),
+        |         i -> concat_ws(' ', slice(split(text, '\\s+'), i, 3)))
+        |    ELSE array(text) END) AS sh
+        |FROM ws_docs""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(native.toSeq === hof.toSeq)
+  }
+
   test("srp_bucket native expression is deterministic and seed-independent across tables") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val b0 = emb.select(SrpBucket(col("embedding"), 6, 0L).as("b")).collect().map(_.getLong(0))
