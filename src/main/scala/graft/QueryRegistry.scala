@@ -76,7 +76,8 @@ object Tables {
 
 object QueryRegistry {
   def all: Seq[QuerySpec] =
-    queries.Relational.specs ++ queries.TextOps.specs ++ queries.VectorOps.specs
+    queries.Relational.specs ++ queries.TextOps.specs ++ queries.VectorOps.specs ++
+      queries.LakeOps.specs
   def byName: Map[String, QuerySpec] = all.map(s => s.name -> s).toMap
   def flagship: QuerySpec = queries.Relational.flagship
 }
