@@ -227,8 +227,17 @@ object Relational {
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
 
+  /** CUBE grouping sets + COUNT(DISTINCT) — completes the grouping-sets
+    * family next to q30's ROLLUP (SURVEY §2.4 extension). */
+  val q34 = both("q34_cube",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  COUNT(DISTINCT o_custkey) AS n_cust
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+
   val flagship: QuerySpec = q04
 
   def specs: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q28, q29, q30)
+    q09, q10, q11, q12, q13, q14, q15, q28, q29, q30, q34)
 }
