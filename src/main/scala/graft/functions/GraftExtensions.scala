@@ -38,6 +38,18 @@ object GraftExtensions {
         require(args.length == 2, "quantized_dot takes (array<float>, array<float>)")
         QuantizedDotProduct(args.head, args(1))
       }),
+    (FunctionIdentifier("wav_features"),
+      new ExpressionInfo(classOf[WavFeatures].getName, "wav_features"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "wav_features takes (binary)")
+        WavFeatures(args.head)
+      }),
+    (FunctionIdentifier("bmp_features"),
+      new ExpressionInfo(classOf[BmpFeatures].getName, "bmp_features"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "bmp_features takes (binary)")
+        BmpFeatures(args.head)
+      }),
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => {

@@ -116,4 +116,29 @@ object Multimodal {
   def extractFeatures(df: DataFrame): DataFrame =
     df.select(col("media_id"), decodeStub(col("media")).as("f"))
       .select(col("media_id"), col("f.*"))
+
+  // ---- REAL decoders (no codec libraries needed) ---------------------------
+  // WAV (RIFF/PCM) and BMP (BI_RGB) are fixed-layout self-describing
+  // formats: graft.functions.{WavFeatures,BmpFeatures} parse them per row
+  // inside the scan projection. Only jpeg/mp4-class formats remain behind
+  // the declared decodeStub FFI slot.
+
+  /** PCM WAV decode: struct(ok, channels, sample_rate, bits, n_samples,
+    * duration_ms, rms, peak). Corrupt/truncated blobs → ok=false. */
+  def decodeWav(media: Column): Column = graft.functions.WavFeatures(media)
+
+  /** Uncompressed BMP decode: struct(ok, width, height, bpp, mean_r,
+    * mean_g, mean_b). Corrupt/unsupported blobs → ok=false. */
+  def decodeBmp(media: Column): Column = graft.functions.BmpFeatures(media)
+
+  /** Audio feature extraction (real decode): blobs stay partition-local,
+    * only the small feature rows survive the projection. */
+  def extractAudioFeatures(df: DataFrame, mediaCol: String = "media",
+                           idCol: String = "media_id"): DataFrame =
+    df.select(col(idCol), decodeWav(col(mediaCol)).as("f")).select(col(idCol), col("f.*"))
+
+  /** Image feature extraction (real decode) for BMP blobs. */
+  def extractImageFeatures(df: DataFrame, mediaCol: String = "media",
+                           idCol: String = "media_id"): DataFrame =
+    df.select(col(idCol), decodeBmp(col(mediaCol)).as("f")).select(col(idCol), col("f.*"))
 }

@@ -69,4 +69,90 @@ class MultimodalSpec extends AnyFunSuite {
     val frames = Multimodal.frameSampleStub(vid, everyNthMs = 1000L)
     assert(frames.select("frame_ms").collect().map(_.getLong(0)).toSeq === Seq(0L, 1000L, 2000L))
   }
+
+  // ---- real decoders (pure-JVM formats) -----------------------------------
+
+  /** Build a real PCM WAV blob: 16-bit mono sine wave. */
+  def wavBytes(sampleRate: Int, amplitude: Double, nSamples: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + nSamples * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataLen = nSamples * 2
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    (0 until nSamples).foreach { i =>
+      val v = amplitude * math.sin(2 * math.Pi * 440 * i / sampleRate)
+      bb.putShort((v * 32767).toShort)
+    }
+    bb.array()
+  }
+
+  /** Build a real uncompressed 24-bpp BMP of one solid color. */
+  def bmpBytes(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val dataLen = rowSize * h
+    val bb = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte); bb.put('M'.toByte); bb.putInt(54 + dataLen)
+    bb.putInt(0); bb.putInt(54)           // reserved, data offset
+    bb.putInt(40); bb.putInt(w); bb.putInt(h) // BITMAPINFOHEADER
+    bb.putShort(1); bb.putShort(24); bb.putInt(0) // planes, bpp, BI_RGB
+    bb.putInt(dataLen); bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+    (0 until h).foreach { _ =>
+      (0 until w).foreach { _ =>
+        bb.put(b.toByte); bb.put(g.toByte); bb.put(r.toByte)
+      }
+      (w * 3 until rowSize).foreach(_ => bb.put(0.toByte))
+    }
+    bb.array()
+  }
+
+  test("WAV decode: real RIFF/PCM parsing, sine RMS ~= A/sqrt(2), corrupt -> ok=false") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, wavBytes(8000, 0.5, 8000)),           // 1 s of 440 Hz at A=0.5
+      (2L, wavBytes(16000, 0.25, 4000)),         // 0.25 s at A=0.25
+      (3L, "not a wav at all".getBytes)
+    ).toDF("media_id", "media")
+    val f = Multimodal.extractAudioFeatures(rows).orderBy("media_id").collect()
+    assert(f(0).getAs[Boolean]("ok"))
+    assert(f(0).getAs[Int]("sample_rate") === 8000)
+    assert(f(0).getAs[Int]("channels") === 1 && f(0).getAs[Int]("bits") === 16)
+    assert(f(0).getAs[Long]("n_samples") === 8000L)
+    assert(f(0).getAs[Long]("duration_ms") === 1000L)
+    assert(math.abs(f(0).getAs[Double]("rms") - 0.5 / math.sqrt(2)) < 0.01)
+    assert(math.abs(f(0).getAs[Double]("peak") - 0.5) < 0.01)
+    assert(f(1).getAs[Long]("duration_ms") === 250L)
+    assert(math.abs(f(1).getAs[Double]("rms") - 0.25 / math.sqrt(2)) < 0.01)
+    assert(!f(2).getAs[Boolean]("ok"))
+  }
+
+  test("BMP decode: real header + pixel means, padding handled, corrupt -> ok=false") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, bmpBytes(5, 3, 200, 100, 50)), // width 5 -> row padding exercised
+      (2L, bmpBytes(4, 4, 0, 255, 0)),
+      (3L, Array[Byte](1, 2, 3))
+    ).toDF("media_id", "media")
+    val f = Multimodal.extractImageFeatures(rows).orderBy("media_id").collect()
+    assert(f(0).getAs[Boolean]("ok"))
+    assert(f(0).getAs[Int]("width") === 5 && f(0).getAs[Int]("height") === 3)
+    assert(f(0).getAs[Double]("mean_r") === 200.0)
+    assert(f(0).getAs[Double]("mean_g") === 100.0)
+    assert(f(0).getAs[Double]("mean_b") === 50.0)
+    assert(f(1).getAs[Double]("mean_g") === 255.0)
+    assert(!f(2).getAs[Boolean]("ok"))
+  }
+
+  test("media decoders register as SQL functions") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    Seq((1L, wavBytes(8000, 0.3, 1000))).toDF("media_id", "media")
+      .createOrReplaceTempView("mm_wav")
+    val r = spark.sql("SELECT wav_features(media).sample_rate AS sr FROM mm_wav").head
+    assert(r.getInt(0) === 8000)
+  }
 }
