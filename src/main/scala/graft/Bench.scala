@@ -15,7 +15,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = QueryRegistry.all.map { spec =>
+    val results = QueryRegistry.all.filter(_.bench).map { spec =>
       // best-of-2: the second run reuses compiled codegen and warmed pools,
       // shielding the measurement from one-off full-GC / JIT stalls
       val secs = (1 to 2).map { _ =>
