@@ -140,6 +140,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf >= 0.8, s"IVF recall@10 $ivf < 0.8")
   }
 
+  test("salted equi-join equals the plain join and spreads the hot key") {
+    import spark.implicits._
+    // 10k rows of one hot key + a tail; dim too big to pretend-broadcast
+    val big = ((1 to 10000).map(i => (1, s"row$i")) ++
+      (1 to 100).map(i => (i % 7 + 2, s"tail$i"))).toDF("k", "payload")
+    val small = (1 to 10).map(i => (i, s"dim$i")).toDF("k", "attr")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "attr")
+      .collect().map(_.toString).sorted
+    val salted = SkewJoin.saltedEquiJoin(big, small, "k", salts = 8)
+      .select("k", "payload", "attr").collect().map(_.toString).sorted
+    assert(salted.toSeq === plain.toSeq)
+    // the hot key's rows really do spread across salt values
+    val spread = big.withColumn("_salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(8L)).cast("int"))
+      .filter(col("k") === 1).groupBy("_salt").count().collect()
+    assert(spread.length === 8, "hot key should occupy every salt bucket")
+    assert(spread.map(_.getLong(1)).max < 10000, "no single bucket holds the whole key")
+  }
+
   test("IVF assign + probe returns the aligned cluster") {
     val (assigned, centroids) = Similarity.ivfAssign(embeddings, nlist = 2)
     assert(centroids.size === 2)
