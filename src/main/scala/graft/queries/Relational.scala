@@ -236,8 +236,43 @@ object Relational {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
 
+  /** Gap-based sessionization of the event stream (30-min inactivity
+    * boundary) via LAG + running SUM windows — the batch twin of the
+    * clickstream session analysis the reference's datagen feeds
+    * (datagen.py:28-60). `ts` is epoch-nanos BIGINT on the Spark side
+    * (nanosAsLong read) and epoch_ns() on the DuckDB side, so the gap
+    * compare is exact integer math in both engines. */
+  val q35 = dialect("q35_sessionization",
+    sparkSql = """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM x)
+      |SELECT user_id, CAST(MAX(sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    duckSql = """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id FROM events),
+      |x AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM x)
+      |SELECT user_id, CAST(MAX(sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)
+
   val flagship: QuerySpec = q04
 
   def specs: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q28, q29, q30, q34)
+    q09, q10, q11, q12, q13, q14, q15, q28, q29, q30, q34, q35)
 }
