@@ -553,8 +553,15 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   }
 
   /** CALL rewrite_data_files (D20): compact to ~targetSizeBytes files; new
-    * `replace` snapshot, logical content unchanged (Table Maintenance c9). */
-  def rewriteDataFiles(targetSizeBytes: Long = 512L * 1024 * 1024): TableMeta = {
+    * `replace` snapshot, logical content unchanged (Table Maintenance c9).
+    *
+    * `sortBy`: sort-clustered compaction — range-partition then sort each
+    * output file by the given columns, so footer min/max bounds become
+    * tight, disjoint ranges and point/range queries prune to a handful of
+    * files. At 100 TB this is what turns compaction from a small-files fix
+    * into a scan accelerator (the Iceberg `sort_order` rewrite). */
+  def rewriteDataFiles(targetSizeBytes: Long = 512L * 1024 * 1024,
+                       sortBy: Seq[String] = Seq.empty): TableMeta = {
     val m0 = meta
     val branch = resolveWriteBranch(None)
     val files = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
@@ -562,11 +569,19 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     if (files.isEmpty) return m0
     val totalBytes = files.map(_.sizeBytes).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetSizeBytes).toInt)
-    val df = dataFrameFor(m0, files).repartition(n)
+    val base = dataFrameFor(m0, files)
+    val df =
+      if (sortBy.isEmpty) base.repartition(n)
+      else {
+        sortBy.foreach(c => require(m0.schema.byName(c).isDefined, s"no column $c"))
+        val cols = sortBy.map(col)
+        base.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
+      }
     val rewritten = writeDataFiles(toPhysical(df, m0.schema), m0)
     commitReplace(branch, rewritten, "replace", Map(
       "rewritten-data-files" -> files.size.toString,
-      "added-data-files" -> rewritten.size.toString))
+      "added-data-files" -> rewritten.size.toString) ++
+      (if (sortBy.nonEmpty) Map("sort-order" -> sortBy.mkString(",")) else Map.empty))
   }
 
   /** CALL rewrite_manifests (D21): in our single-JSON design the manifest IS
@@ -582,7 +597,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         args.get("older_than").map(_.toLong).getOrElse(System.currentTimeMillis()),
         args.get("retain_last").map(_.toInt).getOrElse(1))
       case "rewrite_data_files" => rewriteDataFiles(
-        args.get("target-file-size-bytes").map(_.toLong).getOrElse(512L * 1024 * 1024))
+        args.get("target-file-size-bytes").map(_.toLong).getOrElse(512L * 1024 * 1024),
+        args.get("sort_by").map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty))
       case "rewrite_manifests" => rewriteManifests()
       case other => throw new IllegalArgumentException(s"unknown procedure $other")
     }

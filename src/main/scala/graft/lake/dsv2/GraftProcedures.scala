@@ -46,10 +46,14 @@ object GraftProcedures {
       }))
     case "rewrite_data_files" => Some(proc(name,
       Array(param("table", StringType),
-        param("target_file_size_bytes", LongType, Some((512L * 1024 * 1024).toString))),
+        param("target_file_size_bytes", LongType, Some((512L * 1024 * 1024).toString)),
+        param("sort_by", StringType, Some("''"))),
       row => {
         val target = if (row.isNullAt(1)) 512L * 1024 * 1024 else row.getLong(1)
-        lake.loadTable(row.getString(0)).rewriteDataFiles(target)
+        val sortBy =
+          if (row.isNullAt(2) || row.getString(2).isEmpty) Seq.empty[String]
+          else row.getString(2).split(",").toSeq.map(_.trim)
+        lake.loadTable(row.getString(0)).rewriteDataFiles(target, sortBy)
       }))
     case "rewrite_manifests" => Some(proc(name,
       Array(param("table", StringType)),

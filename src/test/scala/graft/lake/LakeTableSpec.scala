@@ -231,6 +231,44 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.toDF.agg(sum("fare")).head.getDouble(0) === sumBefore)
   }
 
+  test("sort-clustered rewrite_data_files gives disjoint bounds that prune (D20+)") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.sorted", StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType))))
+    import spark.implicits._
+    // interleaved appends: every file spans nearly the full key range
+    val rnd = new scala.util.Random(7)
+    (1 to 4).foreach { _ =>
+      t.append(rnd.shuffle((1L to 1000L).toList).take(250)
+        .map(k => (k, k * 1.5)).toDF("k", "v").coalesce(2))
+    }
+    val sumBefore = t.toDF.agg(sum("v")).head.getDouble(0)
+    // before: a point-range query must scan ~every file
+    def survivors(lo: Long, hi: Long): Int = {
+      val m = t.meta
+      val p = Pruning.translate(col("k") >= lit(lo) && col("k") <= lit(hi))
+      val method = classOf[LakeTable].getDeclaredMethods.find(_.getName == "fileBounds").get
+      method.setAccessible(true)
+      m.currentSnapshot.get.files.count { f =>
+        Pruning.mayMatch(p, method.invoke(t, m, f).asInstanceOf[Pruning.FileBounds])
+      }
+    }
+    val before = survivors(100, 120)
+    t.call("rewrite_data_files",
+      Map("target-file-size-bytes" -> "4096", "sort_by" -> "k"))
+    val m = t.meta.currentSnapshot.get
+    assert(m.summary("sort-order") === "k")
+    assert(m.files.size >= 3, "compaction should still produce several files")
+    // content unchanged
+    assert(t.toDF.count() === 1000)
+    assert(t.toDF.agg(sum("v")).head.getDouble(0) === sumBefore)
+    // after: clustered bounds prune the range query to a fraction of files
+    val after = survivors(100, 120)
+    assert(after < m.files.size, s"expected pruning, got $after of ${m.files.size} files")
+    assert(after <= math.max(1, before / 2),
+      s"sorted layout should prune much harder (before=$before after=$after)")
+  }
+
   test("metadata tables: snapshots/files/history/refs/partitions (S6)") {
     val cat = freshCatalog()
     val t = cat.createTable("nyc.taxis", taxiSchema, partitionBy = Seq("pickup" -> "days"))
