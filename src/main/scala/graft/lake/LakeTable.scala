@@ -588,6 +588,53 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * the metadata file — rewriting it is a fresh commit of the same state. */
   def rewriteManifests(): TableMeta = commit(m => m)
 
+  /** CALL remove_orphan_files: delete data files on disk that no snapshot
+    * references (crashed writes, interrupted compactions). Only files
+    * older than `olderThanMs` are touched so in-flight writers that have
+    * produced files but not yet committed are never raced. Returns the
+    * deleted paths. */
+  def removeOrphanFiles(olderThanMs: Long = System.currentTimeMillis() - 3600_000L): Seq[String] = {
+    val referenced = meta.snapshots.flatMap(_.files).map(_.path).toSet
+    if (!fs.exists(dataDir)) return Seq.empty
+    val it = fs.listFiles(dataDir, false)
+    val orphans = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath.toString
+      if (!referenced.contains(p) && st.getModificationTime < olderThanMs) {
+        if (fs.delete(st.getPath, false)) orphans += p
+      }
+    }
+    orphans.toSeq
+  }
+
+  /** Incremental batch read: rows APPENDED strictly after `fromSnapshotId`
+    * up to and including `toSnapshotId` (default: current) — the batch
+    * twin of Changelog.streamRead, same append-only contract (CoW-rewrite
+    * output is not re-delivered; appended rows later deleted by a rewrite
+    * still appear, as in Iceberg's incremental scan). */
+  def readIncremental(fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
+    val m = meta
+    require(m.snapshot(fromSnapshotId).isDefined, s"no snapshot $fromSnapshotId")
+    val to = toSnapshotId.getOrElse(
+      m.currentSnapshot.map(_.snapshotId).getOrElse(fromSnapshotId))
+    // walk parent links from `to` back to `from`, collecting append-added files
+    val added = scala.collection.mutable.ArrayBuffer[DataFile]()
+    var cur = m.snapshot(to)
+    while (cur.isDefined && cur.get.snapshotId != fromSnapshotId) {
+      val s = cur.get
+      if (s.operation == "append") {
+        val parentPaths = s.parentId.flatMap(m.snapshot).map(_.files.map(_.path).toSet)
+          .getOrElse(Set.empty)
+        added ++= s.files.filterNot(f => parentPaths.contains(f.path))
+      }
+      cur = s.parentId.flatMap(m.snapshot)
+    }
+    require(cur.isDefined,
+      s"snapshot $fromSnapshotId is not an ancestor of $to")
+    dataFrameFor(m, added.toSeq)
+  }
+
   /** String procedure dispatcher for CALL-style parity (SURVEY §2.11). */
   def call(procedure: String, args: Map[String, String] = Map.empty): TableMeta =
     procedure match {
@@ -600,6 +647,10 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         args.get("target-file-size-bytes").map(_.toLong).getOrElse(512L * 1024 * 1024),
         args.get("sort_by").map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty))
       case "rewrite_manifests" => rewriteManifests()
+      case "remove_orphan_files" =>
+        removeOrphanFiles(args.get("older_than").map(_.toLong)
+          .getOrElse(System.currentTimeMillis() - 3600_000L))
+        meta
       case other => throw new IllegalArgumentException(s"unknown procedure $other")
     }
 

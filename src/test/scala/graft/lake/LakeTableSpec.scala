@@ -291,6 +291,45 @@ class LakeTableSpec extends AnyFunSuite {
     assert(spark.sql("SELECT snapshot_id FROM taxis__snapshots ORDER BY committed_at DESC LIMIT 1").count() === 1)
   }
 
+  test("remove_orphan_files deletes unreferenced data files, spares referenced + recent") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.orphans", taxiSchema)
+    t.append(taxis)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    val dataDir = new org.apache.hadoop.fs.Path(t.location, "data")
+    // plant two orphans: one "old", one "fresh" (in-flight write simulation)
+    val oldOrphan = new org.apache.hadoop.fs.Path(dataDir, "rw-orphan-old.parquet")
+    val newOrphan = new org.apache.hadoop.fs.Path(dataDir, "rw-orphan-new.parquet")
+    Seq(oldOrphan, newOrphan).foreach { p =>
+      val out = fs.create(p, true); out.write(Array[Byte](1, 2, 3)); out.close()
+    }
+    fs.setTimes(oldOrphan, System.currentTimeMillis() - 7200_000L, -1)
+    val deleted = t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() - 3600_000L)
+    assert(deleted.exists(_.endsWith("rw-orphan-old.parquet")))
+    assert(!fs.exists(oldOrphan))
+    assert(fs.exists(newOrphan), "fresh files must be spared (possible in-flight write)")
+    assert(t.toDF.count() === 5, "referenced data untouched")
+  }
+
+  test("readIncremental returns only rows appended between two snapshots") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.incr", taxiSchema)
+    t.append(taxis.limit(2))
+    val s1 = t.meta.currentSnapshot.get.snapshotId
+    t.append(taxis.filter(col("vendor_id").isin(3L, 4L)))
+    t.delete(col("vendor_id") === 1L) // CoW rewrite must not re-deliver
+    t.append(taxis.filter(col("vendor_id") === 5L))
+    val s4 = t.meta.currentSnapshot.get.snapshotId
+    val incr = t.readIncremental(s1)
+    assert(incr.select("vendor_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L, 5L))
+    // bounded range: only the middle append
+    val mid = t.readIncremental(s1, Some(s4)).count()
+    assert(mid === 3)
+    val upToDelete = t.meta.snapshots.map(_.snapshotId).sorted.apply(2) // the delete snapshot
+    assert(t.readIncremental(s1, Some(upToDelete)).select("vendor_id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L))
+  }
+
   test("DESCRIBE EXTENDED surfaces columns + table detail (D4)") {
     val cat = freshCatalog()
     val t = cat.createTable("nyc.taxis", taxiSchema,
