@@ -559,9 +559,16 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * output file by the given columns, so footer min/max bounds become
     * tight, disjoint ranges and point/range queries prune to a handful of
     * files. At 100 TB this is what turns compaction from a small-files fix
-    * into a scan accelerator (the Iceberg `sort_order` rewrite). */
+    * into a scan accelerator (the Iceberg `sort_order` rewrite).
+    *
+    * `zorderBy`: multi-dimensional clustering — rows are ordered by an
+    * interleaved-bits Morton key over the given columns, so range queries
+    * on ANY participating column prune, not just the leading sort column
+    * (graft.functions.ZOrder). Mutually exclusive with `sortBy`. */
   def rewriteDataFiles(targetSizeBytes: Long = 512L * 1024 * 1024,
-                       sortBy: Seq[String] = Seq.empty): TableMeta = {
+                       sortBy: Seq[String] = Seq.empty,
+                       zorderBy: Seq[String] = Seq.empty): TableMeta = {
+    require(sortBy.isEmpty || zorderBy.isEmpty, "sortBy and zorderBy are exclusive")
     val m0 = meta
     val branch = resolveWriteBranch(None)
     val files = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
@@ -571,17 +578,24 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetSizeBytes).toInt)
     val base = dataFrameFor(m0, files)
     val df =
-      if (sortBy.isEmpty) base.repartition(n)
-      else {
+      if (zorderBy.nonEmpty) {
+        zorderBy.foreach(c => require(m0.schema.byName(c).isDefined, s"no column $c"))
+        val zk = graft.functions.ZOrder.zorderKey(base, zorderBy)
+        base.withColumn("_zk", zk)
+          .repartitionByRange(n, col("_zk"))
+          .sortWithinPartitions(col("_zk"))
+          .drop("_zk")
+      } else if (sortBy.nonEmpty) {
         sortBy.foreach(c => require(m0.schema.byName(c).isDefined, s"no column $c"))
         val cols = sortBy.map(col)
         base.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
-      }
+      } else base.repartition(n)
     val rewritten = writeDataFiles(toPhysical(df, m0.schema), m0)
     commitReplace(branch, rewritten, "replace", Map(
       "rewritten-data-files" -> files.size.toString,
       "added-data-files" -> rewritten.size.toString) ++
-      (if (sortBy.nonEmpty) Map("sort-order" -> sortBy.mkString(",")) else Map.empty))
+      (if (sortBy.nonEmpty) Map("sort-order" -> sortBy.mkString(",")) else Map.empty) ++
+      (if (zorderBy.nonEmpty) Map("zorder" -> zorderBy.mkString(",")) else Map.empty))
   }
 
   /** CALL rewrite_manifests (D21): in our single-JSON design the manifest IS
@@ -645,7 +659,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         args.get("retain_last").map(_.toInt).getOrElse(1))
       case "rewrite_data_files" => rewriteDataFiles(
         args.get("target-file-size-bytes").map(_.toLong).getOrElse(512L * 1024 * 1024),
-        args.get("sort_by").map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty))
+        args.get("sort_by").map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty),
+        args.get("zorder_by").map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty))
       case "rewrite_manifests" => rewriteManifests()
       case "remove_orphan_files" =>
         removeOrphanFiles(args.get("older_than").map(_.toLong)

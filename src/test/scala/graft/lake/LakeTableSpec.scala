@@ -269,6 +269,40 @@ class LakeTableSpec extends AnyFunSuite {
       s"sorted layout should prune much harder (before=$before after=$after)")
   }
 
+  test("z-order rewrite prunes range queries on BOTH clustered columns") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.zorder", StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType), StructField("v", DoubleType))))
+    import spark.implicits._
+    // independent x and y over a 100×100 grid, interleaved across files
+    val rnd = new scala.util.Random(11)
+    val rows = rnd.shuffle((for (x <- 1L to 100L; y <- 1L to 100L) yield (x, y)).toList)
+    rows.grouped(2500).foreach(chunk =>
+      t.append(chunk.map { case (x, y) => (x, y, x * 0.5 + y) }.toDF("x", "y", "v").coalesce(2)))
+    def survivors(c: String, lo: Long, hi: Long): Int = {
+      val m = t.meta
+      val p = Pruning.translate(col(c) >= lit(lo) && col(c) <= lit(hi))
+      val method = classOf[LakeTable].getDeclaredMethods.find(_.getName == "fileBounds").get
+      method.setAccessible(true)
+      m.currentSnapshot.get.files.count { f =>
+        Pruning.mayMatch(p, method.invoke(t, m, f).asInstanceOf[Pruning.FileBounds])
+      }
+    }
+    t.call("rewrite_data_files",
+      Map("target-file-size-bytes" -> "8192", "zorder_by" -> "x,y"))
+    val m = t.meta.currentSnapshot.get
+    assert(m.summary("zorder") === "x,y")
+    val nFiles = m.files.size
+    assert(nFiles >= 4, s"want several files, got $nFiles")
+    assert(t.toDF.count() === 10000)
+    // a narrow range on EITHER dimension prunes (a linear sort on x would
+    // leave y queries scanning every file)
+    val sx = survivors("x", 10, 20)
+    val sy = survivors("y", 10, 20)
+    assert(sx < nFiles, s"x-range should prune: $sx of $nFiles")
+    assert(sy < nFiles, s"y-range should prune: $sy of $nFiles")
+  }
+
   test("metadata tables: snapshots/files/history/refs/partitions (S6)") {
     val cat = freshCatalog()
     val t = cat.createTable("nyc.taxis", taxiSchema, partitionBy = Seq("pickup" -> "days"))
