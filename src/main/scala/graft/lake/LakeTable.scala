@@ -120,11 +120,22 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val tmp = new Path(location, s"tmp-${UUID.randomUUID().toString.take(8)}")
     val partCols = spec.fields.map(_.physicalName)
-    val withParts = spec.fields.foldLeft(physical) { (d, f) =>
+    val withParts0 = spec.fields.foldLeft(physical) { (d, f) =>
       val src = schema.byId(f.sourceId).getOrElse(
         throw new IllegalStateException(s"partition source id ${f.sourceId} not in schema"))
       d.withColumn(f.physicalName, Transforms.expr(f.transform, d.col(src.physicalName), src.sparkType))
     }
+    // write.distribution-mode=hash (Iceberg's write distribution): cluster
+    // rows by partition value before the write so each partition value is
+    // produced by ONE task — without it, files-per-append = tasks ×
+    // partition-values-per-task, the small-files factory at 100 TB.
+    // Default "none" keeps writes shuffle-free (right for single-partition
+    // micro-batches and huge per-partition loads).
+    val withParts =
+      if (partCols.nonEmpty &&
+          m.properties.get("write.distribution-mode").contains("hash"))
+        withParts0.repartition(partCols.map(c => col(c)): _*)
+      else withParts0
     val writer = withParts.write.mode("overwrite")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(tmp.toString)
 

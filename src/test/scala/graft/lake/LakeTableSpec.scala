@@ -269,6 +269,23 @@ class LakeTableSpec extends AnyFunSuite {
       s"sorted layout should prune much harder (before=$before after=$after)")
   }
 
+  test("write.distribution-mode=hash clusters writes: one file per partition value") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.dist", taxiSchema,
+      partitionBy = Seq("pickup" -> "days"),
+      properties = Map("write.distribution-mode" -> "hash"))
+    // 8 input tasks × 4 day-values would give up to 32 files without
+    // clustering; with hash distribution each day is one task → 4 files
+    t.append(taxis.union(taxis).union(taxis).union(taxis).repartition(8))
+    val files = t.meta.currentSnapshot.get.files
+    assert(files.size === 4, s"expected one file per day partition, got ${files.size}")
+    assert(t.toDF.count() === 20)
+    // and without the property the same append produces more, smaller files
+    val t2 = cat.createTable("nyc.dist2", taxiSchema, partitionBy = Seq("pickup" -> "days"))
+    t2.append(taxis.union(taxis).union(taxis).union(taxis).repartition(8))
+    assert(t2.meta.currentSnapshot.get.files.size > 4)
+  }
+
   test("z-order rewrite prunes range queries on BOTH clustered columns") {
     val cat = freshCatalog()
     val t = cat.createTable("nyc.zorder", StructType(Seq(
