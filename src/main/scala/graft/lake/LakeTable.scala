@@ -38,11 +38,49 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   }
 
   private def writeFile(p: Path, s: String, overwrite: Boolean): Boolean = {
-    try {
-      val out = fs.create(p, overwrite)
-      try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      true
-    } catch { case _: java.io.IOException if !overwrite => false }
+    if (!overwrite) writeExclusive(p, s)
+    else {
+      try {
+        val out = fs.create(p, true)
+        try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /** Atomically publish a COMPLETE metadata file, failing if it exists.
+    *
+    * `fs.create(p, overwrite=false)` is wrong twice over: the file becomes
+    * visible (and wins the version slot) BEFORE its bytes are written, so
+    * a concurrent reader can parse an empty v{N}.json — and the
+    * exists-check inside create is check-then-act, so two writers can
+    * both "win". On local filesystems the fix is the hard-link trick:
+    * content is fully written to a temp file, then linked into place —
+    * link() is atomic, makes the complete content visible in one step,
+    * and fails with EEXIST for the commit-race loser. On object stores
+    * the equivalent is a conditional put (e.g. S3 If-None-Match), which
+    * this method is the seam for. */
+  private def writeExclusive(p: Path, s: String): Boolean = {
+    if ("file".equals(fs.getScheme)) {
+      val dir = java.nio.file.Paths.get(metaDir.toUri.getPath)
+      java.nio.file.Files.createDirectories(dir)
+      val tmp = dir.resolve(s".${p.getName}.${UUID.randomUUID().toString.take(8)}.tmp")
+      java.nio.file.Files.write(tmp, s.getBytes(StandardCharsets.UTF_8))
+      try {
+        java.nio.file.Files.createLink(java.nio.file.Paths.get(p.toUri.getPath), tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+    } else {
+      // non-local store: best-effort exclusive create (swap in a
+      // conditional put for a real object-store deployment)
+      try {
+        val out = fs.create(p, false)
+        try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
   }
 
   /** Monotonic cache of the highest version this handle has observed —
@@ -173,6 +211,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       m0.properties.get("write.wap.enabled").contains("true") && toBranch.isEmpty
     val branch = resolveWriteBranch(toBranch)
     commit { m =>
+      require(m.refs.get(branch).forall(_.kind != "tag"), s"cannot write to tag $branch")
       val parent = m.snapshotFor(branch).orElse(m.currentSnapshot)
       val snapId = m.lastSnapshotId + 1
       val now = System.currentTimeMillis()
@@ -416,6 +455,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   private def commitReplace(branch: String, files: Seq[DataFile], op: String,
                             extraSummary: Map[String, String]): TableMeta =
     commit { m =>
+      require(m.refs.get(branch).forall(_.kind != "tag"), s"cannot write to tag $branch")
       val parent = m.snapshotFor(branch).orElse(m.currentSnapshot)
       val snapId = m.lastSnapshotId + 1
       val now = System.currentTimeMillis()
@@ -510,6 +550,45 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   def dropBranch(name: String): TableMeta = commit { m =>
     require(name != MainBranch, "cannot drop main")
     m.copy(refs = m.refs - name)
+  }
+
+  /** Immutable named ref to a snapshot (release/audit marker). Tags are
+    * readable via `read(branch = tag)` / SQL `VERSION AS OF 'tag'` but can
+    * never be written to or moved. */
+  def createTag(name: String, snapshotId: Option[Long] = None): TableMeta = commit { m =>
+    require(!m.refs.contains(name), s"ref $name exists")
+    val target = snapshotId.orElse(m.currentSnapshot.map(_.snapshotId)).getOrElse(
+      throw new IllegalStateException("cannot tag an empty table"))
+    require(m.snapshot(target).isDefined, s"no snapshot $target")
+    m.copy(refs = m.refs + (name -> Ref(target, kind = "tag")))
+  }
+
+  def dropTag(name: String): TableMeta = commit { m =>
+    require(m.refs.get(name).exists(_.kind == "tag"), s"$name is not a tag")
+    m.copy(refs = m.refs - name)
+  }
+
+  /** CALL fast_forward: move ref `name` forward to branch `to`'s head —
+    * the WAP publish step (audit on the branch, then fast-forward main).
+    * Requires `name`'s current snapshot to be an ancestor of the target
+    * (a true fast-forward, never a silent overwrite). */
+  def fastForward(name: String, to: String): TableMeta = commit { m =>
+    require(m.refs.get(name).forall(_.kind != "tag"), s"cannot move tag $name")
+    val target = m.refs.getOrElse(to,
+      throw new IllegalArgumentException(s"no ref $to")).snapshotId
+    m.refs.get(name).foreach { cur =>
+      // walk ancestry from target back; cur must appear
+      var node = m.snapshot(target)
+      var found = false
+      while (node.isDefined && !found) {
+        if (node.get.snapshotId == cur.snapshotId) found = true
+        else node = node.get.parentId.flatMap(m.snapshot)
+      }
+      require(found, s"$name (${cur.snapshotId}) is not an ancestor of $to ($target) — not a fast-forward")
+    }
+    m.copy(
+      refs = m.refs + (name -> Ref(target)),
+      history = m.history :+ HistoryEntry(System.currentTimeMillis(), target, name))
   }
 
   /** CALL rollback_to_snapshot (D17, Getting Started.ipynb c36). */
@@ -673,6 +752,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         args.get("sort_by").map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty),
         args.get("zorder_by").map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty))
       case "rewrite_manifests" => rewriteManifests()
+      case "fast_forward" =>
+        fastForward(args.getOrElse("branch", MainBranch), args("to"))
       case "remove_orphan_files" =>
         removeOrphanFiles(args.get("older_than").map(_.toLong)
           .getOrElse(System.currentTimeMillis() - 3600_000L))

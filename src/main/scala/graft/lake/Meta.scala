@@ -89,7 +89,8 @@ final case class Snapshot(
       * cherry-picked (ref: Integrated Audits….ipynb c16/c27). */
     staged: Boolean = false)
 
-final case class Ref(snapshotId: Long)
+/** Named ref: `branch` (movable, writable) or `tag` (immutable marker). */
+final case class Ref(snapshotId: Long, kind: String = "branch")
 
 final case class HistoryEntry(timestampMs: Long, snapshotId: Long, ref: String)
 

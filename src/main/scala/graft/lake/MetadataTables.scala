@@ -51,7 +51,8 @@ object MetadataTables {
         }.toDF("made_current_at", "snapshot_id", "ref", "is_ref_current")
 
       case "refs" =>
-        m.refs.toSeq.map { case (name, r) => (name, "BRANCH", r.snapshotId) }
+        m.refs.toSeq.map { case (name, r) =>
+          (name, r.kind.toUpperCase(java.util.Locale.ROOT), r.snapshotId) }
           .toDF("name", "type", "snapshot_id")
 
       case "manifests" =>

@@ -18,7 +18,8 @@ import java.util.Collections
 object GraftProcedures {
 
   val names: Seq[String] = Seq("rollback_to_snapshot", "cherrypick_snapshot",
-    "expire_snapshots", "rewrite_data_files", "rewrite_manifests")
+    "expire_snapshots", "rewrite_data_files", "rewrite_manifests",
+    "fast_forward", "remove_orphan_files")
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
     val b = ProcedureParameter.in(name, dt)
@@ -58,6 +59,20 @@ object GraftProcedures {
     case "rewrite_manifests" => Some(proc(name,
       Array(param("table", StringType)),
       row => lake.loadTable(row.getString(0)).rewriteManifests()))
+    case "fast_forward" => Some(proc(name,
+      Array(param("table", StringType), param("branch", StringType),
+        param("to", StringType)),
+      row => lake.loadTable(row.getString(0))
+        .fastForward(row.getString(1), row.getString(2))))
+    case "remove_orphan_files" => Some(proc(name,
+      Array(param("table", StringType), param("older_than", LongType, Some("-1"))),
+      row => {
+        val cutoff =
+          if (row.isNullAt(1) || row.getLong(1) < 0)
+            System.currentTimeMillis() - 3600_000L
+          else row.getLong(1)
+        lake.loadTable(row.getString(0)).removeOrphanFiles(cutoff)
+      }))
     case _ => None
   }
 

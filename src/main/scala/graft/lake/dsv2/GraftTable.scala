@@ -114,6 +114,14 @@ case class GraftTable(
           val rel = new BaseRelation with TableScan {
             override def sqlContext: SQLContext = context
             override def schema: StructType = required
+            // real statistics from the snapshot's file list: without this
+            // the default (spark.sql.defaultSizeInBytes = huge) makes the
+            // planner refuse to broadcast small lake tables in joins
+            override def sizeInBytes: Long = {
+              val files = lakeTable.resolveSnapshot(pinnedSnapshotId,
+                pinnedBranch, pinnedTimestampMs).map(_.files).getOrElse(Seq.empty)
+              math.max(1L, files.map(_.sizeBytes).sum)
+            }
             override def buildScan(): RDD[Row] = {
               val cond = pushed.flatMap(filterToColumn).reduceOption(_ && _)
               val base = metaKind match {

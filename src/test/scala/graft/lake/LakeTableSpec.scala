@@ -198,6 +198,34 @@ class LakeTableSpec extends AnyFunSuite {
     assert(!t.meta.refs.contains("etl_job_42"))
   }
 
+  test("tags are immutable refs; fast_forward publishes a branch (WAP publish)") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.tags", taxiSchema)
+    t.append(taxis.limit(3))
+    t.createTag("v1.0")
+    // tag reads resolve like branches
+    t.append(taxis.filter(col("vendor_id") > 3))
+    assert(t.toDF.count() === 5)
+    assert(t.read(branch = Some("v1.0")).count() === 3)
+    // tags refuse writes and moves
+    assertThrows[IllegalArgumentException](t.append(taxis.limit(1), toBranch = Some("v1.0")))
+    assertThrows[IllegalArgumentException](t.fastForward("v1.0", "main"))
+    assert(t.metadataTable("refs").filter(col("name") === "v1.0")
+      .head.getString(1) === "TAG")
+    // WAP publish via fast-forward: branch work lands on main atomically
+    t.createBranch("etl")
+    spark.conf.set("spark.wap.branch", "etl")
+    try t.append(taxis.limit(1)) finally spark.conf.unset("spark.wap.branch")
+    assert(t.toDF.count() === 5) // main unchanged pre-publish
+    t.call("fast_forward", Map("branch" -> "main", "to" -> "etl"))
+    assert(t.toDF.count() === 6)
+    // non-ancestor fast-forward is rejected (it would silently drop commits)
+    t.createBranch("stale", at = Some(t.meta.snapshots.head.snapshotId))
+    assertThrows[IllegalArgumentException](t.fastForward("main", "stale"))
+    t.dropTag("v1.0")
+    assert(!t.meta.refs.contains("v1.0"))
+  }
+
   test("expire_snapshots deletes unreferenced files (D19)") {
     val cat = freshCatalog()
     val t = cat.createTable("nyc.taxis", taxiSchema)
@@ -267,6 +295,37 @@ class LakeTableSpec extends AnyFunSuite {
     assert(after < m.files.size, s"expected pruning, got $after of ${m.files.size} files")
     assert(after <= math.max(1, before / 2),
       s"sorted layout should prune much harder (before=$before after=$after)")
+  }
+
+  test("optimistic concurrency: parallel appends all commit, none lost") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.conc", taxiSchema)
+    import spark.implicits._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            // each writer gets its own handle, like separate drivers would
+            val h = cat.loadTable("nyc.conc")
+            h.append(Seq((i.toLong, ts(s"2022-01-0$i 0$i:00:00"), i * 10.0, i * 1.0))
+              .toDF("vendor_id", "pickup", "fare", "distance"))
+            ()
+          }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(t.toDF.count() === 8, "every concurrent append must be committed")
+    assert(t.meta.snapshots.size === 8)
+    // linear history: every snapshot's parent is the previous snapshot
+    val byId = t.meta.snapshots.map(s => s.snapshotId -> s).toMap
+    t.meta.snapshots.sortBy(_.snapshotId).sliding(2).foreach {
+      case Seq(a, b) => assert(b.parentId.contains(a.snapshotId),
+        s"snapshot ${b.snapshotId} should chain to ${a.snapshotId}")
+      case _ =>
+    }
+    assert(byId.size === 8)
   }
 
   test("write.distribution-mode=hash clusters writes: one file per partition value") {

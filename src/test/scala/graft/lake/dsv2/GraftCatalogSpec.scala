@@ -164,6 +164,24 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT COUNT(*) FROM lake.db.proc").head.getLong(0) === 5)
   }
 
+  test("CALL fast_forward publishes a branch; tags readable via VERSION AS OF") {
+    sql("CREATE TABLE lake.db.ff (id BIGINT)")
+    sql("INSERT INTO lake.db.ff VALUES (1), (2)")
+    val cat = new graft.lake.LakeCatalog(spark,
+      spark.conf.get("spark.sql.catalog.lake.warehouse"))
+    val t = cat.loadTable("db.ff")
+    t.createTag("audit-1")
+    t.createBranch("work")
+    spark.conf.set("spark.wap.branch", "work")
+    try sql("INSERT INTO lake.db.ff VALUES (3)")
+    finally spark.conf.unset("spark.wap.branch")
+    assert(sql("SELECT COUNT(*) FROM lake.db.ff").head.getLong(0) === 2)
+    sql("CALL lake.system.fast_forward(table => 'db.ff', branch => 'main', to => 'work')")
+    assert(sql("SELECT COUNT(*) FROM lake.db.ff").head.getLong(0) === 3)
+    // the tag still pins the pre-publish state
+    assert(sql("SELECT COUNT(*) FROM lake.db.ff VERSION AS OF 'audit-1'").head.getLong(0) === 2)
+  }
+
   test("WAP: staged write via wap.id invisible until cherrypick (Audits c16-c37)") {
     sql("""CREATE TABLE lake.db.wap (id BIGINT)
           |TBLPROPERTIES ('write.wap.enabled'='true')""".stripMargin)
