@@ -174,7 +174,16 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
           m.properties.get("write.distribution-mode").contains("hash"))
         withParts0.repartition(partCols.map(c => col(c)): _*)
       else withParts0
-    val writer = withParts.write.mode("overwrite")
+    // write.bloom-filter.columns: per-column parquet bloom filters for
+    // high-cardinality point lookups — row-group-level pruning inside the
+    // files our min/max stats can't separate (hashes, ids). Pure write
+    // option; Spark's vectorized reader uses them transparently.
+    val bloomCols = m.properties.get("write.bloom-filter.columns")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+      .flatMap(c => schema.byName(c).map(_.physicalName))
+    val writer0 = withParts.write.mode("overwrite")
+    val writer = bloomCols.foldLeft(writer0)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(tmp.toString)
 
     // enumerate written parquet files; parse partition values from dirs;

@@ -198,6 +198,26 @@ class LakeTableSpec extends AnyFunSuite {
     assert(!t.meta.refs.contains("etl_job_42"))
   }
 
+  test("write.bloom-filter.columns writes parquet bloom filters") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.bloom", taxiSchema,
+      properties = Map("write.bloom-filter.columns" -> "vendor_id"))
+    t.append(taxis)
+    val file = t.meta.currentSnapshot.get.files.head
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.path), conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      import scala.jdk.CollectionConverters._
+      val byName = cols.asScala.map(c => c.getPath.toDotString -> c).toMap
+      // vendor_id is physical c1
+      assert(byName("c1").getBloomFilterOffset >= 0, "bloom filter expected on vendor_id")
+      assert(byName("c3").getBloomFilterOffset < 0, "no bloom filter on other columns")
+    } finally reader.close()
+  }
+
   test("tags are immutable refs; fast_forward publishes a branch (WAP publish)") {
     val cat = freshCatalog()
     val t = cat.createTable("nyc.tags", taxiSchema)
