@@ -140,6 +140,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf >= 0.8, s"IVF recall@10 $ivf < 0.8")
   }
 
+  test("int8 quantization: 4x smaller, tiny cosine error, top-k preserved") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    val q = Quantization.quantizeTable(emb).cache()
+    // roundtrip error bounded by the quantization step (scale/2 per element)
+    val err = q.withColumn("orig", Quantization.dequantizeEmbedding(col("embedding")))
+      .join(emb.withColumnRenamed("embedding", "e"), "vec_id")
+      .select(aggregate(zip_with(col("orig"), col("e"),
+        (a, b) => abs(a - b)), lit(0.0d), (acc, v) => greatest(acc, v)).as("maxerr"),
+        (array_max(transform(col("e"), x => abs(x))) / 254.0).as("bound"))
+      .filter(col("maxerr") > col("bound") * 1.01)
+    assert(err.count() === 0, "per-element error must stay within scale/2")
+    // cosine computed directly on int8 pairs tracks float cosine closely
+    val qq = q.select(col("vec_id"), col("embedding").as("qa"))
+      .join(q.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("qb")), "vec_id")
+      .filter(col("vec_id") < 20)
+    val ff = emb.select(col("vec_id"), col("embedding").as("fa"))
+      .join(emb.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("fb")), "vec_id")
+      .filter(col("vec_id") < 20)
+    val cosDiff = qq.join(ff, "vec_id")
+      .select((Quantization.quantizedCosine(col("qa"), col("qb")) -
+        Similarity.cosine(col("fa"), col("fb"))).as("d"))
+      .agg(max(abs(col("d")))).head.getDouble(0)
+    assert(cosDiff < 0.02, s"int8 cosine should track float cosine, max diff $cosDiff")
+    // top-10 neighbor sets on dequantized vs original mostly agree
+    val deq = Quantization.dequantizeTable(q)
+    val qvec = deq.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
+    val fvec = emb.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
+    val topQ = Similarity.topK(deq, qvec, 10).collect().map(_.getLong(0)).toSet
+    val topF = Similarity.topK(emb, fvec, 10).collect().map(_.getLong(0)).toSet
+    assert(topQ.intersect(topF).size >= 8, s"int8 top-10 should overlap ≥8: $topQ vs $topF")
+    emb.unpersist(); q.unpersist()
+  }
+
   test("salted equi-join equals the plain join and spreads the hot key") {
     import spark.implicits._
     // 10k rows of one hot key + a tail; dim too big to pretend-broadcast
