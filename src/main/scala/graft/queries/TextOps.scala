@@ -188,7 +188,6 @@ object TextOps {
     * oracle's. */
   val q22 = plan("q22_jaccard_pairs",
     fn = (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
       graft.Tables.registerAll(s, dir)
       // words → distinct xxhash64 longs, sorted: set ops run on 8-byte
@@ -196,19 +195,22 @@ object TextOps {
       val w = s.table("documents").select(
         col("doc_id"), col("lang"),
         sort_array(array_distinct(transform(split(col("text"), "\\s+"), c => xxhash64(c)))).as("ws"))
-      // group id = min doc_id per distinct (lang, set)
-      val members = w.withColumn("gid",
-        min("doc_id").over(Window.partitionBy("lang", "ws")))
-      // same-set pairs: J = 1.0 by identity, no verify
-      val same = members.select(col("lang"), col("gid"), col("doc_id").as("id_a"))
-        .join(members.select(col("lang"), col("gid"), col("doc_id").as("id_b")),
-          Seq("lang", "gid"))
+      // ONE shuffle builds the whole group structure: distinct (lang, set)
+      // with member ids. The ids array is bounded by the duplicate-cluster
+      // size — and a cluster big enough to make this row fat already
+      // implies a quadratic same-set OUTPUT, so the array is never the
+      // binding constraint.
+      val g = w.groupBy("lang", "ws")
+        .agg(min("doc_id").as("gid"), collect_list("doc_id").as("ids"),
+          count(lit(1)).as("cnt"))
+        .withColumn("n", size(col("ws")))
+      // same-set pairs: J = 1.0 by identity, no verify; derived from the
+      // ids arrays with no further shuffle
+      val same = g.filter(col("cnt") > 1)
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(col("ids")).as("id_b"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-      // distinct sets, one row per group
-      val g = members.groupBy("lang", "gid")
-        .agg(first("ws").as("ws"), count(lit(1)).as("cnt"))
-        .withColumn("n", size(col("ws")))
       // prefix filter over distinct sets: p = n − ceil(0.9n) + 1
       val p = col("n") - floor((col("n") * 9 + 9) / 10.0).cast("int") + 1
       val pref = g.select(col("lang"), col("gid"),
@@ -218,21 +220,24 @@ object TextOps {
         .filter(col("gid_a") < col("gid_b"))
         .select("gid_a", "gid_b").distinct()
       // verify candidate SET pairs (sorted-merge intersect; size-ratio
-      // prescreen is a sound implication of J ≥ 0.9)
+      // prescreen is a sound implication of J ≥ 0.9), then expand the
+      // qualifying set pairs to doc pairs through the ids arrays —
+      // output-bound work either way
       val gp = cand
-        .join(g.select(col("gid").as("gid_a"), col("ws").as("wa"), col("n").as("na")), Seq("gid_a"))
-        .join(g.select(col("gid").as("gid_b"), col("ws").as("wb"), col("n").as("nb")), Seq("gid_b"))
+        .join(g.select(col("gid").as("gid_a"), col("ws").as("wa"), col("n").as("na"),
+          col("ids").as("ids_a")), Seq("gid_a"))
+        .join(g.select(col("gid").as("gid_b"), col("ws").as("wb"), col("n").as("nb"),
+          col("ids").as("ids_b")), Seq("gid_b"))
         .filter(col("na") * 10 >= col("nb") * 9 && col("nb") * 10 >= col("na") * 9)
-        .select(col("gid_a"), col("gid_b"),
+        .select(col("ids_a"), col("ids_b"),
           graft.functions.SortedIntersectCount.count(col("wa"), col("wb")).as("i"),
           col("na"), col("nb"))
-        .select(col("gid_a"), col("gid_b"),
+        .select(col("ids_a"), col("ids_b"),
           (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
         .filter(col("jaccard") >= 0.9)
-      // expand qualifying set pairs to doc pairs (output-bound joins)
       val cross = gp
-        .join(members.select(col("gid").as("gid_a"), col("doc_id").as("da")), Seq("gid_a"))
-        .join(members.select(col("gid").as("gid_b"), col("doc_id").as("db")), Seq("gid_b"))
+        .select(explode(col("ids_a")).as("da"), col("ids_b"), col("jaccard"))
+        .select(col("da"), explode(col("ids_b")).as("db"), col("jaccard"))
         .select(least(col("da"), col("db")).as("id_a"),
           greatest(col("da"), col("db")).as("id_b"), col("jaccard"))
       same.unionByName(cross).orderBy("id_a", "id_b")
