@@ -461,6 +461,20 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   def truncate(): TableMeta =
     commitReplace(resolveWriteBranch(None), Seq.empty, "truncate", Map.empty)
 
+  /** INSERT OVERWRITE — replace the whole table content in ONE atomic
+    * snapshot (op "overwrite"), like Iceberg's overwrite. Readers see
+    * either the old or the new content, never an empty intermediate, and
+    * a crash mid-write leaves the table untouched (orphaned files are
+    * reclaimed by remove_orphan_files). New rows carry the "app" prefix:
+    * they are newly added data, delivered by streamRead/readIncremental. */
+  def overwrite(df: DataFrame, toBranch: Option[String] = None): TableMeta = {
+    val m0 = meta
+    val newFiles = writeDataFiles(toPhysical(df, m0.schema), m0, filePrefix = "app")
+    commitReplace(resolveWriteBranch(toBranch), newFiles, "overwrite", Map(
+      "added-data-files" -> newFiles.size.toString,
+      "added-records" -> newFiles.map(_.rowCount).sum.toString))
+  }
+
   private def commitReplace(branch: String, files: Seq[DataFile], op: String,
                             extraSummary: Map[String, String]): TableMeta =
     commit { m =>
@@ -707,13 +721,18 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * produced files but not yet committed are never raced. Returns the
     * deleted paths. */
   def removeOrphanFiles(olderThanMs: Long = System.currentTimeMillis() - 3600_000L): Seq[String] = {
-    val referenced = meta.snapshots.flatMap(_.files).map(_.path).toSet
+    // Compare scheme-less URI paths on both sides: fs.listFiles returns
+    // qualified paths (file:/...) while DataFile.path is stored as written
+    // (usually unqualified) — comparing raw strings would mark every live
+    // file an orphan.
+    val referenced =
+      meta.snapshots.flatMap(_.files).map(f => new Path(f.path).toUri.getPath).toSet
     if (!fs.exists(dataDir)) return Seq.empty
     val it = fs.listFiles(dataDir, false)
     val orphans = scala.collection.mutable.ArrayBuffer[String]()
     while (it.hasNext) {
       val st = it.next()
-      val p = st.getPath.toString
+      val p = st.getPath.toUri.getPath
       if (!referenced.contains(p) && st.getModificationTime < olderThanMs) {
         if (fs.delete(st.getPath, false)) orphans += p
       }
@@ -721,26 +740,31 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     orphans.toSeq
   }
 
-  /** Incremental batch read: rows APPENDED strictly after `fromSnapshotId`
+  /** Incremental batch read: rows ADDED strictly after `fromSnapshotId`
     * up to and including `toSnapshotId` (default: current) — the batch
-    * twin of Changelog.streamRead, same append-only contract (CoW-rewrite
-    * output is not re-delivered; appended rows later deleted by a rewrite
-    * still appear, as in Iceberg's incremental scan). */
+    * twin of Changelog.streamRead, same append-only contract. Newly-added
+    * rows are identified by the `app-` file prefix, so rows inserted via
+    * MERGE/streaming upserts (committed as "overwrite" snapshots with
+    * app-prefixed insert files) ARE delivered, while CoW-rewrite output
+    * (`rw-` survivors of DELETE/UPDATE/compaction) is never re-delivered;
+    * appended rows later deleted by a rewrite still appear, as in
+    * Iceberg's incremental scan. */
   def readIncremental(fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
     val m = meta
     require(m.snapshot(fromSnapshotId).isDefined, s"no snapshot $fromSnapshotId")
     val to = toSnapshotId.getOrElse(
       m.currentSnapshot.map(_.snapshotId).getOrElse(fromSnapshotId))
-    // walk parent links from `to` back to `from`, collecting append-added files
+    // walk parent links from `to` back to `from`, collecting newly-added
+    // app-* files (append snapshots add only those; overwrite snapshots
+    // also carry rw-* rewrite output, which is not new data)
     val added = scala.collection.mutable.ArrayBuffer[DataFile]()
     var cur = m.snapshot(to)
     while (cur.isDefined && cur.get.snapshotId != fromSnapshotId) {
       val s = cur.get
-      if (s.operation == "append") {
-        val parentPaths = s.parentId.flatMap(m.snapshot).map(_.files.map(_.path).toSet)
-          .getOrElse(Set.empty)
-        added ++= s.files.filterNot(f => parentPaths.contains(f.path))
-      }
+      val parentPaths = s.parentId.flatMap(m.snapshot).map(_.files.map(_.path).toSet)
+        .getOrElse(Set.empty)
+      added ++= s.files.filterNot(f => parentPaths.contains(f.path))
+        .filter(f => new Path(f.path).getName.startsWith("app-"))
       cur = s.parentId.flatMap(m.snapshot)
     }
     require(cur.isDefined,

@@ -183,9 +183,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   // ---- namespaces ----------------------------------------------------------
 
   override def listNamespaces(): Array[Array[String]] = {
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-      spark.sessionState.newHadoopConf())
+    // resolve the filesystem FROM the warehouse path (like LakeCatalog/
+    // LakeTable) — getLocal would return nothing for hdfs:///s3a:// warehouses
     val wh = new org.apache.hadoop.fs.Path(lake.warehouse)
+    val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(wh)) Array.empty
     else fs.listStatus(wh).filter(_.isDirectory).map(s => Array(s.getPath.getName))
   }
@@ -215,8 +216,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     else if (!cascade && lake.listTables(ns).nonEmpty)
       throw new IllegalStateException(s"namespace $ns is not empty")
     else {
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(s"${lake.warehouse}/$ns"), true)
+      val nsPath = new org.apache.hadoop.fs.Path(s"${lake.warehouse}/$ns")
+      val fs = nsPath.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(nsPath, true)
     }
   }
 

@@ -152,8 +152,11 @@ case class GraftTable(
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           (data: DataFrame, _: Boolean) => {
-            if (overwriteAll) lakeTable.truncate()
-            lakeTable.append(data, toBranch = pinnedBranch)
+            // INSERT OVERWRITE must be ONE atomic commit — truncate+append
+            // would expose an empty intermediate snapshot to readers and a
+            // failure between the two would lose the table.
+            if (overwriteAll) lakeTable.overwrite(data, toBranch = pinnedBranch)
+            else lakeTable.append(data, toBranch = pinnedBranch)
             ()
           }
       }

@@ -434,8 +434,15 @@ class LakeTableSpec extends AnyFunSuite {
       val out = fs.create(p, true); out.write(Array[Byte](1, 2, 3)); out.close()
     }
     fs.setTimes(oldOrphan, System.currentTimeMillis() - 7200_000L, -1)
+    // backdate every REFERENCED file past the cutoff too: the reference check
+    // alone (not the mod-time guard) must spare them, across the qualified
+    // (file:/...) vs stored-path representation difference
+    t.meta.snapshots.flatMap(_.files).foreach { f =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(f.path), System.currentTimeMillis() - 7200_000L, -1)
+    }
     val deleted = t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() - 3600_000L)
     assert(deleted.exists(_.endsWith("rw-orphan-old.parquet")))
+    assert(deleted.size === 1, s"only the old orphan may be deleted, got $deleted")
     assert(!fs.exists(oldOrphan))
     assert(fs.exists(newOrphan), "fresh files must be spared (possible in-flight write)")
     assert(t.toDF.count() === 5, "referenced data untouched")
@@ -458,6 +465,27 @@ class LakeTableSpec extends AnyFunSuite {
     val upToDelete = t.meta.snapshots.map(_.snapshotId).sorted.apply(2) // the delete snapshot
     assert(t.readIncremental(s1, Some(upToDelete)).select("vendor_id")
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L))
+  }
+
+  test("readIncremental delivers rows inserted by MERGE (overwrite snapshots)") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.incrmerge", taxiSchema)
+    t.append(taxis.limit(3))
+    val s1 = t.meta.currentSnapshot.get.snapshotId
+    // upsert: updates key 2, inserts keys 8 and 9 — commits one "overwrite"
+    // snapshot whose insert files carry the app- prefix
+    val ups = Seq(
+      (2L, ts("2022-03-01 00:00:00"), 99.0, 1.0),
+      (8L, ts("2022-03-01 00:00:00"), 80.0, 1.0),
+      (9L, ts("2022-03-01 00:00:00"), 90.0, 1.0)
+    ).toDF("vendor_id", "pickup", "fare", "distance")
+    t.mergeByKeys("vendor_id", ups.select("vendor_id"), ups)
+    assert(t.meta.currentSnapshot.get.operation === "overwrite")
+    // all three upserted row versions are NEW data → delivered; the CoW
+    // survivors of keys 1/3 are rewrite output → not re-delivered
+    assert(t.readIncremental(s1).select("vendor_id").collect().map(_.getLong(0))
+      .sorted.toSeq === Seq(2L, 8L, 9L))
   }
 
   test("DESCRIBE EXTENDED surfaces columns + table detail (D4)") {

@@ -290,7 +290,14 @@ class GraftCatalogSpec extends AnyFunSuite {
   test("DROP TABLE / TRUNCATE-style overwrite (c6, D3)") {
     sql("CREATE TABLE lake.db.drop1 (id BIGINT)")
     sql("INSERT INTO lake.db.drop1 VALUES (1)")
+    val snapsBefore = sql("SELECT COUNT(*) FROM lake.db.drop1.snapshots").head.getLong(0)
     sql("INSERT OVERWRITE lake.db.drop1 VALUES (9), (10)")
+    assert(sql("SELECT COUNT(*) FROM lake.db.drop1.snapshots").head.getLong(0)
+      === snapsBefore + 1,
+      "INSERT OVERWRITE must be ONE atomic commit — no empty intermediate snapshot")
+    assert(sql(
+      "SELECT operation FROM lake.db.drop1.snapshots ORDER BY committed_at DESC LIMIT 1")
+      .head.getString(0) === "overwrite")
     assert(sql("SELECT COUNT(*) FROM lake.db.drop1").head.getLong(0) === 2)
     sql("DROP TABLE lake.db.drop1")
     assert(!sql("SHOW TABLES IN lake.db").collect().map(_.getString(1)).contains("drop1"))
