@@ -60,17 +60,43 @@ object VectorOps {
       |FROM s, nq
       |ORDER BY cos_q DESC, s.vec_id LIMIT 10""".stripMargin)
 
-  /** Embedding near-duplicate pairs (cosine ≥ 0.35) blocked by label —
-    * pairwise zip_with inside each label block. */
+  /** Tile count for q24's within-label pairing. Each label block is cut
+    * into T tiles, and the self-join runs per unordered tile pair, so the
+    * shuffle key is (label, u, v): L·T(T+1)/2 keys instead of L, and a
+    * task holds O(block/T) rows instead of a whole label block. At 100 TB
+    * T scales with the largest block (T ≈ block_rows / rows_per_task);
+    * the tiling is exact for any T ≥ 1. */
+  private val PairTiles = 8
+
+  /** Embedding near-duplicate pairs (cosine ≥ 0.35) blocked by label.
+    *
+    * Exact triangle tiling (no one-task-per-label straggler): every row
+    * gets a deterministic tile g = pmod(hash(vec_id), T); the a-side is
+    * replicated to tile-pair tasks (g, v) for v ≥ g and the b-side to
+    * (u, g) for u ≤ g, then pairs form under the equi-key (label, u, v).
+    * A pair with tiles (t_x ≤ t_y) meets in exactly one task: x as a-side
+    * (its g = u), y as b-side (its g = v). Same-tile tasks (u = v) see
+    * both roles for every row, so they keep only a.vec_id < b.vec_id;
+    * distinct-tile tasks keep every cross pair once and orient the output
+    * with least/greatest (cosine is symmetric, so the value is identical
+    * to the untiled a<b form and the oracle hash is unchanged). */
   val q24 = dialect("q24_embedding_neardup",
     sparkSql = s"""WITH n AS (
-      |  SELECT vec_id, label, embedding, ${normQ("embedding")} AS nq
-      |  FROM embeddings)
+      |  SELECT vec_id, label, embedding, ${normQ("embedding")} AS nq,
+      |    PMOD(HASH(vec_id), $PairTiles) AS g
+      |  FROM embeddings),
+      |ta AS (SELECT vec_id, label, embedding, nq, g AS u, v
+      |       FROM n LATERAL VIEW EXPLODE(SEQUENCE(g, ${PairTiles - 1})) e AS v),
+      |tb AS (SELECT vec_id, label, embedding, nq, u, g AS v
+      |       FROM n LATERAL VIEW EXPLODE(SEQUENCE(0, g)) e AS u)
       |SELECT id_a, id_b, cos FROM (
-      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  SELECT LEAST(a.vec_id, b.vec_id) AS id_a,
+      |    GREATEST(a.vec_id, b.vec_id) AS id_b,
       |    CAST(${dotQ("a.embedding", "b.embedding")} AS DOUBLE)
       |      / SQRT(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
-      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id) p
+      |  FROM ta a JOIN tb b
+      |    ON a.label = b.label AND a.u = b.u AND a.v = b.v
+      |  WHERE a.u < a.v OR a.vec_id < b.vec_id) p
       |WHERE cos >= 0.35
       |ORDER BY id_a, id_b""".stripMargin,
     duckSql = """WITH x AS (SELECT e.vec_id, e.label, unnest(e.embedding) AS v,

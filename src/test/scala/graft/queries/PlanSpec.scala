@@ -104,6 +104,39 @@ class PlanSpec extends AnyFunSuite {
     assert(out === brute, s"missing=${brute -- out} extra=${out -- brute}")
   }
 
+  test("q24: within-label pairing is tiled — shuffle key is (label, u, v), not bare label") {
+    val p = planOf("q24_embedding_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the equi-join must carry the tile columns: a bare per-label join
+    // (key cardinality = label count) serializes each label into one task
+    val joinKeys = "(?s)(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).{0,400}".r
+      .findAllIn(p).mkString("\n")
+    assert(joinKeys.contains("label") && joinKeys.contains("u#") && joinKeys.contains("v#"),
+      s"join key must include tile columns u,v alongside label:\n$p")
+  }
+
+  test("q24: triangle tiling is exact — matches untiled all-pairs on sf0.001") {
+    import org.apache.spark.sql.functions._
+    graft.Tables.registerAll(spark, sfDir)
+    val out = QueryRegistry.byName("q24_embedding_neardup").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        expr("quantized_dot(embedding, embedding)").as("nq"))
+    val brute = n.select(col("label"), col("vec_id").as("id_a"),
+        col("embedding").as("ea"), col("nq").as("na"))
+      .join(n.select(col("label"), col("vec_id").as("id_b"),
+        col("embedding").as("eb"), col("nq").as("nb")), Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", expr("CAST(quantized_dot(ea, eb) AS DOUBLE)") /
+        sqrt(col("na").cast("double") * col("nb").cast("double")))
+      .filter(col("cos") >= 0.35)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === brute, s"missing=${brute -- out} extra=${out -- brute}")
+  }
+
   test("q27/IVF: assignment is a pure projection — no join, no window, no exchange before the top-k") {
     val df = QueryRegistry.byName("q27_ann_ivf").fn(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
