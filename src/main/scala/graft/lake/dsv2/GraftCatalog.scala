@@ -30,7 +30,7 @@ import scala.jdk.CollectionConverters._
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
-  private var lake: LakeCatalog = _
+  private[dsv2] var lake: LakeCatalog = _
 
   private def spark: SparkSession = SparkSession.active
 

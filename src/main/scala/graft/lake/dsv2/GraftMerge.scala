@@ -83,6 +83,15 @@ object GraftMerge {
       (keyName, keyExpr) <- keyOf(m)
     } yield MergeIntoGraftCommand(gt, m.sourceTable, keyName, keyExpr,
       m.matchedActions, m.notMatchedActions)
+
+  /** Target-key scan for matched-ness, pruned to data files whose key
+    * stats overlap the source batch's [lo, hi] key bounds — the same
+    * footer-stats trick mergeByKeys uses for the rewrite set. A MERGE
+    * whose source touches one partition reads one partition's files for
+    * the matched-ness join, not the whole table. */
+  def matchedKeyScan(lt: graft.lake.LakeTable, key: String, lo: Any, hi: Any): DataFrame =
+    lt.read(filter = Some(col(key) >= lit(lo) && col(key) <= lit(hi)))
+      .select(col(key).as("_tk")).distinct()
 }
 
 case class MergeIntoGraftCommand(
@@ -97,8 +106,14 @@ case class MergeIntoGraftCommand(
     def c(e: Expression): Column = ColumnBridge.column(e)
     val src = ColumnBridge.ofRows(spark, source)
     // matched-ness per source row: semi-style left join against the
-    // target's distinct keys (distributed; no key collection)
-    val tgtKeys = gt.lakeTable.read().select(col(targetKeyName).as("_tk")).distinct()
+    // target's distinct keys (distributed; no key collection). One 1-row
+    // agg fetches the source's key bounds first so the key scan reads
+    // only stats-overlapping files instead of the whole table.
+    val kb = src.agg(min(c(sourceKeyExpr)).as("lo"), max(c(sourceKeyExpr)).as("hi")).head()
+    val tgtKeys =
+      if (kb.isNullAt(0)) // no non-null source keys → nothing can match
+        gt.lakeTable.read().select(col(targetKeyName).as("_tk")).filter(lit(false))
+      else GraftMerge.matchedKeyScan(gt.lakeTable, targetKeyName, kb.get(0), kb.get(1))
     val marked = src.join(tgtKeys, c(sourceKeyExpr) === col("_tk"), "left")
       .withColumn("_matched", col("_tk").isNotNull)
     def condOf(a: MergeAction): Column =

@@ -19,7 +19,8 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq("rollback_to_snapshot", "cherrypick_snapshot",
     "expire_snapshots", "rewrite_data_files", "rewrite_manifests",
-    "fast_forward", "remove_orphan_files")
+    "fast_forward", "remove_orphan_files",
+    "create_branch", "drop_branch", "create_tag", "drop_tag")
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
     val b = ProcedureParameter.in(name, dt)
@@ -73,6 +74,29 @@ object GraftProcedures {
           else row.getLong(1)
         lake.loadTable(row.getString(0)).removeOrphanFiles(cutoff)
       }))
+    // branch/tag DDL (D14, WAP….ipynb cells 16/60/71): the Iceberg spelling
+    // is `ALTER TABLE … CREATE BRANCH`, which needs a parser extension; the
+    // procedure form gives the same capability through stock SQL
+    case "create_branch" => Some(proc(name,
+      Array(param("table", StringType), param("branch", StringType),
+        param("snapshot_id", LongType, Some("-1"))),
+      row => {
+        val at = if (row.isNullAt(2) || row.getLong(2) < 0) None else Some(row.getLong(2))
+        lake.loadTable(row.getString(0)).createBranch(row.getString(1), at)
+      }))
+    case "drop_branch" => Some(proc(name,
+      Array(param("table", StringType), param("branch", StringType)),
+      row => lake.loadTable(row.getString(0)).dropBranch(row.getString(1))))
+    case "create_tag" => Some(proc(name,
+      Array(param("table", StringType), param("tag", StringType),
+        param("snapshot_id", LongType, Some("-1"))),
+      row => {
+        val at = if (row.isNullAt(2) || row.getLong(2) < 0) None else Some(row.getLong(2))
+        lake.loadTable(row.getString(0)).createTag(row.getString(1), at)
+      }))
+    case "drop_tag" => Some(proc(name,
+      Array(param("table", StringType), param("tag", StringType)),
+      row => lake.loadTable(row.getString(0)).dropTag(row.getString(1))))
     case _ => None
   }
 

@@ -56,6 +56,10 @@ case class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // to the distributed mergeByKeys command (GraftMerge scaladoc)
       case m: MergeIntoTable if GraftMerge.unwrapGraftTarget(m.targetTable).isDefined =>
         GraftMerge.translate(m).getOrElse(m)
+      // SQL UPDATE … SET on a graft target: translate to the copy-on-write
+      // LakeTable.update command (GraftUpdate scaladoc)
+      case u: UpdateTable if GraftMerge.unwrapGraftTarget(u.table).isDefined =>
+        GraftUpdate.translate(u).getOrElse(u)
     }
   }
 }

@@ -287,6 +287,94 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, "a"), (2L, "b2"), (4L, "d")))
   }
 
+  test("MERGE matched-ness scan is bounds-pruned to stats-overlapping files") {
+    sql("CREATE TABLE lake.db.mp (id BIGINT, v STRING)")
+    // three appends → three data files with disjoint id ranges
+    sql("INSERT INTO lake.db.mp VALUES (1, 'a'), (2, 'b')")
+    sql("INSERT INTO lake.db.mp VALUES (100, 'c'), (101, 'd')")
+    sql("INSERT INTO lake.db.mp VALUES (200, 'e'), (201, 'f')")
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[GraftCatalog]
+    val lt = cat.lake.loadTable("db.mp")
+    val totalFiles = lt.toDF.inputFiles.length
+    assert(totalFiles >= 3, s"need a multi-file table, got $totalFiles files")
+    // a source touching only the middle id range must scan only the files
+    // of the middle append (one third of the table), not all of them
+    val pruned = GraftMerge.matchedKeyScan(lt, "id", 100L, 101L)
+    assert(pruned.inputFiles.length <= totalFiles / 3,
+      s"expected only the middle append's files, scanned ${pruned.inputFiles.length} of $totalFiles")
+    // end-to-end: the narrow MERGE behaves identically after pruning
+    extSpark.sql(
+      """MERGE INTO lake.db.mp t
+        |USING (SELECT * FROM VALUES (100, 'c2'), (150, 'new') AS s(id, v)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = sql("SELECT id, v FROM lake.db.mp ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((1L, "a"), (2L, "b"), (100L, "c2"), (101L, "d"),
+      (150L, "new"), (200L, "e"), (201L, "f")))
+  }
+
+  test("WAP with branches, SQL only: create_branch → branch write → audit → fast_forward → drop (WAP c16-c71)") {
+    sql("CREATE TABLE lake.db.permits (id BIGINT, borough STRING)")
+    sql("INSERT INTO lake.db.permits VALUES (1, 'Manhattan'), (2, 'Brooklyn')")
+    sql("CALL lake.system.create_branch('db.permits', 'etl_job_42')")
+    // session conf routes writes and reads to the branch (c19/c21)
+    spark.conf.set("spark.wap.branch", "etl_job_42")
+    try {
+      sql("INSERT INTO lake.db.permits VALUES (3, 'Queens')")
+      assert(sql("SELECT COUNT(*) FROM lake.db.permits").head.getLong(0) === 3,
+        "branch session sees the staged write")
+    } finally spark.conf.unset("spark.wap.branch")
+    assert(sql("SELECT COUNT(*) FROM lake.db.permits").head.getLong(0) === 2,
+      "main must not see the unpublished branch write")
+    // audit via the branch-suffix identifier (c27)
+    assert(sql("SELECT COUNT(*) FROM lake.db.permits.branch_etl_job_42").head.getLong(0) === 3)
+    // publish (c52-style fast-forward) and clean up the branch (c71)
+    sql("CALL lake.system.fast_forward('db.permits', 'main', 'etl_job_42')")
+    assert(sql("SELECT COUNT(*) FROM lake.db.permits").head.getLong(0) === 3)
+    sql("CALL lake.system.drop_branch('db.permits', 'etl_job_42')")
+    val refs = sql("SELECT name FROM lake.db.permits.refs").collect().map(_.getString(0))
+    assert(refs.toSeq === Seq("main"))
+    // tags: create, read via VERSION AS OF, drop
+    sql("CALL lake.system.create_tag('db.permits', 'audit_ok')")
+    assert(sql("SELECT COUNT(*) FROM lake.db.permits VERSION AS OF 'audit_ok'")
+      .head.getLong(0) === 3)
+    sql("CALL lake.system.drop_tag('db.permits', 'audit_ok')")
+    assert(sql("SELECT COUNT(*) FROM lake.db.permits.refs").count() === 1)
+  }
+
+  test("UPDATE … SET: reference spelling (Getting Started c18) + conditional WHERE") {
+    sql("""CREATE TABLE lake.db.upd
+          |(vendor_id BIGINT, fare DOUBLE, distance DOUBLE, fare_per_distance_unit DOUBLE)""".stripMargin)
+    sql("""INSERT INTO lake.db.upd VALUES
+          |(1, 10.0, 2.0, NULL), (2, 20.0, 4.0, NULL), (3, 30.0, 0.0, NULL)""".stripMargin)
+    // the reference's exact statement shape: unconditioned whole-column SET.
+    // The notebook ran Spark 3 (ANSI off), where /0 yields NULL; mirror that
+    // for the scenario's null-row follow-up (c23 deletes WHERE IS NULL)
+    extSpark.conf.set("spark.sql.ansi.enabled", "false")
+    try extSpark.sql("UPDATE lake.db.upd SET fare_per_distance_unit = fare/distance")
+    finally extSpark.conf.set("spark.sql.ansi.enabled", "true")
+    val out = sql(
+      "SELECT vendor_id, fare_per_distance_unit FROM lake.db.upd ORDER BY vendor_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    // Spark's non-ANSI divide yields NULL on /0 — exactly the null rows the
+    // reference then deletes with IS NULL (Getting Started c23)
+    assert(out(0) === ((1L, Some(5.0))))
+    assert(out(1) === ((2L, Some(5.0))))
+    assert(out(2) === ((3L, None)))
+    // conditional UPDATE … WHERE touches only matching rows
+    extSpark.sql("UPDATE lake.db.upd SET fare = fare * 2 WHERE vendor_id = 1")
+    val fares = sql("SELECT vendor_id, fare FROM lake.db.upd ORDER BY vendor_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fares.toSeq === Seq((1L, 20.0), (2L, 20.0), (3L, 30.0)))
+    // the update committed as a CoW overwrite snapshot, not a full rewrite
+    val ops = sql("SELECT operation FROM lake.db.upd.snapshots ORDER BY committed_at")
+      .collect().map(_.getString(0))
+    assert(ops.count(_ == "overwrite") === 2)
+  }
+
   test("DROP TABLE / TRUNCATE-style overwrite (c6, D3)") {
     sql("CREATE TABLE lake.db.drop1 (id BIGINT)")
     sql("INSERT INTO lake.db.drop1 VALUES (1)")
