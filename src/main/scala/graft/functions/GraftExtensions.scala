@@ -50,6 +50,12 @@ object GraftExtensions {
         require(args.length == 1, "bmp_features takes (binary)")
         BmpFeatures(args.head)
       }),
+    (FunctionIdentifier("image_features"),
+      new ExpressionInfo(classOf[ImageFeatures].getName, "image_features"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "image_features takes (binary)")
+        ImageFeatures(args.head)
+      }),
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => {

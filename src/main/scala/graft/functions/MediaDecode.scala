@@ -177,3 +177,82 @@ object BmpFeatures {
   def apply(media: Column): Column =
     ColumnBridge.column(BmpFeatures(ColumnBridge.expression(media)))
 }
+
+/** `image_features(binary)` → struct(ok, format, width, height, mean_r,
+  * mean_g, mean_b) for any format the JDK's `javax.imageio` reads —
+  * PNG, JPEG, GIF, BMP, WBMP out of the box, with no external codec
+  * library. Channel means are computed over a deterministic pixel grid
+  * (stride chosen so at most ~65k pixels are sampled) to bound per-row
+  * cost on large images. Corrupt/unknown bytes → ok=false. */
+case class ImageFeatures(child: Expression) extends MediaFeatureExpression {
+
+  override def dataType: DataType = ImageFeatures.schema
+  override def prettyName: String = "image_features"
+
+  override def nullSafeEval(input: Any): Any =
+    ImageFeatures.decode(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ImageFeatures {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val schema: StructType = StructType(Seq(
+    StructField("ok", BooleanType, nullable = false),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
+
+  private def bad: InternalRow =
+    new GenericInternalRow(Array[Any](false, null, null, null, null, null, null))
+
+  /** Max pixels visited per image for the channel means. */
+  private val SamplePixels = 1 << 16
+
+  def decode(bytes: Array[Byte]): InternalRow = {
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (iis == null) return bad
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return bad
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+        val img = reader.read(0)
+        if (img == null) return bad
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0) return bad
+        val stride = math.max(1,
+          math.ceil(math.sqrt(w.toDouble * h / SamplePixels)).toInt)
+        var sr = 0.0; var sg = 0.0; var sb = 0.0; var n = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            n += 1
+            x += stride
+          }
+          y += stride
+        }
+        new GenericInternalRow(Array[Any](true, UTF8String.fromString(fmt),
+          w, h, sr / n, sg / n, sb / n))
+      } finally reader.dispose()
+    } catch { case _: Exception => bad }
+    finally iis.close()
+  }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(media: Column): Column =
+    ColumnBridge.column(ImageFeatures(ColumnBridge.expression(media)))
+}

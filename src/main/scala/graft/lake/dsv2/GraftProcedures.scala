@@ -4,7 +4,7 @@ import graft.lake.LakeCatalog
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.Scan
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 
 import java.util.Collections
 
@@ -20,7 +20,8 @@ object GraftProcedures {
   val names: Seq[String] = Seq("rollback_to_snapshot", "cherrypick_snapshot",
     "expire_snapshots", "rewrite_data_files", "rewrite_manifests",
     "fast_forward", "remove_orphan_files",
-    "create_branch", "drop_branch", "create_tag", "drop_tag")
+    "create_branch", "drop_branch", "create_tag", "drop_tag",
+    "build_ivf_index")
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
     val b = ProcedureParameter.in(name, dt)
@@ -97,6 +98,40 @@ object GraftProcedures {
     case "drop_tag" => Some(proc(name,
       Array(param("table", StringType), param("tag", StringType)),
       row => lake.loadTable(row.getString(0)).dropTag(row.getString(1))))
+    // IVF index build as a NAMED offline step (like rewrite_data_files):
+    // k-means centroids + per-vector list assignment are computed once and
+    // persisted — probes then pay only the bucket-pruned scan, never an
+    // implicit query-time index build
+    case "build_ivf_index" => Some(proc(name,
+      Array(param("table", StringType),
+        param("vector_col", StringType, Some("'embedding'")),
+        param("id_col", StringType, Some("'vec_id'")),
+        param("nlist", LongType, Some("16")),
+        param("iters", LongType, Some("3"))),
+      row => {
+        val tName = row.getString(0)
+        val vecCol = if (row.isNullAt(1)) "embedding" else row.getString(1)
+        val idCol = if (row.isNullAt(2)) "vec_id" else row.getString(2)
+        val nlist = if (row.isNullAt(3)) 16 else row.getLong(3).toInt
+        val iters = if (row.isNullAt(4)) 3 else row.getLong(4).toInt
+        val t = lake.loadTable(tName)
+        val df = t.toDF
+        val (assigned, centroids) =
+          graft.operators.Similarity.ivfAssign(df, nlist, iters, idCol, vecCol)
+        // assignment lands in the aux table <table>_ivf_index; centroids in
+        // the source table's properties (nlist×dim floats — small)
+        val aux = s"${tName}_ivf_index"
+        if (lake.tableExists(aux)) lake.dropTable(aux)
+        val auxT = lake.createTable(aux, StructType(Seq(
+          StructField(idCol, df.schema(idCol).dataType),
+          StructField("list_id", IntegerType))))
+        auxT.append(assigned.select(idCol, "list_id"))
+        t.setProperties(Map(
+          "ivf.vector-col" -> vecCol,
+          "ivf.nlist" -> nlist.toString,
+          "ivf.centroids" -> centroids.map(_.mkString("[", ",", "]"))
+            .mkString("[", ",", "]")))
+      }))
     case _ => None
   }
 

@@ -9,13 +9,13 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample as per-partition batch
   * transforms.
   *
-  * The actual media codecs are STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` derives deterministic fake features from the
-  * bytes (length, checksum, dimension fields parsed from our fake header).
-  * Everything else — schema, partitioning, batch shape, null handling — is
-  * the real production plumbing: the Spark-side contract a real decoder
-  * would slot into (a JNI/FFI call inside the same mapPartitions batch
-  * loop).
+  * Real decoders, no external libraries: WAV (RIFF/PCM) and BMP (BI_RGB)
+  * are parsed by hand, and PNG/JPEG/GIF decode through the JDK's own
+  * `javax.imageio` — see the "REAL decoders" section below. `decodeStub`
+  * remains only as the declared FFI slot for video formats (mp4-class),
+  * deriving deterministic fake features from a fake header; its schema,
+  * partitioning, batch shape, and null handling are the real production
+  * plumbing a codec call would slot into.
   *
   * Scale design: media blobs never shuffle — all transforms are
   * partition-local maps; feature extraction happens before any join or
@@ -119,9 +119,10 @@ object Multimodal {
 
   // ---- REAL decoders (no codec libraries needed) ---------------------------
   // WAV (RIFF/PCM) and BMP (BI_RGB) are fixed-layout self-describing
-  // formats: graft.functions.{WavFeatures,BmpFeatures} parse them per row
-  // inside the scan projection. Only jpeg/mp4-class formats remain behind
-  // the declared decodeStub FFI slot.
+  // formats parsed by hand; PNG/JPEG/GIF decode through the JDK's own
+  // javax.imageio (graft.functions.ImageFeatures) — no external jar.
+  // Only video formats (mp4-class) remain behind the declared decodeStub
+  // FFI slot.
 
   /** PCM WAV decode: struct(ok, channels, sample_rate, bits, n_samples,
     * duration_ms, rms, peak). Corrupt/truncated blobs → ok=false. */
@@ -130,6 +131,11 @@ object Multimodal {
   /** Uncompressed BMP decode: struct(ok, width, height, bpp, mean_r,
     * mean_g, mean_b). Corrupt/unsupported blobs → ok=false. */
   def decodeBmp(media: Column): Column = graft.functions.BmpFeatures(media)
+
+  /** Compressed-image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP):
+    * struct(ok, format, width, height, mean_r, mean_g, mean_b).
+    * Corrupt/unknown blobs → ok=false. */
+  def decodeImage(media: Column): Column = graft.functions.ImageFeatures(media)
 
   /** Audio feature extraction (real decode): blobs stay partition-local,
     * only the small feature rows survive the projection. */

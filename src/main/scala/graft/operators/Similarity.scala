@@ -112,9 +112,18 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     embeddings.select(col(idCol), col(vecCol), nearestList(vecCol, centroids).as("list_id"))
 
-  /** Nearest-centroid list id via argmax over nlist literal cosines — one
-    * expression tree, whole-stage codegen'd, zero shuffles. */
-  private def nearestList(vecCol: String, centroids: Seq[Seq[Float]]): Column = {
+  /** Nearest-centroid list id via the native [[graft.functions
+    * .NearestCentroid]] expression — ONE fused loop over a float[][]
+    * reference object, whole-stage codegen'd, zero shuffles. (The
+    * composable `greatest(struct(cos, -i), …)` tree form grows generated
+    * code linearly in nlist and hit janino compile-time cliffs at
+    * nlist=32; the loop form is constant-size.) */
+  private def nearestList(vecCol: String, centroids: Seq[Seq[Float]]): Column =
+    graft.functions.NearestCentroid(col(vecCol), centroids)
+
+  /** The expression-tree formulation of [[nearestList]], kept for
+    * cross-checking the native loop in tests. */
+  private[operators] def nearestListTree(vecCol: String, centroids: Seq[Seq[Float]]): Column = {
     val scores = centroids.zipWithIndex.map { case (c, i) =>
       struct(cosine(col(vecCol), typedLit(c)).as("d"),
         lit(-i).as("neg_list"))

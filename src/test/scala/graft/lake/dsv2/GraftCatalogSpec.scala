@@ -287,6 +287,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, "a"), (2L, "b2"), (4L, "d")))
   }
 
+  test("CALL build_ivf_index: named offline index build writes aux table + centroids") {
+    import spark.implicits._
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[GraftCatalog]
+    sql("CREATE DATABASE IF NOT EXISTS lake.db")
+    val vecs = (0L until 40L).map(i =>
+      (i, Array(math.sin(i * 1.7).toFloat, math.cos(i * 0.3).toFloat,
+        (i % 7).toFloat / 7f, 1f)))
+    val t = cat.lake.createTable("db.emb", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+    t.append(vecs.toDF("vec_id", "embedding"))
+    sql("CALL lake.system.build_ivf_index('db.emb', 'embedding', 'vec_id', 4, 2)")
+    // assignment table: one row per vector, list ids within [0, nlist)
+    val idx = sql("SELECT vec_id, list_id FROM lake.db.emb_ivf_index").collect()
+    assert(idx.length === 40)
+    assert(idx.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 4))
+    assert(idx.map(_.getLong(0)).toSet === (0L until 40L).toSet)
+    // centroids persisted on the source table
+    val props = cat.lake.loadTable("db.emb").meta.properties
+    assert(props("ivf.nlist") === "4")
+    assert(props("ivf.vector-col") === "embedding")
+    assert(props("ivf.centroids").startsWith("[["))
+    // rebuild replaces the aux table (idempotent maintenance op)
+    sql("CALL lake.system.build_ivf_index('db.emb', 'embedding', 'vec_id', 4, 1)")
+    assert(sql("SELECT COUNT(*) FROM lake.db.emb_ivf_index").head.getLong(0) === 40)
+  }
+
   test("MERGE matched-ness scan is bounds-pruned to stats-overlapping files") {
     sql("CREATE TABLE lake.db.mp (id BIGINT, v STRING)")
     // three appends → three data files with disjoint id ranges

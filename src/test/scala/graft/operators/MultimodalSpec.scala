@@ -147,6 +147,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!f(2).getAs[Boolean]("ok"))
   }
 
+  /** Encode a solid-color image with the JDK's own writers. */
+  def imageBytes(fmt: String, w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  test("ImageIO decode: real PNG and JPEG bytes, corrupt -> ok=false") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, imageBytes("png", 7, 5, 200, 100, 50)),
+      (2L, imageBytes("jpg", 16, 8, 0, 255, 0)),
+      (3L, imageBytes("gif", 4, 4, 10, 20, 30)),
+      (4L, "definitely not an image".getBytes)
+    ).toDF("media_id", "media")
+    val f = rows.select(col("media_id"), Multimodal.decodeImage(col("media")).as("f"))
+      .select(col("media_id"), col("f.*")).orderBy("media_id").collect()
+    assert(f(0).getAs[Boolean]("ok"))
+    assert(f(0).getAs[String]("format") === "png")
+    assert(f(0).getAs[Int]("width") === 7 && f(0).getAs[Int]("height") === 5)
+    assert(f(0).getAs[Double]("mean_r") === 200.0) // PNG is lossless
+    assert(f(0).getAs[Double]("mean_g") === 100.0)
+    assert(f(0).getAs[Double]("mean_b") === 50.0)
+    assert(f(1).getAs[Boolean]("ok"))
+    assert(f(1).getAs[String]("format").startsWith("jp"))
+    assert(f(1).getAs[Int]("width") === 16 && f(1).getAs[Int]("height") === 8)
+    assert(f(1).getAs[Double]("mean_g") > 240.0, "JPEG is lossy; green stays dominant")
+    assert(f(1).getAs[Double]("mean_r") < 60.0)
+    assert(f(2).getAs[Boolean]("ok") && f(2).getAs[String]("format") === "gif")
+    assert(!f(3).getAs[Boolean]("ok"))
+  }
+
+  test("image_features is SQL-registered and null-safe") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    Seq((1L, imageBytes("png", 3, 3, 1, 2, 3)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "media").createOrReplaceTempView("mm_img")
+    val rs = spark.sql(
+      "SELECT media_id, image_features(media) AS f FROM mm_img ORDER BY media_id")
+      .collect()
+    assert(rs(0).getStruct(1).getAs[Boolean]("ok"))
+    assert(rs(0).getStruct(1).getAs[Int]("width") === 3)
+    assert(rs(1).isNullAt(1), "null blob -> null struct (expression is null-safe)")
+  }
+
   test("media decoders register as SQL functions") {
     import spark.implicits._
     graft.functions.GraftExtensions.register(spark)
