@@ -41,4 +41,57 @@ object AsofJoin {
       .select(Seq(col(key), col("_ts").as(tsCol)) ++
         leftCols.map(col) :+ col(asofCol): _*)
   }
+
+  /** Hot-key-safe as-of join: like [[asofJoin]] but each key's timeline is
+    * cut into fixed time tiles of `tileSpan` ts-units, so the window
+    * partitions on (key, tile) — a key with 10⁹ rows spreads across its
+    * tiles instead of serializing into one task.
+    *
+    * Boundary fix-up: a left row whose tile holds no prior right row takes
+    * the carry — the max right ts of any EARLIER tile, computed on per-tile
+    * aggregates (|keys|·|tiles| rows, not data rows: one tiny window + one
+    * broadcast-sized join back). Tiles are global time cuts, so every ts in
+    * tile c precedes every ts in tile c+1 and the carry is exactly "the
+    * last right row before this tile". Tie semantics are unchanged (equal
+    * ts land in the same tile; right sorts before left).
+    *
+    * Pick `tileSpan` so a hot key's densest span holds ~10⁶ rows per tile;
+    * sparse keys just see one populated tile and behave like [[asofJoin]]. */
+  def asofJoinTiled(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+                    tileSpan: Long, asofCol: String = "asof_ts"): DataFrame = {
+    val leftCols = left.columns.filterNot(c => c == key || c == tsCol)
+    val l = left.select(
+      Seq(col(key), col(tsCol).as("_ts"), lit(1).as("_tag"),
+        lit(null).cast(left.schema(tsCol).dataType).as("_r_ts")) ++
+        leftCols.map(col): _*)
+    val r = right.select(
+      Seq(col(key), col(tsCol).as("_ts"), lit(0).as("_tag"),
+        col(tsCol).as("_r_ts")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val tsNum = left.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col("_ts"))
+      case _ => col("_ts").cast("long")
+    }
+    val u = l.unionByName(r).withColumn("_tile", floor(tsNum / tileSpan))
+    val wLocal = Window.partitionBy(col(key), col("_tile"))
+      .orderBy(col("_ts"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = u.withColumn("_local", last(col("_r_ts"), ignoreNulls = true).over(wLocal))
+    // per-(key, tile) carry: last right ts of each tile, then the latest
+    // non-null among strictly-earlier tiles — windows over tile SUMMARIES
+    val wCarry = Window.partitionBy(col(key)).orderBy(col("_tile"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = u.groupBy(col(key), col("_tile"))
+      .agg(max(col("_r_ts")).as("_tile_last"))
+      .withColumn("_carry", last(col("_tile_last"), ignoreNulls = true).over(wCarry))
+      .select(col(key), col("_tile"), col("_carry"))
+    // no forced broadcast: |keys|·|tiles| can itself be huge under many
+    // keys — the join keys match the window partitioning, so the planner
+    // co-partitions (or broadcasts when the summary side is small)
+    local.join(carries, Seq(key, "_tile"), "left")
+      .withColumn(asofCol, coalesce(col("_local"), col("_carry")))
+      .filter(col("_tag") === 1)
+      .select(Seq(col(key), col("_ts").as(tsCol)) ++
+        leftCols.map(col) :+ col(asofCol): _*)
+  }
 }
