@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DSv2 read path: substitute GraftTable relations with the LakeTable
     // read plan (graft.lake.dsv2.GraftReadRule)
     ext.injectResolutionRule(spark => graft.lake.dsv2.GraftReadRule(spark))
+    // Iceberg-spelling branch/tag DDL (ALTER TABLE … CREATE BRANCH …)
+    ext.injectParser((_, delegate) => new graft.lake.dsv2.GraftSqlParser(delegate))
   }
 }
 

@@ -1,0 +1,96 @@
+package graft.lake.dsv2
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Parser extension adding the reference's branch/tag DDL spellings
+  * (D14; `…WAP with Branches.ipynb` cells 16/60/71):
+  *
+  *   ALTER TABLE t CREATE BRANCH [IF NOT EXISTS] b [AS OF VERSION <id>]
+  *   ALTER TABLE t DROP BRANCH [IF EXISTS] b
+  *   ALTER TABLE t CREATE TAG [IF NOT EXISTS] g [AS OF VERSION <id>]
+  *   ALTER TABLE t DROP TAG [IF EXISTS] g
+  *
+  * These are Iceberg SQL-extension grammar, not ANSI — Spark's parser
+  * rejects them, so we intercept the exact statement shapes up front and
+  * delegate every other string to the stock parser untouched. (The same
+  * capability is also reachable without the extension through
+  * `CALL lake.system.create_branch(...)` — GraftProcedures.)
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseBranchDdl(sqlText, delegate)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+
+  // identifier = dotted parts, each either backquoted or word chars;
+  // matched lazily up to the CREATE/DROP keyword
+  private val Ddl =
+    """(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))*)\s+(CREATE|DROP)\s+(BRANCH|TAG)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?(`[^`]+`|\w+)\s*(?:AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
+
+  /** Some(command) when the text is one of the branch/tag DDL shapes. */
+  def parseBranchDdl(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
+    sqlText match {
+      case Ddl(ident, verb, kind, ref, version) =>
+        val refName = if (ref.startsWith("`")) ref.substring(1, ref.length - 1) else ref
+        Some(BranchDdlCommand(
+          delegate.parseMultipartIdentifier(ident),
+          s"${verb.toLowerCase(java.util.Locale.ROOT)}_${kind.toLowerCase(java.util.Locale.ROOT)}",
+          refName,
+          Option(version).map(_.toLong)))
+      case _ => None
+    }
+}
+
+/** Runs a branch/tag DDL against the graft catalog owning the table. */
+case class BranchDdlCommand(nameParts: Seq[String], op: String, ref: String,
+                            snapshotId: Option[Long]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cm = spark.sessionState.catalogManager
+    val (cat, tableParts) = nameParts match {
+      case head +: rest if rest.nonEmpty && cm.isCatalogRegistered(head) =>
+        (cm.catalog(head), rest)
+      case _ => (cm.currentCatalog, nameParts)
+    }
+    val gc = cat match {
+      case g: GraftCatalog => g
+      case other => throw new UnsupportedOperationException(
+        s"branch DDL requires a graft catalog, got '${other.name}'")
+    }
+    val t = gc.lake.loadTable(tableParts.mkString("."))
+    op match {
+      case "create_branch" => t.createBranch(ref, snapshotId)
+      case "drop_branch" => t.dropBranch(ref)
+      case "create_tag" => t.createTag(ref, snapshotId)
+      case "drop_tag" => t.dropTag(ref)
+      case other => throw new IllegalStateException(s"unknown branch ddl $other")
+    }
+    Seq.empty
+  }
+}

@@ -287,6 +287,31 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, "a"), (2L, "b2"), (4L, "d")))
   }
 
+  test("Iceberg branch DDL spellings parse and run (ALTER TABLE … CREATE/DROP BRANCH/TAG)") {
+    sql("CREATE DATABASE IF NOT EXISTS lake.db")
+    sql("CREATE TABLE lake.db.bddl (id BIGINT)")
+    sql("INSERT INTO lake.db.bddl VALUES (1), (2)")
+    val firstSnap = sql("SELECT snapshot_id FROM lake.db.bddl.snapshots").head.getLong(0)
+    sql("INSERT INTO lake.db.bddl VALUES (3)")
+    // the WAP notebook's exact spelling (c16) — extensions-session parser
+    extSpark.sql("ALTER TABLE lake.db.bddl CREATE BRANCH etl_job_42")
+    assert(sql("SELECT COUNT(*) FROM lake.db.bddl.branch_etl_job_42").head.getLong(0) === 3)
+    // branch pinned at an older snapshot
+    extSpark.sql(s"ALTER TABLE lake.db.bddl CREATE BRANCH old_b AS OF VERSION $firstSnap")
+    assert(sql("SELECT COUNT(*) FROM lake.db.bddl.branch_old_b").head.getLong(0) === 2)
+    // tags + drops (c60/c71 shapes)
+    extSpark.sql("ALTER TABLE lake.db.bddl CREATE TAG v1")
+    assert(sql("SELECT COUNT(*) FROM lake.db.bddl VERSION AS OF 'v1'").head.getLong(0) === 3)
+    extSpark.sql("ALTER TABLE lake.db.bddl DROP BRANCH etl_job_42")
+    extSpark.sql("ALTER TABLE lake.db.bddl DROP BRANCH old_b")
+    extSpark.sql("ALTER TABLE lake.db.bddl DROP TAG v1")
+    val refs = sql("SELECT name FROM lake.db.bddl.refs").collect().map(_.getString(0))
+    assert(refs.toSeq === Seq("main"))
+    // every other statement still parses through the stock grammar
+    assert(extSpark.sql("SELECT 1 + 1").head.getInt(0) === 2)
+    intercept[Exception](extSpark.sql("ALTER TABLE lake.db.bddl DROP BRANCH main"))
+  }
+
   test("CALL build_ivf_index: named offline index build writes aux table + centroids") {
     import spark.implicits._
     val cat = spark.sessionState.catalogManager.catalog("lake")
