@@ -77,7 +77,7 @@ object Tables {
 object QueryRegistry {
   def all: Seq[QuerySpec] =
     queries.Relational.specs ++ queries.TextOps.specs ++ queries.VectorOps.specs ++
-      queries.LakeOps.specs
+      queries.LakeOps.specs ++ queries.PipelineOps.specs
   def byName: Map[String, QuerySpec] = all.map(s => s.name -> s).toMap
   def flagship: QuerySpec = queries.Relational.flagship
 }

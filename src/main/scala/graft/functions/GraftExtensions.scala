@@ -52,6 +52,12 @@ object GraftExtensions {
         require(args.length == 1, "bmp_features takes (binary)")
         BmpFeatures(args.head)
       }),
+    (FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash32 takes (array<string>)")
+        SimHash32(args.head)
+      }),
     (FunctionIdentifier("image_features"),
       new ExpressionInfo(classOf[ImageFeatures].getName, "image_features"),
       (args: Seq[Expression]) => {

@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.QuerySpec
+import graft.QuerySpec._
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators, round 3: SimHash fingerprinting,
+  * top-k per group, distribution profiling, benchmark decontamination,
+  * the composed filter→dedup→stats pipeline, and an HLL distinct sketch.
+  *
+  * Oracle notes: SimHash bits come from md5 hex digits decoded as
+  * `POSITION(ch IN '0123456789abcdef') - 1` — md5 evaluates identically
+  * in Spark (native [[graft.functions.SimHash32]]) and DuckDB (the
+  * explicit vote SQL), so the 32-bit signatures are exactly comparable.
+  *
+  * Scale notes: SimHash is ONE fused projection per doc (the native
+  * expression folds docs × tokens × 32 vote rows into a per-row loop)
+  * plus a tiny aggregate on the signature space; top-k per group plans
+  * through Spark's WindowGroupLimit pushdown (only k rows per group
+  * survive the partial sort); decontamination is a broadcast-able anti
+  * join on fingerprints; the profile decile window partitions by lang
+  * (never one global sort task).
+  */
+object PipelineOps {
+
+  /** 32-bit SimHash near-dup buckets: per-token md5 bits vote per
+    * position, sign forms the signature, buckets with >1 doc are
+    * near-dup candidate groups (doc pairs sharing all 32 bits). The
+    * DuckDB oracle spells the votes out relationally; the Spark side is
+    * the native `simhash32` expression with identical bit semantics. */
+  val q36 = dialect("q36_simhash_buckets",
+    sparkSql = """SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+      |FROM (
+      |  SELECT doc_id,
+      |    simhash32(array_distinct(split(lower(text), '\\s+'))) AS simhash
+      |  FROM documents) sim
+      |GROUP BY simhash HAVING COUNT(*) > 1
+      |ORDER BY simhash""".stripMargin,
+    duckSql = """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS w
+      |  FROM documents),
+      |contrib AS (
+      |  SELECT doc_id, g.bit,
+      |    CASE WHEN (((POSITION(substr(md5(w), CAST(g.bit // 4 AS INT) + 1, 1) IN '0123456789abcdef') - 1)
+      |        >> CAST(g.bit % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END AS c
+      |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) g),
+      |simbits AS (
+      |  SELECT doc_id, bit, CASE WHEN SUM(c) >= 0 THEN 1 ELSE 0 END AS b
+      |  FROM contrib GROUP BY doc_id, bit),
+      |sim AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(b AS BIGINT) * (CAST(1 AS BIGINT) << CAST(bit AS INT))) AS BIGINT) AS simhash
+      |  FROM simbits GROUP BY doc_id)
+      |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+      |FROM sim GROUP BY simhash HAVING COUNT(*) > 1
+      |ORDER BY simhash""".stripMargin)
+
+  /** Top-3 longest docs per language — the top-k-per-group shape (Spark
+    * plans WindowGroupLimit: only k rows per group leave each task). */
+  val q37 = both("q37_topk_per_group",
+    """SELECT lang, doc_id, n_chars FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin)
+
+  /** Per-language length-distribution profile: decile buckets from
+    * percent_rank (exact (rank-1)/(n-1) in both engines; window
+    * partitions by lang so no global-sort task). */
+  val q38 = both("q38_length_deciles",
+    """SELECT lang, decile, COUNT(*) AS n_docs,
+      |  MIN(n_chars) AS lo, MAX(n_chars) AS hi
+      |FROM (
+      |  SELECT lang, n_chars,
+      |    CAST(FLOOR(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) * 10) AS BIGINT) AS decile
+      |  FROM documents) t
+      |GROUP BY lang, decile ORDER BY lang, decile""".stripMargin)
+
+  /** Benchmark decontamination: drop training docs whose normalized
+    * fingerprint appears in the held-out set (every doc_id ≡ 0..4 mod 97
+    * stands in for the benchmark). Plans as an anti join on md5 — at
+    * scale the benchmark side is small and broadcasts. */
+  val q39 = both("q39_decontaminate",
+    """WITH bench AS (
+      |  SELECT DISTINCT md5(lower(text)) AS fp FROM documents WHERE doc_id % 97 < 5)
+      |SELECT lang, COUNT(*) AS n_docs
+      |FROM documents d
+      |WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE b.fp = md5(lower(d.text)))
+      |GROUP BY lang ORDER BY lang""".stripMargin)
+
+  /** The composed prep pipeline: quality gate → exact dedup (lowest id
+    * wins) → per-language corpus stats. One window + one aggregation. */
+  val q40 = both("q40_prep_pipeline",
+    """WITH scored AS (
+      |  SELECT doc_id, lang, text, CAST(LENGTH(text) AS BIGINT) AS n_len
+      |  FROM documents WHERE LENGTH(text) >= 20),
+      |dedup AS (
+      |  SELECT doc_id, lang, n_len FROM (
+      |    SELECT doc_id, lang, n_len,
+      |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM scored) t
+      |  WHERE rn = 1)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_len) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS first_doc
+      |FROM dedup GROUP BY lang ORDER BY lang""".stripMargin)
+
+  /** HLL distinct-token sketch per language (approx by construction →
+    * rows-only check; OperatorsSpec gates the relative error vs exact
+    * COUNT(DISTINCT) at ≤ 5%). The sketch is mergeable partial state —
+    * the 100 TB shape for distinct counting. */
+  val q41 = planOnly("q41_hll_distinct", (s, dir) => {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""SELECT lang,
+      |  approx_count_distinct(w) AS approx_tokens,
+      |  COUNT(*) AS n_tokens
+      |FROM (SELECT lang, EXPLODE(split(lower(text), '\\s+')) AS w FROM documents) t
+      |GROUP BY lang ORDER BY lang""".stripMargin)
+  })
+
+  def specs: Seq[QuerySpec] = Seq(q36, q37, q38, q39, q40, q41)
+}

@@ -116,6 +116,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => b == 4L && a == 1L }) // opposite direction excluded
   }
 
+  test("simhash32 matches the relational vote formulation bit for bit") {
+    val s = spark
+    graft.Tables.registerAll(s, "/root/testdata/sf0.001")
+    // the explicit SQL votes (the DuckDB oracle's shape, in Spark dialect)
+    val sql = s.sql(
+      """WITH tok AS (
+        |  SELECT doc_id, w FROM documents
+        |  LATERAL VIEW EXPLODE(array_distinct(split(lower(text), '\\s+'))) t AS w),
+        |contrib AS (
+        |  SELECT doc_id, bit,
+        |    CASE WHEN (shiftright(
+        |        POSITION(substr(md5(w), CAST(bit DIV 4 AS INT) + 1, 1) IN '0123456789abcdef') - 1,
+        |        CAST(bit % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END AS c
+        |  FROM tok LATERAL VIEW EXPLODE(sequence(0, 31)) s AS bit),
+        |simbits AS (
+        |  SELECT doc_id, bit, CASE WHEN SUM(c) >= 0 THEN 1 ELSE 0 END AS sb
+        |  FROM contrib GROUP BY doc_id, bit)
+        |SELECT doc_id,
+        |  CAST(SUM(CAST(sb AS BIGINT) * shiftleft(CAST(1 AS BIGINT), bit)) AS BIGINT) AS simhash
+        |FROM simbits GROUP BY doc_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = s.sql(
+      """SELECT doc_id,
+        |  simhash32(array_distinct(split(lower(text), '\\s+'))) AS simhash
+        |FROM documents""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === sql)
+    // near-identical token sets differ in few bits; disjoint sets in many
+    val a = graft.functions.SimHash32.ofTokens(Seq("the", "quick", "brown", "fox", "jumps"))
+    val b = graft.functions.SimHash32.ofTokens(Seq("the", "quick", "brown", "fox", "leaps"))
+    val c = graft.functions.SimHash32.ofTokens(Seq("totally", "different", "words", "here", "now"))
+    def dist(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    assert(dist(a, b) < dist(a, c), s"hamming(a,b)=${dist(a, b)} !< hamming(a,c)=${dist(a, c)}")
+  }
+
+  test("HLL distinct sketch (q41) tracks exact COUNT(DISTINCT) within 5%") {
+    val s = spark
+    graft.Tables.registerAll(s, "/root/testdata/sf0.01")
+    val approx = graft.queries.PipelineOps.q41.fn(s, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = s.sql(
+      """SELECT lang, COUNT(DISTINCT w) AS n FROM
+        |(SELECT lang, EXPLODE(split(lower(text), '\\s+')) AS w FROM documents) t
+        |GROUP BY lang""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (lang, n) =>
+      val a = approx(lang)
+      assert(math.abs(a - n).toDouble / n <= 0.05,
+        s"HLL estimate $a vs exact $n for $lang exceeds 5% error")
+    }
+  }
+
   test("nearest_centroid native loop matches the greatest(struct) tree form") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val (_, centroids) = Similarity.ivfAssign(emb, nlist = 8, iters = 1)

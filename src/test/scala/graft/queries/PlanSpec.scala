@@ -144,6 +144,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q37: top-k per group pushes the group limit (no full per-group sort output)") {
+    val p = planOf("q37_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q39: decontamination plans as an anti join on the fingerprint") {
+    val p = planOf("q39_decontaminate")
+    assert(p.contains("LeftAnti") || p.contains("left_anti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the relational queries' hot path") {
     val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
     df.collect() // AQE finalizes (and codegens) the plan only on execution
