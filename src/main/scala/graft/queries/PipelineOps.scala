@@ -118,5 +118,59 @@ object PipelineOps {
       |GROUP BY lang ORDER BY lang""".stripMargin)
   })
 
-  def specs: Seq[QuerySpec] = Seq(q36, q37, q38, q39, q40, q41)
+  /** Point-in-interval join: events inside derived 120 s maintenance
+    * windows (every 199th event opens one). Spark side is the bin-
+    * bucketed [[graft.operators.RangeJoin]] equi-join; the naive BETWEEN
+    * join would plan BroadcastNestedLoopJoin. DuckDB's native IEJoin is
+    * the oracle. `ts` is epoch-nanos BIGINT on the Spark side
+    * (nanosAsLong) and epoch_ns(ts) duck-side — identical integers. */
+  val q42 = plan("q42_range_join", (s, dir) => {
+    val ev = graft.Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("value"))
+    val windows = ev.filter(col("event_id") % 199 === 0)
+      .select(col("event_id").as("win_id"), col("ts").as("w_start"),
+        (col("ts") + lit(120000000000L)).as("w_end"))
+    graft.operators.RangeJoin
+      .pointInInterval(ev, "ts", windows, "w_start", "w_end",
+        binWidth = 120000000000L)
+      .groupBy("win_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("win_id")
+  },
+    duckSql = """WITH ev AS (SELECT event_id, epoch_ns(ts) AS tns, value FROM events),
+      |win AS (SELECT event_id AS win_id, tns AS w_start, tns + 120000000000 AS w_end
+      |        FROM ev WHERE event_id % 199 = 0)
+      |SELECT w.win_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM ev e JOIN win w ON e.tns BETWEEN w.w_start AND w.w_end
+      |GROUP BY w.win_id ORDER BY w.win_id""".stripMargin)
+
+  /** Deterministic stratified train/val/test split (75/12.5/12.5 by the
+    * last md5 hex digit of the doc id) with per-language occupancy — the
+    * reproducible-split shape every training pipeline needs (no rand():
+    * replays and backfills land every doc in the same split). */
+  val q43 = dialect("q43_stratified_split",
+    sparkSql = """SELECT lang, split, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM (
+      |  SELECT lang, n_chars,
+      |    CASE WHEN d < 12 THEN 'train' WHEN d < 14 THEN 'val' ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT lang, n_chars,
+      |      POSITION(substr(md5(CAST(doc_id AS STRING)), 32, 1) IN '0123456789abcdef') - 1 AS d
+      |    FROM documents) h) t
+      |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    duckSql = """SELECT lang, split, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM (
+      |  SELECT lang, n_chars,
+      |    CASE WHEN d < 12 THEN 'train' WHEN d < 14 THEN 'val' ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT lang, n_chars,
+      |      POSITION(substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN '0123456789abcdef') - 1 AS d
+      |    FROM documents) h) t
+      |GROUP BY lang, split ORDER BY lang, split""".stripMargin)
+
+  def specs: Seq[QuerySpec] = Seq(q36, q37, q38, q39, q40, q41, q42, q43)
 }
