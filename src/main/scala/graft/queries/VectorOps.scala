@@ -60,6 +60,43 @@ object VectorOps {
       |FROM s, nq
       |ORDER BY cos_q DESC, s.vec_id LIMIT 10""".stripMargin)
 
+  /** Batch kNN JOIN: exact top-5 neighbors for EVERY query in a query
+    * set (every 251st vector), the retrieval/dedup building block —
+    * one broadcast of the small query batch, one fused scoring pass
+    * over the corpus, top-k per query via the row_number window (Spark
+    * pushes WindowGroupLimit: only k rows per query leave each task).
+    * Self-matches are excluded. */
+  val q44 = dialect("q44_knn_join",
+    sparkSql = s"""WITH q AS (
+      |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 251 = 0)
+      |SELECT q_id, vec_id, dot_q FROM (
+      |  SELECT q_id, vec_id, dot_q,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_q DESC, vec_id) AS rn
+      |  FROM (
+      |    SELECT q.q_id, e.vec_id,
+      |      ${dotQ("e.embedding", "q.qv")} AS dot_q,
+      |      CAST(${dotQ("e.embedding", "q.qv")} AS DOUBLE)
+      |        / SQRT(CAST(${normQ("e.embedding")} AS DOUBLE) * CAST(${normQ("q.qv")} AS DOUBLE)) AS cos_q
+      |    FROM embeddings e CROSS JOIN q
+      |    WHERE e.vec_id != q.q_id) s) t
+      |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    duckSql = """WITH qids AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 251 = 0),
+      |x AS (SELECT e.vec_id, unnest(e.embedding) AS v, generate_subscripts(e.embedding, 1) AS i
+      |      FROM embeddings e),
+      |s AS (SELECT q.q_id, x.vec_id,
+      |   CAST(SUM(CAST(FLOOR(CAST(x.v AS DOUBLE) * CAST(q.qv[x.i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS dot_q,
+      |   CAST(SUM(CAST(FLOOR(CAST(x.v AS DOUBLE) * CAST(x.v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS na_q
+      | FROM x JOIN qids q ON x.vec_id != q.q_id
+      | GROUP BY q.q_id, x.vec_id),
+      |nq AS (SELECT q_id, CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS nb_q
+      |       FROM (SELECT q_id, unnest(qv) AS v FROM qids) u GROUP BY q_id)
+      |SELECT q_id, vec_id, dot_q FROM (
+      |  SELECT s.q_id, s.vec_id, s.dot_q,
+      |    ROW_NUMBER() OVER (PARTITION BY s.q_id
+      |      ORDER BY CAST(s.dot_q AS DOUBLE) / SQRT(CAST(s.na_q AS DOUBLE) * CAST(nq.nb_q AS DOUBLE)) DESC, s.vec_id) AS rn
+      |  FROM s JOIN nq ON s.q_id = nq.q_id) t
+      |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)
+
   /** Tile count for q24's within-label pairing. Each label block is cut
     * into T tiles, and the self-join runs per unordered tile pair, so the
     * shuffle key is (label, u, v): L·T(T+1)/2 keys instead of L, and a
@@ -206,5 +243,5 @@ object VectorOps {
     } finally { emb.unpersist(); () }
   }
 
-  def specs: Seq[QuerySpec] = Seq(q23, q24, q25, q26, q27)
+  def specs: Seq[QuerySpec] = Seq(q23, q24, q25, q26, q27, q44)
 }
