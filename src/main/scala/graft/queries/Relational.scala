@@ -271,8 +271,46 @@ object Relational {
       |SELECT user_id, CAST(MAX(sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)
 
+  /** INTERSECT / EXCEPT set semantics (beyond the reference's UNION-only
+    * surface): nations present in both the customer and supplier bases,
+    * and customer-only nations. Spark plans both as semi/anti aggregates
+    * (hash-distinct + join) — no sort-based set diff. */
+  val q45 = both("q45_setops",
+    """SELECT 'both' AS which, n_name FROM (
+      |  SELECT n.n_name FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |  INTERSECT
+      |  SELECT n.n_name FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey) t
+      |UNION ALL
+      |SELECT 'customers_only' AS which, n_name FROM (
+      |  SELECT n.n_name FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |  EXCEPT
+      |  SELECT n.n_name FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey) t
+      |ORDER BY which, n_name""".stripMargin)
+
+  /** PIVOT: per-user-bucket event-type counts as columns. Spark's native
+    * PIVOT clause (one hash aggregate, no per-column scans); the oracle
+    * spells it as conditional aggregation. Absent cells coalesce to 0 so
+    * both engines agree. */
+  val q46 = dialect("q46_pivot",
+    sparkSql = """SELECT bucket,
+      |  COALESCE(click, 0) AS click, COALESCE(error, 0) AS error,
+      |  COALESCE(purchase, 0) AS purchase, COALESCE(signup, 0) AS signup,
+      |  COALESCE(view, 0) AS view
+      |FROM (SELECT user_id % 10 AS bucket, event_type FROM events)
+      |PIVOT (COUNT(1) FOR event_type IN
+      |  ('click' AS click, 'error' AS error, 'purchase' AS purchase,
+      |   'signup' AS signup, 'view' AS view))
+      |ORDER BY bucket""".stripMargin,
+    duckSql = """SELECT user_id % 10 AS bucket,
+      |  CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+      |  CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+      |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+      |  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+      |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin)
+
   val flagship: QuerySpec = q04
 
   def specs: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q28, q29, q30, q34, q35)
+    q09, q10, q11, q12, q13, q14, q15, q28, q29, q30, q34, q35, q45, q46)
 }

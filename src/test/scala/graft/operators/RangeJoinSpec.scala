@@ -15,11 +15,13 @@ class RangeJoinSpec extends AnyFunSuite {
   test("bin-bucketed containment join matches the naive BETWEEN join, pairs exactly once") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
-    val points = (1 to 300).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+    // negative coordinates exercise floor-division binning (-1/50 must
+    // bin to -1, not 0 — truncating division would double-count bin 0)
+    val points = (1 to 300).map(i => (i.toLong, rnd.nextInt(1000).toLong - 500L))
       .toDF("pt_id", "x")
     // spans from sub-bin to several bins wide (binWidth 50 below)
     val intervals = (1 to 40).map { i =>
-      val s = rnd.nextInt(900).toLong
+      val s = rnd.nextInt(900).toLong - 500L
       (i.toLong, s, s + rnd.nextInt(180).toLong)
     }.toDF("iv_id", "lo", "hi")
     val out = RangeJoin.pointInInterval(points, "x", intervals, "lo", "hi", binWidth = 50L)
