@@ -19,6 +19,11 @@ import java.util.UUID
   * so Catalyst's parquet scan keeps its own row-group pruning, column
   * pruning and whole-stage codegen on top.
   */
+/** A copy-on-write commit lost its snapshot-isolation validation: the
+  * branch moved (or lost files) since the operation planned its file
+  * set. Re-read the table and re-plan the operation to retry. */
+case class CommitConflictException(message: String) extends RuntimeException(message)
+
 class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   import LakeTable._
 
@@ -353,7 +358,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     commitReplace(branch, keep.toSeq ++ rewritten, "delete", Map(
       "deleted-data-files" -> drop.size.toString,
       "rewritten-data-files" -> rewrite.size.toString,
-      "metadata-only" -> rewrite.isEmpty.toString))
+      "metadata-only" -> rewrite.isEmpty.toString), base = snap)
   }
 
   /** UPDATE SET — copy-on-write rewrite of files that may match
@@ -380,7 +385,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       writeDataFiles(toPhysical(updated, m0.schema), m0)
     }
     commitReplace(branch, untouched ++ rewritten, "overwrite", Map(
-      "rewritten-data-files" -> touched.size.toString))
+      "rewritten-data-files" -> touched.size.toString), base = snap)
   }
 
   /** Equality-field upsert (J2: `MERGE` = anti-join + union, ref:
@@ -414,7 +419,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     commitReplace(branch, untouched ++ survivors ++ inserted, "overwrite",
       extraSummary ++ Map(
         "merge-keys" -> ks.size.toString,
-        "rewritten-data-files" -> touched.size.toString))
+        "rewritten-data-files" -> touched.size.toString), base = snap)
   }
 
   /** Distributed equality-field upsert: like [[mergeByKey]] but the delete
@@ -453,13 +458,19 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       commitReplace(branch, untouched ++ survivors ++ inserted, "overwrite",
         extraSummary ++ Map(
           "merge-keys" -> nKeys.toString,
-          "rewritten-data-files" -> touched.size.toString))
+          "rewritten-data-files" -> touched.size.toString), base = snap)
     } finally { kd.unpersist(); () }
   }
 
-  /** TRUNCATE (D3): new empty snapshot. */
-  def truncate(): TableMeta =
-    commitReplace(resolveWriteBranch(None), Seq.empty, "truncate", Map.empty)
+  /** TRUNCATE (D3): new empty snapshot. "Table := empty" is planned
+    * against the current head — a concurrent commit aborts rather than
+    * being silently wiped. */
+  def truncate(): TableMeta = {
+    val m0 = meta
+    val branch = resolveWriteBranch(None)
+    commitReplace(branch, Seq.empty, "truncate", Map.empty,
+      base = m0.snapshotFor(branch).orElse(m0.currentSnapshot), strict = true)
+  }
 
   /** INSERT OVERWRITE — replace the whole table content in ONE atomic
     * snapshot (op "overwrite"), like Iceberg's overwrite. Readers see
@@ -469,22 +480,61 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * they are newly added data, delivered by streamRead/readIncremental. */
   def overwrite(df: DataFrame, toBranch: Option[String] = None): TableMeta = {
     val m0 = meta
+    val branch = resolveWriteBranch(toBranch)
     val newFiles = writeDataFiles(toPhysical(df, m0.schema), m0, filePrefix = "app")
-    commitReplace(resolveWriteBranch(toBranch), newFiles, "overwrite", Map(
+    commitReplace(branch, newFiles, "overwrite", Map(
       "added-data-files" -> newFiles.size.toString,
-      "added-records" -> newFiles.map(_.rowCount).sum.toString))
+      "added-records" -> newFiles.map(_.rowCount).sum.toString),
+      base = m0.snapshotFor(branch).orElse(m0.currentSnapshot), strict = true)
   }
 
-  private def commitReplace(branch: String, files: Seq[DataFile], op: String,
-                            extraSummary: Map[String, String]): TableMeta =
+  /** Replace the branch head's file list with `files` in one commit.
+    *
+    * Snapshot-isolation validation (Iceberg-style): CoW operations plan
+    * `files` against a base snapshot read BEFORE the commit; without
+    * validation a concurrent append landing in between would silently
+    * vanish from the replacement snapshot (lost update — the commit()
+    * retry loop re-applies the closure against fresh metadata, but the
+    * stale file list bakes the clobber in). Callers therefore pass the
+    * base they planned against:
+    *   - files ADDED to the branch since base are reconciled into the
+    *     new snapshot (concurrent appends commute with a rewrite);
+    *   - files REMOVED since base mean a concurrent rewrite touched the
+    *     same table state — the keep-list might resurrect deleted rows —
+    *     so the commit aborts with [[CommitConflictException]] (caller
+    *     may re-plan and retry);
+    *   - `strict = true` (full overwrite/truncate: "table := new
+    *     content") aborts on ANY concurrent commit, additions included.
+    * `base` is the planned-against snapshot — None means the operation
+    * planned against an EMPTY branch (still validated: files appearing
+    * concurrently reconcile or abort like any other divergence). */
+  private[lake] def commitReplace(branch: String, files: Seq[DataFile], op: String,
+                                  extraSummary: Map[String, String],
+                                  base: Option[Snapshot],
+                                  strict: Boolean = false): TableMeta =
     commit { m =>
       require(m.refs.get(branch).forall(_.kind != "tag"), s"cannot write to tag $branch")
       val parent = m.snapshotFor(branch).orElse(m.currentSnapshot)
+      val reconciled =
+        if (parent.map(_.snapshotId) == base.map(_.snapshotId)) files
+        else {
+          if (strict) throw CommitConflictException(
+            s"$op planned against snapshot ${base.map(_.snapshotId).getOrElse(-1L)} " +
+              s"but branch '$branch' moved to ${parent.map(_.snapshotId).getOrElse(-1L)}")
+          val baseF = base.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+          val headF = parent.map(_.files).getOrElse(Seq.empty)
+          val removed = baseF -- headF.map(_.path).toSet
+          if (removed.nonEmpty) throw CommitConflictException(
+            s"$op planned against snapshot ${base.map(_.snapshotId).getOrElse(-1L)}; " +
+              s"a concurrent commit removed ${removed.size} file(s) it relied on — " +
+              "re-plan and retry")
+          files ++ headF.filterNot(f => baseF.contains(f.path))
+        }
       val snapId = m.lastSnapshotId + 1
       val now = System.currentTimeMillis()
       val summary = extraSummary ++ Map(
-        "operation" -> op, "total-records" -> files.map(_.rowCount).sum.toString)
-      val snap = Snapshot(snapId, parent.map(_.snapshotId), now, op, summary, files)
+        "operation" -> op, "total-records" -> reconciled.map(_.rowCount).sum.toString)
+      val snap = Snapshot(snapId, parent.map(_.snapshotId), now, op, summary, reconciled)
       m.copy(
         snapshots = m.snapshots :+ snap,
         lastSnapshotId = snapId,
@@ -684,8 +734,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     require(sortBy.isEmpty || zorderBy.isEmpty, "sortBy and zorderBy are exclusive")
     val m0 = meta
     val branch = resolveWriteBranch(None)
-    val files = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
-      .map(_.files).getOrElse(Seq.empty)
+    val baseSnap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
+    val files = baseSnap.map(_.files).getOrElse(Seq.empty)
     if (files.isEmpty) return m0
     val totalBytes = files.map(_.sizeBytes).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetSizeBytes).toInt)
@@ -708,7 +758,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       "rewritten-data-files" -> files.size.toString,
       "added-data-files" -> rewritten.size.toString) ++
       (if (sortBy.nonEmpty) Map("sort-order" -> sortBy.mkString(",")) else Map.empty) ++
-      (if (zorderBy.nonEmpty) Map("zorder" -> zorderBy.mkString(",")) else Map.empty))
+      (if (zorderBy.nonEmpty) Map("zorder" -> zorderBy.mkString(",")) else Map.empty),
+      base = baseSnap)
   }
 
   /** CALL rewrite_manifests (D21): in our single-JSON design the manifest IS

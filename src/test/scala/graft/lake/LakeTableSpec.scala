@@ -467,6 +467,48 @@ class LakeTableSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L))
   }
 
+  test("CoW commit planned against a stale snapshot reconciles concurrent appends") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.conflict", taxiSchema)
+    t.append(taxis.limit(2))
+    val snap1 = t.meta.currentSnapshot.get
+    // concurrent append lands AFTER the rewrite planned its file set
+    t.append(taxis.filter(col("vendor_id") === 5L))
+    val appended = t.meta.currentSnapshot.get.files.map(_.path).toSet --
+      snap1.files.map(_.path).toSet
+    // "delete everything snap1 held" planned at snap1 — the reconciled
+    // commit must keep the concurrently appended file, not clobber it
+    t.commitReplace("main", Seq.empty, "delete", Map.empty, base = Some(snap1))
+    val head = t.meta.currentSnapshot.get
+    assert(head.files.map(_.path).toSet === appended,
+      "concurrent append must survive a stale-planned rewrite")
+    assert(t.toDF.select("vendor_id").collect().map(_.getLong(0)).toSeq === Seq(5L))
+  }
+
+  test("CoW commit aborts when a concurrent commit removed files it relied on") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.conflict2", taxiSchema)
+    t.append(taxis)
+    val snap1 = t.meta.currentSnapshot.get
+    // concurrent DELETE rewrites/removes snap1 files
+    t.delete(col("vendor_id") <= 2L)
+    // a rewrite planned at snap1 that keeps snap1's files must NOT commit:
+    // it would resurrect the deleted rows
+    intercept[CommitConflictException] {
+      t.commitReplace("main", snap1.files, "replace", Map.empty, base = Some(snap1))
+    }
+    // strict ops (truncate/overwrite) abort on ANY divergence, adds included
+    val snap2 = t.meta.currentSnapshot.get
+    t.append(taxis.limit(1))
+    intercept[CommitConflictException] {
+      t.commitReplace("main", Seq.empty, "truncate", Map.empty,
+        base = Some(snap2), strict = true)
+    }
+    // end-to-end: a delete planned now (fresh) still works
+    t.delete(col("vendor_id") === 1L)
+    assert(t.toDF.filter(col("vendor_id") === 1L).count() === 0)
+  }
+
   test("readIncremental delivers rows inserted by MERGE (overwrite snapshots)") {
     import spark.implicits._
     val cat = freshCatalog()
