@@ -879,6 +879,25 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
 object LakeTable {
   val MainBranch = "main"
 
+  /** Run a CoW operation, retrying on [[CommitConflictException]] — each
+    * attempt re-reads table metadata and re-plans from scratch, which is
+    * exactly the Iceberg-client recovery loop. Appends never conflict;
+    * a rewrite conflicts only with a concurrent rewrite of the same
+    * state, so a handful of attempts suffices under any realistic
+    * contention. */
+  def withConflictRetry[T](attempts: Int = 5)(op: => T): T = {
+    var left = attempts
+    while (true) {
+      try return op
+      catch {
+        case e: CommitConflictException =>
+          left -= 1
+          if (left <= 0) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private[lake] def listParquet(fs: FileSystem, dir: Path): Seq[Path] = {
     val it = fs.listFiles(dir, true)
     val buf = scala.collection.mutable.ArrayBuffer[Path]()

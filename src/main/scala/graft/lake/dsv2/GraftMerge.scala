@@ -102,7 +102,12 @@ case class MergeIntoGraftCommand(
     matchedActions: Seq[MergeAction],
     notMatchedActions: Seq[MergeAction]) extends LeafRunnableCommand {
 
-  override def run(spark: SparkSession): Seq[Row] = {
+  // conflict-retry: the matched-ness scan and file pruning are planned
+  // against a snapshot; a concurrent rewrite re-plans the whole merge
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.lake.LakeTable.withConflictRetry() { runOnce(spark) }
+
+  private def runOnce(spark: SparkSession): Seq[Row] = {
     def c(e: Expression): Column = ColumnBridge.column(e)
     val src = ColumnBridge.ofRows(spark, source)
     // matched-ness per source row: semi-style left join against the

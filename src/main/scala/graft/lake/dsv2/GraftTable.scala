@@ -171,7 +171,7 @@ case class GraftTable(
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val cond = filters.flatMap(filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
-    lakeTable.delete(cond)
+    graft.lake.LakeTable.withConflictRetry() { lakeTable.delete(cond) }
     ()
   }
 

@@ -48,9 +48,11 @@ case class UpdateGraftCommand(
     condition: Option[Expression]) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
-    gt.lakeTable.update(
-      assignments.map { case (n, e) => n -> GraftUpdate.rebase(e) }.toMap,
-      condition.map(GraftUpdate.rebase))
+    graft.lake.LakeTable.withConflictRetry() {
+      gt.lakeTable.update(
+        assignments.map { case (n, e) => n -> GraftUpdate.rebase(e) }.toMap,
+        condition.map(GraftUpdate.rebase))
+    }
     Seq.empty
   }
 }

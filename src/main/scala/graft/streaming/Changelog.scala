@@ -138,9 +138,14 @@ object Changelog {
         val upserts = latest.filter(col(opCol).isin(Insert, UpdateAfter)).drop(opCol)
         // keys stay distributed end-to-end (LEFT ANTI survivor join +
         // min/max-bounds file pruning) — no driver-side key collection,
-        // so a CDC catch-up burst cannot blow up the driver
-        table.mergeByKeys(key, latest.select(col(key)), upserts,
-          if (batchId >= 0) Map("streaming.batch-id" -> batchId.toString) else Map.empty)
+        // so a CDC catch-up burst cannot blow up the driver.
+        // Conflict-retry: a concurrent compaction/DELETE between merge
+        // planning and commit re-plans the merge against fresh metadata
+        LakeTable.withConflictRetry() {
+          table.mergeByKeys(key, latest.select(col(key)), upserts,
+            if (batchId >= 0) Map("streaming.batch-id" -> batchId.toString) else Map.empty)
+        }
+        ()
       }
     } finally { latest.unpersist(); () }
   }

@@ -348,6 +348,44 @@ class LakeTableSpec extends AnyFunSuite {
     assert(byId.size === 8)
   }
 
+  test("mixed concurrency: appends + conflict-retried merges, nothing lost") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.mixed", taxiSchema)
+    t.append(taxis) // vendor_ids 1..5
+    import spark.implicits._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      // 3 appenders adding new keys + 3 mergers upserting existing keys,
+      // all racing: merges plan file sets that appends keep invalidating
+      val futures = (1 to 6).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val h = cat.loadTable("nyc.mixed")
+            if (i <= 3) {
+              h.append(Seq((100L + i, ts(s"2022-03-0$i 00:00:00"), 1.0, 1.0))
+                .toDF("vendor_id", "pickup", "fare", "distance"))
+            } else {
+              val ups = Seq((i.toLong - 3, ts("2022-04-01 00:00:00"), 999.0, 9.0))
+                .toDF("vendor_id", "pickup", "fare", "distance")
+              LakeTable.withConflictRetry(attempts = 10) {
+                h.mergeByKeys("vendor_id", ups.select("vendor_id"), ups)
+              }
+            }
+            ()
+          }
+        })
+      }
+      futures.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val rows = t.toDF.select("vendor_id", "fare").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L, 4L, 5L, 101L, 102L, 103L),
+      s"all appends and original keys present, got ${rows.keySet}")
+    // the three merged keys (1..3) carry the upserted fare
+    Seq(1L, 2L, 3L).foreach(k => assert(rows(k) === 999.0, s"key $k not merged"))
+    Seq(4L, 5L).foreach(k => assert(rows(k) !== 999.0))
+  }
+
   test("write.distribution-mode=hash clusters writes: one file per partition value") {
     val cat = freshCatalog()
     val t = cat.createTable("nyc.dist", taxiSchema,
