@@ -200,6 +200,13 @@ object TextOps {
       // size — and a cluster big enough to make this row fat already
       // implies a quadratic same-set OUTPUT, so the array is never the
       // binding constraint.
+      // Note on reuse: g feeds four consumers and per-branch column
+      // pruning makes their exchanges non-identical, so Spark recomputes
+      // the collapse per branch. A localCheckpoint barrier was measured
+      // SLOWER at sf0.1 (materialization + lost stage fusion outweigh
+      // the recompute of a cheap map-side collapse); at 100 TB a real
+      // pipeline persists the collapsed corpus as its exact-dedup output
+      // instead.
       val g = w.groupBy("lang", "ws")
         .agg(min("doc_id").as("gid"), collect_list("doc_id").as("ids"),
           count(lit(1)).as("cnt"))
