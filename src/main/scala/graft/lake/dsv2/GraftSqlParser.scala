@@ -8,24 +8,31 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, StructType}
 
-/** Parser extension adding the reference's branch/tag DDL spellings
-  * (D14; `…WAP with Branches.ipynb` cells 16/60/71):
+/** Parser extension adding the reference's Iceberg-grammar DDL spellings:
   *
   *   ALTER TABLE t CREATE BRANCH [IF NOT EXISTS] b [AS OF VERSION <id>]
   *   ALTER TABLE t DROP BRANCH [IF EXISTS] b
   *   ALTER TABLE t CREATE TAG [IF NOT EXISTS] g [AS OF VERSION <id>]
   *   ALTER TABLE t DROP TAG [IF EXISTS] g
+  *     (D14; `…WAP with Branches.ipynb` cells 16/60/71)
+  *   ALTER TABLE t ADD PARTITION FIELD <col | days(col) | hours(col) |
+  *     months(col) | years(col) | bucket(N, col)>
+  *   ALTER TABLE t DROP PARTITION FIELD <same>
+  *     (D8 partition evolution; Getting Started c27, Berlin Buzzwords
+  *     c22-23 — new spec applies to future writes, per-file spec
+  *     planning covers the old files)
   *
   * These are Iceberg SQL-extension grammar, not ANSI — Spark's parser
   * rejects them, so we intercept the exact statement shapes up front and
-  * delegate every other string to the stock parser untouched. (The same
-  * capability is also reachable without the extension through
+  * delegate every other string to the stock parser untouched. (Branch
+  * management is also reachable without the extension through
   * `CALL lake.system.create_branch(...)` — GraftProcedures.)
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlParser.parseBranchDdl(sqlText, delegate)
+      .orElse(GraftSqlParser.parsePartitionFieldDdl(sqlText, delegate))
       .getOrElse(delegate.parsePlan(sqlText))
 
   override def parseExpression(sqlText: String): Expression =
@@ -65,6 +72,29 @@ object GraftSqlParser {
           Option(version).map(_.toLong)))
       case _ => None
     }
+
+  private val PartDdl =
+    """(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))*)\s+(ADD|DROP)\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+  private val TimeTransform = """(?i)\s*(days|hours|months|years)\s*\(\s*`?(\w+)`?\s*\)\s*""".r
+  private val BucketTransform = """(?i)\s*bucket\s*\(\s*(\d+)\s*,\s*`?(\w+)`?\s*\)\s*""".r
+  private val IdentityField = """\s*`?(\w+)`?\s*""".r
+
+  /** Some(command) when the text is ADD/DROP PARTITION FIELD. */
+  def parsePartitionFieldDdl(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
+    sqlText match {
+      case PartDdl(ident, verb, fieldSpec) =>
+        val (colName, transform) = fieldSpec match {
+          case TimeTransform(t, c) => (c, t.toLowerCase(java.util.Locale.ROOT))
+          case BucketTransform(n, c) => (c, s"bucket[$n]")
+          case IdentityField(c) => (c, "identity")
+          case other => throw new IllegalArgumentException(
+            s"unsupported partition transform: $other")
+        }
+        Some(PartitionFieldDdlCommand(
+          delegate.parseMultipartIdentifier(ident),
+          add = verb.equalsIgnoreCase("ADD"), colName, transform))
+      case _ => None
+    }
 }
 
 /** Runs a branch/tag DDL against the graft catalog owning the table. */
@@ -91,6 +121,45 @@ case class BranchDdlCommand(nameParts: Seq[String], op: String, ref: String,
       case "drop_tag" => t.dropTag(ref)
       case other => throw new IllegalStateException(s"unknown branch ddl $other")
     }
+    Seq.empty
+  }
+}
+
+/** ADD/DROP PARTITION FIELD: evolve the default partition spec (new spec
+  * applies to future writes only — existing files keep their spec id and
+  * are planned per-spec at scan, SURVEY §4 split planning). */
+case class PartitionFieldDdlCommand(nameParts: Seq[String], add: Boolean,
+                                    colName: String, transform: String)
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cm = spark.sessionState.catalogManager
+    val (cat, tableParts) = nameParts match {
+      case head +: rest if rest.nonEmpty && cm.isCatalogRegistered(head) =>
+        (cm.catalog(head), rest)
+      case _ => (cm.currentCatalog, nameParts)
+    }
+    val gc = cat match {
+      case g: GraftCatalog => g
+      case other => throw new UnsupportedOperationException(
+        s"partition-field DDL requires a graft catalog, got '${other.name}'")
+    }
+    val t = gc.lake.loadTable(tableParts.mkString("."))
+    val m = t.meta
+    val current: Seq[(String, String)] = m.partitionSpecs
+      .find(_.specId == m.defaultSpecId).map(_.fields).getOrElse(Seq.empty)
+      .flatMap(pf => m.schema.byId(pf.sourceId).map(c => c.name -> pf.transform))
+    val next =
+      if (add) {
+        require(!current.contains(colName -> transform),
+          s"partition field $transform($colName) already exists")
+        current :+ (colName -> transform)
+      } else {
+        require(current.contains(colName -> transform),
+          s"no partition field $transform($colName) to drop")
+        current.filterNot(_ == colName -> transform)
+      }
+    t.replacePartitionSpec(next)
     Seq.empty
   }
 }

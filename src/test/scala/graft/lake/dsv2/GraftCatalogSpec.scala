@@ -287,6 +287,51 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, "a"), (2L, "b2"), (4L, "d")))
   }
 
+  test("ADD/DROP PARTITION FIELD evolves the spec for future writes (c27, D8)") {
+    sql("CREATE DATABASE IF NOT EXISTS lake.db")
+    sql("CREATE TABLE lake.db.pev (id BIGINT, ts TIMESTAMP)")
+    sql("INSERT INTO lake.db.pev VALUES (1, TIMESTAMP '2022-01-01 08:00:00')")
+    extSpark.sql("ALTER TABLE lake.db.pev ADD PARTITION FIELD days(ts)")
+    sql("""INSERT INTO lake.db.pev VALUES
+          |(2, TIMESTAMP '2022-02-01 08:00:00'), (3, TIMESTAMP '2022-03-01 08:00:00')""".stripMargin)
+    val cat = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[GraftCatalog]
+    val m = cat.lake.loadTable("db.pev").meta
+    assert(m.partitionSpecs.size === 2, "evolution adds a new spec")
+    // file written before the evolution keeps the old (empty) spec id
+    val specIds = m.currentSnapshot.get.files.map(_.specId).toSet
+    assert(specIds.size === 2, s"old + new spec files coexist: $specIds")
+    // reads still see everything; pruning works across mixed specs
+    assert(sql("SELECT COUNT(*) FROM lake.db.pev").head.getLong(0) === 3)
+    assert(sql(
+      "SELECT id FROM lake.db.pev WHERE ts >= TIMESTAMP '2022-02-15 00:00:00'")
+      .head.getLong(0) === 3)
+    // bucket transform + drop both spellings
+    extSpark.sql("ALTER TABLE lake.db.pev ADD PARTITION FIELD bucket(4, id)")
+    extSpark.sql("ALTER TABLE lake.db.pev DROP PARTITION FIELD days(ts)")
+    val specs = cat.lake.loadTable("db.pev").meta
+    val cur = specs.partitionSpecs.find(_.specId == specs.defaultSpecId).get
+    assert(cur.fields.map(_.transform) === Seq("bucket[4]"))
+  }
+
+  test("CTAS / writeTo / saveAsTable write spellings (S11)") {
+    import spark.implicits._
+    sql("CREATE DATABASE IF NOT EXISTS lake.db")
+    sql("CREATE TABLE lake.db.src2 (id BIGINT, v DOUBLE)")
+    sql("INSERT INTO lake.db.src2 VALUES (1, 1.0), (2, 2.0)")
+    // CREATE TABLE AS SELECT
+    sql("CREATE TABLE lake.db.ctas AS SELECT id, v * 2 AS v2 FROM lake.db.src2")
+    assert(sql("SELECT SUM(v2) FROM lake.db.ctas").head.getDouble(0) === 6.0)
+    // DataFrameWriterV2 append (Berlin Buzzwords c9 df.writeTo(t).append())
+    Seq((3L, 3.0)).toDF("id", "v2").writeTo("lake.db.ctas").append()
+    assert(sql("SELECT COUNT(*) FROM lake.db.ctas").head.getLong(0) === 3)
+    // v1 writer (Getting Started c7 df.write.saveAsTable)
+    Seq((4L, 4.0)).toDF("id", "v2").write.mode("append").saveAsTable("lake.db.ctas")
+    assert(sql("SELECT COUNT(*) FROM lake.db.ctas").head.getLong(0) === 4)
+    // DataFrameWriterV2 create
+    Seq((1L, "a")).toDF("k", "s").writeTo("lake.db.created").create()
+    assert(spark.table("lake.db.created").count() === 1)
+  }
+
   test("Iceberg branch DDL spellings parse and run (ALTER TABLE … CREATE/DROP BRANCH/TAG)") {
     sql("CREATE DATABASE IF NOT EXISTS lake.db")
     sql("CREATE TABLE lake.db.bddl (id BIGINT)")
