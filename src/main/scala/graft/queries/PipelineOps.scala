@@ -172,5 +172,66 @@ object PipelineOps {
       |    FROM documents) h) t
       |GROUP BY lang, split ORDER BY lang, split""".stripMargin)
 
-  def specs: Seq[QuerySpec] = Seq(q36, q37, q38, q39, q40, q41, q42, q43)
+  /** Document chunking for a training pipeline: fixed-size token windows
+    * (8 tokens, stride 4) per doc — the explode shape a tokenize-and-pack
+    * stage produces. Chunk starts derive from the token count alone, so
+    * the expansion is a sequence() explode (no per-token rows). */
+  val q47 = dialect("q47_chunking",
+    sparkSql = """WITH d AS (
+      |  SELECT doc_id, lang, size(split(trim(text), '\\s+')) AS n FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, s, LEAST(s + 8, n) - s AS chunk_len
+      |  FROM d LATERAL VIEW EXPLODE(sequence(0, GREATEST(n - 1, 0), 4)) t AS s)
+      |SELECT lang, COUNT(*) AS n_chunks,
+      |  CAST(SUM(chunk_len) AS BIGINT) AS total_chunk_tokens,
+      |  COUNT(DISTINCT doc_id) AS n_docs
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    duckSql = """WITH d AS (
+      |  SELECT doc_id, lang, len(regexp_split_to_array(trim(text), '\s+')) AS n FROM documents),
+      |e AS (
+      |  SELECT doc_id, lang, n,
+      |    unnest(generate_series(0, GREATEST(n - 1, 0), 4)) AS s
+      |  FROM d),
+      |c AS (SELECT doc_id, lang, s, LEAST(s + 8, n) - s AS chunk_len FROM e)
+      |SELECT lang, COUNT(*) AS n_chunks,
+      |  CAST(SUM(chunk_len) AS BIGINT) AS total_chunk_tokens,
+      |  COUNT(DISTINCT doc_id) AS n_docs
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin)
+
+  /** Repetition detection (the C4/Gopher-style quality rule): share of
+    * the most-repeated trigram per doc; docs over 20% flagged. Trigrams
+    * come from index arithmetic over the token array (1-based element_at
+    * in both engines), so the blow-up is one row per trigram, grouped
+    * map-side. */
+  val q48 = dialect("q48_repetition",
+    sparkSql = """WITH tok AS (
+      |  SELECT doc_id, lang, split(trim(text), '\\s+') AS a FROM documents),
+      |tri AS (
+      |  SELECT doc_id, lang,
+      |    CONCAT_WS(' ', element_at(a, i), element_at(a, i + 1), element_at(a, i + 2)) AS t3
+      |  FROM tok LATERAL VIEW EXPLODE(sequence(1, GREATEST(size(a) - 2, 1))) s AS i
+      |  WHERE size(a) >= 3),
+      |cnt AS (SELECT doc_id, lang, t3, COUNT(*) AS c FROM tri GROUP BY doc_id, lang, t3),
+      |agg AS (SELECT doc_id, lang, MAX(c) AS maxc, SUM(c) AS tot FROM cnt GROUP BY doc_id, lang)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN CAST(maxc AS DOUBLE) / CAST(tot AS DOUBLE) > 0.2
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+      |  MAX(CAST(maxc AS DOUBLE) / CAST(tot AS DOUBLE)) AS max_share
+      |FROM agg GROUP BY lang ORDER BY lang""".stripMargin,
+    duckSql = """WITH tok AS (
+      |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
+      |ix AS (
+      |  SELECT doc_id, lang, a, unnest(generate_series(1, GREATEST(len(a) - 2, 1))) AS i
+      |  FROM tok WHERE len(a) >= 3),
+      |tri AS (
+      |  SELECT doc_id, lang, CONCAT_WS(' ', a[i], a[i + 1], a[i + 2]) AS t3 FROM ix),
+      |cnt AS (SELECT doc_id, lang, t3, COUNT(*) AS c FROM tri GROUP BY doc_id, lang, t3),
+      |agg AS (SELECT doc_id, lang, MAX(c) AS maxc, SUM(c) AS tot FROM cnt GROUP BY doc_id, lang)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN CAST(maxc AS DOUBLE) / CAST(tot AS DOUBLE) > 0.2
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+      |  MAX(CAST(maxc AS DOUBLE) / CAST(tot AS DOUBLE)) AS max_share
+      |FROM agg GROUP BY lang ORDER BY lang""".stripMargin)
+
+  def specs: Seq[QuerySpec] = Seq(q36, q37, q38, q39, q40, q41, q42, q43, q47, q48)
 }
