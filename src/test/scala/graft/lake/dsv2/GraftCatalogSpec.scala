@@ -287,6 +287,25 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, "a"), (2L, "b2"), (4L, "d")))
   }
 
+  test("parser extension passes every stock statement through untouched") {
+    // the delegating parser fronts ALL SQL in extensions sessions — only
+    // the exact Iceberg DDL shapes may be intercepted
+    sql("CREATE DATABASE IF NOT EXISTS lake.db")
+    sql("CREATE TABLE IF NOT EXISTS lake.db.pp (id BIGINT, v DOUBLE)")
+    val stock = Seq(
+      "SELECT 1 + 1",
+      "SELECT * FROM VALUES (1), (2) t(a) WHERE a > 1",
+      "INSERT INTO lake.db.pp VALUES (1, 1.5)",
+      "ALTER TABLE lake.db.pp ADD COLUMN w DOUBLE",
+      "SELECT COUNT(*) FROM lake.db.pp",
+      // branch-DDL text inside a literal must NOT be intercepted
+      "SELECT 'ALTER TABLE x CREATE BRANCH y' AS s",
+      "WITH c AS (SELECT 1 AS x) SELECT x FROM c")
+    stock.foreach(q => extSpark.sql(q).collect())
+    assert(extSpark.sql("SELECT 'ALTER TABLE x CREATE BRANCH y' AS s")
+      .head.getString(0).contains("CREATE BRANCH"))
+  }
+
   test("ADD/DROP PARTITION FIELD evolves the spec for future writes (c27, D8)") {
     sql("CREATE DATABASE IF NOT EXISTS lake.db")
     sql("CREATE TABLE lake.db.pev (id BIGINT, ts TIMESTAMP)")

@@ -155,6 +155,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q44: batch knn broadcasts the query side and group-limits the top-k") {
+    val p = planOf("q44_knn_join")
+    assert(!p.contains("SortMergeJoin"), s"query batch must broadcast, not shuffle:\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q48: trigram counting aggregates partially (map-side combine)") {
+    val p = planOf("q48_repetition")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final aggregation at both levels:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the relational queries' hot path") {
     val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
     df.collect() // AQE finalizes (and codegens) the plan only on execution
