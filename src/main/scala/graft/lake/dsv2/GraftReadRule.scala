@@ -1,7 +1,9 @@
 package graft.lake.dsv2
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -17,6 +19,11 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * Write/DML targets keep the DSv2 relation (AppendData needs
   * SupportsWrite, DELETE needs SupportsDelete), so those relations are
   * excluded by reference identity.
+  *
+  * Also rewrites unfiltered, ungrouped COUNT(*) over a graft relation to
+  * a metadata lookup (snapshot row counts from parquet footers) — zero
+  * data files touched, any table size. Filters, grouping, DISTINCT, or
+  * null-sensitive COUNT(col) all fall through to the normal scan.
   */
 case class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -37,11 +44,52 @@ case class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case m: MergeIntoTable => addTarget(m.targetTable)
       case _ => ()
     }
+    // metadata-only COUNT(*): an unfiltered, ungrouped count over a graft
+    // relation reads the answer from snapshot metadata (footer row counts)
+    // instead of scanning data files — the lakehouse classic. Pre-pass
+    // (transformDown) because the transformUp below substitutes the
+    // relation out from under the Aggregate before it would match.
+    // child must be exactly the relation, optionally behind aliases or an
+    // attribute-only Project — any Filter/Generate/… breaks the match and
+    // the count scans normally
+    def unwrapScan(p: LogicalPlan): Option[(DataSourceV2Relation, GraftTable)] = p match {
+      case SubqueryAlias(_, c) => unwrapScan(c)
+      case Project(projectList, c) if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrapScan(c)
+      case r: DataSourceV2Relation => r.table match {
+        case gt: GraftTable => Some((r, gt))
+        case _ => None
+      }
+      case _ => None
+    }
+    def isCountStar(e: Expression): Boolean = e match {
+      case Alias(ae: AggregateExpression, _) =>
+        !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+          case Count(Seq(Literal(1, _))) => true
+          case _ => false
+        })
+      case _ => false
+    }
+    val counted = plan.transformDown {
+      case agg @ Aggregate(groupings, aggExprs, child, _)
+          if agg.resolved && groupings.isEmpty && aggExprs.nonEmpty &&
+            aggExprs.forall(isCountStar) =>
+        unwrapScan(child) match {
+          case Some((r, gt)) if !writeTargets.contains(r) =>
+            gt.metadataRowCount match {
+              case Some(n) =>
+                LocalRelation(agg.output.map(_.toAttribute),
+                  Seq(InternalRow.fromSeq(aggExprs.map(_ => n))))
+              case None => agg
+            }
+          case _ => agg
+        }
+    }
     // transformUp (not resolveOperatorsUp): the substitution must also
     // apply to already-analyzed subtrees (e.g. cached plan fragments);
     // the pattern is idempotent — once substituted there is no relation
     // left to match
-    plan.transformUp {
+    counted.transformUp {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftTable] && !writeTargets.contains(r) =>
         val gt = r.table.asInstanceOf[GraftTable]

@@ -52,6 +52,17 @@ case class GraftTable(
     case None => lakeTable.read(pinnedSnapshotId, pinnedBranch, pinnedTimestampMs)
   }
 
+  /** Exact row count from snapshot metadata (parquet-footer counts summed
+    * over the resolved snapshot's files) — same snapshot resolution as
+    * [[readDataFrame]], so time travel and WAP routing hold. None for
+    * metadata tables. Lets COUNT(*) answer without touching data files. */
+  def metadataRowCount: Option[Long] = metaKind match {
+    case Some(_) => None
+    case None => Some(lakeTable
+      .resolveSnapshot(pinnedSnapshotId, pinnedBranch, pinnedTimestampMs)
+      .map(_.files.map(_.rowCount).sum).getOrElse(0L))
+  }
+
   override def partitioning(): Array[Transform] = {
     val m = lakeTable.meta
     m.spec.fields.flatMap { f =>

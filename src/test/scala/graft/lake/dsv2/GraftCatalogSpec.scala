@@ -287,6 +287,34 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, "a"), (2L, "b2"), (4L, "d")))
   }
 
+  test("COUNT(*) answers from snapshot metadata, not a file scan") {
+    sql("CREATE DATABASE IF NOT EXISTS lake.db")
+    sql("CREATE TABLE lake.db.cnt (id BIGINT)")
+    sql("INSERT INTO lake.db.cnt VALUES (1), (2), (3)")
+    val df = extSpark.sql("SELECT COUNT(*) AS n FROM lake.db.cnt")
+    assert(df.head.getLong(0) === 3)
+    assert(!df.queryExecution.executedPlan.toString.contains("FileScan"),
+      s"metadata count must not scan data files:\n${df.queryExecution.executedPlan}")
+    // filtered count scans normally and stays correct
+    val f = extSpark.sql("SELECT COUNT(*) AS n FROM lake.db.cnt WHERE id > 1")
+    assert(f.head.getLong(0) === 2)
+    assert(f.queryExecution.executedPlan.toString.contains("FileScan"), "filtered count scans")
+    // null-sensitive COUNT(col) is not rewritten
+    sql("ALTER TABLE lake.db.cnt ADD COLUMN v DOUBLE")
+    sql("INSERT INTO lake.db.cnt VALUES (4, 1.0)")
+    assert(extSpark.sql("SELECT COUNT(v) AS n FROM lake.db.cnt").head.getLong(0) === 1)
+    // DML moves the metadata count
+    sql("DELETE FROM lake.db.cnt WHERE id = 1")
+    assert(extSpark.sql("SELECT COUNT(*) AS n FROM lake.db.cnt").head.getLong(0) === 3)
+    // time travel resolves the pinned snapshot's count
+    val firstSnap = sql(
+      "SELECT snapshot_id FROM lake.db.cnt.snapshots ORDER BY committed_at LIMIT 1")
+      .head.getLong(0)
+    val tt = extSpark.sql(s"SELECT COUNT(*) AS n FROM lake.db.cnt VERSION AS OF $firstSnap")
+    assert(tt.head.getLong(0) === 3)
+    assert(!tt.queryExecution.executedPlan.toString.contains("FileScan"))
+  }
+
   test("parser extension passes every stock statement through untouched") {
     // the delegating parser fronts ALL SQL in extensions sessions — only
     // the exact Iceberg DDL shapes may be intercepted
