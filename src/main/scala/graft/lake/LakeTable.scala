@@ -791,6 +791,50 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     orphans.toSeq
   }
 
+  /** Exact MIN/MAX of an integer-domain column (int family, date = epoch
+    * days, timestamp = epoch micros) computed purely from file stats for
+    * `snap`: Some((min, max)) when EVERY data-bearing file carries
+    * decodable bounds for the column (the inner Options are None when the
+    * column is null in every row); None → stats can't vouch (missing
+    * bounds, non-integer written type) and the caller must scan. Float/
+    * double/decimal/string columns always return None: their stat
+    * encodings are pruning-safe but not guaranteed value-exact. */
+  def statsMinMax(snap: Snapshot, colName: String): Option[(Option[Long], Option[Long])] = {
+    val m = meta
+    def intFamily(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val cur = m.schema.byName(colName).orNull
+    if (cur == null || !intFamily(cur.sparkType)) return None
+    var lo = Option.empty[Long]
+    var hi = Option.empty[Long]
+    val it = snap.files.iterator
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.rowCount > 0) {
+        val written = m.schemas.find(_.schemaId == f.schemaId).getOrElse(m.schema)
+        val wcol = written.byId(cur.id).orNull
+        if (wcol == null) {
+          // column added after this file was written: every row reads null
+        } else if (!intFamily(wcol.sparkType)) return None
+        else f.stats.get(wcol.physicalName) match {
+          case Some(st) => (st.min, st.max) match {
+            case (Some(mn), Some(mx)) =>
+              val l = mn.toLong; val h = mx.toLong
+              lo = Some(lo.fold(l)(math.min(_, l)))
+              hi = Some(hi.fold(h)(math.max(_, h)))
+            case (None, None) if st.nullCount >= f.rowCount => () // all-null file
+            case _ => return None // bounds not collected — can't vouch
+          }
+          case None => return None
+        }
+      }
+    }
+    Some((lo, hi))
+  }
+
   /** Incremental batch read: rows ADDED strictly after `fromSnapshotId`
     * up to and including `toSnapshotId` (default: current) — the batch
     * twin of Changelog.streamRead, same append-only contract. Newly-added

@@ -3,7 +3,7 @@ package graft.lake.dsv2
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -20,10 +20,13 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * SupportsWrite, DELETE needs SupportsDelete), so those relations are
   * excluded by reference identity.
   *
-  * Also rewrites unfiltered, ungrouped COUNT(*) over a graft relation to
-  * a metadata lookup (snapshot row counts from parquet footers) — zero
-  * data files touched, any table size. Filters, grouping, DISTINCT, or
-  * null-sensitive COUNT(col) all fall through to the normal scan.
+  * Also rewrites unfiltered, ungrouped COUNT(*) / MIN(col) / MAX(col)
+  * over a graft relation to a metadata lookup (snapshot row counts and
+  * integer-domain column bounds from parquet footers) — zero data files
+  * touched, any table size. Filters, grouping, DISTINCT, null-sensitive
+  * COUNT(col), and columns the stats layer can't vouch for (float/
+  * double/decimal/string, missing bounds) all fall through to the
+  * normal scan.
   */
 case class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -62,26 +65,49 @@ case class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       case _ => None
     }
-    def isCountStar(e: Expression): Boolean = e match {
-      case Alias(ae: AggregateExpression, _) =>
-        !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
-          case Count(Seq(Literal(1, _))) => true
-          case _ => false
-        })
-      case _ => false
+    // metadata-answerable aggregate shapes: COUNT(*), and MIN/MAX of a
+    // plain column (the stats layer vouches only for integer-domain
+    // columns — metadataMinMax returns None otherwise and the scan runs)
+    sealed trait MetaAgg
+    case object CountStar extends MetaAgg
+    case class MinOf(col: String) extends MetaAgg
+    case class MaxOf(col: String) extends MetaAgg
+    def classify(e: Expression): Option[MetaAgg] = e match {
+      case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(Literal(1, _))) => Some(CountStar)
+          case Min(a: AttributeReference) => Some(MinOf(a.name))
+          case Max(a: AttributeReference) => Some(MaxOf(a.name))
+          case _ => None
+        }
+      case _ => None
+    }
+    // internal value for a stats bound in the agg output's type domain
+    def internal(v: Long, dt: org.apache.spark.sql.types.DataType): Any = dt match {
+      case org.apache.spark.sql.types.ByteType => v.toByte
+      case org.apache.spark.sql.types.ShortType => v.toShort
+      case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.DateType => v.toInt
+      case _ => v // LongType, TimestampType (micros), TimestampNTZType
     }
     val counted = plan.transformDown {
       case agg @ Aggregate(groupings, aggExprs, child, _)
           if agg.resolved && groupings.isEmpty && aggExprs.nonEmpty &&
-            aggExprs.forall(isCountStar) =>
+            aggExprs.forall(e => classify(e).isDefined) =>
         unwrapScan(child) match {
           case Some((r, gt)) if !writeTargets.contains(r) =>
-            gt.metadataRowCount match {
-              case Some(n) =>
-                LocalRelation(agg.output.map(_.toAttribute),
-                  Seq(InternalRow.fromSeq(aggExprs.map(_ => n))))
-              case None => agg
+            val answered = aggExprs.map { e =>
+              classify(e).get match {
+                case CountStar => gt.metadataRowCount
+                case MinOf(c) => gt.metadataMinMax(c).map(mm =>
+                  mm._1.map(internal(_, e.dataType)).orNull)
+                case MaxOf(c) => gt.metadataMinMax(c).map(mm =>
+                  mm._2.map(internal(_, e.dataType)).orNull)
+              }
             }
+            if (answered.forall(_.isDefined))
+              LocalRelation(agg.output.map(_.toAttribute),
+                Seq(InternalRow.fromSeq(answered.map(_.get))))
+            else agg
           case _ => agg
         }
     }

@@ -63,6 +63,18 @@ case class GraftTable(
       .map(_.files.map(_.rowCount).sum).getOrElse(0L))
   }
 
+  /** Exact MIN/MAX of an integer-domain column from file stats (same
+    * snapshot resolution as reads); inner Nones = all-null column, outer
+    * None = stats can't vouch and the caller must scan. */
+  def metadataMinMax(colName: String): Option[(Option[Long], Option[Long])] = metaKind match {
+    case Some(_) => None
+    case None =>
+      lakeTable.resolveSnapshot(pinnedSnapshotId, pinnedBranch, pinnedTimestampMs) match {
+        case Some(s) => lakeTable.statsMinMax(s, colName)
+        case None => Some((None, None)) // empty table: MIN/MAX are null
+      }
+  }
+
   override def partitioning(): Array[Transform] = {
     val m = lakeTable.meta
     m.spec.fields.flatMap { f =>

@@ -315,6 +315,32 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!tt.queryExecution.executedPlan.toString.contains("FileScan"))
   }
 
+  test("MIN/MAX of integer-domain columns answer from file stats") {
+    sql("CREATE DATABASE IF NOT EXISTS lake.db")
+    sql("CREATE TABLE lake.db.mm (id BIGINT, ts TIMESTAMP, v DOUBLE, w BIGINT)")
+    sql("""INSERT INTO lake.db.mm VALUES
+          |(5, TIMESTAMP '2022-01-01 08:00:00', 1.5, NULL),
+          |(9, TIMESTAMP '2022-03-01 08:00:00', 2.5, NULL)""".stripMargin)
+    sql("INSERT INTO lake.db.mm VALUES (2, TIMESTAMP '2022-02-01 08:00:00', 9.9, NULL)")
+    val df = extSpark.sql(
+      """SELECT MIN(id) AS lo, MAX(id) AS hi, COUNT(*) AS n,
+        |MAX(ts) AS mts, MIN(w) AS nullmin FROM lake.db.mm""".stripMargin)
+    val row = df.head
+    assert(row.getLong(0) === 2L && row.getLong(1) === 9L && row.getLong(2) === 3L)
+    assert(row.getTimestamp(3).toString.startsWith("2022-03-01"))
+    assert(row.isNullAt(4), "all-null column: MIN is null, still metadata-answered")
+    assert(!df.queryExecution.executedPlan.toString.contains("FileScan"),
+      s"integer-domain MIN/MAX must not scan:\n${df.queryExecution.executedPlan}")
+    // double column: stats are pruning-safe but not value-exact → scans
+    val d = extSpark.sql("SELECT MAX(v) AS m FROM lake.db.mm")
+    assert(d.head.getDouble(0) === 9.9)
+    assert(d.queryExecution.executedPlan.toString.contains("FileScan"))
+    // filtered MIN scans and stays correct
+    val f = extSpark.sql("SELECT MIN(id) AS m FROM lake.db.mm WHERE id > 3")
+    assert(f.head.getLong(0) === 5L)
+    assert(f.queryExecution.executedPlan.toString.contains("FileScan"))
+  }
+
   test("parser extension passes every stock statement through untouched") {
     // the delegating parser fronts ALL SQL in extensions sessions — only
     // the exact Iceberg DDL shapes may be intercepted
