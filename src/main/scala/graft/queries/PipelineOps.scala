@@ -233,5 +233,40 @@ object PipelineOps {
       |  MAX(CAST(maxc AS DOUBLE) / CAST(tot AS DOUBLE)) AS max_share
       |FROM agg GROUP BY lang ORDER BY lang""".stripMargin)
 
-  def specs: Seq[QuerySpec] = Seq(q36, q37, q38, q39, q40, q41, q42, q43, q47, q48)
+  /** Clickstream conversion funnel (the reference datagen's domain,
+    * datagen.py:28-60): per-user first view → first click → first
+    * purchase ordering, one conditional-MIN aggregate per user then one
+    * scalar rollup — two map-side-combined aggregations, no joins, no
+    * windows. `ts` is epoch-nanos BIGINT Spark-side / epoch_ns() in
+    * DuckDB, so the orderings are exact integer compares. */
+  val q49 = dialect("q49_funnel",
+    sparkSql = """WITH f AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT COUNT(*) AS n_users,
+      |  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+      |  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+      |  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+      |FROM f""".stripMargin,
+    duckSql = """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+      |f AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      |  FROM e GROUP BY user_id)
+      |SELECT COUNT(*) AS n_users,
+      |  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+      |  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+      |  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+      |FROM f""".stripMargin)
+
+  def specs: Seq[QuerySpec] = Seq(q36, q37, q38, q39, q40, q41, q42, q43, q47, q48, q49)
 }
