@@ -268,5 +268,19 @@ object PipelineOps {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
       |FROM f""".stripMargin)
 
-  def specs: Seq[QuerySpec] = Seq(q36, q37, q38, q39, q40, q41, q42, q43, q47, q48, q49)
+  /** Semi-structured extraction (F13's batch shape): pull a typed field
+    * out of the JSON `props` payload and aggregate — JSON decode stays a
+    * fused projection inside the scan, only small typed values reach the
+    * aggregate. */
+  val q50 = dialect("q50_json_extract",
+    sparkSql = """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(MAX(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    duckSql = """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+
+  def specs: Seq[QuerySpec] = Seq(q36, q37, q38, q39, q40, q41, q42, q43, q47, q48, q49, q50)
 }
