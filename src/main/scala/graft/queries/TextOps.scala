@@ -218,30 +218,31 @@ object TextOps {
         .select(col("id_a"), explode(col("ids")).as("id_b"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-      // prefix filter over distinct sets: p = n − ceil(0.9n) + 1
+      // prefix filter over distinct sets: p = n − ceil(0.9n) + 1. The
+      // explode CARRIES the verify payload (ws/n/ids) so candidate pairs
+      // verify inside the prefix join itself — no join back to g (which
+      // would recompute the collapse twice more and add two exchanges).
+      // A pair sharing several prefix tokens is verified per collision
+      // (cheap native intersect) and deduped by (gid_a, gid_b) once.
       val p = col("n") - floor((col("n") * 9 + 9) / 10.0).cast("int") + 1
-      val pref = g.select(col("lang"), col("gid"),
+      val pref = g.select(col("lang"), col("gid"), col("ws"), col("n"), col("ids"),
         explode(slice(col("ws"), lit(1), p)).as("tok"))
-      val cand = pref.select(col("lang"), col("tok"), col("gid").as("gid_a"))
-        .join(pref.select(col("lang"), col("tok"), col("gid").as("gid_b")), Seq("lang", "tok"))
+      val gp = pref.select(col("lang"), col("tok"), col("gid").as("gid_a"),
+          col("ws").as("wa"), col("n").as("na"), col("ids").as("ids_a"))
+        .join(pref.select(col("lang"), col("tok"), col("gid").as("gid_b"),
+          col("ws").as("wb"), col("n").as("nb"), col("ids").as("ids_b")), Seq("lang", "tok"))
         .filter(col("gid_a") < col("gid_b"))
-        .select("gid_a", "gid_b").distinct()
-      // verify candidate SET pairs (sorted-merge intersect; size-ratio
-      // prescreen is a sound implication of J ≥ 0.9), then expand the
-      // qualifying set pairs to doc pairs through the ids arrays —
-      // output-bound work either way
-      val gp = cand
-        .join(g.select(col("gid").as("gid_a"), col("ws").as("wa"), col("n").as("na"),
-          col("ids").as("ids_a")), Seq("gid_a"))
-        .join(g.select(col("gid").as("gid_b"), col("ws").as("wb"), col("n").as("nb"),
-          col("ids").as("ids_b")), Seq("gid_b"))
+        // size-ratio prescreen is a sound implication of J ≥ 0.9
         .filter(col("na") * 10 >= col("nb") * 9 && col("nb") * 10 >= col("na") * 9)
-        .select(col("ids_a"), col("ids_b"),
+        .select(col("gid_a"), col("gid_b"), col("ids_a"), col("ids_b"),
           graft.functions.SortedIntersectCount.count(col("wa"), col("wb")).as("i"),
           col("na"), col("nb"))
-        .select(col("ids_a"), col("ids_b"),
+        .select(col("gid_a"), col("gid_b"), col("ids_a"), col("ids_b"),
           (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
         .filter(col("jaccard") >= 0.9)
+        .groupBy("gid_a", "gid_b")
+        .agg(first("ids_a").as("ids_a"), first("ids_b").as("ids_b"),
+          first("jaccard").as("jaccard"))
       val cross = gp
         .select(explode(col("ids_a")).as("da"), col("ids_b"), col("jaccard"))
         .select(col("da"), explode(col("ids_b")).as("db"), col("jaccard"))
