@@ -613,32 +613,77 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
 
   // ---- refs / time travel / WAP publication (D14-D18) -----------------------
 
-  def createBranch(name: String, at: Option[Long] = None): TableMeta = commit { m =>
-    require(!m.refs.contains(name), s"ref $name exists")
-    val target = at.orElse(m.refs.get(MainBranch).map(_.snapshotId)).getOrElse(
-      throw new IllegalStateException("cannot branch an empty table"))
-    m.copy(refs = m.refs + (name -> Ref(target)))
+  /** `ifNotExists`: no-op (no commit) when a branch of this name already
+    * exists; still errors if the name is taken by a tag. */
+  def createBranch(name: String, at: Option[Long] = None,
+                   ifNotExists: Boolean = false): TableMeta = {
+    val cur = meta
+    cur.refs.get(name) match {
+      case Some(r) if ifNotExists =>
+        require(r.kind != "tag", s"ref $name exists as a tag")
+        cur
+      case _ => commit { m =>
+        if (ifNotExists && m.refs.get(name).exists(_.kind != "tag")) m
+        else {
+          require(!m.refs.contains(name), s"ref $name exists")
+          val target = at.orElse(m.refs.get(MainBranch).map(_.snapshotId)).getOrElse(
+            throw new IllegalStateException("cannot branch an empty table"))
+          m.copy(refs = m.refs + (name -> Ref(target)))
+        }
+      }
+    }
   }
 
-  def dropBranch(name: String): TableMeta = commit { m =>
+  /** `ifExists`: no-op (no commit) when no branch of this name exists.
+    * Without the flag a missing branch is an error; a tag never drops here. */
+  def dropBranch(name: String, ifExists: Boolean = false): TableMeta = {
     require(name != MainBranch, "cannot drop main")
-    m.copy(refs = m.refs - name)
+    val cur = meta
+    cur.refs.get(name) match {
+      case None =>
+        require(ifExists, s"no branch $name")
+        cur
+      case Some(r) =>
+        require(r.kind != "tag", s"$name is a tag; use DROP TAG")
+        commit(m => m.copy(refs = m.refs - name))
+    }
   }
 
   /** Immutable named ref to a snapshot (release/audit marker). Tags are
     * readable via `read(branch = tag)` / SQL `VERSION AS OF 'tag'` but can
-    * never be written to or moved. */
-  def createTag(name: String, snapshotId: Option[Long] = None): TableMeta = commit { m =>
-    require(!m.refs.contains(name), s"ref $name exists")
-    val target = snapshotId.orElse(m.currentSnapshot.map(_.snapshotId)).getOrElse(
-      throw new IllegalStateException("cannot tag an empty table"))
-    require(m.snapshot(target).isDefined, s"no snapshot $target")
-    m.copy(refs = m.refs + (name -> Ref(target, kind = "tag")))
+    * never be written to or moved. `ifNotExists`: no-op when a tag of this
+    * name already exists. */
+  def createTag(name: String, snapshotId: Option[Long] = None,
+                ifNotExists: Boolean = false): TableMeta = {
+    val cur = meta
+    cur.refs.get(name) match {
+      case Some(r) if ifNotExists =>
+        require(r.kind == "tag", s"ref $name exists as a branch")
+        cur
+      case _ => commit { m =>
+        if (ifNotExists && m.refs.get(name).exists(_.kind == "tag")) m
+        else {
+          require(!m.refs.contains(name), s"ref $name exists")
+          val target = snapshotId.orElse(m.currentSnapshot.map(_.snapshotId)).getOrElse(
+            throw new IllegalStateException("cannot tag an empty table"))
+          require(m.snapshot(target).isDefined, s"no snapshot $target")
+          m.copy(refs = m.refs + (name -> Ref(target, kind = "tag")))
+        }
+      }
+    }
   }
 
-  def dropTag(name: String): TableMeta = commit { m =>
-    require(m.refs.get(name).exists(_.kind == "tag"), s"$name is not a tag")
-    m.copy(refs = m.refs - name)
+  /** `ifExists`: no-op (no commit) when no tag of this name exists. */
+  def dropTag(name: String, ifExists: Boolean = false): TableMeta = {
+    val cur = meta
+    cur.refs.get(name) match {
+      case None =>
+        require(ifExists, s"no tag $name")
+        cur
+      case Some(r) =>
+        require(r.kind == "tag", s"$name is not a tag")
+        commit(m => m.copy(refs = m.refs - name))
+    }
   }
 
   /** CALL fast_forward: move ref `name` forward to branch `to`'s head —

@@ -58,18 +58,33 @@ object GraftSqlParser {
   // identifier = dotted parts, each either backquoted or word chars;
   // matched lazily up to the CREATE/DROP keyword
   private val Ddl =
-    """(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))*)\s+(CREATE|DROP)\s+(BRANCH|TAG)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?(`[^`]+`|\w+)\s*(?:AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))*)\s+(CREATE|DROP)\s+(BRANCH|TAG)\s+(?:(IF\s+NOT\s+EXISTS|IF\s+EXISTS)\s+)?(`[^`]+`|\w+)\s*(?:AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
 
-  /** Some(command) when the text is one of the branch/tag DDL shapes. */
+  /** Some(command) when the text is one of the branch/tag DDL shapes.
+    * `IF NOT EXISTS` is only legal on CREATE (no-op when the ref exists),
+    * `IF EXISTS` only on DROP (no-op when the ref is missing); the
+    * mismatched combinations are rejected at parse time like Iceberg's
+    * grammar would. */
   def parseBranchDdl(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
-      case Ddl(ident, verb, kind, ref, version) =>
+      case Ddl(ident, verb, kind, modifier, ref, version) =>
         val refName = if (ref.startsWith("`")) ref.substring(1, ref.length - 1) else ref
+        val isCreate = verb.equalsIgnoreCase("CREATE")
+        val mod = Option(modifier).map(_.replaceAll("\\s+", " ").toUpperCase(java.util.Locale.ROOT))
+        mod.foreach {
+          case "IF NOT EXISTS" if !isCreate => throw new IllegalArgumentException(
+            s"IF NOT EXISTS is not allowed on DROP ${kind.toUpperCase(java.util.Locale.ROOT)}; use IF EXISTS")
+          case "IF EXISTS" if isCreate => throw new IllegalArgumentException(
+            s"IF EXISTS is not allowed on CREATE ${kind.toUpperCase(java.util.Locale.ROOT)}; use IF NOT EXISTS")
+          case _ =>
+        }
         Some(BranchDdlCommand(
           delegate.parseMultipartIdentifier(ident),
           s"${verb.toLowerCase(java.util.Locale.ROOT)}_${kind.toLowerCase(java.util.Locale.ROOT)}",
           refName,
-          Option(version).map(_.toLong)))
+          Option(version).map(_.toLong),
+          ifNotExists = isCreate && mod.isDefined,
+          ifExists = !isCreate && mod.isDefined))
       case _ => None
     }
 
@@ -99,7 +114,9 @@ object GraftSqlParser {
 
 /** Runs a branch/tag DDL against the graft catalog owning the table. */
 case class BranchDdlCommand(nameParts: Seq[String], op: String, ref: String,
-                            snapshotId: Option[Long]) extends LeafRunnableCommand {
+                            snapshotId: Option[Long],
+                            ifNotExists: Boolean = false,
+                            ifExists: Boolean = false) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     val cm = spark.sessionState.catalogManager
@@ -115,10 +132,10 @@ case class BranchDdlCommand(nameParts: Seq[String], op: String, ref: String,
     }
     val t = gc.lake.loadTable(tableParts.mkString("."))
     op match {
-      case "create_branch" => t.createBranch(ref, snapshotId)
-      case "drop_branch" => t.dropBranch(ref)
-      case "create_tag" => t.createTag(ref, snapshotId)
-      case "drop_tag" => t.dropTag(ref)
+      case "create_branch" => t.createBranch(ref, snapshotId, ifNotExists)
+      case "drop_branch" => t.dropBranch(ref, ifExists)
+      case "create_tag" => t.createTag(ref, snapshotId, ifNotExists)
+      case "drop_tag" => t.dropTag(ref, ifExists)
       case other => throw new IllegalStateException(s"unknown branch ddl $other")
     }
     Seq.empty
