@@ -214,6 +214,15 @@ object ImageFeatures {
   /** Max pixels visited per image for the channel means. */
   private val SamplePixels = 1 << 16
 
+  /** Max DECLARED pixels before we refuse to decode at all. The header
+    * dimensions are untrusted input: `reader.read(0)` materializes the
+    * full raster (≥4 bytes/pixel), so a crafted 1 KB PNG declaring
+    * 100k×100k would allocate ~40 GB per row and OOM the executor. The
+    * header width/height are read WITHOUT decoding pixel data; anything
+    * above 64 MP (≈256 MB raster — far beyond any legitimate training
+    * image) returns ok=false instead. */
+  private val MaxPixels = 64L << 20
+
   def decode(bytes: Array[Byte]): InternalRow = {
     val iis =
       try javax.imageio.ImageIO.createImageInputStream(
@@ -227,6 +236,9 @@ object ImageFeatures {
       try {
         reader.setInput(iis, true, true)
         val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+        // header-only dimension probe BEFORE any pixel decode
+        val hdrW = reader.getWidth(0); val hdrH = reader.getHeight(0)
+        if (hdrW <= 0 || hdrH <= 0 || hdrW.toLong * hdrH > MaxPixels) return bad
         val img = reader.read(0)
         if (img == null) return bad
         val w = img.getWidth; val h = img.getHeight

@@ -25,9 +25,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * ties pick the lowest list id (as `greatest(struct(d, -i))` did).
   * Null array → null; null elements contribute 0; zero-norm pairs score
   * below every real cosine (never selected unless all are degenerate).
+  *
+  * Centroids are held as `Seq[Seq[Float]]` — a VALUE-equal type — so two
+  * identically-built expressions are `semanticEquals` and Catalyst's CSE /
+  * plan-cache matching work; an `Array[Array[Float]]` constructor param
+  * would give reference equality and defeat canonicalization. The
+  * `float[][]` needed by eval/codegen is derived lazily and excluded from
+  * equality.
   */
-case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Float]])
     extends UnaryExpression {
+
+  @transient private lazy val matrix: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -40,11 +50,11 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   override def prettyName: String = "nearest_centroid"
 
   override def nullSafeEval(input: Any): Any =
-    NearestCentroid.nearest(input.asInstanceOf[ArrayData], centroids)
+    NearestCentroid.nearest(input.asInstanceOf[ArrayData], matrix)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+      val cRef = ctx.addReferenceObj("centroids", matrix, "float[][]")
       val n = ctx.freshName("n"); val l = ctx.freshName("l")
       val j = ctx.freshName("j"); val c = ctx.freshName("c")
       val m = ctx.freshName("m"); val dot = ctx.freshName("dot")
@@ -104,5 +114,5 @@ object NearestCentroid {
   /** Column-API entry point. */
   def apply(vec: Column, centroids: Seq[Seq[Float]]): Column =
     ColumnBridge.column(NearestCentroid(
-      ColumnBridge.expression(vec), centroids.map(_.toArray).toArray))
+      ColumnBridge.expression(vec), centroids.map(_.toVector).toVector))
 }

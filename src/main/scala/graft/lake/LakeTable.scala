@@ -108,12 +108,19 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   def meta: TableMeta = Meta.fromJson(readFile(versionPath(currentVersion)))
 
   /** Optimistic-concurrency commit: apply `transform` to the latest metadata
-    * and win the race to create the next version file; retry on collision. */
+    * and win the race to create the next version file; retry on collision.
+    *
+    * An identity transform (next == base before the version bump) commits
+    * nothing and returns the base unchanged — so no-op paths (`IF NOT
+    * EXISTS` on an existing ref, dropping a ref a concurrent writer
+    * already removed) never produce spurious metadata versions. */
   private[lake] def commit(transform: TableMeta => TableMeta): TableMeta = {
     var attempts = 0
     while (attempts < 20) {
       val base = meta
-      val next = transform(base).copy(version = base.version + 1)
+      val applied = transform(base)
+      if (applied == base) return base
+      val next = applied.copy(version = base.version + 1)
       if (writeFile(versionPath(next.version), Meta.toJson(next), overwrite = false)) {
         writeFile(hintPath, next.version.toString, overwrite = true)
         lastSeenVersion = math.max(lastSeenVersion, next.version)
@@ -358,7 +365,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     commitReplace(branch, keep.toSeq ++ rewritten, "delete", Map(
       "deleted-data-files" -> drop.size.toString,
       "rewritten-data-files" -> rewrite.size.toString,
-      "metadata-only" -> rewrite.isEmpty.toString), base = snap)
+      "metadata-only" -> rewrite.isEmpty.toString), base = snap,
+      conflictPredicate = Some(p))
   }
 
   /** UPDATE SET — copy-on-write rewrite of files that may match
@@ -385,7 +393,9 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       writeDataFiles(toPhysical(updated, m0.schema), m0)
     }
     commitReplace(branch, untouched ++ rewritten, "overwrite", Map(
-      "rewritten-data-files" -> touched.size.toString), base = snap)
+      "rewritten-data-files" -> touched.size.toString), base = snap,
+      // unconditioned UPDATE touches every row: any concurrent add conflicts
+      conflictPredicate = Some(condition.map(Pruning.translate).getOrElse(Pruning.Unknown)))
   }
 
   /** Equality-field upsert (J2: `MERGE` = anti-join + union, ref:
@@ -419,7 +429,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     commitReplace(branch, untouched ++ survivors ++ inserted, "overwrite",
       extraSummary ++ Map(
         "merge-keys" -> ks.size.toString,
-        "rewritten-data-files" -> touched.size.toString), base = snap)
+        "rewritten-data-files" -> touched.size.toString), base = snap,
+      conflictPredicate = if (ks.isEmpty) None else Some(p))
   }
 
   /** Distributed equality-field upsert: like [[mergeByKey]] but the delete
@@ -458,7 +469,10 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       commitReplace(branch, untouched ++ survivors ++ inserted, "overwrite",
         extraSummary ++ Map(
           "merge-keys" -> nKeys.toString,
-          "rewritten-data-files" -> touched.size.toString), base = snap)
+          "rewritten-data-files" -> touched.size.toString), base = snap,
+        conflictPredicate =
+          if (nKeys == 0) None
+          else Some(Pruning.And(Pruning.GtE(key, r.get(1)), Pruning.LtE(key, r.get(2)))))
     } finally { kd.unpersist(); () }
   }
 
@@ -477,14 +491,34 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * either the old or the new content, never an empty intermediate, and
     * a crash mid-write leaves the table untouched (orphaned files are
     * reclaimed by remove_orphan_files). New rows carry the "app" prefix:
-    * they are newly added data, delivered by streamRead/readIncremental. */
+    * they are newly added data, delivered by streamRead/readIncremental.
+    *
+    * Honors WAP exactly like [[append]]: with `spark.wap.id` set and
+    * `write.wap.enabled=true` the replacement commits as a STAGED snapshot
+    * (current pointer unmoved, invisible to plain reads, auditable via
+    * `VERSION AS OF '<wap.id>'`) and publishes through [[cherrypick]] —
+    * without this an audit pipeline that uses INSERT OVERWRITE would
+    * silently skip its audit gate. */
   def overwrite(df: DataFrame, toBranch: Option[String] = None): TableMeta = {
     val m0 = meta
     val branch = resolveWriteBranch(toBranch)
     val newFiles = writeDataFiles(toPhysical(df, m0.schema), m0, filePrefix = "app")
-    commitReplace(branch, newFiles, "overwrite", Map(
+    val staged = wapId.isDefined &&
+      m0.properties.get("write.wap.enabled").contains("true") && toBranch.isEmpty
+    val summary = Map(
       "added-data-files" -> newFiles.size.toString,
-      "added-records" -> newFiles.map(_.rowCount).sum.toString),
+      "added-records" -> newFiles.map(_.rowCount).sum.toString)
+    if (staged) commit { m =>
+      val parent = m.snapshotFor(branch).orElse(m.currentSnapshot)
+      val snapId = m.lastSnapshotId + 1
+      val snap = Snapshot(snapId, parent.map(_.snapshotId), System.currentTimeMillis(),
+        "overwrite", summary ++ Map(
+          "operation" -> "overwrite",
+          "total-records" -> newFiles.map(_.rowCount).sum.toString) ++
+          wapId.map("wap.id" -> _),
+        newFiles, staged = true)
+      m.copy(snapshots = m.snapshots :+ snap, lastSnapshotId = snapId)
+    } else commitReplace(branch, newFiles, "overwrite", summary,
       base = m0.snapshotFor(branch).orElse(m0.currentSnapshot), strict = true)
   }
 
@@ -507,11 +541,24 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     *     content") aborts on ANY concurrent commit, additions included.
     * `base` is the planned-against snapshot — None means the operation
     * planned against an EMPTY branch (still validated: files appearing
-    * concurrently reconcile or abort like any other divergence). */
+    * concurrently reconcile or abort like any other divergence).
+    *
+    * Isolation level (Iceberg's `delete.isolation-level` analog): the
+    * reconciliation above gives SNAPSHOT isolation — concurrent appends
+    * merge into a row-level operation's commit un-deleted, so a DELETE
+    * can "miss" rows that were appended while it ran. With table property
+    * `commit.isolation=serializable`, a row-level op (the callers that
+    * pass `conflictPredicate`) instead ABORTS when any concurrently added
+    * file's stats overlap its predicate — the outcome is then equal to
+    * some serial order, matching Iceberg's default for DELETE/UPDATE/
+    * MERGE. Overlap is judged by [[Pruning.mayMatch]] on footer stats:
+    * false positives re-plan (safe), false negatives are impossible
+    * (mayMatch over-approximates). */
   private[lake] def commitReplace(branch: String, files: Seq[DataFile], op: String,
                                   extraSummary: Map[String, String],
                                   base: Option[Snapshot],
-                                  strict: Boolean = false): TableMeta =
+                                  strict: Boolean = false,
+                                  conflictPredicate: Option[Pruning.Pred] = None): TableMeta =
     commit { m =>
       require(m.refs.get(branch).forall(_.kind != "tag"), s"cannot write to tag $branch")
       val parent = m.snapshotFor(branch).orElse(m.currentSnapshot)
@@ -528,7 +575,17 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
             s"$op planned against snapshot ${base.map(_.snapshotId).getOrElse(-1L)}; " +
               s"a concurrent commit removed ${removed.size} file(s) it relied on — " +
               "re-plan and retry")
-          files ++ headF.filterNot(f => baseF.contains(f.path))
+          val added = headF.filterNot(f => baseF.contains(f.path))
+          if (m.properties.get("commit.isolation").contains("serializable")) {
+            conflictPredicate.foreach { p =>
+              val conflicting = added.filter(f => Pruning.mayMatch(p, fileBounds(m, f)))
+              if (conflicting.nonEmpty) throw CommitConflictException(
+                s"serializable isolation: ${conflicting.size} file(s) added " +
+                  s"concurrently with this $op may match its predicate — " +
+                  "re-plan and retry")
+            }
+          }
+          files ++ added
         }
       val snapId = m.lastSnapshotId + 1
       val now = System.currentTimeMillis()
@@ -635,7 +692,12 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   }
 
   /** `ifExists`: no-op (no commit) when no branch of this name exists.
-    * Without the flag a missing branch is an error; a tag never drops here. */
+    * Without the flag a missing branch is an error; a tag never drops here.
+    * The kind check re-runs INSIDE the commit transform: the optimistic
+    * retry revalidates against fresh metadata, so a concurrent drop +
+    * recreate-as-tag between the outer read and the commit can never
+    * delete the wrong ref kind (a vanished ref makes the transform an
+    * identity → no-op commit). */
   def dropBranch(name: String, ifExists: Boolean = false): TableMeta = {
     require(name != MainBranch, "cannot drop main")
     val cur = meta
@@ -645,7 +707,14 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         cur
       case Some(r) =>
         require(r.kind != "tag", s"$name is a tag; use DROP TAG")
-        commit(m => m.copy(refs = m.refs - name))
+        commit { m =>
+          m.refs.get(name) match {
+            case None => m // concurrently dropped: nothing left to do
+            case Some(cr) =>
+              require(cr.kind != "tag", s"$name is a tag; use DROP TAG")
+              m.copy(refs = m.refs - name)
+          }
+        }
     }
   }
 
@@ -673,7 +742,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     }
   }
 
-  /** `ifExists`: no-op (no commit) when no tag of this name exists. */
+  /** `ifExists`: no-op (no commit) when no tag of this name exists.
+    * Kind re-asserted inside the transform — see [[dropBranch]]. */
   def dropTag(name: String, ifExists: Boolean = false): TableMeta = {
     val cur = meta
     cur.refs.get(name) match {
@@ -682,7 +752,14 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         cur
       case Some(r) =>
         require(r.kind == "tag", s"$name is not a tag")
-        commit(m => m.copy(refs = m.refs - name))
+        commit { m =>
+          m.refs.get(name) match {
+            case None => m // concurrently dropped: nothing left to do
+            case Some(cr) =>
+              require(cr.kind == "tag", s"$name is not a tag")
+              m.copy(refs = m.refs - name)
+          }
+        }
     }
   }
 
@@ -719,7 +796,15 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
 
   /** CALL cherrypick_snapshot (D18): publish a staged WAP snapshot onto main
     * — metadata-only; re-applies the staged snapshot's added files on top of
-    * the current main (Integrated Audits c37, WAP c52). */
+    * the current main (Integrated Audits c37, WAP c52).
+    *
+    * A staged APPEND commutes with anything main did meanwhile, so its
+    * added files are applied on top of the current main. A staged
+    * OVERWRITE is "table := new content": its file list replaces main's
+    * wholesale, and like the direct overwrite path it refuses to publish
+    * (CommitConflictException) if main moved after the overwrite was
+    * staged — re-run the overwrite against the new state instead of
+    * silently clobbering it. */
   def cherrypick(snapshotId: Long): TableMeta = commit { m =>
     val staged = m.snapshot(snapshotId).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $snapshotId"))
@@ -727,9 +812,17 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       .getOrElse(Set.empty)
     val added = staged.files.filterNot(f => parentFiles.contains(f.path))
     val mainSnap = m.currentSnapshot
+    val isReplace = staged.staged && staged.operation == "overwrite"
+    if (isReplace && mainSnap.map(_.snapshotId) != staged.parentId)
+      throw CommitConflictException(
+        s"staged overwrite $snapshotId planned against snapshot " +
+          s"${staged.parentId.getOrElse(-1L)} but main moved to " +
+          s"${mainSnap.map(_.snapshotId).getOrElse(-1L)} — re-run the overwrite")
     val snapId = m.lastSnapshotId + 1
     val now = System.currentTimeMillis()
-    val files = mainSnap.map(_.files).getOrElse(Seq.empty) ++ added
+    val files =
+      if (isReplace) staged.files
+      else mainSnap.map(_.files).getOrElse(Seq.empty) ++ added
     val snap = Snapshot(snapId, mainSnap.map(_.snapshotId), now, staged.operation,
       staged.summary ++ Map("published-wap-id" -> staged.summary.getOrElse("wap.id", ""),
         "source-snapshot-id" -> snapshotId.toString),
@@ -808,7 +901,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   }
 
   /** CALL rewrite_manifests (D21): in our single-JSON design the manifest IS
-    * the metadata file — rewriting it is a fresh commit of the same state. */
+    * the metadata file — there is nothing to rewrite, so this is a true
+    * no-op (commit() detects the identity transform and writes nothing). */
   def rewriteManifests(): TableMeta = commit(m => m)
 
   /** CALL remove_orphan_files: delete data files on disk that no snapshot

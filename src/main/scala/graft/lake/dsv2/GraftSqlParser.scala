@@ -60,24 +60,35 @@ object GraftSqlParser {
   private val Ddl =
     """(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))*)\s+(CREATE|DROP)\s+(BRANCH|TAG)\s+(?:(IF\s+NOT\s+EXISTS|IF\s+EXISTS)\s+)?(`[^`]+`|\w+)\s*(?:AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
 
+  /** Grammar violations surface as [[ParseException]] — the type every
+    * caller of [[ParserInterface.parsePlan]] already handles — not a bare
+    * IllegalArgumentException escaping the parser. */
+  private def parseError(sqlText: String, msg: String): Nothing =
+    throw new org.apache.spark.sql.catalyst.parser.ParseException(
+      Option(sqlText), org.apache.spark.sql.catalyst.trees.Origin(),
+      "PARSE_SYNTAX_ERROR", Map("error" -> msg, "hint" -> ""))
+
   /** Some(command) when the text is one of the branch/tag DDL shapes.
     * `IF NOT EXISTS` is only legal on CREATE (no-op when the ref exists),
-    * `IF EXISTS` only on DROP (no-op when the ref is missing); the
-    * mismatched combinations are rejected at parse time like Iceberg's
-    * grammar would. */
+    * `IF EXISTS` only on DROP (no-op when the ref is missing), and
+    * `AS OF VERSION` only on CREATE; the illegal combinations are rejected
+    * at parse time like Iceberg's grammar would. */
   def parseBranchDdl(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
       case Ddl(ident, verb, kind, modifier, ref, version) =>
         val refName = if (ref.startsWith("`")) ref.substring(1, ref.length - 1) else ref
         val isCreate = verb.equalsIgnoreCase("CREATE")
+        val kindUp = kind.toUpperCase(java.util.Locale.ROOT)
         val mod = Option(modifier).map(_.replaceAll("\\s+", " ").toUpperCase(java.util.Locale.ROOT))
         mod.foreach {
-          case "IF NOT EXISTS" if !isCreate => throw new IllegalArgumentException(
-            s"IF NOT EXISTS is not allowed on DROP ${kind.toUpperCase(java.util.Locale.ROOT)}; use IF EXISTS")
-          case "IF EXISTS" if isCreate => throw new IllegalArgumentException(
-            s"IF EXISTS is not allowed on CREATE ${kind.toUpperCase(java.util.Locale.ROOT)}; use IF NOT EXISTS")
+          case "IF NOT EXISTS" if !isCreate => parseError(sqlText,
+            s"IF NOT EXISTS is not allowed on DROP $kindUp; use IF EXISTS")
+          case "IF EXISTS" if isCreate => parseError(sqlText,
+            s"IF EXISTS is not allowed on CREATE $kindUp; use IF NOT EXISTS")
           case _ =>
         }
+        if (!isCreate && version != null)
+          parseError(sqlText, s"AS OF VERSION is not allowed on DROP $kindUp")
         Some(BranchDdlCommand(
           delegate.parseMultipartIdentifier(ident),
           s"${verb.toLowerCase(java.util.Locale.ROOT)}_${kind.toLowerCase(java.util.Locale.ROOT)}",
@@ -102,8 +113,7 @@ object GraftSqlParser {
           case TimeTransform(t, c) => (c, t.toLowerCase(java.util.Locale.ROOT))
           case BucketTransform(n, c) => (c, s"bucket[$n]")
           case IdentityField(c) => (c, "identity")
-          case other => throw new IllegalArgumentException(
-            s"unsupported partition transform: $other")
+          case other => parseError(sqlText, s"unsupported partition transform: $other")
         }
         Some(PartitionFieldDdlCommand(
           delegate.parseMultipartIdentifier(ident),

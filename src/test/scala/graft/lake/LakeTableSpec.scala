@@ -701,4 +701,97 @@ class LakeTableSpec extends AnyFunSuite {
     assert(survivors === 2) // only the two February day-partitions
     assert(t.read(filter = Some(col("pickup") >= lit(ts("2022-02-01 00:00:00")))).count() === 2)
   }
+
+  test("WAP: INSERT OVERWRITE stages under wap.id; cherrypick publishes the replacement") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.wapow", taxiSchema,
+      properties = Map("write.wap.enabled" -> "true"))
+    t.append(taxis.limit(3))
+    spark.conf.set("spark.wap.id", "ow-7")
+    try {
+      t.overwrite(taxis.filter(col("vendor_id") > 3))
+      // plain reads still see the pre-overwrite content — audit gate intact
+      assert(t.toDF.count() === 3)
+      val staged = t.meta.snapshots.find(_.staged).get
+      assert(staged.operation === "overwrite")
+      assert(staged.summary("wap.id") === "ow-7")
+      // the audit reads the replacement explicitly
+      assert(t.read(snapshotId = Some(staged.snapshotId)).count() === 2)
+      // publish: a staged overwrite REPLACES main's content wholesale
+      t.cherrypick(staged.snapshotId)
+      assert(t.toDF.select("vendor_id").collect().map(_.getLong(0)).toSet === Set(4L, 5L))
+    } finally spark.conf.unset("spark.wap.id")
+  }
+
+  test("WAP: staged overwrite refuses to publish over a moved main") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.wapow2", taxiSchema,
+      properties = Map("write.wap.enabled" -> "true"))
+    t.append(taxis.limit(3))
+    spark.conf.set("spark.wap.id", "ow-8")
+    val staged = try {
+      t.overwrite(taxis.filter(col("vendor_id") > 3))
+      t.meta.snapshots.find(_.staged).get
+    } finally spark.conf.unset("spark.wap.id")
+    t.append(taxis.limit(1)) // main moves after the overwrite was staged
+    intercept[CommitConflictException](t.cherrypick(staged.snapshotId))
+    assert(t.toDF.count() === 4, "failed publish must leave main untouched")
+  }
+
+  test("serializable isolation: overlapping concurrent append aborts a row-level op") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.iso", taxiSchema)
+    t.append(taxis.filter(col("vendor_id") <= 3))
+    val pred = Pruning.LtE("vendor_id", 2L) // the op's predicate: vendor_id <= 2
+    // default (snapshot isolation): the concurrent append reconciles into
+    // the commit un-deleted — the delete "misses" the new matching row
+    val snap1 = t.meta.currentSnapshot
+    t.append(taxis.filter(col("vendor_id") === 1L)) // concurrent, matches pred
+    t.commitReplace("main", Seq.empty, "delete", Map.empty, base = snap1,
+      conflictPredicate = Some(pred))
+    assert(t.toDF.count() === 1, "snapshot mode reconciles the concurrent append")
+    // serializable: the same race aborts instead
+    t.setProperties(Map("commit.isolation" -> "serializable"))
+    val snap2 = t.meta.currentSnapshot
+    t.append(taxis.filter(col("vendor_id") <= 2)) // concurrent, matches pred
+    intercept[CommitConflictException] {
+      t.commitReplace("main", Seq.empty, "delete", Map.empty, base = snap2,
+        conflictPredicate = Some(pred))
+    }
+    // a NON-overlapping concurrent append still commits in serializable mode
+    val snap3 = t.meta.currentSnapshot
+    t.append(taxis.filter(col("vendor_id") === 5L)) // outside pred's bounds
+    t.commitReplace("main", Seq.empty, "delete", Map.empty, base = snap3,
+      conflictPredicate = Some(pred))
+    assert(t.toDF.select("vendor_id").collect().map(_.getLong(0)).toSeq === Seq(5L))
+    // uncontended row-level ops are unaffected by the property
+    t.delete(col("vendor_id") === 5L)
+    assert(t.toDF.count() === 0)
+  }
+
+  test("no-op ref DDL and identity transforms write no metadata version") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.noop", taxiSchema)
+    t.append(taxis.limit(1))
+    t.createBranch("b1")
+    t.createTag("g1")
+    val v0 = t.meta.version
+    t.createBranch("b1", ifNotExists = true)
+    t.createTag("g1", ifNotExists = true)
+    t.dropBranch("missing", ifExists = true)
+    t.dropTag("missing2", ifExists = true)
+    // identity transform through commit() itself (rewrite_manifests is
+    // commit(m => m) by design)
+    t.rewriteManifests()
+    assert(t.meta.version === v0,
+      "no-op paths must not produce spurious metadata commits")
+    // the flags never mask kind mismatches
+    intercept[Exception](t.createTag("b1", ifNotExists = true))
+    intercept[Exception](t.createBranch("g1", ifNotExists = true))
+    intercept[Exception](t.dropBranch("g1", ifExists = true))
+    intercept[Exception](t.dropTag("b1", ifExists = true))
+    // plain drop of a missing ref still errors
+    intercept[Exception](t.dropBranch("missing"))
+    intercept[Exception](t.dropTag("missing"))
+  }
 }

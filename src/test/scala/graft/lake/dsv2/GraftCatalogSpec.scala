@@ -562,4 +562,87 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("DROP TABLE lake.db.drop1")
     assert(!sql("SHOW TABLES IN lake.db").collect().map(_.getString(1)).contains("drop1"))
   }
+
+  test("branch/tag DDL: IF [NOT] EXISTS idempotent, illegal combos rejected (WAP c16/c60/c71)") {
+    sql("CREATE DATABASE IF NOT EXISTS lake.db")
+    sql("CREATE TABLE lake.db.ine (id BIGINT)")
+    sql("INSERT INTO lake.db.ine VALUES (1), (2)")
+    val cat = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[GraftCatalog]
+    // CREATE … IF NOT EXISTS twice: idempotent AND no spurious commit
+    extSpark.sql("ALTER TABLE lake.db.ine CREATE BRANCH IF NOT EXISTS dev")
+    val vAfterFirst = cat.lake.loadTable("db.ine").meta.version
+    extSpark.sql("ALTER TABLE lake.db.ine CREATE BRANCH IF NOT EXISTS dev")
+    assert(cat.lake.loadTable("db.ine").meta.version === vAfterFirst,
+      "second IF NOT EXISTS must not write a metadata version")
+    extSpark.sql("ALTER TABLE lake.db.ine CREATE TAG IF NOT EXISTS v1")
+    extSpark.sql("ALTER TABLE lake.db.ine CREATE TAG IF NOT EXISTS v1")
+    assert(sql("SELECT name FROM lake.db.ine.refs").collect().map(_.getString(0)).toSet
+      === Set("main", "dev", "v1"))
+    // the flag never masks a name taken by the OTHER ref kind
+    intercept[Exception](extSpark.sql("ALTER TABLE lake.db.ine CREATE TAG IF NOT EXISTS dev"))
+    intercept[Exception](extSpark.sql("ALTER TABLE lake.db.ine CREATE BRANCH IF NOT EXISTS v1"))
+    // DROP … IF EXISTS of a missing ref no-ops; plain drop still errors
+    extSpark.sql("ALTER TABLE lake.db.ine DROP BRANCH IF EXISTS nope")
+    extSpark.sql("ALTER TABLE lake.db.ine DROP TAG IF EXISTS nope")
+    intercept[Exception](extSpark.sql("ALTER TABLE lake.db.ine DROP BRANCH nope"))
+    intercept[Exception](extSpark.sql("ALTER TABLE lake.db.ine DROP TAG nope"))
+    // mismatched modifiers and DROP … AS OF VERSION are grammar violations
+    // → ParseException (the type ParserInterface callers handle), not a
+    // bare IllegalArgumentException out of parsePlan
+    import org.apache.spark.sql.catalyst.parser.ParseException
+    intercept[ParseException](extSpark.sql("ALTER TABLE lake.db.ine CREATE BRANCH IF EXISTS x"))
+    intercept[ParseException](extSpark.sql("ALTER TABLE lake.db.ine CREATE TAG IF EXISTS x"))
+    intercept[ParseException](extSpark.sql("ALTER TABLE lake.db.ine DROP BRANCH IF NOT EXISTS dev"))
+    intercept[ParseException](extSpark.sql("ALTER TABLE lake.db.ine DROP TAG IF NOT EXISTS v1"))
+    intercept[ParseException](extSpark.sql("ALTER TABLE lake.db.ine DROP BRANCH dev AS OF VERSION 1"))
+    // real drops (with and without the flag) still work
+    extSpark.sql("ALTER TABLE lake.db.ine DROP BRANCH IF EXISTS dev")
+    extSpark.sql("ALTER TABLE lake.db.ine DROP TAG v1")
+    assert(sql("SELECT name FROM lake.db.ine.refs").collect().map(_.getString(0)).toSeq
+      === Seq("main"))
+  }
+
+  test("WAP: INSERT OVERWRITE stages under wap.id; cherrypick publishes (Audits c13-c37)") {
+    sql("""CREATE TABLE lake.db.wow (id BIGINT)
+          |TBLPROPERTIES ('write.wap.enabled'='true')""".stripMargin)
+    sql("INSERT INTO lake.db.wow VALUES (1), (2), (3)")
+    spark.conf.set("spark.wap.id", "ow-1")
+    try {
+      sql("INSERT OVERWRITE lake.db.wow VALUES (7), (8)")
+      // the overwrite is staged: plain reads keep the audit gate intact
+      assert(sql("SELECT COUNT(*) FROM lake.db.wow").head.getLong(0) === 3,
+        "INSERT OVERWRITE under WAP must not publish immediately")
+      // the audit resolves it via VERSION AS OF the wap id
+      assert(sql("SELECT COUNT(*) FROM lake.db.wow VERSION AS OF 'ow-1'")
+        .head.getLong(0) === 2)
+      val cat = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[GraftCatalog]
+      val staged = cat.lake.loadTable("db.wow").meta.snapshots.find(_.staged).get
+      sql(s"CALL lake.system.cherrypick_snapshot(table => 'db.wow', snapshot_id => ${staged.snapshotId})")
+      // published overwrite REPLACES the content (not an append)
+      assert(sql("SELECT id FROM lake.db.wow ORDER BY id").collect().map(_.getLong(0)).toSeq
+        === Seq(7L, 8L))
+    } finally spark.conf.unset("spark.wap.id")
+  }
+
+  test("partition-aligned SQL DELETE commits metadata-only: zero files rewritten") {
+    sql("CREATE TABLE lake.db.mdel (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+    sql("""INSERT INTO lake.db.mdel VALUES
+          |(1, TIMESTAMP '2022-01-01 08:00:00'), (2, TIMESTAMP '2022-01-01 09:00:00'),
+          |(3, TIMESTAMP '2022-02-01 08:00:00')""".stripMargin)
+    val cat = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[GraftCatalog]
+    val before = cat.lake.loadTable("db.mdel").meta.currentSnapshot.get.files
+    assert(before.size >= 2, "need one file per day-partition")
+    // the predicate aligns with the hidden day-partition: stats prove the
+    // January file wholly matches, so no data file is read or rewritten
+    sql("DELETE FROM lake.db.mdel WHERE ts < TIMESTAMP '2022-01-15 00:00:00'")
+    val m = cat.lake.loadTable("db.mdel").meta
+    val last = m.snapshots.maxBy(_.snapshotId)
+    assert(last.operation === "delete")
+    assert(last.summary("metadata-only") === "true",
+      s"partition-aligned DELETE must be metadata-only: ${last.summary}")
+    assert(last.summary("rewritten-data-files") === "0")
+    // surviving files are a subset of the pre-delete files — nothing new written
+    assert(last.files.map(_.path).toSet.subsetOf(before.map(_.path).toSet))
+    assert(sql("SELECT id FROM lake.db.mdel").head.getLong(0) === 3L)
+  }
 }

@@ -204,4 +204,49 @@ class MultimodalSpec extends AnyFunSuite {
     val r = spark.sql("SELECT wav_features(media).sample_rate AS sr FROM mm_wav").head
     assert(r.getInt(0) === 8000)
   }
+
+  /** A syntactically valid PNG signature + IHDR declaring `w`×`h` (correct
+    * chunk CRC so ImageIO's header parse succeeds) with no pixel data.
+    * The header is what an adversarial blob controls: ImageIO reports
+    * these dimensions without decoding anything. */
+  def pngHeader(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val body = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(body)
+    d.writeInt(w); d.writeInt(h)
+    d.writeByte(8); d.writeByte(2) // 8-bit depth, truecolor RGB
+    d.writeByte(0); d.writeByte(0); d.writeByte(0)
+    val ihdr = body.toByteArray
+    val typ = "IHDR".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val lenOut = new java.io.DataOutputStream(out)
+    lenOut.writeInt(ihdr.length)
+    out.write(typ); out.write(ihdr)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ); crc.update(ihdr)
+    lenOut.writeInt(crc.getValue.toInt)
+    out.toByteArray
+  }
+
+  test("image_features refuses adversarial dimensions before decoding (64 MP cap)") {
+    import spark.implicits._
+    // a 1 KB blob declaring 30000×30000 would make reader.read(0) allocate
+    // a ~3.6 GB raster per row — the header-only dimension check must
+    // return ok=false without ever reaching the decode
+    val huge = pngHeader(30000, 30000)
+    val rows = Seq((1L, huge), (2L, imageBytes("png", 5, 4, 9, 9, 9)))
+      .toDF("media_id", "media")
+    val f = rows.select(col("media_id"), Multimodal.decodeImage(col("media")).as("f"))
+      .select(col("media_id"), col("f.*")).orderBy("media_id").collect()
+    assert(!f(0).getAs[Boolean]("ok"), "over-cap dimensions must be rejected")
+    // legitimate images still decode
+    assert(f(1).getAs[Boolean]("ok"))
+    assert(f(1).getAs[Int]("width") === 5 && f(1).getAs[Int]("height") === 4)
+    // boundary: a plausible header UNDER the cap passes the dimension gate
+    // (and then fails decode only because there is no pixel data)
+    val underCap = pngHeader(4000, 4000)
+    val g = Seq((1L, underCap)).toDF("media_id", "media")
+      .select(Multimodal.decodeImage(col("media")).as("f")).select(col("f.*")).head
+    assert(!g.getAs[Boolean]("ok"), "truncated body cannot decode — but must not throw")
+  }
 }

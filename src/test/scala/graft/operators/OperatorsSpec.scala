@@ -183,6 +183,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n.head.isNullAt(0))
   }
 
+  test("nearest_centroid canonicalizes: identical constructions are semanticEquals") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cs = Seq(Seq(1f, 0f, 0.5f), Seq(0f, 1f, -0.5f))
+    // two independent constructions (different Seq impls, equal values)
+    val e1 = ColumnBridge.expression(
+      graft.functions.NearestCentroid(col("embedding"), cs))
+    val e2 = ColumnBridge.expression(
+      graft.functions.NearestCentroid(col("embedding"), cs.map(_.toList).toList))
+    // value equality of the centroid matrix → CSE and plan-cache matching
+    // work (an Array[Array[Float]] param gives reference equality and
+    // breaks both)
+    assert(e1 == e2, "equal centroid matrices must compare equal")
+    assert(e1.semanticEquals(e2), "identical expressions must be semanticEquals")
+    // different centroids must NOT compare equal
+    val e3 = ColumnBridge.expression(
+      graft.functions.NearestCentroid(col("embedding"), Seq(Seq(2f, 0f, 0.5f), Seq(0f, 1f, -0.5f))))
+    assert(e1 != e3 && !e1.semanticEquals(e3))
+  }
+
   test("ANN quality gate: recall@10 ≥ 0.8 vs exact kNN at sf0.001 AND sf0.1") {
     // the CORRECTNESS gate is rows-only for q26/q27 (approximate by
     // construction) — this is the quality gate, at the same parameters the
