@@ -1,0 +1,120 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the three heaviest pipelines (q21 MinHash-LSH, q22
+  * exact-Jaccard, q24 embedding near-dup): synthesizes an N× corpus
+  * in-memory by unioning sf0.1 with id-offset copies, runs each query at
+  * 1× and N×, and records wall time + shuffle read/write bytes.
+  *
+  * The point is growth SHAPE, not absolute speed: a candidate-generation
+  * stage that is secretly all-pairs shows ~N² time/shuffle growth here;
+  * the bucketed plans should grow ~linearly. To keep the comparison
+  * honest, each copy's content is made disjoint from the others:
+  *   - documents: every word in copy i > 0 gets a `_ci` suffix
+  *     (regexp_replace), so shingles/word-sets never collide across
+  *     copies. Identical docs WITHIN a copy keep their duplicate
+  *     structure, so per-copy work is the 1× workload exactly.
+  *   - embeddings: labels get a per-copy offset, so the label-blocked
+  *     pairing never crosses copies.
+  * Without this, every original duplicate cluster of size c becomes one
+  * of size N·c and the OUTPUT itself grows ~N² — a property of the data,
+  * not the plan, and it would mask the signal the probe exists to catch.
+  *
+  * Run: sbt "runMain graft.tools.ScaleProbe"  (env: SPARK_GRAFT_SF_DIR,
+  * SPARK_GRAFT_SCALE, SPARK_GRAFT_CPUS). Emits one JSON line per
+  * (query, scale) plus a growth summary; results are recorded in
+  * SCALEPROBE.md next to the bench numbers.
+  */
+object ScaleProbe {
+  private val IdOffset = 10000000L
+
+  def scaledDocuments(spark: SparkSession, copies: Int): DataFrame = {
+    val base = spark.table("documents_base")
+    (1 until copies).foldLeft(base) { (acc, i) =>
+      acc.unionByName(base.select(
+        (col("doc_id") + lit(i * IdOffset)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1_c$i").as("text"),
+        col("lang"), col("source"), col("n_chars")))
+    }
+  }
+
+  def scaledEmbeddings(spark: SparkSession, copies: Int): DataFrame = {
+    val base = spark.table("embeddings_base")
+    (1 until copies).foldLeft(base) { (acc, i) =>
+      acc.unionByName(base.select(
+        (col("vec_id") + lit(i * IdOffset)).as("vec_id"),
+        col("embedding"),
+        (col("label") + lit(i * 100000)).as("label")))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleRead = new AtomicLong(0L)
+    val shuffleWrite = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+
+    graft.Tables.registerAll(spark, sfDir)
+    spark.table("documents").createOrReplaceTempView("documents_base")
+    spark.table("embeddings").createOrReplaceTempView("embeddings_base")
+
+    val probes = Seq("q21_minhash_lsh_pairs", "q22_jaccard_pairs", "q24_embedding_neardup")
+    val results = collection.mutable.Map[(String, Int), (Double, Long, Long, Long)]()
+
+    for (scale <- Seq(1, scaleN)) {
+      scaledDocuments(spark, scale).createOrReplaceTempView("documents")
+      scaledEmbeddings(spark, scale).createOrReplaceTempView("embeddings")
+      for (name <- probes) {
+        val spec = graft.QueryRegistry.byName(name)
+        val t0 = System.nanoTime()
+        val rows = spec.fn(spark, sfDir).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        // listener events drain asynchronously; give the bus a moment
+        // before snapshotting the per-query deltas
+        Thread.sleep(1500)
+        val (r, w) = (shuffleRead.getAndSet(0L), shuffleWrite.getAndSet(0L))
+        results((name, scale)) = (secs, rows, r, w)
+        println(f"""{"query":"$name","scale":$scale,"secs":$secs%.2f,"rows":$rows,""" +
+          f""""shuffle_read_mb":${r / 1e6}%.1f,"shuffle_write_mb":${w / 1e6}%.1f}""")
+      }
+    }
+
+    println(s"""{"summary":"growth ${scaleN}x vs 1x (sub-quadratic bar: ratio << ${scaleN * scaleN})"}""")
+    for (name <- probes) {
+      val (s1, r1, sr1, _) = results((name, 1))
+      val (sn, rn, srn, _) = results((name, scaleN))
+      val tRatio = sn / s1
+      // a sub-MB 1x baseline means the small run broadcast instead of
+      // shuffling — a ratio against ~zero is noise, report absolutes
+      val sRatio = if (sr1 >= 1000000L) f"${srn.toDouble / sr1}%.1f"
+                   else f""""${sr1 / 1e6}%.1fMB->${srn / 1e6}%.1fMB""""
+      println(f"""{"query":"$name","time_ratio":$tRatio%.1f,"shuffle_read_ratio":$sRatio,""" +
+        f""""rows_1x":$r1,"rows_${scaleN}x":$rn,"subquadratic":${tRatio < scaleN * scaleN}}""")
+    }
+    spark.stop()
+  }
+}
