@@ -348,6 +348,44 @@ class LakeTableSpec extends AnyFunSuite {
     assert(byId.size === 8)
   }
 
+  test("concurrent ref DDL: racing branch/tag creates resolve to one ref, one commit") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.refrace", taxiSchema)
+    t.append(taxis)
+    val v0 = t.meta.version
+    // 4 threads CREATE BRANCH IF NOT EXISTS audit + 4 threads CREATE TAG
+    // IF NOT EXISTS audit, all racing on fresh handles. Exactly one kind
+    // can win the name; same-kind losers must no-op WITHOUT a spurious
+    // version write (identity-transform skip), cross-kind losers must
+    // fail loudly (never silently repoint or delete the other kind).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val outcomes = try {
+      val futures = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String = {
+            val h = cat.loadTable("nyc.refrace")
+            try {
+              if (i % 2 == 0) { h.createBranch("audit", ifNotExists = true); "branch" }
+              else { h.createTag("audit", ifNotExists = true); "tag" }
+            } catch { case _: IllegalArgumentException => "rejected" }
+          }
+        })
+      }
+      futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val fresh = cat.loadTable("nyc.refrace")
+    val ref = fresh.meta.refs.get("audit")
+    assert(ref.isDefined, "exactly one ref named audit must exist")
+    val winner = if (ref.get.kind == "tag") "tag" else "branch"
+    // every thread of the winning kind succeeds (idempotent no-op);
+    // every thread of the losing kind is rejected
+    assert(outcomes.count(_ == winner) === 4)
+    assert(outcomes.count(_ == "rejected") === 4)
+    // one real commit: no-op paths must not have written version files
+    assert(fresh.meta.version === v0 + 1,
+      s"expected exactly one version bump, got ${fresh.meta.version - v0}")
+  }
+
   test("mixed concurrency: appends + conflict-retried merges, nothing lost") {
     val cat = freshCatalog()
     val t = cat.createTable("nyc.mixed", taxiSchema)
