@@ -33,15 +33,21 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   private val IdOffset = 10000000L
 
-  def scaledDocuments(spark: SparkSession, copies: Int): DataFrame = {
+  /** The i-th content-disjoint copy of the base documents (i = 0 is the
+    * base itself): ids offset per copy, every word suffixed per copy so
+    * vocabularies never collide across copies. */
+  def docCopy(spark: SparkSession, i: Int): DataFrame = {
     val base = spark.table("documents_base")
-    (1 until copies).foldLeft(base) { (acc, i) =>
-      acc.unionByName(base.select(
-        (col("doc_id") + lit(i * IdOffset)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"$$1_c$i").as("text"),
-        col("lang"), col("source"), col("n_chars")))
-    }
+    if (i == 0) base
+    else base.select(
+      (col("doc_id") + lit(i * IdOffset)).as("doc_id"),
+      regexp_replace(col("text"), "(\\S+)", s"$$1_c$i").as("text"),
+      col("lang"), col("source"), col("n_chars"))
   }
+
+  def scaledDocuments(spark: SparkSession, copies: Int): DataFrame =
+    (1 until copies).foldLeft(docCopy(spark, 0))((acc, i) =>
+      acc.unionByName(docCopy(spark, i)))
 
   def scaledEmbeddings(spark: SparkSession, copies: Int): DataFrame = {
     val base = spark.table("embeddings_base")
@@ -101,6 +107,28 @@ object ScaleProbe {
         println(f"""{"query":"$name","scale":$scale,"secs":$secs%.2f,"rows":$rows,""" +
           f""""shuffle_read_mb":${r / 1e6}%.1f,"shuffle_write_mb":${w / 1e6}%.1f}""")
       }
+    }
+
+    // lake-merge growth: a FIXED 500-key changelog merged into a table of
+    // 1x vs Nx copies (appended per copy, so data-file key bounds are
+    // per-copy). The claim under test: per-batch merge cost scales with
+    // the changelog, not the table — bounds pruning must keep the
+    // rewritten-file count IDENTICAL at both scales and wall time ~flat.
+    for (scale <- Seq(1, scaleN)) {
+      val cat = new graft.lake.LakeCatalog(spark,
+        java.nio.file.Files.createTempDirectory(s"graft-probe-$scale").toString)
+      val t = cat.createTable(s"probe.docs$scale",
+        spark.table("documents_base").schema)
+      (0 until scale).foreach(i => t.append(docCopy(spark, i)))
+      val batch = docCopy(spark, 0).filter(col("doc_id") < 500)
+        .withColumn("text", concat(col("text"), lit(" upd")))
+      val t0 = System.nanoTime()
+      val committed = t.mergeByKeys("doc_id", batch, batch)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rewritten = committed.currentSnapshot
+        .flatMap(_.summary.get("rewritten-data-files")).getOrElse("?")
+      println(f"""{"probe":"lake_merge","table_copies":$scale,"secs":$secs%.2f,""" +
+        f""""batch_keys":500,"rewritten_files":$rewritten,"table_rows":${t.toDF.count()}}""")
     }
 
     println(s"""{"summary":"growth ${scaleN}x vs 1x (sub-quadratic bar: ratio << ${scaleN * scaleN})"}""")
