@@ -139,6 +139,16 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   private def wapId: Option[String] = confOpt("spark.wap.id")
   private def wapBranch: Option[String] = confOpt("spark.wap.branch")
 
+  /** Iceberg rejects a session that sets BOTH `spark.wap.id` and
+    * `spark.wap.branch` (the two route writes to different places — a
+    * staged unpublished snapshot vs a named branch — and silently
+    * preferring one would skip the other's audit path). Enforced at every
+    * write when the table has WAP enabled, like SparkWriteConf does. */
+  private def requireWapUnambiguous(m: TableMeta): Unit =
+    require(!(m.properties.get("write.wap.enabled").contains("true") &&
+        wapId.isDefined && wapBranch.isDefined),
+      "cannot set both spark.wap.id and spark.wap.branch")
+
   private def resolveWriteBranch(explicit: Option[String]): String =
     explicit.orElse(wapBranch).getOrElse(MainBranch)
 
@@ -227,6 +237,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * to that branch. */
   def append(df: DataFrame, toBranch: Option[String] = None): TableMeta = {
     val m0 = meta
+    requireWapUnambiguous(m0)
     val newFiles = writeDataFiles(toPhysical(df, m0.schema), m0, filePrefix = "app")
     val staged = wapId.isDefined &&
       m0.properties.get("write.wap.enabled").contains("true") && toBranch.isEmpty
@@ -501,6 +512,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * silently skip its audit gate. */
   def overwrite(df: DataFrame, toBranch: Option[String] = None): TableMeta = {
     val m0 = meta
+    requireWapUnambiguous(m0)
     val branch = resolveWriteBranch(toBranch)
     val newFiles = writeDataFiles(toPhysical(df, m0.schema), m0, filePrefix = "app")
     val staged = wapId.isDefined &&

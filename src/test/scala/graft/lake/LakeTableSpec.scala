@@ -761,6 +761,32 @@ class LakeTableSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.wap.id")
   }
 
+  test("WAP: setting both spark.wap.id and spark.wap.branch is rejected") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.wapdual", taxiSchema,
+      properties = Map("write.wap.enabled" -> "true"))
+    t.append(taxis.limit(2))
+    spark.conf.set("spark.wap.id", "job-1")
+    spark.conf.set("spark.wap.branch", "etl")
+    try {
+      val e1 = intercept[IllegalArgumentException](t.append(taxis.limit(1)))
+      assert(e1.getMessage.contains("spark.wap.id"))
+      val e2 = intercept[IllegalArgumentException](t.overwrite(taxis.limit(1)))
+      assert(e2.getMessage.contains("spark.wap.branch"))
+      assert(t.toDF.count() === 2, "an ambiguous WAP write must change nothing")
+    } finally { spark.conf.unset("spark.wap.id"); spark.conf.unset("spark.wap.branch") }
+    // either conf alone still works
+    spark.conf.set("spark.wap.branch", "etl")
+    try {
+      t.createBranch("etl")
+      t.append(taxis.limit(1))
+      // wap.branch routes BOTH reads and writes to the branch (D16)
+      assert(t.toDF.count() === 3, "session reads follow wap.branch")
+      assert(t.read(branch = Some("main")).count() === 2,
+        "branch-routed write stays off main")
+    } finally spark.conf.unset("spark.wap.branch")
+  }
+
   test("WAP: staged overwrite refuses to publish over a moved main") {
     val cat = freshCatalog()
     val t = cat.createTable("nyc.wapow2", taxiSchema,
