@@ -155,6 +155,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q42: range join is a bin-bucketed equi-join, not a nested loop") {
+    // naive point BETWEEN lo AND hi has no equi-key and plans as
+    // BroadcastNestedLoopJoin — quadratic comparisons. Bin bucketing gives
+    // the join an equi-key (bin id); the BETWEEN survives only as a
+    // post-join filter.
+    val p = planOf("q42_range_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q44: batch knn broadcasts the query side and group-limits the top-k") {
     val p = planOf("q44_knn_join")
     assert(!p.contains("SortMergeJoin"), s"query batch must broadcast, not shuffle:\n$p")
