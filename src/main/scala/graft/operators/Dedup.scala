@@ -174,4 +174,46 @@ object Dedup {
           .distinct()
     }
   }
+
+  /** Near-dup CLUSTER resolution: candidate pairs → connected components,
+    * labeling every member with the minimum doc id of its component (the
+    * canonical survivor a dedup pipeline keeps). Min-label propagation:
+    * each round every node takes the min of its own and its neighbors'
+    * labels, iterated to fixpoint — the standard scalable CC loop (one
+    * shuffle join + partial-aggregated min per round, nothing driver-side
+    * but the converged? count). Rounds needed = component diameter, and
+    * near-dup components are shallow (dup clusters are cliques or near-
+    * cliques from banded candidate generation), so the loop is O(log n)
+    * rounds in practice; `maxIter` is a safety bound, not a tuning knob.
+    * Each round persists its labels and unpersists the previous so lineage
+    * stays flat. Only docs appearing in some pair are labeled (singletons
+    * are their own cluster by definition — callers left-anti or coalesce). */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy("src").agg(min("label").as("nl"))
+      val next = labels
+        .join(neighborMin.select(col("src").as("id"), col("nl")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .persist()
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

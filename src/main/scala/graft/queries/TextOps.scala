@@ -264,5 +264,36 @@ object TextOps {
       |WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.9
       |ORDER BY id_a, id_b""".stripMargin)
 
-  def specs: Seq[QuerySpec] = Seq(q16, q17, q18, q19, q20, q21, q22)
+  /** Near-dup cluster resolution (the step after pair generation in every
+    * dedup pipeline): connected components over the q21 LSH pair graph,
+    * each doc labeled with the min doc id of its component — the canonical
+    * survivor. Spark side is [[graft.operators.Dedup.connectedComponents]]
+    * (min-label propagation, one shuffle join per round, rounds = component
+    * diameter); the DuckDB oracle computes min-reachable-id with a
+    * recursive CTE over the same pair set, so the equivalence proven is
+    * exact component structure, not just counts. */
+  val q51 = plan("q51_dup_clusters",
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val pairs = q21.fn(s, dir)
+      graft.operators.Dedup.connectedComponents(pairs)
+        .select(col("id").cast("long").as("doc_id"),
+          col("label").cast("long").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+    duckSql = s"""WITH RECURSIVE pairs AS (
+      |${q21.oracle.get}
+      |),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION
+      |  SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT rc.id, e.dst FROM reach rc JOIN edges e ON rc.r = e.src)
+      |SELECT id AS doc_id, MIN(r) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+
+  def specs: Seq[QuerySpec] = Seq(q16, q17, q18, q19, q20, q21, q22, q51)
 }

@@ -266,6 +266,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(spread.map(_.getLong(1)).max < 10000, "no single bucket holds the whole key")
   }
 
+  test("connected components label every member with its component's min id") {
+    import spark.implicits._
+    // a 6-node chain (diameter 5 — forces several propagation rounds),
+    // a separate pair, and a duplicate/reversed edge that must not matter
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (20L, 21L), (21L, 20L), (10L, 11L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L, 15L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("IVF assign + probe returns the aligned cluster") {
     val (assigned, centroids) = Similarity.ivfAssign(embeddings, nlist = 2)
     assert(centroids.size === 2)
