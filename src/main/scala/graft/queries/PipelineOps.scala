@@ -282,5 +282,101 @@ object PipelineOps {
       |  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 
-  def specs: Seq[QuerySpec] = Seq(q36, q37, q38, q39, q40, q41, q42, q43, q47, q48, q49, q50)
+  /** Domain mixing weights (the sampling-weight table a pretraining run
+    * feeds its data loader): per-source doc/token counts and an
+    * alpha=0.5 smoothed weight w_s = sqrt(tokens_s) / Σ sqrt(tokens_s)
+    * — upsamples small sources relative to proportional mixing.
+    *
+    * Determinism note: the sqrt weights are DOUBLEs, and a windowed
+    * SUM(double) adds in engine-specific order — so each sqrt is cast
+    * to DECIMAL(18,6) first and the normalizing sum runs in exact
+    * decimal arithmetic (order-independent), then converts to double
+    * once for the final ratio. Bit-identical across Spark and DuckDB.
+    *
+    * Scale shape: one map-side-combined aggregate over documents (the
+    * token count is a fused projection), then a 20-row window — the
+    * whole normalization happens on rows-per-source, never per-doc. */
+  val q53 = dialect("q53_domain_mix",
+    sparkSql = """WITH s AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(size(split(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(SQRT(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sw
+      |  FROM s)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(sw AS DOUBLE) / CAST(SUM(sw) OVER () AS DOUBLE) AS mix_weight
+      |FROM w ORDER BY source""".stripMargin,
+    duckSql = """WITH s AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(SQRT(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sw
+      |  FROM s)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(sw AS DOUBLE) / CAST(SUM(sw) OVER () AS DOUBLE) AS mix_weight
+      |FROM w ORDER BY source""".stripMargin)
+
+  /** Sessionization (gap-based): split each user's event stream into
+    * sessions wherever the gap to the previous event exceeds 12 h, then
+    * roll up per-user session stats. The batch twin of the streaming
+    * session-window operator; all arithmetic is exact epoch-MICROS
+    * BIGINT (each engine truncates its own timestamps per-event —
+    * `ts DIV 1000` on Spark's nanos, `epoch_us` in DuckDB — because
+    * DuckDB reads parquet TIMESTAMP(NANOS) at µs precision, so nanos
+    * would diverge in the last three digits).
+    *
+    * Scale shape: LAG and the running SUM share PARTITION BY user_id
+    * ORDER BY (ts, event_id), so both window functions ride ONE
+    * exchange; the (user_id, sess) and user_id group-bys are satisfied
+    * by that same hash-partitioning (Spark's ClusteredDistribution is
+    * subset-closed) — one data shuffle end-to-end, never a global sort.
+    * PlanSpec gates the exchange count. */
+  val q54 = dialect("q54_sessionize",
+    sparkSql = """WITH e AS (
+      |  SELECT user_id, event_id, ts DIV 1000 AS ts FROM events),
+      |o AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      > 43200000000 THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM o),
+      |g AS (
+      |  SELECT user_id, sess, COUNT(*) AS n_ev, MAX(ts) - MIN(ts) AS dur_us
+      |  FROM s GROUP BY user_id, sess)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+      |  CAST(MAX(n_ev) AS BIGINT) AS max_session_events,
+      |  CAST(MAX(dur_us) AS BIGINT) AS max_session_dur_us
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    duckSql = """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts FROM events),
+      |o AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      > 43200000000 THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM o),
+      |g AS (
+      |  SELECT user_id, sess, COUNT(*) AS n_ev, MAX(ts) - MIN(ts) AS dur_us
+      |  FROM s GROUP BY user_id, sess)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+      |  CAST(MAX(n_ev) AS BIGINT) AS max_session_events,
+      |  CAST(MAX(dur_us) AS BIGINT) AS max_session_dur_us
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)
+
+  def specs: Seq[QuerySpec] =
+    Seq(q36, q37, q38, q39, q40, q41, q42, q43, q47, q48, q49, q50, q53, q54)
 }

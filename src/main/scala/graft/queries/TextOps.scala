@@ -295,5 +295,40 @@ object TextOps {
       |SELECT id AS doc_id, MIN(r) AS cluster_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
 
-  def specs: Seq[QuerySpec] = Seq(q16, q17, q18, q19, q20, q21, q22, q51)
+  /** Duplicate-n-gram fraction per doc (the Gopher/RefinedWeb corpus
+    * quality measure): share of a doc's distinct 3-word shingles that
+    * also occur in at least one OTHER document. Docs assembled from
+    * boilerplate score high and are dropped by a training-data filter.
+    *
+    * Scale shape: document frequency comes from a count window
+    * PARTITIONed BY shingle over the doc-distinct shingle set — ONE
+    * shuffle keyed by shingle (each partition is one shingle's posting
+    * list, bounded), then one group-by doc_id that rides the same
+    * exchange-free path windows allow. No self-join of the shingle
+    * table, no driver state. At 100 TB the only change is keying the
+    * shuffle by xxhash64(shingle) to narrow the exchange — semantics
+    * identical. */
+  val q52 = dialect("q52_dup_ngram_frac",
+    sparkSql = s"""WITH g AS (
+      |$sparkShingles),
+      |d AS (SELECT DISTINCT doc_id, sh FROM g),
+      |w AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY sh) AS df FROM d)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+      |FROM w GROUP BY doc_id
+      |ORDER BY dup_frac DESC, doc_id LIMIT 100""".stripMargin,
+    duckSql = s"""WITH g AS (
+      |$duckShingles),
+      |d AS (SELECT DISTINCT doc_id, sh FROM g),
+      |w AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY sh) AS df FROM d)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+      |FROM w GROUP BY doc_id
+      |ORDER BY dup_frac DESC, doc_id LIMIT 100""".stripMargin)
+
+  def specs: Seq[QuerySpec] = Seq(q16, q17, q18, q19, q20, q21, q22, q51, q52)
 }

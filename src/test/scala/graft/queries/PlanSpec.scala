@@ -178,6 +178,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q52: dup-ngram fraction joins nothing — df via window, top-k via TakeOrdered") {
+    val p = planOf("q52_dup_ngram_frac")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"document frequency must come from a window, not a shingle self-join:\n$p")
+  }
+
+  test("q54: sessionize rides ONE data shuffle — windows and both group-bys share it") {
+    val p = planOf("q54_sessionize")
+    // 2 Exchange nodes max (each named twice in formatted output: tree +
+    // detail): the user_id hash exchange + the final ORDER BY range
+    // exchange. A third would mean the (user_id, sess) or user_id
+    // group-by failed to reuse the window's partitioning.
+    assert("Exchange".r.findAllIn(p).size <= 4,
+      s"sessionize must not re-shuffle between windows and group-bys:\n$p")
+    assert("Window".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("whole-stage codegen covers the relational queries' hot path") {
     val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
     df.collect() // AQE finalizes (and codegens) the plan only on execution
