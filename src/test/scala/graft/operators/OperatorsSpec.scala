@@ -281,6 +281,32 @@ class OperatorsSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components match a union-find oracle on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val m = n / 2 + rnd.nextInt(2 * n)
+      val edges = Seq.fill(m) {
+        val a = rnd.nextInt(n).toLong; var b = rnd.nextInt(n).toLong
+        if (a == b) b = (b + 1) % n
+        (a, b)
+      }
+      // driver-side union-find oracle (test-only)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val expected = touched.map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial: n=$n m=$m")
+    }
+  }
+
   test("IVF assign + probe returns the aligned cluster") {
     val (assigned, centroids) = Similarity.ivfAssign(embeddings, nlist = 2)
     assert(centroids.size === 2)
