@@ -309,8 +309,41 @@ object Relational {
       |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
       |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin)
 
+  /** Trailing 7-day moving average of event value over the daily series —
+    * the RANGE-frame window shape (frame bounds in VALUE units, not row
+    * counts, so gap days genuinely age out of the frame). Daily revenue
+    * aggregates exactly in DECIMAL(18,2) (the testdata's value doubles
+    * are 2-decimal), the frame sums decimals (order-independent), and the
+    * average divides as double once at the end — bit-identical vs DuckDB.
+    *
+    * Scale shape: events collapse to per-DAY rows in a map-side-combined
+    * aggregate before any window; the single-partition RANGE window then
+    * runs over rows-per-day (bounded by the calendar, not the data). Day
+    * bucketing runs on epoch-µs in BOTH engines (ts DIV 1000 Spark-side)
+    * so a row within 1 µs of midnight cannot bucket differently. */
+  val q55 = dialect("q55_moving_avg",
+    sparkSql = """WITH daily AS (
+      |  SELECT (ts DIV 1000) DIV 86400000000 AS day,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS rev, COUNT(*) AS n_ev
+      |  FROM events GROUP BY 1)
+      |SELECT day, CAST(rev AS DOUBLE) AS rev, n_ev,
+      |  CAST(SUM(rev) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(SUM(n_ev) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS avg_value_7d
+      |FROM daily ORDER BY day""".stripMargin,
+    duckSql = """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS rev, COUNT(*) AS n_ev
+      |  FROM events GROUP BY 1)
+      |SELECT day, CAST(rev AS DOUBLE) AS rev, n_ev,
+      |  CAST(SUM(rev) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(SUM(n_ev) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS avg_value_7d
+      |FROM daily ORDER BY day""".stripMargin)
+
   val flagship: QuerySpec = q04
 
   def specs: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q28, q29, q30, q34, q35, q45, q46)
+    q09, q10, q11, q12, q13, q14, q15, q28, q29, q30, q34, q35, q45, q46,
+    q55)
 }

@@ -330,5 +330,46 @@ object TextOps {
       |FROM w GROUP BY doc_id
       |ORDER BY dup_frac DESC, doc_id LIMIT 100""".stripMargin)
 
-  def specs: Seq[QuerySpec] = Seq(q16, q17, q18, q19, q20, q21, q22, q51, q52)
+  /** TF-IDF-style characteristic terms per source: tf = docs in the
+    * source containing the term (token set per doc, so boilerplate
+    * repetition inside one doc doesn't inflate it), df = docs anywhere
+    * containing it, score = tf·N/df in INTEGER arithmetic (`DIV`) — the
+    * ranking survives engine float differences because no float ever
+    * exists. Top-5 per source via row_number (WindowGroupLimit pushdown).
+    *
+    * Scale shape: doc-distinct tokens explode once; tf and df are two
+    * map-side-combined aggregates; the tf⋈df equi-join shuffles on the
+    * term; the scalar doc count broadcasts. Vocabulary-sized keys
+    * throughout — nothing driver-side, no per-doc state. */
+  val q56 = dialect("q56_tfidf_terms",
+    sparkSql = """WITH tok AS (
+      |  SELECT doc_id, source, explode(array_distinct(split(lower(text), '\\s+'))) AS w
+      |  FROM documents),
+      |tf AS (SELECT source, w, COUNT(*) AS tf FROM tok GROUP BY source, w),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |r AS (
+      |  SELECT source, w, tf, df, tf * n_docs DIV df AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY tf * n_docs DIV df DESC, w) AS rk
+      |  FROM tf JOIN df USING (w) CROSS JOIN nd)
+      |SELECT source, w AS term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |  CAST(score AS BIGINT) AS score
+      |FROM r WHERE rk <= 5 ORDER BY source, score DESC, term""".stripMargin,
+    duckSql = """WITH tok AS (
+      |  SELECT doc_id, source, unnest(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS w
+      |  FROM documents),
+      |tf AS (SELECT source, w, COUNT(*) AS tf FROM tok GROUP BY source, w),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |r AS (
+      |  SELECT source, w, tf, df, tf * n_docs // df AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY tf * n_docs // df DESC, w) AS rk
+      |  FROM tf JOIN df USING (w) CROSS JOIN nd)
+      |SELECT source, w AS term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |  CAST(score AS BIGINT) AS score
+      |FROM r WHERE rk <= 5 ORDER BY source, score DESC, term""".stripMargin)
+
+  def specs: Seq[QuerySpec] = Seq(q16, q17, q18, q19, q20, q21, q22, q51, q52, q56)
 }

@@ -198,6 +198,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q56: tf-idf top-5 pushes the group limit; scalar doc count broadcasts") {
+    val p = planOf("q56_tfidf_terms")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-5 per source must push the window group limit:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row doc count must broadcast, not cartesian:\n$p")
+  }
+
   test("whole-stage codegen covers the relational queries' hot path") {
     val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
     df.collect() // AQE finalizes (and codegens) the plan only on execution
