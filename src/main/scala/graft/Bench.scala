@@ -28,14 +28,22 @@ object Bench {
     // code; the median of 5 is stable enough that two consecutive bench
     // invocations agree on the headline total within a few percent
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
+    // NonFatal only: an OOM-poisoned JVM must fail the bench loudly, not
+    // keep "timing" queries in a degraded heap
+    import scala.util.control.NonFatal
     val results = QueryRegistry.all.filter(_.bench).map { spec =>
       // one untimed warmup absorbs codegen compilation + C2 JIT of the
       // generated classes (q19's wide IN-list projection measured 1.8-3.2s
       // cold vs 0.40s steady-state); the median then sits on warm runs
-      try spec.fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try spec.fn(spark, sfDir).count() catch { case NonFatal(_) => () }
+      var failed = false
       val times = (1 to runs).map { i =>
         val t0 = System.nanoTime()
-        val n = try spec.fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        val n = try spec.fn(spark, sfDir).count() catch { case NonFatal(e) =>
+          failed = true
+          System.err.println(s"[bench] ${spec.name} run=$i FAILED: ${e.getMessage}")
+          -1L
+        }
         val s = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] ${spec.name} run=$i rows=$n $s%.2f s")
         s
@@ -44,26 +52,32 @@ object Bench {
         if (times.size % 2 == 1) times(times.size / 2)
         else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
       val spreadPct = if (median > 0) (times.last - times.head) / median * 100 else 0.0
-      (spec.name, median, times.head, spreadPct)
+      (spec.name, median, times.head, spreadPct, failed)
     }
-    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
+    // a permanently-failing query times out in microseconds — summing its
+    // near-zero "median" would make the bench look FASTER after a breaking
+    // change. Report failures in their own field, excluded from the totals.
+    val (ok, bad) = results.partition(!_._5)
+    val failedJson = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val qs = ok.map { case (k, med, _, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val bests = results.map { case (k, _, b, _) => "\"" + k + "\":" + b }
+    val bests = ok.map { case (k, _, b, _, _) => "\"" + k + "\":" + b }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val bestTotal = results.map(_._3).sum
+    val total = ok.map(_._2).sum
+    val bestTotal = ok.map(_._3).sum
     // median over queries of per-query (max-min)/median: the measurement
     // precision WITHIN this JVM. Cross-invocation totals additionally move
     // ~10% from per-JVM JIT/codegen differences (measured on byte-identical
     // code); a cross-round delta is only a regression if it clears both.
-    val spreads = results.map(_._4).sorted
+    val spreads = ok.map(_._4).sorted
     val noisePct = if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2)
     // measured ANN quality at this scale factor, reported next to the
     // timings (recall@10 vs exact kNN at the registered q26/q27 params)
     val recall = queries.VectorOps.annRecall(spark, sfDir)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failedField = if (bad.isEmpty) "" else s""""failed":$failedJson,"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""runs_per_query":$runs,"best_total":$bestTotal,""" +
+      s""""runs_per_query":$runs,"best_total":$bestTotal,$failedField""" +
       f""""within_run_spread_pct":$noisePct%.1f,"queries_best":$bests,""" +
       s""""setup":{"build_ivf_index":$setupSecs},"recall":$recall,"sf":"$sfDir"}""")
     spark.stop()

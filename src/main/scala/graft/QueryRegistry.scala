@@ -58,17 +58,25 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  private val registered = new ConcurrentHashMap[String, Boolean]()
+  // session -> dir CURRENTLY backing the views. The view names are shared
+  // ("documents" etc.), so memoizing per (session, dir) is wrong: after
+  // registerAll(s, sf0.01), a later registerAll(s, sf0.001) would be
+  // skipped as "already registered" and silently read the WRONG scale
+  // factor. Re-register whenever the requested dir differs.
+  private val registered = new ConcurrentHashMap[String, String]()
 
-  /** Register all testdata tables as temp views, once per (session, dir). */
+  /** Register all testdata tables as temp views; idempotent per dir,
+    * re-points the views when the same session switches dirs. */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    val key = System.identityHashCode(spark) + "|" + dir
-    registered.computeIfAbsent(key, { _ =>
-      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-      // native SQL functions (cosine_sim, quantized_dot) ride along so
-      // dialect() query text can use them
-      functions.GraftExtensions.register(spark)
-      true
+    val key = System.identityHashCode(spark).toString
+    registered.compute(key, { (_, prev) =>
+      if (prev != dir) {
+        names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+        // native SQL functions (cosine_sim, quantized_dot) ride along so
+        // dialect() query text can use them
+        functions.GraftExtensions.register(spark)
+      }
+      dir
     })
     ()
   }

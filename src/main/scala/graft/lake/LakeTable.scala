@@ -354,6 +354,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * matches (Getting Started.ipynb c20), copy-on-write otherwise (c21/23). */
   def delete(condition: Column): TableMeta = {
     val m0 = meta
+    requireWapUnambiguous(m0)
     val branch = resolveWriteBranch(None)
     val snap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
     val all = snap.map(_.files).getOrElse(Seq.empty)
@@ -384,6 +385,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * (Getting Started.ipynb c18). */
   def update(assignments: Map[String, Column], condition: Option[Column] = None): TableMeta = {
     val m0 = meta
+    requireWapUnambiguous(m0)
     val branch = resolveWriteBranch(None)
     val snap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
     val all = snap.map(_.files).getOrElse(Seq.empty)
@@ -422,6 +424,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     // via the coalesce below.
     val ks = keys.filter(_ != null)
     val m0 = meta
+    requireWapUnambiguous(m0)
     val branch = resolveWriteBranch(None)
     val snap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
     val all = snap.map(_.files).getOrElse(Seq.empty)
@@ -458,6 +461,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       val r = kd.agg(count(lit(1)).as("n"), min(col(key)).as("lo"), max(col(key)).as("hi")).head()
       val nKeys = r.getLong(0)
       val m0 = meta
+      requireWapUnambiguous(m0)
       val branch = resolveWriteBranch(None)
       val snap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
       val all = snap.map(_.files).getOrElse(Seq.empty)
@@ -492,6 +496,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * being silently wiped. */
   def truncate(): TableMeta = {
     val m0 = meta
+    requireWapUnambiguous(m0)
     val branch = resolveWriteBranch(None)
     commitReplace(branch, Seq.empty, "truncate", Map.empty,
       base = m0.snapshotFor(branch).orElse(m0.currentSnapshot), strict = true)

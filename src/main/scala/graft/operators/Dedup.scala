@@ -194,7 +194,11 @@ object Dedup {
     * too shallow to amortize it. Each round persists its labels and
     * unpersists the previous so lineage stays flat. Only docs appearing in
     * some pair are labeled (singletons are their own cluster by
-    * definition — callers left-anti or coalesce). */
+    * definition — callers left-anti or coalesce). Throws if `maxIter`
+    * rounds don't reach the fixpoint (silently-partial labels would keep
+    * duplicates). The returned (id, label) DataFrame is persisted (its
+    * lineage is the whole loop — recomputing it would replay every round);
+    * long-lived sessions should `unpersist()` it when done. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
@@ -220,7 +224,22 @@ object Dedup {
       labels = next.select("id", "label")
       i += 1
     }
+    // hitting maxIter with changes pending means members of one component
+    // would carry DIFFERENT labels — a dedup pipeline would silently keep
+    // duplicates. Fail loudly; callers with genuinely deep graphs raise
+    // maxIter (rounds = component diameter).
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — raise maxIter")
+    // re-persist the small (id,label) result and drop the round cache:
+    // the returned plan IS the persisted one, so callers can unpersist it;
+    // without this the final round's wider cache (id,old,label) would be
+    // pinned behind a projection no caller can reach.
+    val result = labels.persist()
+    result.count()
+    cached.unpersist()
     edges.unpersist()
-    labels
+    result
   }
 }

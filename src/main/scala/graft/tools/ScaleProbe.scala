@@ -69,7 +69,10 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "8g"))
+      // NOTE: spark.driver.memory is NOT settable here — the JVM is
+      // already running (sbt runMain), and in local mode the driver heap
+      // IS the executor heap. Size it via the SPARK_DRIVER_MEM env var,
+      // which build.sbt turns into the forked JVM's -Xmx.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -101,9 +104,16 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         val rows = spec.fn(spark, sfDir).count()
         val secs = (System.nanoTime() - t0) / 1e9
-        // listener events drain asynchronously; give the bus a moment
-        // before snapshotting the per-query deltas
-        Thread.sleep(1500)
+        // listener events drain asynchronously; a fixed sleep can lose the
+        // tail of a busy bus (bleeding this query's bytes into the next
+        // query's counters), so poll until the counters are stable across
+        // two consecutive samples (capped)
+        var stable = 0; var last = (-1L, -1L); var waited = 0
+        while (stable < 2 && waited < 10000) {
+          Thread.sleep(250); waited += 250
+          val cur = (shuffleRead.get(), shuffleWrite.get())
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+        }
         val (r, w) = (shuffleRead.getAndSet(0L), shuffleWrite.getAndSet(0L))
         results((name, scale)) = (secs, rows, r, w)
         println(f"""{"query":"$name","scale":$scale,"secs":$secs%.2f,"rows":$rows,""" +

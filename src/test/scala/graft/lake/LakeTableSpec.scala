@@ -773,6 +773,15 @@ class LakeTableSpec extends AnyFunSuite {
       assert(e1.getMessage.contains("spark.wap.id"))
       val e2 = intercept[IllegalArgumentException](t.overwrite(taxis.limit(1)))
       assert(e2.getMessage.contains("spark.wap.branch"))
+      // row-level ops and truncate go through the same guard — an
+      // ambiguous session must not silently route a DELETE to wap.branch
+      // and skip the wap.id audit path
+      intercept[IllegalArgumentException](t.delete(col("vendor_id") === 1))
+      intercept[IllegalArgumentException](t.update(Map("total_amount" -> lit(0.0))))
+      intercept[IllegalArgumentException](t.mergeByKey("vendor_id", Seq(1), taxis.limit(1)))
+      intercept[IllegalArgumentException](
+        t.mergeByKeys("vendor_id", taxis.limit(1), taxis.limit(1)))
+      intercept[IllegalArgumentException](t.truncate())
       assert(t.toDF.count() === 2, "an ambiguous WAP write must change nothing")
     } finally { spark.conf.unset("spark.wap.id"); spark.conf.unset("spark.wap.branch") }
     // either conf alone still works
