@@ -352,10 +352,12 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
 
   /** DELETE FROM WHERE — metadata-only when stats prove a file wholly
     * matches (Getting Started.ipynb c20), copy-on-write otherwise (c21/23). */
-  def delete(condition: Column): TableMeta = {
+  def delete(condition: Column, toBranch: Option[String] = None): TableMeta = {
     val m0 = meta
     requireWapUnambiguous(m0)
-    val branch = resolveWriteBranch(None)
+    val branch = resolveWriteBranch(toBranch)
+    val stagedWap = wapId.isDefined &&
+      m0.properties.get("write.wap.enabled").contains("true") && toBranch.isEmpty
     val snap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
     val all = snap.map(_.files).getOrElse(Seq.empty)
     val p = Pruning.translate(condition)
@@ -378,15 +380,18 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       "deleted-data-files" -> drop.size.toString,
       "rewritten-data-files" -> rewrite.size.toString,
       "metadata-only" -> rewrite.isEmpty.toString), base = snap,
-      conflictPredicate = Some(p))
+      conflictPredicate = Some(p), staged = stagedWap)
   }
 
   /** UPDATE SET — copy-on-write rewrite of files that may match
     * (Getting Started.ipynb c18). */
-  def update(assignments: Map[String, Column], condition: Option[Column] = None): TableMeta = {
+  def update(assignments: Map[String, Column], condition: Option[Column] = None,
+             toBranch: Option[String] = None): TableMeta = {
     val m0 = meta
     requireWapUnambiguous(m0)
-    val branch = resolveWriteBranch(None)
+    val branch = resolveWriteBranch(toBranch)
+    val stagedWap = wapId.isDefined &&
+      m0.properties.get("write.wap.enabled").contains("true") && toBranch.isEmpty
     val snap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
     val all = snap.map(_.files).getOrElse(Seq.empty)
     val (touched, untouched) = condition match {
@@ -408,7 +413,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     commitReplace(branch, untouched ++ rewritten, "overwrite", Map(
       "rewritten-data-files" -> touched.size.toString), base = snap,
       // unconditioned UPDATE touches every row: any concurrent add conflicts
-      conflictPredicate = Some(condition.map(Pruning.translate).getOrElse(Pruning.Unknown)))
+      conflictPredicate = Some(condition.map(Pruning.translate).getOrElse(Pruning.Unknown)),
+      staged = stagedWap)
   }
 
   /** Equality-field upsert (J2: `MERGE` = anti-join + union, ref:
@@ -417,7 +423,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * bounds overlap `keys` are rewritten — at scale the rewrite set is the
     * files the changelog touches, never the whole table. */
   def mergeByKey(key: String, keys: Seq[Any], upserts: DataFrame,
-                 extraSummary: Map[String, String] = Map.empty): TableMeta = {
+                 extraSummary: Map[String, String] = Map.empty,
+                 toBranch: Option[String] = None): TableMeta = {
     // NULL keys can never equal a delete key: drop them from the key set
     // (a null in an IN-list would make the predicate NULL for every
     // non-matching row and wipe whole files) and keep null-keyed table rows
@@ -425,7 +432,9 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     val ks = keys.filter(_ != null)
     val m0 = meta
     requireWapUnambiguous(m0)
-    val branch = resolveWriteBranch(None)
+    val branch = resolveWriteBranch(toBranch)
+    val stagedWap = wapId.isDefined &&
+      m0.properties.get("write.wap.enabled").contains("true") && toBranch.isEmpty
     val snap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
     val all = snap.map(_.files).getOrElse(Seq.empty)
     val p = Pruning.In(key, ks)
@@ -444,7 +453,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       extraSummary ++ Map(
         "merge-keys" -> ks.size.toString,
         "rewritten-data-files" -> touched.size.toString), base = snap,
-      conflictPredicate = if (ks.isEmpty) None else Some(p))
+      conflictPredicate = if (ks.isEmpty) None else Some(p), staged = stagedWap)
   }
 
   /** Distributed equality-field upsert: like [[mergeByKey]] but the delete
@@ -454,7 +463,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * 1-row agg), and survivors are computed with a LEFT ANTI join (which is
     * naturally null-safe: null-keyed table rows never match and survive). */
   def mergeByKeys(key: String, keyDf: DataFrame, upserts: DataFrame,
-                  extraSummary: Map[String, String] = Map.empty): TableMeta = {
+                  extraSummary: Map[String, String] = Map.empty,
+                  toBranch: Option[String] = None): TableMeta = {
     val kd = keyDf.select(keyDf.col(key)).filter(col(key).isNotNull).distinct().cache()
     try {
       // single 1-row driver fetch: count + bounds (bounded regardless of batch size)
@@ -462,7 +472,9 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       val nKeys = r.getLong(0)
       val m0 = meta
       requireWapUnambiguous(m0)
-      val branch = resolveWriteBranch(None)
+      val branch = resolveWriteBranch(toBranch)
+      val stagedWap = wapId.isDefined &&
+        m0.properties.get("write.wap.enabled").contains("true") && toBranch.isEmpty
       val snap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
       val all = snap.map(_.files).getOrElse(Seq.empty)
       val (touched, untouched) =
@@ -487,19 +499,23 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
           "rewritten-data-files" -> touched.size.toString), base = snap,
         conflictPredicate =
           if (nKeys == 0) None
-          else Some(Pruning.And(Pruning.GtE(key, r.get(1)), Pruning.LtE(key, r.get(2)))))
+          else Some(Pruning.And(Pruning.GtE(key, r.get(1)), Pruning.LtE(key, r.get(2)))),
+        staged = stagedWap)
     } finally { kd.unpersist(); () }
   }
 
   /** TRUNCATE (D3): new empty snapshot. "Table := empty" is planned
     * against the current head — a concurrent commit aborts rather than
     * being silently wiped. */
-  def truncate(): TableMeta = {
+  def truncate(toBranch: Option[String] = None): TableMeta = {
     val m0 = meta
     requireWapUnambiguous(m0)
-    val branch = resolveWriteBranch(None)
+    val branch = resolveWriteBranch(toBranch)
+    val stagedWap = wapId.isDefined &&
+      m0.properties.get("write.wap.enabled").contains("true") && toBranch.isEmpty
     commitReplace(branch, Seq.empty, "truncate", Map.empty,
-      base = m0.snapshotFor(branch).orElse(m0.currentSnapshot), strict = true)
+      base = m0.snapshotFor(branch).orElse(m0.currentSnapshot), strict = true,
+      staged = stagedWap)
   }
 
   /** INSERT OVERWRITE — replace the whole table content in ONE atomic
@@ -575,7 +591,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
                                   extraSummary: Map[String, String],
                                   base: Option[Snapshot],
                                   strict: Boolean = false,
-                                  conflictPredicate: Option[Pruning.Pred] = None): TableMeta =
+                                  conflictPredicate: Option[Pruning.Pred] = None,
+                                  staged: Boolean = false): TableMeta =
     commit { m =>
       require(m.refs.get(branch).forall(_.kind != "tag"), s"cannot write to tag $branch")
       val parent = m.snapshotFor(branch).orElse(m.currentSnapshot)
@@ -607,9 +624,17 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       val snapId = m.lastSnapshotId + 1
       val now = System.currentTimeMillis()
       val summary = extraSummary ++ Map(
-        "operation" -> op, "total-records" -> reconciled.map(_.rowCount).sum.toString)
-      val snap = Snapshot(snapId, parent.map(_.snapshotId), now, op, summary, reconciled)
-      m.copy(
+        "operation" -> op, "total-records" -> reconciled.map(_.rowCount).sum.toString) ++
+        (if (staged) wapId.map("wap.id" -> _) else None)
+      val snap = Snapshot(snapId, parent.map(_.snapshotId), now, op, summary, reconciled,
+        staged = staged)
+      // a STAGED replacement (row-level op under a wap.id session) records
+      // the snapshot but leaves the ref unmoved — invisible to plain reads,
+      // auditable via VERSION AS OF '<wap.id>', published by cherrypick
+      // (which, for replacement ops, refuses if the branch moved meanwhile)
+      if (staged)
+        m.copy(snapshots = m.snapshots :+ snap, lastSnapshotId = snapId)
+      else m.copy(
         snapshots = m.snapshots :+ snap,
         lastSnapshotId = snapId,
         refs = m.refs + (branch -> Ref(snapId)),
@@ -829,12 +854,18 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       .getOrElse(Set.empty)
     val added = staged.files.filterNot(f => parentFiles.contains(f.path))
     val mainSnap = m.currentSnapshot
-    val isReplace = staged.staged && staged.operation == "overwrite"
+    // any staged non-append is a REPLACEMENT of its parent's file list
+    // (overwrite, row-level delete/update/merge, truncate): publishing it
+    // over a moved main would silently clobber the interleaved commits,
+    // so refuse and make the caller re-run against the new state. Staged
+    // APPENDS commute — cherrypick grafts their added files onto the
+    // current head.
+    val isReplace = staged.staged && staged.operation != "append"
     if (isReplace && mainSnap.map(_.snapshotId) != staged.parentId)
       throw CommitConflictException(
-        s"staged overwrite $snapshotId planned against snapshot " +
+        s"staged ${staged.operation} $snapshotId planned against snapshot " +
           s"${staged.parentId.getOrElse(-1L)} but main moved to " +
-          s"${mainSnap.map(_.snapshotId).getOrElse(-1L)} — re-run the overwrite")
+          s"${mainSnap.map(_.snapshotId).getOrElse(-1L)} — re-run the operation")
     val snapId = m.lastSnapshotId + 1
     val now = System.currentTimeMillis()
     val files =
@@ -1005,12 +1036,26 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     require(m.snapshot(fromSnapshotId).isDefined, s"no snapshot $fromSnapshotId")
     val to = toSnapshotId.getOrElse(
       m.currentSnapshot.map(_.snapshotId).getOrElse(fromSnapshotId))
-    // walk parent links from `to` back to `from`, collecting newly-added
-    // app-* files (append snapshots add only those; overwrite snapshots
-    // also carry rw-* rewrite output, which is not new data)
+    readAddedBetween(Some(fromSnapshotId), to)
+  }
+
+  /** Rows ADDED on `toSnapshotId`'s ancestry strictly after
+    * `fromSnapshotId` (None = since the table's beginning) — the shared
+    * walk behind [[readIncremental]] and the snapshot-driven streaming
+    * source. Walking parent links from a COMMITTED snapshot is what makes
+    * the streaming read correct: staged WAP snapshots, side-branch
+    * commits, and files whose commit failed are never on the walked
+    * ancestry, so they are never delivered (unlike a data-directory
+    * glob, which sees every file ever renamed in). */
+  def readAddedBetween(fromSnapshotId: Option[Long], toSnapshotId: Long): DataFrame = {
+    val m = meta
+    require(m.snapshot(toSnapshotId).isDefined, s"no snapshot $toSnapshotId")
+    // walk parent links from `to` back to `from` (or the root), collecting
+    // newly-added app-* files (append snapshots add only those; overwrite
+    // snapshots also carry rw-* rewrite output, which is not new data)
     val added = scala.collection.mutable.ArrayBuffer[DataFile]()
-    var cur = m.snapshot(to)
-    while (cur.isDefined && cur.get.snapshotId != fromSnapshotId) {
+    var cur = m.snapshot(toSnapshotId)
+    while (cur.isDefined && !fromSnapshotId.contains(cur.get.snapshotId)) {
       val s = cur.get
       val parentPaths = s.parentId.flatMap(m.snapshot).map(_.files.map(_.path).toSet)
         .getOrElse(Set.empty)
@@ -1018,8 +1063,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         .filter(f => new Path(f.path).getName.startsWith("app-"))
       cur = s.parentId.flatMap(m.snapshot)
     }
-    require(cur.isDefined,
-      s"snapshot $fromSnapshotId is not an ancestor of $to")
+    require(fromSnapshotId.isEmpty || cur.isDefined,
+      s"snapshot ${fromSnapshotId.get} is not an ancestor of $toSnapshotId")
     dataFrameFor(m, added.toSeq)
   }
 
@@ -1078,6 +1123,12 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
 
 object LakeTable {
   val MainBranch = "main"
+
+  /** Open a table directly by location (for components that get a path
+    * string rather than a catalog handle — e.g. the streaming source
+    * provider reconstructing its table from DataSource options). */
+  def at(spark: SparkSession, location: String): LakeTable =
+    new LakeTable(spark, location)
 
   /** Run a CoW operation, retrying on [[CommitConflictException]] — each
     * attempt re-reads table metadata and re-plans from scratch, which is

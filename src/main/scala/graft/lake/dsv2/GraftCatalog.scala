@@ -88,8 +88,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     if (!lake.tableExists(s)) throw new NoSuchTableException(ident)
     val t = lake.loadTable(s)
     val m = t.meta
-    if (version.forall(_.isDigit) && m.snapshot(version.toLong).isDefined)
-      GraftTable(t, s, pinnedSnapshotId = Some(version.toLong))
+    // toLongOption, not toLong: an all-digit string can still overflow
+    // Long (20-digit numeric wap.ids are common timestamp+jobid
+    // concatenations) and "" is vacuously all-digits — both must fall
+    // through to the ref/wap.id lookups instead of throwing
+    // NumberFormatException before they are tried
+    val asSnapshotId = version.toLongOption.filter(id => m.snapshot(id).isDefined)
+    if (asSnapshotId.isDefined)
+      GraftTable(t, s, pinnedSnapshotId = asSnapshotId)
     else if (m.refs.contains(version))
       GraftTable(t, s, pinnedBranch = Some(version))
     else m.snapshots.find(_.summary.get("wap.id").contains(version)) match {

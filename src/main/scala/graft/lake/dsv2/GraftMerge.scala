@@ -75,11 +75,14 @@ object GraftMerge {
     } && m.notMatchedBySourceActions.isEmpty
   }
 
-  /** Rewrite if translatable; None leaves the plan for Spark to reject. */
+  /** Rewrite if translatable; None leaves the plan for Spark to reject.
+    * Metadata tables and time-travel pins can never be merge targets. */
   def translate(m: MergeIntoTable): Option[LogicalPlan] =
     for {
       gt <- unwrapGraftTarget(m.targetTable)
-      if m.resolved && actionsOk(m)
+      if gt.metaKind.isEmpty &&
+        gt.pinnedSnapshotId.isEmpty && gt.pinnedTimestampMs.isEmpty &&
+        m.resolved && actionsOk(m)
       (keyName, keyExpr) <- keyOf(m)
     } yield MergeIntoGraftCommand(gt, m.sourceTable, keyName, keyExpr,
       m.matchedActions, m.notMatchedActions)
@@ -88,9 +91,11 @@ object GraftMerge {
     * stats overlap the source batch's [lo, hi] key bounds — the same
     * footer-stats trick mergeByKeys uses for the rewrite set. A MERGE
     * whose source touches one partition reads one partition's files for
-    * the matched-ness join, not the whole table. */
-  def matchedKeyScan(lt: graft.lake.LakeTable, key: String, lo: Any, hi: Any): DataFrame =
-    lt.read(filter = Some(col(key) >= lit(lo) && col(key) <= lit(hi)))
+    * the matched-ness join, not the whole table. Reads the same branch
+    * the merge will commit to. */
+  def matchedKeyScan(lt: graft.lake.LakeTable, key: String, lo: Any, hi: Any,
+                     branch: Option[String] = None): DataFrame =
+    lt.read(branch = branch, filter = Some(col(key) >= lit(lo) && col(key) <= lit(hi)))
       .select(col(key).as("_tk")).distinct()
 }
 
@@ -115,12 +120,21 @@ case class MergeIntoGraftCommand(
     // agg fetches the source's key bounds first so the key scan reads
     // only stats-overlapping files instead of the whole table.
     val kb = src.agg(min(c(sourceKeyExpr)).as("lo"), max(c(sourceKeyExpr)).as("hi")).head()
+    // matched-ness MUST read the branch the merge commits to (a
+    // branch-suffixed target merged against main's keys would rewrite the
+    // wrong rows)
     val tgtKeys =
       if (kb.isNullAt(0)) // no non-null source keys → nothing can match
-        gt.lakeTable.read().select(col(targetKeyName).as("_tk")).filter(lit(false))
-      else GraftMerge.matchedKeyScan(gt.lakeTable, targetKeyName, kb.get(0), kb.get(1))
+        gt.lakeTable.read(branch = gt.pinnedBranch)
+          .select(col(targetKeyName).as("_tk")).filter(lit(false))
+      else GraftMerge.matchedKeyScan(gt.lakeTable, targetKeyName, kb.get(0), kb.get(1),
+        branch = gt.pinnedBranch)
+    // cached: `marked` (source query + matched-ness join) is consumed once
+    // per winning action branch plus once for the delete-key set — without
+    // the cache an expensive source query re-executes 3-5 times
     val marked = src.join(tgtKeys, c(sourceKeyExpr) === col("_tk"), "left")
       .withColumn("_matched", col("_tk").isNotNull)
+      .cache()
     def condOf(a: MergeAction): Column =
       a.condition.map(e => coalesce(c(e), lit(false))).getOrElse(lit(true))
     // first-true-condition-wins per SQL MERGE order
@@ -137,17 +151,19 @@ case class MergeIntoGraftCommand(
             .select(assigns.map(a =>
               c(a.value).as(a.key.asInstanceOf[Attribute].name)): _*)
       }
-    val upserts = (branches(matchedActions, col("_matched")) ++
-        branches(notMatchedActions, !col("_matched")))
-      .reduceOption(_ unionByName _)
-      .getOrElse(spark.emptyDataFrame)
-    // delete a matched key iff some matched action wins for its source row
-    val anyMatchedWin = matchedActions.map(condOf)
-      .reduceOption(_ || _).getOrElse(lit(false))
-    val keyDf = marked.filter(col("_matched") && anyMatchedWin)
-      .select(c(sourceKeyExpr).as(targetKeyName))
-    gt.lakeTable.mergeByKeys(targetKeyName, keyDf, upserts,
-      Map("merged-by" -> "sql-merge-into"))
+    try {
+      val upserts = (branches(matchedActions, col("_matched")) ++
+          branches(notMatchedActions, !col("_matched")))
+        .reduceOption(_ unionByName _)
+        .getOrElse(spark.emptyDataFrame)
+      // delete a matched key iff some matched action wins for its source row
+      val anyMatchedWin = matchedActions.map(condOf)
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val keyDf = marked.filter(col("_matched") && anyMatchedWin)
+        .select(c(sourceKeyExpr).as(targetKeyName))
+      gt.lakeTable.mergeByKeys(targetKeyName, keyDf, upserts,
+        Map("merged-by" -> "sql-merge-into"), toBranch = gt.pinnedBranch)
+    } finally { marked.unpersist(); () }
     Seq.empty
   }
 }

@@ -192,9 +192,15 @@ case class GraftTable(
     metaKind.isEmpty && filters.forall(filterToColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinnedSnapshotId.isEmpty && pinnedTimestampMs.isEmpty,
+      s"cannot DELETE from a time-travel snapshot of $identName")
     val cond = filters.flatMap(filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
-    graft.lake.LakeTable.withConflictRetry() { lakeTable.delete(cond) }
+    // a branch-suffixed identifier (db.t.branch_x) pins the write target:
+    // without this the delete would silently land on main
+    graft.lake.LakeTable.withConflictRetry() {
+      lakeTable.delete(cond, toBranch = pinnedBranch)
+    }
     ()
   }
 

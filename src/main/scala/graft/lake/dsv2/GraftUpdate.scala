@@ -29,11 +29,16 @@ object GraftUpdate {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
 
-  /** Rewrite if translatable; None leaves the plan for Spark to reject. */
+  /** Rewrite if translatable; None leaves the plan for Spark to reject.
+    * Metadata tables and time-travel pins are NOT updatable — without the
+    * guard an `UPDATE db.t.snapshots SET …` would run against the base
+    * table's data files. */
   def translate(u: UpdateTable): Option[LogicalPlan] =
     for {
       gt <- GraftMerge.unwrapGraftTarget(u.table)
-      if u.resolved &&
+      if gt.metaKind.isEmpty &&
+        gt.pinnedSnapshotId.isEmpty && gt.pinnedTimestampMs.isEmpty &&
+        u.resolved &&
         u.assignments.nonEmpty &&
         u.assignments.forall(_.key.isInstanceOf[Attribute]) &&
         !(u.assignments.map(_.value) ++ u.condition).exists(SubqueryExpression.hasSubquery)
@@ -48,10 +53,13 @@ case class UpdateGraftCommand(
     condition: Option[Expression]) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
+    // branch-suffixed targets (db.t.branch_x) pin the write branch —
+    // without it the UPDATE would silently rewrite main
     graft.lake.LakeTable.withConflictRetry() {
       gt.lakeTable.update(
         assignments.map { case (n, e) => n -> GraftUpdate.rebase(e) }.toMap,
-        condition.map(GraftUpdate.rebase))
+        condition.map(GraftUpdate.rebase),
+        toBranch = gt.pinnedBranch)
     }
     Seq.empty
   }

@@ -27,8 +27,14 @@ import org.apache.spark.sql.types._
   */
 object Changelog {
 
-  /** RowKind domain (ref: IcebergStream.java:46-47 I/D,
-    * PaimonStream.java:41-42 adds -U/+U). */
+  /** RowKind wire domain, exactly the reference's mapping (ref:
+    * IcebergStream.java:46-47 maps I/D; PaimonStream.java:41-42 maps
+    * "I"→INSERT, "D"→DELETE, "-U"→UPDATE_BEFORE, "U"→UPDATE_AFTER —
+    * note the asymmetric bare "U" for update-after IS the reference's
+    * format). Flink's own RowKind.shortString() spellings (+I/-U/+U/-D)
+    * are accepted too: parseCsvLines normalizes them before filtering,
+    * so a producer that serialized via shortString isn't silently
+    * dropped as malformed. */
   val Insert = "I"; val Delete = "D"; val UpdateBefore = "-U"; val UpdateAfter = "U"
 
   val changelogSchema: StructType = StructType(Seq(
@@ -46,7 +52,12 @@ object Changelog {
       .select(split(col("value"), ",").as("f"))
       .filter(size(col("f")) === 3)
       .select(
-        col("f").getItem(0).as("op"),
+        // normalize Flink RowKind.shortString() spellings to the
+        // reference's wire domain: +I→I, -D→D, +U→U (-U is already exact)
+        when(col("f").getItem(0) === "+I", Insert)
+          .when(col("f").getItem(0) === "-D", Delete)
+          .when(col("f").getItem(0) === "+U", UpdateAfter)
+          .otherwise(col("f").getItem(0)).as("op"),
         // try_cast: ANSI-safe — a non-integer key nulls out and is dropped
         // below, mirroring the reference's parse-failure drop
         col("f").getItem(1).try_cast("int").as("block_number"),
@@ -113,16 +124,25 @@ object Changelog {
     *   3. table rows with a key present in the batch are deleted
     *      (file-pruned copy-on-write), then surviving I/U rows appended
     *
-    * Idempotent on `batchId` (T4): a batch already recorded in the latest
-    * snapshot summary is skipped, so foreachBatch replays after a
-    * checkpoint recovery cannot double-apply. */
+    * Idempotent on `batchId` (T4): a batch at or below the HIGHEST
+    * `streaming.batch-id` recorded anywhere in snapshot history is
+    * skipped, so foreachBatch replays after a checkpoint recovery cannot
+    * double-apply. Checking only the latest snapshot would be defeated by
+    * any interleaved commit (a compaction or manual DELETE landing between
+    * batch N and its replay hides the marker) — a replay would then
+    * re-insert rows the interleaved DELETE removed. The scan is over the
+    * in-memory snapshot list (metadata, no I/O) and expire_snapshots
+    * cannot outrun it: expiry keeps the branch head's ancestry, and the
+    * checkpoint advances past N long before N's snapshot ages out. */
   def mergeChangelog(table: LakeTable, batch: DataFrame, key: String,
                      seqCol: String, opCol: String = "op",
                      batchId: Long = -1L): Unit = {
     val m0 = table.meta
     if (batchId >= 0) {
-      val applied = m0.currentSnapshot.flatMap(_.summary.get("streaming.batch-id"))
-      if (applied.exists(_.toLong >= batchId)) return
+      val applied = m0.snapshots.iterator
+        .flatMap(_.summary.get("streaming.batch-id")).map(_.toLong)
+        .maxOption
+      if (applied.exists(_ >= batchId)) return
     }
     import org.apache.spark.sql.expressions.Window
     // null-keyed changelog rows are unmergeable noise — drop them up front
@@ -166,34 +186,24 @@ object Changelog {
 
   /** Incremental streaming read-back of a lake table — the Spark-first
     * analog of the reference's continuous changelog read
-    * (StreamRead.java:31-34 `toChangelogStream`): Spark's file streaming
-    * source over the table's data directory, restricted to append-snapshot
-    * files (`app-*` — LakeTable.writeDataFiles prefixes CoW-rewrite output
-    * `rw-` so compaction/DELETE/UPDATE rewrites are never re-delivered).
-    * These are append-only streaming semantics, the same contract
-    * Iceberg's streaming read enforces. New appends arrive incrementally
-    * per trigger; offsets/exactly-once come from the file source's own
-    * tracking + checkpointLocation.
+    * (StreamRead.java:31-34 `toChangelogStream`): the snapshot-driven
+    * [[LakeStreamSource]] (offsets = committed main snapshot ids, batches
+    * = `app-*` files added between offsets). Metadata-driven delivery is
+    * what keeps the stream honest: staged WAP snapshots, side-branch
+    * commits, and files whose commit failed are never on main's walked
+    * ancestry, so they are never delivered — a data-directory file glob
+    * (the previous implementation) surfaced all three as phantom rows.
+    * CoW-rewrite output (`rw-*`) is never re-delivered: append-only
+    * streaming semantics, the same contract Iceberg's streaming read
+    * enforces. Offsets/exactly-once come from checkpointLocation.
     *
-    * Caveat: files are mapped to the CURRENT logical schema by stable
-    * physical column id (renames/adds are fine; widened columns need the
-    * stream restarted to pick up the new read schema). */
-  def streamRead(table: LakeTable): DataFrame = {
-    val spark = table.spark
-    val m = table.meta
-    val schema = m.schema
-    val dataDir = s"${table.location}/data"
-    // the file source requires the directory to exist before start
-    val fs = new org.apache.hadoop.fs.Path(dataDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dataDir))
-    val raw = spark.readStream
-      .schema(schema.physicalSchema)
-      .option("pathGlobFilter", "app-*.parquet")
-      .parquet(dataDir)
-    raw.select(schema.columns.map(c =>
-      col(c.physicalName).cast(c.sparkType).as(c.name)): _*)
-  }
+    * Caveat: the source schema is pinned at start (streaming requires a
+    * stable schema) — renames/widenings need the stream restarted. */
+  def streamRead(table: LakeTable): DataFrame =
+    table.spark.readStream
+      .format(classOf[LakeStreamSourceProvider].getName)
+      .option("location", table.location)
+      .load()
 
   /** Console read-back per trigger (StreamRead.java:34 print loop /
     * PaimonStream.java:100): the streaming source above + console sink,

@@ -59,26 +59,40 @@ object EventTime {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
-  case class UserRunning(userId: String, nEvents: Long, lastEvent: String)
+  case class UserRunning(userId: String, nEvents: Long, lastEvent: String,
+                         lastTsMicros: Long)
 
   /** Custom keyed state via mapGroupsWithState: per-user running event
     * count + last event type (the KeyValueGroupedDataset custom-state
-    * shape). NoTimeout: with a timeout configured Spark schedules
-    * continuous empty timeout-check batches even when no data arrives —
-    * wasteful in micro-batch pipelines; expire idle keys with a TTL state
-    * store policy or a watermark instead. */
+    * shape). "Last" is BY EVENT TIME, not iterator order —
+    * mapGroupsWithState presents a group's rows in shuffle/arrival order,
+    * so taking the iterator's last element would store whichever row a
+    * task happened to see last (nondeterministic), and the wrong value
+    * would then seed every subsequent batch through the state. The
+    * event-time max also carries across batches via `lastTsMicros`, so a
+    * late-arriving old event can never overwrite a newer state.
+    * NoTimeout: with a timeout configured Spark schedules continuous
+    * empty timeout-check batches even when no data arrives — wasteful in
+    * micro-batch pipelines; expire idle keys with a TTL state store
+    * policy or a watermark instead. */
   def runningUserState(events: DataFrame): Dataset[UserRunning] = {
     implicit val enc = Encoders.product[UserRunning]
-    implicit val tupleEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
-    events.selectExpr("user_id", "event")
-      .as[(String, String)](tupleEnc)
+    implicit val tupleEnc =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong)
+    events.selectExpr("user_id", "event", "unix_micros(ts) AS tsu")
+      .as[(String, String, Long)](tupleEnc)
       .groupByKey(_._1)(Encoders.STRING)
       .mapGroupsWithState[UserRunning, UserRunning](
         GroupStateTimeout.NoTimeout) { (userId, rows, state) =>
-        val events = rows.toSeq
-        val prev = state.getOption.getOrElse(UserRunning(userId, 0L, ""))
-        val next = UserRunning(userId, prev.nEvents + events.size,
-          events.lastOption.map(_._2).getOrElse(prev.lastEvent))
+        val batch = rows.toSeq
+        val prev = state.getOption.getOrElse(UserRunning(userId, 0L, "", Long.MinValue))
+        // deterministic winner: max (ts, event) — event breaks exact-ts ties
+        val winner = batch.maxByOption(r => (r._3, r._2))
+        val next =
+          if (winner.exists(w => w._3 >= prev.lastTsMicros))
+            UserRunning(userId, prev.nEvents + batch.size,
+              winner.get._2, winner.get._3)
+          else prev.copy(nEvents = prev.nEvents + batch.size)
         state.update(next)
         next
       }

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.lake.LakeTable
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge.StreamBridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Snapshot-driven streaming source over a lake table — the Spark-first
+  * analog of Iceberg's incremental streaming scan (and of the reference's
+  * `toChangelogStream` read-back, StreamRead.java:31-34).
+  *
+  * Offsets are MAIN-branch snapshot ids; each micro-batch delivers the
+  * `app-*` files newly added on main's ancestry between the previous and
+  * current offset ([[LakeTable.readAddedBetween]]). Because delivery is
+  * driven by COMMITTED snapshot metadata — never by listing the data
+  * directory — the stream cannot see:
+  *   - files of a write whose commit hasn't happened yet (or failed and
+  *     left orphans for remove_orphan_files),
+  *   - staged WAP snapshots (invisible until cherry-picked onto main, at
+  *     which point the publish commit delivers them),
+  *   - side-branch commits (delivered only if fast-forwarded/published
+  *     to main).
+  * A directory-glob file stream violates all three (it sees every file
+  * ever renamed into `data/`), which is why streamRead moved off it.
+  *
+  * Append-only contract: CoW rewrite output (`rw-*` survivors of
+  * DELETE/UPDATE/compaction) is never re-delivered; appends later deleted
+  * by a rewrite still appear, as in Iceberg's incremental scan.
+  *
+  * Schema is pinned at source creation (the streaming engine requires a
+  * stable schema); renames/adds during the stream need a restart to pick
+  * up, same caveat as before. */
+class LakeStreamSource(sqlContext: SQLContext, location: String) extends Source {
+
+  private val table: LakeTable = LakeTable.at(sqlContext.sparkSession, location)
+  private val pinnedSchema: StructType = table.meta.schema.sparkSchema
+
+  override def schema: StructType = pinnedSchema
+
+  /** Latest committed main snapshot; None before the first commit (the
+    * engine polls again next trigger). */
+  override def getOffset: Option[OffsetV1] =
+    table.meta.currentSnapshot.map(s => LongOffset(s.snapshotId))
+
+  private def toLong(o: OffsetV1): Long = o match {
+    case LongOffset(v) => v
+    case SerializedOffset(json) => json.trim.toLong // checkpoint-recovered
+    case other => throw new IllegalArgumentException(s"unexpected offset $other")
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val df = table.readAddedBetween(start.map(toLong), toLong(end))
+    // pin to the source schema by name (table may have evolved mid-stream)
+    val pinned = df.select(pinnedSchema.fields.map(f =>
+      col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+    StreamBridge.asStreaming(pinned)
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** `spark.readStream.format(<this class name>).option("location", …)` —
+  * [[Changelog.streamRead]] wires it up. */
+class LakeStreamSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake-stream"
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      LakeTable.at(sqlContext.sparkSession, parameters("location"))
+        .meta.schema.sparkSchema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new LakeStreamSource(sqlContext, parameters("location"))
+}

@@ -811,6 +811,49 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.toDF.count() === 4, "failed publish must leave main untouched")
   }
 
+  test("WAP: row-level DELETE/UPDATE/merge stage under wap.id; cherrypick publishes") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.waprow", taxiSchema,
+      properties = Map("write.wap.enabled" -> "true"))
+    t.append(taxis)
+    // DELETE inside a WAP session: staged, invisible to plain reads,
+    // visible via the staged snapshot, publishable via cherrypick
+    spark.conf.set("spark.wap.id", "audit-del-1")
+    val stagedDel = try {
+      t.delete(col("vendor_id") <= 2)
+      t.meta.snapshots.find(s => s.staged && s.summary.get("wap.id").contains("audit-del-1")).get
+    } finally spark.conf.unset("spark.wap.id")
+    assert(t.toDF.count() === 5,
+      "a WAP-session DELETE must NOT publish — the audit gate would be bypassed")
+    assert(t.read(snapshotId = Some(stagedDel.snapshotId)).count() === 3,
+      "the staged DELETE result is auditable by snapshot id")
+    t.cherrypick(stagedDel.snapshotId)
+    assert(t.toDF.count() === 3, "cherrypick publishes the audited DELETE")
+    // UPDATE inside a WAP session: staged too
+    spark.conf.set("spark.wap.id", "audit-upd-1")
+    val stagedUpd = try {
+      t.update(Map("fare" -> lit(99.0)), Some(col("vendor_id") === 3))
+      t.meta.snapshots.find(s => s.staged && s.summary.get("wap.id").contains("audit-upd-1")).get
+    } finally spark.conf.unset("spark.wap.id")
+    assert(t.toDF.filter(col("vendor_id") === 3).head.getAs[Double]("fare") === 30.0,
+      "a WAP-session UPDATE must NOT publish")
+    // a staged replacement refuses to publish over a moved main
+    t.append(taxis.limit(1))
+    intercept[CommitConflictException](t.cherrypick(stagedUpd.snapshotId))
+    // mergeByKeys inside a WAP session: staged too
+    import spark.implicits._
+    spark.conf.set("spark.wap.id", "audit-merge-1")
+    try {
+      val up = Seq((4L, ts("2022-02-01 11:00:00"), 41.0, 8.0))
+        .toDF("vendor_id", "pickup", "fare", "distance")
+      t.mergeByKeys("vendor_id", up.select("vendor_id"), up)
+      assert(t.toDF.filter(col("vendor_id") === 4).head.getAs[Double]("fare") === 40.0,
+        "a WAP-session merge must NOT publish")
+      assert(t.meta.snapshots.exists(s =>
+        s.staged && s.summary.get("wap.id").contains("audit-merge-1")))
+    } finally spark.conf.unset("spark.wap.id")
+  }
+
   test("serializable isolation: overlapping concurrent append aborts a row-level op") {
     val cat = freshCatalog()
     val t = cat.createTable("nyc.iso", taxiSchema)

@@ -624,6 +624,50 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.wap.id")
   }
 
+  test("DELETE/UPDATE/MERGE on a branch-suffixed table hit the BRANCH, never main") {
+    sql("CREATE TABLE lake.db.brdml (id BIGINT, v STRING)")
+    sql("INSERT INTO lake.db.brdml VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sql("CALL lake.system.create_branch('db.brdml', 'work')")
+    // DELETE routed by the branch suffix
+    sql("DELETE FROM lake.db.brdml.branch_work WHERE id = 1")
+    assert(sql("SELECT COUNT(*) AS n FROM lake.db.brdml").head.getLong(0) === 3,
+      "main must be untouched by a branch DELETE")
+    assert(sql("SELECT COUNT(*) AS n FROM lake.db.brdml.branch_work").head.getLong(0) === 2)
+    // UPDATE routed by the branch suffix (UPDATE/MERGE translate via the
+    // extensions rule, so they run on extSpark; the catalog + warehouse
+    // are shared, so both sessions see the same table state)
+    extSpark.sql("UPDATE lake.db.brdml.branch_work SET v = 'x' WHERE id = 2")
+    assert(sql("SELECT v FROM lake.db.brdml WHERE id = 2").head.getString(0) === "b",
+      "main must be untouched by a branch UPDATE")
+    assert(sql("SELECT v FROM lake.db.brdml.branch_work WHERE id = 2").head.getString(0) === "x")
+    // MERGE: matched-ness must come from the BRANCH state (id=1 was
+    // branch-deleted, so it is NOT MATCHED there and re-inserts; id=3
+    // matches and updates)
+    extSpark.sql("""MERGE INTO lake.db.brdml.branch_work t
+          |USING (SELECT * FROM VALUES (1, 'back'), (3, 'upd') AS s(id, v)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET id = s.id, v = s.v
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    assert(sql("SELECT v FROM lake.db.brdml.branch_work ORDER BY id").collect()
+      .map(_.getString(0)).toSeq === Seq("back", "x", "upd"))
+    assert(sql("SELECT v FROM lake.db.brdml ORDER BY id").collect()
+      .map(_.getString(0)).toSeq === Seq("a", "b", "c"),
+      "main must be untouched by a branch MERGE")
+  }
+
+  test("metadata tables and time-travel pins reject DML") {
+    sql("CREATE TABLE lake.db.rodml (id BIGINT, v STRING)")
+    sql("INSERT INTO lake.db.rodml VALUES (1, 'a')")
+    // UPDATE/MERGE on a metadata table: our command translators refuse
+    // (the plan falls through to Spark, which rejects it one way or
+    // another — what matters is it can never reach LakeTable.update)
+    intercept[Exception](extSpark.sql("UPDATE lake.db.rodml.snapshots SET operation = 'x'"))
+    intercept[Exception](
+      extSpark.sql("""MERGE INTO lake.db.rodml.snapshots t USING (SELECT 1 AS id) s
+            |ON t.snapshot_id = s.id WHEN MATCHED THEN DELETE""".stripMargin))
+    assert(sql("SELECT COUNT(*) AS n FROM lake.db.rodml").head.getLong(0) === 1)
+  }
+
   test("partition-aligned SQL DELETE commits metadata-only: zero files rewritten") {
     sql("CREATE TABLE lake.db.mdel (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
     sql("""INSERT INTO lake.db.mdel VALUES

@@ -224,4 +224,45 @@ class ChangelogSpec extends AnyFunSuite {
         === Array(1, 2, 3, 4))
     } finally q.stop()
   }
+
+  test("streaming read-back sees only committed MAIN snapshots: branch and staged WAP appends are invisible until published") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val t = cat.createTable("test.rbmain", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType))),
+      properties = Map("write.wap.enabled" -> "true"))
+    val out = Changelog.streamRead(t)
+    val ckpt = Files.createTempDirectory("graft-rbm-ckpt").toString
+    val q = out.writeStream
+      .format("memory").queryName("rbm_sink")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      t.append(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(spark.table("rbm_sink").count() === 2)
+      // a side-branch append writes app-* files into the SAME data dir —
+      // the old directory-glob source delivered them as main rows
+      t.createBranch("etl")
+      t.append(Seq((90, "branch-only")).toDF("id", "v"), toBranch = Some("etl"))
+      q.processAllAvailable()
+      assert(spark.table("rbm_sink").count() === 2,
+        "branch-only append must not reach a main-branch stream")
+      // a staged WAP append is invisible until cherry-picked (D15)
+      spark.conf.set("spark.wap.id", "rb-wap-1")
+      val staged = try {
+        t.append(Seq((91, "staged")).toDF("id", "v"))
+        t.meta.snapshots.find(_.staged).get
+      } finally spark.conf.unset("spark.wap.id")
+      q.processAllAvailable()
+      assert(spark.table("rbm_sink").count() === 2,
+        "staged WAP append must not reach the stream before publish")
+      // publish: the cherry-pick commit lands the staged rows on main,
+      // and only THEN do they flow to the stream
+      t.cherrypick(staged.snapshotId)
+      q.processAllAvailable()
+      assert(spark.table("rbm_sink").select("id").collect().map(_.getInt(0)).sorted
+        === Array(1, 2, 91))
+    } finally q.stop()
+  }
 }

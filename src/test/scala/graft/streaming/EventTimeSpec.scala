@@ -99,7 +99,7 @@ class EventTimeSpec extends AnyFunSuite {
     import spark.implicits._
     val mem = MemoryStream[(Timestamp, String, String, Int)]
     val events = mem.toDF().toDF("ts", "event", "user_id", "v")
-      .select(col("user_id"), col("event"))
+      .select(col("user_id"), col("event"), col("ts"))
     val state = EventTime.runningUserState(events)
     val q = state.writeStream.format("memory").queryName("ustate")
       .outputMode("update").start()
