@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.functions.{col, max, min}
+import org.apache.spark.sql.functions.{col, datediff, lit, max, min, to_date, unix_micros}
 import org.apache.spark.sql.types._
 
 /** Z-order (Morton) clustering key over up to 4 numeric/temporal columns:
@@ -82,12 +82,23 @@ object ZOrder {
     * 1-row min/max aggregate (a documented, tiny driver fetch — the same
     * planning-time statistics any clustering rewrite needs). */
   def zorderKey(df: DataFrame, cols: Seq[String]): Column = {
+    // DATE has no direct cast to DOUBLE in Spark — go through epoch days;
+    // TIMESTAMP goes through epoch micros (exact, and z-order only needs
+    // per-column rank order, which any monotone mapping preserves)
+    def numeric(c: String): Column = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        datediff(col(c), to_date(lit("1970-01-01"))).cast("double")
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(c).cast("timestamp")).cast("double")
+      case _ => col(c).cast("double")
+    }
     val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"_lo_$c"), max(col(c).cast("double")).as(s"_hi_$c")))
+      min(numeric(c)).as(s"_lo_$c"), max(numeric(c)).as(s"_hi_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val los = cols.indices.map(i => Option(r.get(i * 2)).map(_.asInstanceOf[Double]).getOrElse(0.0))
     val his = cols.indices.map(i => Option(r.get(i * 2 + 1)).map(_.asInstanceOf[Double]).getOrElse(0.0))
     ColumnBridge.column(ZOrderKey(
-      cols.map(c => ColumnBridge.expression(df.col(c).cast("double"))), los, his))
+      cols.map(c => ColumnBridge.expression(numeric(c))), los, his))
   }
 }

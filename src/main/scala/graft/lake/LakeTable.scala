@@ -216,7 +216,11 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       val rel = p.toString.stripPrefix(tmp.toString).stripPrefix("/")
       val partVals = rel.split("/").dropRight(1).flatMap { seg =>
         seg.split("=", 2) match {
-          case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+          // unescape ONLY %XX sequences (Hive/Spark unescapePathName):
+          // URLDecoder also turns literal '+' into a space, and Spark does
+          // NOT escape '+' in partition dirs — a string partition value
+          // "a+b" would be stored as "a b" and then mis-pruned
+          case Array(k, v) => Some(k -> unescapePathName(v))
           case _ => None
         }
       }.toMap
@@ -400,14 +404,26 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         all.partition(f => Pruning.mayMatch(p, fileBounds(m0, f)))
       case None => (all, Seq.empty[DataFile])
     }
+    assignments.keys.foreach(k => require(m0.schema.byName(k).isDefined,
+      s"UPDATE target column $k not in schema"))
     val rewritten: Seq[DataFile] = if (touched.isEmpty) Seq.empty else {
       val src = dataFrameFor(m0, touched)
-      val updated = assignments.foldLeft(src) { case (d, (name, expr0)) =>
-        condition match {
-          case Some(c) => d.withColumn(name, when(coalesce(c, lit(false)), expr0).otherwise(d.col(name)))
-          case None => d.withColumn(name, expr0)
+      // ONE projection, not sequential withColumn: SQL UPDATE semantics
+      // require every RHS and the WHERE predicate to read the OLD row. A
+      // fold would re-resolve the condition and later RHS against
+      // already-updated columns — `SET a = 6, b = 9 WHERE a = 5` would
+      // skip b on exactly the matched rows, and `SET a = b, b = a` would
+      // fail to swap.
+      val updated = src.select(src.columns.toIndexedSeq.map { name =>
+        assignments.get(name) match {
+          case Some(expr0) => condition match {
+            case Some(c) =>
+              when(coalesce(c, lit(false)), expr0).otherwise(src.col(name)).as(name)
+            case None => expr0.as(name)
+          }
+          case None => src.col(name)
         }
-      }
+      }: _*)
       writeDataFiles(toPhysical(updated, m0.schema), m0)
     }
     commitReplace(branch, untouched ++ rewritten, "overwrite", Map(
@@ -643,11 +659,15 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
 
   // ---- schema evolution (D5-D7) -------------------------------------------
 
-  private def evolveSchema(f: LakeSchema => Seq[LakeColumn]): TableMeta = commit { m =>
-    val next = LakeSchema(m.schemas.map(_.schemaId).max + 1, f(m.schema))
-    m.copy(schemas = m.schemas :+ next, currentSchemaId = next.schemaId,
-      lastColumnId = math.max(m.lastColumnId, next.columns.map(_.id).max))
-  }
+  private def evolveSchema(f: LakeSchema => Seq[LakeColumn]): TableMeta =
+    evolveSchemaM((_, s) => f(s))
+
+  private def evolveSchemaM(f: (TableMeta, LakeSchema) => Seq[LakeColumn]): TableMeta =
+    commit { m =>
+      val next = LakeSchema(m.schemas.map(_.schemaId).max + 1, f(m, m.schema))
+      m.copy(schemas = m.schemas :+ next, currentSchemaId = next.schemaId,
+        lastColumnId = math.max(m.lastColumnId, next.columns.map(_.id).max))
+    }
 
   def renameColumn(from: String, to: String): TableMeta = evolveSchema { s =>
     require(s.byName(from).isDefined, s"no column $from")
@@ -668,9 +688,14 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   }
 
   def addColumn(name: String, dataType: DataType, after: Option[String] = None,
-                comment: Option[String] = None): TableMeta = evolveSchema { s =>
+                comment: Option[String] = None): TableMeta = evolveSchemaM { (m, s) =>
     require(s.byName(name).isEmpty, s"column $name exists")
-    val col = LakeColumn(s.columns.map(_.id).max + 1, name, dataType.json,
+    // id from lastColumnId, NOT the current schema's max: after dropColumn,
+    // max(current ids)+1 can REUSE the dropped column's id, and the stable-id
+    // read mapping would then resolve the new column to the dropped column's
+    // physical data in old files (resurrecting deleted values) and pruning
+    // would match its predicates against the dropped column's stats
+    val col = LakeColumn(m.lastColumnId + 1, name, dataType.json,
       nullable = true, comment)
     insertAfter(s.columns, col, after)
   }
@@ -850,6 +875,14 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   def cherrypick(snapshotId: Long): TableMeta = commit { m =>
     val staged = m.snapshot(snapshotId).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $snapshotId"))
+    // idempotence: a retried publish (timeout, at-least-once orchestration)
+    // must NOT re-apply — for a staged append that would list every file
+    // path twice and double its rows on all subsequent reads. Identity
+    // return → commit() writes nothing.
+    if (m.snapshots.exists(_.summary.get("source-snapshot-id")
+        .contains(snapshotId.toString)))
+      m
+    else {
     val parentFiles = staged.parentId.flatMap(m.snapshot).map(_.files.map(_.path).toSet)
       .getOrElse(Set.empty)
     val added = staged.files.filterNot(f => parentFiles.contains(f.path))
@@ -878,6 +911,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     m.copy(snapshots = m.snapshots :+ snap, lastSnapshotId = snapId,
       refs = m.refs + (MainBranch -> Ref(snapId)),
       history = m.history :+ HistoryEntry(now, snapId, MainBranch))
+    }
   }
 
   // ---- maintenance (D19-D21) -------------------------------------------------
@@ -1147,6 +1181,28 @@ object LakeTable {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Hive/Spark-style partition-path unescape: decode `%XX` sequences
+    * ONLY. (URLDecoder additionally maps '+' to a space, but Spark's
+    * escapePathName never encodes '+', so that mapping corrupts literal
+    * plus signs in string partition values.) */
+  private[lake] def unescapePathName(s: String): String = {
+    if (s.indexOf('%') < 0) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          val code = try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+                     catch { case _: NumberFormatException => -1 }
+          if (code >= 0) { sb.append(code.toChar); i += 3 }
+          else { sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
   }
 
   private[lake] def listParquet(fs: FileSystem, dir: Path): Seq[Path] = {

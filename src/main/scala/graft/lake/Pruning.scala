@@ -126,7 +126,10 @@ object Pruning {
   def norm(v: Any): Any = v match {
     case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
     case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000
-    case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    // full micros, NOT toEpochMilli*1000 (which truncates sub-ms and
+    // would prune files containing exact sub-millisecond matches)
+    case l: java.time.LocalDateTime =>
+      l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000
     case d: java.sql.Date => d.toLocalDate.toEpochDay
     case d: java.time.LocalDate => d.toEpochDay
     case b: Byte => b.toLong
@@ -278,6 +281,11 @@ object Pruning {
     * and silently prune every file. Unknown source type → no pruning. */
   private def partitionMay(c: String, lo: Any, hi: Any, f: FileBounds): Boolean =
     f.partition.get(c) match {
+      // null partition values (rows where the partition source is NULL)
+      // are stored as Hive's sentinel — not parseable as a number/date;
+      // no range predicate can be vouched against them, so don't prune
+      // (and don't crash the scan with NumberFormatException)
+      case Some((_, vStr)) if vStr == "__HIVE_DEFAULT_PARTITION__" => true
       case Some((t, vStr)) if Transforms.isTimeTransform(t) =>
         val toMicros: Option[Long => Long] = f.cols.get(c).map(_._2) match {
           case Some(DateType) => Some((d: Long) => d * Transforms.MicrosPerDay)

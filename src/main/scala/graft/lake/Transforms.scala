@@ -16,16 +16,36 @@ object Transforms {
   private val Bucket = """bucket\[(\d+)\]""".r
 
   /** Column expression computing the transform over the *logical* source
-    * column expression (timestamps are cast to LTZ micros under the UTC
-    * session, so NTZ and LTZ sources agree). */
+    * column expression. All ordinals are computed in UTC regardless of the
+    * session timezone — the prune side ([[applyToMicros]]) is pure UTC
+    * math, and a session-tz-dependent write ordinal would mis-prune under
+    * any non-UTC session (a 2024-03-01T02:00Z row is Feb 29 in New York:
+    * `year()`/`month()` on timestamps use the SESSION zone). Date-typed
+    * sources extract fields directly (DateType has no timezone); timestamp
+    * sources go through their absolute epoch-micros. (NTZ sources cast
+    * through LTZ using the session zone — under the UTC session NTZ and
+    * LTZ agree, same caveat as before.) */
   def expr(transform: String, source: Column, sourceType: DataType): Column = {
     def micros: Column = unix_micros(source.cast(TimestampType))
+    def dayOrdinal: Column = sourceType match {
+      case DateType => datediff(source, to_date(lit("1970-01-01"))).cast(LongType)
+      case _ => floor(micros.cast(DoubleType) / lit(MicrosPerDay.toDouble)).cast(LongType)
+    }
+    // the instant's UTC calendar date — DateType field extraction is
+    // timezone-free, unlike year()/month() on timestamps
+    def utcDate: Column = sourceType match {
+      case DateType => source
+      case _ => date_add(to_date(lit("1970-01-01")), dayOrdinal.cast(IntegerType))
+    }
     transform match {
       case "identity" => source
-      case "days"     => floor(micros.cast(DoubleType) / lit(MicrosPerDay.toDouble)).cast(LongType)
-      case "hours"    => floor(micros.cast(DoubleType) / lit(MicrosPerHour.toDouble)).cast(LongType)
-      case "months"   => ((year(source) - lit(1970)) * lit(12) + month(source) - lit(1)).cast(LongType)
-      case "years"    => (year(source) - lit(1970)).cast(LongType)
+      case "days"     => dayOrdinal
+      case "hours"    => sourceType match {
+        case DateType => (dayOrdinal * lit(24L)).cast(LongType)
+        case _ => floor(micros.cast(DoubleType) / lit(MicrosPerHour.toDouble)).cast(LongType)
+      }
+      case "months"   => ((year(utcDate) - lit(1970)) * lit(12) + month(utcDate) - lit(1)).cast(LongType)
+      case "years"    => (year(utcDate) - lit(1970)).cast(LongType)
       case Bucket(n)  => pmod(hash(source), lit(n.toInt)).cast(LongType)
       case other      => throw new IllegalArgumentException(s"unknown transform: $other")
     }

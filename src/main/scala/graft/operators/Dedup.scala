@@ -80,7 +80,12 @@ object Dedup {
     * LSH): join shingle sets, |A∩B| / (|A|+|B|-|A∩B|). */
   def jaccardForPairs(df: DataFrame, pairs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", n: Int = 3): DataFrame = {
-    val sh = shingles(df, textCol, idCol, n).cache()
+    // NOT cached: the exploded shingle set is far larger than the corpus,
+    // and a cache here has no unpersist point (the result is lazy) — in a
+    // long-lived session each call would pin another full shingle set in
+    // executor storage. Recomputing the explode per consumer (3×) is a
+    // codegen-only projection, no shuffle.
+    val sh = shingles(df, textCol, idCol, n)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val shA = sh.select(col(idCol).as("id_a"), col("shingle"))
     val shB = sh.select(col(idCol).as("id_b"), col("shingle"))
@@ -155,12 +160,20 @@ object Dedup {
       case None =>
         val nb = maxHamming + 1
         require(nb <= bits, s"maxHamming=$maxHamming needs more than $bits signature bits")
-        val cs = (bits + nb - 1) / nb
+        // BALANCED chunk widths (bits/nb, the first bits%nb chunks one
+        // wider) — ceil-width chunks (`cs = ceil(bits/nb)`) leave trailing
+        // chunks ZERO-width when cs*(nb-1) >= bits (e.g. bits=32,
+        // maxHamming=16 → chunk 17 empty): every doc then shares key 0 in
+        // that band and the equi-join degenerates to a full cross join.
+        // Pigeonhole needs exactly nb non-empty chunks covering all bits.
+        val base = bits / nb
+        val rem = bits % nb
+        val widths = (0 until nb).map(i => base + (if (i < rem) 1 else 0))
+        val offsets = widths.scanLeft(0)(_ + _)
         val banded = sig.select(col(idCol), col("simhash"),
           posexplode(array((0 until nb).map { i =>
-            val lo = i * cs
-            val width = math.min(cs, bits - lo)
-            shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1))
+            shiftright(col("simhash"), offsets(i))
+              .bitwiseAND(lit((1L << widths(i)) - 1))
           }: _*)).as(Seq("band", "key")))
         val a = banded.select(col("band"), col("key"),
           col(idCol).as("id_a"), col("simhash").as("sig_a"))

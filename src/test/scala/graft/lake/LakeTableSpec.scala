@@ -131,6 +131,112 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.toDF.filter(col("id") === 3).head.getDouble(1) === 7.5)
   }
 
+  test("addColumn after dropColumn never reuses the dropped column's id") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.colids", StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType))))
+    import spark.implicits._
+    t.append(Seq((1L, "SECRET-b1"), (2L, "SECRET-b2")).toDF("a", "b"))
+    t.dropColumn("b")
+    // id reuse would resolve c by stable id to b's physical column in the
+    // old file — resurrecting dropped data instead of null
+    t.addColumn("c", StringType)
+    val rows = t.toDF.orderBy("a").collect()
+    assert(rows.forall(_.isNullAt(1)),
+      s"new column must read NULL on pre-add files, got ${rows.mkString(",")}")
+    val ids = t.meta.schema.columns.map(_.id)
+    assert(ids.distinct.size === ids.size)
+  }
+
+  test("UPDATE evaluates every RHS and the WHERE against the OLD row (one projection)") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.updsem", taxiSchema)
+    t.append(taxis)
+    // swap: fare <-> distance — sequential withColumn would set distance
+    // to the ALREADY-updated fare
+    t.update(Map("fare" -> col("distance"), "distance" -> col("fare")),
+      Some(col("vendor_id") === 1))
+    val r1 = t.toDF.filter(col("vendor_id") === 1).head
+    assert(r1.getAs[Double]("fare") === 2.0 && r1.getAs[Double]("distance") === 10.0,
+      s"swap must read old values: $r1")
+    // self-invalidating condition: SET fare = 99 WHERE fare = 20 — a fold
+    // re-evaluating the condition after the first assignment would skip
+    // later assignments on exactly the matched rows
+    t.update(Map("fare" -> lit(99.0), "distance" -> lit(77.0)),
+      Some(col("fare") === 20.0))
+    val r2 = t.toDF.filter(col("vendor_id") === 2).head
+    assert(r2.getAs[Double]("fare") === 99.0 && r2.getAs[Double]("distance") === 77.0)
+  }
+
+  test("identity string partition values with '+' survive the path round-trip") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.plus", StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType))),
+      partitionBy = Seq("k" -> "identity"))
+    import spark.implicits._
+    t.append(Seq(("a+b", 1L), ("c d", 2L), ("x%20y", 3L)).toDF("k", "v"))
+    // URLDecoder would store "a b" for "a+b" and the identity-partition
+    // prune would then drop the file for k = 'a+b'
+    assert(t.read(filter = Some(col("k") === "a+b")).count() === 1)
+    assert(t.read(filter = Some(col("k") === "c d")).count() === 1)
+    assert(t.read(filter = Some(col("k") === "x%20y")).count() === 1)
+  }
+
+  test("null partition values (HIVE default partition) don't crash filtered reads") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.nullpart", taxiSchema,
+      partitionBy = Seq("pickup" -> "days"))
+    import spark.implicits._
+    val withNull = Seq(
+      (1L, ts("2022-01-01 08:30:00"), 10.0, 2.0),
+      (2L, null.asInstanceOf[java.sql.Timestamp], 20.0, 4.0)
+    ).toDF("vendor_id", "pickup", "fare", "distance")
+    t.append(withNull)
+    // used to throw NumberFormatException parsing __HIVE_DEFAULT_PARTITION__
+    assert(t.read(filter = Some(col("pickup") === ts("2022-01-01 08:30:00"))).count() === 1)
+    assert(t.read(filter = Some(col("pickup").isNull)).count() === 1)
+    t.delete(col("pickup") < ts("2021-01-01 00:00:00"))
+    assert(t.toDF.count() === 2, "NULL pickup must survive a range DELETE")
+  }
+
+  test("cherrypick is idempotent: publishing the same staged snapshot twice is a no-op") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.ckpub", taxiSchema,
+      properties = Map("write.wap.enabled" -> "true"))
+    t.append(taxis.limit(2))
+    spark.conf.set("spark.wap.id", "pub-1")
+    val staged = try {
+      t.append(taxis.limit(1)); t.meta.snapshots.find(_.staged).get
+    } finally spark.conf.unset("spark.wap.id")
+    t.cherrypick(staged.snapshotId)
+    assert(t.toDF.count() === 3)
+    val v = t.meta.version
+    t.cherrypick(staged.snapshotId) // retried publish (at-least-once client)
+    assert(t.toDF.count() === 3, "double publish must not duplicate rows")
+    assert(t.meta.version === v, "a retried publish must not write a new version")
+  }
+
+  test("months/years transforms agree between write and prune under a non-UTC session") {
+    // 2024-03-01T02:00Z is Feb 29 in America/New_York: a session-tz
+    // year()/month() at write time would file it under month 649 while the
+    // pruning side (pure UTC) computes 650 — and the row would vanish from
+    // filtered reads
+    val tsUtc = java.time.Instant.parse("2024-03-01T02:00:00Z")
+    val micros = tsUtc.getEpochSecond * 1000000L
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val df = Seq(java.sql.Timestamp.from(tsUtc)).toDF("ts")
+      for (tr <- Seq("months", "years", "days", "hours")) {
+        val written = df.select(
+          Transforms.expr(tr, col("ts"), TimestampType).as("p")).head.getLong(0)
+        assert(written === Transforms.applyToMicros(tr, micros),
+          s"$tr ordinal must be session-tz independent")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("partition evolution: days → hours applies only to new writes (D8)") {
     val cat = freshCatalog()
     val t = cat.createTable("nyc.taxis", taxiSchema, partitionBy = Seq("pickup" -> "days"))

@@ -77,6 +77,27 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT COUNT(*) FROM lake.db.del").head.getLong(0) === 0)
   }
 
+  test("SQL DELETE on a partition-aligned predicate commits metadata-only (no rewrite)") {
+    sql("""CREATE TABLE lake.db.mdel (id BIGINT, grp STRING)
+          |PARTITIONED BY (identity(grp))""".stripMargin)
+    // separate INSERTs → separate files per partition value
+    sql("INSERT INTO lake.db.mdel VALUES (1, 'x'), (2, 'x')")
+    sql("INSERT INTO lake.db.mdel VALUES (3, 'y'), (4, 'y')")
+    val filesBefore = sql("SELECT file_path FROM lake.db.mdel.files").collect()
+      .map(_.getString(0)).toSet
+    sql("DELETE FROM lake.db.mdel WHERE grp = 'x'")
+    val snap = sql(
+      "SELECT summary FROM lake.db.mdel.snapshots ORDER BY snapshot_id DESC LIMIT 1")
+      .head.getMap[String, String](0)
+    assert(snap("metadata-only") === "true",
+      s"partition-aligned SQL DELETE must drop whole files, got $snap")
+    val filesAfter = sql("SELECT file_path FROM lake.db.mdel.files").collect()
+      .map(_.getString(0)).toSet
+    assert(filesAfter.subsetOf(filesBefore), "metadata-only DELETE must not write files")
+    assert(sql("SELECT id FROM lake.db.mdel ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(3L, 4L))
+  }
+
   test("ALTER TABLE: rename, widen, comment, add-after, reorder, properties (c11-c16)") {
     sql("CREATE TABLE lake.db.alt (id INT, fare_amount DOUBLE, trip_distance FLOAT)")
     sql("INSERT INTO lake.db.alt VALUES (1, 10.5, CAST(2.5 AS FLOAT))")

@@ -281,6 +281,20 @@ class OperatorsSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("simhash banding stays complete and non-degenerate at high maxHamming (bits=32, m=16)") {
+    // ceil-width banding used to leave trailing ZERO-width chunks here
+    // (17 chunks over 32 bits): every doc shared key 0 in those bands and
+    // the candidate join degenerated to a full cross join
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 16, bits = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = Dedup.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 16
+    } yield (ia, ib)).toSet
+    assert(pairs === brute, "balanced banding must stay pigeonhole-complete")
+  }
+
   test("connected components match a union-find oracle on seeded random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260813L)
