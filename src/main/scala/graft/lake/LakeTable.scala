@@ -873,16 +873,43 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * staged — re-run the overwrite against the new state instead of
     * silently clobbering it. */
   def cherrypick(snapshotId: Long): TableMeta = commit { m =>
-    val staged = m.snapshot(snapshotId).getOrElse(
-      throw new IllegalArgumentException(s"no snapshot $snapshotId"))
-    // idempotence: a retried publish (timeout, at-least-once orchestration)
-    // must NOT re-apply — for a staged append that would list every file
-    // path twice and double its rows on all subsequent reads. Identity
-    // return → commit() writes nothing.
-    if (m.snapshots.exists(_.summary.get("source-snapshot-id")
-        .contains(snapshotId.toString)))
+    // idempotence FIRST, before resolving the staged snapshot: a retried
+    // publish (timeout, at-least-once orchestration) must NOT re-apply —
+    // for a staged append that would list every file path twice and double
+    // its rows on all subsequent reads. Identity return → commit() writes
+    // nothing. The check has TWO layers: snapshot summaries (fast path)
+    // AND the `graft.published-source-snapshot-ids` table property — the
+    // property survives expire_snapshots (which legitimately drops the
+    // publish snapshot and with it the summary marker, AND the staged
+    // snapshot, which is older still — so a post-expiry retry would
+    // otherwise fail with a confusing "no snapshot" instead of no-op'ing).
+    // The property is a CSV of source ids: one short entry per cherrypick,
+    // metadata-sized (WAP sessions are bounded; prune with unsetProperties
+    // if an install cherrypicks millions of times).
+    val publishedProp = m.properties.getOrElse("graft.published-source-snapshot-ids", "")
+    val alreadyPublished =
+      m.snapshots.exists(_.summary.get("source-snapshot-id").contains(snapshotId.toString)) ||
+        publishedProp.split(",").contains(snapshotId.toString)
+    if (alreadyPublished)
       m
     else {
+    val staged = m.snapshot(snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $snapshotId"))
+    // duplicate-WAP-commit guard (Iceberg's DuplicateWAPCommitException):
+    // a client that re-STAGES the same logical wap session (same wap.id,
+    // new snapshot id — e.g. an orchestrator retrying the whole
+    // write+publish after losing track) and cherrypicks the new snapshot
+    // would double the rows with a marker the source-id check can't see.
+    // Published wap.ids are tracked in an expiry-proof property too.
+    val publishedWaps = m.properties.getOrElse("graft.published-wap-ids", "")
+      .split(",").filter(_.nonEmpty).toSet
+    val stagedWap = staged.summary.get("wap.id").filter(_.nonEmpty)
+    stagedWap.filter(publishedWaps.contains).foreach { w =>
+      throw new IllegalStateException(
+        s"duplicate WAP commit: wap.id '$w' was already published to this table " +
+          s"(staged snapshot $snapshotId is a re-stage of the same session) — " +
+          "cherry-picking it would apply the write twice")
+    }
     val parentFiles = staged.parentId.flatMap(m.snapshot).map(_.files.map(_.path).toSet)
       .getOrElse(Set.empty)
     val added = staged.files.filterNot(f => parentFiles.contains(f.path))
@@ -908,9 +935,18 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       staged.summary ++ Map("published-wap-id" -> staged.summary.getOrElse("wap.id", ""),
         "source-snapshot-id" -> snapshotId.toString),
       files)
+    val wapProps = stagedWap match {
+      case Some(w) => Map("graft.published-wap-ids" ->
+        (publishedWaps + w).toSeq.sorted.mkString(","))
+      case None => Map.empty[String, String]
+    }
     m.copy(snapshots = m.snapshots :+ snap, lastSnapshotId = snapId,
       refs = m.refs + (MainBranch -> Ref(snapId)),
-      history = m.history :+ HistoryEntry(now, snapId, MainBranch))
+      history = m.history :+ HistoryEntry(now, snapId, MainBranch),
+      properties = m.properties ++ wapProps +
+        ("graft.published-source-snapshot-ids" ->
+          (if (publishedProp.isEmpty) snapshotId.toString
+           else s"$publishedProp,$snapshotId")))
     }
   }
 

@@ -170,10 +170,14 @@ object Dedup {
         val rem = bits % nb
         val widths = (0 until nb).map(i => base + (if (i < rem) 1 else 0))
         val offsets = widths.scanLeft(0)(_ + _)
+        // width can be 64 when nb == 1 (maxHamming = 0, bits = 64):
+        // (1L << 64) wraps to 1 so the mask would be 0 and every signature
+        // would share band key 0 — the cross join banding exists to avoid.
+        def chunkMask(w: Int): Long = if (w == 64) -1L else (1L << w) - 1
         val banded = sig.select(col(idCol), col("simhash"),
           posexplode(array((0 until nb).map { i =>
             shiftright(col("simhash"), offsets(i))
-              .bitwiseAND(lit((1L << widths(i)) - 1))
+              .bitwiseAND(lit(chunkMask(widths(i))))
           }: _*)).as(Seq("band", "key")))
         val a = banded.select(col("band"), col("key"),
           col(idCol).as("id_a"), col("simhash").as("sig_a"))
@@ -204,36 +208,50 @@ object Dedup {
     * join + min combine). A pointer-compression variant (label ← label's
     * label, log-diameter rounds) was measured 3× SLOWER here: the extra
     * self-join doubles every round's DAG, and dup-cluster diameters are
-    * too shallow to amortize it. Each round persists its labels and
-    * unpersists the previous so lineage stays flat. Only docs appearing in
-    * some pair are labeled (singletons are their own cluster by
-    * definition — callers left-anti or coalesce). Throws if `maxIter`
-    * rounds don't reach the fixpoint (silently-partial labels would keep
-    * duplicates). The returned (id, label) DataFrame is persisted (its
-    * lineage is the whole loop — recomputing it would replay every round);
-    * long-lived sessions should `unpersist()` it when done. */
+    * too shallow to amortize it.
+    *
+    * Each round the labels are materialized with `localCheckpoint` — NOT
+    * a plain persist. Persist caches the DATA but leaves the LOGICAL plan
+    * intact, and this loop's plan references the previous round's labels
+    * twice (neighbor join + carry-through join), so the tree DOUBLES per
+    * round: by round r the analyzer/optimizer walks O(2^r) nodes and
+    * driver-side planning, not the data, dominates wall clock (measured:
+    * the seeded-graph property test spent minutes in planning by round
+    * ~12). localCheckpoint truncates lineage to the materialized blocks,
+    * keeping every round's plan O(1) — the GraphX/GraphFrames iteration
+    * pattern. Caveat (documented Spark semantics): localCheckpoint blocks
+    * are non-replayable, so an executor loss mid-loop fails the job and
+    * the caller re-runs — acceptable for a bounded maxIter-round loop.
+    * Superseded rounds' blocks are freed by the ContextCleaner when the
+    * old DataFrames go unreachable. Only docs appearing in some pair are
+    * labeled (singletons are their own cluster by definition — callers
+    * left-anti or coalesce, or use [[resolveClusters]]). Throws if
+    * `maxIter` rounds don't reach the fixpoint (silently-partial labels
+    * would keep duplicates). The returned (id, label) DataFrame is backed
+    * by its own checkpoint blocks; `unpersist()` is a harmless no-op on
+    * it, and the blocks free when the reference drops. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
-    var cached = labels // the persisted plan backing `labels`, for unpersist
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy("src").agg(min("label").as("nl"))
+      // eager localCheckpoint = the round's one materializing action;
+      // the convergence count below reads the checkpointed blocks
       val next = labels
         .join(neighborMin.select(col("src").as("id"), col("nl")), Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("old")).count()
-      cached.unpersist()
-      cached = next
       labels = next.select("id", "label")
       i += 1
     }
@@ -245,14 +263,27 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still changing) — raise maxIter")
-    // re-persist the small (id,label) result and drop the round cache:
-    // the returned plan IS the persisted one, so callers can unpersist it;
-    // without this the final round's wider cache (id,old,label) would be
-    // pinned behind a projection no caller can reach.
-    val result = labels.persist()
-    result.count()
-    cached.unpersist()
     edges.unpersist()
-    result
+    labels
+  }
+
+  /** Full dedup cluster resolution: EVERY document gets a cluster id.
+    * Members of a candidate-pair component share the component's minimum
+    * doc id; singletons (no pair) are their own cluster. This is the
+    * one-call canonical-survivor map a dedup pipeline composes with
+    * `filter(col(idCol) === col("cluster_id"))` to keep survivors.
+    * Plan: connectedComponents over the pairs (bounded loop, see above) +
+    * ONE left join back to docs with coalesce — the join is on the doc id
+    * both sides are already keyed by, and the CC label side is tiny
+    * relative to the corpus (only docs appearing in some pair; it is
+    * checkpoint-backed, so this plan is shallow and lazy — re-evaluating
+    * it never replays the loop). */
+  def resolveClusters(docs: DataFrame, pairs: DataFrame,
+                      idCol: String = "doc_id", idA: String = "id_a",
+                      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val labels = connectedComponents(pairs, idA, idB, maxIter)
+    docs.select(col(idCol))
+      .join(labels.select(col("id").as(idCol), col("label")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("cluster_id"))
   }
 }

@@ -88,6 +88,29 @@ object TextAnalysis {
   def fastFingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** PII patterns for training-corpus redaction (the Dolma/CCNet-style
+    * pre-training scrub): emails, North-American phone shapes, IPv4.
+    * Pure Java-regex expressions — codegen'd regexp_replace, no UDF, so
+    * the scrub runs at scan throughput and pushes through whole-stage
+    * codegen at 100 TB. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Replace each PII class with its placeholder token. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Per-class PII hit counts (the audit metric a scrub job reports). */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("n_email"),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long").as("n_phone"),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long").as("n_ip"))
+
   /** Annotate a documents DataFrame with the full feature set. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -264,6 +264,31 @@ object TextOps {
       |WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.9
       |ORDER BY id_a, id_b""".stripMargin)
 
+  /** Count-only twin of q22 — the diagnostic the q22 scale probe called
+    * for: the 10× probe attributed q22's wall growth (3.8×) to
+    * materializing 2.46 M output rows, not to the pairwise compute
+    * (shuffle grew linearly). This entry runs the IDENTICAL collapse →
+    * prefix-filter → verify plan but reduces to one row (pair count +
+    * µ-scaled jaccard sum), so its wall clock isolates compute; the gap
+    * q22−q58 is pure output expansion. The optimizer drops q22's final
+    * sort under the aggregate, as it should. Integer scoring: FLOOR(j·1e6)
+    * of an exact-int ratio is bit-identical across engines, and both
+    * sides cast the SUM back to BIGINT (DuckDB sums BIGINT into
+    * HUGEINT). */
+  val q58 = plan("q58_jaccard_count",
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      q22.fn(s, dir)
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(floor(col("jaccard") * 1e6).cast("long")).cast("long").as("j_sum"))
+    },
+    duckSql = s"""WITH pairs AS (
+      |${q22.oracle.get}
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CAST(FLOOR(jaccard * 1e6) AS BIGINT)) AS BIGINT) AS j_sum
+      |FROM pairs""".stripMargin)
+
   /** Near-dup cluster resolution (the step after pair generation in every
     * dedup pipeline): connected components over the q21 LSH pair graph,
     * each doc labeled with the min doc id of its component — the canonical
@@ -271,12 +296,19 @@ object TextOps {
     * (min-label propagation, one shuffle join per round, rounds = component
     * diameter); the DuckDB oracle computes min-reachable-id with a
     * recursive CTE over the same pair set, so the equivalence proven is
-    * exact component structure, not just counts. */
+    * exact component structure, not just counts.
+    *
+    * `maxIter` (the loud-failure safety bound on propagation rounds) is
+    * operator-tunable WITHOUT a code change via the session conf
+    * `spark.graft.cc.maxIter` — a pathological chain graph (adversarial
+    * near-dup spam) needs rounds = diameter, and an operator facing the
+    * convergence exception raises the conf and re-runs. */
   val q51 = plan("q51_dup_clusters",
     fn = (s, dir) => {
       import org.apache.spark.sql.functions._
       val pairs = q21.fn(s, dir)
-      graft.operators.Dedup.connectedComponents(pairs)
+      val maxIter = s.conf.getOption("spark.graft.cc.maxIter").map(_.toInt).getOrElse(20)
+      graft.operators.Dedup.connectedComponents(pairs, maxIter = maxIter)
         .select(col("id").cast("long").as("doc_id"),
           col("label").cast("long").as("cluster_id"))
         .orderBy("doc_id")
@@ -294,6 +326,40 @@ object TextOps {
       |  SELECT rc.id, e.dst FROM reach rc JOIN edges e ON rc.r = e.src)
       |SELECT id AS doc_id, MIN(r) AS cluster_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+
+  /** FULL dedup resolution (q51's missing half): every document — not
+    * just those in some candidate pair — mapped to its cluster id;
+    * singletons are their own cluster. This is the one-call canonical-
+    * survivor map ([[graft.operators.Dedup.resolveClusters]]: CC labels
+    * + ONE left join back to the corpus with coalesce); a pipeline keeps
+    * survivors with `doc_id = cluster_id`. Oracle = q51's recursive-CTE
+    * components LEFT JOINed onto all documents, so the singleton
+    * self-labeling is hash-compared too. */
+  val q57 = plan("q57_dedup_resolve",
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables.load(s, dir, "documents")
+      val pairs = q21.fn(s, dir)
+      graft.operators.Dedup.resolveClusters(docs, pairs)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("cluster_id").cast("long").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+    duckSql = s"""WITH RECURSIVE pairs AS (
+      |${q21.oracle.get}
+      |),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION
+      |  SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT rc.id, e.dst FROM reach rc JOIN edges e ON rc.r = e.src),
+      |cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+      |SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+      |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+      |ORDER BY doc_id""".stripMargin)
 
   /** Duplicate-n-gram fraction per doc (the Gopher/RefinedWeb corpus
     * quality measure): share of a doc's distinct 3-word shingles that
@@ -371,5 +437,5 @@ object TextOps {
       |  CAST(score AS BIGINT) AS score
       |FROM r WHERE rk <= 5 ORDER BY source, score DESC, term""".stripMargin)
 
-  def specs: Seq[QuerySpec] = Seq(q16, q17, q18, q19, q20, q21, q22, q51, q52, q56)
+  def specs: Seq[QuerySpec] = Seq(q16, q17, q18, q19, q20, q21, q22, q51, q52, q56, q57, q58)
 }

@@ -100,6 +100,35 @@ object Changelog {
         pmod(crc32(concat(lit("v"), col("value"))), lit(101)).cast(IntegerType).as("viewed_percent"))
   }
 
+  /** Kafka source seam (ref: datagen/datagen.py:16,41-56 produces JSON to
+    * topic `clickstream`). The spark-sql-kafka connector jar is NOT in
+    * this environment's `/opt/spark/jars`, so the real source cannot
+    * load here — but the seam means a cluster that DOES ship
+    * spark-sql-kafka-0-10 gets the reference-identical source from this
+    * exact call, no code change. Without the jar, the failure is an
+    * actionable error naming the drop-in twins ([[clickstreamSource]] /
+    * [[socketLines]] + [[parseJsonLines]], which produce the identical
+    * schema) instead of Spark's raw "Failed to find data source". Returns
+    * `value: String` lines, the shape [[parseJsonLines]] consumes. */
+  def kafkaSource(spark: SparkSession, bootstrapServers: String,
+                  topic: String = "clickstream"): DataFrame =
+    try {
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .load()
+        .select(col("value").cast(StringType).as("value"))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalStateException(
+          "Kafka source unavailable: the spark-sql-kafka connector jar is not on " +
+            "the classpath. Swap-in path: add spark-sql-kafka-0-10 (matching your " +
+            "Spark version) to the cluster jars and this call works unchanged. " +
+            "Environment twins with the identical schema: " +
+            "Changelog.clickstreamSource (rate-based datagen) or " +
+            "Changelog.socketLines + Changelog.parseJsonLines (live feed).", e)
+    }
+
   /** JSON-line round trip for the clickstream schema (F13; the datagen
     * emits `json.dumps(data)` — datagen.py:55). */
   def toJsonLines(clickstream: DataFrame): DataFrame =
@@ -125,22 +154,43 @@ object Changelog {
     *      (file-pruned copy-on-write), then surviving I/U rows appended
     *
     * Idempotent on `batchId` (T4): a batch at or below the HIGHEST
-    * `streaming.batch-id` recorded anywhere in snapshot history is
-    * skipped, so foreachBatch replays after a checkpoint recovery cannot
-    * double-apply. Checking only the latest snapshot would be defeated by
-    * any interleaved commit (a compaction or manual DELETE landing between
+    * batch-id marker recorded anywhere in snapshot history is skipped, so
+    * foreachBatch replays after a checkpoint recovery cannot double-apply.
+    * Checking only the latest snapshot would be defeated by any
+    * interleaved commit (a compaction or manual DELETE landing between
     * batch N and its replay hides the marker) — a replay would then
     * re-insert rows the interleaved DELETE removed. The scan is over the
     * in-memory snapshot list (metadata, no I/O) and expire_snapshots
     * cannot outrun it: expiry keeps the branch head's ancestry, and the
-    * checkpoint advances past N long before N's snapshot ages out. */
+    * checkpoint advances past N long before N's snapshot ages out.
+    *
+    * Multi-writer: batch-ids restart at 0 per checkpoint, so a SECOND
+    * streaming query merging into the same table would collide with the
+    * first's marker (all its batches silently skipped once the other's
+    * marker is higher). `writerId` scopes the marker per writer
+    * (`streaming.batch-id.<writerId>`) — [[startIngest]] derives one from
+    * the checkpoint dir, which is exactly the scope batch-ids live in.
+    * An empty writerId keeps the legacy unscoped key (single writer). */
+  def markerKey(writerId: String): String =
+    if (writerId.isEmpty) "streaming.batch-id" else s"streaming.batch-id.$writerId"
+
+  /** Stable per-checkpoint writer id: batch-ids are scoped to a
+    * checkpoint, so its path (hashed to keep property keys clean) is the
+    * right marker scope — stable across restarts, distinct across
+    * queries. */
+  def writerIdFor(checkpointDir: String): String =
+    java.lang.Long.toHexString(
+      java.util.UUID.nameUUIDFromBytes(checkpointDir.getBytes("UTF-8"))
+        .getMostSignificantBits)
+
   def mergeChangelog(table: LakeTable, batch: DataFrame, key: String,
                      seqCol: String, opCol: String = "op",
-                     batchId: Long = -1L): Unit = {
+                     batchId: Long = -1L, writerId: String = ""): Unit = {
     val m0 = table.meta
+    val marker = markerKey(writerId)
     if (batchId >= 0) {
       val applied = m0.snapshots.iterator
-        .flatMap(_.summary.get("streaming.batch-id")).map(_.toLong)
+        .flatMap(_.summary.get(marker)).map(_.toLong)
         .maxOption
       if (applied.exists(_ >= batchId)) return
     }
@@ -163,7 +213,7 @@ object Changelog {
         // planning and commit re-plans the merge against fresh metadata
         LakeTable.withConflictRetry() {
           table.mergeByKeys(key, latest.select(col(key)), upserts,
-            if (batchId >= 0) Map("streaming.batch-id" -> batchId.toString) else Map.empty)
+            if (batchId >= 0) Map(marker -> batchId.toString) else Map.empty)
         }
         ()
       }
@@ -174,15 +224,17 @@ object Changelog {
     * reference's checkpoint cadence — IcebergStream.java:84) with
     * exactly-once via checkpointLocation + the batch-id guard. */
   def startIngest(table: LakeTable, parsed: DataFrame, key: String, seqCol: String,
-                  checkpointDir: String, triggerMs: Long = 5000L): StreamingQuery =
+                  checkpointDir: String, triggerMs: Long = 5000L): StreamingQuery = {
+    val wid = writerIdFor(checkpointDir)
     parsed.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        mergeChangelog(table, batch, key, seqCol, batchId = id)
+        mergeChangelog(table, batch, key, seqCol, batchId = id, writerId = wid)
       }
       .start()
+  }
 
   /** Incremental streaming read-back of a lake table — the Spark-first
     * analog of the reference's continuous changelog read

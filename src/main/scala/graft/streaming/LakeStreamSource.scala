@@ -53,8 +53,28 @@ class LakeStreamSource(sqlContext: SQLContext, location: String) extends Source 
     case other => throw new IllegalArgumentException(s"unexpected offset $other")
   }
 
+  /** A checkpointed offset can stop being resolvable: rollback_to_snapshot
+    * moves main past it, or expire_snapshots drops its snapshot. Without
+    * this translation the raw `not an ancestor` require fails every
+    * trigger and the stream is permanently wedged with no hint of the
+    * cause or the fix. */
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val df = table.readAddedBetween(start.map(toLong), toLong(end))
+    val df =
+      try table.readAddedBetween(start.map(toLong), toLong(end))
+      catch {
+        case e: IllegalArgumentException =>
+          throw new IllegalStateException(
+            s"Streaming read of lake table at $location cannot resume: checkpointed " +
+              s"offset range [${start.map(toLong).getOrElse("-")}, ${toLong(end)}] is no " +
+              "longer on main's ancestry — the table was rolled back past it, or the " +
+              "snapshot was removed by expire_snapshots. Recovery: (a) delete this " +
+              "stream's checkpoint directory to restart from the current table state " +
+              "(rows in the lost range are re-delivered or skipped depending on the " +
+              "rollback), or (b) rollback_to_snapshot to a state that still contains " +
+              "the offset. Prevention: keep expire_snapshots retention longer than " +
+              "the stream's maximum downtime, and restart streams after a rollback.",
+            e)
+      }
     // pin to the source schema by name (table may have evolved mid-stream)
     val pinned = df.select(pinnedSchema.fields.map(f =>
       col(f.name).cast(f.dataType)).toIndexedSeq: _*)

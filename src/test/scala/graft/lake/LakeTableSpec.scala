@@ -216,6 +216,58 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.meta.version === v, "a retried publish must not write a new version")
   }
 
+  test("cherrypick idempotence survives expire_snapshots dropping the publish snapshot") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.ckexp", taxiSchema,
+      properties = Map("write.wap.enabled" -> "true"))
+    t.append(taxis.limit(2))
+    spark.conf.set("spark.wap.id", "pub-exp-1")
+    val staged = try {
+      t.append(taxis.limit(1)); t.meta.snapshots.find(_.staged).get
+    } finally spark.conf.unset("spark.wap.id")
+    t.cherrypick(staged.snapshotId)
+    assert(t.toDF.count() === 3)
+    // several later commits, then aggressive expiry: the PUBLISH snapshot
+    // (whose summary carries source-snapshot-id) is dropped — only the new
+    // head survives. The summary-based idempotence marker is gone.
+    t.append(taxis.limit(1))
+    t.append(taxis.limit(1))
+    t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    val m = t.meta
+    assert(!m.snapshots.exists(_.summary.get("source-snapshot-id")
+        .contains(staged.snapshotId.toString)),
+      "precondition: expiry must have dropped the publish snapshot's marker")
+    // a late at-least-once publish retry must STILL be a no-op — the
+    // expiry-proof table property records the published source id
+    val rows = t.toDF.count()
+    t.cherrypick(staged.snapshotId)
+    assert(t.toDF.count() === rows,
+      "a publish retry after expiry must not re-apply the staged append")
+  }
+
+  test("duplicate WAP commit: re-staged session with an already-published wap.id is rejected") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.ckdup", taxiSchema,
+      properties = Map("write.wap.enabled" -> "true"))
+    t.append(taxis.limit(2))
+    def stage(): Long = {
+      spark.conf.set("spark.wap.id", "session-7")
+      try {
+        t.append(taxis.limit(1))
+        t.meta.snapshots.filter(_.staged).maxBy(_.snapshotId).snapshotId
+      } finally spark.conf.unset("spark.wap.id")
+    }
+    t.cherrypick(stage())
+    assert(t.toDF.count() === 3)
+    // an orchestrator that lost track retries the WHOLE session: re-stage
+    // (new snapshot id, same wap.id) + publish — the source-id idempotence
+    // check can't see this; the wap.id guard must
+    val restaged = stage()
+    val ex = intercept[IllegalStateException](t.cherrypick(restaged))
+    assert(ex.getMessage.contains("duplicate WAP commit"))
+    assert(t.toDF.count() === 3, "the re-staged session must not double the rows")
+  }
+
   test("months/years transforms agree between write and prune under a non-UTC session") {
     // 2024-03-01T02:00Z is Feb 29 in America/New_York: a session-tz
     // year()/month() at write time would file it under month 649 while the

@@ -690,17 +690,17 @@ class GraftCatalogSpec extends AnyFunSuite {
   }
 
   test("partition-aligned SQL DELETE commits metadata-only: zero files rewritten") {
-    sql("CREATE TABLE lake.db.mdel (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
-    sql("""INSERT INTO lake.db.mdel VALUES
+    sql("CREATE TABLE lake.db.mdel2 (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+    sql("""INSERT INTO lake.db.mdel2 VALUES
           |(1, TIMESTAMP '2022-01-01 08:00:00'), (2, TIMESTAMP '2022-01-01 09:00:00'),
           |(3, TIMESTAMP '2022-02-01 08:00:00')""".stripMargin)
     val cat = spark.sessionState.catalogManager.catalog("lake").asInstanceOf[GraftCatalog]
-    val before = cat.lake.loadTable("db.mdel").meta.currentSnapshot.get.files
+    val before = cat.lake.loadTable("db.mdel2").meta.currentSnapshot.get.files
     assert(before.size >= 2, "need one file per day-partition")
     // the predicate aligns with the hidden day-partition: stats prove the
     // January file wholly matches, so no data file is read or rewritten
-    sql("DELETE FROM lake.db.mdel WHERE ts < TIMESTAMP '2022-01-15 00:00:00'")
-    val m = cat.lake.loadTable("db.mdel").meta
+    sql("DELETE FROM lake.db.mdel2 WHERE ts < TIMESTAMP '2022-01-15 00:00:00'")
+    val m = cat.lake.loadTable("db.mdel2").meta
     val last = m.snapshots.maxBy(_.snapshotId)
     assert(last.operation === "delete")
     assert(last.summary("metadata-only") === "true",
@@ -708,6 +708,6 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(last.summary("rewritten-data-files") === "0")
     // surviving files are a subset of the pre-delete files — nothing new written
     assert(last.files.map(_.path).toSet.subsetOf(before.map(_.path).toSet))
-    assert(sql("SELECT id FROM lake.db.mdel").head.getLong(0) === 3L)
+    assert(sql("SELECT id FROM lake.db.mdel2").head.getLong(0) === 3L)
   }
 }

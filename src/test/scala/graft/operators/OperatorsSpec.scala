@@ -84,6 +84,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(TextAnalysis.annotate(de).head().getAs[String]("lang_pred") === "de")
   }
 
+  test("PII redaction replaces emails/phones/IPv4 and counts per class") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "contact jane.doe+spam@example.co.uk or 555-123-4567, server 192.168.1.10 up"),
+      (2L, "dots work too: 555.123.4567 and bob@host.org"),
+      (3L, "clean text, no pii here; version 1.2 is not an ip")
+    ).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("red"),
+        TextAnalysis.piiCounts(col("text")).as("c"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) ===
+      "contact <EMAIL> or <PHONE>, server <IP> up")
+    assert(out(0).getStruct(2).getLong(0) === 1L) // email
+    assert(out(0).getStruct(2).getLong(1) === 1L) // phone
+    assert(out(0).getStruct(2).getLong(2) === 1L) // ip
+    assert(out(1).getString(1) === "dots work too: <PHONE> and <EMAIL>")
+    assert(out(2).getString(1) === "clean text, no pii here; version 1.2 is not an ip",
+      "short dotted numbers must not be redacted")
+    assert(out(2).getStruct(2).getLong(0) === 0L)
+  }
+
   def embeddings: DataFrame = {
     import spark.implicits._
     // 4-dim toy vectors: 1≈2 (same direction), 3 orthogonal, 4 opposite
@@ -319,6 +341,51 @@ class OperatorsSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === expected, s"trial $trial: n=$n m=$m")
     }
+  }
+
+  test("resolveClusters labels every doc; singletons are their own cluster") {
+    import spark.implicits._
+    val allDocs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((2L, 3L), (3L, 4L), (6L, 7L)).toDF("id_a", "id_b")
+    val got = Dedup.resolveClusters(allDocs, pairs)
+    val labels = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(
+      1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 5L, 6L -> 6L, 7L -> 6L))
+    // one call gives the survivor set directly
+    val survivors = got.filter(col("doc_id") === col("cluster_id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(survivors.toSeq === Seq(1L, 2L, 5L, 6L))
+    got.unpersist()
+  }
+
+  test("connectedComponents fails loudly when maxIter is too small to converge") {
+    import spark.implicits._
+    // diameter-4 chain: min label needs 4 rounds to reach the far end
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException](
+      Dedup.connectedComponents(chain, maxIter = 2))
+    assert(ex.getMessage.contains("did not converge"))
+    assert(ex.getMessage.contains("raise maxIter"), "message must name the escape hatch")
+    // with enough rounds the same graph resolves
+    val ok = Dedup.connectedComponents(chain, maxIter = 10)
+    assert(ok.collect().map(_.getLong(1)).toSet === Set(1L))
+    ok.unpersist()
+  }
+
+  test("simhash banding handles a single 64-bit chunk (bits=64, maxHamming=0)") {
+    // nb = 1 chunk of width 64: (1L << 64) wraps to 1, so an unguarded mask
+    // would be 0 and every signature would share band key 0 (cross join).
+    // With the guard, the single band key IS the signature: pairs = docs
+    // with identical 64-bit simhash, and only those.
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 0, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = Dedup.simHash(docs, bits = 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib && sa == sb
+    } yield (ia, ib)).toSet
+    assert(pairs === brute)
+    assert(pairs.contains((1L, 2L)), "identical docs share the full signature")
   }
 
   test("IVF assign + probe returns the aligned cluster") {

@@ -93,6 +93,36 @@ class ChangelogSpec extends AnyFunSuite {
     assert(t.toDF.count() === 1)
   }
 
+  test("two streaming writers with distinct writerIds don't skip each other's batches") {
+    val cat = freshCatalog()
+    val t = cat.createTable("test.blocks", tableSchema)
+    val widA = Changelog.writerIdFor("/ckpt/query-a")
+    val widB = Changelog.writerIdFor("/ckpt/query-b")
+    assert(widA !== widB)
+    // writer A applies batches 0..3; writer B then starts at ITS batch 0 —
+    // under the old unscoped marker, A's marker (3) would silently swallow
+    // every B batch below 4
+    Changelog.mergeChangelog(t, batchDF(Seq(("I", 1, "a0", 1L))),
+      "block_number", "seq", batchId = 3L, writerId = widA)
+    Changelog.mergeChangelog(t, batchDF(Seq(("I", 2, "b0", 2L))),
+      "block_number", "seq", batchId = 0L, writerId = widB)
+    assert(t.toDF.count() === 2, "writer B's batch 0 must apply despite A's higher marker")
+    // replay WITHIN a writer still skips
+    val snapCount = t.meta.snapshots.size
+    Changelog.mergeChangelog(t, batchDF(Seq(("I", 3, "b0r", 3L))),
+      "block_number", "seq", batchId = 0L, writerId = widB)
+    assert(t.meta.snapshots.size === snapCount, "B's replayed batch 0 must be skipped")
+    assert(t.toDF.count() === 2)
+  }
+
+  test("kafka seam fails with an actionable error naming the twin sources (jar absent here)") {
+    val ex = intercept[IllegalStateException](
+      Changelog.kafkaSource(spark, "localhost:9092", "clickstream"))
+    assert(ex.getMessage.contains("spark-sql-kafka"), "must name the missing jar")
+    assert(ex.getMessage.contains("clickstreamSource"), "must name the rate twin")
+    assert(ex.getMessage.contains("socketLines"), "must name the socket twin")
+  }
+
   test("merge rewrites only files whose key bounds overlap the batch") {
     val cat = freshCatalog()
     val t = cat.createTable("test.blocks", tableSchema)
@@ -264,5 +294,24 @@ class ChangelogSpec extends AnyFunSuite {
       assert(spark.table("rbm_sink").select("id").collect().map(_.getInt(0)).sorted
         === Array(1, 2, 91))
     } finally q.stop()
+  }
+
+  test("unresolvable checkpointed offset fails with an actionable recovery message") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val cat = freshCatalog()
+    val t = cat.createTable("test.wedge", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType))))
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    val head = t.meta.currentSnapshot.get.snapshotId
+    val src = new LakeStreamSource(spark.sqlContext, t.location)
+    // a checkpointed start offset whose snapshot is gone (expired) or off
+    // main's ancestry (rollback then re-advance) previously wedged the
+    // stream with a bare `not an ancestor` require failure every trigger
+    val ex = intercept[IllegalStateException](
+      src.getBatch(Some(LongOffset(head + 500)), LongOffset(head)))
+    assert(ex.getMessage.contains("expire_snapshots"), "must name the expiry cause")
+    assert(ex.getMessage.contains("checkpoint directory"), "must name the recovery path")
+    assert(ex.getMessage.contains("rollback"), "must name the rollback cause")
   }
 }
