@@ -71,13 +71,14 @@ object Bench {
     // code); a cross-round delta is only a regression if it clears both.
     val spreads = ok.map(_._4).sorted
     val noisePct = if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2)
-    // contended-box detector: SCALEPROBE measured 1-5% within-run spread on
-    // an idle box; r6's driver run hit 25.9% on a box also running other
-    // work and its absolute numbers were near-meaningless. Flag runs whose
-    // median spread exceeds ~3× the idle band so round-over-round
-    // comparisons stay honest — a flagged run's totals should be compared
-    // only against other flagged runs, if at all.
-    val contended = noisePct > 15.0
+    // contended-box detector, anchored on MEASURED full-bench runs (not
+    // SCALEPROBE's 1-5% per-query idle band, which undershoots a full
+    // 59-query sweep's natural churn): a solo run on this box measures
+    // ~15.7% median spread; r6's visibly contended driver run hit 25.9%
+    // and its absolute numbers were near-meaningless. Threshold sits
+    // between the two. Flagged runs' totals should be compared only
+    // against other flagged runs, if at all.
+    val contended = noisePct > 20.0
     if (contended)
       System.err.println(f"[bench] CONTENDED RUN — median within-run spread " +
         f"$noisePct%.1f%% exceeds the ~5%% idle band; wall-clock numbers are " +

@@ -134,6 +134,11 @@ case class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // LakeTable.update command (GraftUpdate scaladoc)
       case u: UpdateTable if GraftMerge.unwrapGraftTarget(u.table).isDefined =>
         GraftUpdate.translate(u).getOrElse(u)
+      // SQL DELETE FROM on a graft target: translate to the LakeTable
+      // .delete command — arbitrary predicates, not just V1-translatable
+      // Filters (GraftDelete scaladoc)
+      case d: DeleteFromTable if GraftMerge.unwrapGraftTarget(d.table).isDefined =>
+        GraftDelete.translate(d).getOrElse(d)
     }
   }
 }

@@ -19,7 +19,8 @@ import java.util.concurrent.ConcurrentHashMap
   */
 object LakeOps {
 
-  private case class Env(warehouse: String, firstRegionSnapshot: Long)
+  private case class Env(warehouse: String, firstRegionSnapshot: Long,
+                         chgFromSnapshot: Long)
   private val envs = new ConcurrentHashMap[String, Env]()
 
   private def ensure(s: SparkSession, dir: String): Env = {
@@ -27,9 +28,26 @@ object LakeOps {
     envs.computeIfAbsent(key, { _ =>
       graft.Tables.registerAll(s, dir)
       val wh = java.nio.file.Files.createTempDirectory("graft-lakeops").toString
+      // reads (q31-q33) go through the caller's session via the V1Scan
+      // fallback; the DML setup runs on a sibling session WITH
+      // GraftExtensions (shared context, own sessionState) because the
+      // arbitrary-predicate SQL DELETE below needs the GraftDelete
+      // analyzer translation — the driver builds its Verify/Bench
+      // sessions without extensions, same as the no-extensions spec path
       s.conf.set("spark.sql.catalog.lake", "graft.lake.dsv2.GraftCatalog")
       s.conf.set("spark.sql.catalog.lake.warehouse", wh)
+      val ext = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions()(_)).create()
+      ext.conf.set("spark.sql.catalog.lake", "graft.lake.dsv2.GraftCatalog")
+      ext.conf.set("spark.sql.catalog.lake.warehouse", wh)
+      graft.Tables.registerAll(ext, dir) // temp views are per-session
+      def sqlx(q: String) = ext.sql(q)
       s.sql("CREATE DATABASE IF NOT EXISTS lake.ops")
+      // self-heal after a failed earlier attempt: Spark caches the catalog
+      // instance (and thus the original warehouse) per session, so a retry
+      // of this lambda would otherwise trip over half-created tables
+      Seq("nation", "supplier", "region", "chg")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS lake.ops.$t"))
       // q31: nation round-trip (INSERT INTO ... SELECT — D13)
       s.sql("""CREATE TABLE lake.ops.nation
               |  (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)""".stripMargin)
@@ -45,7 +63,22 @@ object LakeOps {
       val cat = new graft.lake.LakeCatalog(s, wh)
       val snap1 = cat.loadTable("ops.region").meta.currentSnapshot.get.snapshotId
       s.sql("INSERT INTO lake.ops.region SELECT r_regionkey, r_name FROM region WHERE r_regionkey >= 2")
-      Env(wh, snap1)
+      // q59: customer subset in two commits + a CoW DELETE, changelog'd
+      // from after the first commit (so the log = batch-2 inserts + the
+      // delete's row-level removals, incl. delete-after-insert pairs)
+      s.sql("CREATE TABLE lake.ops.chg (id BIGINT, name STRING)")
+      s.sql("INSERT INTO lake.ops.chg SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 50")
+      val chgFrom = cat.loadTable("ops.chg").meta.currentSnapshot.get.snapshotId
+      s.sql("""INSERT INTO lake.ops.chg
+              |SELECT c_custkey, c_name FROM customer
+              |WHERE c_custkey > 50 AND c_custkey <= 100""".stripMargin)
+      // a MODULO predicate — deliberately NOT V1-Filter-translatable, so
+      // this exercises the GraftDelete arbitrary-predicate SQL DELETE
+      // path (extensions session); matches straddle both batches, so the
+      // log holds deletes of batch-1 rows AND delete-after-insert pairs
+      // (60,70,80,90,100)
+      sqlx("DELETE FROM lake.ops.chg WHERE id % 10 = 0")
+      Env(wh, snap1, chgFrom)
     })
   }
 
@@ -91,5 +124,32 @@ object LakeOps {
     duckSql = """SELECT r_regionkey, r_name FROM region
       |WHERE r_regionkey < 2 ORDER BY r_regionkey""".stripMargin)
 
-  def specs: Seq[QuerySpec] = Seq(q31, q32, q33)
+  /** Row-level CDC changelog ([[graft.lake.LakeTable.changelog]]): every
+    * insert/delete on the table's ancestry after a snapshot, per-commit
+    * file-set-pruned (only files a commit added/removed are read; CoW
+    * survivor rows cancel via exceptAll). The oracle reconstructs the
+    * same event log from the original parquet: batch-2 rows as inserts,
+    * the delete predicate's matches as deletes — a row inserted in batch
+    * 2 and then deleted appears as BOTH, which is what a changelog
+    * consumer (e.g. a downstream merge) must see. `_change_snapshot_id`
+    * is dropped from the projection (snapshot ids are run-local). */
+  val q59 = plan("q59_lake_changelog",
+    fn = (s, dir) => {
+      val env = ensure(s, dir)
+      val t = new graft.lake.LakeCatalog(s, env.warehouse).loadTable("ops.chg")
+      val head = t.meta.currentSnapshot.get.snapshotId
+      t.changelog(Some(env.chgFromSnapshot), head)
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("name"),
+          org.apache.spark.sql.functions.col("_change_type"))
+        .orderBy("_change_type", "id")
+    },
+    duckSql = """SELECT c_custkey AS id, c_name AS name, 'insert' AS _change_type
+      |FROM customer WHERE c_custkey > 50 AND c_custkey <= 100
+      |UNION ALL
+      |SELECT c_custkey AS id, c_name AS name, 'delete' AS _change_type
+      |FROM customer WHERE c_custkey <= 100 AND c_custkey % 10 = 0
+      |ORDER BY _change_type, id""".stripMargin)
+
+  def specs: Seq[QuerySpec] = Seq(q31, q32, q33, q59)
 }

@@ -764,6 +764,40 @@ class LakeTableSpec extends AnyFunSuite {
       .sorted.toSeq === Seq(2L, 8L, 9L))
   }
 
+  test("changelog: per-commit insert/delete rows, updates as delete+insert pairs") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.cdc", taxiSchema)
+    t.append(taxis.limit(2)) // vendors 1,2
+    val s1 = t.meta.currentSnapshot.get.snapshotId
+    t.append(taxis.filter(col("vendor_id").isin(3L, 4L)))
+    val s2 = t.meta.currentSnapshot.get.snapshotId
+    t.delete(col("vendor_id") === 1L)
+    val s3 = t.meta.currentSnapshot.get.snapshotId
+    t.update(Map("fare" -> lit(77.0)), Some(col("vendor_id") === 3L))
+    val s4 = t.meta.currentSnapshot.get.snapshotId
+    val log = t.changelog(Some(s1), s4)
+      .select("vendor_id", "fare", "_change_type", "_change_snapshot_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
+    // append commit: plain inserts under s2
+    assert(log.filter(_._4 == s2).map(e => (e._1, e._3)).sorted.toSeq
+      === Seq((3L, "insert"), (4L, "insert")))
+    // delete commit: one delete event for vendor 1 (CoW survivor rows cancel)
+    assert(log.filter(_._4 == s3).map(e => (e._1, e._3)).toSeq === Seq((1L, "delete")))
+    // update commit: delete(old fare) + insert(new fare) pair for vendor 3
+    val upd = log.filter(_._4 == s4).sortBy(_._3)
+    assert(upd.map(e => (e._1, e._3)).toSeq === Seq((3L, "delete"), (3L, "insert")))
+    assert(upd.find(_._3 == "insert").get._2 === 77.0)
+    assert(upd.find(_._3 == "delete").get._2 !== 77.0)
+    // full-history changelog (from = None) starts with the first append
+    assert(t.changelog(None, s1).select("vendor_id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // empty range
+    assert(t.changelog(Some(s4), s4).count() === 0)
+    // non-ancestor from → loud failure
+    intercept[IllegalArgumentException](t.changelog(Some(s4 + 99), s4))
+  }
+
   test("DESCRIBE EXTENDED surfaces columns + table detail (D4)") {
     val cat = freshCatalog()
     val t = cat.createTable("nyc.taxis", taxiSchema,

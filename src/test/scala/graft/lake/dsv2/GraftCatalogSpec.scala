@@ -67,14 +67,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("DELETE FROM lake.db.del WHERE grp = 'x'")
     val left = sql("SELECT id FROM lake.db.del").collect().map(_.getLong(0))
     assert(left.toSeq === Seq(3L))
-    // WAP c64's `LIKE '%'` spelling needs SupportsRowLevelOperations (the
-    // V1 filter bridge has no translation for a bare LIKE); prefix-LIKE
-    // and unconditioned DELETE cover the same scenario
     sql("DELETE FROM lake.db.del WHERE grp LIKE 'y%'")
     assert(sql("SELECT COUNT(*) FROM lake.db.del").head.getLong(0) === 0)
     sql("INSERT INTO lake.db.del VALUES (7, 'z')")
     sql("DELETE FROM lake.db.del")
     assert(sql("SELECT COUNT(*) FROM lake.db.del").head.getLong(0) === 0)
+  }
+
+  test("DELETE FROM with non-Filter-translatable predicates (modulo, bare LIKE — WAP c64)") {
+    // these shapes have no V1 source-Filter translation, so SupportsDelete
+    // rejects them and a no-extensions session fails with "Cannot delete
+    // from table" (asserted below, unchanged fallback); with extensions,
+    // GraftDelete routes them through LakeTable.delete's full-expression
+    // Column condition
+    val sqlx = (q: String) => extSpark.sql(q)
+    sqlx("CREATE TABLE lake.db.xdel (id BIGINT, log STRING)")
+    sqlx("INSERT INTO lake.db.xdel VALUES (1, 'a'), (2, 'b'), (3, 'c'), (10, 'd'), (20, 'e')")
+    sqlx("DELETE FROM lake.db.xdel WHERE id % 10 = 0")
+    assert(sqlx("SELECT id FROM lake.db.xdel ORDER BY id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 3L))
+    // the reference WAP notebook's exact spelling: DELETE … WHERE log LIKE '%'
+    sqlx("DELETE FROM lake.db.xdel WHERE log LIKE '%'")
+    assert(sqlx("SELECT COUNT(*) FROM lake.db.xdel").head.getLong(0) === 0)
+    // arbitrary function predicates work too
+    sqlx("INSERT INTO lake.db.xdel VALUES (5, 'keep'), (6, 'drop')")
+    sqlx("DELETE FROM lake.db.xdel WHERE length(log) = 4 AND substring(log, 1, 1) = 'd'")
+    assert(sqlx("SELECT log FROM lake.db.xdel").collect().map(_.getString(0)).toSeq
+      === Seq("keep"))
+    // the no-extensions session still rejects the untranslatable shape
+    // loudly (V1 SupportsDelete contract) rather than deleting wrongly
+    sql("INSERT INTO lake.db.xdel VALUES (30, 'f')")
+    intercept[Exception](sql("DELETE FROM lake.db.xdel WHERE id % 10 = 0"))
+    assert(sqlx("SELECT COUNT(*) FROM lake.db.xdel").head.getLong(0) === 2)
   }
 
   test("SQL DELETE on a partition-aligned predicate commits metadata-only (no rewrite)") {

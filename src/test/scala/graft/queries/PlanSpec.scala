@@ -206,6 +206,35 @@ class PlanSpec extends AnyFunSuite {
       s"the 1-row doc count must broadcast, not cartesian:\n$p")
   }
 
+  test("q57: full dedup resolution is one equi-join over checkpointed labels — no loop replay, no cartesian") {
+    val p = planOf("q57_dedup_resolve")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"docs↔labels must be an equi-join:\n$p")
+    // the CC loop's labels enter as a materialized checkpoint scan
+    // ("Scan ExistingRDD"), NOT as the loop's join tree — lineage is
+    // truncated, so re-evaluating q57 can never replay the propagation
+    assert(p.contains("ExistingRDD"),
+      s"labels must be checkpoint-backed, not a live loop lineage:\n$p")
+  }
+
+  test("q59: changelog diff never cartesians; per-commit exceptAll is hash-aggregated") {
+    val p = planOf("q59_lake_changelog")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q51: cc maxIter is conf-tunable without a code change (spark.graft.cc.maxIter)") {
+    // maxIter=1 cannot converge (round 1 always changes labels when any
+    // pair exists), so the loud-failure path must fire through the conf
+    spark.conf.set("spark.graft.cc.maxIter", "1")
+    try {
+      val ex = intercept[IllegalStateException](
+        QueryRegistry.byName("q51_dup_clusters").fn(spark, sfDir))
+      assert(ex.getMessage.contains("raise maxIter"))
+    } finally spark.conf.unset("spark.graft.cc.maxIter")
+    // default conf converges
+    assert(QueryRegistry.byName("q51_dup_clusters").fn(spark, sfDir).count() > 0)
+  }
+
   test("whole-stage codegen covers the relational queries' hot path") {
     val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
     df.collect() // AQE finalizes (and codegens) the plan only on execution
