@@ -21,7 +21,7 @@ object GraftProcedures {
     "expire_snapshots", "rewrite_data_files", "rewrite_manifests",
     "fast_forward", "remove_orphan_files",
     "create_branch", "drop_branch", "create_tag", "drop_tag",
-    "build_ivf_index")
+    "build_ivf_index", "create_changelog_view")
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
     val b = ProcedureParameter.in(name, dt)
@@ -131,6 +131,29 @@ object GraftProcedures {
           "ivf.nlist" -> nlist.toString,
           "ivf.centroids" -> centroids.map(_.mkString("[", ",", "]"))
             .mkString("[", ",", "]")))
+      }))
+    // Iceberg's create_changelog_view spelling: register the row-level CDC
+    // diff ([[graft.lake.LakeTable.changelog]]) as a temp view, so the
+    // change log is queryable from pure SQL (`SELECT * FROM t_changes`)
+    case "create_changelog_view" => Some(proc(name,
+      Array(param("table", StringType),
+        param("start_snapshot", LongType, Some("-1")),
+        param("end_snapshot", LongType, Some("-1")),
+        param("view_name", StringType, Some("''"))),
+      row => {
+        val tName = row.getString(0)
+        val t = lake.loadTable(tName)
+        val from = if (row.isNullAt(1) || row.getLong(1) < 0) None else Some(row.getLong(1))
+        val to =
+          if (row.isNullAt(2) || row.getLong(2) < 0)
+            t.meta.currentSnapshot.map(_.snapshotId).getOrElse(
+              throw new IllegalArgumentException(s"$tName has no snapshots to diff"))
+          else row.getLong(2)
+        val view =
+          if (row.isNullAt(3) || row.getString(3).isEmpty)
+            tName.replace('.', '_') + "_changes"
+          else row.getString(3)
+        t.changelog(from, to).createOrReplaceTempView(view)
       }))
     case _ => None
   }

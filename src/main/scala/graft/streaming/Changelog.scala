@@ -257,6 +257,24 @@ object Changelog {
       .option("location", table.location)
       .load()
 
+  /** Continuous row-level CDC stream — the FULL `toChangelogStream`
+    * parity (StreamRead.java:31-34): each micro-batch carries the
+    * per-commit insert AND delete events between the previous and
+    * current committed main snapshot ([[graft.lake.LakeTable.changelog]]),
+    * updates as delete+insert pairs, tagged `_change_type` /
+    * `_change_snapshot_id`. Downstream consumers can materialize a
+    * replica with a keyed merge (the [[mergeChangelog]] machinery) or
+    * audit deletions — neither is possible with the append-only
+    * [[streamRead]]. Same snapshot-driven offsets, same WAP/branch/orphan
+    * invisibility, same cost shape (per-commit file-set-pruned diff:
+    * cost ∝ churn, never table size). */
+  def streamChangelog(table: LakeTable): DataFrame =
+    table.spark.readStream
+      .format(classOf[LakeStreamSourceProvider].getName)
+      .option("location", table.location)
+      .option("mode", "changelog")
+      .load()
+
   /** Console read-back per trigger (StreamRead.java:34 print loop /
     * PaimonStream.java:100): the streaming source above + console sink,
     * stopped after roughly `ticks` trigger intervals. */

@@ -35,12 +35,15 @@ import org.apache.spark.sql.types.StructType
   * Schema is pinned at source creation (the streaming engine requires a
   * stable schema); renames/adds during the stream need a restart to pick
   * up, same caveat as before. */
-class LakeStreamSource(sqlContext: SQLContext, location: String) extends Source {
+class LakeStreamSource(sqlContext: SQLContext, location: String,
+                       changelogMode: Boolean = false) extends Source {
 
   private val table: LakeTable = LakeTable.at(sqlContext.sparkSession, location)
   private val pinnedSchema: StructType = table.meta.schema.sparkSchema
 
-  override def schema: StructType = pinnedSchema
+  override def schema: StructType =
+    if (changelogMode) LakeStreamSource.withChangeColumns(pinnedSchema)
+    else pinnedSchema
 
   /** Latest committed main snapshot; None before the first commit (the
     * engine polls again next trigger). */
@@ -60,7 +63,14 @@ class LakeStreamSource(sqlContext: SQLContext, location: String) extends Source 
     * cause or the fix. */
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val df =
-      try table.readAddedBetween(start.map(toLong), toLong(end))
+      try {
+        // changelog mode = the reference's `toChangelogStream` proper:
+        // each micro-batch delivers the per-commit row-level diff
+        // (insert AND delete events, updates as delete+insert pairs)
+        // instead of append-only new rows
+        if (changelogMode) table.changelog(start.map(toLong), toLong(end))
+        else table.readAddedBetween(start.map(toLong), toLong(end))
+      }
       catch {
         case e: IllegalArgumentException =>
           throw new IllegalStateException(
@@ -76,12 +86,22 @@ class LakeStreamSource(sqlContext: SQLContext, location: String) extends Source 
             e)
       }
     // pin to the source schema by name (table may have evolved mid-stream)
-    val pinned = df.select(pinnedSchema.fields.map(f =>
+    val pinned = df.select(schema.fields.map(f =>
       col(f.name).cast(f.dataType)).toIndexedSeq: _*)
     StreamBridge.asStreaming(pinned)
   }
 
   override def stop(): Unit = ()
+}
+
+object LakeStreamSource {
+  /** Changelog-mode output schema: table columns + CDC event columns. */
+  def withChangeColumns(base: StructType): StructType =
+    StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_change_snapshot_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
 }
 
 /** `spark.readStream.format(<this class name>).option("location", …)` —
@@ -90,15 +110,20 @@ class LakeStreamSourceProvider extends StreamSourceProvider with DataSourceRegis
 
   override def shortName(): String = "graft-lake-stream"
 
+  private def isChangelog(parameters: Map[String, String]): Boolean =
+    parameters.get("mode").exists(_.equalsIgnoreCase("changelog"))
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      LakeTable.at(sqlContext.sparkSession, parameters("location"))
-        .meta.schema.sparkSchema))
+    (shortName(), schema.getOrElse {
+      val base = LakeTable.at(sqlContext.sparkSession, parameters("location"))
+        .meta.schema.sparkSchema
+      if (isChangelog(parameters)) LakeStreamSource.withChangeColumns(base) else base
+    })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
-    new LakeStreamSource(sqlContext, parameters("location"))
+    new LakeStreamSource(sqlContext, parameters("location"), isChangelog(parameters))
 }

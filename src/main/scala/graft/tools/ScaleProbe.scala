@@ -143,6 +143,31 @@ object ScaleProbe {
         f""""batch_keys":500,"rewritten_files":$rewritten,"table_rows":${t.toDF.count()}}""")
     }
 
+    // changelog growth: the CDC diff (LakeTable.changelog) is per-commit
+    // and file-set-pruned — a FIXED-churn DELETE (copy-0 keys only; other
+    // copies' files have disjoint doc_id bounds, so stats-pruning leaves
+    // them untouched) into a 1x vs Nx table must produce IDENTICAL event
+    // counts and ~flat diff wall time: cost ∝ churn, never table size.
+    for (scale <- Seq(1, scaleN)) {
+      val cat = new graft.lake.LakeCatalog(spark,
+        java.nio.file.Files.createTempDirectory(s"graft-cdcprobe-$scale").toString)
+      val t = cat.createTable(s"probe.cdc$scale",
+        spark.table("documents_base").schema)
+      (0 until scale).foreach(i => t.append(docCopy(spark, i)))
+      val before = t.meta.currentSnapshot.get.snapshotId
+      t.delete(col("doc_id") < 100)
+      val head = t.meta.currentSnapshot.get.snapshotId
+      val t0 = System.nanoTime()
+      val events = t.changelog(Some(before), head)
+        .groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"changelog","table_copies":$scale,"secs":$secs%.2f,""" +
+        f""""delete_events":${events.getOrElse("delete", 0L)},""" +
+        f""""insert_events":${events.getOrElse("insert", 0L)},""" +
+        f""""table_rows":${t.toDF.count()}}""")
+    }
+
     println(s"""{"summary":"growth ${scaleN}x vs 1x (sub-quadratic bar: ratio << ${scaleN * scaleN})"}""")
     for (name <- probes) {
       val (s1, r1, sr1, _) = results((name, 1))

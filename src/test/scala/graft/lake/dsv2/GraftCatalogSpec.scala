@@ -25,6 +25,10 @@ class GraftCatalogSpec extends AnyFunSuite {
     val wh = Files.createTempDirectory("graft-dsv2-wh").toString
     s.conf.set("spark.sql.catalog.lake", classOf[GraftCatalog].getName)
     s.conf.set("spark.sql.catalog.lake.warehouse", wh)
+    // getOrCreate may return a shared session whose `lake` catalog was
+    // already instantiated against another suite's warehouse — drop the
+    // cache so the conf above takes effect for THIS suite's tables
+    org.apache.spark.sql.graftbridge.CatalogBridge.resetCatalogs(s)
     s
   }
 
@@ -278,6 +282,10 @@ class GraftCatalogSpec extends AnyFunSuite {
     * and SQL MERGE INTO is translated to the distributed merge command. */
   lazy val extSpark: SparkSession = {
     spark // ensure the shared context exists first
+    // create() promotes the new session to the JVM default/active slots —
+    // restore them so other suites' getOrCreate() keeps its session
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -285,6 +293,14 @@ class GraftCatalogSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions()(_))
       .create()
+    prevDefault match {
+      case Some(d) => SparkSession.setDefaultSession(d)
+      case None => SparkSession.clearDefaultSession()
+    }
+    prevActive match {
+      case Some(a) => SparkSession.setActiveSession(a)
+      case None => SparkSession.clearActiveSession()
+    }
     s.conf.set("spark.sql.catalog.lake", classOf[GraftCatalog].getName)
     s.conf.set("spark.sql.catalog.lake.warehouse",
       spark.conf.get("spark.sql.catalog.lake.warehouse"))

@@ -296,6 +296,67 @@ class ChangelogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("changelog stream delivers insert AND delete events per commit (toChangelogStream parity)") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val t = cat.createTable("test.cdcstream", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType))))
+    val out = Changelog.streamChangelog(t)
+    assert(out.isStreaming)
+    assert(out.columns.takeRight(2).toSeq === Seq("_change_type", "_change_snapshot_id"))
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    val q = out.writeStream
+      .format("memory").queryName("cdc_sink")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      t.append(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+      q.processAllAvailable()
+      val afterAppend = spark.table("cdc_sink")
+        .select("id", "_change_type").collect().map(r => (r.getInt(0), r.getString(1)))
+      assert(afterAppend.sorted.toSeq === Seq((1, "insert"), (2, "insert")))
+      // a DELETE arrives as a delete EVENT (the append-only streamRead
+      // silently skips it — that is exactly what changelog mode adds)
+      t.delete(col("id") === 1)
+      q.processAllAvailable()
+      val afterDelete = spark.table("cdc_sink")
+        .select("id", "_change_type").collect().map(r => (r.getInt(0), r.getString(1)))
+      assert(afterDelete.count(_ == ((1, "delete"))) === 1,
+        s"delete event must stream: ${afterDelete.toSeq}")
+      // an UPDATE arrives as its delete+insert pair in one batch
+      t.update(Map("v" -> lit("b2")), Some(col("id") === 2))
+      q.processAllAvailable()
+      val events = spark.table("cdc_sink")
+        .select("id", "v", "_change_type").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      assert(events.contains((2, "b", "delete")) && events.contains((2, "b2", "insert")),
+        s"update must stream as delete+insert: ${events.toSeq}")
+    } finally q.stop()
+  }
+
+  test("CALL create_changelog_view registers the CDC diff as a SQL temp view") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-cdcview").toString
+    spark.conf.set("spark.sql.catalog.lakecdc", "graft.lake.dsv2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.lakecdc.warehouse", wh)
+    spark.sql("CREATE DATABASE IF NOT EXISTS lakecdc.db")
+    spark.sql("CREATE TABLE lakecdc.db.cv (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO lakecdc.db.cv VALUES (1, 'a'), (2, 'b')")
+    spark.sql("DELETE FROM lakecdc.db.cv WHERE id = 1")
+    spark.sql("CALL lakecdc.system.create_changelog_view(table => 'db.cv')")
+    val rows = spark.sql(
+      "SELECT id, _change_type FROM db_cv_changes ORDER BY _change_snapshot_id, _change_type, id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === Seq((1L, "insert"), (2L, "insert"), (1L, "delete")))
+    // explicit start pin + custom view name
+    val cat2 = new graft.lake.LakeCatalog(spark, wh)
+    val snaps = cat2.loadTable("db.cv").meta.snapshots.map(_.snapshotId).sorted
+    spark.sql(s"CALL lakecdc.system.create_changelog_view(table => 'db.cv', " +
+      s"start_snapshot => ${snaps.head}, view_name => 'cv_tail')")
+    assert(spark.sql("SELECT _change_type FROM cv_tail").collect()
+      .map(_.getString(0)).toSeq === Seq("delete"))
+  }
+
   test("unresolvable checkpointed offset fails with an actionable recovery message") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
