@@ -334,6 +334,49 @@ class ChangelogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC replication: changelog stream + keyed merge maintain an exact replica") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType)))
+    val src = cat.createTable("test.cdcsrc", schema)
+    val replica = cat.createTable("test.cdcrep", schema)
+    // the reference's CDC pipeline shape (changelog in → equality-field
+    // upsert out): insert events map to I, delete events to D; within one
+    // commit an update's delete+insert pair shares a snapshot id, so the
+    // sequence key is 2*snapshot+isInsert — the insert half wins last-wins
+    val events = Changelog.streamChangelog(src)
+    val ckpt = Files.createTempDirectory("graft-repl-ckpt").toString
+    val q = events.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch
+          .withColumn("op", when(col("_change_type") === "insert", "I").otherwise("D"))
+          .withColumn("seq", col("_change_snapshot_id") * 2 +
+            when(col("_change_type") === "insert", 1).otherwise(0))
+          .drop("_change_type", "_change_snapshot_id")
+        Changelog.mergeChangelog(replica, b, key = "id", seqCol = "seq",
+          batchId = id, writerId = "repl")
+      }
+      .start()
+    def replicaRows() = replica.toDF.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    try {
+      src.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(replicaRows() === Seq((1, "a"), (2, "b"), (3, "c")))
+      src.delete(col("id") === 2)
+      q.processAllAvailable()
+      assert(replicaRows() === Seq((1, "a"), (3, "c")),
+        "replica must apply the delete event")
+      src.update(Map("v" -> lit("c2")), Some(col("id") === 3))
+      src.append(Seq((4, "d")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(replicaRows() === Seq((1, "a"), (3, "c2"), (4, "d")),
+        "replica must apply update pairs (insert half wins) and later inserts")
+    } finally q.stop()
+  }
+
   test("CALL create_changelog_view registers the CDC diff as a SQL temp view") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-cdcview").toString
