@@ -377,6 +377,68 @@ object PipelineOps {
       |  CAST(MAX(dur_us) AS BIGINT) AS max_session_dur_us
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)
 
+  /** Mixing-weight APPLICATION (the execution half of q53's weight
+    * computation): down-sample each language to a target rate with a
+    * DETERMINISTIC hash gate — keep a doc iff the first 4 hex chars of
+    * md5(doc_id) fall below the language's threshold in the 16^4 space
+    * ('8000' = 50%, '4000' = 25%, …). Deterministic sampling is what a
+    * training-data pipeline needs (re-runs select the SAME subset, no
+    * seed coordination across executors), and the hex-string comparison
+    * is engine-portable where a hex→int conversion is not. Scale shape:
+    * a fused projection + filter (no shuffle until the audit group-by);
+    * the gate pushes into the scan stage at any corpus size. */
+  val q60 = both("q60_mix_sample",
+    """WITH s AS (
+      |  SELECT doc_id, lang, substr(md5(CAST(doc_id AS STRING)), 1, 4) AS h
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, lang FROM s
+      |  WHERE h < CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
+      |            WHEN 'es' THEN '2000' WHEN 'fr' THEN '1000' ELSE '0800' END)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_kept,
+      |  CAST(MAX(doc_id) AS BIGINT) AS last_kept
+      |FROM k GROUP BY lang ORDER BY lang""".stripMargin)
+
+  /** Sequence packing (context-window binning): assign docs to fixed
+    * 512-token training windows by running token offset — doc goes to
+    * bin floor(start_offset / 512), the first-fit-by-offset streaming
+    * pack. Per-bin doc/token counts audit the fill. Packing is
+    * per-language (PARTITION BY lang), so the running sum parallelizes
+    * across languages; at 100 TB the same shape runs per (lang, shard)
+    * with shards sized to executors — the window never goes global.
+    * Integer division differs by dialect (Spark DIV, DuckDB //). */
+  val q61 = dialect("q61_sequence_packing",
+    sparkSql = """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, lang, n_tok,
+      |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t),
+      |b AS (
+      |  SELECT lang, (cum - n_tok) DIV 512 AS bin, n_tok FROM o)
+      |SELECT lang, CAST(bin AS BIGINT) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    duckSql = """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, lang, n_tok,
+      |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t),
+      |b AS (
+      |  SELECT lang, (cum - n_tok) // 512 AS bin, n_tok FROM o)
+      |SELECT lang, CAST(bin AS BIGINT) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin)
+
   def specs: Seq[QuerySpec] =
-    Seq(q36, q37, q38, q39, q40, q41, q42, q43, q47, q48, q49, q50, q53, q54)
+    Seq(q36, q37, q38, q39, q40, q41, q42, q43, q47, q48, q49, q50, q53, q54,
+      q60, q61)
 }
