@@ -1154,7 +1154,10 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * unchanged files), then row-diffed with exceptAll so CoW-rewrite
     * survivor rows cancel out. A DELETE touching 1 of 10 000 files reads
     * 2 files (removed + its rewrite), not the table: changelog cost is
-    * proportional to churn, never table size. */
+    * proportional to churn, never table size. The plan unions one diff
+    * per commit in the range — for a backfill over thousands of commits,
+    * consume in snapshot windows (or via the streaming source, which
+    * batches per trigger) rather than one giant range. */
   def changelog(fromSnapshotId: Option[Long], toSnapshotId: Long): DataFrame = {
     val m = meta
     require(m.snapshot(toSnapshotId).isDefined, s"no snapshot $toSnapshotId")

@@ -119,7 +119,13 @@ object Changelog {
         .load()
         .select(col("value").cast(StringType).as("value"))
     } catch {
-      case scala.util.control.NonFatal(e) =>
+      // translate ONLY the missing-jar failure; anything else (bad options
+      // with the jar present, etc.) propagates untouched so the real cause
+      // isn't masked by a wrong "jar not present" diagnosis
+      case scala.util.control.NonFatal(e)
+          if (e.getMessage != null && e.getMessage.contains("Failed to find")) ||
+            e.isInstanceOf[ClassNotFoundException] ||
+            e.getCause.isInstanceOf[ClassNotFoundException] =>
         throw new IllegalStateException(
           "Kafka source unavailable: the spark-sql-kafka connector jar is not on " +
             "the classpath. Swap-in path: add spark-sql-kafka-0-10 (matching your " +
