@@ -798,6 +798,33 @@ class LakeTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.changelog(Some(s4 + 99), s4))
   }
 
+  test("changelog: compaction and z-order rewrites produce ZERO change events") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.cdcnoop", taxiSchema)
+    t.append(taxis.limit(2))
+    t.append(taxis.filter(col("vendor_id").isin(3L, 4L)))
+    val before = t.meta.currentSnapshot.get.snapshotId
+    // maintenance rewrites shuffle bytes between files but leave logical
+    // content untouched — a CDC consumer must see NOTHING, or a replica
+    // would churn (and a downstream merge would re-apply rows) on every
+    // compaction of a 100 TB table
+    t.rewriteDataFiles(targetSizeBytes = 1L) // force multiple output files
+    assert(t.changelog(Some(before), t.meta.currentSnapshot.get.snapshotId).count() === 0,
+      "compaction must be invisible to the changelog")
+    val afterCompact = t.meta.currentSnapshot.get.snapshotId
+    t.rewriteDataFiles(sortBy = Seq("vendor_id"))
+    assert(t.changelog(Some(afterCompact), t.meta.currentSnapshot.get.snapshotId).count() === 0,
+      "sort-clustering must be invisible to the changelog")
+    // and a real delete after the rewrites still surfaces
+    val afterSort = t.meta.currentSnapshot.get.snapshotId
+    t.delete(col("vendor_id") === 1L)
+    val ev = t.changelog(Some(afterSort), t.meta.currentSnapshot.get.snapshotId)
+      .select("vendor_id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(ev.toSeq === Seq((1L, "delete")))
+  }
+
   test("DESCRIBE EXTENDED surfaces columns + table detail (D4)") {
     val cat = freshCatalog()
     val t = cat.createTable("nyc.taxis", taxiSchema,

@@ -358,6 +358,15 @@ class OperatorsSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("resolveClusters with no pairs labels every doc as its own singleton") {
+    import spark.implicits._
+    val allDocs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val noPairs = spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")
+    val labels = Dedup.resolveClusters(allDocs, noPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("connectedComponents fails loudly when maxIter is too small to converge") {
     import spark.implicits._
     // diameter-4 chain: min label needs 4 rounds to reach the far end

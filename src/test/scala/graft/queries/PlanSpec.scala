@@ -235,6 +235,17 @@ class PlanSpec extends AnyFunSuite {
     assert(QueryRegistry.byName("q51_dup_clusters").fn(spark, sfDir).count() > 0)
   }
 
+  test("q61: sequence packing rides one lang exchange — window and group-by share it") {
+    val p = planOf("q61_sequence_packing")
+    // 2 Exchange nodes max (each named twice in formatted output): the
+    // lang hash exchange (window + the (lang,bin) group-by reuse it —
+    // hash(lang) satisfies the subset-closed clustered distribution) and
+    // the final ORDER BY range exchange
+    assert("Exchange".r.findAllIn(p).size <= 4,
+      s"packing must not re-shuffle between the window and the group-by:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("whole-stage codegen covers the relational queries' hot path") {
     val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
     df.collect() // AQE finalizes (and codegens) the plan only on execution
