@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -229,9 +229,52 @@ object Dedup {
     * `maxIter` rounds don't reach the fixpoint (silently-partial labels
     * would keep duplicates). The returned (id, label) DataFrame is backed
     * by its own checkpoint blocks; `unpersist()` is a harmless no-op on
-    * it, and the blocks free when the reference drops. */
+    * it, and the blocks free when the reference drops.
+    *
+    * Hybrid execution, size-gated like a broadcast join: when the DISTINCT
+    * edge count is at most `driverMaxEdges` (default 2^20 ≈ 16 MB of id
+    * pairs — the size class Spark happily broadcasts) and the ids are
+    * integral, a single collect feeds a driver-side union-find with path
+    * compression — O(m α(m)) with zero per-round job latency, which is
+    * what dominates the distributed loop on small candidate graphs (the
+    * common case: LSH candidate pairs are a tiny fraction of any corpus).
+    * Above the threshold — or for non-integral id types — the distributed
+    * min-label loop runs unchanged; semantics (min-id labels) and the
+    * returned shape are identical on both paths. Pass `driverMaxEdges = 0`
+    * to force the distributed loop. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+                          idB: String = "id_b", maxIter: Int = 20,
+                          driverMaxEdges: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val spark = pairs.sparkSession
+    val integralIds = Seq(idA, idB).forall(c => pairs.schema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    })
+    val directed = pairs.select(col(idA).cast("long").as("src"),
+      col(idB).cast("long").as("dst")).distinct()
+    if (integralIds && driverMaxEdges > 0 && directed.count() <= driverMaxEdges) {
+      val es = directed.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labels = parent.keys.toArray.sorted.map(v => Row(v, find(v)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(labels.toIndexedSeq),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("label", LongType, nullable = false))))
+    }
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().persist()

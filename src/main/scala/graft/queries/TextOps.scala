@@ -302,13 +302,19 @@ object TextOps {
     * operator-tunable WITHOUT a code change via the session conf
     * `spark.graft.cc.maxIter` — a pathological chain graph (adversarial
     * near-dup spam) needs rounds = diameter, and an operator facing the
-    * convergence exception raises the conf and re-runs. */
+    * convergence exception raises the conf and re-runs. The hybrid
+    * execution threshold (driver union-find below, distributed loop
+    * above) is likewise tunable via `spark.graft.cc.driverMaxEdges`
+    * (0 forces the distributed loop). */
   val q51 = plan("q51_dup_clusters",
     fn = (s, dir) => {
       import org.apache.spark.sql.functions._
       val pairs = q21.fn(s, dir)
       val maxIter = s.conf.getOption("spark.graft.cc.maxIter").map(_.toInt).getOrElse(20)
-      graft.operators.Dedup.connectedComponents(pairs, maxIter = maxIter)
+      val driverMax = s.conf.getOption("spark.graft.cc.driverMaxEdges")
+        .map(_.toLong).getOrElse(1L << 20)
+      graft.operators.Dedup.connectedComponents(pairs, maxIter = maxIter,
+        driverMaxEdges = driverMax)
         .select(col("id").cast("long").as("doc_id"),
           col("label").cast("long").as("cluster_id"))
         .orderBy("doc_id")

@@ -288,7 +288,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(spread.map(_.getLong(1)).max < 10000, "no single bucket holds the whole key")
   }
 
-  test("connected components label every member with its component's min id") {
+  test("connected components label every member with its component's min id (both paths)") {
     import spark.implicits._
     // a 6-node chain (diameter 5 — forces several propagation rounds),
     // a separate pair, and a duplicate/reversed edge that must not matter
@@ -296,11 +296,17 @@ class OperatorsSpec extends AnyFunSuite {
       (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
       (20L, 21L), (21L, 20L), (10L, 11L)
     ).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(
+    val expected = Map(
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L, 15L -> 10L,
-      20L -> 20L, 21L -> 20L))
+      20L -> 20L, 21L -> 20L)
+    // small graph → driver union-find path (the broadcast-size regime)
+    val viaDriver = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver === expected)
+    // driverMaxEdges = 0 forces the distributed min-label loop (scale path)
+    val viaLoop = Dedup.connectedComponents(pairs, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLoop === expected)
   }
 
   test("simhash banding stays complete and non-degenerate at high maxHamming (bits=32, m=16)") {
@@ -339,7 +345,12 @@ class OperatorsSpec extends AnyFunSuite {
       val expected = touched.map(v => v -> find(v.toInt).toLong).toMap
       val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got === expected, s"trial $trial: n=$n m=$m")
+      assert(got === expected, s"trial $trial (driver path): n=$n m=$m")
+      // same graph through the distributed min-label loop (scale path)
+      val gotLoop = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+          driverMaxEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotLoop === expected, s"trial $trial (loop path): n=$n m=$m")
     }
   }
 
@@ -369,14 +380,16 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("connectedComponents fails loudly when maxIter is too small to converge") {
     import spark.implicits._
-    // diameter-4 chain: min label needs 4 rounds to reach the far end
+    // diameter-4 chain: min label needs 4 rounds to reach the far end;
+    // driverMaxEdges = 0 forces the distributed loop (the driver path has
+    // no rounds, so maxIter only governs the loop)
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
     val ex = intercept[IllegalStateException](
-      Dedup.connectedComponents(chain, maxIter = 2))
+      Dedup.connectedComponents(chain, maxIter = 2, driverMaxEdges = 0L))
     assert(ex.getMessage.contains("did not converge"))
     assert(ex.getMessage.contains("raise maxIter"), "message must name the escape hatch")
     // with enough rounds the same graph resolves
-    val ok = Dedup.connectedComponents(chain, maxIter = 10)
+    val ok = Dedup.connectedComponents(chain, maxIter = 10, driverMaxEdges = 0L)
     assert(ok.collect().map(_.getLong(1)).toSet === Set(1L))
     ok.unpersist()
   }

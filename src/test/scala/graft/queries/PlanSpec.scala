@@ -224,13 +224,19 @@ class PlanSpec extends AnyFunSuite {
 
   test("q51: cc maxIter is conf-tunable without a code change (spark.graft.cc.maxIter)") {
     // maxIter=1 cannot converge (round 1 always changes labels when any
-    // pair exists), so the loud-failure path must fire through the conf
+    // pair exists), so the loud-failure path must fire through the conf;
+    // driverMaxEdges=0 forces the distributed loop (the driver union-find
+    // has no rounds, so maxIter only governs the loop)
     spark.conf.set("spark.graft.cc.maxIter", "1")
+    spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
     try {
       val ex = intercept[IllegalStateException](
         QueryRegistry.byName("q51_dup_clusters").fn(spark, sfDir))
       assert(ex.getMessage.contains("raise maxIter"))
-    } finally spark.conf.unset("spark.graft.cc.maxIter")
+    } finally {
+      spark.conf.unset("spark.graft.cc.maxIter")
+      spark.conf.unset("spark.graft.cc.driverMaxEdges")
+    }
     // default conf converges
     assert(QueryRegistry.byName("q51_dup_clusters").fn(spark, sfDir).count() > 0)
   }
