@@ -251,8 +251,13 @@ object Dedup {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false
     })
-    val directed = pairs.select(col(idA).cast("long").as("src"),
-      col(idB).cast("long").as("dst")).distinct()
+    // null-keyed pairs are unlabelable noise: the driver path would read
+    // a null as 0 (Row.getLong), silently merging components into id 0,
+    // and the loop path would drop them at the join anyway — filter both
+    val directed = pairs
+      .filter(col(idA).isNotNull && col(idB).isNotNull)
+      .select(col(idA).cast("long").as("src"),
+        col(idB).cast("long").as("dst")).distinct()
     if (integralIds && driverMaxEdges > 0 && directed.count() <= driverMaxEdges) {
       val es = directed.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -275,8 +280,9 @@ object Dedup {
           org.apache.spark.sql.types.StructField("id", LongType, nullable = false),
           org.apache.spark.sql.types.StructField("label", LongType, nullable = false))))
     }
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    val nn = pairs.filter(col(idA).isNotNull && col(idB).isNotNull)
+    val edges = nn.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(nn.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))

@@ -369,6 +369,19 @@ class OperatorsSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("connectedComponents drops null-keyed pairs on both paths (no silent merge into 0)") {
+    import spark.implicits._
+    val pairs = Seq(
+      (Some(1L), Some(2L)), (Some(3L), None), (None, Some(4L)), (None, None)
+    ).toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L)
+    for (gate <- Seq(1000000L, 0L)) {
+      val got = Dedup.connectedComponents(pairs, driverMaxEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"driverMaxEdges=$gate")
+    }
+  }
+
   test("resolveClusters with no pairs labels every doc as its own singleton") {
     import spark.implicits._
     val allDocs = Seq(1L, 2L, 3L).toDF("doc_id")
