@@ -93,6 +93,14 @@ object Bench {
       f""""within_run_spread_pct":$noisePct%.1f,"contended_run":$contended,""" +
       s""""queries_best":$bests,""" +
       s""""setup":{"build_ivf_index":$setupSecs},"recall":$recall,"sf":"$sfDir"}""")
+    // compact second line: the round artifact captures the TAIL of stdout,
+    // and r7's full JSON lost its head (headline total, q01-q03, the
+    // contended flag) to truncation. Everything verdict-critical repeats
+    // here so any tail capture stays self-contained.
+    println(f"""BENCH_SUMMARY {"total_s":$total%.2f,"best_total_s":$bestTotal%.2f,""" +
+      s""""n_queries":${ok.size},"n_failed":${bad.size},""" +
+      f""""within_run_spread_pct":$noisePct%.1f,"contended_run":$contended,""" +
+      s""""runs_per_query":$runs,"recall":$recall,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

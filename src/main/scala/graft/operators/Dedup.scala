@@ -240,8 +240,23 @@ object Dedup {
     * common case: LSH candidate pairs are a tiny fraction of any corpus).
     * Above the threshold — or for non-integral id types — the distributed
     * min-label loop runs unchanged; semantics (min-id labels) and the
-    * returned shape are identical on both paths. Pass `driverMaxEdges = 0`
-    * to force the distributed loop. */
+    * returned shape are identical on both paths, including types: integral
+    * ids come back as long on BOTH paths (both are built from the same
+    * casted distinct edge set), so the output contract never depends on
+    * data size. The gate probe itself is bounded — `limit(threshold+1)
+    * .count()` — so deciding the path costs at most threshold+1 rows of
+    * scanning either way, and the probed edge set feeds the loop rather
+    * than being recomputed. Pass `driverMaxEdges = 0` to force the
+    * distributed loop. */
+  /** Size-gate probe: counts distinct edges only up to `maxEdges + 1`.
+    * The limit bounds the probe's work on BOTH sides of the gate — a
+    * graph 1000× over the threshold stops scanning once threshold+1
+    * distinct edges have surfaced, instead of paying a full distinct+
+    * count over the candidate set whose result is then discarded.
+    * Package-private so PlanSpec can assert the limit is in the plan. */
+  private[graft] def gateProbe(directed: DataFrame, maxEdges: Long): Long =
+    directed.limit(math.min(maxEdges + 1, Int.MaxValue.toLong).toInt).count()
+
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20,
                           driverMaxEdges: Long = 1L << 20): DataFrame = {
@@ -254,11 +269,20 @@ object Dedup {
     // null-keyed pairs are unlabelable noise: the driver path would read
     // a null as 0 (Row.getLong), silently merging components into id 0,
     // and the loop path would drop them at the join anyway — filter both
-    val directed = pairs
-      .filter(col(idA).isNotNull && col(idB).isNotNull)
-      .select(col(idA).cast("long").as("src"),
-        col(idB).cast("long").as("dst")).distinct()
-    if (integralIds && driverMaxEdges > 0 && directed.count() <= driverMaxEdges) {
+    val nn = pairs.filter(col(idA).isNotNull && col(idB).isNotNull)
+    // one shared distinct edge base for BOTH paths when ids are integral,
+    // cast to long up front: the probe's work is never thrown away (the
+    // loop derives its symmetric edge set from it), and the output schema
+    // is (long, long) regardless of which side of the gate the data lands
+    // on — previously the loop path preserved int ids while the driver
+    // path widened to long, so the contract depended on data size
+    val directed =
+      if (integralIds)
+        nn.select(col(idA).cast("long").as("src"),
+          col(idB).cast("long").as("dst")).distinct()
+      else nn.select(col(idA).as("src"), col(idB).as("dst")).distinct()
+    if (integralIds && driverMaxEdges > 0 &&
+        gateProbe(directed, driverMaxEdges) <= driverMaxEdges) {
       val es = directed.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
@@ -280,9 +304,10 @@ object Dedup {
           org.apache.spark.sql.types.StructField("id", LongType, nullable = false),
           org.apache.spark.sql.types.StructField("label", LongType, nullable = false))))
     }
-    val nn = pairs.filter(col(idA).isNotNull && col(idB).isNotNull)
-    val edges = nn.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(nn.select(col(idB).as("src"), col(idA).as("dst")))
+    // symmetric closure of the already-distinct directed set; distinct()
+    // again only collapses pairs present in both orientations
+    val edges = directed
+      .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))

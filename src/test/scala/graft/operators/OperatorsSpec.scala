@@ -382,6 +382,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid-CC gate probe is bounded: a limit node caps the probe's scan") {
+    // the probe must never run an unbounded distinct+count just to pick a
+    // path — its physical plan carries the limit. A non-local source is
+    // needed for the assertion: a LocalRelation folds limit into the scan.
+    // (and a limit >= the child's known maxRows is elided, so the source
+    // must be larger than the probe threshold for the node to survive)
+    val directed = spark.range(10)
+      .selectExpr("id + 1 as src", "id + 2 as dst")
+    assert(Dedup.gateProbe(directed, 2L) === 3L, "probe stops at threshold+1")
+    val planStr = directed.limit(3).queryExecution.executedPlan.toString
+    assert(planStr.contains("Limit"), s"probe plan must contain a limit node:\n$planStr")
+    // threshold larger than the edge count: probe returns the true count
+    assert(Dedup.gateProbe(directed, 100L) === 10L)
+  }
+
+  test("CC output schema is (long, long) on BOTH paths for int-typed ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.LongType
+    // int ids used to come back as int from the loop path but long from
+    // the driver path, so the contract depended on which side of the size
+    // gate the data landed on
+    val pairs = Seq((1, 2), (2, 3), (10, 11)).toDF("id_a", "id_b")
+    for (gate <- Seq(1000000L, 0L)) {
+      val out = Dedup.connectedComponents(pairs, driverMaxEdges = gate)
+      assert(out.schema("id").dataType === LongType, s"id type, gate=$gate")
+      assert(out.schema("label").dataType === LongType, s"label type, gate=$gate")
+      val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L),
+        s"gate=$gate")
+    }
+  }
+
   test("resolveClusters with no pairs labels every doc as its own singleton") {
     import spark.implicits._
     val allDocs = Seq(1L, 2L, 3L).toDF("doc_id")
