@@ -883,9 +883,11 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     // publish snapshot and with it the summary marker, AND the staged
     // snapshot, which is older still — so a post-expiry retry would
     // otherwise fail with a confusing "no snapshot" instead of no-op'ing).
-    // The property is a CSV of source ids: one short entry per cherrypick,
-    // metadata-sized (WAP sessions are bounded; prune with unsetProperties
-    // if an install cherrypicks millions of times).
+    // The property is NOT appended to at publish time — while the publish
+    // snapshot lives, its summary IS the marker. expire_snapshots harvests
+    // the markers of snapshots it drops into the property, so the property
+    // holds only expiry-orphaned ids and stays metadata-sized for the
+    // table's lifetime instead of growing one CSV entry per publish.
     val publishedProp = m.properties.getOrElse("graft.published-source-snapshot-ids", "")
     val alreadyPublished =
       m.snapshots.exists(_.summary.get("source-snapshot-id").contains(snapshotId.toString)) ||
@@ -900,9 +902,11 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     // new snapshot id — e.g. an orchestrator retrying the whole
     // write+publish after losing track) and cherrypicks the new snapshot
     // would double the rows with a marker the source-id check can't see.
-    // Published wap.ids are tracked in an expiry-proof property too.
+    // Published wap.ids live in the publish snapshots' summaries while
+    // those live, and in the expiry-harvested property after.
     val publishedWaps = m.properties.getOrElse("graft.published-wap-ids", "")
-      .split(",").filter(_.nonEmpty).toSet
+      .split(",").filter(_.nonEmpty).toSet ++
+      m.snapshots.flatMap(_.summary.get("published-wap-id")).filter(_.nonEmpty)
     val stagedWap = staged.summary.get("wap.id").filter(_.nonEmpty)
     stagedWap.filter(publishedWaps.contains).foreach { w =>
       throw new IllegalStateException(
@@ -935,18 +939,9 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       staged.summary ++ Map("published-wap-id" -> staged.summary.getOrElse("wap.id", ""),
         "source-snapshot-id" -> snapshotId.toString),
       files)
-    val wapProps = stagedWap match {
-      case Some(w) => Map("graft.published-wap-ids" ->
-        (publishedWaps + w).toSeq.sorted.mkString(","))
-      case None => Map.empty[String, String]
-    }
     m.copy(snapshots = m.snapshots :+ snap, lastSnapshotId = snapId,
       refs = m.refs + (MainBranch -> Ref(snapId)),
-      history = m.history :+ HistoryEntry(now, snapId, MainBranch),
-      properties = m.properties ++ wapProps +
-        ("graft.published-source-snapshot-ids" ->
-          (if (publishedProp.isEmpty) snapshotId.toString
-           else s"$publishedProp,$snapshotId")))
+      history = m.history :+ HistoryEntry(now, snapId, MainBranch))
     }
   }
 
@@ -964,7 +959,21 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       val keep = m.snapshots.filter(s =>
         refTargets.contains(s.snapshotId) || newest.contains(s.snapshotId) ||
           s.timestampMs >= olderThanMs)
-      m.copy(snapshots = keep)
+      // harvest publish markers off the snapshots being dropped into the
+      // expiry-proof properties: cherrypick idempotence and the duplicate-
+      // WAP guard rely on summaries while snapshots live, and on these
+      // CSV properties (holding ONLY expiry-orphaned ids) after
+      val keepIds = keep.map(_.snapshotId).toSet
+      val dropped = m.snapshots.filterNot(s => keepIds.contains(s.snapshotId))
+      def harvested(prop: String, summaryKey: String): Option[(String, String)] = {
+        val prior = m.properties.getOrElse(prop, "")
+          .split(",").filter(_.nonEmpty).toSet
+        val all = prior ++ dropped.flatMap(_.summary.get(summaryKey)).filter(_.nonEmpty)
+        if (all == prior) None else Some(prop -> all.toSeq.sorted.mkString(","))
+      }
+      m.copy(snapshots = keep, properties = m.properties ++
+        harvested("graft.published-source-snapshot-ids", "source-snapshot-id") ++
+        harvested("graft.published-wap-ids", "published-wap-id"))
     }
     val live = m2.snapshots.flatMap(_.files).map(_.path).toSet
     (before -- live).foreach(p => fs.delete(new Path(p), false))
@@ -1142,11 +1151,19 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * the reference's continuous changelog read (StreamRead.java:31-34
     * `toChangelogStream`; Iceberg's `create_changelog_view`): every row
     * added or removed on `toSnapshotId`'s ancestry after `fromSnapshotId`
-    * (None = since the table's beginning), tagged `_change_type`
-    * insert|delete and `_change_snapshot_id` = the commit that caused it.
-    * An UPDATE surfaces as its delete+insert pair under the same
-    * snapshot id (Iceberg's changelog representation when no identifier
-    * fields are configured).
+    * (None = since the table's beginning), tagged with Iceberg's
+    * `create_changelog_view` output contract: `_change_type` in
+    * INSERT|DELETE|UPDATE_BEFORE|UPDATE_AFTER (uppercase — SQL ported
+    * from Iceberg docs matches verbatim), `_change_ordinal` = the
+    * commit's position within the requested range (0 = oldest), and
+    * `_commit_snapshot_id` = the commit that caused the change.
+    *
+    * With no `identifierFields`, an UPDATE surfaces as its DELETE+INSERT
+    * pair under the same snapshot id (Iceberg's representation when no
+    * identifier fields are configured). With `identifierFields`, a key
+    * deleted AND inserted within the same commit is re-tagged as the
+    * UPDATE_BEFORE/UPDATE_AFTER pair (Iceberg's compute-updates mode);
+    * the pairing joins run per commit over churn-sized diffs only.
     *
     * Scale shape: the diff is per COMMIT and file-set-pruned at the
     * metadata level — a commit's changes are computed from only the files
@@ -1158,9 +1175,12 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * per commit in the range — for a backfill over thousands of commits,
     * consume in snapshot windows (or via the streaming source, which
     * batches per trigger) rather than one giant range. */
-  def changelog(fromSnapshotId: Option[Long], toSnapshotId: Long): DataFrame = {
+  def changelog(fromSnapshotId: Option[Long], toSnapshotId: Long,
+                identifierFields: Seq[String] = Seq.empty): DataFrame = {
     val m = meta
     require(m.snapshot(toSnapshotId).isDefined, s"no snapshot $toSnapshotId")
+    identifierFields.foreach(f => require(m.schema.sparkSchema.fieldNames.contains(f),
+      s"identifier field $f is not a column of the table"))
     var path = List.empty[Snapshot]
     var cur = m.snapshot(toSnapshotId)
     while (cur.isDefined && !fromSnapshotId.contains(cur.get.snapshotId)) {
@@ -1169,25 +1189,39 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     }
     require(fromSnapshotId.isEmpty || cur.isDefined,
       s"snapshot ${fromSnapshotId.get} is not an ancestor of $toSnapshotId")
-    val perCommit = path.map { s =>
+    def tag(df: DataFrame, tpe: String, ordinal: Int, snapId: Long): DataFrame = df
+      .withColumn("_change_type", lit(tpe))
+      .withColumn("_change_ordinal", lit(ordinal))
+      .withColumn("_commit_snapshot_id", lit(snapId))
+    val perCommit = path.zipWithIndex.map { case (s, ordinal) =>
       val parentFiles = s.parentId.flatMap(m.snapshot).map(_.files).getOrElse(Seq.empty)
       val parentPaths = parentFiles.map(_.path).toSet
       val curPaths = s.files.map(_.path).toSet
       val addedDf = dataFrameFor(m, s.files.filterNot(f => parentPaths.contains(f.path)))
       val removedDf = dataFrameFor(m, parentFiles.filterNot(f => curPaths.contains(f.path)))
-      addedDf.exceptAll(removedDf)
-        .withColumn("_change_type", lit("insert"))
-        .withColumn("_change_snapshot_id", lit(s.snapshotId))
-        .unionByName(
-          removedDf.exceptAll(addedDf)
-            .withColumn("_change_type", lit("delete"))
-            .withColumn("_change_snapshot_id", lit(s.snapshotId)))
+      val inserted = addedDf.exceptAll(removedDf)
+      val deleted = removedDf.exceptAll(addedDf)
+      if (identifierFields.isEmpty)
+        tag(inserted, "INSERT", ordinal, s.snapshotId)
+          .unionByName(tag(deleted, "DELETE", ordinal, s.snapshotId))
+      else {
+        // compute-updates pairing: a key on BOTH sides of one commit's
+        // diff is an update, not a delete+insert. Semi/anti joins on the
+        // identifier key keep everything distributed and churn-sized
+        val insKeys = inserted.select(identifierFields.map(col): _*).distinct()
+        val delKeys = deleted.select(identifierFields.map(col): _*).distinct()
+        tag(inserted.join(delKeys, identifierFields, "left_anti"),
+            "INSERT", ordinal, s.snapshotId)
+          .unionByName(tag(deleted.join(insKeys, identifierFields, "left_anti"),
+            "DELETE", ordinal, s.snapshotId))
+          .unionByName(tag(deleted.join(insKeys, identifierFields, "left_semi"),
+            "UPDATE_BEFORE", ordinal, s.snapshotId))
+          .unionByName(tag(inserted.join(delKeys, identifierFields, "left_semi"),
+            "UPDATE_AFTER", ordinal, s.snapshotId))
+      }
     }
     perCommit.reduceOption(_ unionByName _).getOrElse(
-      dataFrameFor(m, Seq.empty)
-        .withColumn("_change_type", lit("insert"))
-        .withColumn("_change_snapshot_id", lit(0L))
-        .limit(0))
+      tag(dataFrameFor(m, Seq.empty), "INSERT", 0, 0L).limit(0))
   }
 
   /** String procedure dispatcher for CALL-style parity (SURVEY §2.11). */

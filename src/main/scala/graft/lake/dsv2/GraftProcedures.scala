@@ -132,14 +132,18 @@ object GraftProcedures {
           "ivf.centroids" -> centroids.map(_.mkString("[", ",", "]"))
             .mkString("[", ",", "]")))
       }))
-    // Iceberg's create_changelog_view spelling: register the row-level CDC
-    // diff ([[graft.lake.LakeTable.changelog]]) as a temp view, so the
-    // change log is queryable from pure SQL (`SELECT * FROM t_changes`)
+    // Iceberg's create_changelog_view spelling AND output contract:
+    // register the row-level CDC diff ([[graft.lake.LakeTable.changelog]])
+    // as a temp view with `_change_type` INSERT|DELETE|UPDATE_BEFORE|
+    // UPDATE_AFTER, `_change_ordinal`, `_commit_snapshot_id` — SQL ported
+    // from Iceberg docs runs unchanged. `identifier_columns` (CSV) turns
+    // on compute-updates pairing, like Iceberg's identifier-field mode
     case "create_changelog_view" => Some(proc(name,
       Array(param("table", StringType),
         param("start_snapshot", LongType, Some("-1")),
         param("end_snapshot", LongType, Some("-1")),
-        param("view_name", StringType, Some("''"))),
+        param("view_name", StringType, Some("''")),
+        param("identifier_columns", StringType, Some("''"))),
       row => {
         val tName = row.getString(0)
         val t = lake.loadTable(tName)
@@ -153,7 +157,10 @@ object GraftProcedures {
           if (row.isNullAt(3) || row.getString(3).isEmpty)
             tName.replace('.', '_') + "_changes"
           else row.getString(3)
-        t.changelog(from, to).createOrReplaceTempView(view)
+        val idCols =
+          if (row.isNullAt(4) || row.getString(4).isEmpty) Seq.empty[String]
+          else row.getString(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        t.changelog(from, to, idCols).createOrReplaceTempView(view)
       }))
     case _ => None
   }

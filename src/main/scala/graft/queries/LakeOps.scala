@@ -150,8 +150,9 @@ object LakeOps {
     * same event log from the original parquet: batch-2 rows as inserts,
     * the delete predicate's matches as deletes — a row inserted in batch
     * 2 and then deleted appears as BOTH, which is what a changelog
-    * consumer (e.g. a downstream merge) must see. `_change_snapshot_id`
-    * is dropped from the projection (snapshot ids are run-local). */
+    * consumer (e.g. a downstream merge) must see. `_commit_snapshot_id` /
+    * `_change_ordinal` are dropped from the projection (snapshot ids are
+    * run-local). `_change_type` values are Iceberg's uppercase contract. */
   val q59 = plan("q59_lake_changelog",
     fn = (s, dir) => {
       val env = ensure(s, dir)
@@ -163,10 +164,10 @@ object LakeOps {
           org.apache.spark.sql.functions.col("_change_type"))
         .orderBy("_change_type", "id")
     },
-    duckSql = """SELECT c_custkey AS id, c_name AS name, 'insert' AS _change_type
+    duckSql = """SELECT c_custkey AS id, c_name AS name, 'INSERT' AS _change_type
       |FROM customer WHERE c_custkey > 50 AND c_custkey <= 100
       |UNION ALL
-      |SELECT c_custkey AS id, c_name AS name, 'delete' AS _change_type
+      |SELECT c_custkey AS id, c_name AS name, 'DELETE' AS _change_type
       |FROM customer WHERE c_custkey <= 100 AND c_custkey % 10 = 0
       |ORDER BY _change_type, id""".stripMargin)
 

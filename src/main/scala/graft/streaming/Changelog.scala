@@ -195,8 +195,24 @@ object Changelog {
     val m0 = table.meta
     val marker = markerKey(writerId)
     if (batchId >= 0) {
+      // migration floor: markers written before writer scoping existed
+      // live under the legacy unscoped key. A scoped writer honors that
+      // key too — but ONLY while no scoped marker from ANY writer exists
+      // in history (the pre-upgrade state). This makes an in-place
+      // upgrade's checkpoint-recovery replay skip correctly, while a
+      // genuinely new second writer joining a post-upgrade table (batch
+      // ids restarting at 0) is NOT silently floored by the old single
+      // writer's high legacy marker — the collision scoping was built to
+      // fix. The window where both can be confused (second writer joins
+      // before the upgraded first writer's first commit) is unavoidable:
+      // legacy markers carry no writer identity.
+      val anyScoped = m0.snapshots.iterator
+        .exists(_.summary.keys.exists(_.startsWith("streaming.batch-id.")))
+      val keys =
+        if (writerId.isEmpty || anyScoped) Seq(marker)
+        else Seq(marker, markerKey(""))
       val applied = m0.snapshots.iterator
-        .flatMap(_.summary.get(marker)).map(_.toLong)
+        .flatMap(s => keys.flatMap(s.summary.get)).map(_.toLong)
         .maxOption
       if (applied.exists(_ >= batchId)) return
     }
@@ -267,8 +283,9 @@ object Changelog {
     * parity (StreamRead.java:31-34): each micro-batch carries the
     * per-commit insert AND delete events between the previous and
     * current committed main snapshot ([[graft.lake.LakeTable.changelog]]),
-    * updates as delete+insert pairs, tagged `_change_type` /
-    * `_change_snapshot_id`. Downstream consumers can materialize a
+    * updates as delete+insert pairs, tagged with Iceberg's changelog
+    * contract (`_change_type` INSERT|DELETE, `_change_ordinal`,
+    * `_commit_snapshot_id`). Downstream consumers can materialize a
     * replica with a keyed merge (the [[mergeChangelog]] machinery) or
     * audit deletions — neither is possible with the append-only
     * [[streamRead]]. Same snapshot-driven offsets, same WAP/branch/orphan

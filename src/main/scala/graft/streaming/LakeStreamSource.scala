@@ -95,12 +95,17 @@ class LakeStreamSource(sqlContext: SQLContext, location: String,
 }
 
 object LakeStreamSource {
-  /** Changelog-mode output schema: table columns + CDC event columns. */
+  /** Changelog-mode output schema: table columns + CDC event columns,
+    * Iceberg's changelog contract (`_change_type` INSERT|DELETE uppercase,
+    * `_change_ordinal` local to each micro-batch's commit range,
+    * `_commit_snapshot_id`). */
   def withChangeColumns(base: StructType): StructType =
     StructType(base.fields ++ Seq(
       org.apache.spark.sql.types.StructField("_change_type",
         org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("_change_snapshot_id",
+      org.apache.spark.sql.types.StructField("_change_ordinal",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_snapshot_id",
         org.apache.spark.sql.types.LongType, nullable = false)))
 }
 

@@ -163,8 +163,8 @@ object ScaleProbe {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"changelog","table_copies":$scale,"secs":$secs%.2f,""" +
-        f""""delete_events":${events.getOrElse("delete", 0L)},""" +
-        f""""insert_events":${events.getOrElse("insert", 0L)},""" +
+        f""""delete_events":${events.getOrElse("DELETE", 0L)},""" +
+        f""""insert_events":${events.getOrElse("INSERT", 0L)},""" +
         f""""table_rows":${t.toDF.count()}}""")
     }
 

@@ -245,6 +245,42 @@ class LakeTableSpec extends AnyFunSuite {
       "a publish retry after expiry must not re-apply the staged append")
   }
 
+  test("published-id properties hold only expiry-orphaned ids, not one entry per publish") {
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.ckprune", taxiSchema,
+      properties = Map("write.wap.enabled" -> "true"))
+    t.append(taxis.limit(2))
+    def publish(wapId: String): Long = {
+      spark.conf.set("spark.wap.id", wapId)
+      val sid = try {
+        t.append(taxis.limit(1))
+        t.meta.snapshots.filter(_.staged).maxBy(_.snapshotId).snapshotId
+      } finally spark.conf.unset("spark.wap.id")
+      t.cherrypick(sid); sid
+    }
+    val ids = (1 to 3).map(i => publish(s"prune-$i"))
+    // while the publish snapshots live, their summaries are the markers —
+    // the properties must NOT have accumulated an entry per publish
+    assert(!t.meta.properties.contains("graft.published-source-snapshot-ids"),
+      s"got ${t.meta.properties}")
+    assert(!t.meta.properties.contains("graft.published-wap-ids"))
+    // retried publishes are still no-ops off the summary fast path
+    val rows = t.toDF.count()
+    ids.foreach(t.cherrypick(_))
+    assert(t.toDF.count() === rows)
+    // expiry drops the first two publish snapshots (the third's publish IS
+    // the surviving head) → exactly the dropped markers move to the
+    // properties; the survivor's marker stays in its summary only
+    t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    val src = t.meta.properties("graft.published-source-snapshot-ids")
+      .split(",").map(_.toLong).toSet
+    assert(src === ids.take(2).toSet, s"harvested $src must be exactly the dropped ids")
+    assert(t.meta.properties("graft.published-wap-ids").split(",").toSet
+      === Set("prune-1", "prune-2"))
+    ids.foreach(t.cherrypick(_))
+    assert(t.toDF.count() === rows, "post-expiry retries stay no-ops")
+  }
+
   test("duplicate WAP commit: re-staged session with an already-published wap.id is rejected") {
     val cat = freshCatalog()
     val t = cat.createTable("nyc.ckdup", taxiSchema,
@@ -777,18 +813,18 @@ class LakeTableSpec extends AnyFunSuite {
     t.update(Map("fare" -> lit(77.0)), Some(col("vendor_id") === 3L))
     val s4 = t.meta.currentSnapshot.get.snapshotId
     val log = t.changelog(Some(s1), s4)
-      .select("vendor_id", "fare", "_change_type", "_change_snapshot_id").collect()
+      .select("vendor_id", "fare", "_change_type", "_commit_snapshot_id").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
     // append commit: plain inserts under s2
     assert(log.filter(_._4 == s2).map(e => (e._1, e._3)).sorted.toSeq
-      === Seq((3L, "insert"), (4L, "insert")))
+      === Seq((3L, "INSERT"), (4L, "INSERT")))
     // delete commit: one delete event for vendor 1 (CoW survivor rows cancel)
-    assert(log.filter(_._4 == s3).map(e => (e._1, e._3)).toSeq === Seq((1L, "delete")))
+    assert(log.filter(_._4 == s3).map(e => (e._1, e._3)).toSeq === Seq((1L, "DELETE")))
     // update commit: delete(old fare) + insert(new fare) pair for vendor 3
     val upd = log.filter(_._4 == s4).sortBy(_._3)
-    assert(upd.map(e => (e._1, e._3)).toSeq === Seq((3L, "delete"), (3L, "insert")))
-    assert(upd.find(_._3 == "insert").get._2 === 77.0)
-    assert(upd.find(_._3 == "delete").get._2 !== 77.0)
+    assert(upd.map(e => (e._1, e._3)).toSeq === Seq((3L, "DELETE"), (3L, "INSERT")))
+    assert(upd.find(_._3 == "INSERT").get._2 === 77.0)
+    assert(upd.find(_._3 == "DELETE").get._2 !== 77.0)
     // full-history changelog (from = None) starts with the first append
     assert(t.changelog(None, s1).select("vendor_id").collect()
       .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
@@ -796,6 +832,43 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.changelog(Some(s4), s4).count() === 0)
     // non-ancestor from → loud failure
     intercept[IllegalArgumentException](t.changelog(Some(s4 + 99), s4))
+  }
+
+  test("changelog: identifier fields pair same-commit delete+insert into UPDATE_BEFORE/AFTER") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.cdcid", taxiSchema)
+    t.append(taxis.limit(2)) // vendors 1,2
+    val s1 = t.meta.currentSnapshot.get.snapshotId
+    // one commit that UPDATEs vendor 1 and also appends vendor 3 via a
+    // keyed merge — with identifier fields, the update must surface as an
+    // UPDATE_BEFORE/UPDATE_AFTER pair while the new key stays INSERT
+    val ups = Seq(
+      (1L, ts("2022-03-01 00:00:00"), 55.0, 1.0),
+      (3L, ts("2022-03-01 00:00:00"), 30.0, 3.0)
+    ).toDF("vendor_id", "pickup", "fare", "distance")
+    t.mergeByKeys("vendor_id", ups.select("vendor_id"), ups)
+    val s2 = t.meta.currentSnapshot.get.snapshotId
+    val log = t.changelog(Some(s1), s2, identifierFields = Seq("vendor_id"))
+      .select("vendor_id", "fare", "_change_type", "_change_ordinal").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getInt(3)))
+    assert(log.map(e => (e._1, e._3)).sorted.toSeq ===
+      Seq((1L, "UPDATE_AFTER"), (1L, "UPDATE_BEFORE"), (3L, "INSERT")),
+      s"got ${log.toSeq}")
+    assert(log.find(_._3 == "UPDATE_AFTER").get._2 === 55.0)
+    assert(log.find(_._3 == "UPDATE_BEFORE").get._2 !== 55.0)
+    assert(log.forall(_._4 === 0), "single-commit range → ordinal 0")
+    // a pure delete in a LATER commit stays DELETE (no pairing partner),
+    // and its ordinal reflects commit order within the range
+    t.delete(col("vendor_id") === 2L)
+    val s3 = t.meta.currentSnapshot.get.snapshotId
+    val log2 = t.changelog(Some(s1), s3, identifierFields = Seq("vendor_id"))
+      .select("vendor_id", "_change_type", "_change_ordinal").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(log2.filter(_._1 == 2L).toSeq === Seq((2L, "DELETE", 1)))
+    // unknown identifier column → loud failure
+    intercept[IllegalArgumentException](
+      t.changelog(Some(s1), s3, identifierFields = Seq("nope")))
   }
 
   test("changelog: compaction and z-order rewrites produce ZERO change events") {
@@ -822,7 +895,7 @@ class LakeTableSpec extends AnyFunSuite {
     val ev = t.changelog(Some(afterSort), t.meta.currentSnapshot.get.snapshotId)
       .select("vendor_id", "_change_type").collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    assert(ev.toSeq === Seq((1L, "delete")))
+    assert(ev.toSeq === Seq((1L, "DELETE")))
   }
 
   test("DESCRIBE EXTENDED surfaces columns + table detail (D4)") {

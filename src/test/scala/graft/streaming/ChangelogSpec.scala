@@ -115,6 +115,34 @@ class ChangelogSpec extends AnyFunSuite {
     assert(t.toDF.count() === 2)
   }
 
+  test("legacy unscoped marker floors a scoped writer's replay until any scoped marker exists") {
+    val cat = freshCatalog()
+    val t = cat.createTable("test.blocks", tableSchema)
+    // pre-upgrade deployment: single writer, unscoped marker at batch 5
+    Changelog.mergeChangelog(t, batchDF(Seq(("I", 1, "legacy", 1L))),
+      "block_number", "seq", batchId = 5L)
+    // in-place upgrade: same logical writer resumes its checkpoint with a
+    // scoped id and the recovery replays batch 5 — the legacy floor must
+    // make it skip, not re-apply
+    val wid = Changelog.writerIdFor("/ckpt/upgraded")
+    val snapCount = t.meta.snapshots.size
+    Changelog.mergeChangelog(t, batchDF(Seq(("I", 1, "replay", 2L))),
+      "block_number", "seq", batchId = 5L, writerId = wid)
+    assert(t.meta.snapshots.size === snapCount,
+      "pre-upgrade marker must floor the upgraded writer's replayed batch")
+    // the writer advances past the replay; its scoped marker now exists
+    Changelog.mergeChangelog(t, batchDF(Seq(("I", 1, "b6", 3L))),
+      "block_number", "seq", batchId = 6L, writerId = wid)
+    assert(t.toDF.filter(col("hash") === "b6").count() === 1)
+    // a NEW second writer starting at ITS batch 0 must NOT be floored by
+    // the legacy marker once any scoped marker exists in history
+    val widB = Changelog.writerIdFor("/ckpt/new-writer")
+    Changelog.mergeChangelog(t, batchDF(Seq(("I", 2, "b0", 4L))),
+      "block_number", "seq", batchId = 0L, writerId = widB)
+    assert(t.toDF.filter(col("hash") === "b0").count() === 1,
+      "new writer's batch 0 must apply despite the high legacy marker")
+  }
+
   test("kafka seam fails with an actionable error naming the twin sources (jar absent here)") {
     val ex = intercept[IllegalStateException](
       Changelog.kafkaSource(spark, "localhost:9092", "clickstream"))
@@ -303,7 +331,8 @@ class ChangelogSpec extends AnyFunSuite {
       StructField("id", IntegerType), StructField("v", StringType))))
     val out = Changelog.streamChangelog(t)
     assert(out.isStreaming)
-    assert(out.columns.takeRight(2).toSeq === Seq("_change_type", "_change_snapshot_id"))
+    assert(out.columns.takeRight(3).toSeq ===
+      Seq("_change_type", "_change_ordinal", "_commit_snapshot_id"))
     val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
     val q = out.writeStream
       .format("memory").queryName("cdc_sink")
@@ -314,14 +343,14 @@ class ChangelogSpec extends AnyFunSuite {
       q.processAllAvailable()
       val afterAppend = spark.table("cdc_sink")
         .select("id", "_change_type").collect().map(r => (r.getInt(0), r.getString(1)))
-      assert(afterAppend.sorted.toSeq === Seq((1, "insert"), (2, "insert")))
+      assert(afterAppend.sorted.toSeq === Seq((1, "INSERT"), (2, "INSERT")))
       // a DELETE arrives as a delete EVENT (the append-only streamRead
       // silently skips it — that is exactly what changelog mode adds)
       t.delete(col("id") === 1)
       q.processAllAvailable()
       val afterDelete = spark.table("cdc_sink")
         .select("id", "_change_type").collect().map(r => (r.getInt(0), r.getString(1)))
-      assert(afterDelete.count(_ == ((1, "delete"))) === 1,
+      assert(afterDelete.count(_ == ((1, "DELETE"))) === 1,
         s"delete event must stream: ${afterDelete.toSeq}")
       // an UPDATE arrives as its delete+insert pair in one batch
       t.update(Map("v" -> lit("b2")), Some(col("id") === 2))
@@ -329,7 +358,7 @@ class ChangelogSpec extends AnyFunSuite {
       val events = spark.table("cdc_sink")
         .select("id", "v", "_change_type").collect()
         .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
-      assert(events.contains((2, "b", "delete")) && events.contains((2, "b2", "insert")),
+      assert(events.contains((2, "b", "DELETE")) && events.contains((2, "b2", "INSERT")),
         s"update must stream as delete+insert: ${events.toSeq}")
     } finally q.stop()
   }
@@ -351,10 +380,10 @@ class ChangelogSpec extends AnyFunSuite {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val b = batch
-          .withColumn("op", when(col("_change_type") === "insert", "I").otherwise("D"))
-          .withColumn("seq", col("_change_snapshot_id") * 2 +
-            when(col("_change_type") === "insert", 1).otherwise(0))
-          .drop("_change_type", "_change_snapshot_id")
+          .withColumn("op", when(col("_change_type") === "INSERT", "I").otherwise("D"))
+          .withColumn("seq", col("_commit_snapshot_id") * 2 +
+            when(col("_change_type") === "INSERT", 1).otherwise(0))
+          .drop("_change_type", "_change_ordinal", "_commit_snapshot_id")
         Changelog.mergeChangelog(replica, b, key = "id", seqCol = "seq",
           batchId = id, writerId = "repl")
       }
@@ -388,16 +417,27 @@ class ChangelogSpec extends AnyFunSuite {
     spark.sql("DELETE FROM lakecdc.db.cv WHERE id = 1")
     spark.sql("CALL lakecdc.system.create_changelog_view(table => 'db.cv')")
     val rows = spark.sql(
-      "SELECT id, _change_type FROM db_cv_changes ORDER BY _change_snapshot_id, _change_type, id")
+      "SELECT id, _change_type FROM db_cv_changes " +
+        "ORDER BY _change_ordinal, _change_type, id")
       .collect().map(r => (r.getLong(0), r.getString(1)))
-    assert(rows.toSeq === Seq((1L, "insert"), (2L, "insert"), (1L, "delete")))
+    assert(rows.toSeq === Seq((1L, "INSERT"), (2L, "INSERT"), (1L, "DELETE")))
     // explicit start pin + custom view name
     val cat2 = new graft.lake.LakeCatalog(spark, wh)
     val snaps = cat2.loadTable("db.cv").meta.snapshots.map(_.snapshotId).sorted
     spark.sql(s"CALL lakecdc.system.create_changelog_view(table => 'db.cv', " +
       s"start_snapshot => ${snaps.head}, view_name => 'cv_tail')")
     assert(spark.sql("SELECT _change_type FROM cv_tail").collect()
-      .map(_.getString(0)).toSeq === Seq("delete"))
+      .map(_.getString(0)).toSeq === Seq("DELETE"))
+    // identifier_columns flips same-commit delete+insert pairs to
+    // UPDATE_BEFORE/UPDATE_AFTER (Iceberg's compute-updates mode)
+    val updT = cat2.loadTable("db.cv")
+    val preUpd = updT.meta.currentSnapshot.get.snapshotId
+    updT.update(Map("v" -> lit("b2")), Some(col("id") === 2))
+    spark.sql(s"CALL lakecdc.system.create_changelog_view(table => 'db.cv', " +
+      s"start_snapshot => $preUpd, identifier_columns => 'id', view_name => 'cv_upd')")
+    assert(spark.sql("SELECT v, _change_type FROM cv_upd ORDER BY _change_type")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("b2", "UPDATE_AFTER"), ("b", "UPDATE_BEFORE")))
   }
 
   test("unresolvable checkpointed offset fails with an actionable recovery message") {
