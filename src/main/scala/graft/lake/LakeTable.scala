@@ -1224,6 +1224,39 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       tag(dataFrameFor(m, Seq.empty), "INSERT", 0, 0L).limit(0))
   }
 
+  /** Windowed changelog consumption for ranges spanning many commits: a
+    * single [[changelog]] over thousands of commits unions thousands of
+    * per-commit plans into ONE query (documented caveat there). This
+    * slices the same range into lazy windows of at most
+    * `maxCommitsPerBatch` commits — each window is a bounded-size plan
+    * the consumer processes and discards before the next is even built,
+    * the batch analog of the streaming source's per-trigger batches.
+    * Concatenating all windows in order is row-identical to the one-shot
+    * changelog of the full range; `_change_ordinal` restarts per window
+    * (it is range-local by contract), `_commit_snapshot_id` does not.
+    * The commit path is resolved once, up front, against the current
+    * metadata — commits landing after the call don't shift the windows. */
+  def changelogWindows(fromSnapshotId: Option[Long], toSnapshotId: Long,
+                       maxCommitsPerBatch: Int,
+                       identifierFields: Seq[String] = Seq.empty): Iterator[DataFrame] = {
+    require(maxCommitsPerBatch > 0, s"maxCommitsPerBatch must be positive: $maxCommitsPerBatch")
+    val m = meta
+    require(m.snapshot(toSnapshotId).isDefined, s"no snapshot $toSnapshotId")
+    var ids = List.empty[Long]
+    var cur = m.snapshot(toSnapshotId)
+    while (cur.isDefined && !fromSnapshotId.contains(cur.get.snapshotId)) {
+      ids = cur.get.snapshotId :: ids
+      cur = cur.get.parentId.flatMap(m.snapshot)
+    }
+    require(fromSnapshotId.isEmpty || cur.isDefined,
+      s"snapshot ${fromSnapshotId.get} is not an ancestor of $toSnapshotId")
+    val ends = ids.grouped(maxCommitsPerBatch).map(_.last).toList
+    val starts = fromSnapshotId :: ends.init.map(Some(_))
+    starts.iterator.zip(ends.iterator).map { case (from, to) =>
+      changelog(from, to, identifierFields)
+    }
+  }
+
   /** String procedure dispatcher for CALL-style parity (SURVEY §2.11). */
   def call(procedure: String, args: Map[String, String] = Map.empty): TableMeta =
     procedure match {

@@ -871,6 +871,37 @@ class LakeTableSpec extends AnyFunSuite {
       t.changelog(Some(s1), s3, identifierFields = Seq("nope")))
   }
 
+  test("changelogWindows: bounded windows concatenate to the full-range changelog") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val t = cat.createTable("nyc.cdcwin", StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType))))
+    t.append(Seq((0L, 0.0)).toDF("id", "v"))
+    val s0 = t.meta.currentSnapshot.get.snapshotId
+    // 24 commits after the pin: 22 appends + a delete + an update mixed in
+    (1L to 11L).foreach(i => t.append(Seq((i, i * 1.0)).toDF("id", "v")))
+    t.delete(col("id") === 5L)
+    (12L to 22L).foreach(i => t.append(Seq((i, i * 1.0)).toDF("id", "v")))
+    t.update(Map("v" -> lit(-1.0)), Some(col("id") === 7L))
+    val head = t.meta.currentSnapshot.get.snapshotId
+    val windows = t.changelogWindows(Some(s0), head, maxCommitsPerBatch = 7).toList
+    assert(windows.size === 4, "24 commits at <=7/window -> 7+7+7+3")
+    val sizes = windows.map(_.count())
+    // windows 1-2: 7 appends each = 7 events; window 3: 6 appends + the
+    // delete = 7 events; window 4: 3 appends... composition depends on
+    // where the delete/update land — assert totals instead of guessing:
+    // 22 inserts + 1 delete + (update = delete+insert pair) = 25 events
+    assert(sizes.sum === 25, s"window sizes $sizes")
+    assert(sizes.forall(_ > 0), s"no empty window in a dense range: $sizes")
+    val concat = windows.map(_.drop("_change_ordinal")).reduce(_ unionByName _)
+    val oneShot = t.changelog(Some(s0), head).drop("_change_ordinal")
+    assert(concat.exceptAll(oneShot).isEmpty && oneShot.exceptAll(concat).isEmpty,
+      "windowed concatenation must be row-identical to the one-shot changelog")
+    // window plans are bounded: each covers <=7 commits regardless of range
+    assert(t.changelogWindows(Some(s0), head, maxCommitsPerBatch = 100).size === 1)
+    intercept[IllegalArgumentException](t.changelogWindows(Some(s0), head, 0))
+  }
+
   test("changelog: compaction and z-order rewrites produce ZERO change events") {
     import spark.implicits._
     val cat = freshCatalog()
