@@ -257,9 +257,15 @@ object Dedup {
   private[graft] def gateProbe(directed: DataFrame, maxEdges: Long): Long =
     directed.limit(math.min(maxEdges + 1, Int.MaxValue.toLong).toInt).count()
 
+  /** `onRound` (instrumentation, e.g. ScaleProbe): invoked on the DRIVER
+    * after each distributed round's materializing action with (round,
+    * labels-changed, seconds); round 0 fires once after the setup action
+    * (edge materialization + initial labels) with changed = -1. Never
+    * invoked on the driver union-find path (no rounds exist there). */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20,
-                          driverMaxEdges: Long = 1L << 20): DataFrame = {
+                          driverMaxEdges: Long = 1L << 20,
+                          onRound: (Int, Long, Double) => Unit = null): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val spark = pairs.sparkSession
     val integralIds = Seq(idA, idB).forall(c => pairs.schema(c).dataType match {
@@ -309,12 +315,15 @@ object Dedup {
     val edges = directed
       .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
+    val tSetup = System.nanoTime()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    if (onRound != null) onRound(0, -1L, (System.nanoTime() - tSetup) / 1e9)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
+      val tRound = System.nanoTime()
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy("src").agg(min("label").as("nl"))
@@ -328,6 +337,7 @@ object Dedup {
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select("id", "label")
       i += 1
+      if (onRound != null) onRound(i, changed, (System.nanoTime() - tRound) / 1e9)
     }
     // hitting maxIter with changes pending means members of one component
     // would carry DIFFERENT labels — a dedup pipeline would silently keep

@@ -168,6 +168,41 @@ object ScaleProbe {
         f""""table_rows":${t.toDF.count()}}""")
     }
 
+    // distributed-CC growth: q51/q57's 100 TB path (driverMaxEdges = 0
+    // forces the min-label loop; the bench exercises the driver union-find
+    // below the gate) over the q21 LSH pair graph at 1x vs Nx. Rounds
+    // should be scale-INVARIANT (per-copy component structure IS the 1x
+    // structure — diameter doesn't grow with disjoint copies) and
+    // per-round shuffle ~linear in the edge count. Round 0 = setup (pair
+    // pipeline + edge materialization + initial labels).
+    for (scale <- Seq(1, scaleN)) {
+      scaledDocuments(spark, scale).createOrReplaceTempView("documents")
+      val pairs = graft.QueryRegistry.byName("q21_minhash_lsh_pairs").fn(spark, sfDir)
+      val rounds = collection.mutable.ArrayBuffer[(Int, Long, Double, Long, Long)]()
+      def drain(): (Long, Long) = {
+        var stable = 0; var last = (-1L, -1L); var waited = 0
+        while (stable < 2 && waited < 3000) {
+          Thread.sleep(100); waited += 100
+          val cur = (shuffleRead.get(), shuffleWrite.get())
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+        }
+        (shuffleRead.getAndSet(0L), shuffleWrite.getAndSet(0L))
+      }
+      drain() // isolate this run's counters from the previous stage
+      val t0 = System.nanoTime()
+      val labels = graft.operators.Dedup.connectedComponents(pairs,
+        driverMaxEdges = 0L,
+        onRound = (i, ch, secs) => { val (r, w) = drain(); rounds += ((i, ch, secs, r, w)) })
+      val labeled = labels.count()
+      val total = (System.nanoTime() - t0) / 1e9
+      val perRound = rounds.map { case (i, ch, s, r, w) =>
+        f"""{"round":$i,"changed":$ch,"secs":$s%.2f,""" +
+          f""""shuffle_read_mb":${r / 1e6}%.1f,"shuffle_write_mb":${w / 1e6}%.1f}"""
+      }.mkString("[", ",", "]")
+      println(f"""{"probe":"cc_distributed","scale":$scale,"rounds":${rounds.size - 1},""" +
+        f""""labeled":$labeled,"total_secs":$total%.2f,"per_round":$perRound}""")
+    }
+
     println(s"""{"summary":"growth ${scaleN}x vs 1x (sub-quadratic bar: ratio << ${scaleN * scaleN})"}""")
     for (name <- probes) {
       val (s1, r1, sr1, _) = results((name, 1))

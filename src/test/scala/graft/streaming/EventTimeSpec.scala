@@ -94,6 +94,107 @@ class EventTimeSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("event_id")).sorted.toSeq === Seq("e1", "e2"))
   }
 
+  test("streaming gap-sessions match q54's batch sessionization on the same clickstream data") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // 1. Drive the LIVE clickstream source (rate-based datagen) to get real
+    //    generated rows — the "same data" both sides will sessionize.
+    val src = Changelog.clickstreamSource(spark, rowsPerSecond = 500)
+    val raw = {
+      val q = src.writeStream.format("memory").queryName("cs_sess_raw")
+        .outputMode("append").start()
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        while (spark.table("cs_sess_raw").count() < 100 &&
+               System.currentTimeMillis() < deadline) {
+          Thread.sleep(300); q.processAllAvailable()
+        }
+        spark.table("cs_sess_raw")
+          .select("user_id", "event", "site_id", "url", "on_site_seconds",
+            "viewed_percent", "timestamp")
+          .collect().toSeq
+      } finally q.stop()
+    }
+    assert(raw.size >= 100, s"clickstream source produced only ${raw.size} rows")
+    // 2. Remap event times deterministically (the datagen stamps wall-clock
+    //    seconds — useless for gap analysis): sort for a stable order, then
+    //    ts_us(i) = hour-scale pseudo-random spread + i seconds. Injective
+    //    (same hour bucket → second offsets differ by < 1h), and a per-user
+    //    delta can NEVER equal the gap exactly (delta = whole hours + a
+    //    nonzero sub-hour remainder), so the batch break rule (diff > gap)
+    //    and session_window's merge rule (diff < gap) agree on every pair.
+    val gapUs = 24L * 3600 * 1000000 // 24h, q54's shape at test scale
+    val base = 1700000000000000L
+    val evs = raw.sortBy(_.toString).take(150).zipWithIndex.map { case (r, i) =>
+      (base + ((i * 37) % 1000).toLong * 3600000000L + i * 1000000L,
+        r.getAs[String]("user_id"))
+    }
+    // 3. Batch side: q54's LAG-break + running-sum session ids + per-user
+    //    summary, on the remapped rows.
+    evs.toDF("ts_us", "user_id").createOrReplaceTempView("cs_sess_ev")
+    val batch = spark.sql(
+      s"""WITH o AS (
+         |  SELECT user_id, ts_us,
+         |    CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+         |      > $gapUs THEN 1 ELSE 0 END AS brk
+         |  FROM cs_sess_ev),
+         |s AS (
+         |  SELECT user_id, ts_us,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+         |      ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM o),
+         |g AS (
+         |  SELECT user_id, sess, COUNT(*) AS n_ev,
+         |    MAX(ts_us) - MIN(ts_us) AS dur_us
+         |  FROM s GROUP BY user_id, sess)
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+         |  CAST(MAX(n_ev) AS BIGINT) AS max_session_events,
+         |  CAST(MAX(dur_us) AS BIGINT) AS max_session_dur_us
+         |FROM g GROUP BY user_id""".stripMargin)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 4. Stream side: the same rows through session_window, fed out of
+    //    order across three micro-batches, plus a far-future sentinel user
+    //    whose row pushes the watermark past every session so append mode
+    //    emits them all. Watermark delay covers the full remapped span, so
+    //    cross-batch disorder drops nothing.
+    val mem = MemoryStream[(Long, String)]
+    val events = mem.toDF()
+      .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("user_id"),
+        lit(0).as("on_site_seconds"))
+    val sessions = EventTime.sessionized(events, gap = "24 hours",
+      watermarkDelay = "2000 hours")
+    val q = sessions.writeStream.format("memory").queryName("cs_sess_stream")
+      .outputMode("append").start()
+    try {
+      (0 until 3).foreach { b =>
+        mem.addData(evs.zipWithIndex.collect { case (e, i) if i % 3 == b => e }: _*)
+        q.processAllAvailable()
+      }
+      mem.addData((base + 10000L * 3600000000L, "zz_flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("cs_sess_stream")
+      .filter(col("user_id") =!= "zz_flush")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        max("n_events").as("max_session_events"),
+        // session_window end = last event + gap; subtract it back out so
+        // duration means max(ts)-min(ts), the batch definition
+        max(unix_micros(col("session_end")) - unix_micros(col("session_start"))
+          - lit(gapUs)).as("max_session_dur_us"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(stream === batch,
+      s"stream/batch session summaries diverge: stream=$stream batch=$batch")
+    // the data must actually exercise gap semantics: some user has >1
+    // session and some session has >1 event
+    assert(batch.values.exists(_._1 > 1), "no user split into multiple sessions")
+    assert(batch.values.exists(_._3 > 1), "no session merged multiple events")
+  }
+
   test("mapGroupsWithState keeps running per-user aggregates") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
