@@ -88,6 +88,36 @@ object PipelineOps {
       |WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE b.fp = md5(lower(d.text)))
       |GROUP BY lang ORDER BY lang""".stripMargin)
 
+  /** q39's decontamination re-planned for corpus scale: the same
+    * held-out set is subtracted via a distributed-built Bloom filter
+    * probe (codegen'd scan predicate, no UDF) with an exact anti-join
+    * verifying only the bloom HITS — row-identical to the plain anti
+    * join (the DuckDB oracle is exactly that), but at 100 TB the join's
+    * left side is the bloom-hit sliver instead of the whole corpus.
+    * See [[graft.operators.Decontaminate]]. */
+  val q62 = plan("q62_bloom_decontaminate",
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.registerAll(s, dir)
+      val docs = s.table("documents")
+      val eval = docs.filter(col("doc_id") % 97 < 5)
+        .select(md5(lower(col("text"))).as("fp"))
+      graft.operators.Decontaminate
+        .decontaminate(docs, eval, md5(lower(col("text"))), "fp",
+          expectedItems = 1L << 16, numBits = 1L << 20)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"))
+        .orderBy("lang", "source")
+    },
+    duckSql = """WITH bench AS (
+      |  SELECT DISTINCT md5(lower(text)) AS fp FROM documents WHERE doc_id % 97 < 5)
+      |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents d
+      |WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE b.fp = md5(lower(d.text)))
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin)
+
   /** The composed prep pipeline: quality gate → exact dedup (lowest id
     * wins) → per-language corpus stats. One window + one aggregation. */
   val q40 = both("q40_prep_pipeline",
@@ -440,5 +470,5 @@ object PipelineOps {
 
   def specs: Seq[QuerySpec] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q47, q48, q49, q50, q53, q54,
-      q60, q61)
+      q60, q61, q62)
 }

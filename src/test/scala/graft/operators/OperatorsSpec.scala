@@ -455,6 +455,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)), "identical docs share the full signature")
   }
 
+  test("bloom decontaminate is row-identical to the exact anti join") {
+    import spark.implicits._
+    // spark.range, not a local Seq: ConvertToLocalRelation would eagerly
+    // evaluate deterministic filters over a LocalRelation, folding the
+    // bloom probe out of the plan the last assertion inspects
+    val corpus = spark.range(500).select(col("id").as("doc_id"),
+      concat(lit("doc content number "), col("id")).as("text"))
+    val eval = corpus.filter(col("doc_id") % 7 === 0)
+      .select(md5(col("text")).as("fp"))
+    val key = md5(col("text"))
+    // deliberately TINY filter (64 bits for ~72 keys) → false positives
+    // are certain; the verify join must still make the result exact
+    for (numBits <- Seq(64L, 1L << 16)) {
+      val out = Decontaminate.decontaminate(corpus, eval, key, "fp",
+        expectedItems = 128L, numBits = numBits)
+      val exact = corpus.join(eval, key === col("fp"), "left_anti")
+      assert(out.count() === exact.count(), s"numBits=$numBits")
+      assert(out.exceptAll(exact).isEmpty && exact.exceptAll(out).isEmpty,
+        s"bloom path diverged from the exact anti join at numBits=$numBits")
+    }
+    // empty eval set → corpus passes through whole
+    val none = Decontaminate.decontaminate(corpus, eval.limit(0), key, "fp")
+    assert(none.count() === 500L)
+    // the probe is a native codegen predicate in the plan, not a UDF,
+    // and the anti join's left input carries the bloom-hit filter
+    val planStr = Decontaminate.decontaminate(corpus, eval, key, "fp")
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("might_contain"), s"plan must probe the bloom:\n$planStr")
+    assert(!planStr.contains("UDF"), "no UDF in the decontamination plan")
+  }
+
+  test("bloom build never collects eval rows: filter bytes bounded") {
+    import spark.implicits._
+    val eval = (0L until 10000L).map(i => Tuple1(s"fp_$i")).toDF("fp")
+    val bytes = Decontaminate.bloomBytes(eval, "fp",
+      expectedItems = 10000L, numBits = 1L << 17)
+    // serialized size tracks numBits (2^17 bits ≈ 16 KB + header), NOT the
+    // 10k-row eval set — the driver-side footprint a 100 TB build keeps
+    assert(bytes.length < 32 * 1024, s"filter bytes ${bytes.length}")
+    val mc = Decontaminate.mightContain(bytes, col("fp"))
+    val hits = eval.filter(mc).count()
+    assert(hits === 10000L, "no false negatives: every eval key must hit")
+  }
+
   test("IVF assign + probe returns the aligned cluster") {
     val (assigned, centroids) = Similarity.ivfAssign(embeddings, nlist = 2)
     assert(centroids.size === 2)
