@@ -203,6 +203,25 @@ object ScaleProbe {
         f""""labeled":$labeled,"total_secs":$total%.2f,"per_round":$perRound}""")
     }
 
+    // bloom decontamination growth: a FIXED eval set (copy-0 fingerprints;
+    // other copies' word-suffixed texts hash differently, so bloom hits
+    // stay constant) subtracted from a 1x vs Nx corpus. The claim under
+    // test: the exact anti-join's left side is the bloom-hit sliver
+    // (constant here), so the Nx run pays only the extra codegen'd scan —
+    // wall grows ≪ N and dropped counts are identical.
+    for (scale <- Seq(1, scaleN)) {
+      val corpus = scaledDocuments(spark, scale)
+      val eval = spark.table("documents_base")
+        .filter(col("doc_id") % 97 < 5).select(md5(lower(col("text"))).as("fp"))
+      val t0 = System.nanoTime()
+      val kept = graft.operators.Decontaminate
+        .decontaminate(corpus, eval, md5(lower(col("text"))), "fp").count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val total = corpus.count()
+      println(f"""{"probe":"bloom_decontaminate","scale":$scale,"secs":$secs%.2f,""" +
+        f""""corpus_rows":$total,"kept":$kept,"dropped":${total - kept}}""")
+    }
+
     println(s"""{"summary":"growth ${scaleN}x vs 1x (sub-quadratic bar: ratio << ${scaleN * scaleN})"}""")
     for (name <- probes) {
       val (s1, r1, sr1, _) = results((name, 1))
