@@ -1,0 +1,268 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained aggregate (materialized view) over a lake
+  * table: the canonical way to keep a dashboard/report aggregate fresh
+  * over a 100 TB base table at CHURN cost instead of recompute cost.
+  * The reference keeps such aggregates fresh by replaying its changelog
+  * stream into an external store (IcebergStream.java's merge loop); here
+  * the view is itself a lake table and refresh is one atomic commit.
+  *
+  * State: one row per group, holding the group-by columns, a stable
+  * merge key (`_ivm_key`, JSON of the group tuple — null-safe and
+  * composite-safe), a live-row count (`_ivm_rows`, retires groups whose
+  * last row is deleted), and one state column per aggregate (sum+count
+  * for AVG so it merges; MIN/MAX store the current extreme).
+  *
+  * Refresh (incremental view maintenance, the classic abelian-group
+  * algorithm — e.g. Larson & Zhou, "Efficient Maintenance of
+  * Materialized Outer-Join Views", ICDE'07 lineage):
+  *   1. `changelog(watermark, head)` — churn-sized, file-set-pruned
+  *      (cost ∝ what changed, never table size);
+  *   2. signed per-group delta in ONE aggregation: +row for
+  *      INSERT/UPDATE_AFTER, −row for DELETE/UPDATE_BEFORE — so
+  *      COUNT/SUM/AVG merge algebraically;
+  *   3. MIN/MAX merge algebraically for groups that only gained rows
+  *      (`least/greatest(old, batchMin)`); a group that LOST rows may
+  *      have lost its extreme, which no summary can recover — those
+  *      groups (and only those) are recomputed from the base table
+  *      AS OF the refresh head, semi-joined to the affected keys;
+  *   4. one [[LakeTable.mergeByKeys]] commit rewrites exactly the
+  *      affected groups' state rows and records the new watermark in
+  *      the SAME commit's summary (`graft.ivm.base-snapshot`) — a crash
+  *      leaves either the old view+watermark or the new, never a torn
+  *      mix, and a re-run refresh is a harmless no-op.
+  *
+  * Scale shape: the delta aggregation is map-side combined on the group
+  * key; the state merge rewrites only files whose key bounds overlap
+  * the batch (mergeByKeys pruning); the MIN/MAX fallback scan is
+  * filter-pushed on the group key and only runs when a tracked extreme
+  * might have regressed. Compaction commits on the base are invisible
+  * (CoW survivors cancel in the changelog) — refresh across them just
+  * advances the watermark.
+  */
+final class MaterializedAgg private[lake] (
+    val state: LakeTable, base: LakeTable,
+    val groupBy: Seq[String], val aggs: Seq[MaterializedAgg.AggCol]) {
+  import MaterializedAgg._
+
+  private def spark = state.spark
+
+  /** The snapshot of the base table this view currently reflects: the
+    * most recent state commit carrying a refresh marker (state-table
+    * housekeeping like compaction does not disturb it). */
+  def watermark: Option[Long] = {
+    val m = state.meta
+    var cur = m.currentSnapshot
+    while (cur.isDefined) {
+      cur.get.summary.get(WatermarkKey) match {
+        case Some(v) => return Some(v.toLong)
+        case None => cur = cur.get.parentId.flatMap(m.snapshot)
+      }
+    }
+    None
+  }
+
+  /** Bring the view up to the base table's current head (or an explicit
+    * `toSnapshotId`). Returns the new watermark; no-op (and NO new
+    * commit) when already current. */
+  def refresh(toSnapshotId: Option[Long] = None): Option[Long] = {
+    val head = toSnapshotId.orElse(base.meta.currentSnapshot.map(_.snapshotId))
+    val from = watermark
+    if (head.isEmpty || head == from) return from
+    val to = head.get
+
+    val keyCol = jsonKey(groupBy)
+    val cl = base.changelog(from, to)
+    val sign = when(col("_change_type").isin("INSERT", "UPDATE_AFTER"), 1L)
+      .otherwise(-1L)
+    // one signed, map-side-combined pass over the churn
+    val deltaAggs: Seq[Column] =
+      sum(sign).as(RowsCol) +: aggs.flatMap { a =>
+        val c = col(a.column)
+        a.func match {
+          case "count" => Seq(sum(when(c.isNotNull, sign).otherwise(0L)).as(a.alias))
+          // SUM and AVG both carry a hidden non-null count: SUM over a
+          // group whose last non-null value was deleted is NULL, not the
+          // accumulator's 0 — only the count can tell those apart
+          case "sum" | "avg" => Seq(
+            sum(when(c.isNotNull, sign).otherwise(lit(null)) * c).as(sumCol(a.alias)),
+            sum(when(c.isNotNull, sign).otherwise(0L)).as(cntCol(a.alias)))
+          case "min" => Seq(min(when(sign > 0, c)).as(a.alias))
+          case "max" => Seq(max(when(sign > 0, c)).as(a.alias))
+        }
+      }
+    val needsRescan = aggs.exists(a => a.func == "min" || a.func == "max")
+    val lostExtras: Seq[Column] =
+      if (needsRescan) Seq(max(when(sign < 0, 1L).otherwise(0L)).as(LostCol)) else Seq.empty
+    val delta = cl
+      .groupBy((keyCol.as(KeyCol) +: groupBy.map(col)): _*)
+      .agg(deltaAggs.head, (deltaAggs.tail ++ lostExtras): _*)
+      .localCheckpoint(true) // consumed by the join below AND as the merge key set
+
+    val old = state.toDF
+    val joined = delta.as("d").join(old.as("o"), col("d." + KeyCol) === col("o." + KeyCol), "left")
+    val mergedRows = (coalesce(col("o." + RowsCol), lit(0L)) + col("d." + RowsCol)).as(RowsCol)
+    val mergedAggs: Seq[Column] = aggs.flatMap { a =>
+      def add(name: String) = (coalesce(col("o." + name), lit(0L).cast(old.schema(name).dataType))
+        + coalesce(col("d." + name), lit(0L).cast(delta.schema(name).dataType))).as(name)
+      a.func match {
+        case "count" => Seq(add(a.alias))
+        case "sum" | "avg" => Seq(add(sumCol(a.alias)), add(cntCol(a.alias)))
+        // least/greatest skip nulls, so a group new to either side merges
+        // correctly; the lost-extreme case is overridden by the rescan below
+        case "min" => Seq(least(col("o." + a.alias), col("d." + a.alias)).as(a.alias))
+        case "max" => Seq(greatest(col("o." + a.alias), col("d." + a.alias)).as(a.alias))
+      }
+    }
+    var merged = joined.select(
+      (col("d." + KeyCol).as(KeyCol) +: groupBy.map(g => col("d." + g).as(g)) :+
+        mergedRows) ++ mergedAggs: _*)
+      .filter(col(RowsCol) > 0)
+
+    if (needsRescan) {
+      // groups that lost rows: their MIN/MAX may have left the table —
+      // recompute those extremes (only) from the base AS OF the head,
+      // semi-joined on the group COLUMNS (null-safe) so the scan can be
+      // runtime-filtered/pruned on real columns, not a derived key
+      val lostKeys = delta.filter(col(LostCol) === 1L)
+        .select(groupBy.map(g => col(g).as("_lk_" + g)): _*)
+      val extremes = aggs.filter(a => a.func == "min" || a.func == "max")
+      val rescan = base.read(snapshotId = Some(to))
+        .join(lostKeys, groupBy.map(g => col(g) <=> col("_lk_" + g)).reduce(_ && _), "left_semi")
+        .groupBy(groupBy.map(col): _*)
+        .agg(extremes.head.fn, extremes.tail.map(_.fn): _*)
+        .withColumn(RescanCol, lit(1L))
+      // a surviving lost group ALWAYS has a rescan row (rows > 0 ⇒ rows
+      // exist at `to`), so the marker — not value nullness — decides:
+      // rescan min=NULL legitimately means "no non-null values remain"
+      val rescanned = merged.as("m")
+        .join(rescan.as("r"),
+          groupBy.map(g => col("m." + g) <=> col("r." + g)).reduce(_ && _), "left")
+        .select((col("m." + KeyCol).as(KeyCol) +: groupBy.map(g => col("m." + g).as(g)) :+
+          col("m." + RowsCol).as(RowsCol)) ++ aggs.flatMap { a =>
+          a.func match {
+            case "min" | "max" => Seq(
+              when(col("r." + RescanCol).isNotNull, col("r." + a.alias))
+                .otherwise(col("m." + a.alias)).as(a.alias))
+            case "sum" | "avg" => Seq(col("m." + sumCol(a.alias)).as(sumCol(a.alias)),
+              col("m." + cntCol(a.alias)).as(cntCol(a.alias)))
+            case _ => Seq(col("m." + a.alias).as(a.alias))
+          }
+        }: _*)
+      merged = rescanned
+    }
+
+    state.mergeByKeys(KeyCol, delta.select(KeyCol), merged.select(stateCols(old): _*),
+      extraSummary = Map(WatermarkKey -> to.toString))
+    Some(to)
+  }
+
+  /** The view's current contents with FINAL aggregate values (AVG
+    * divided out as DOUBLE), ordered like a fresh groupBy would be. */
+  def read(): DataFrame = {
+    val finals = aggs.map { a =>
+      a.func match {
+        case "avg" => // AVG of zero non-null values is NULL, not 0/0
+          when(col(cntCol(a.alias)) === 0L, lit(null))
+            .otherwise(col(sumCol(a.alias)).cast("double") / col(cntCol(a.alias)))
+            .as(a.alias)
+        case "sum" => // SUM of zero non-null values is NULL, not the accumulator's 0
+          when(col(cntCol(a.alias)) === 0L, lit(null))
+            .otherwise(col(sumCol(a.alias))).as(a.alias)
+        case _ => col(a.alias)
+      }
+    }
+    state.toDF.select(groupBy.map(col) ++ finals: _*)
+  }
+
+  private def stateCols(old: DataFrame): Seq[Column] =
+    old.schema.fieldNames.toSeq.map(col)
+}
+
+object MaterializedAgg {
+  /** One aggregate column of the view: `func` ∈ count|sum|avg|min|max
+    * over base column `column`, exposed as `alias`. */
+  final case class AggCol(func: String, column: String, alias: String) {
+    require(Set("count", "sum", "avg", "min", "max")(func),
+      s"unsupported aggregate '$func' (count|sum|avg|min|max)")
+    private[lake] def fn: Column = func match {
+      case "min" => min(col(column)).as(alias)
+      case "max" => max(col(column)).as(alias)
+      case _ => throw new IllegalStateException(s"no rescan for $func")
+    }
+  }
+
+  private[lake] val KeyCol = "_ivm_key"
+  private[lake] val RowsCol = "_ivm_rows"
+  private[lake] val LostCol = "_ivm_lost"
+  private[lake] val RescanCol = "_ivm_rescanned"
+  private[lake] val WatermarkKey = "graft.ivm.base-snapshot"
+  private[lake] def sumCol(alias: String) = alias + "__sum"
+  private[lake] def cntCol(alias: String) = alias + "__cnt"
+
+  /** Null-safe composite merge key: JSON of the group tuple in declared
+    * order (`ignoreNullFields=false` so a NULL group key is a distinct,
+    * stable group — to_json would otherwise drop the field and collide
+    * it with other null-shaped groups). */
+  private[lake] def jsonKey(groupBy: Seq[String]): Column =
+    to_json(struct(groupBy.map(col): _*), Map("ignoreNullFields" -> "false"))
+
+  /** Create the state table for a view over `base` and return the view
+    * (initially empty — run [[MaterializedAgg.refresh]] to build it; the
+    * initial build IS the incremental path, a changelog from the table's
+    * beginning). The spec is recorded in table properties, so the view
+    * reloads by name via [[load]]. */
+  def create(catalog: LakeCatalog, ident: String, base: LakeTable,
+             groupBy: Seq[String], aggs: Seq[AggCol]): MaterializedAgg = {
+    require(groupBy.nonEmpty, "at least one group-by column")
+    require(aggs.nonEmpty, "at least one aggregate")
+    val names = aggs.flatMap(a => a.func match {
+      case "sum" | "avg" => Seq(sumCol(a.alias), cntCol(a.alias))
+      case _ => Seq(a.alias)
+    })
+    require(names.distinct.size == names.size, s"duplicate aliases: $names")
+    val reserved = groupBy.toSet ++ Set(KeyCol, RowsCol, RescanCol)
+    require(names.forall(!reserved(_)),
+      s"aggregate aliases may not collide with group-by or internal columns: $names")
+    // state schema = what one refresh would produce: derive it from an
+    // empty frame with the base schema so sum/min types match Spark's own
+    // aggregate result types (sum(INT)=LONG, sum(DECIMAL(p,s))=(p+10,s))
+    val empty = base.spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), base.meta.schema.sparkSchema)
+    val stateAggs: Seq[Column] = aggs.flatMap { a =>
+      a.func match {
+        case "count" => Seq(count(col(a.column)).as(a.alias))
+        case "sum" | "avg" => Seq(sum(col(a.column)).as(sumCol(a.alias)),
+          count(col(a.column)).cast("long").as(cntCol(a.alias)))
+        case "min" => Seq(min(col(a.column)).as(a.alias))
+        case "max" => Seq(max(col(a.column)).as(a.alias))
+      }
+    }
+    val shape = empty
+      .groupBy((jsonKey(groupBy).as(KeyCol) +: groupBy.map(col)): _*)
+      .agg(count(lit(1)).as(RowsCol), stateAggs: _*)
+    val t = catalog.createTable(ident, shape.schema)
+    t.setProperties(Map(
+      "graft.ivm.base-location" -> base.location,
+      "graft.ivm.group-by" -> groupBy.mkString(","),
+      "graft.ivm.aggs" -> aggs.map(a => s"${a.func}:${a.column}:${a.alias}").mkString(";")))
+    new MaterializedAgg(t, base, groupBy, aggs)
+  }
+
+  /** Reload a view created by [[create]] from its recorded spec. */
+  def load(catalog: LakeCatalog, ident: String): MaterializedAgg = {
+    val t = catalog.loadTable(ident)
+    val props = t.meta.properties
+    val baseLoc = props.getOrElse("graft.ivm.base-location",
+      throw new IllegalArgumentException(s"$ident is not a materialized view"))
+    val groupBy = props("graft.ivm.group-by").split(",").toSeq
+    val aggs = props("graft.ivm.aggs").split(";").toSeq.map { s =>
+      val Array(f, c, a) = s.split(":", 3)
+      AggCol(f, c, a)
+    }
+    new MaterializedAgg(t, new LakeTable(t.spark, baseLoc), groupBy, aggs)
+  }
+}

@@ -65,7 +65,7 @@ object LakeOps {
       // self-heal after a failed earlier attempt: Spark caches the catalog
       // instance (and thus the original warehouse) per session, so a retry
       // of this lambda would otherwise trip over half-created tables
-      Seq("nation", "supplier", "region", "chg")
+      Seq("nation", "supplier", "region", "chg", "mvbase", "mv_orders")
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS lake.ops.$t"))
       // q31: nation round-trip (INSERT INTO ... SELECT — D13)
       s.sql("""CREATE TABLE lake.ops.nation
@@ -97,6 +97,35 @@ object LakeOps {
       // log holds deletes of batch-1 rows AND delete-after-insert pairs
       // (60,70,80,90,100)
       sqlx("DELETE FROM lake.ops.chg WHERE id % 10 = 0")
+      // q63: a materialized aggregate maintained INCREMENTALLY — refresh
+      // runs BETWEEN the base commits, so the final view state is the
+      // product of three churn-sized refreshes (initial build, insert
+      // delta, delete delta with a min/max rescan), never a recompute.
+      // The oracle recomputes the same aggregate over the final logical
+      // content from the original parquet.
+      s.sql("""CREATE TABLE lake.ops.mvbase
+              |  (o_orderkey BIGINT, o_orderstatus STRING,
+              |   o_totalprice DECIMAL(18,2))""".stripMargin)
+      s.sql("""INSERT INTO lake.ops.mvbase
+              |SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))
+              |FROM orders WHERE o_orderkey <= 3000""".stripMargin)
+      val mvBase = cat.loadTable("ops.mvbase")
+      import graft.lake.MaterializedAgg
+      val mv = MaterializedAgg.create(cat, "ops.mv_orders", mvBase,
+        Seq("o_orderstatus"), Seq(
+          MaterializedAgg.AggCol("count", "o_orderkey", "n"),
+          MaterializedAgg.AggCol("sum", "o_totalprice", "total"),
+          MaterializedAgg.AggCol("avg", "o_totalprice", "avg_price"),
+          MaterializedAgg.AggCol("min", "o_totalprice", "lo"),
+          MaterializedAgg.AggCol("max", "o_totalprice", "hi")))
+      mv.refresh()
+      s.sql("""INSERT INTO lake.ops.mvbase
+              |SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))
+              |FROM orders WHERE o_orderkey > 3000 AND o_orderkey <= 6000""".stripMargin)
+      mv.refresh()
+      // modulo delete straddles both batches; group extremes regress
+      sqlx("DELETE FROM lake.ops.mvbase WHERE o_orderkey % 7 = 0")
+      mv.refresh()
       Env(wh, snap1, chgFrom)
     })
   }
@@ -171,5 +200,34 @@ object LakeOps {
       |FROM customer WHERE c_custkey <= 100 AND c_custkey % 10 = 0
       |ORDER BY _change_type, id""".stripMargin)
 
-  def specs: Seq[QuerySpec] = Seq(q31, q32, q33, q59)
+  /** Incrementally-maintained aggregate ([[graft.lake.MaterializedAgg]]):
+    * the view was refreshed BETWEEN the base table's commits (initial
+    * build, insert delta, delete delta with min/max rescan) during setup —
+    * this query only READS the materialized state, so a hash match proves
+    * three incremental refreshes composed to exactly the aggregate DuckDB
+    * computes from scratch over the final logical content. AVG is
+    * finalized as an exact DECIMAL-sum-over-count double division, same
+    * arithmetic on both engines. */
+  val q63 = plan("q63_incremental_agg",
+    fn = (s, dir) => {
+      val env = ensure(s, dir)
+      val cat = new graft.lake.LakeCatalog(s, env.warehouse)
+      import org.apache.spark.sql.functions.col
+      graft.lake.MaterializedAgg.load(cat, "ops.mv_orders").read()
+        .select(col("o_orderstatus"), col("n"),
+          col("total").cast("double").as("total"), col("avg_price"),
+          col("lo").cast("double").as("lo"), col("hi").cast("double").as("hi"))
+        .orderBy("o_orderstatus")
+    },
+    duckSql = """SELECT o_orderstatus, COUNT(o_orderkey) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    / COUNT(o_totalprice) AS avg_price,
+      |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+      |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+      |FROM orders
+      |WHERE o_orderkey <= 6000 AND o_orderkey % 7 <> 0
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+
+  def specs: Seq[QuerySpec] = Seq(q31, q32, q33, q59, q63)
 }
