@@ -64,6 +64,23 @@ object GraftExtensions {
         require(args.length == 1, "image_features takes (binary)")
         ImageFeatures(args.head)
       }),
+    (FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3 || args.length == 4,
+          "winnow_fingerprints takes (text, k, w[, rolling])")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"winnow_fingerprints $what must be an integer literal, got $other")
+        }
+        val rolling = if (args.length < 4) false else args(3) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"winnow_fingerprints rolling must be a boolean literal, got $other")
+        }
+        WinnowFingerprints(args.head, intLit(args(1), "k"), intLit(args(2), "w"), rolling)
+      }),
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => {

@@ -443,5 +443,70 @@ object TextOps {
       |  CAST(score AS BIGINT) AS score
       |FROM r WHERE rk <= 5 ORDER BY source, score DESC, term""".stripMargin)
 
-  def specs: Seq[QuerySpec] = Seq(q16, q17, q18, q19, q20, q21, q22, q51, q52, q56, q57, q58)
+  /** Winnowed-fingerprint overlap (the MOSS scheme — rolling-hash k-gram
+    * fingerprinting with windowed minima selection): doc pairs sharing
+    * ≥ 5 distinct winnowed fingerprints, after dropping stop-fingerprints
+    * seen in more than 10 docs (the MOSS "ignore very common" rule —
+    * boilerplate never forms pairs). Complements the shingle-set methods:
+    * MinHash/Jaccard (q21/q22) measure whole-doc set overlap, winnowing
+    * detects LOCAL verbatim reuse (quotes, contained copies) with the
+    * guarantee that any shared run of ≥ w+k−1 = 11 normalized chars
+    * yields a shared fingerprint.
+    *
+    * Spark side: the native [[graft.functions.WinnowFingerprints]]
+    * expression selects fingerprints in one per-doc pass (monotonic
+    * deque), so the cluster only ever sees the ~2/(w+1)-density
+    * fingerprint rows — the docs × positions gram stream the oracle
+    * materializes never exists. One COUNT window keyed by fingerprint
+    * applies the df cap, and the pair join is an equi-join on the SAME
+    * fingerprint key (exchange reuse, never a cross join). At 100 TB the
+    * shape is identical to q21's banded LSH join: bounded bucket sizes
+    * (df cap) ⇒ bounded pair fan-out.
+    *
+    * Oracle: winnowing is pure SQL given a portable gram hash —
+    * `substr(md5(gram),1,8)` and lexicographic MIN agree across engines;
+    * rightmost-tie selection is `max(pos)` over each window's minima.
+    * DuckDB materializes grams via unnest(range), windows via the same
+    * ROWS frame, so the full selection structure is hash-compared. */
+  val q64 = dialect("q64_winnow_overlap",
+    sparkSql = """WITH fp AS (
+      |  SELECT doc_id, explode(winnow_fingerprints(text, 8, 4)) AS h FROM documents),
+      |flt AS (
+      |  SELECT doc_id, h FROM (
+      |    SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM fp) t
+      |  WHERE df <= 10)
+      |SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS shared
+      |FROM flt a JOIN flt b ON a.h = b.h AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 5
+      |ORDER BY shared DESC, a, b""".stripMargin,
+    duckSql = """WITH nd AS (
+      |  SELECT doc_id, lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS norm
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(range(1, length(norm) - 8 + 2)) AS pos, norm
+      |  FROM nd WHERE length(norm) >= 8),
+      |gh AS (
+      |  SELECT doc_id, pos, substr(md5(substr(norm, CAST(pos AS INT), 8)), 1, 8) AS h
+      |  FROM g),
+      |wv AS (
+      |  SELECT doc_id, pos, h,
+      |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      |  FROM gh),
+      |sel AS (
+      |  SELECT wv.doc_id, max(g2.pos) AS spos, wv.wmin AS h
+      |  FROM wv JOIN gh g2 ON g2.doc_id = wv.doc_id
+      |    AND g2.pos BETWEEN wv.pos - 3 AND wv.pos AND g2.h = wv.wmin
+      |  WHERE wv.rn >= 4
+      |  GROUP BY wv.doc_id, wv.pos, wv.wmin),
+      |fp AS (SELECT DISTINCT doc_id, h FROM sel),
+      |ok AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 10),
+      |flt AS (SELECT fp.doc_id, fp.h FROM fp JOIN ok USING (h))
+      |SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+      |FROM flt a JOIN flt b ON a.h = b.h AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 5
+      |ORDER BY shared DESC, a, b""".stripMargin)
+
+  def specs: Seq[QuerySpec] = Seq(q16, q17, q18, q19, q20, q21, q22, q51, q52, q56, q57, q58, q64)
 }

@@ -252,6 +252,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q64: winnow overlap is an equi-join on the fingerprint, never a cross join") {
+    val p = planOf("q64_winnow_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"fingerprint pairing must be an equi-join:\n$p")
+    // df cap comes from one COUNT window keyed by fingerprint, not a
+    // fingerprint self-join for counting
+    assert("Window".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("Generate"), p) // explode of the native expression's array
+  }
+
   test("whole-stage codegen covers the relational queries' hot path") {
     val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
     df.collect() // AQE finalizes (and codegens) the plan only on execution
