@@ -50,12 +50,25 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark has no timestamp
-    // type for; read it as epoch-nanos BIGINT instead. This is also the
-    // parity-safe choice: no silent µs truncation vs the DuckDB oracle
-    // (duck-side ns values are exposed via epoch_ns(ts) when needed).
+    // events.ts contract: epoch-nanos BIGINT. Testdata generations have
+    // stored it both as parquet TIMESTAMP(NANOS) (no Spark type —
+    // nanosAsLong surfaces exactly these integers) and as
+    // TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ/TIMESTAMP); normalize
+    // both to the integers DuckDB's epoch_ns(ts) produces, so every
+    // event-time query does exact integer arithmetic in BOTH engines and
+    // no engine-specific timestamp semantics (timezone, precision) can
+    // diverge. All project sessions run UTC (Verify/Bench/specs), under
+    // which the NTZ→LTZ cast is epoch-preserving.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        import org.apache.spark.sql.functions.{col, unix_micros}
+        import org.apache.spark.sql.types.TimestampType
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    }
   }
 
   // session -> dir CURRENTLY backing the views. The view names are shared
