@@ -272,7 +272,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
 
   /** Build FileBounds for pruning: logical column names resolved against the
     * file's *write-time* physical names and the table's current types. */
-  private def fileBounds(m: TableMeta, f: DataFile): Pruning.FileBounds = {
+  private[lake] def fileBounds(m: TableMeta, f: DataFile): Pruning.FileBounds = {
     val schema = m.schemas.find(_.schemaId == f.schemaId).getOrElse(m.schema)
     val cols = m.schema.columns.flatMap { cur =>
       schema.byId(cur.id).flatMap { written =>

@@ -27,7 +27,8 @@ import scala.jdk.CollectionConverters._
   * `CALL lake.system.rollback_to_snapshot(...)` (Getting
   * Started.ipynb:429) via [[GraftProcedures]].
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
+  with FunctionCatalog {
 
   private var catalogName: String = _
   private[dsv2] var lake: LakeCatalog = _
@@ -239,4 +240,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+
+  // ---- functions (v2 FunctionCatalog) --------------------------------------
+  //
+  // Serves the partition transforms as resolvable functions — the piece
+  // that lets Catalyst equate two tables' `bucket[n]` partitionings in
+  // storage-partitioned joins (GraftSpj scaladoc). Spark resolves a bucket
+  // Transform by loading "bucket" from the ROOT namespace of the
+  // relation's catalog.
+
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    if (ident.name() == "bucket" &&
+        (ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))))
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
+      name(), ident.name())
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.name() == "bucket" &&
+      (ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")))
 }

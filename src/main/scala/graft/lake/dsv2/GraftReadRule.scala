@@ -117,7 +117,11 @@ case class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // left to match
     counted.transformUp {
       case r: DataSourceV2Relation
-          if r.table.isInstanceOf[GraftTable] && !writeTargets.contains(r) =>
+          if r.table.isInstanceOf[GraftTable] && !writeTargets.contains(r) &&
+            // storage-partitioned-join mode: bucket-partitioned tables stay
+            // DSv2 so the batch scan can report KeyGroupedPartitioning and
+            // the join plans with no Exchange (GraftSpj scaladoc)
+            !(GraftSpj.active(spark) && GraftSpj.eligible(r.table.asInstanceOf[GraftTable])) =>
         val gt = r.table.asInstanceOf[GraftTable]
         val child = gt.readDataFrame().queryExecution.analyzed
         // preserve the relation's output attribute ids so parent operator

@@ -1,0 +1,344 @@
+package graft.lake.dsv2
+
+import graft.lake.{DataFile, LakeSchema}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expression, Literal, Murmur3HashFunction, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.graftbridge.ScanBridge
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+import java.util.OptionalLong
+
+/** Storage-partitioned joins (SPJ) for bucket-partitioned lake tables — the
+  * scale feature that removes BOTH shuffles from a fact⋈fact join when the
+  * two sides are bucketed on the join key (Iceberg's marquee Spark
+  * integration; at 100 TB the shuffle this elides IS the query cost).
+  *
+  * Mechanics: when `spark.sql.sources.v2.bucketing.enabled=true` and the
+  * table's partition spec is pure `bucket[n]` transforms,
+  * [[GraftReadRule]] leaves the DSv2 relation in place and
+  * [[GraftTable.newScanBuilder]] returns this batch scan instead of the
+  * substituted parquet plan. The scan:
+  *
+  *   - reports [[KeyGroupedPartitioning]] over the spec's bucket
+  *     transforms, with one input split per bucket present
+  *     ([[HasPartitionKey]] carries the bucket ordinal);
+  *   - resolves the transform through [[GraftCatalog]]'s FunctionCatalog
+  *     (`bucket` → [[GraftBucketFunction]], the same murmur3(seed=42)+pmod
+  *     the write path computes via [[graft.lake.Transforms.expr]]), so two
+  *     tables bucketed `bucket[n](k)` compare partition-compatible and
+  *     Catalyst's EnsureRequirements plans the join with NO Exchange on
+  *     either side;
+  *   - decodes parquet through the same `private[sql]` reader
+  *     FileSourceScanExec uses ([[ScanBridge.parquetReader]]): vectorized
+  *     decode + row-group pruning from pushed filters, with file-level
+  *     stats/partition pruning from the lake metadata before that;
+  *   - maps write-time physical schemas to the current logical schema
+  *     per file group (rename/widen/add — same split planning as the
+  *     substituted path), via an executor-built projection.
+  *
+  * Falls back to [[UnknownPartitioning]] (correct, just shuffling) when
+  * live files span partition specs (mid-evolution tables). Time travel,
+  * branches, and WAP routing all hold — the scan resolves its snapshot
+  * exactly like [[GraftTable.readDataFrame]].
+  */
+object GraftSpj {
+
+  /** SPJ mode is an explicit opt-in via Spark's own v2 bucketing flag —
+    * the same switch Iceberg keys on. `spark.graft.spj.enabled` exists to
+    * isolate regressions without touching the Spark flag. */
+  def active(spark: SparkSession): Boolean =
+    spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean &&
+      spark.conf.get("spark.graft.spj.enabled", "true").toBoolean
+
+  private[dsv2] val BucketRe = """bucket\[(\d+)\]""".r
+
+  /** Bucket-able source types: those whose murmur3 hash we reproduce
+    * exactly in [[GraftBucketFunction]] (must agree with Spark's `hash()`
+    * used by the write-side transform). */
+  private[dsv2] def bucketableType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType | DateType => true
+    case _ => false
+  }
+
+  /** A table qualifies when every partition field is `bucket[n]` over a
+    * supported source type. (Identity/time transforms partition for
+    * pruning, not joining — those tables keep the substituted path.) */
+  def eligible(t: GraftTable): Boolean = t.metaKind.isEmpty && {
+    val m = t.lakeTable.meta
+    m.spec.fields.nonEmpty && m.spec.fields.forall { f =>
+      f.transform match {
+        case BucketRe(_) => m.schema.byId(f.sourceId).exists(c => bucketableType(c.sparkType))
+        case _ => false
+      }
+    }
+  }
+}
+
+/** The v2 `bucket(n, col)` function, served by [[GraftCatalog]]'s
+  * FunctionCatalog so Catalyst can resolve the partition transform on both
+  * join sides to ONE canonical function — the identity that makes two
+  * KeyGroupedPartitionings compatible. Semantics = the write path's
+  * `pmod(hash(col), n)` ([[graft.lake.Transforms.expr]], Spark murmur3
+  * seed 42), so a runtime-bucketed shuffle (v2 bucketing shuffle of an
+  * unpartitioned side) lands rows in exactly the stored buckets. */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): pmod(murmur3_hash(col, seed=42), n) — graft's write-side bucket transform"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      s"bucket expects (numBuckets, value), got ${inputType.catalogString}")
+    val vt = inputType.fields(1).dataType
+    require(GraftSpj.bucketableType(vt), s"bucket: unsupported value type ${vt.catalogString}")
+    BoundBucket(vt)
+  }
+}
+
+case class BoundBucket(valueType: DataType) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, valueType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = s"graft.bucket(${valueType.catalogString})"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    // hash(null) = seed (42) — matches Spark's hash() over a null column
+    val h =
+      if (input.isNullAt(1)) 42
+      else Murmur3HashFunction.hash(input.get(1, valueType), valueType, 42L).toInt
+    Integer.valueOf(((h % n) + n) % n)
+  }
+}
+
+/** One split = one partition tuple (all files of one bucket combination).
+  * `key` holds the bucket ordinals in spec-field order. */
+case class GraftInputPartition(
+    key: Array[Int],
+    files: Seq[GraftFileSlice]) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(key.map(k => Int.box(k): Any))
+}
+
+case class GraftFileSlice(path: String, sizeBytes: Long, schemaId: Int)
+
+/** Per-written-schema read plan: the parquet reader function (driver-built,
+  * executor-shipped — it carries its own broadcast hadoop conf) plus the
+  * projection recipe from read columns to the current logical schema. */
+case class GraftSchemaReader(
+    reader: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow],
+    /** read-side schema (write-time physical names/types, required cols only) */
+    readSchema: StructType,
+    /** for each OUTPUT column: Left(outputType)=null-fill (column added
+      * after this file was written), Right((inputOrdinal, cast needed)) */
+    colMap: Seq[Either[DataType, (Int, Boolean)]],
+    outputSchema: StructType)
+
+case class GraftReaderFactory(bySchema: Map[Int, GraftSchemaReader])
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val gp = partition.asInstanceOf[GraftInputPartition]
+    // one projection per written-schema group, built lazily executor-side
+    val projections = scala.collection.mutable.Map.empty[Int, UnsafeProjection]
+    def projectionFor(schemaId: Int): UnsafeProjection =
+      projections.getOrElseUpdate(schemaId, {
+        val sr = bySchema(schemaId)
+        val in = sr.readSchema.fields.zipWithIndex.map { case (f, i) =>
+          BoundReference(i, f.dataType, f.nullable)
+        }
+        val exprs: Seq[Expression] = sr.colMap.zip(sr.outputSchema.fields).map {
+          case (Left(dt), _) => Literal(null, dt)
+          case (Right((i, needCast)), out) =>
+            if (needCast) Cast(in(i), out.dataType, Some("UTC")) else in(i)
+        }
+        UnsafeProjection.create(exprs)
+      })
+
+    new PartitionReader[InternalRow] {
+      private val iter: Iterator[InternalRow] = gp.files.iterator.flatMap { f =>
+        val sr = bySchema(f.schemaId)
+        val proj = projectionFor(f.schemaId)
+        sr.reader(ScanBridge.wholeFile(f.path, f.sizeBytes)).map(proj.apply)
+      }
+      private var current: InternalRow = _
+      override def next(): Boolean = { val has = iter.hasNext; if (has) current = iter.next(); has }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+class GraftBatchScanBuilder(spark: SparkSession, table: GraftTable)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = table.schema()
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(table.filterToColumn(_).isDefined)
+    filters // all remain residuals: pruning may keep extra rows, Spark re-checks
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = new GraftBatchScan(spark, table, required, pushed)
+}
+
+class GraftBatchScan(
+    spark: SparkSession,
+    table: GraftTable,
+    required: StructType,
+    pushed: Array[Filter])
+  extends Scan with Batch with SupportsReportPartitioning with SupportsReportStatistics {
+
+  private val lake = table.lakeTable
+  // pin metadata + snapshot at scan construction: every piece of this scan
+  // (file list, schema groups, partition report) sees ONE version
+  private val m = lake.meta
+  private val snap = lake.resolveSnapshot(
+    table.pinnedSnapshotId, table.pinnedBranch, table.pinnedTimestampMs)
+
+  private val liveFiles: Seq[DataFile] = {
+    val all = snap.map(_.files).getOrElse(Seq.empty)
+    val cond = pushed.toSeq.flatMap(f => table.filterToColumn(f)).reduceOption(_ && _)
+    cond match {
+      case Some(c) =>
+        val p = graft.lake.Pruning.translate(c)
+        all.filter(df => graft.lake.Pruning.mayMatch(p, lake.fileBounds(m, df)))
+      case None => all
+    }
+  }
+
+  private val specFields = m.spec.fields
+  private val sameSpec = liveFiles.forall(_.specId == m.spec.specId)
+
+  /** bucket ordinals per file, spec-field order; None if any value is
+    * missing (shouldn't happen on sameSpec files, but never throw in
+    * planning on account of one stray file — fall back to shuffling). */
+  private def keyOf(f: DataFile): Option[Array[Int]] = {
+    val vs = specFields.map(pf => f.partitionValues.get(pf.physicalName).map(_.toInt))
+    if (vs.forall(_.isDefined)) Some(vs.map(_.get).toArray) else None
+  }
+
+  private lazy val grouped: Option[Seq[(Array[Int], Seq[DataFile])]] =
+    if (!sameSpec || !GraftSpj.eligible(table)) None
+    else {
+      val keyed = liveFiles.map(f => keyOf(f).map(k => (k, f)))
+      if (keyed.exists(_.isEmpty)) None
+      else Some(keyed.flatten.groupBy(_._1.toSeq).map { case (k, fs) =>
+        (k.toArray, fs.map(_._2))
+      }.toSeq.sortBy(_._1.toSeq.mkString(",")))
+    }
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def outputPartitioning(): Partitioning = grouped match {
+    case Some(groups) if groups.nonEmpty =>
+      val transforms: Array[org.apache.spark.sql.connector.expressions.Expression] =
+        specFields.map { pf =>
+          val src = m.schema.byId(pf.sourceId).get
+          val GraftSpj.BucketRe(n) = pf.transform: @unchecked
+          Expressions.bucket(n.toInt, src.name): org.apache.spark.sql.connector.expressions.Expression
+        }.toArray
+      new KeyGroupedPartitioning(transforms, groups.size)
+    case _ => new UnknownPartitioning(math.max(1, liveFiles.size))
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(math.max(1L, liveFiles.map(_.sizeBytes).sum))
+    override def numRows(): OptionalLong =
+      OptionalLong.of(liveFiles.map(_.rowCount).sum)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = grouped match {
+    case Some(groups) =>
+      groups.map { case (k, fs) =>
+        GraftInputPartition(k, fs.map(f => GraftFileSlice(f.path, f.sizeBytes, f.schemaId)))
+          : InputPartition
+      }.toArray
+    case None =>
+      // non-SPJ fallback: one split per file, no partition keys
+      liveFiles.map(f =>
+        GraftInputPartition(Array.empty,
+          Seq(GraftFileSlice(f.path, f.sizeBytes, f.schemaId))): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val cur = m.schema
+    val schemaIds = liveFiles.map(_.schemaId).distinct
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val bySchema = schemaIds.map { sid =>
+      val written = m.schemas.find(_.schemaId == sid).getOrElse(cur)
+      // read columns in OUTPUT order so the projection is positional
+      val mapped = required.fields.map { out =>
+        val c = cur.byName(out.name).getOrElse(
+          throw new IllegalStateException(s"required column ${out.name} not in schema"))
+        written.byId(c.id)
+      }
+      val readFields = mapped.flatten.map(w =>
+        StructField(w.physicalName, w.sparkType, w.nullable))
+      val readSchema = StructType(readFields)
+      var nextIdx = -1
+      val colMap: Seq[Either[DataType, (Int, Boolean)]] =
+        required.fields.toSeq.zip(mapped.toSeq).map {
+          case (out, None) => Left(out.dataType)
+          case (out, Some(w)) =>
+            nextIdx += 1
+            Right((nextIdx, w.sparkType != out.dataType))
+        }
+      // parquet row-group pruning: rewrite pushed filter column names to
+      // this group's write-time physical names; drop any filter touching
+      // a renamed-type/missing column (residual evaluation catches it)
+      val nameMap = cur.columns.flatMap { c =>
+        written.byId(c.id).collect {
+          case w if w.sparkType == c.sparkType => c.name -> w.physicalName
+        }
+      }.toMap
+      val physFilters = pushed.toSeq.flatMap(GraftFilterRewrite.rewrite(_, nameMap))
+      val reader = ScanBridge.parquetReader(
+        spark, written.physicalSchema, readSchema, physFilters, hadoopConf)
+      sid -> GraftSchemaReader(reader, readSchema, colMap, required)
+    }.toMap
+    GraftReaderFactory(bySchema)
+  }
+
+  override def description(): String =
+    s"GraftBatchScan ${table.name()} files=${liveFiles.size} spj=${grouped.isDefined}"
+}
+
+/** Rename filter attribute references logical→physical; None when any
+  * referenced column has no same-type physical mapping. */
+object GraftFilterRewrite {
+  import org.apache.spark.sql.sources._
+  def rewrite(f: Filter, nameMap: Map[String, String]): Option[Filter] = f match {
+    case EqualTo(a, v) => nameMap.get(a).map(EqualTo(_, v))
+    case EqualNullSafe(a, v) => nameMap.get(a).map(EqualNullSafe(_, v))
+    case GreaterThan(a, v) => nameMap.get(a).map(GreaterThan(_, v))
+    case GreaterThanOrEqual(a, v) => nameMap.get(a).map(GreaterThanOrEqual(_, v))
+    case LessThan(a, v) => nameMap.get(a).map(LessThan(_, v))
+    case LessThanOrEqual(a, v) => nameMap.get(a).map(LessThanOrEqual(_, v))
+    case In(a, vs) => nameMap.get(a).map(In(_, vs))
+    case IsNull(a) => nameMap.get(a).map(IsNull(_))
+    case IsNotNull(a) => nameMap.get(a).map(IsNotNull(_))
+    case StringStartsWith(a, v) => nameMap.get(a).map(StringStartsWith(_, v))
+    case StringEndsWith(a, v) => nameMap.get(a).map(StringEndsWith(_, v))
+    case StringContains(a, v) => nameMap.get(a).map(StringContains(_, v))
+    case And(l, r) => for (lf <- rewrite(l, nameMap); rf <- rewrite(r, nameMap)) yield And(lf, rf)
+    // Or/Not must rewrite BOTH sides or neither (a half-rewritten Or is wrong)
+    case Or(l, r) => for (lf <- rewrite(l, nameMap); rf <- rewrite(r, nameMap)) yield Or(lf, rf)
+    case Not(c) => rewrite(c, nameMap).map(Not(_))
+    case _ => None
+  }
+}

@@ -117,7 +117,16 @@ case class GraftTable(
   // the 100 TB behaviors survive the fallback; the only cost is one
   // InternalRow→Row conversion at the boundary.
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // storage-partitioned-join mode (GraftSpj scaladoc): bucket-partitioned
+    // tables get the real batch scan, which reports KeyGroupedPartitioning
+    // so co-bucketed joins plan with no Exchange on either side
+    if (GraftSpj.active(lakeTable.spark) && GraftSpj.eligible(this))
+      new GraftBatchScanBuilder(lakeTable.spark, this)
+    else newV1ScanBuilder
+  }
+
+  private def newV1ScanBuilder: ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
       private var pushed: Array[Filter] = Array.empty
       private var required: StructType = schema()
@@ -206,7 +215,7 @@ case class GraftTable(
 
   /** V1 source Filter → Column (top-level attributes only; None = cannot
     * translate, which makes canDeleteWhere reject the pushdown). */
-  private def filterToColumn(f: Filter): Option[Column] = f match {
+  private[dsv2] def filterToColumn(f: Filter): Option[Column] = f match {
     case EqualTo(a, v) => Some(col(a) === lit(v))
     case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
     case GreaterThan(a, v) => Some(col(a) > lit(v))

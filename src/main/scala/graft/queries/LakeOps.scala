@@ -65,7 +65,8 @@ object LakeOps {
       // self-heal after a failed earlier attempt: Spark caches the catalog
       // instance (and thus the original warehouse) per session, so a retry
       // of this lambda would otherwise trip over half-created tables
-      Seq("nation", "supplier", "region", "chg", "mvbase", "mv_orders")
+      Seq("nation", "supplier", "region", "chg", "mvbase", "mv_orders",
+        "bkt_orders", "bkt_cust")
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS lake.ops.$t"))
       // q31: nation round-trip (INSERT INTO ... SELECT — D13)
       s.sql("""CREATE TABLE lake.ops.nation
@@ -126,6 +127,20 @@ object LakeOps {
       // modulo delete straddles both batches; group extremes regress
       sqlx("DELETE FROM lake.ops.mvbase WHERE o_orderkey % 7 = 0")
       mv.refresh()
+      // q65: co-bucketed fact/dim pair for the storage-partitioned join —
+      // both bucketed bucket(8) on the join key, hash-distributed writes
+      // so each bucket is one file per task wave (GraftSpj scaladoc)
+      s.sql("""CREATE TABLE lake.ops.bkt_orders
+              |  (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+              |PARTITIONED BY (bucket(8, o_custkey))
+              |TBLPROPERTIES ('write.distribution-mode'='hash')""".stripMargin)
+      s.sql("""INSERT INTO lake.ops.bkt_orders
+              |SELECT o_orderkey, o_custkey, o_totalprice FROM orders""".stripMargin)
+      s.sql("""CREATE TABLE lake.ops.bkt_cust
+              |  (c_custkey BIGINT, c_mktsegment STRING)
+              |PARTITIONED BY (bucket(8, c_custkey))
+              |TBLPROPERTIES ('write.distribution-mode'='hash')""".stripMargin)
+      s.sql("INSERT INTO lake.ops.bkt_cust SELECT c_custkey, c_mktsegment FROM customer")
       Env(wh, snap1, chgFrom)
     })
   }
@@ -229,5 +244,29 @@ object LakeOps {
       |WHERE o_orderkey <= 6000 AND o_orderkey % 7 <> 0
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 
-  def specs: Seq[QuerySpec] = Seq(q31, q32, q33, q59, q63)
+  /** Storage-partitioned join ([[graft.lake.dsv2.GraftSpj]]): orders ⋈
+    * customer, both lake tables bucketed `bucket(8, custkey)`, joined with
+    * `spark.sql.sources.v2.bucketing.enabled=true` — the v2 batch scans
+    * report KeyGroupedPartitioning and the join runs with NO shuffle on
+    * either input (plan-gated in GraftSpjSpec and PlanSpec; at 100 TB the
+    * elided fact-side exchange is the query's dominant cost). The conf
+    * stays set for the session: it only affects bucket-partitioned lake
+    * tables, of which this query's pair are the only ones. Oracle = the
+    * same join-aggregate over the original parquet. */
+  val q65 = plan("q65_spj_join",
+    fn = (s, dir) => {
+      ensure(s, dir)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql("""SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+              |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+              |FROM lake.ops.bkt_orders o
+              |JOIN lake.ops.bkt_cust c ON o.o_custkey = c.c_custkey
+              |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
+    },
+    duckSql = """SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
+
+  def specs: Seq[QuerySpec] = Seq(q31, q32, q33, q59, q63, q65)
 }

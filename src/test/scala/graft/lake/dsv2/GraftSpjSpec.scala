@@ -1,0 +1,235 @@
+package graft.lake.dsv2
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Storage-partitioned joins over bucket-partitioned lake tables
+  * (GraftSpj scaladoc): two tables bucketed `bucket[n](k)` must join on k
+  * with NO Exchange on either side, and the v2 batch scan that enables it
+  * must return exactly the rows the substituted parquet path returns —
+  * across filters, schema evolution, and time travel.
+  *
+  * Plan-shape assertions read `explain("formatted")` like PlanSpec; data
+  * parity flips `spark.sql.sources.v2.bucketing.enabled` off and on and
+  * compares full row sets. */
+class GraftSpjSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions()(_))
+      .create()
+    prevDefault match {
+      case Some(d) => SparkSession.setDefaultSession(d)
+      case None => SparkSession.clearDefaultSession()
+    }
+    prevActive match {
+      case Some(a) => SparkSession.setActiveSession(a)
+      case None => SparkSession.clearActiveSession()
+    }
+    val wh = Files.createTempDirectory("graft-spj-wh").toString
+    s.conf.set("spark.sql.catalog.lake", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.lake.warehouse", wh)
+    s
+  }
+
+  def sql(q: String) = spark.sql(q)
+
+  def withSpj[A](on: Boolean)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", on.toString)
+    try body finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
+  }
+
+  def explained(df: org.apache.spark.sql.DataFrame): String = {
+    val sw = new java.io.StringWriter()
+    Console.withOut(new java.io.PrintStream(new java.io.OutputStream {
+      override def write(b: Int): Unit = sw.write(b)
+    })) { df.explain("formatted") }
+    sw.toString
+  }
+
+  lazy val setup: Unit = {
+    sql("CREATE DATABASE IF NOT EXISTS lake.spj")
+    sql("""CREATE TABLE lake.spj.fact (k BIGINT, v DOUBLE)
+          |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    spark.range(0, 200).selectExpr("id % 50 AS k", "CAST(id AS DOUBLE) AS v")
+      .writeTo("lake.spj.fact").append()
+    sql("""CREATE TABLE lake.spj.dim (k BIGINT, w STRING)
+          |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    spark.range(0, 50).selectExpr("id AS k", "concat('w', id) AS w")
+      .writeTo("lake.spj.dim").append()
+  }
+
+  test("plain scan parity: v2 batch scan returns exactly the substituted path's rows") {
+    setup
+    val off = withSpj(on = false)(spark.table("lake.spj.fact").collect().toSet)
+    val on = withSpj(on = true)(spark.table("lake.spj.fact").collect().toSet)
+    assert(on === off)
+    assert(on.size === 200)
+  }
+
+  test("co-bucketed equi-join plans with NO Exchange on either side") {
+    setup
+    withSpj(on = true) {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = spark.table("lake.spj.fact").join(spark.table("lake.spj.dim"), "k")
+        val plan = explained(j)
+        assert(plan.contains("SortMergeJoin"), plan)
+        assert(!plan.contains("Exchange"), s"SPJ join must not shuffle:\n$plan")
+        // parity vs the shuffled plan
+        val expected = withSpj(on = false) {
+          spark.table("lake.spj.fact").join(spark.table("lake.spj.dim"), "k")
+            .collect().toSet
+        }
+        assert(j.collect().toSet === expected)
+        assert(j.count() === 200)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("group-by on the bucket key rides the storage partitioning (no shuffle)") {
+    setup
+    withSpj(on = true) {
+      val agg = spark.table("lake.spj.fact").groupBy("k").agg(sum("v").as("s"))
+      val plan = explained(agg)
+      assert(!plan.contains("Exchange"), s"bucket-key aggregation must not shuffle:\n$plan")
+      val expected = withSpj(on = false) {
+        spark.table("lake.spj.fact").groupBy("k").agg(sum("v").as("s")).collect().toSet
+      }
+      assert(agg.collect().toSet === expected)
+    }
+  }
+
+  test("filters prune files and rows identically on both paths") {
+    setup
+    def q() = spark.table("lake.spj.fact").where("k = 7 AND v >= 100.0")
+    val off = withSpj(on = false)(q().collect().toSet)
+    val on = withSpj(on = true)(q().collect().toSet)
+    assert(on === off)
+    assert(on.nonEmpty)
+  }
+
+  test("schema evolution: rename + add column maps old files through the v2 scan") {
+    setup
+    sql("""CREATE TABLE lake.spj.evo (k BIGINT, v DOUBLE)
+          |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    sql("INSERT INTO lake.spj.evo VALUES (1, 1.5), (2, 2.5)")
+    sql("ALTER TABLE lake.spj.evo RENAME COLUMN v TO val")
+    sql("ALTER TABLE lake.spj.evo ADD COLUMN tag STRING")
+    sql("INSERT INTO lake.spj.evo VALUES (3, 3.5, 'new')")
+    val expected = Set((1L, 1.5, null), (2L, 2.5, null), (3L, 3.5, "new"))
+    def rows() = spark.table("lake.spj.evo").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val off = withSpj(on = false)(rows())
+    val on = withSpj(on = true)(rows())
+    assert(off === expected)
+    assert(on === expected)
+  }
+
+  test("time travel and branches resolve the same snapshot through the v2 scan") {
+    setup
+    sql("""CREATE TABLE lake.spj.tt (k BIGINT, v DOUBLE)
+          |PARTITIONED BY (bucket(2, k))""".stripMargin)
+    sql("INSERT INTO lake.spj.tt VALUES (1, 1.0)")
+    val v1 = spark.table("lake.spj.tt.snapshots")
+      .orderBy(desc("snapshot_id")).select("snapshot_id").head.getLong(0)
+    sql("INSERT INTO lake.spj.tt VALUES (2, 2.0)")
+    withSpj(on = true) {
+      assert(spark.table("lake.spj.tt").count() === 2)
+      assert(sql(s"SELECT * FROM lake.spj.tt VERSION AS OF $v1").count() === 1)
+    }
+  }
+
+  test("non-bucket partitioning keeps the substituted path even with SPJ on") {
+    setup
+    sql("""CREATE TABLE lake.spj.byday (k BIGINT, ts TIMESTAMP)
+          |PARTITIONED BY (days(ts))""".stripMargin)
+    sql("INSERT INTO lake.spj.byday VALUES (1, TIMESTAMP '2024-01-01 00:00:00')")
+    withSpj(on = true) {
+      val qe = spark.table("lake.spj.byday").queryExecution
+      assert(!qe.optimizedPlan.toString.contains("RelationV2"), qe.optimizedPlan.toString)
+      assert(spark.table("lake.spj.byday").count() === 1)
+    }
+  }
+
+  test("one side missing whole buckets still joins correctly (partition push-down values)") {
+    setup
+    sql("""CREATE TABLE lake.spj.sparse (k BIGINT, w STRING)
+          |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    // only keys hashing into a subset of buckets
+    val subset = spark.range(0, 50).selectExpr("id AS k")
+      .withColumn("b", expr("pmod(hash(k), 4)")).where("b = 1")
+      .selectExpr("k", "concat('s', k) AS w")
+    assert(subset.count() > 0)
+    subset.writeTo("lake.spj.sparse").append()
+    def q() = spark.table("lake.spj.fact").join(spark.table("lake.spj.sparse"), "k")
+    val off = withSpj(on = false)(q().collect().toSet)
+    val on = withSpj(on = true)(q().collect().toSet)
+    assert(on === off)
+    assert(on.nonEmpty)
+  }
+
+  test("v2 bucketing shuffle: an unbucketed side shuffles INTO the table's buckets") {
+    setup
+    withSpj(on = true) {
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val mem = spark.range(0, 50).selectExpr("id AS k", "id * 2 AS m")
+        val j = spark.table("lake.spj.fact").join(mem, "k")
+        val plan = explained(j)
+        // the lake side must NOT shuffle; the in-memory side may (one
+        // exchange, partitioned by the storage bucket function). Formatted
+        // output names each Exchange twice (tree + detail section).
+        assert("Exchange".r.findAllIn(plan).size <= 2,
+          s"only the unbucketed side may shuffle:\n$plan")
+        val expected = withSpj(on = false) {
+          spark.table("lake.spj.fact").join(mem, "k").collect().toSet
+        }
+        assert(j.collect().toSet === expected)
+        assert(j.count() === 200)
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
+  test("bucket function: produceResult matches the write-side transform") {
+    setup
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    // Spark-side truth: pmod(hash(col), n) per Transforms.expr
+    val expected = spark.range(0, 100)
+      .selectExpr("id", "pmod(hash(id), 8) AS b").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val f = GraftBucketFunction.bind(StructType(Seq(
+      StructField("n", IntegerType), StructField("v", LongType))))
+      .asInstanceOf[BoundBucket]
+    (0L until 100L).foreach { id =>
+      assert(f.produceResult(InternalRow(8, id)) === expected(id), s"id=$id")
+    }
+    // strings too
+    val sExpected = spark.sql(
+      "SELECT pmod(hash('graft'), 8) AS b").head.getInt(0)
+    val sf = GraftBucketFunction.bind(StructType(Seq(
+      StructField("n", IntegerType), StructField("v", StringType))))
+      .asInstanceOf[BoundBucket]
+    assert(sf.produceResult(InternalRow(8, UTF8String.fromString("graft"))) === sExpected)
+  }
+}

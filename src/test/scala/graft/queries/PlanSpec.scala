@@ -262,6 +262,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p) // explode of the native expression's array
   }
 
+  test("q65: storage-partitioned join shuffles NEITHER bucketed input") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planOf("q65_spj_join")
+      // the join must consume the v2 batch scans' KeyGroupedPartitioning
+      // directly: SortMergeJoin with no Exchange between it and the scans.
+      // The only exchanges are ABOVE the join: the group-by hash exchange
+      // and the ORDER BY range exchange (each named twice in formatted
+      // output).
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("BatchScan"), s"v2 scan path expected:\n$p")
+      assert("Exchange".r.findAllIn(p).size <= 4,
+        s"SPJ join must not shuffle its inputs:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen covers the relational queries' hot path") {
     val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
     df.collect() // AQE finalizes (and codegens) the plan only on execution
