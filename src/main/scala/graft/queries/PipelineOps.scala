@@ -468,7 +468,37 @@ object PipelineOps {
       |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
       |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin)
 
+  /** Exact per-group quantiles of the document length distribution —
+    * the corpus-profiling stat every curation run reports. DISCRETE
+    * quantiles (the smallest value with cumulative share ≥ p): exact
+    * order statistics, no interpolation arithmetic, so the values are
+    * actual data points and cross-engine parity is structural (Spark
+    * `percentile_disc` and DuckDB `quantile_disc` agree — probed on
+    * 1..10). Spark computes each group's quantile from its sorted value
+    * multiset in one aggregate per group — a single lang-keyed exchange,
+    * no global sort; deciles-by-rank (q38) profiles ROW ranks, this
+    * profiles the VALUE distribution. */
+  val q67 = dialect("q67_length_quantiles",
+    sparkSql = """SELECT lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(n_chars) AS BIGINT) AS p0,
+      |  CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p25,
+      |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50,
+      |  CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p75,
+      |  CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p95,
+      |  CAST(MAX(n_chars) AS BIGINT) AS p100
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    duckSql = """SELECT lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(n_chars) AS BIGINT) AS p0,
+      |  CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+      |  CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+      |  CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75,
+      |  CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95,
+      |  CAST(MAX(n_chars) AS BIGINT) AS p100
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+
   def specs: Seq[QuerySpec] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q47, q48, q49, q50, q53, q54,
-      q60, q61, q62)
+      q60, q61, q62, q67)
 }

@@ -508,5 +508,87 @@ object TextOps {
       |GROUP BY 1, 2 HAVING count(*) >= 5
       |ORDER BY shared DESC, a, b""".stripMargin)
 
-  def specs: Seq[QuerySpec] = Seq(q16, q17, q18, q19, q20, q21, q22, q51, q52, q56, q57, q58, q64)
+  /** BM25 ranked retrieval over the corpus — the search-scoring operator a
+    * training-data pipeline needs for query-based corpus exploration and
+    * quality probes. Inverted index = one explode + two map-side-combined
+    * aggregates (tf per (doc, term); df per term); the 7-term query set is
+    * an inline VALUES relation (broadcasts); scoring touches ONLY postings
+    * of queried terms (the q⋈tf equi-join selects them — never a full
+    * corpus scan per query); top-5 per query via row_number
+    * (WindowGroupLimit).
+    *
+    * Arithmetic is FIXED-POINT (scale 10^6) with truncating integer
+    * division at fixed points — `DIV` (Spark) and `//` (DuckDB) truncate
+    * identically (probed), so both engines compute bit-identical BIGINT
+    * scores and the ranking has no float to diverge on. k1 = 6/5,
+    * b = 3/4: tf term = 11·tf·S² DIV (5·S·tf + 6·norm_fp) with
+    * norm_fp = S/4 + (3·S·len_d·N) DIV (4·total_len); idf is the
+    * Robertson–Spärck-Jones odds WITHOUT the log —
+    * (N−df)·S DIV (df+1) — monotone in the standard idf (log is
+    * monotone), chosen because ln() is the one piece two engines won't
+    * reproduce bit-for-bit. Documented variant, exact cross-engine.
+    *
+    * Scale shape: postings lists shuffle once on term for df/tf; the
+    * query relation broadcasts; per-query work ∝ postings of its terms
+    * (the inverted-index guarantee); the top-k window partitions by qid.
+    * At 100 TB nothing changes: no driver state, no full-corpus
+    * per-query pass. */
+  val q66 = dialect("q66_bm25_search",
+    sparkSql = """WITH tok AS (
+      |  SELECT doc_id, explode(split(lower(text), '\\s+')) AS w FROM documents),
+      |lens AS (SELECT doc_id, COUNT(*) AS len_d FROM tok GROUP BY doc_id),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |               CAST(SUM(len_d) AS BIGINT) AS total_len FROM lens),
+      |q AS (SELECT qid, w FROM VALUES
+      |  (1,'vector'), (1,'scan'), (2,'spark'), (2,'merge'), (2,'stream'),
+      |  (3,'window'), (3,'filter') AS t(qid, w)),
+      |hit AS (
+      |  SELECT q.qid, tf.doc_id,
+      |    (((n_docs - df.df) * 1000000) DIV (df.df + 1)) AS idf_fp,
+      |    ((11 * tf.tf * 1000000 * 1000000) DIV
+      |      ((5 * 1000000 * tf.tf) +
+      |       6 * (250000 + ((3 * 1000000 * lens.len_d * n_docs) DIV (4 * total_len))))) AS tf_fp
+      |  FROM q JOIN tf ON q.w = tf.w JOIN df ON q.w = df.w
+      |    JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN tot),
+      |sc AS (SELECT qid, doc_id,
+      |         SUM((idf_fp * tf_fp) DIV 1000000) AS score
+      |       FROM hit GROUP BY qid, doc_id),
+      |r AS (SELECT qid, doc_id, score,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+      |      FROM sc)
+      |SELECT CAST(qid AS BIGINT) AS qid, doc_id, CAST(score AS BIGINT) AS score,
+      |  CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    duckSql = """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents),
+      |lens AS (SELECT doc_id, COUNT(*) AS len_d FROM tok GROUP BY doc_id),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |               CAST(SUM(len_d) AS BIGINT) AS total_len FROM lens),
+      |q AS (SELECT qid, w FROM (VALUES
+      |  (1,'vector'), (1,'scan'), (2,'spark'), (2,'merge'), (2,'stream'),
+      |  (3,'window'), (3,'filter')) t(qid, w)),
+      |hit AS (
+      |  SELECT q.qid, tf.doc_id,
+      |    (((n_docs - df.df) * 1000000) // (df.df + 1)) AS idf_fp,
+      |    ((11 * tf.tf * 1000000 * 1000000) //
+      |      ((5 * 1000000 * tf.tf) +
+      |       6 * (250000 + ((3 * 1000000 * lens.len_d * n_docs) // (4 * total_len))))) AS tf_fp
+      |  FROM q JOIN tf ON q.w = tf.w JOIN df ON q.w = df.w
+      |    JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN tot),
+      |sc AS (SELECT qid, doc_id,
+      |         SUM((idf_fp * tf_fp) // 1000000) AS score
+      |       FROM hit GROUP BY qid, doc_id),
+      |r AS (SELECT qid, doc_id, score,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+      |      FROM sc)
+      |SELECT CAST(qid AS BIGINT) AS qid, doc_id, CAST(score AS BIGINT) AS score,
+      |  CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)
+
+  def specs: Seq[QuerySpec] =
+    Seq(q16, q17, q18, q19, q20, q21, q22, q51, q52, q56, q57, q58, q64, q66)
 }

@@ -279,6 +279,19 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q66: BM25 scores only queried-term postings, top-k group-limits") {
+    val p = planOf("q66_bm25_search")
+    // query relation joins the postings by term (equi-joins only, the tiny
+    // VALUES side broadcasts); the single BroadcastNestedLoopJoin allowed
+    // is the 1-row scalar-totals cross join (the q09-approved shape);
+    // top-5 per query pushes WindowGroupLimit
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, // tree + detail
+      s"only the 1-row totals may nested-loop:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k per query must group-limit:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"query terms should broadcast:\n$p")
+  }
+
   test("whole-stage codegen covers the relational queries' hot path") {
     val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
     df.collect() // AQE finalizes (and codegens) the plan only on execution
