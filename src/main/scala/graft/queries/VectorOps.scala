@@ -243,5 +243,23 @@ object VectorOps {
     } finally { emb.unpersist(); () }
   }
 
-  def specs: Seq[QuerySpec] = Seq(q23, q24, q25, q26, q27, q44)
+  /** SemDeDup ([[graft.operators.SemDedup]]): k-means-clustered semantic
+    * dedup over the embedding table — within-cluster cosine pairs (q24's
+    * exact triangle tiling, bounded by cluster blocks) → connected
+    * components → every vector labeled with its component min. Reuses the
+    * memoized IVF index as the clustering (the build is the named offline
+    * step Bench reports under "setup"), so timed runs measure pairing +
+    * CC, not Lloyd iterations. Rows-only check: one output row per vector
+    * by construction; pairing/resolution exactness is gated in
+    * SemDedupSpec (brute-force parity + local union-find oracle), and
+    * k-means float wobble across runs can legitimately flip borderline
+    * assignments, which an exact-hash oracle would misread as failure. */
+  val q68 = planOnly("q68_semdedup", (s, dir) => {
+    val emb = graft.Tables.load(s, dir, "embeddings")
+    val assigned = Similarity.ivfAssignWith(emb, ensureIvfIndex(s, dir))
+    graft.operators.SemDedup.semDedupAssigned(emb, assigned, threshold = 0.35)
+      .orderBy("vec_id")
+  })
+
+  def specs: Seq[QuerySpec] = Seq(q23, q24, q25, q26, q27, q44, q68)
 }

@@ -97,4 +97,32 @@ object EventTime {
         next
       }
   }
+
+  /** Stream-stream event-time interval join (click attribution shape):
+    * every right-side row joins left-side rows with the same key whose
+    * event time lies in `[right.ts − within, right.ts]` — e.g. a click
+    * attributes to impressions up to `within` before it.
+    *
+    * BOTH sides are watermarked and the join condition bounds event time
+    * in BOTH directions, which is what lets Spark expire join state: a
+    * left row can only ever match right rows in `[l.ts, l.ts + within]`,
+    * so once the right watermark passes that horizon the row is dropped
+    * from the state store. Without the time bound a stream-stream join
+    * must buffer both sides forever — the unbounded-state trap this
+    * operator exists to avoid. At scale, state is partitioned by key and
+    * bounded by (rate × within), independent of stream lifetime.
+    *
+    * Column names must be fully disjoint between the two sides (alias
+    * before calling) — the output carries both sides' columns. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   within: String = "1 minute",
+                   watermarkDelay: String = "2 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r, col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+  }
 }

@@ -216,4 +216,66 @@ class EventTimeSpec extends AnyFunSuite {
       assert(last.getAs[String]("lastEvent") === "purchase")
     } finally q.stop()
   }
+
+  test("stream-stream interval join: attribution within the window, state bounded") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // impressions (user, imp_ts, imp_id) ⋈ clicks (user, click_ts, click_id):
+    // click attributes to impressions within 1 minute BEFORE it
+    val imps = MemoryStream[(Timestamp, String, String)]
+    val clicks = MemoryStream[(Timestamp, String, String)]
+    val l = imps.toDF().toDF("imp_ts", "imp_user", "imp_id")
+    val r = clicks.toDF().toDF("click_ts", "click_user", "click_id")
+    val joined = EventTime.intervalJoin(l, r,
+      leftKey = "imp_user", rightKey = "click_user",
+      leftTs = "imp_ts", rightTs = "click_ts",
+      within = "1 minute", watermarkDelay = "30 seconds")
+      .select("imp_id", "click_id")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      // out-of-order across micro-batches: clicks arrive before their
+      // impressions land in a later batch
+      clicks.addData((ts("2024-01-01 10:00:30"), "u1", "c1"), // attributes to i1
+        (ts("2024-01-01 10:02:00"), "u2", "c2"))             // no impression in window
+      q.processAllAvailable()
+      imps.addData((ts("2024-01-01 10:00:00"), "u1", "i1"),
+        (ts("2024-01-01 10:00:40"), "u1", "i2"),  // AFTER c1 → no match
+        (ts("2024-01-01 9:59:00"), "u2", "i3"))   // 3 min before c2 → outside window
+      q.processAllAvailable()
+      // a second click inside i2's window: one impression, two windows
+      clicks.addData((ts("2024-01-01 10:01:10"), "u1", "c3")) // matches i1+i2? i1 is 70s before → out; i2 30s before → in
+      q.processAllAvailable()
+      // advance both watermarks far beyond i1's horizon so its state expires
+      imps.addData((ts("2024-01-01 10:30:00"), "u9", "i_adv"))
+      clicks.addData((ts("2024-01-01 10:30:00"), "u9", "c_adv"))
+      q.processAllAvailable()
+      // this click would match i1 by time, but i1's state is expired AND
+      // the click is far behind the click watermark → dropped, no output
+      clicks.addData((ts("2024-01-01 10:00:50"), "u1", "c_late"))
+      q.processAllAvailable()
+      val got = spark.table("attrib").collect()
+        .map(row => (row.getString(0), row.getString(1))).toSet
+      val expected = Set(("i1", "c1"), ("i2", "c3"), ("i_adv", "c_adv"))
+      assert(got === expected)
+      // batch parity for the in-window feeds (late row excluded — batch
+      // has no watermark to drop it)
+      val li = Seq((ts("2024-01-01 10:00:00"), "u1", "i1"),
+        (ts("2024-01-01 10:00:40"), "u1", "i2"),
+        (ts("2024-01-01 9:59:00"), "u2", "i3"),
+        (ts("2024-01-01 10:30:00"), "u9", "i_adv"))
+        .toDF("imp_ts", "imp_user", "imp_id")
+      val rc = Seq((ts("2024-01-01 10:00:30"), "u1", "c1"),
+        (ts("2024-01-01 10:02:00"), "u2", "c2"),
+        (ts("2024-01-01 10:01:10"), "u1", "c3"),
+        (ts("2024-01-01 10:30:00"), "u9", "c_adv"))
+        .toDF("click_ts", "click_user", "click_id")
+      val batch = li.join(rc, col("imp_user") === col("click_user") &&
+          col("click_ts") >= col("imp_ts") &&
+          col("click_ts") <= col("imp_ts") + expr("INTERVAL 1 minute"))
+        .select("imp_id", "click_id").collect()
+        .map(row => (row.getString(0), row.getString(1))).toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
 }
