@@ -225,7 +225,8 @@ class GraftBatchScan(
     * missing (shouldn't happen on sameSpec files, but never throw in
     * planning on account of one stray file — fall back to shuffling). */
   private def keyOf(f: DataFile): Option[Array[Int]] = {
-    val vs = specFields.map(pf => f.partitionValues.get(pf.physicalName).map(_.toInt))
+    val vs = specFields.map(pf => f.partitionValues.get(pf.physicalName)
+      .flatMap(v => scala.util.Try(v.toInt).toOption))
     if (vs.forall(_.isDefined)) Some(vs.map(_.get).toArray) else None
   }
 

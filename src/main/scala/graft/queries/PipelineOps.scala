@@ -498,7 +498,65 @@ object PipelineOps {
       |  CAST(MAX(n_chars) AS BIGINT) AS p100
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
 
+  /** The composed corpus-curation pipeline (the Dolma/CCNet shape) as ONE
+    * declarative plan: quality gate → exact dedup → deterministic mixing
+    * sample → per-lang audit. Each stage is an operator proven separately
+    * (q17 token counting, q16 md5 last-wins dedup, q60 hash-gate
+    * sampling, q53-style audit); composing them in one query is the point
+    * — Catalyst fuses the quality filter and the sample gate into the
+    * scan-side projection, the dedup is the pipeline's ONE md5-keyed
+    * window exchange, and the audit group-by is the only other shuffle.
+    * Deleting a stage or reordering the gates is a one-line change to a
+    * declarative plan, not a pipeline rebuild — the reason a lakehouse
+    * curation stack wants SQL, and exactly how it runs at 100 TB: no
+    * intermediate materialization between stages. */
+  val q69 = dialect("q69_curation_pipeline",
+    sparkSql = """WITH q AS (
+      |  SELECT doc_id, lang, text,
+      |    CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |  WHERE size(split(trim(text), '\\s+')) >= 20),
+      |d AS (
+      |  SELECT doc_id, lang, n_tok FROM (
+      |    SELECT doc_id, lang, n_tok,
+      |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM q) t
+      |  WHERE rn = 1),
+      |s AS (
+      |  SELECT doc_id, lang, n_tok FROM d
+      |  WHERE substr(md5(CAST(doc_id AS STRING)), 1, 4) <
+      |    CASE lang WHEN 'en' THEN 'c000' WHEN 'de' THEN '8000'
+      |         WHEN 'es' THEN '6000' WHEN 'fr' THEN '4000' ELSE '2000' END)
+      |SELECT lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+      |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+      |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    duckSql = """WITH q AS (
+      |  SELECT doc_id, lang, text,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 20),
+      |d AS (
+      |  SELECT doc_id, lang, n_tok FROM (
+      |    SELECT doc_id, lang, n_tok,
+      |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM q) t
+      |  WHERE rn = 1),
+      |s AS (
+      |  SELECT doc_id, lang, n_tok FROM d
+      |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      |    CASE lang WHEN 'en' THEN 'c000' WHEN 'de' THEN '8000'
+      |         WHEN 'es' THEN '6000' WHEN 'fr' THEN '4000' ELSE '2000' END)
+      |SELECT lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+      |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+      |FROM s GROUP BY lang ORDER BY lang""".stripMargin)
+
   def specs: Seq[QuerySpec] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q47, q48, q49, q50, q53, q54,
-      q60, q61, q62, q67)
+      q60, q61, q62, q67, q69)
 }

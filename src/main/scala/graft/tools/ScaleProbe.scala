@@ -222,6 +222,50 @@ object ScaleProbe {
         f""""corpus_rows":$total,"kept":$kept,"dropped":${total - kept}}""")
     }
 
+    // storage-partitioned join: the SAME co-bucketed orders⋈customer
+    // aggregate with SPJ off vs on. The claim under test: SPJ removes the
+    // join-input shuffles entirely — shuffle bytes collapse to the
+    // post-join aggregate's rows, wall follows; the saved volume is the
+    // two tables' width, which at 100 TB IS the query cost.
+    {
+      val wh = java.nio.file.Files.createTempDirectory("graft-spjprobe").toString
+      spark.conf.set("spark.sql.catalog.lake", "graft.lake.dsv2.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.lake.warehouse", wh)
+      org.apache.spark.sql.graftbridge.CatalogBridge.resetCatalogs(spark)
+      spark.sql("CREATE DATABASE lake.probe")
+      spark.sql("""CREATE TABLE lake.probe.o (o_orderkey BIGINT, o_custkey BIGINT,
+                  |  o_totalprice DOUBLE) PARTITIONED BY (bucket(16, o_custkey))
+                  |TBLPROPERTIES ('write.distribution-mode'='hash')""".stripMargin)
+      spark.sql("INSERT INTO lake.probe.o SELECT o_orderkey, o_custkey, o_totalprice FROM orders")
+      spark.sql("""CREATE TABLE lake.probe.c (c_custkey BIGINT, c_mktsegment STRING)
+                  |PARTITIONED BY (bucket(16, c_custkey))
+                  |TBLPROPERTIES ('write.distribution-mode'='hash')""".stripMargin)
+      spark.sql("INSERT INTO lake.probe.c SELECT c_custkey, c_mktsegment FROM customer")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def q = spark.sql("""SELECT c_mktsegment, COUNT(*) AS n, SUM(o_totalprice) AS rev
+                          |FROM lake.probe.o o JOIN lake.probe.c c
+                          |  ON o.o_custkey = c.c_custkey
+                          |GROUP BY c_mktsegment""".stripMargin)
+      for (spj <- Seq(false, true)) {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", spj.toString)
+        shuffleRead.set(0L); shuffleWrite.set(0L)
+        val t0 = System.nanoTime()
+        val n = q.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        var stable = 0; var last = (-1L, -1L); var waited = 0
+        while (stable < 2 && waited < 10000) {
+          Thread.sleep(250); waited += 250
+          val cur = (shuffleRead.get(), shuffleWrite.get())
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+        }
+        val (r, w) = (shuffleRead.getAndSet(0L), shuffleWrite.getAndSet(0L))
+        println(f"""{"probe":"spj_join","spj":$spj,"secs":$secs%.2f,"groups":$n,""" +
+          f""""shuffle_read_mb":${r / 1e6}%.2f,"shuffle_write_mb":${w / 1e6}%.2f}""")
+      }
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    }
+
     println(s"""{"summary":"growth ${scaleN}x vs 1x (sub-quadratic bar: ratio << ${scaleN * scaleN})"}""")
     for (name <- probes) {
       val (s1, r1, sr1, _) = results((name, 1))

@@ -209,6 +209,31 @@ class GraftSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction preserves bucketing: SPJ survives rewrite_data_files") {
+    setup
+    // many small appends → fragmented buckets
+    sql("""CREATE TABLE lake.spj.cmp (k BIGINT, v DOUBLE)
+          |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    (0 until 3).foreach { i =>
+      spark.range(i * 20, (i + 1) * 20).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        .writeTo("lake.spj.cmp").append()
+    }
+    val before = withSpj(on = true)(spark.table("lake.spj.cmp").collect().toSet)
+    sql("CALL lake.system.rewrite_data_files(table => 'spj.cmp')")
+    withSpj(on = true) {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        assert(spark.table("lake.spj.cmp").collect().toSet === before)
+        val j = spark.table("lake.spj.cmp").join(spark.table("lake.spj.dim"), "k")
+        val plan = explained(j)
+        assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+          s"SPJ must survive compaction (bucket-pure rewritten files):\n$plan")
+        assert(j.count() === 50) // dim has k 0..49
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("bucket function: produceResult matches the write-side transform") {
     setup
     import org.apache.spark.sql.catalyst.InternalRow
