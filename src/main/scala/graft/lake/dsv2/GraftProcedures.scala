@@ -4,7 +4,7 @@ import graft.lake.LakeCatalog
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.Scan
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 
 import java.util.Collections
 
@@ -21,7 +21,7 @@ object GraftProcedures {
     "expire_snapshots", "rewrite_data_files", "rewrite_manifests",
     "fast_forward", "remove_orphan_files",
     "create_branch", "drop_branch", "create_tag", "drop_tag",
-    "build_ivf_index", "create_changelog_view")
+    "build_ivf_index", "build_pq_index", "create_changelog_view")
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
     val b = ProcedureParameter.in(name, dt)
@@ -131,6 +131,49 @@ object GraftProcedures {
           "ivf.nlist" -> nlist.toString,
           "ivf.centroids" -> centroids.map(_.mkString("[", ",", "]"))
             .mkString("[", ",", "]")))
+      }))
+    // PQ index build (graft.operators.ProductQuantization): trains the
+    // per-subspace codebooks and writes the compressed representation as
+    // the aux table <table>_pq_index (idCol, norm FLOAT, codes
+    // ARRAY<TINYINT>); codebooks ride in the source table's properties
+    // (m×k×subDim floats — small). Consumers score with adcDot/adcCosine
+    // against the aux table, touching only code bytes.
+    case "build_pq_index" => Some(proc(name,
+      Array(param("table", StringType),
+        param("dim", LongType),
+        param("vector_col", StringType, Some("'embedding'")),
+        param("id_col", StringType, Some("'vec_id'")),
+        param("m", LongType, Some("16")),
+        param("k", LongType, Some("16")),
+        param("iters", LongType, Some("3"))),
+      row => {
+        val tName = row.getString(0)
+        val dim = row.getLong(1).toInt
+        val vecCol = if (row.isNullAt(2)) "embedding" else row.getString(2)
+        val idCol = if (row.isNullAt(3)) "vec_id" else row.getString(3)
+        val m = if (row.isNullAt(4)) 16 else row.getLong(4).toInt
+        val k = if (row.isNullAt(5)) 16 else row.getLong(5).toInt
+        val iters = if (row.isNullAt(6)) 3 else row.getLong(6).toInt
+        val t = lake.loadTable(tName)
+        val df = t.toDF
+        import graft.operators.ProductQuantization
+        import org.apache.spark.sql.functions.col
+        val cb = ProductQuantization.train(df, dim, m, k, iters, idCol, vecCol)
+        val aux = s"${tName}_pq_index"
+        if (lake.tableExists(aux)) lake.dropTable(aux)
+        val auxT = lake.createTable(aux, StructType(Seq(
+          StructField(idCol, df.schema(idCol).dataType),
+          StructField("norm", FloatType),
+          StructField("codes", ArrayType(ByteType)))))
+        val enc = ProductQuantization.encodeTable(df, cb, vecCol)
+        auxT.append(enc.select(col(idCol), col("pq.norm").as("norm"),
+          col("pq.codes").as("codes")))
+        t.setProperties(Map(
+          "pq.vector-col" -> vecCol,
+          "pq.m" -> m.toString, "pq.k" -> k.toString,
+          "pq.sub-dim" -> cb.subDim.toString,
+          "pq.codebooks" -> cb.books.map(_.map(_.mkString("[", ",", "]"))
+            .mkString("[", ",", "]")).mkString("[", ",", "]")))
       }))
     // Iceberg's create_changelog_view spelling AND output contract:
     // register the row-level CDC diff ([[graft.lake.LakeTable.changelog]])

@@ -520,6 +520,32 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT COUNT(*) FROM lake.db.emb_ivf_index").head.getLong(0) === 40)
   }
 
+  test("CALL build_pq_index: compressed codes aux table + codebooks in properties") {
+    import spark.implicits._
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[GraftCatalog]
+    sql("CREATE DATABASE IF NOT EXISTS lake.db")
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d).toFloat)))
+    val t = cat.lake.createTable("db.pqe", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+    t.append(vecs.toDF("vec_id", "embedding"))
+    sql("CALL lake.system.build_pq_index(table => 'db.pqe', dim => 8, m => 4, k => 8, iters => 2)")
+    val idx = sql("SELECT vec_id, norm, codes FROM lake.db.pqe_pq_index").collect()
+    assert(idx.length === 40)
+    idx.foreach { r =>
+      val codes = r.getSeq[Byte](2)
+      assert(codes.length === 4)
+      assert(codes.forall(c => c >= 0 && c < 8))
+      assert(r.getFloat(1) > 0f)
+    }
+    val props = cat.lake.loadTable("db.pqe").meta.properties
+    assert(props("pq.m") === "4" && props("pq.k") === "8" && props("pq.sub-dim") === "2")
+    assert(props("pq.codebooks").startsWith("[[["))
+  }
+
   test("MERGE matched-ness scan is bounds-pruned to stats-overlapping files") {
     sql("CREATE TABLE lake.db.mp (id BIGINT, v STRING)")
     // three appends → three data files with disjoint id ranges
