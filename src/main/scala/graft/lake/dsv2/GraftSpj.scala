@@ -198,7 +198,8 @@ class GraftBatchScan(
     table: GraftTable,
     required: StructType,
     pushed: Array[Filter])
-  extends Scan with Batch with SupportsReportPartitioning with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportPartitioning with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   private val lake = table.lakeTable
   // pin metadata + snapshot at scan construction: every piece of this scan
@@ -263,15 +264,68 @@ class GraftBatchScan(
       OptionalLong.of(liveFiles.map(_.rowCount).sum)
   }
 
+  // ---- runtime filtering (the DSv2 dynamic-partition-pruning hook) --------
+  //
+  // Spark plans a DynamicPruningSubquery over `filterAttributes` when this
+  // scan joins a filtered build side on those columns; at execution it
+  // calls `filter` with the build side's key set BEFORE planInputPartitions.
+  // Two prunes follow: whole buckets whose ordinal no key hashes into
+  // (exact — bucket(v) fixes a row's only possible location), and files
+  // whose column stats exclude every key. Bucket groups are EMPTIED, not
+  // dropped, so the reported KeyGroupedPartitioning stays valid.
+
+  @volatile private var runtimePred: Option[graft.lake.Pruning.Pred] = None
+  @volatile private var runtimeBuckets: Option[Set[Seq[Int]]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (grouped.isDefined)
+      specFields.flatMap(pf => m.schema.byId(pf.sourceId)
+        .map(c => Expressions.column(c.name))).toArray
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val cond = filters.toSeq.flatMap(f => table.filterToColumn(f)).reduceOption(_ && _)
+    runtimePred = cond.map(graft.lake.Pruning.translate)
+    // bucket-ordinal pruning from IN sets on the (single-field) bucket key
+    runtimeBuckets = specFields match {
+      case Seq(pf) =>
+        val src = m.schema.byId(pf.sourceId).get
+        val GraftSpj.BucketRe(nStr) = pf.transform: @unchecked
+        val n = nStr.toInt
+        filters.collectFirst {
+          case org.apache.spark.sql.sources.In(a, vs) if a == src.name =>
+            vs.toSet[Any].map { v =>
+              val internal = v match {
+                case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+                case other => other
+              }
+              val h =
+                if (internal == null) 42
+                else Murmur3HashFunction.hash(internal, src.sparkType, 42L).toInt
+              Seq(((h % n) + n) % n)
+            }
+        }
+      case _ => None
+    }
+  }
+
+  private def runtimeKeep(f: DataFile): Boolean = runtimePred match {
+    case Some(p) => graft.lake.Pruning.mayMatch(p, lake.fileBounds(m, f))
+    case None => true
+  }
+
   override def planInputPartitions(): Array[InputPartition] = grouped match {
     case Some(groups) =>
       groups.map { case (k, fs) =>
-        GraftInputPartition(k, fs.map(f => GraftFileSlice(f.path, f.sizeBytes, f.schemaId)))
+        val kept =
+          if (runtimeBuckets.exists(!_.contains(k.toSeq))) Seq.empty
+          else fs.filter(runtimeKeep)
+        GraftInputPartition(k, kept.map(f => GraftFileSlice(f.path, f.sizeBytes, f.schemaId)))
           : InputPartition
       }.toArray
     case None =>
       // non-SPJ fallback: one split per file, no partition keys
-      liveFiles.map(f =>
+      liveFiles.filter(runtimeKeep).map(f =>
         GraftInputPartition(Array.empty,
           Seq(GraftFileSlice(f.path, f.sizeBytes, f.schemaId))): InputPartition).toArray
   }

@@ -532,7 +532,10 @@ object TextOps {
     * query relation broadcasts; per-query work ∝ postings of its terms
     * (the inverted-index guarantee); the top-k window partitions by qid.
     * At 100 TB nothing changes: no driver state, no full-corpus
-    * per-query pass. */
+    * per-query pass. Fixed-point headroom: idf_fp ≤ N·S, so
+    * idf_fp·tf_fp stays under Long.MaxValue while N·S·2.2S < 2^63,
+    * i.e. corpora to ~10^7 docs at S=10^6; beyond that drop S to 10^3
+    * on the idf side (same ranking, both engines change together). */
   val q66 = dialect("q66_bm25_search",
     sparkSql = """WITH tok AS (
       |  SELECT doc_id, explode(split(lower(text), '\\s+')) AS w FROM documents),

@@ -234,6 +234,38 @@ class GraftSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime filtering: a filtered build side dynamically prunes buckets and files") {
+    setup
+    withSpj(on = true) {
+      // scan.filter() is the contract Spark's dynamic pruning drives —
+      // exercise it directly for determinism, then end-to-end below
+      val gt = spark.sessionState.catalogManager.catalog("lake")
+        .asInstanceOf[GraftCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("spj"), "fact")).asInstanceOf[GraftTable]
+      val scan = new GraftBatchScanBuilder(spark, gt).build()
+        .asInstanceOf[GraftBatchScan]
+      assert(scan.filterAttributes().map(_.fieldNames.head).toSeq === Seq("k"))
+      val all = scan.planInputPartitions()
+      assert(all.forall(_.asInstanceOf[GraftInputPartition].files.nonEmpty))
+      // runtime IN-set: keys hashing into one bucket only
+      scan.filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("k", Array(7L))))
+      val pruned = scan.planInputPartitions()
+      assert(pruned.length === all.length, "bucket groups must be kept (emptied, not dropped)")
+      val nonEmpty = pruned.map(_.asInstanceOf[GraftInputPartition]).filter(_.files.nonEmpty)
+      assert(nonEmpty.length === 1, "only k=7's bucket may retain files")
+      val expectedBucket = spark.sql("SELECT pmod(hash(7L), 4)").head.getInt(0)
+      assert(nonEmpty.head.key.toSeq === Seq(expectedBucket))
+
+      // end-to-end: the join result with a selective dim filter is correct
+      // whether or not Spark chose to inject the pruning subquery
+      val dimF = spark.table("lake.spj.dim").where("w = 'w7'")
+      val j = spark.table("lake.spj.fact").join(dimF, "k")
+      assert(j.collect().map(_.getLong(0)).toSet === Set(7L))
+    }
+  }
+
   test("bucket function: produceResult matches the write-side transform") {
     setup
     import org.apache.spark.sql.catalyst.InternalRow
