@@ -68,18 +68,54 @@ object GraftSpj {
     case _ => false
   }
 
+  /** Identity-partition types we can reconstruct EXACTLY from the stored
+    * partition-value string (dir-name round-trip): integrals, strings,
+    * dates. Floats/timestamps stay excluded — their string forms are not
+    * provably bit-stable across writers. */
+  private[dsv2] def identityType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType | DateType => true
+    case _ => false
+  }
+
   /** A table qualifies when every partition field is `bucket[n]` over a
-    * supported source type. (Identity/time transforms partition for
-    * pruning, not joining — those tables keep the substituted path.) */
+    * supported source type or `identity` over a string-round-trippable
+    * type — both yield join-key-equals-partition-key semantics. Time
+    * transforms (days/hours/…) partition for pruning, not joining: a join
+    * on the SOURCE column can't ride a derived-ordinal partitioning, so
+    * those tables keep the substituted path. */
   def eligible(t: GraftTable): Boolean = t.metaKind.isEmpty && {
     val m = t.lakeTable.meta
     m.spec.fields.nonEmpty && m.spec.fields.forall { f =>
       f.transform match {
         case BucketRe(_) => m.schema.byId(f.sourceId).exists(c => bucketableType(c.sparkType))
+        case "identity" => m.schema.byId(f.sourceId).exists(c => identityType(c.sparkType))
         case _ => false
       }
     }
   }
+
+  /** Internal (InternalRow) value of one partition-field cell from its
+    * string-encoded metadata value. Bucket ordinals are Int; identity
+    * values are typed per source; Hive's null marker maps to null. */
+  private[dsv2] def internalKeyValue(transform: String, srcType: DataType,
+                                     raw: String): Option[Any] =
+    scala.util.Try {
+      transform match {
+        case BucketRe(_) => Int.box(raw.toInt)
+        case "identity" =>
+          if (raw == "__HIVE_DEFAULT_PARTITION__") null
+          else srcType match {
+            case ByteType => Byte.box(raw.toByte)
+            case ShortType => Short.box(raw.toShort)
+            case IntegerType => Int.box(raw.toInt)
+            case LongType => Long.box(raw.toLong)
+            case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+            case DateType => Int.box(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+            case other => throw new IllegalArgumentException(s"unsupported $other")
+          }
+        case other => throw new IllegalArgumentException(s"unsupported transform $other")
+      }
+    }.toOption
 }
 
 /** The v2 `bucket(n, col)` function, served by [[GraftCatalog]]'s
@@ -119,13 +155,14 @@ case class BoundBucket(valueType: DataType) extends ScalarFunction[Integer] {
   }
 }
 
-/** One split = one partition tuple (all files of one bucket combination).
-  * `key` holds the bucket ordinals in spec-field order. */
+/** One split = one partition tuple (all files of one partition-value
+  * combination). `key` holds InternalRow-typed values in spec-field order
+  * (Int bucket ordinals; typed identity values; null for Hive's null
+  * partition). */
 case class GraftInputPartition(
-    key: Array[Int],
+    key: Array[Any],
     files: Seq[GraftFileSlice]) extends InputPartition with HasPartitionKey {
-  override def partitionKey(): InternalRow =
-    new GenericInternalRow(key.map(k => Int.box(k): Any))
+  override def partitionKey(): InternalRow = new GenericInternalRow(key)
 }
 
 case class GraftFileSlice(path: String, sizeBytes: Long, schemaId: Int)
@@ -222,23 +259,29 @@ class GraftBatchScan(
   private val specFields = m.spec.fields
   private val sameSpec = liveFiles.forall(_.specId == m.spec.specId)
 
-  /** bucket ordinals per file, spec-field order; None if any value is
-    * missing (shouldn't happen on sameSpec files, but never throw in
-    * planning on account of one stray file — fall back to shuffling). */
-  private def keyOf(f: DataFile): Option[Array[Int]] = {
-    val vs = specFields.map(pf => f.partitionValues.get(pf.physicalName)
-      .flatMap(v => scala.util.Try(v.toInt).toOption))
+  /** Typed partition-key values per file, spec-field order; None if any
+    * value is missing or unparseable (shouldn't happen on sameSpec files,
+    * but never throw in planning on account of one stray file — fall
+    * back to shuffling). */
+  private def keyOf(f: DataFile): Option[Array[Any]] = {
+    val vs = specFields.map { pf =>
+      for {
+        src <- m.schema.byId(pf.sourceId)
+        raw <- f.partitionValues.get(pf.physicalName)
+        v <- GraftSpj.internalKeyValue(pf.transform, src.sparkType, raw)
+      } yield v
+    }
     if (vs.forall(_.isDefined)) Some(vs.map(_.get).toArray) else None
   }
 
-  private lazy val grouped: Option[Seq[(Array[Int], Seq[DataFile])]] =
+  private lazy val grouped: Option[Seq[(Array[Any], Seq[DataFile])]] =
     if (!sameSpec || !GraftSpj.eligible(table)) None
     else {
       val keyed = liveFiles.map(f => keyOf(f).map(k => (k, f)))
       if (keyed.exists(_.isEmpty)) None
       else Some(keyed.flatten.groupBy(_._1.toSeq).map { case (k, fs) =>
         (k.toArray, fs.map(_._2))
-      }.toSeq.sortBy(_._1.toSeq.mkString(",")))
+      }.toSeq.sortBy(_._1.map(String.valueOf).mkString(",")))
     }
 
   override def readSchema(): StructType = required
@@ -250,8 +293,10 @@ class GraftBatchScan(
       val transforms: Array[org.apache.spark.sql.connector.expressions.Expression] =
         specFields.map { pf =>
           val src = m.schema.byId(pf.sourceId).get
-          val GraftSpj.BucketRe(n) = pf.transform: @unchecked
-          Expressions.bucket(n.toInt, src.name): org.apache.spark.sql.connector.expressions.Expression
+          (pf.transform match {
+            case GraftSpj.BucketRe(n) => Expressions.bucket(n.toInt, src.name)
+            case "identity" => Expressions.identity(src.name)
+          }): org.apache.spark.sql.connector.expressions.Expression
         }.toArray
       new KeyGroupedPartitioning(transforms, groups.size)
     case _ => new UnknownPartitioning(math.max(1, liveFiles.size))
@@ -275,7 +320,7 @@ class GraftBatchScan(
   // dropped, so the reported KeyGroupedPartitioning stays valid.
 
   @volatile private var runtimePred: Option[graft.lake.Pruning.Pred] = None
-  @volatile private var runtimeBuckets: Option[Set[Seq[Int]]] = None
+  @volatile private var runtimeBuckets: Option[Set[Seq[Any]]] = None
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (grouped.isDefined)
@@ -286,23 +331,31 @@ class GraftBatchScan(
   override def filter(filters: Array[Filter]): Unit = {
     val cond = filters.toSeq.flatMap(f => table.filterToColumn(f)).reduceOption(_ && _)
     runtimePred = cond.map(graft.lake.Pruning.translate)
-    // bucket-ordinal pruning from IN sets on the (single-field) bucket key
+    // partition-key pruning from IN sets on the (single-field) source
+    // column: bucket → hash each key to its only possible ordinal;
+    // identity → the keys ARE the partition values
     runtimeBuckets = specFields match {
       case Seq(pf) =>
         val src = m.schema.byId(pf.sourceId).get
-        val GraftSpj.BucketRe(nStr) = pf.transform: @unchecked
-        val n = nStr.toInt
+        def internalOf(v: Any): Any = v match {
+          case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+          case d: java.time.LocalDate => d.toEpochDay.toInt
+          case other => other
+        }
         filters.collectFirst {
           case org.apache.spark.sql.sources.In(a, vs) if a == src.name =>
-            vs.toSet[Any].map { v =>
-              val internal = v match {
-                case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
-                case other => other
-              }
-              val h =
-                if (internal == null) 42
-                else Murmur3HashFunction.hash(internal, src.sparkType, 42L).toInt
-              Seq(((h % n) + n) % n)
+            pf.transform match {
+              case GraftSpj.BucketRe(nStr) =>
+                val n = nStr.toInt
+                vs.toSet[Any].map { v =>
+                  val internal = internalOf(v)
+                  val h =
+                    if (internal == null) 42
+                    else Murmur3HashFunction.hash(internal, src.sparkType, 42L).toInt
+                  Seq[Any](((h % n) + n) % n)
+                }
+              case _ => vs.toSet[Any].map(v => Seq[Any](internalOf(v)))
             }
         }
       case _ => None

@@ -234,6 +234,29 @@ class GraftSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("identity-partitioned tables SPJ too: string-keyed join with no Exchange") {
+    setup
+    sql("""CREATE TABLE lake.spj.id_a (cat STRING, v BIGINT)
+          |PARTITIONED BY (cat)""".stripMargin)
+    sql("""INSERT INTO lake.spj.id_a VALUES
+          |('alpha', 1), ('alpha', 2), ('beta', 3), ('gamma', 4)""".stripMargin)
+    sql("""CREATE TABLE lake.spj.id_b (cat STRING, w STRING)
+          |PARTITIONED BY (cat)""".stripMargin)
+    sql("INSERT INTO lake.spj.id_b VALUES ('alpha', 'A'), ('beta', 'B'), ('delta', 'D')")
+    withSpj(on = true) {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = spark.table("lake.spj.id_a").join(spark.table("lake.spj.id_b"), "cat")
+        val plan = explained(j)
+        assert(plan.contains("SortMergeJoin"), plan)
+        assert(!plan.contains("Exchange"), s"identity SPJ join must not shuffle:\n$plan")
+        val got = j.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+        assert(got === Set(("alpha", 1L, "A"), ("alpha", 2L, "A"), ("beta", 3L, "B")))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("runtime filtering: a filtered build side dynamically prunes buckets and files") {
     setup
     withSpj(on = true) {
