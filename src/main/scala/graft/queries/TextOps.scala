@@ -592,6 +592,46 @@ object TextOps {
       |  CAST(rk AS BIGINT) AS rk
       |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)
 
+  /** N-gram-level benchmark decontamination (the GPT-3 13-gram rule, at
+    * 3-gram scale for this corpus): a corpus doc is contaminated if it
+    * shares ANY word shingle with the benchmark set — catching partial
+    * inclusions and paraphrase-with-quotes that the doc-level exact
+    * fingerprints (q39) and their bloom form (q62) cannot see. Benchmark
+    * = the `doc_id % 97 < 5` sample (the q39/q62 convention); output is
+    * the per-lang kept/dropped audit.
+    *
+    * Scale shape: the benchmark shingle set is small and DISTINCT →
+    * broadcasts; the corpus-side shingle stream comes off the native
+    * `word_shingles` generator and meets it in one broadcast semi-join
+    * keyed by shingle (hit doc-ids dedup map-side); the final anti join
+    * back to docs is doc-id-keyed. The corpus is exploded ONCE and
+    * nothing doc-sized shuffles. At 100 TB, Spark's runtime bloom filter
+    * (InjectRuntimeFilter) additionally prunes the shingle stream before
+    * the join when the benchmark side exceeds broadcast size. */
+  val q70 = dialect("q70_ngram_decontaminate",
+    sparkSql = s"""WITH g AS (
+      |$sparkShingles),
+      |ev AS (SELECT DISTINCT sh FROM g WHERE doc_id % 97 < 5),
+      |hit AS (SELECT DISTINCT g.doc_id FROM g JOIN ev ON g.sh = ev.sh
+      |        WHERE g.doc_id % 97 >= 5)
+      |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+      |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % 97 >= 5
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    duckSql = s"""WITH g AS (
+      |$duckShingles),
+      |ev AS (SELECT DISTINCT sh FROM g WHERE doc_id % 97 < 5),
+      |hit AS (SELECT DISTINCT g.doc_id FROM g JOIN ev ON g.sh = ev.sh
+      |        WHERE g.doc_id % 97 >= 5)
+      |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+      |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % 97 >= 5
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
+
   def specs: Seq[QuerySpec] =
-    Seq(q16, q17, q18, q19, q20, q21, q22, q51, q52, q56, q57, q58, q64, q66)
+    Seq(q16, q17, q18, q19, q20, q21, q22, q51, q52, q56, q57, q58, q64, q66, q70)
 }

@@ -292,6 +292,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"query terms should broadcast:\n$p")
   }
 
+  test("q70: ngram decontamination broadcasts the benchmark shingles, no cross join") {
+    val p = planOf("q70_ngram_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // benchmark shingle set and hit-doc set are both small → broadcast joins
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+  }
+
   test("whole-stage codegen covers the relational queries' hot path") {
     val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
     df.collect() // AQE finalizes (and codegens) the plan only on execution
