@@ -173,8 +173,18 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * streaming read-back (Changelog.streamRead) filters on "app-*" so a
     * CoW rewrite never re-delivers rows — the same append-only streaming
     * semantics Iceberg's streaming read enforces. */
+  /** `sortWithinPhysical`: physical column names to keep rows sorted by
+    * INSIDE each written file. The dynamic-partition write path sorts its
+    * input by the partition columns (one open file at a time), and that
+    * sort is not stable — it silently destroys any pre-existing row
+    * order. Sorting by (partitionCols ++ sortCols) here makes the
+    * partition-sort requirement already satisfied, so the within-file
+    * order survives; sort-clustered rewrites pass their sort columns so
+    * sorted-scan reporting ([[graft.lake.dsv2.GraftBatchScan]]) is
+    * actually true at the row level, not just at file-stats level. */
   private def writeDataFiles(physical: DataFrame, m: TableMeta,
-                             filePrefix: String = "rw"): Seq[DataFile] = {
+                             filePrefix: String = "rw",
+                             sortWithinPhysical: Seq[String] = Seq.empty): Seq[DataFile] = {
     val schema = m.schema
     val spec = m.spec
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -191,11 +201,16 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     // partition-values-per-task, the small-files factory at 100 TB.
     // Default "none" keeps writes shuffle-free (right for single-partition
     // micro-batches and huge per-partition loads).
-    val withParts =
+    val withParts1 =
       if (partCols.nonEmpty &&
           m.properties.get("write.distribution-mode").contains("hash"))
         withParts0.repartition(partCols.map(c => col(c)): _*)
       else withParts0
+    val withParts =
+      if (sortWithinPhysical.nonEmpty)
+        withParts1.sortWithinPartitions(
+          (partCols ++ sortWithinPhysical).map(c => col(c)): _*)
+      else withParts1
     // write.bloom-filter.columns: per-column parquet bloom filters for
     // high-cardinality point lookups — row-group-level pruning inside the
     // files our min/max stats can't separate (hashes, ids). Pure write
@@ -1018,7 +1033,11 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         val cols = sortBy.map(col)
         base.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
       } else base.repartition(n)
-    val rewritten = writeDataFiles(toPhysical(df, m0.schema), m0)
+    // sort-clustered rewrites must keep the row order INSIDE each written
+    // file (see writeDataFiles scaladoc) — pass the sort columns through
+    val sortPhysical = sortBy.flatMap(c => m0.schema.byName(c).map(_.physicalName))
+    val rewritten = writeDataFiles(toPhysical(df, m0.schema), m0,
+      sortWithinPhysical = sortPhysical)
     commitReplace(branch, rewritten, "replace", Map(
       "rewritten-data-files" -> files.size.toString,
       "added-data-files" -> rewritten.size.toString) ++

@@ -236,7 +236,8 @@ class GraftBatchScan(
     required: StructType,
     pushed: Array[Filter])
   extends Scan with Batch with SupportsReportPartitioning with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   private val lake = table.lakeTable
   // pin metadata + snapshot at scan construction: every piece of this scan
@@ -301,6 +302,72 @@ class GraftBatchScan(
       new KeyGroupedPartitioning(transforms, groups.size)
     case _ => new UnknownPartitioning(math.max(1, liveFiles.size))
   }
+
+  // ---- sorted-scan reporting (zero-sort joins over sorted storage) --------
+  //
+  // After `rewrite_data_files(sort_by = k)` the WHOLE table was rewritten
+  // range-partitioned + sorted by k: every file is internally sorted and
+  // file ranges are disjoint. The head snapshot's `sort-order` summary is
+  // the claim (any later commit drops it — conservative and correct);
+  // file stats VERIFY it: within each task's file set, [min,max] of the
+  // leading sort column must be non-overlapping when ordered by min, and
+  // null-bearing files are rejected (null placement can't be proven from
+  // counts alone). When it holds, the scan reports the leading column's
+  // ascending order and concatenates files in min order — a co-bucketed
+  // join over sort-clustered tables then plans with NO Exchange and NO
+  // Sort on either side.
+
+  private def statRange(f: DataFile, c: graft.lake.LakeColumn): Option[(Any, Any)] = {
+    val written = m.schemas.find(_.schemaId == f.schemaId).getOrElse(m.schema)
+    for {
+      w <- written.byId(c.id)
+      st <- f.stats.get(w.physicalName)
+      if st.nullCount == 0
+      mn <- st.min
+      mx <- st.max
+    } yield (graft.lake.Pruning.decodeStat(mn, w.sparkType),
+      graft.lake.Pruning.decodeStat(mx, w.sparkType))
+  }
+
+  /** Files ordered by min(c) if their [min,max] ranges chain without
+    * overlap (boundary equality allowed — equal adjacency keeps the
+    * leading column sorted); None when unprovable. */
+  private def orderedIfDisjoint(files: Seq[DataFile],
+                                c: graft.lake.LakeColumn): Option[Seq[DataFile]] = {
+    if (files.size <= 1) return Some(files)
+    val ranges = files.map(f => statRange(f, c).map(r => (f, r)))
+    if (ranges.exists(_.isEmpty)) None
+    else {
+      val sorted = ranges.flatten.sortWith { (a, b) =>
+        graft.lake.Pruning.compare(a._2._1, b._2._1).exists(_ < 0)
+      }
+      val chained = sorted.sliding(2).forall {
+        case Seq((_, (_, amax)), (_, (bmin, _))) =>
+          graft.lake.Pruning.compare(amax, bmin).exists(_ <= 0)
+        case _ => true
+      }
+      if (chained) Some(sorted.map(_._1)) else None
+    }
+  }
+
+  /** The leading sort column, when the head snapshot's sort-order claim
+    * is stats-verified across every task's file set. */
+  private lazy val sortedLeading: Option[graft.lake.LakeColumn] = {
+    val claimed = snap.flatMap(_.summary.get("sort-order"))
+      .map(_.split(",").head.trim).flatMap(m.schema.byName)
+    claimed.filter { c =>
+      grouped match {
+        case Some(groups) => groups.forall { case (_, fs) => orderedIfDisjoint(fs, c).isDefined }
+        case None => true // fallback path: one file per split, in-file order suffices
+      }
+    }
+  }
+
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    sortedLeading.map { c =>
+      Array(Expressions.sort(Expressions.column(c.name),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    }.getOrElse(Array.empty)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
@@ -372,7 +439,12 @@ class GraftBatchScan(
       groups.map { case (k, fs) =>
         val kept =
           if (runtimeBuckets.exists(!_.contains(k.toSeq))) Seq.empty
-          else fs.filter(runtimeKeep)
+          else {
+            // when ordering is reported, the task must concatenate its
+            // files in min order of the sort column
+            val ordered = sortedLeading.flatMap(c => orderedIfDisjoint(fs, c)).getOrElse(fs)
+            ordered.filter(runtimeKeep)
+          }
         GraftInputPartition(k, kept.map(f => GraftFileSlice(f.path, f.sizeBytes, f.schemaId)))
           : InputPartition
       }.toArray

@@ -289,6 +289,50 @@ class GraftSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("sort-clustered tables join with NO Exchange and NO Sort") {
+    setup
+    def mk(t: String, rows: Int): Unit = {
+      sql(s"""CREATE TABLE lake.spj.$t (k BIGINT, v DOUBLE)
+             |PARTITIONED BY (bucket(4, k))""".stripMargin)
+      (0 until 2).foreach { i =>
+        spark.range(i * rows, (i + 1) * rows)
+          .selectExpr("id % 40 AS k", "CAST(id AS DOUBLE) AS v")
+          .writeTo(s"lake.spj.$t").append()
+      }
+      sql(s"CALL lake.system.rewrite_data_files(table => 'spj.$t', sort_by => 'k')")
+    }
+    mk("sa", 60)
+    mk("sb", 40)
+    withSpj(on = true) {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val a = spark.table("lake.spj.sa").selectExpr("k", "v AS va")
+        val b = spark.table("lake.spj.sb").selectExpr("k", "v AS vb")
+        val j = a.join(b, "k")
+        val plan = explained(j)
+        assert(plan.contains("SortMergeJoin"), plan)
+        assert(!plan.contains("Exchange"), s"sorted SPJ join must not shuffle:\n$plan")
+        assert(!"""\(\d+\) Sort\b""".r.findFirstIn(plan).isDefined,
+          s"sorted storage must satisfy the SMJ ordering — no Sort nodes:\n$plan")
+        // parity against the shuffled+sorted plan
+        val expected = withSpj(on = false)(
+          a.join(b, "k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet)
+        val got = j.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+        assert(got === expected)
+        assert(got.nonEmpty)
+        // an unsorted append after the rewrite drops the ordering claim
+        // (the head snapshot is no longer the sort rewrite): Sort returns
+        spark.range(1000, 1010).selectExpr("id % 40 AS k", "CAST(id AS DOUBLE) AS v")
+          .writeTo("lake.spj.sa").append()
+        val plan2 = explained(
+          spark.table("lake.spj.sa").selectExpr("k", "v AS va").join(b, "k"))
+        assert("""\(\d+\) Sort\b""".r.findFirstIn(plan2).isDefined,
+          s"appended table must re-sort:\n$plan2")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("bucket function: produceResult matches the write-side transform") {
     setup
     import org.apache.spark.sql.catalyst.InternalRow
