@@ -341,9 +341,56 @@ object Relational {
       |    AS avg_value_7d
       |FROM daily ORDER BY day""".stripMargin)
 
+  /** Time-series gap filling + carry-forward (the reporting-table shape):
+    * the high-value purchase series has days with NO events — a date
+    * spine (sequence over the observed [min, max] day range) left-joins
+    * the daily aggregate, missing days fill revenue 0, and the
+    * carried-forward "last known" value comes from an IGNORE-NULLS
+    * last_value window. Exact day arithmetic (epoch-µs integer division)
+    * and DECIMAL daily sums keep both engines bit-identical; the spine is
+    * generated, never scanned. Scale shape: one day-keyed aggregate, a
+    * tiny generated spine (days, not events) on the broadcast side, one
+    * ordered window over rows-per-DAY — the raw event stream is touched
+    * exactly once. */
+  val q72 = dialect("q72_gap_fill",
+    sparkSql = """WITH d AS (
+      |  SELECT (ts DIV 1000) DIV 86400000000 AS day,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS rev
+      |  FROM events WHERE event_type = 'purchase' AND value >= 190
+      |  GROUP BY 1),
+      |spine AS (
+      |  SELECT explode(sequence(mn, mx)) AS day
+      |  FROM (SELECT MIN(day) AS mn, MAX(day) AS mx FROM d)),
+      |f AS (
+      |  SELECT spine.day, d.rev,
+      |    last_value(d.rev, true) OVER (ORDER BY spine.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+      |  FROM spine LEFT JOIN d ON spine.day = d.day)
+      |SELECT day, CAST(coalesce(rev, 0) AS DOUBLE) AS rev,
+      |  CAST(carried AS DOUBLE) AS carried,
+      |  CAST(CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+      |FROM f ORDER BY day""".stripMargin,
+    duckSql = """WITH d AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS rev
+      |  FROM events WHERE event_type = 'purchase' AND value >= 190
+      |  GROUP BY 1),
+      |spine AS (
+      |  SELECT unnest(generate_series(mn, mx)) AS day
+      |  FROM (SELECT MIN(day) AS mn, MAX(day) AS mx FROM d)),
+      |f AS (
+      |  SELECT spine.day, d.rev,
+      |    last_value(d.rev IGNORE NULLS) OVER (ORDER BY spine.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+      |  FROM spine LEFT JOIN d ON spine.day = d.day)
+      |SELECT day, CAST(coalesce(rev, 0) AS DOUBLE) AS rev,
+      |  CAST(carried AS DOUBLE) AS carried,
+      |  CAST(CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+      |FROM f ORDER BY day""".stripMargin)
+
   val flagship: QuerySpec = q04
 
   def specs: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q28, q29, q30, q34, q35, q45, q46,
-    q55)
+    q55, q72)
 }

@@ -632,6 +632,58 @@ object TextOps {
       |WHERE d.doc_id % 97 >= 5
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
 
+  /** Boilerplate stripping at block granularity (the RefinedWeb/CCNet
+    * line-dedup shape, on 8-token blocks since the synthetic docs are
+    * single-line): any block appearing verbatim in MORE THAN ONE document
+    * is boilerplate and is removed; surviving blocks reassemble in
+    * position order into the cleaned text. This is a TRANSFORM (outputs
+    * rebuilt text), not a metric — the md5 of the reassembled string is
+    * hash-compared, so the exact reconstruction (order, spacing,
+    * partial final block) is verified cross-engine. Docs whose every
+    * block is boilerplate drop out entirely (exact dups lose all blocks).
+    *
+    * Scale shape: blocks derive from one sequence() explode over the
+    * pre-split token array (never per-token rows); the df side is one
+    * map-side-combined aggregate keyed by block; the keep-join is an
+    * equi-join on the same key; reassembly is one collect_list per doc
+    * (array_sort makes the unordered aggregation deterministic). At
+    * 100 TB the block-hash key space is corpus-sized but uniformly
+    * distributed — the exchange shards cleanly. */
+  val q71 = dialect("q71_boilerplate_strip",
+    sparkSql = """WITH t AS (
+      |  SELECT doc_id, lang, split(trim(text), '\\s+') AS w FROM documents),
+      |b AS (
+      |  SELECT doc_id, lang, pos,
+      |    array_join(slice(w, pos * 8 + 1, 8), ' ') AS blk
+      |  FROM t LATERAL VIEW explode(sequence(0,
+      |    CAST(ceil(size(w) / 8.0) AS INT) - 1)) e AS pos),
+      |df AS (SELECT blk, COUNT(DISTINCT doc_id) AS df FROM b GROUP BY blk),
+      |k AS (SELECT b.doc_id, b.lang, b.pos, b.blk
+      |      FROM b JOIN df ON b.blk = df.blk WHERE df.df = 1)
+      |SELECT doc_id, lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  md5(array_join(transform(array_sort(collect_list(struct(pos, blk))),
+      |    x -> x.blk), ' ')) AS fp
+      |FROM k GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+    duckSql = """WITH t AS (
+      |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, lang,
+      |    unnest(generate_series(0, CAST(ceil(len(w) / 8.0) AS INT) - 1)) AS pos,
+      |    w FROM t),
+      |blk AS (
+      |  SELECT doc_id, lang, pos,
+      |    array_to_string(list_slice(w, pos * 8 + 1, pos * 8 + 8), ' ') AS blk
+      |  FROM b),
+      |df AS (SELECT blk, COUNT(DISTINCT doc_id) AS df FROM blk GROUP BY blk)
+      |SELECT doc_id, lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  md5(string_agg(b2.blk, ' ' ORDER BY b2.pos)) AS fp
+      |FROM blk b2 JOIN df ON b2.blk = df.blk WHERE df.df = 1
+      |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin)
+
   def specs: Seq[QuerySpec] =
-    Seq(q16, q17, q18, q19, q20, q21, q22, q51, q52, q56, q57, q58, q64, q66, q70)
+    Seq(q16, q17, q18, q19, q20, q21, q22, q51, q52, q56, q57, q58, q64, q66,
+      q70, q71)
 }
