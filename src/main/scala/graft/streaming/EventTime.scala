@@ -98,6 +98,60 @@ object EventTime {
       }
   }
 
+  case class UserAgg(userId: String, nEvents: Long, revenue: Double)
+
+  /** Per-user running aggregate on Spark 4's transformWithState — the
+    * successor to mapGroupsWithState ([[runningUserState]]) and the shape
+    * to prefer going forward: typed named state handles with BUILT-IN TTL
+    * (state for idle users expires without the timeout-batch churn the
+    * old API forced — see runningUserState's NoTimeout note), multiple
+    * independent state variables per key, and timer support, all on the
+    * RocksDB state store (the provider the API requires; the store that
+    * actually holds 100 TB-scale keyed state, spilling off-heap instead
+    * of growing the executor heap).
+    *
+    * Input: (user_id, value) pairs; output per input batch and key: the
+    * updated running (event count, revenue sum). */
+  class UserAggProcessor(ttl: Option[java.time.Duration])
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Double), UserAgg] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("agg",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        ttl.map(org.apache.spark.sql.streaming.TTLConfig(_))
+          .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE))
+    override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserAgg] = {
+      val (n0, r0) = Option(state.get()).getOrElse((0L, 0.0))
+      var n = n0; var r = r0
+      rows.foreach { case (_, v) => n += 1; r += v }
+      state.update((n, r))
+      Iterator.single(UserAgg(key, n, r))
+    }
+  }
+
+  /** transformWithState pipeline: requires the RocksDB state store
+    * (`spark.sql.streaming.stateStore.providerClass`). With a TTL the
+    * query runs in processing-time mode, which schedules continuous
+    * eviction micro-batches even when idle (the same churn the old API's
+    * timeouts caused — accept it only when state EVICTION is the point);
+    * `ttl = None` runs TimeMode.None — data-driven batches only. */
+  def runningUserAggTws(events: DataFrame,
+                        ttl: Option[java.time.Duration] = None
+                       ): Dataset[UserAgg] = {
+    implicit val outEnc = Encoders.product[UserAgg]
+    implicit val inEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaDouble)
+    events.selectExpr("user_id", "value").as[(String, Double)](inEnc)
+      .groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(new UserAggProcessor(ttl),
+        if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+        else org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Stream-stream event-time interval join (click attribution shape):
     * every right-side row joins left-side rows with the same key whose
     * event time lies in `[right.ts − within, right.ts]` — e.g. a click

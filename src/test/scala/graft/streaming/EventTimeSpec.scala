@@ -217,6 +217,36 @@ class EventTimeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState: per-user running aggregate on RocksDB state") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(String, Double)]
+      val events = mem.toDF().toDF("user_id", "value")
+      val out = EventTime.runningUserAggTws(events)
+      val q = out.writeStream.format("memory").queryName("tws")
+        .outputMode("update").start()
+      try {
+        mem.addData(("u1", 10.0), ("u1", 5.0), ("u2", 1.0))
+        q.processAllAvailable()
+        mem.addData(("u1", 2.5), ("u2", 1.5))
+        q.processAllAvailable()
+        val last = spark.table("tws").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+        // state carried across micro-batches: running totals, not per-batch
+        assert(last("u1") === ("u1", 3L, 17.5))
+        assert(last("u2") === ("u2", 2L, 2.5))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join: attribution within the window, state bounded") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
