@@ -538,6 +538,57 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   /** TRUNCATE (D3): new empty snapshot. "Table := empty" is planned
     * against the current head — a concurrent commit aborts rather than
     * being silently wiped. */
+  // ---- atomic REPLACE TABLE (RTAS staging) --------------------------------
+
+  /** Write data files for a PENDING (schema, spec) without any commit —
+    * the write half of atomic `CREATE OR REPLACE TABLE AS SELECT`
+    * ([[graft.lake.dsv2.GraftStagedTable]]). Files land in the table
+    * directory but no ref sees them until [[replaceTable]] publishes
+    * schema + spec + content in one metadata version; an abort leaves
+    * only orphans for `remove_orphan_files`. */
+  private[lake] def stageFilesFor(df: DataFrame, pendingSchema: LakeSchema,
+                                  pendingSpec: PartitionSpec): Seq[DataFile] = {
+    val m = meta
+    val m2 = m.copy(
+      schemas = m.schemas.filterNot(_.schemaId == pendingSchema.schemaId) :+ pendingSchema,
+      currentSchemaId = pendingSchema.schemaId,
+      partitionSpecs = m.partitionSpecs.filterNot(_.specId == pendingSpec.specId) :+ pendingSpec,
+      defaultSpecId = pendingSpec.specId)
+    writeDataFiles(toPhysical(df, pendingSchema), m2, filePrefix = "app")
+  }
+
+  /** Atomic table replacement: ONE commit swaps schema, partition spec,
+    * properties, and content to exactly `files`. Prior snapshots and
+    * schemas stay recorded (metadata history), but branches and tags
+    * reset to the new main — REPLACE defines a new logical table, and a
+    * pre-replace branch head would resurrect the old content. Fresh
+    * column ids mean pre-replace files share no column lineage with the
+    * new schema (time travel to old snapshots reads them under the OLD
+    * ids, exactly as written). */
+  private[lake] def replaceTable(pendingSchema: LakeSchema, pendingSpec: PartitionSpec,
+                                 props: Map[String, String],
+                                 files: Seq[DataFile]): TableMeta =
+    commit { m =>
+      val snapId = m.lastSnapshotId + 1
+      val now = System.currentTimeMillis()
+      val snap = Snapshot(snapId, m.currentSnapshot.map(_.snapshotId), now, "replace-table",
+        Map("operation" -> "replace-table",
+          "added-data-files" -> files.size.toString,
+          "total-records" -> files.map(_.rowCount).sum.toString), files)
+      m.copy(
+        schemas = m.schemas.filterNot(_.schemaId == pendingSchema.schemaId) :+ pendingSchema,
+        currentSchemaId = pendingSchema.schemaId,
+        partitionSpecs = m.partitionSpecs.filterNot(_.specId == pendingSpec.specId) :+ pendingSpec,
+        defaultSpecId = pendingSpec.specId,
+        properties = props,
+        snapshots = m.snapshots :+ snap,
+        lastSnapshotId = snapId,
+        lastColumnId = math.max(m.lastColumnId,
+          pendingSchema.columns.map(_.id).maxOption.getOrElse(0)),
+        refs = Map("main" -> Ref(snapId)),
+        history = m.history :+ HistoryEntry(now, snapId, "main"))
+    }
+
   def truncate(toBranch: Option[String] = None): TableMeta = {
     val m0 = meta
     requireWapUnambiguous(m0)

@@ -28,7 +28,7 @@ import scala.jdk.CollectionConverters._
   * Started.ipynb:429) via [[GraftProcedures]].
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
-  with FunctionCatalog {
+  with FunctionCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private[dsv2] var lake: LakeCatalog = _
@@ -240,6 +240,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+
+  // ---- atomic RTAS (StagingTableCatalog) -----------------------------------
+  //
+  // CREATE OR REPLACE TABLE … AS SELECT through GraftStagedTable: the
+  // SELECT writes pending files, commitStagedChanges publishes schema +
+  // spec + content in one metadata version (see GraftStagedTable scaladoc).
+
+  private def stage(ident: Identifier, info: TableInfo,
+                    allowExisting: Boolean, requireExisting: Boolean): StagedTable = {
+    val s = identString(ident)
+    val exists = lake.tableExists(s)
+    if (!allowExisting && exists) throw new TableAlreadyExistsException(ident)
+    if (requireExisting && !exists) throw new NoSuchTableException(ident)
+    val partitionBy = info.partitions().toSeq.map(transformToPair)
+    val props = info.properties().asScala.toMap -- Seq("provider", "owner", "location")
+    new GraftStagedTable(lake, s, info.schema(), partitionBy, props, exists)
+  }
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, allowExisting = false, requireExisting = false)
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, allowExisting = true, requireExisting = true)
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, allowExisting = true, requireExisting = false)
 
   // ---- functions (v2 FunctionCatalog) --------------------------------------
   //

@@ -546,6 +546,44 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(props("pq.codebooks").startsWith("[[["))
   }
 
+  test("CREATE OR REPLACE TABLE AS SELECT is one atomic commit (schema + content)") {
+    sql("CREATE DATABASE IF NOT EXISTS lake.db")
+    sql("CREATE TABLE lake.db.rtas (id BIGINT, v STRING)")
+    sql("INSERT INTO lake.db.rtas VALUES (1, 'old'), (2, 'old')")
+    // replace with a DIFFERENT schema and new content in one statement
+    sql("""CREATE OR REPLACE TABLE lake.db.rtas AS
+          |SELECT CAST(10 AS BIGINT) AS n, CAST(1.5 AS DOUBLE) AS score""".stripMargin)
+    val rows = sql("SELECT n, score FROM lake.db.rtas").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 10L && rows.head.getDouble(1) === 1.5)
+    // the replacement is ONE snapshot; the old content is still in history
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[GraftCatalog]
+    val t = cat.lake.loadTable("db.rtas")
+    val m = t.meta
+    assert(m.currentSnapshot.exists(_.operation == "replace-table"))
+    val preReplace = m.snapshots.filter(_.operation == "append").map(_.snapshotId).max
+    // time travel across the replace reads the OLD schema's content
+    val old = t.read(snapshotId = Some(preReplace)).collect()
+    assert(old.length === 2)
+    // RTAS over a NONEXISTENT table also works (create path)
+    sql("CREATE OR REPLACE TABLE lake.db.rtas2 AS SELECT 1 AS a")
+    assert(sql("SELECT a FROM lake.db.rtas2").head.getInt(0) === 1)
+  }
+
+  test("failed RTAS leaves the old table fully intact") {
+    sql("CREATE DATABASE IF NOT EXISTS lake.db")
+    sql("CREATE TABLE lake.db.rtas_f (id BIGINT)")
+    sql("INSERT INTO lake.db.rtas_f VALUES (1), (2), (3)")
+    // the SELECT fails mid-write → abortStagedChanges; old content intact
+    intercept[Exception] {
+      sql("""CREATE OR REPLACE TABLE lake.db.rtas_f AS
+            |SELECT CAST(raise_error('boom') AS STRING) AS x FROM range(5)""".stripMargin)
+    }
+    assert(sql("SELECT COUNT(*) FROM lake.db.rtas_f").head.getLong(0) === 3)
+    assert(spark.table("lake.db.rtas_f").schema.fieldNames.toSeq === Seq("id"))
+  }
+
   test("MERGE matched-ness scan is bounds-pruned to stats-overlapping files") {
     sql("CREATE TABLE lake.db.mp (id BIGINT, v STRING)")
     // three appends → three data files with disjoint id ranges
