@@ -28,7 +28,7 @@ import scala.jdk.CollectionConverters._
   * Started.ipynb:429) via [[GraftProcedures]].
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
-  with FunctionCatalog with StagingTableCatalog {
+  with FunctionCatalog with StagingTableCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private[dsv2] var lake: LakeCatalog = _
@@ -264,6 +264,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     stage(ident, info, allowExisting = true, requireExisting = true)
   override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
     stage(ident, info, allowExisting = true, requireExisting = false)
+
+  // ---- views (ViewCatalog) -------------------------------------------------
+  //
+  // SQL CREATE/DROP/SHOW VIEW against the lake catalog — view text +
+  // resolution context persist as warehouse JSON (GraftViews scaladoc),
+  // so views are engine-agnostic metadata like the table format itself.
+
+  private def warehouse: String = lake.warehouse
+
+  override def loadView(ident: Identifier): View =
+    GraftViews.load(spark, warehouse, ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    if (GraftViews.exists(spark, warehouse, ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    GraftViews.create(spark, warehouse, info, orReplace = false)
+    loadView(ident)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident()
+    if (!orCreate && !GraftViews.exists(spark, warehouse, ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    GraftViews.create(spark, warehouse, info, orReplace = true)
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View =
+    throw new UnsupportedOperationException(
+      "ALTER VIEW: drop and re-create (views are immutable documents)")
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftViews.drop(spark, warehouse, ident)
+
+  override def renameView(from: Identifier, to: Identifier): Unit =
+    GraftViews.rename(spark, warehouse, from, to)
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    GraftViews.list(spark, warehouse, namespace.toArray).toArray
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViews.exists(spark, warehouse, ident)
 
   // ---- functions (v2 FunctionCatalog) --------------------------------------
   //

@@ -30,10 +30,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.parseBranchDdl(sqlText, delegate)
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val plan = GraftSqlParser.parseBranchDdl(sqlText, delegate)
       .orElse(GraftSqlParser.parsePartitionFieldDdl(sqlText, delegate))
       .getOrElse(delegate.parsePlan(sqlText))
+    // view DDL/reads on graft catalogs rewrite at PARSE time: the
+    // analyzer's ResolveSessionCatalog rejects v2-catalog view DDL before
+    // any injected resolution rule can run (GraftViewRule scaladoc)
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) => GraftViewRule(s)(plan)
+      case None => plan
+    }
+  }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -584,6 +584,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table("lake.db.rtas_f").schema.fieldNames.toSeq === Seq("id"))
   }
 
+  test("catalog views: CREATE VIEW / query / SHOW / RENAME / DROP persist in the warehouse") {
+    // views need the extensions session: stock Spark has no SQL wiring
+    // for v2 ViewCatalog (GraftViewRule scaladoc)
+    def esql(q: String) = extSpark.sql(q)
+    esql("CREATE DATABASE IF NOT EXISTS lake.db")
+    esql("CREATE TABLE lake.db.vbase (id BIGINT, grp STRING, v DOUBLE)")
+    esql("""INSERT INTO lake.db.vbase VALUES
+          |(1, 'a', 1.0), (2, 'a', 2.0), (3, 'b', 3.0)""".stripMargin)
+    esql("""CREATE VIEW lake.db.grp_totals AS
+          |SELECT grp, SUM(v) AS total FROM lake.db.vbase GROUP BY grp""".stripMargin)
+    val rows = esql("SELECT grp, total FROM lake.db.grp_totals ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq === Seq(("a", 3.0), ("b", 3.0)))
+    // views see NEW base data (re-resolved at read, not materialized)
+    esql("INSERT INTO lake.db.vbase VALUES (4, 'b', 4.0)")
+    assert(esql("SELECT total FROM lake.db.grp_totals WHERE grp = 'b'")
+      .head.getDouble(0) === 7.0)
+    // listed, renamed, replaced, dropped
+    assert(esql("SHOW VIEWS IN lake.db").collect()
+      .exists(_.getString(1) == "grp_totals"))
+    esql("ALTER VIEW lake.db.grp_totals RENAME TO lake.db.totals2")
+    assert(esql("SELECT COUNT(*) FROM lake.db.totals2").head.getLong(0) === 2)
+    esql("""CREATE OR REPLACE VIEW lake.db.totals2 AS
+          |SELECT grp FROM lake.db.vbase GROUP BY grp""".stripMargin)
+    assert(extSpark.sql("SELECT * FROM lake.db.totals2").schema.fieldNames.toSeq === Seq("grp"))
+    esql("DROP VIEW lake.db.totals2")
+    intercept[Exception](esql("SELECT * FROM lake.db.totals2").collect())
+  }
+
   test("MERGE matched-ness scan is bounds-pruned to stats-overlapping files") {
     sql("CREATE TABLE lake.db.mp (id BIGINT, v STRING)")
     // three appends → three data files with disjoint id ranges
