@@ -613,6 +613,26 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception](esql("SELECT * FROM lake.db.totals2").collect())
   }
 
+  test("""path-based access: spark.read.format("graft").load(location)""") {
+    sql("CREATE DATABASE IF NOT EXISTS lake.db")
+    sql("CREATE TABLE lake.db.bypath (id BIGINT, v STRING)")
+    sql("INSERT INTO lake.db.bypath VALUES (1, 'a'), (2, 'b')")
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[GraftCatalog]
+    val loc = cat.lake.loadTable("db.bypath").location
+    val snap1 = cat.lake.loadTable("db.bypath").meta.currentSnapshot.get.snapshotId
+    // read by path
+    val df = spark.read.format("graft").load(loc)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // write by path = one lake commit, visible to the catalog
+    spark.range(3, 5).selectExpr("id", "CAST(id AS STRING) AS v")
+      .write.format("graft").mode("append").save(loc)
+    assert(sql("SELECT COUNT(*) FROM lake.db.bypath").head.getLong(0) === 4)
+    // time travel via the Iceberg-convention read option
+    assert(spark.read.format("graft").option("snapshot-id", snap1)
+      .load(loc).count() === 2)
+  }
+
   test("MERGE matched-ness scan is bounds-pruned to stats-overlapping files") {
     sql("CREATE TABLE lake.db.mp (id BIGINT, v STRING)")
     // three appends → three data files with disjoint id ranges
