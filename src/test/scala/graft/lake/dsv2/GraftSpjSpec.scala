@@ -333,6 +333,37 @@ class GraftSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("skew: partially-clustered distribution splits hot buckets correctly") {
+    setup
+    sql("""CREATE TABLE lake.spj.skewed (k BIGINT, v DOUBLE)
+          |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    // one hot key = one hot bucket; several files of it (per-append files)
+    (0 until 4).foreach { i =>
+      spark.range(0, 500).selectExpr("7 AS k", s"CAST(id + ${i * 500} AS DOUBLE) AS v")
+        .writeTo("lake.spj.skewed").append()
+    }
+    spark.range(0, 40).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .writeTo("lake.spj.skewed").append()
+    withSpj(on = true) {
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val j = spark.table("lake.spj.skewed").join(spark.table("lake.spj.dim"), "k")
+        val expected = withSpj(on = false) {
+          spark.table("lake.spj.skewed").join(spark.table("lake.spj.dim"), "k").count()
+        }
+        assert(j.count() === expected)
+        assert(expected === 2000 + 40) // 4×500 hot rows + 40 spread rows (dim has k 0..49)
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("bucket function: produceResult matches the write-side transform") {
     setup
     import org.apache.spark.sql.catalyst.InternalRow
