@@ -34,11 +34,19 @@ case class GraftViewRule(spark: SparkSession) extends Rule[LogicalPlan] {
     scala.util.Try(spark.sessionState.catalogManager.catalog(name)).toOption
       .collect { case g: GraftCatalog => g }
 
-  /** (catalog, catalogName, Identifier) for catalog-qualified name parts. */
+  /** (catalog, catalogName, Identifier) for catalog-qualified name parts;
+    * 2-part names resolve against the CURRENT catalog when it is a graft
+    * catalog (the `USE lake` notebook convention). */
   private def viewTarget(parts: Seq[String]): Option[(GraftCatalog, String, Identifier)] =
     parts match {
       case Seq(cat, db, v) =>
         asGraft(cat).map(g => (g, cat, Identifier.of(Array(db), v)))
+      case Seq(db, v) =>
+        val cm = spark.sessionState.catalogManager
+        cm.currentCatalog match {
+          case g: GraftCatalog => Some((g, g.name(), Identifier.of(Array(db), v)))
+          case _ => None
+        }
       case _ => None
     }
 

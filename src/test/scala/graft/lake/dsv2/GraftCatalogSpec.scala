@@ -611,6 +611,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(extSpark.sql("SELECT * FROM lake.db.totals2").schema.fieldNames.toSeq === Seq("grp"))
     esql("DROP VIEW lake.db.totals2")
     intercept[Exception](esql("SELECT * FROM lake.db.totals2").collect())
+    // the USE-catalog convention: 2-part names resolve against the
+    // current graft catalog
+    esql("USE lake")
+    try {
+      esql("CREATE VIEW db.v2part AS SELECT COUNT(*) AS n FROM lake.db.vbase")
+      assert(esql("SELECT n FROM db.v2part").head.getLong(0) === 4)
+      esql("DROP VIEW db.v2part")
+    } finally esql("USE spark_catalog")
   }
 
   test("""path-based access: spark.read.format("graft").load(location)""") {
