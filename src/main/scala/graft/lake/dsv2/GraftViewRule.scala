@@ -68,9 +68,11 @@ case class GraftViewRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case None => cv
         }
       case dv @ DropView(UnresolvedIdentifier(parts, _), ifExists) =>
+        // intercept whenever the identifier targets a graft catalog — the
+        // command handles IF EXISTS (falling through would hit the stock
+        // "catalog does not support views" rejection even for IF EXISTS)
         viewTarget(parts) match {
-          case Some(t @ (g, _, ident)) if viewExists(t) || !ifExists =>
-            DropGraftViewCommand(g, ident, ifExists)
+          case Some((g, _, ident)) => DropGraftViewCommand(g, ident, ifExists)
           case _ => dv
         }
       case rn @ RenameTable(UnresolvedTableOrView(parts, _, _), newName, true) =>
@@ -85,10 +87,16 @@ case class GraftViewRule(spark: SparkSession) extends Rule[LogicalPlan] {
             RenameGraftViewCommand(g, ident, toIdent)
           case _ => rn
         }
-      case sv @ ShowViews(UnresolvedNamespace(Seq(cat, db), _), pattern, output) =>
-        asGraft(cat) match {
-          case Some(g) => ShowGraftViewsCommand(g, db, pattern, output)
-          case None => sv
+      case sv @ ShowViews(UnresolvedNamespace(ns, _), pattern, output) =>
+        ns match {
+          case Seq(cat, db) if asGraft(cat).isDefined =>
+            ShowGraftViewsCommand(asGraft(cat).get, db, pattern, output)
+          case Seq(db) =>
+            spark.sessionState.catalogManager.currentCatalog match {
+              case g: GraftCatalog => ShowGraftViewsCommand(g, db, pattern, output)
+              case _ => sv
+            }
+          case _ => sv
         }
       case other => other
     }

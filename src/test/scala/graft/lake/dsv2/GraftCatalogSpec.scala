@@ -617,7 +617,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     try {
       esql("CREATE VIEW db.v2part AS SELECT COUNT(*) AS n FROM lake.db.vbase")
       assert(esql("SELECT n FROM db.v2part").head.getLong(0) === 4)
+      assert(esql("SHOW VIEWS IN db").collect().exists(_.getString(1) == "v2part"))
       esql("DROP VIEW db.v2part")
+      // IF EXISTS on a missing view must succeed silently, not hit the
+      // stock "catalog does not support views" rejection
+      esql("DROP VIEW IF EXISTS db.nonexistent")
+      intercept[Exception](esql("DROP VIEW db.nonexistent"))
     } finally esql("USE spark_catalog")
   }
 
