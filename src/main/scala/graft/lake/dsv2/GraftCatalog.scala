@@ -319,17 +319,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   // Transform by loading "bucket" from the ROOT namespace of the
   // relation's catalog.
 
+  private val functionNames = Set("bucket", "days", "hours", "months", "years")
+  private def functionNamespaceOk(ns: Array[String]): Boolean =
+    ns.isEmpty || ns.sameElements(Array("system"))
+
   override def loadFunction(ident: Identifier): functions.UnboundFunction =
-    if (ident.name() == "bucket" &&
-        (ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))))
+    if (functionNamespaceOk(ident.namespace()) && ident.name() == "bucket")
       GraftBucketFunction
+    else if (functionNamespaceOk(ident.namespace()) && functionNames(ident.name()))
+      GraftTimeTransformFunction(ident.name())
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
       name(), ident.name())
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array.empty, "bucket"))
+    functionNames.toArray.sorted.map(n => Identifier.of(Array.empty, n))
 
   override def functionExists(ident: Identifier): Boolean =
-    ident.name() == "bucket" &&
-      (ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")))
+    functionNames(ident.name()) && functionNamespaceOk(ident.namespace())
 }

@@ -139,6 +139,43 @@ object GraftBucketFunction extends UnboundFunction {
   }
 }
 
+/** The time partition transforms as v2 catalog functions —
+  * `SELECT lake.system.days(ts)` etc. (Iceberg exposes the same), with
+  * ordinals identical to the write-side [[graft.lake.Transforms]]:
+  * days/hours since epoch, months since 1970-01, years since 1970, all
+  * UTC. Usable for debugging partition layouts and for expressing
+  * partition-aligned predicates by hand. */
+case class GraftTimeTransformFunction(transform: String) extends UnboundFunction {
+  override def name(): String = transform
+  override def description(): String =
+    s"$transform(ts|date): graft's $transform partition ordinal (UTC, epoch-based)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1, s"$transform expects one argument")
+    val dt = inputType.fields(0).dataType
+    require(dt == DateType || dt == TimestampType || dt == TimestampNTZType,
+      s"$transform: unsupported type ${dt.catalogString}")
+    BoundTimeTransform(transform, dt)
+  }
+}
+
+case class BoundTimeTransform(transform: String, valueType: DataType)
+  extends ScalarFunction[java.lang.Long] {
+  override def inputTypes(): Array[DataType] = Array(valueType)
+  override def resultType(): DataType = LongType
+  override def name(): String = transform
+  override def canonicalName(): String = s"graft.$transform"
+  override def produceResult(input: InternalRow): java.lang.Long = {
+    if (input.isNullAt(0)) return null
+    val micros: Long = valueType match {
+      // DateType arrives as epoch days
+      case DateType => input.getInt(0).toLong * graft.lake.Transforms.MicrosPerDay
+      case _ => input.getLong(0)
+    }
+    Long.box(graft.lake.Transforms.applyToMicros(transform, micros))
+  }
+  override def isResultNullable: Boolean = true
+}
+
 case class BoundBucket(valueType: DataType) extends ScalarFunction[Integer] {
   override def inputTypes(): Array[DataType] = Array(IntegerType, valueType)
   override def resultType(): DataType = IntegerType

@@ -364,6 +364,25 @@ class GraftSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("partition transforms are callable SQL functions matching write-side ordinals") {
+    setup
+    // bucket: SQL call ≡ pmod(hash(x), n)
+    assert(spark.sql("SELECT lake.system.bucket(8, CAST(42 AS BIGINT)), pmod(hash(CAST(42 AS BIGINT)), 8)")
+      .head match { case r => r.getInt(0) === r.getInt(1) })
+    // days/months/years on a timestamp: UTC epoch ordinals (Transforms semantics)
+    val r = spark.sql(
+      """SELECT lake.system.days(TIMESTAMP '2024-03-01 02:00:00'),
+        |       lake.system.months(TIMESTAMP '2024-03-01 02:00:00'),
+        |       lake.system.years(DATE '2024-03-01'),
+        |       lake.system.hours(TIMESTAMP '1970-01-02 01:00:00')""".stripMargin).head
+    assert(r.getLong(0) === 19783L) // days since epoch for 2024-03-01
+    assert(r.getLong(1) === (2024 - 1970) * 12L + 2)
+    assert(r.getLong(2) === 54L)
+    assert(r.getLong(3) === 25L)
+    // null passes through
+    assert(spark.sql("SELECT lake.system.days(CAST(NULL AS TIMESTAMP))").head.isNullAt(0))
+  }
+
   test("bucket function: produceResult matches the write-side transform") {
     setup
     import org.apache.spark.sql.catalyst.InternalRow
