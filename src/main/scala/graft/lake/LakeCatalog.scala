@@ -31,7 +31,12 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
                   partitionBy: Seq[(String, String)] = Seq.empty,
                   properties: Map[String, String] = Map.empty): LakeTable = {
     require(!tableExists(ident), s"table $ident already exists")
+    require(ident.split("\\.").last != "_views",
+      "'_views' is a reserved identifier (the catalog's view-store directory)")
     val location = tableLocation(ident)
+    // a recreate at a reused location restarts version numbering — stale
+    // cached metas from the dropped incarnation must not be served
+    LakeTable.invalidateLocation(location)
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       LakeColumn(i + 1, f.name, f.dataType.json, f.nullable,
         if (f.metadata.contains("comment")) Some(f.metadata.getString("comment")) else None)
@@ -75,8 +80,11 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     new LakeTable(spark, tableLocation(ident))
   }
 
-  def dropTable(ident: String): Unit =
+  def dropTable(ident: String): Unit = {
+    LakeTable.invalidateLocation(tableLocation(ident))
     fs.delete(new Path(tableLocation(ident)), true)
+    ()
+  }
 
   def listTables(namespace: String): Seq[String] = {
     val ns = new Path(s"$warehouse/$namespace")

@@ -84,10 +84,30 @@ final case class Snapshot(
     /** append | overwrite | delete | replace | truncate. */
     operation: String,
     summary: Map[String, String],
+    /** The snapshot's data files. In-memory this is always resolved; ON DISK
+      * it is serialized EMPTY and the file list lives in content-addressed
+      * manifest chunks ([[Manifests]]) named by `manifests` — so the root
+      * metadata document stays O(snapshots × chunk-refs) and a commit
+      * writes O(churn) manifest bytes, never the full history × file list
+      * (the Iceberg manifest-list design, SURVEY §1.1 metadata row). */
     files: Seq[DataFile],
     /** WAP: staged snapshots are not reachable from any ref until
       * cherry-picked (ref: Integrated Audits….ipynb c16/c27). */
-    staged: Boolean = false)
+    staged: Boolean = false,
+    /** Ordered manifest-chunk names whose concatenation equals `files`.
+      * Empty on a freshly constructed snapshot — [[Manifests.assign]] fills
+      * it at commit time (reusing the parent's unchanged chunks). A commit
+      * transform that alters an EXISTING snapshot's `files` must reset this
+      * (and `manifestList`) so assignment re-chunks (none do today —
+      * snapshots are immutable once committed). In-memory only: the version
+      * JSON persists `manifestList` instead, so the root stays O(snapshots)
+      * rather than O(snapshots × chunks). */
+    manifests: Seq[String] = Seq.empty,
+    /** Name of the content-addressed manifest-LIST file holding
+      * `manifests` (`metadata/manifest-list-<hash>.json`) — the one
+      * per-snapshot pointer the root document serializes, exactly
+      * Iceberg's snapshot → manifest-list indirection. */
+    manifestList: Option[String] = None)
 
 /** Named ref: `branch` (movable, writable) or `tag` (immutable marker). */
 final case class Ref(snapshotId: Long, kind: String = "branch")
@@ -120,6 +140,13 @@ final case class TableMeta(
     refs.get(branch).flatMap(r => snapshot(r.snapshotId))
 }
 
+/** Serialization model of one manifest chunk: an immutable, content-addressed
+  * slice of a snapshot's data-file list (`metadata/manifest-<hash>.json`).
+  * Chunks are shared structurally across snapshots — an append's new
+  * snapshot references all of its parent's chunks plus one new chunk for
+  * the appended files. */
+final case class ManifestChunk(files: Seq[DataFile])
+
 object Meta {
   private val mapper: ObjectMapper with ClassTagExtensions = {
     val m = new ObjectMapper() with ClassTagExtensions
@@ -130,4 +157,11 @@ object Meta {
   def toJson(meta: TableMeta): String =
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta)
   def fromJson(json: String): TableMeta = mapper.readValue[TableMeta](json)
+  /** Compact (not pretty) — chunk bytes are the dominant metadata cost. */
+  def chunkToJson(files: Seq[DataFile]): String =
+    mapper.writeValueAsString(ManifestChunk(files))
+  def chunkFromJson(json: String): Seq[DataFile] =
+    mapper.readValue[ManifestChunk](json).files
+  def listToJson(names: Seq[String]): String = mapper.writeValueAsString(names)
+  def listFromJson(json: String): Seq[String] = mapper.readValue[Seq[String]](json)
 }

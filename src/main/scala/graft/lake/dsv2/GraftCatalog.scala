@@ -118,11 +118,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
                            properties: util.Map[String, String]): Table = {
     val s = identString(ident)
     if (lake.tableExists(s)) throw new TableAlreadyExistsException(ident)
+    requireNotViewStore(ident)
+    requireNoSuchView(ident)
     val partitionBy = partitions.toSeq.map(transformToPair)
     val props = properties.asScala.toMap -- Seq("provider", "owner", "location")
     lake.createTable(s, schema, partitionBy, props)
     GraftTable(lake.loadTable(s), s)
   }
+
+  /** Table/view disjointness, both directions (createView already refuses
+    * an existing TABLE name): a table may not take a name an existing VIEW
+    * holds — the parse-time GraftViewRule substitution would silently
+    * shadow the table on every read. And `_views` is the view-store
+    * directory (`<warehouse>/<db>/_views/`), so a table by that name would
+    * share its storage location — reserved at creation. */
+  private def requireNotViewStore(ident: Identifier): Unit =
+    require(ident.name() != "_views",
+      "'_views' is a reserved identifier (the catalog's view-store directory)")
+
+  private def requireNoSuchView(ident: Identifier): Unit =
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
 
   private def transformToPair(t: Transform): (String, String) = {
     val colName = t.references().head.fieldNames().mkString(".")
@@ -253,6 +269,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val exists = lake.tableExists(s)
     if (!allowExisting && exists) throw new TableAlreadyExistsException(ident)
     if (requireExisting && !exists) throw new NoSuchTableException(ident)
+    requireNotViewStore(ident)
+    requireNoSuchView(ident)
     val partitionBy = info.partitions().toSeq.map(transformToPair)
     val props = info.properties().asScala.toMap -- Seq("provider", "owner", "location")
     new GraftStagedTable(lake, s, info.schema(), partitionBy, props, exists)

@@ -111,11 +111,47 @@ case class GraftViewRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val d = GraftViewRule.depth.get()
             require(d < 10, s"view nesting deeper than 10 (cycle?) at ${parts.mkString(".")}")
             GraftViewRule.depth.set(d + 1)
-            try SubqueryAlias(ident.name(),
-              spark.sessionState.sqlParser.parsePlan(g.loadView(ident).query()))
-            finally GraftViewRule.depth.set(d)
+            try {
+              val v = g.loadView(ident)
+              val parsed = spark.sessionState.sqlParser.parsePlan(v.query())
+              // Re-resolve 1-/2-part table references against the view's
+              // STORED creation context (currentCatalog/currentNamespace —
+              // persisted exactly for this, like Iceberg's ViewCatalog):
+              // a view created under `USE lake` must read the same tables
+              // from a session sitting in another catalog. CTE aliases and
+              // session temp views keep their local meaning.
+              val qualified = qualify(parsed, v.currentCatalog,
+                v.currentNamespace.toSeq)
+              // nested views referencing stored-context names only become
+              // visible after qualification — run the rule once more
+              SubqueryAlias(ident.name(),
+                if (qualified.fastEquals(parsed)) parsed else apply(qualified))
+            } finally GraftViewRule.depth.set(d)
           case _ => u
         }
+    }
+  }
+
+  /** Prefix under-qualified relation names with the view's stored context:
+    * 1-part `t` → `<catalog>.<namespace>.t`, 2-part `db.t` →
+    * `<catalog>.db.t`. Skips CTE aliases (scoped to the view text) and
+    * session temp views (session-local by definition). */
+  private def qualify(parsed: LogicalPlan, storedCatalog: String,
+                      storedNamespace: Seq[String]): LogicalPlan = {
+    val cteNames = parsed.collect {
+      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
+    def isTemp(parts: Seq[String]): Boolean =
+      scala.util.Try(spark.sessionState.catalog.isTempView(parts)).getOrElse(false)
+    parsed.transformUpWithSubqueries {
+      case u @ UnresolvedRelation(parts, _, _)
+          if parts.length <= 2 &&
+            !(parts.length == 1 && cteNames.contains(parts.head.toLowerCase)) &&
+            !isTemp(parts) =>
+        val full =
+          if (parts.length == 1) storedCatalog +: (storedNamespace ++ parts)
+          else storedCatalog +: parts
+        u.copy(multipartIdentifier = full)
     }
   }
 }
@@ -165,9 +201,18 @@ case class ShowGraftViewsCommand(g: GraftCatalog, db: String,
     override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val re = pattern.map(p =>
-      java.util.regex.Pattern.compile(p.replace("*", ".*"),
-        java.util.regex.Pattern.CASE_INSENSITIVE))
+    // Spark's SHOW ... LIKE pattern language: '*' = any chars, '|' = OR of
+    // alternatives; everything else is a LITERAL (quote it — '.', '+',
+    // '(' etc. in a view name must not be treated as regex syntax).
+    val re = pattern.map { p =>
+      val alts = p.split("\\|", -1).map(f =>
+        f.split("\\*", -1).map {
+          case "" => ""
+          case lit => java.util.regex.Pattern.quote(lit)
+        }.mkString(".*"))
+      java.util.regex.Pattern.compile(alts.mkString("|"),
+        java.util.regex.Pattern.CASE_INSENSITIVE)
+    }
     g.listViews(db).toSeq
       .filter(i => re.forall(_.matcher(i.name()).matches()))
       .map(i => Row(db, i.name(), false))

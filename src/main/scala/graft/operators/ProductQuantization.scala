@@ -48,18 +48,22 @@ object ProductQuantization {
       val sub = embeddings.select(col(idCol),
         slice(col(vecCol), i * subDim + 1, subDim).as(vecCol))
       Similarity.ivfAssign(sub, nlist = k, iters = iters, idCol = idCol,
-        vecCol = vecCol)._2
+        vecCol = vecCol, metric = "l2")._2
     }
     Codebooks(m, subDim, books)
   }
 
   /** PQ-encode: struct(norm FLOAT, codes ARRAY<TINYINT>). The norm is the
     * vector's TRUE L2 norm (float math at encode time), so cosine
-    * denominators stay exact after compression. */
+    * denominators stay exact after compression. Codeword assignment is
+    * squared-L2 nearest (Jégou PQ): the codeword must approximate the
+    * subvector in magnitude too — cosine-nearest could pick one of
+    * arbitrarily different norm, inflating the ADC dot error. Training
+    * ([[train]]) runs its Lloyd steps under the same metric. */
   def encodeEmbedding(vec: Column, cb: Codebooks): Column = {
     val codes = array((0 until cb.m).map { i =>
       graft.functions.NearestCentroid(
-        slice(vec, i * cb.subDim + 1, cb.subDim), cb.books(i)).cast("tinyint")
+        slice(vec, i * cb.subDim + 1, cb.subDim), cb.books(i), "l2").cast("tinyint")
     }: _*)
     val norm = sqrt(aggregate(vec, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double"))).cast("float")

@@ -118,8 +118,9 @@ object Similarity {
     * composable `greatest(struct(cos, -i), …)` tree form grows generated
     * code linearly in nlist and hit janino compile-time cliffs at
     * nlist=32; the loop form is constant-size.) */
-  private def nearestList(vecCol: String, centroids: Seq[Seq[Float]]): Column =
-    graft.functions.NearestCentroid(col(vecCol), centroids)
+  private def nearestList(vecCol: String, centroids: Seq[Seq[Float]],
+                          metric: String = "cosine"): Column =
+    graft.functions.NearestCentroid(col(vecCol), centroids, metric)
 
   /** The expression-tree formulation of [[nearestList]], kept for
     * cross-checking the native loop in tests. */
@@ -139,7 +140,8 @@ object Similarity {
     * centroid matrix itself (tiny, becomes plan literals). Probing
     * `nprobe` lists then scans ~nprobe/nlist of the data. */
   def ivfAssign(embeddings: DataFrame, nlist: Int = 16, iters: Int = 3,
-                idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, Seq[Seq[Float]]) = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                metric: String = "cosine"): (DataFrame, Seq[Seq[Float]]) = {
     var centroids: Seq[Seq[Float]] = embeddings
       .select(col(idCol), col(vecCol))
       .withColumn("_h", pmod(xxhash64(col(idCol)), lit(1000000L)))
@@ -150,7 +152,7 @@ object Similarity {
       // element-wise mean per assigned list; lists that lose all members
       // keep their previous centroid
       val means = embeddings
-        .select(nearestList(vecCol, centroids).as("list_id"),
+        .select(nearestList(vecCol, centroids, metric).as("list_id"),
           posexplode(col(vecCol)).as(Seq("pos", "v")))
         .groupBy("list_id", "pos").agg(avg("v").as("m"))
         .collect()
@@ -162,7 +164,7 @@ object Similarity {
       it += 1
     }
     val assigned = embeddings.select(
-      col(idCol), col(vecCol), nearestList(vecCol, centroids).as("list_id"))
+      col(idCol), col(vecCol), nearestList(vecCol, centroids, metric).as("list_id"))
     (assigned, centroids)
   }
 

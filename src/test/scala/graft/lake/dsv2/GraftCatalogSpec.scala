@@ -876,4 +876,71 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(last.files.map(_.path).toSet.subsetOf(before.map(_.path).toSet))
     assert(sql("SELECT id FROM lake.db.mdel2").head.getLong(0) === 3L)
   }
+
+  test("views resolve 1-/2-part table names against their STORED context (r9)") {
+    def esql(q: String) = extSpark.sql(q)
+    esql("CREATE DATABASE IF NOT EXISTS lake.vctx")
+    esql("CREATE TABLE lake.vctx.base9 (id BIGINT, v DOUBLE)")
+    esql("INSERT INTO lake.vctx.base9 VALUES (1, 5.0), (2, 7.0)")
+    esql("USE lake")
+    try {
+      // view text references the base table by 2-part and the namespace
+      // context by 1-part name (after USE lake + USE vctx semantics we
+      // keep to 2-part: db.table under the current catalog)
+      esql("CREATE VIEW vctx.v9 AS SELECT SUM(v) AS s FROM vctx.base9")
+      assert(esql("SELECT s FROM lake.vctx.v9").head.getDouble(0) === 12.0)
+    } finally esql("USE spark_catalog")
+    // ANOTHER session context (current catalog = spark_catalog): the
+    // stored currentCatalog must be used to resolve `vctx.base9`
+    assert(extSpark.sql("SELECT s FROM lake.vctx.v9").head.getDouble(0) === 12.0)
+    extSpark.sql("DROP VIEW lake.vctx.v9")
+  }
+
+  test("SHOW VIEWS LIKE: '|' alternation and literal regex metacharacters (r9)") {
+    def esql(q: String) = extSpark.sql(q)
+    esql("CREATE DATABASE IF NOT EXISTS lake.vpat")
+    esql("CREATE TABLE lake.vpat.pbase (id BIGINT)")
+    esql("CREATE VIEW lake.vpat.va AS SELECT id FROM lake.vpat.pbase")
+    esql("CREATE VIEW lake.vpat.vb AS SELECT id FROM lake.vpat.pbase")
+    esql("CREATE VIEW lake.vpat.wplus AS SELECT id FROM lake.vpat.pbase")
+    def names(pat: String): Set[String] =
+      esql(s"SHOW VIEWS IN lake.vpat LIKE '$pat'").collect().map(_.getString(1)).toSet
+    assert(names("va|vb") === Set("va", "vb"))           // alternation
+    assert(names("v*") === Set("va", "vb"))              // glob star
+    assert(names("w+lus|va") === Set("va"))              // '+' is literal, not regex
+    Seq("va", "vb", "wplus").foreach(v => esql(s"DROP VIEW lake.vpat.$v"))
+  }
+
+  test("table/view disjointness: reserved _views name; view name blocks table (r9)") {
+    def esql(q: String) = extSpark.sql(q)
+    esql("CREATE DATABASE IF NOT EXISTS lake.vdis")
+    // reserved view-store directory name
+    val e1 = intercept[Exception](
+      esql("CREATE TABLE lake.vdis._views (id BIGINT)"))
+    assert(e1.getMessage.contains("reserved"))
+    // a view's name cannot be taken by a table (either CREATE or RTAS)
+    esql("CREATE TABLE lake.vdis.db9 (id BIGINT)")
+    esql("CREATE VIEW lake.vdis.taken AS SELECT id FROM lake.vdis.db9")
+    intercept[Exception](esql("CREATE TABLE lake.vdis.taken (id BIGINT)"))
+    intercept[Exception](
+      esql("CREATE OR REPLACE TABLE lake.vdis.taken AS SELECT 1 AS x"))
+    esql("DROP VIEW lake.vdis.taken")
+  }
+
+  test("RTAS is refused during an active WAP session (r9)") {
+    sql("CREATE DATABASE IF NOT EXISTS lake.wap9")
+    sql("""CREATE TABLE lake.wap9.audited (id BIGINT)
+          |TBLPROPERTIES ('write.wap.enabled'='true')""".stripMargin)
+    sql("INSERT INTO lake.wap9.audited VALUES (1)")
+    spark.conf.set("spark.wap.id", "audit-123")
+    try {
+      val e = intercept[Exception](
+        sql("CREATE OR REPLACE TABLE lake.wap9.audited AS SELECT 2 AS id"))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("WAP")))
+      // table untouched by the refused replace
+      assert(sql("SELECT COUNT(*) FROM lake.wap9.audited").head.getLong(0) === 1)
+    } finally spark.conf.unset("spark.wap.id")
+  }
 }
