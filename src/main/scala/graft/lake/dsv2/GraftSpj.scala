@@ -176,7 +176,8 @@ case class BoundTimeTransform(transform: String, valueType: DataType)
   override def isResultNullable: Boolean = true
 }
 
-case class BoundBucket(valueType: DataType) extends ScalarFunction[Integer] {
+case class BoundBucket(valueType: DataType) extends ScalarFunction[Integer]
+    with org.apache.spark.sql.connector.catalog.functions.ReducibleFunction[Integer, Integer] {
   override def inputTypes(): Array[DataType] = Array(IntegerType, valueType)
   override def resultType(): DataType = IntegerType
   override def name(): String = "bucket"
@@ -190,6 +191,31 @@ case class BoundBucket(valueType: DataType) extends ScalarFunction[Integer] {
       else Murmur3HashFunction.hash(input.get(1, valueType), valueType, 42L).toInt
     Integer.valueOf(((h % n) + n) % n)
   }
+
+  /** SPJ across MISMATCHED bucket counts (bucket(8) ⋈ bucket(16)): both
+    * sides reduce to gcd buckets — `(h mod n) mod g = h mod g` whenever
+    * `g | n`, so regrouping stored partitions by `bucket mod gcd` lands
+    * every row in the bucket the other side's reduced key predicts, and
+    * the join stays zero-shuffle. Spark asks via
+    * `spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled`;
+    * returning null means "this side already at the target granularity". */
+  override def reducer(thisNumBuckets: Int,
+      otherFunction: org.apache.spark.sql.connector.catalog.functions.ReducibleFunction[_, _],
+      otherNumBuckets: Int): org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer] =
+    otherFunction match {
+      case BoundBucket(_) =>
+        val gcd = BigInt(thisNumBuckets).gcd(BigInt(otherNumBuckets)).toInt
+        if (gcd > 1 && gcd != thisNumBuckets) BucketReducer(gcd) else null
+      case _ => null
+    }
+}
+
+/** bucket ordinal → ordinal mod gcd: the partition-key regrouping for
+  * compatible-transform SPJ. */
+case class BucketReducer(divisor: Int)
+    extends org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer] {
+  override def reduce(bucket: Integer): Integer =
+    Integer.valueOf(bucket.intValue() % divisor)
 }
 
 /** One split = one partition tuple (all files of one partition-value

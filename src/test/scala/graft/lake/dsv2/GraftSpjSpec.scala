@@ -364,6 +364,50 @@ class GraftSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("mismatched bucket counts: bucket(8) x bucket(16) joins with NO Exchange (r9)") {
+    // Spark 4 compatible-transform SPJ: both sides regroup to gcd buckets
+    // via ReducibleFunction (BoundBucket.reducer) — zero-shuffle across
+    // different bucket counts, the cross-layout join a real lakehouse
+    // hits whenever two teams picked different bucket widths.
+    sql("CREATE DATABASE IF NOT EXISTS lake.spjm")
+    sql("""CREATE TABLE lake.spjm.f8 (k BIGINT, v DOUBLE)
+          |PARTITIONED BY (bucket(8, k))""".stripMargin)
+    spark.range(0, 200).selectExpr("id % 40 AS k", "CAST(id AS DOUBLE) AS v")
+      .writeTo("lake.spjm.f8").append()
+    sql("""CREATE TABLE lake.spjm.d16 (k BIGINT, w STRING)
+          |PARTITIONED BY (bucket(16, k))""".stripMargin)
+    spark.range(0, 40).selectExpr("id AS k", "concat('w', id) AS w")
+      .writeTo("lake.spjm.d16").append()
+    withSpj(on = true) {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevCompat = spark.conf.get(
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "false")
+      val prevPush = spark.conf.get(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      try {
+        val j = spark.table("lake.spjm.f8").join(spark.table("lake.spjm.d16"), "k")
+        val plan = explained(j)
+        assert(plan.contains("SortMergeJoin"), plan)
+        assert(!plan.contains("Exchange"),
+          s"compatible-transform SPJ must not shuffle either side:\n$plan")
+        val expected = withSpj(on = false) {
+          spark.table("lake.spjm.f8").join(spark.table("lake.spjm.d16"), "k")
+            .collect().toSet
+        }
+        assert(j.collect().toSet === expected)
+        assert(j.count() === 200)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", prevCompat)
+        spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", prevPush)
+      }
+    }
+  }
+
   test("partition transforms are callable SQL functions matching write-side ordinals") {
     setup
     // bucket: SQL call ≡ pmod(hash(x), n)

@@ -205,6 +205,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n.head.isNullAt(0))
   }
 
+  test("nearest_centroid l2 metric: picks the spatially nearest codeword, not the directional one (r9)") {
+    import spark.implicits._
+    // A = same DIRECTION as v but 10× magnitude; B = close in SPACE but
+    // off-direction. Cosine assignment picks A; PQ (Jégou, L2) must pick
+    // B — a cosine-chosen codeword reconstructs v as 10·v.
+    val cs = Seq(Seq(10f, 0f), Seq(0.9f, 0.5f))
+    val df = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val both = df.select(
+      graft.functions.NearestCentroid(col("embedding"), cs).as("cosine_pick"),
+      graft.functions.NearestCentroid(col("embedding"), cs, "l2").as("l2_pick"))
+    val r = both.head
+    assert(r.getInt(0) === 0) // cosine: perfect alignment with A wins
+    assert(r.getInt(1) === 1) // L2: ||v-B||² = 0.26 ≪ ||v-A||² = 81
+    // interpreted path agrees with codegen
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val v = ArrayData.toArrayData(Array(1f, 0f))
+    val m = cs.map(_.toArray).toArray
+    assert(graft.functions.NearestCentroid.nearest(v, m) === 0)
+    assert(graft.functions.NearestCentroid.nearestL2(v, m) === 1)
+  }
+
   test("nearest_centroid canonicalizes: identical constructions are semanticEquals") {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val cs = Seq(Seq(1f, 0f, 0.5f), Seq(0f, 1f, -0.5f))
