@@ -31,28 +31,48 @@ object Bench {
     // NonFatal only: an OOM-poisoned JVM must fail the bench loudly, not
     // keep "timing" queries in a degraded heap
     import scala.util.control.NonFatal
-    val results = QueryRegistry.all.filter(_.bench).map { spec =>
-      // one untimed warmup absorbs codegen compilation + C2 JIT of the
-      // generated classes (q19's wide IN-list projection measured 1.8-3.2s
-      // cold vs 0.40s steady-state); the median then sits on warm runs
-      try spec.fn(spark, sfDir).count() catch { case NonFatal(_) => () }
-      var failed = false
-      val times = (1 to runs).map { i =>
-        val t0 = System.nanoTime()
-        val n = try spec.fn(spark, sfDir).count() catch { case NonFatal(e) =>
-          failed = true
-          System.err.println(s"[bench] ${spec.name} run=$i FAILED: ${e.getMessage}")
-          -1L
-        }
-        val s = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] ${spec.name} run=$i rows=$n $s%.2f s")
-        s
-      }.sorted
-      val median =
-        if (times.size % 2 == 1) times(times.size / 2)
-        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
-      val spreadPct = if (median > 0) (times.last - times.head) / median * 100 else 0.0
-      (spec.name, median, times.head, spreadPct, failed)
+    def sweep(): Seq[(String, Double, Double, Double, Boolean)] =
+      QueryRegistry.all.filter(_.bench).map { spec =>
+        // one untimed warmup absorbs codegen compilation + C2 JIT of the
+        // generated classes (q19's wide IN-list projection measured 1.8-3.2s
+        // cold vs 0.40s steady-state); the median then sits on warm runs
+        try spec.fn(spark, sfDir).count() catch { case NonFatal(_) => () }
+        var failed = false
+        val times = (1 to runs).map { i =>
+          val t0 = System.nanoTime()
+          val n = try spec.fn(spark, sfDir).count() catch { case NonFatal(e) =>
+            failed = true
+            System.err.println(s"[bench] ${spec.name} run=$i FAILED: ${e.getMessage}")
+            -1L
+          }
+          val s = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] ${spec.name} run=$i rows=$n $s%.2f s")
+          s
+        }.sorted
+        val median =
+          if (times.size % 2 == 1) times(times.size / 2)
+          else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
+        val spreadPct = if (median > 0) (times.last - times.head) / median * 100 else 0.0
+        (spec.name, median, times.head, spreadPct, failed)
+      }
+    def noiseOf(rs: Seq[(String, Double, Double, Double, Boolean)]): Double = {
+      val sp = rs.filter(!_._5).map(_._4).sorted
+      if (sp.isEmpty) 0.0 else sp(sp.size / 2)
+    }
+    // auto re-run when the contended-box flag trips (r8's driver run hit
+    // 23.3% spread and its absolute numbers were incomparable): one fresh
+    // sweep, keeping whichever measured calmer. Both sweeps in this JVM,
+    // so the discarded one still served as extra JIT warmup. Opt out with
+    // SPARK_GRAFT_BENCH_RETRY=0 (e.g. when iterating locally).
+    val retryAllowed = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY", "1") != "0"
+    var results = sweep()
+    var attempts = 1
+    if (retryAllowed && noiseOf(results) > 20.0) {
+      System.err.println(f"[bench] first sweep contended " +
+        f"(${noiseOf(results)}%.1f%% spread) — re-running once")
+      val second = sweep()
+      attempts = 2
+      if (noiseOf(second) < noiseOf(results)) results = second
     }
     // a permanently-failing query times out in microseconds — summing its
     // near-zero "median" would make the bench look FASTER after a breaking
@@ -91,7 +111,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs_per_query":$runs,"best_total":$bestTotal,$failedField""" +
       f""""within_run_spread_pct":$noisePct%.1f,"contended_run":$contended,""" +
-      s""""queries_best":$bests,""" +
+      s""""sweep_attempts":$attempts,"queries_best":$bests,""" +
       s""""setup":{"build_ivf_index":$setupSecs},"recall":$recall,"sf":"$sfDir"}""")
     // compact second line: the round artifact captures the TAIL of stdout,
     // and r7's full JSON lost its head (headline total, q01-q03, the
@@ -100,6 +120,7 @@ object Bench {
     println(f"""BENCH_SUMMARY {"total_s":$total%.2f,"best_total_s":$bestTotal%.2f,""" +
       s""""n_queries":${ok.size},"n_failed":${bad.size},""" +
       f""""within_run_spread_pct":$noisePct%.1f,"contended_run":$contended,""" +
+      s""""sweep_attempts":$attempts,""" +
       s""""runs_per_query":$runs,"recall":$recall,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -56,11 +56,27 @@ object MetadataTables {
           .toDF("name", "type", "snapshot_id")
 
       case "manifests" =>
-        // our single-JSON design: one manifest row per snapshot
-        m.snapshots.map { s =>
-          (s"${table.location}/metadata/v${m.version}.json", s.snapshotId,
-            s.files.size.toLong, s.files.map(_.rowCount).sum)
-        }.toDF("path", "added_snapshot_id", "existing_data_files_count", "existing_rows_count")
+        // real manifest chunks (r9): one row per chunk of the CURRENT
+        // snapshot (Iceberg's manifests table scope), with the snapshot
+        // that first referenced it and how widely it is shared — the
+        // observability for rewrite_manifests decisions
+        val cur = m.currentSnapshot
+        val fs = new org.apache.hadoop.fs.Path(table.location, "metadata")
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val metaDir = new org.apache.hadoop.fs.Path(table.location, "metadata")
+        cur.map(_.manifests).getOrElse(Seq.empty).map { name =>
+          val p = Manifests.chunkPath(metaDir, name)
+          val files = Meta.chunkFromJson {
+            val in = fs.open(p)
+            try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          }
+          val addedBy = m.snapshots.filter(_.manifests.contains(name))
+            .map(_.snapshotId).minOption.getOrElse(-1L)
+          val sharedBy = m.snapshots.count(_.manifests.contains(name)).toLong
+          (p.toString, fs.getFileStatus(p).getLen, addedBy,
+            files.size.toLong, files.map(_.rowCount).sum, sharedBy)
+        }.toDF("path", "length", "added_snapshot_id",
+          "existing_data_files_count", "existing_rows_count", "shared_by_snapshots")
 
       case other =>
         throw new IllegalArgumentException(

@@ -266,6 +266,87 @@ object ScaleProbe {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
     }
 
+    // incremental-dedup growth (r9): a FIXED 1000-doc batch ingested
+    // against a signature index of 1x vs Nx accepted docs. The claim
+    // under test: per-ingest cost is O(batch + candidates), never
+    // O(corpus) — the candidate join broadcasts the batch-sized banded
+    // side, so SHUFFLE bytes stay ~flat while the index grows 10x (the
+    // index side is scanned, not shuffled; with a bucket-partitioned
+    // index it would also file-prune). Word-suffixed copies keep the
+    // batch's cross-corpus duplicate structure IDENTICAL at both scales,
+    // so dropped/survivor counts must match exactly.
+    for (scale <- Seq(1, scaleN)) {
+      val cat = new graft.lake.LakeCatalog(spark,
+        java.nio.file.Files.createTempDirectory(s"graft-incdedup-$scale").toString)
+      val index = cat.createTable(s"probe.idx$scale",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("signature",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))))
+      // seed the index with the accepted corpus (1x or Nx copies)
+      (0 until scale).foreach { i =>
+        val corpus = docCopy(spark, i).filter(col("doc_id") % 2 === 0)
+        val sig = graft.operators.Dedup.minHashSignatures(corpus, "text", "doc_id")
+        index.append(graft.operators.IncrementalDedup.banded(sig, "doc_id", 16, 4))
+      }
+      val indexedRows = index.toDF.count()
+      // fixed batch: 1000 copy-0 docs (half already indexed -> real dups)
+      val batch = spark.table("documents_base").filter(col("doc_id") < 1000)
+      // drain counters, then measure the ingest alone
+      var stable = 0; var last = (-1L, -1L); var waited = 0
+      while (stable < 2 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val cur = (shuffleRead.get(), shuffleWrite.get())
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      shuffleRead.set(0L); shuffleWrite.set(0L)
+      val t0 = System.nanoTime()
+      val res = graft.operators.IncrementalDedup.ingest(index, batch)
+      val survivors = res.survivors.count(); val dropped = res.dropped.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      stable = 0; last = (-1L, -1L); waited = 0
+      while (stable < 2 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val cur = (shuffleRead.get(), shuffleWrite.get())
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      val (r, w) = (shuffleRead.getAndSet(0L), shuffleWrite.getAndSet(0L))
+      println(f"""{"probe":"incremental_dedup","index_copies":$scale,"indexed_rows":$indexedRows,""" +
+        f""""batch":1000,"survivors":$survivors,"dropped":$dropped,"secs":$secs%.2f,""" +
+        f""""shuffle_read_mb":${r / 1e6}%.2f,"shuffle_write_mb":${w / 1e6}%.2f}""")
+    }
+
+    // materialized-aggregate refresh growth (r9): a FIXED churn (one
+    // appended copy-0 slice) refreshed into an MV over a 1x vs Nx base
+    // table. The claim under test: refresh reads the file-set-pruned
+    // changelog — cost tracks CHURN, so wall stays ~flat while the base
+    // grows 10x.
+    for (scale <- Seq(1, scaleN)) {
+      val cat = new graft.lake.LakeCatalog(spark,
+        java.nio.file.Files.createTempDirectory(s"graft-mvprobe-$scale").toString)
+      val base = cat.createTable(s"probe.mvbase$scale",
+        spark.table("documents_base").schema)
+      (0 until scale).foreach(i => base.append(docCopy(spark, i)))
+      val mv = graft.lake.MaterializedAgg.create(cat, s"probe.mv$scale", base,
+        groupBy = Seq("lang"),
+        aggs = Seq(graft.lake.MaterializedAgg.AggCol("sum", "n_chars", "chars"),
+          graft.lake.MaterializedAgg.AggCol("count", "doc_id", "docs")))
+      mv.refresh() // initial full build (cost O(base), expected to grow)
+      // FIXED churn: append 2000 fresh rows, then refresh
+      val churn = docCopy(spark, 0).filter(col("doc_id") < 2000)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+      base.append(churn)
+      val t0 = System.nanoTime()
+      mv.refresh()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val mvRows = mv.read().count()
+      println(f"""{"probe":"mv_refresh","base_copies":$scale,""" +
+        f""""base_rows":${base.toDF.count()},"churn_rows":2000,""" +
+        f""""refresh_secs":$secs%.2f,"mv_groups":$mvRows}""")
+    }
+
     println(s"""{"summary":"growth ${scaleN}x vs 1x (sub-quadratic bar: ratio << ${scaleN * scaleN})"}""")
     for (name <- probes) {
       val (s1, r1, sr1, _) = results((name, 1))

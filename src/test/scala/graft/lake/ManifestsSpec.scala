@@ -184,6 +184,22 @@ class ManifestsSpec extends AnyFunSuite {
     assert(t.toDF.count() === 2) // live chunks untouched
   }
 
+  test("manifests metadata table surfaces real chunks with sharing counts") {
+    val cat = freshCatalog()
+    val t = cat.createTable("m.t9", schema)
+    t.append(rows(1, 2))
+    t.append(rows(3))
+    val mt = MetadataTables(t, "manifests").collect()
+    assert(mt.length === 2) // current snapshot references two chunks
+    val byAdded = mt.map(r => r.getAs[Long]("added_snapshot_id") ->
+      (r.getAs[Long]("existing_data_files_count"), r.getAs[Long]("shared_by_snapshots"))).toMap
+    // chunk from snapshot 1 is SHARED by both snapshots; snapshot 2's is its own
+    assert(byAdded(1L)._2 === 2L)
+    assert(byAdded(2L)._2 === 1L)
+    assert(mt.map(_.getAs[Long]("existing_rows_count")).sum === 3L)
+    assert(mt.forall(_.getAs[Long]("length") > 0L))
+  }
+
   test("chunk target-files property bounds chunk size and rewrite honors it") {
     val cat = freshCatalog()
     val t = cat.createTable("m.t8", schema,
