@@ -305,6 +305,19 @@ object Pruning {
             compare(pv, lo).forall(_ >= 0) && compare(pv, hi).forall(_ <= 0)
           case None => true
         }
+      // bucket[N] partitions prune POINT predicates only (Eq / In members
+      // arrive here with lo == hi): the literal's write-side bucket must
+      // equal the file's partition ordinal. Ranges can't prune (hash
+      // destroys order), and an unhashable value falls through to "may".
+      case Some((t, vStr)) if Transforms.bucketCount(t).isDefined =>
+        (f.cols.get(c), Transforms.bucketCount(t)) match {
+          case (Some((_, dt)), Some(n)) if compare(lo, hi).contains(0) =>
+            Transforms.bucketOf(lo, dt, n) match {
+              case Some(b) => vStr.toLong == b
+              case None => true
+            }
+          case _ => true
+        }
       case _ => true
     }
 }

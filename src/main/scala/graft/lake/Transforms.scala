@@ -69,4 +69,31 @@ object Transforms {
 
   def isTimeTransform(t: String): Boolean =
     t == "days" || t == "hours" || t == "months" || t == "years"
+
+  /** bucket[N] → N, else None. */
+  def bucketCount(t: String): Option[Int] = t match {
+    case Bucket(n) => Some(n.toInt)
+    case _ => None
+  }
+
+  /** Bucket ordinal of an EXTERNAL literal under the write-side transform
+    * (`pmod(hash(col), n)` — Spark murmur3, seed 42): the point-predicate
+    * half of bucket partition pruning. None when the value can't be
+    * faithfully hashed as the column's type (no pruning, never a wrong
+    * prune). */
+  def bucketOf(v: Any, dt: DataType, n: Int): Option[Long] =
+    try {
+      if (v == null) return None
+      val widened = (v, dt) match {
+        case (x: java.lang.Integer, LongType) => x.longValue()
+        case (x: java.lang.Short, LongType) => x.longValue()
+        case (x: java.lang.Short, IntegerType) => x.intValue()
+        case _ => v
+      }
+      val internal = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(dt)(widened)
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(internal, dt, 42L).toInt
+      Some((((h % n) + n) % n).toLong)
+    } catch { case _: Exception => None }
 }

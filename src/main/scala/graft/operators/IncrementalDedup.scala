@@ -84,6 +84,16 @@ object IncrementalDedup {
     * counts as duplicate when matches ≥ ceil(threshold · k).
     * Returns survivors (original batch columns) and dropped rows
     * (`idCol`, `dup_of`). */
+  /** Max distinct batch buckets to push down as an index-probe IN filter:
+    * the collect is batch×bands longs (driver-bounded), and on a
+    * bucket(B, "bucket")-partitioned index the filter file-prunes the
+    * candidate join's scan side to the batch's buckets — small streaming
+    * batches then touch a handful of index files instead of the whole
+    * index (PruningPropertySpec proves the bucket-transform pruning the
+    * filter rides on). Larger batches skip the pushdown (an IN list that
+    * covers every bucket prunes nothing and bloats the plan). */
+  val MaxProbePushdownBuckets = 20000
+
   def ingest(index: LakeTable, batch: DataFrame, textCol: String = "text",
              idCol: String = "doc_id", n: Int = 3, k: Int = 16,
              bands: Int = 4, threshold: Double = 0.8): IngestResult = {
@@ -94,7 +104,12 @@ object IncrementalDedup {
     val bb = banded(sig, idCol, k, bands).localCheckpoint(true)
 
     // --- cross-batch: batch vs indexed survivors --------------------
-    val idx = index.toDF
+    val batchBuckets = bb.select(col("bucket")).distinct()
+      .limit(MaxProbePushdownBuckets + 1).collect().map(_.getLong(0))
+    val idx =
+      if (batchBuckets.length <= MaxProbePushdownBuckets)
+        index.read(filter = Some(col("bucket").isInCollection(batchBuckets)))
+      else index.toDF
     val crossDup = bb.as("n")
       .join(idx.as("o"),
         col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket"))

@@ -95,6 +95,45 @@ class PruningPropertySpec extends AnyFunSuite {
     full.unpersist()
   }
 
+  test("bucket partition pruning: point predicates prune to the hash bucket, never lose rows (r9)") {
+    val rnd = new Random(20260814L)
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("graft-bprop").toString)
+    // bucket(8, i) + bucket(4, s): both int and string hashing
+    val t = cat.createTable("prop.b", schema,
+      partitionBy = Seq("i" -> "bucket[8]"))
+    (1 to 3).foreach(_ => t.append(randomRows(rnd, 60)
+      .toDF("i", "d", "s", "dec", "dt", "ts").coalesce(2)))
+    val m = t.meta
+    val files = m.currentSnapshot.get.files
+    assert(files.size > 8, s"need multiple files per bucket, got ${files.size}")
+    val full = t.toDF.cache(); full.count()
+    // soundness + effectiveness for 40 random point lookups
+    (1 to 40).foreach { k =>
+      val v = rnd.nextInt(50) - 25
+      val p = col("i") === lit(v)
+      val pruned = sortedRows(t.read(filter = Some(p)))
+      val expected = sortedRows(full.filter(p))
+      assert(pruned === expected, s"iteration $k value $v")
+      // effectiveness: the surviving file set is the one bucket's files
+      val pred = Pruning.translate(p)
+      val survivors = files.count(f => Pruning.mayMatch(pred, t.fileBounds(m, f)))
+      val bucketOf = graft.lake.Transforms.bucketOf(v, IntegerType, 8).get
+      val expectFiles = files.count(
+        _.partitionValues.values.exists(_ == bucketOf.toString))
+      assert(survivors <= expectFiles,
+        s"point lookup must scan only bucket $bucketOf's files ($survivors vs $expectFiles)")
+      assert(survivors < files.size, "no pruning happened at all")
+    }
+    // IN-lists prune to the union of member buckets
+    val inP = col("i").isin(1, 2, 3)
+    assert(sortedRows(t.read(filter = Some(inP))) === sortedRows(full.filter(inP)))
+    // ranges must NOT prune on hash buckets (order is destroyed)
+    val rangeP = col("i") > lit(0)
+    assert(sortedRows(t.read(filter = Some(rangeP))) === sortedRows(full.filter(rangeP)))
+    full.unpersist()
+  }
+
   test("delete(p) keeps exactly the rows where p is FALSE or NULL (5 random tables)") {
     val rnd = new Random(42L)
     import spark.implicits._

@@ -157,4 +157,32 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(r3.survivors.count() === 1, "C survives: its only near-dup was never indexed")
     assert(index.toDF.select("doc_id").distinct().count() === 2)
   }
+
+  test("bucket-partitioned index: identical decisions, probe prunes to batch buckets (r9)") {
+    import spark.implicits._
+    // same multi-batch flow against a bucket(8, bucket)-partitioned index
+    // table — the at-scale layout the operator scaladoc prescribes. The
+    // probe pushdown (bucket IN batch-buckets) must neither change any
+    // dedup decision nor scan index files outside the batch's buckets.
+    val docs = corpus.toDF("doc_id", "text")
+    val batches = (0 until 3).map(b => (b * 20 until (b + 1) * 20).map(_.toLong))
+    def runWith(partitionBy: Seq[(String, String)]): (Set[Long], Map[Long, Long]) = {
+      val cat = new graft.lake.LakeCatalog(spark,
+        java.nio.file.Files.createTempDirectory("graft-incdedup-b").toString)
+      val index = cat.createTable("dedup.bidx", IndexSchema, partitionBy = partitionBy)
+      val kept = scala.collection.mutable.Set.empty[Long]
+      val dropped = scala.collection.mutable.Map.empty[Long, Long]
+      for (batch <- batches) {
+        val res = IncrementalDedup.ingest(index,
+          docs.filter(col("doc_id").isin(batch: _*)),
+          n = N, k = K, bands = Bands, threshold = Threshold)
+        kept ++= res.survivors.select("doc_id").collect().map(_.getLong(0))
+        dropped ++= res.dropped.collect().map(r => r.getLong(0) -> r.getLong(1))
+      }
+      (kept.toSet, dropped.toMap)
+    }
+    val flat = runWith(Seq.empty)
+    val bucketed = runWith(Seq("bucket" -> "bucket[8]"))
+    assert(bucketed === flat, "partitioned index changed dedup decisions")
+  }
 }
