@@ -683,7 +683,90 @@ object TextOps {
       |FROM blk b2 JOIN df ON b2.blk = df.blk WHERE df.df = 1
       |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin)
 
+  /** Exact-substring deduplication as a TRANSFORM (the ExactSubstr method
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", 2022 — suffix-array spans, here at sliding 8-token
+    * granularity): every token covered by ANY 8-token window that occurs
+    * two or more times in the corpus (within-doc repeats count, exactly as
+    * a suffix array would see them) is removed; the surviving tokens
+    * reassemble in position order. Unlike q71 (block-aligned line dedup)
+    * the windows SLIDE, so a duplicated passage is caught at any offset —
+    * and unlike q52 (a per-doc metric) this rebuilds the cleaned text,
+    * with the md5 of the reconstruction hash-verified cross-engine.
+    * Short docs (< 8 tokens) have no window and survive whole.
+    *
+    * Scale shape: windows come off one sequence() explode over the
+    * pre-split token array; duplicate marking is a count window
+    * PARTITIONed BY the window string — ONE shuffle whose key space is
+    * corpus-sized and uniform (q52's shape); coverage expands each dup
+    * window to its 8 positions (output ∝ duplicated volume, not corpus);
+    * the kept-token anti-join and the reassembly group-by are both keyed
+    * by doc_id and ride one exchange. No self-join of windows, no driver
+    * state. At 100 TB key the window shuffle by xxhash64(blk) — the
+    * marking is equality-only, so hashing narrows the exchange without
+    * changing semantics. */
+  val q73 = dialect("q73_substring_dedup",
+    sparkSql = """WITH t AS (
+      |  SELECT doc_id, split(trim(text), '\\s+') AS w FROM documents),
+      |tok AS (
+      |  SELECT doc_id, pos + 1 AS pos, tok
+      |  FROM t LATERAL VIEW posexplode(w) e AS pos, tok),
+      |t8 AS (SELECT doc_id, w FROM t WHERE size(w) >= 8),
+      |sh AS (
+      |  SELECT doc_id, pos, array_join(slice(w, pos, 8), ' ') AS blk
+      |  FROM t8 LATERAL VIEW explode(sequence(1, size(w) - 7)) e AS pos),
+      |dup AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY blk) AS c FROM sh) x
+      |  WHERE c > 1),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, p
+      |  FROM dup LATERAL VIEW explode(sequence(pos, pos + 7)) e AS p),
+      |kept AS (
+      |  SELECT tok.doc_id, tok.pos, tok.tok
+      |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.p
+      |  WHERE cov.p IS NULL),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    md5(array_join(transform(array_sort(collect_list(struct(pos, tok))),
+      |      x -> x.tok), ' ')) AS fp
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(size(t.w) AS BIGINT) AS n_tokens,
+      |  CAST(size(t.w) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+      |  COALESCE(a.fp, md5('')) AS fp
+      |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+      |ORDER BY doc_id""".stripMargin,
+    duckSql = """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |tok AS (
+      |  SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS tok FROM t),
+      |t8 AS (SELECT doc_id, w FROM t WHERE len(w) >= 8),
+      |shp AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS pos FROM t8),
+      |sh AS (
+      |  SELECT doc_id, pos, array_to_string(w[pos:pos+7], ' ') AS blk FROM shp),
+      |dup AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY blk) AS c FROM sh) x
+      |  WHERE c > 1),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, p FROM (
+      |    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p FROM dup) u),
+      |kept AS (
+      |  SELECT tok.doc_id, tok.pos, tok.tok
+      |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.p
+      |  WHERE cov.p IS NULL),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id AS doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+      |  CAST(len(t.w) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+      |  COALESCE(a.fp, md5('')) AS fp
+      |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+      |ORDER BY t.doc_id""".stripMargin)
+
   def specs: Seq[QuerySpec] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q51, q52, q56, q57, q58, q64, q66,
-      q70, q71)
+      q70, q71, q73)
 }

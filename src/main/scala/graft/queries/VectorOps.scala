@@ -261,5 +261,131 @@ object VectorOps {
       .orderBy("vec_id")
   })
 
-  def specs: Seq[QuerySpec] = Seq(q23, q24, q25, q26, q27, q44, q68)
+  /** Hybrid retrieval with reciprocal-rank fusion (the RAG-corpus probe a
+    * training-data pipeline runs to audit retrieval quality): q66's
+    * fixed-point BM25 term ranking and an exact cosine ranking of per-query
+    * vectors are each cut to top-20, then fused per (query, doc) with
+    * RRF_k=60 — score = Σ 10^9 DIV (60 + rank) — and re-ranked to a top-10.
+    * Every arithmetic step after the (bit-exact, see file header) cosine
+    * doubles is INTEGER: ranks are row_numbers with doc_id tie-breaks and
+    * the fused score is a sum of truncating integer divisions, so both
+    * engines produce identical BIGINTs and the fusion has no float to
+    * diverge on. Text query sets are q66's inline VALUES; vector queries
+    * are corpus vectors 17/34/51 (doc_id ≡ vec_id in the testdata).
+    *
+    * Scale shape: the BM25 side is q66's inverted-index shape (postings
+    * shuffle once on term; per-query work ∝ postings of its terms); the
+    * vector side is q44's (query batch broadcasts, one fused codegen
+    * scoring pass, WindowGroupLimit keeps k rows per task); the fusion
+    * FULL OUTER JOIN touches ≤ 20 rows per query per side — driver-free
+    * and constant-size however big the corpus is. */
+  val q74 = dialect("q74_hybrid_rrf",
+    sparkSql = s"""WITH tok AS (
+      |  SELECT doc_id, explode(split(lower(text), '\\\\s+')) AS w FROM documents),
+      |lens AS (SELECT doc_id, COUNT(*) AS len_d FROM tok GROUP BY doc_id),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |               CAST(SUM(len_d) AS BIGINT) AS total_len FROM lens),
+      |q AS (SELECT qid, w FROM VALUES
+      |  (1,'vector'), (1,'scan'), (2,'spark'), (2,'merge'), (2,'stream'),
+      |  (3,'window'), (3,'filter') AS t(qid, w)),
+      |hit AS (
+      |  SELECT q.qid, tf.doc_id,
+      |    (((n_docs - df.df) * 1000000) DIV (df.df + 1)) AS idf_fp,
+      |    ((11 * tf.tf * 1000000 * 1000000) DIV
+      |      ((5 * 1000000 * tf.tf) +
+      |       6 * (250000 + ((3 * 1000000 * lens.len_d * n_docs) DIV (4 * total_len))))) AS tf_fp
+      |  FROM q JOIN tf ON q.w = tf.w JOIN df ON q.w = df.w
+      |    JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN tot),
+      |sc AS (SELECT qid, doc_id, SUM((idf_fp * tf_fp) DIV 1000000) AS score
+      |       FROM hit GROUP BY qid, doc_id),
+      |tb AS (SELECT qid, doc_id, rb FROM (
+      |  SELECT qid, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rb
+      |  FROM sc) x WHERE rb <= 20),
+      |qv AS (SELECT CAST(vec_id DIV 17 AS INT) AS qid, embedding AS qe
+      |       FROM embeddings WHERE vec_id IN (17, 34, 51)),
+      |vs AS (SELECT qv.qid, e.vec_id AS doc_id,
+      |    ${dotQ("e.embedding", "qv.qe")} AS dot_q,
+      |    ${normQ("e.embedding")} AS na_q,
+      |    ${normQ("qv.qe")} AS nb_q
+      |  FROM embeddings e CROSS JOIN qv),
+      |vb AS (SELECT qid, doc_id, rv FROM (
+      |  SELECT qid, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+      |      CAST(dot_q AS DOUBLE) / SQRT(CAST(na_q AS DOUBLE) * CAST(nb_q AS DOUBLE)) DESC,
+      |      doc_id) AS rv
+      |  FROM vs) x WHERE rv <= 20),
+      |fused AS (
+      |  SELECT COALESCE(tb.qid, vb.qid) AS qid,
+      |    COALESCE(tb.doc_id, vb.doc_id) AS doc_id,
+      |    (CASE WHEN tb.rb IS NULL THEN 0 ELSE 1000000000 DIV (60 + tb.rb) END
+      |     + CASE WHEN vb.rv IS NULL THEN 0 ELSE 1000000000 DIV (60 + vb.rv) END) AS score_fp,
+      |    COALESCE(tb.rb, 0) AS rb, COALESCE(vb.rv, 0) AS rv
+      |  FROM tb FULL OUTER JOIN vb ON tb.qid = vb.qid AND tb.doc_id = vb.doc_id),
+      |r AS (SELECT qid, doc_id, score_fp, rb, rv,
+      |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_fp DESC, doc_id) AS rk
+      |  FROM fused)
+      |SELECT CAST(qid AS BIGINT) AS qid, CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(score_fp AS BIGINT) AS score_fp, CAST(rb AS BIGINT) AS rb,
+      |  CAST(rv AS BIGINT) AS rv, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    duckSql = """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents),
+      |lens AS (SELECT doc_id, COUNT(*) AS len_d FROM tok GROUP BY doc_id),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |               CAST(SUM(len_d) AS BIGINT) AS total_len FROM lens),
+      |q AS (SELECT qid, w FROM (VALUES
+      |  (1,'vector'), (1,'scan'), (2,'spark'), (2,'merge'), (2,'stream'),
+      |  (3,'window'), (3,'filter')) t(qid, w)),
+      |hit AS (
+      |  SELECT q.qid, tf.doc_id,
+      |    (((n_docs - df.df) * 1000000) // (df.df + 1)) AS idf_fp,
+      |    ((11 * tf.tf * 1000000 * 1000000) //
+      |      ((5 * 1000000 * tf.tf) +
+      |       6 * (250000 + ((3 * 1000000 * lens.len_d * n_docs) // (4 * total_len))))) AS tf_fp
+      |  FROM q JOIN tf ON q.w = tf.w JOIN df ON q.w = df.w
+      |    JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN tot),
+      |sc AS (SELECT qid, doc_id, SUM((idf_fp * tf_fp) // 1000000) AS score
+      |       FROM hit GROUP BY qid, doc_id),
+      |tb AS (SELECT qid, doc_id, rb FROM (
+      |  SELECT qid, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rb
+      |  FROM sc) x WHERE rb <= 20),
+      |qv AS (SELECT CAST(vec_id // 17 AS INT) AS qid, embedding AS qe
+      |       FROM embeddings WHERE vec_id IN (17, 34, 51)),
+      |x AS (SELECT e.vec_id, unnest(e.embedding) AS v,
+      |        generate_subscripts(e.embedding, 1) AS i FROM embeddings e),
+      |vdot AS (SELECT q.qid, x.vec_id AS doc_id,
+      |    CAST(SUM(CAST(FLOOR(CAST(x.v AS DOUBLE) * CAST(q.qe[x.i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS dot_q,
+      |    CAST(SUM(CAST(FLOOR(CAST(x.v AS DOUBLE) * CAST(x.v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS na_q
+      |  FROM x CROSS JOIN qv q GROUP BY q.qid, x.vec_id),
+      |nq AS (SELECT qid,
+      |    CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS nb_q
+      |  FROM (SELECT qid, unnest(qe) AS v FROM qv) u GROUP BY qid),
+      |vb AS (SELECT qid, doc_id, rv FROM (
+      |  SELECT d.qid, d.doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY d.qid ORDER BY
+      |      CAST(d.dot_q AS DOUBLE) / SQRT(CAST(d.na_q AS DOUBLE) * CAST(nq.nb_q AS DOUBLE)) DESC,
+      |      d.doc_id) AS rv
+      |  FROM vdot d JOIN nq ON d.qid = nq.qid) x WHERE rv <= 20),
+      |fused AS (
+      |  SELECT COALESCE(tb.qid, vb.qid) AS qid,
+      |    COALESCE(tb.doc_id, vb.doc_id) AS doc_id,
+      |    (CASE WHEN tb.rb IS NULL THEN 0 ELSE 1000000000 // (60 + tb.rb) END
+      |     + CASE WHEN vb.rv IS NULL THEN 0 ELSE 1000000000 // (60 + vb.rv) END) AS score_fp,
+      |    COALESCE(tb.rb, 0) AS rb, COALESCE(vb.rv, 0) AS rv
+      |  FROM tb FULL OUTER JOIN vb ON tb.qid = vb.qid AND tb.doc_id = vb.doc_id),
+      |r AS (SELECT qid, doc_id, score_fp, rb, rv,
+      |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_fp DESC, doc_id) AS rk
+      |  FROM fused)
+      |SELECT CAST(qid AS BIGINT) AS qid, CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(score_fp AS BIGINT) AS score_fp, CAST(rb AS BIGINT) AS rb,
+      |  CAST(rv AS BIGINT) AS rv, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin)
+
+  def specs: Seq[QuerySpec] = Seq(q23, q24, q25, q26, q27, q44, q68, q74)
 }

@@ -299,6 +299,55 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
   }
 
+  test("q73: substring dedup never all-pairs; dup marking is one keyed window") {
+    val p = planOf("q73_substring_dedup")
+    // windows meet under a PARTITION BY blk count window — an equality
+    // shuffle, never a window-vs-window join — and every join afterwards
+    // is doc_id/pos-keyed
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), s"dup marking should be a count window:\n$p")
+  }
+
+  test("q73: removal matches a direct local ExactSubstr implementation on sf0.001") {
+    // independent local oracle: count every 8-token sliding window across
+    // the corpus; a token is removed iff some window covering it occurs
+    // >= 2 times (within- or cross-doc, exactly as a suffix array sees it)
+    val toks: Map[Long, Array[String]] =
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+")).toMap
+    val winCount = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, w) <- toks; p <- 0 to w.length - 8)
+      winCount.updateWith(w.slice(p, p + 8).mkString(" "))(c => Some(c.getOrElse(0) + 1))
+    val expected = toks.map { case (id, w) =>
+      val covered = Array.fill(w.length)(false)
+      for (p <- 0 to w.length - 8)
+        if (winCount(w.slice(p, p + 8).mkString(" ")) > 1)
+          (p until p + 8).foreach(covered(_) = true)
+      id -> (w.length.toLong, covered.count(identity).toLong)
+    }
+    val out = QueryRegistry.byName("q73_substring_dedup").fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (id, (nTok, nRem)) =>
+      assert(out(id) === ((nTok, nRem)), s"doc $id: expected ($nTok, $nRem), got ${out(id)}")
+    }
+    assert(expected.values.exists(_._2 > 0), "sf0.001 should contain duplicated spans")
+  }
+
+  test("q74: hybrid RRF group-limits every rank window; only bounded sides nested-loop") {
+    val p = planOf("q74_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    // two allowed cross joins, both BuildRight on bounded sides: the 1-row
+    // BM25 totals and the 3-row query-vector set (tree + detail naming)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4,
+      s"only the scalar totals and the query-vector batch may nested-loop:\n$p")
+    // rb (BM25 top-20), rv (cosine top-20), rk (fused top-10) all push
+    // WindowGroupLimit: k rows per task leave each exchange, never the corpus
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 3,
+      s"all three rank windows must group-limit:\n$p")
+  }
+
   test("whole-stage codegen covers the relational queries' hot path") {
     val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
     df.collect() // AQE finalizes (and codegens) the plan only on execution
