@@ -266,14 +266,18 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       val snapId = m.lastSnapshotId + 1
       val now = System.currentTimeMillis()
       val base = parent.map(_.files).getOrElse(Seq.empty)
+      val parentDels = parent.map(_.deleteFiles).getOrElse(Seq.empty)
       val summary = Map(
         "operation" -> "append",
         "added-data-files" -> newFiles.size.toString,
         "added-records" -> newFiles.map(_.rowCount).sum.toString,
-        "total-records" -> (base.map(_.rowCount).sum + newFiles.map(_.rowCount).sum).toString
+        "total-records" -> (base.map(_.rowCount).sum + newFiles.map(_.rowCount).sum -
+          parentDels.map(_.rowCount).sum).toString
       ) ++ wapId.map("wap.id" -> _)
+      // appends only add files: the parent's merge-on-read delete entries
+      // all still apply, unpruned
       val snap = Snapshot(snapId, parent.map(_.snapshotId), now, "append", summary,
-        base ++ newFiles, staged = staged)
+        base ++ newFiles, staged = staged, deleteFiles = parentDels)
       val m2 = m.copy(snapshots = m.snapshots :+ snap, lastSnapshotId = snapId)
       if (staged) m2
       else m2.copy(
@@ -305,11 +309,22 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
 
   /** DataFrame over a set of files, mapped to the current logical schema
     * (rename/widen/add handled per write-time schema group — SURVEY §4
-    * "split planning"). */
-  private def dataFrameFor(m: TableMeta, files: Seq[DataFile]): DataFrame = {
+    * "split planning").
+    *
+    * `withRowMeta` appends `_gd_file` (= `_metadata.file_name`, the UUID
+    * basename — unique per table) and `_gd_pos` (= `_metadata.row_index`)
+    * — the positional-delete join key. Both come from Spark's parquet
+    * metadata columns, so the values are identical at delete-encode time
+    * and at scan time regardless of URI form or split planning. */
+  private def dataFrameFor(m: TableMeta, files: Seq[DataFile],
+                           withRowMeta: Boolean = false): DataFrame = {
     val cur = m.schema
     if (files.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cur.sparkSchema)
+      val schema =
+        if (!withRowMeta) cur.sparkSchema
+        else StructType(cur.sparkSchema.fields.toSeq :+
+          StructField("_gd_file", StringType) :+ StructField("_gd_pos", LongType))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else {
       val groups = files.groupBy(_.schemaId)
       val parts = groups.map { case (schemaId, fs) =>
@@ -321,11 +336,60 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
             case Some(w) => raw.col(w.physicalName).cast(c.sparkType).as(c.name)
             case None => lit(null).cast(c.sparkType).as(c.name)
           }
-        }
+        } ++ (if (withRowMeta)
+          Seq(col("_metadata.file_name").as("_gd_file"),
+            col("_metadata.row_index").as("_gd_pos"))
+        else Seq.empty)
         raw.select(cols: _*)
       }.toSeq
       parts.reduce(_ unionByName _)
     }
+  }
+
+  private def fileName(path: String): String = new Path(path).getName
+
+  /** Drop delete entries whose referenced data file is no longer live; a
+    * delete file whose every referenced file is gone drops entirely. */
+  private def pruneDeleteFiles(dels: Seq[DeleteFile],
+                               liveNames: Set[String]): Seq[DeleteFile] =
+    dels.flatMap { d =>
+      val kept = d.counts.filter { case (n, _) => liveNames.contains(n) }
+      if (kept.isEmpty) None
+      else if (kept.size == d.counts.size) Some(d)
+      else Some(d.copy(counts = kept))
+    }
+
+  /** `(_gd_file, _gd_pos)` rows of the given delete files. */
+  private def deleteEntriesDf(dels: Seq[DeleteFile]): DataFrame =
+    spark.read.schema(LakeTable.DeleteEntrySchema).parquet(dels.map(_.path): _*)
+      .select(col("file_name").as("_gd_file"), col("pos").as("_gd_pos"))
+
+  /** Read `files` under `snap`'s merge-on-read delete mask: rows at
+    * positions recorded in the snapshot's delete files are subtracted.
+    * Scale shape: files with no delete entries scan untouched; affected
+    * files anti-join the (metadata-sized) position set, broadcast while it
+    * is provably small (Σ metadata counts), shuffle-hash above that —
+    * deleted positions are bounded by churn since the last compaction,
+    * never by table size. */
+  private[lake] def dataFrameForLive(m: TableMeta, snap: Option[Snapshot],
+                                     files: Seq[DataFile]): DataFrame = {
+    val dels = snap.map(_.deleteFiles).getOrElse(Seq.empty)
+    if (dels.isEmpty) return dataFrameFor(m, files)
+    val names = files.map(f => fileName(f.path)).toSet
+    val affectedNames = dels.flatMap(_.counts.keys).toSet.intersect(names)
+    if (affectedNames.isEmpty) return dataFrameFor(m, files)
+    val (withDel, plain) = files.partition(f => affectedNames.contains(fileName(f.path)))
+    val relevant = dels.filter(_.counts.keys.exists(affectedNames.contains))
+    val src = dataFrameFor(m, withDel, withRowMeta = true)
+    val entries0 = deleteEntriesDf(relevant)
+    // a delete file may also reference files NOT being read here (pruned
+    // or partial scans) — those entries no-op in the anti join
+    val entries =
+      if (relevant.map(_.rowCount).sum <= 4L * 1000 * 1000) broadcast(entries0)
+      else entries0
+    val live = src.join(entries, Seq("_gd_file", "_gd_pos"), "left_anti")
+      .drop("_gd_file", "_gd_pos")
+    if (plain.isEmpty) live else dataFrameFor(m, plain).unionByName(live)
   }
 
   /** Resolve which snapshot a read sees: explicit snapshot-id > explicit
@@ -360,7 +424,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         all.filter(df => Pruning.mayMatch(p, fileBounds(m, df)))
       case None => all
     }
-    val df = dataFrameFor(m, files)
+    val df = dataFrameForLive(m, snap, files)
     filter.map(df.filter).getOrElse(df)
   }
 
@@ -369,7 +433,14 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   // ---- DML (D10-D13, D3) ---------------------------------------------------
 
   /** DELETE FROM WHERE — metadata-only when stats prove a file wholly
-    * matches (Getting Started.ipynb c20), copy-on-write otherwise (c21/23). */
+    * matches (Getting Started.ipynb c20); for partially matching files,
+    * copy-on-write rewrite (c21/23) by default, or merge-on-read positional
+    * delete files with table property `write.delete.mode=merge-on-read`
+    * (Iceberg v2's knob): the matched `(file, pos)` pairs are written as a
+    * kilobyte-sized delete file and subtracted at scan time — a point
+    * DELETE on a 100 TB table stops rewriting gigabyte data files.
+    * Compaction (`rewrite_data_files` / `rewrite_position_deletes`)
+    * retires the entries. */
   def delete(condition: Column, toBranch: Option[String] = None): TableMeta = {
     val m0 = meta
     requireWapUnambiguous(m0)
@@ -388,17 +459,70 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       else if (Pruning.allMatch(p, b)) drop += f
       else rewrite += f
     }
-    val rewritten: Seq[DataFile] = if (rewrite.isEmpty) Seq.empty else {
-      // keep rows where the predicate is NOT TRUE (false or null survive)
-      val remaining = dataFrameFor(m0, rewrite.toSeq)
-        .filter(!coalesce(condition, lit(false)))
-      writeDataFiles(toPhysical(remaining, m0.schema), m0)
+    val mor = m0.properties.get("write.delete.mode").contains("merge-on-read")
+    if (mor) {
+      // positions matching the predicate, minus positions already deleted
+      // (keeps delete files disjoint, so metadata counts stay exact and a
+      // re-run of the same DELETE commits nothing)
+      val newDel: Option[DeleteFile] = if (rewrite.isEmpty) None else {
+        val cond = coalesce(condition, lit(false))
+        val matched0 = dataFrameFor(m0, rewrite.toSeq, withRowMeta = true)
+          .filter(cond).select(col("_gd_file"), col("_gd_pos"))
+        val priorDels = snap.map(_.deleteFiles).getOrElse(Seq.empty)
+          .filter(_.counts.keys.exists(n => rewrite.exists(f => fileName(f.path) == n)))
+        val matched =
+          if (priorDels.isEmpty) matched0
+          else matched0.join(broadcast(deleteEntriesDf(priorDels)),
+            Seq("_gd_file", "_gd_pos"), "left_anti")
+        writeDeleteFile(matched)
+      }
+      val remaining = keep.toSeq ++ rewrite.toSeq
+      if (drop.isEmpty && newDel.isEmpty) m0 // nothing matched — no commit
+      else commitReplace(branch, remaining, "delete", Map(
+        "deleted-data-files" -> drop.size.toString,
+        "added-delete-files" -> newDel.size.toString,
+        "added-position-deletes" -> newDel.map(_.rowCount).getOrElse(0L).toString,
+        "delete-mode" -> "merge-on-read",
+        "metadata-only" -> newDel.isEmpty.toString), base = snap,
+        conflictPredicate = Some(p), staged = stagedWap,
+        extraDeleteFiles = newDel.toSeq)
+    } else {
+      val rewritten: Seq[DataFile] = if (rewrite.isEmpty) Seq.empty else {
+        // keep rows where the predicate is NOT TRUE (false or null survive);
+        // read under the delete mask so previously MoR-deleted rows are not
+        // resurrected into the rewritten files
+        val remaining = dataFrameForLive(m0, snap, rewrite.toSeq)
+          .filter(!coalesce(condition, lit(false)))
+        writeDataFiles(toPhysical(remaining, m0.schema), m0)
+      }
+      commitReplace(branch, keep.toSeq ++ rewritten, "delete", Map(
+        "deleted-data-files" -> drop.size.toString,
+        "rewritten-data-files" -> rewrite.size.toString,
+        "metadata-only" -> rewrite.isEmpty.toString), base = snap,
+        conflictPredicate = Some(p), staged = stagedWap)
     }
-    commitReplace(branch, keep.toSeq ++ rewritten, "delete", Map(
-      "deleted-data-files" -> drop.size.toString,
-      "rewritten-data-files" -> rewrite.size.toString,
-      "metadata-only" -> rewrite.isEmpty.toString), base = snap,
-      conflictPredicate = Some(p), staged = stagedWap)
+  }
+
+  /** Write `(​_gd_file, _gd_pos)` rows as one positional delete file under
+    * `data/del-*.parquet`; None when no positions matched. The per-file
+    * counts ride in metadata so liveness pruning and the COUNT(*) fast
+    * path never read the parquet. */
+  private def writeDeleteFile(entries: DataFrame): Option[DeleteFile] = {
+    val counts = entries.groupBy("_gd_file").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return None
+    val tmp = new Path(location, s"tmp-del-${UUID.randomUUID().toString.take(8)}")
+    entries.select(col("_gd_file").as("file_name"), col("_gd_pos").as("pos"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val written = listParquet(fs, tmp)
+    require(written.size == 1, s"expected one delete file, found ${written.size}")
+    val target = new Path(dataDir, s"del-${UUID.randomUUID().toString.take(12)}.parquet")
+    fs.mkdirs(dataDir)
+    if (!fs.rename(written.head, target))
+      throw new IllegalStateException(s"failed to move ${written.head} -> $target")
+    fs.delete(tmp, true)
+    val size = fs.getFileStatus(target).getLen
+    Some(DeleteFile(target.toString, size, counts))
   }
 
   /** UPDATE SET — copy-on-write rewrite of files that may match
@@ -420,8 +544,11 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     }
     assignments.keys.foreach(k => require(m0.schema.byName(k).isDefined,
       s"UPDATE target column $k not in schema"))
+    if (m0.properties.get("write.update.mode").contains("merge-on-read"))
+      return updateMor(m0, snap, branch, touched, untouched, assignments,
+        condition, stagedWap)
     val rewritten: Seq[DataFile] = if (touched.isEmpty) Seq.empty else {
-      val src = dataFrameFor(m0, touched)
+      val src = dataFrameForLive(m0, snap, touched)
       // ONE projection, not sequential withColumn: SQL UPDATE semantics
       // require every RHS and the WHERE predicate to read the OLD row. A
       // fold would re-resolve the condition and later RHS against
@@ -445,6 +572,49 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       // unconditioned UPDATE touches every row: any concurrent add conflicts
       conflictPredicate = Some(condition.map(Pruning.translate).getOrElse(Pruning.Unknown)),
       staged = stagedWap)
+  }
+
+  /** UPDATE with `write.update.mode=merge-on-read` (Iceberg v2): the OLD
+    * versions of matched rows become positional delete entries and the NEW
+    * versions append as fresh data files — writes are O(matched rows), so
+    * updating a handful of rows in a 100 TB table stops rewriting every
+    * touched gigabyte file. Non-matching rows of touched files are simply
+    * left in place under the delete mask. */
+  private def updateMor(m0: TableMeta, snap: Option[Snapshot], branch: String,
+                        touched: Seq[DataFile], untouched: Seq[DataFile],
+                        assignments: Map[String, Column],
+                        condition: Option[Column], stagedWap: Boolean): TableMeta = {
+    if (touched.isEmpty) return m0
+    val cond = condition.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+    val srcAll = dataFrameFor(m0, touched, withRowMeta = true)
+    val touchedNames = touched.map(f => fileName(f.path)).toSet
+    val priorDels = snap.map(_.deleteFiles).getOrElse(Seq.empty)
+      .filter(_.counts.keys.exists(touchedNames.contains))
+    val srcLive =
+      if (priorDels.isEmpty) srcAll
+      else srcAll.join(broadcast(deleteEntriesDf(priorDels)),
+        Seq("_gd_file", "_gd_pos"), "left_anti")
+    val matched = srcLive.filter(cond)
+    // every RHS reads the OLD row (matched rows pre-assignment), same
+    // contract as the CoW projection above
+    val dataCols = m0.schema.columns.map(_.name)
+    val updated = matched.select(dataCols.map { name =>
+      assignments.get(name).map(_.as(name)).getOrElse(col(name))
+    }: _*)
+    // "rw" prefix like the CoW update path: the streaming read-back
+    // delivers appends only, and an UPDATE's new row versions are not
+    // appends there any more than a CoW rewrite's survivors are
+    val newFiles = writeDataFiles(toPhysical(updated, m0.schema), m0)
+    val newDel = writeDeleteFile(matched.select(col("_gd_file"), col("_gd_pos")))
+    if (newFiles.isEmpty && newDel.isEmpty) return m0 // nothing matched
+    commitReplace(branch, untouched ++ touched ++ newFiles, "overwrite", Map(
+      "update-mode" -> "merge-on-read",
+      "added-data-files" -> newFiles.size.toString,
+      "added-delete-files" -> newDel.size.toString,
+      "added-position-deletes" -> newDel.map(_.rowCount).getOrElse(0L).toString),
+      base = snap,
+      conflictPredicate = Some(condition.map(Pruning.translate).getOrElse(Pruning.Unknown)),
+      staged = stagedWap, extraDeleteFiles = newDel.toSeq)
   }
 
   /** Equality-field upsert (J2: `MERGE` = anti-join + union, ref:
@@ -472,7 +642,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       if (ks.isEmpty) (Seq.empty[DataFile], all)
       else all.partition(f => Pruning.mayMatch(p, fileBounds(m0, f)))
     val survivors: Seq[DataFile] = if (touched.isEmpty) Seq.empty else {
-      val remaining = dataFrameFor(m0, touched)
+      val remaining = dataFrameForLive(m0, snap, touched)
         .filter(!coalesce(col(key).isin(ks: _*), lit(false)))
       writeDataFiles(toPhysical(remaining, m0.schema), m0)
     }
@@ -517,7 +687,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         // broadcast the key side when it is provably small; else let the
         // planner shuffle both sides on the key
         val keySide = if (nKeys <= 1000000L) broadcast(kd) else kd
-        val remaining = dataFrameFor(m0, touched).join(keySide, Seq(key), "left_anti")
+        val remaining = dataFrameForLive(m0, snap, touched)
+          .join(keySide, Seq(key), "left_anti")
         writeDataFiles(toPhysical(remaining, m0.schema), m0)
       }
       val inserted =
@@ -685,13 +856,24 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
                                   base: Option[Snapshot],
                                   strict: Boolean = false,
                                   conflictPredicate: Option[Pruning.Pred] = None,
-                                  staged: Boolean = false): TableMeta =
+                                  staged: Boolean = false,
+                                  extraDeleteFiles: Seq[DeleteFile] = Seq.empty): TableMeta =
     commit { m =>
       require(m.refs.get(branch).forall(_.kind != "tag"), s"cannot write to tag $branch")
       val parent = m.snapshotFor(branch).orElse(m.currentSnapshot)
       val reconciled =
         if (parent.map(_.snapshotId) == base.map(_.snapshotId)) files
         else {
+          // merge-on-read deletes landing concurrently are invisible to a
+          // file-set diff (they change no files) but DO change row-level
+          // content the replanned operation read — a CoW rewrite committed
+          // over them would resurrect the deleted rows. Re-plan instead.
+          val parentDels = parent.map(_.deleteFiles).getOrElse(Seq.empty)
+          val baseDels = base.map(_.deleteFiles).getOrElse(Seq.empty)
+          if (parentDels != baseDels) throw CommitConflictException(
+            s"$op planned against snapshot ${base.map(_.snapshotId).getOrElse(-1L)} " +
+              "but a concurrent commit changed the merge-on-read delete set — " +
+              "re-plan and retry")
           if (strict) throw CommitConflictException(
             s"$op planned against snapshot ${base.map(_.snapshotId).getOrElse(-1L)} " +
               s"but branch '$branch' moved to ${parent.map(_.snapshotId).getOrElse(-1L)}")
@@ -716,11 +898,22 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         }
       val snapId = m.lastSnapshotId + 1
       val now = System.currentTimeMillis()
+      // carry the parent's merge-on-read delete entries pruned to files
+      // still present (a rewrite/drop of a data file retires its entries —
+      // the rewritten file was produced from the delete-masked read), then
+      // add this operation's new entries. Pruning keeps the invariant that
+      // Σ counts is an exact deleted-row count over LIVE files, which the
+      // metadata-only COUNT(*) fast path subtracts.
+      val liveNames = reconciled.map(f => fileName(f.path)).toSet
+      val carriedDels = pruneDeleteFiles(
+        parent.map(_.deleteFiles).getOrElse(Seq.empty), liveNames) ++ extraDeleteFiles
       val summary = extraSummary ++ Map(
-        "operation" -> op, "total-records" -> reconciled.map(_.rowCount).sum.toString) ++
+        "operation" -> op,
+        "total-records" -> (reconciled.map(_.rowCount).sum -
+          carriedDels.map(_.rowCount).sum).toString) ++
         (if (staged) wapId.map("wap.id" -> _) else None)
       val snap = Snapshot(snapId, parent.map(_.snapshotId), now, op, summary, reconciled,
-        staged = staged)
+        staged = staged, deleteFiles = carriedDels)
       // a STAGED replacement (row-level op under a wap.id session) records
       // the snapshot but leaves the ref unmoved — invisible to plain reads,
       // auditable via VERSION AS OF '<wap.id>', published by cherrypick
@@ -1012,10 +1205,16 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     val files =
       if (isReplace) staged.files
       else mainSnap.map(_.files).getOrElse(Seq.empty) ++ added
+    // a staged replacement publishes with the delete set it planned (main
+    // is verified unmoved above); a grafted append keeps main's delete set
+    // (its entries' files are all still present in the superset list)
+    val dels =
+      if (isReplace) staged.deleteFiles
+      else mainSnap.map(_.deleteFiles).getOrElse(Seq.empty)
     val snap = Snapshot(snapId, mainSnap.map(_.snapshotId), now, staged.operation,
       staged.summary ++ Map("published-wap-id" -> staged.summary.getOrElse("wap.id", ""),
         "source-snapshot-id" -> snapshotId.toString),
-      files)
+      files, deleteFiles = dels)
     m.copy(snapshots = m.snapshots :+ snap, lastSnapshotId = snapId,
       refs = m.refs + (MainBranch -> Ref(snapId)),
       history = m.history :+ HistoryEntry(now, snapId, MainBranch))
@@ -1029,8 +1228,10 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * files no surviving snapshot references. */
   def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): TableMeta = {
     val m0 = meta
-    val before = m0.snapshots.flatMap(_.files).map(_.path).toSet
-    val beforeChunks = m0.snapshots.flatMap(s => s.manifests ++ s.manifestList).toSet
+    val before = m0.snapshots.flatMap(s =>
+      s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+    val beforeChunks = m0.snapshots.flatMap(s =>
+      s.manifests ++ s.manifestList ++ s.deleteManifest).toSet
     val m2 = commit { m =>
       val refTargets = m.refs.values.map(_.snapshotId).toSet
       val newest = m.snapshots.filter(!_.staged).sortBy(s => (s.timestampMs, s.snapshotId))
@@ -1060,11 +1261,13 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         harvested("graft.published-source-snapshot-ids", "source-snapshot-id") ++
         harvested("graft.published-wap-ids", "published-wap-id"))
     }
-    val live = m2.snapshots.flatMap(_.files).map(_.path).toSet
+    val live = m2.snapshots.flatMap(s =>
+      s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
     (before -- live).foreach(p => fs.delete(new Path(p), false))
     // Manifest chunks are SHARED across snapshots (that's the point), so a
     // chunk is reclaimable only when no SURVIVING snapshot references it.
-    val liveChunks = m2.snapshots.flatMap(s => s.manifests ++ s.manifestList).toSet
+    val liveChunks = m2.snapshots.flatMap(s =>
+      s.manifests ++ s.manifestList ++ s.deleteManifest).toSet
     (beforeChunks -- liveChunks).foreach(n =>
       fs.delete(Manifests.chunkPath(metaDir, n), false))
     m2
@@ -1094,7 +1297,10 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     if (files.isEmpty) return m0
     val totalBytes = files.map(_.sizeBytes).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetSizeBytes).toInt)
-    val base = dataFrameFor(m0, files)
+    // live read: compaction APPLIES merge-on-read position deletes — the
+    // rewritten files carry only surviving rows, and commitReplace's
+    // liveness pruning then retires every delete entry of the old files
+    val base = dataFrameForLive(m0, baseSnap, files)
     val df =
       if (zorderBy.nonEmpty) {
         zorderBy.foreach(c => require(m0.schema.byName(c).isDefined, s"no column $c"))
@@ -1118,6 +1324,34 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       "added-data-files" -> rewritten.size.toString) ++
       (if (sortBy.nonEmpty) Map("sort-order" -> sortBy.mkString(",")) else Map.empty) ++
       (if (zorderBy.nonEmpty) Map("zorder" -> zorderBy.mkString(",")) else Map.empty),
+      base = baseSnap)
+  }
+
+  /** CALL rewrite_position_deletes: fold merge-on-read delete entries back
+    * into their data files — ONLY files carrying delete entries are
+    * rewritten (read under the mask, re-written without the dead rows);
+    * untouched files stay byte-identical. The new `replace` snapshot has an
+    * empty delete set, restoring exact footer stats (MIN/MAX fast path) and
+    * per-scan join-free reads. Iceberg's procedure of the same name; run it
+    * when deleted-position count or delete-file count crosses a threshold.
+    * Logical content unchanged, so the changelog emits nothing for it. */
+  def rewritePositionDeletes(): TableMeta = {
+    val m0 = meta
+    val branch = resolveWriteBranch(None)
+    val baseSnap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
+    val dels = baseSnap.map(_.deleteFiles).getOrElse(Seq.empty)
+    if (dels.isEmpty) return m0
+    val refNames = dels.flatMap(_.counts.keys).toSet
+    val files = baseSnap.map(_.files).getOrElse(Seq.empty)
+    val (affected, clean) = files.partition(f => refNames.contains(fileName(f.path)))
+    val rewritten: Seq[DataFile] =
+      if (affected.isEmpty) Seq.empty
+      else writeDataFiles(
+        toPhysical(dataFrameForLive(m0, baseSnap, affected), m0.schema), m0)
+    commitReplace(branch, clean ++ rewritten, "replace", Map(
+      "rewritten-data-files" -> affected.size.toString,
+      "removed-delete-files" -> dels.size.toString,
+      "applied-position-deletes" -> dels.map(_.rowCount).sum.toString),
       base = baseSnap)
   }
 
@@ -1146,8 +1380,10 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
             Map("operation" -> "rewrite-manifests",
               "manifests-replaced" -> snap.manifests.size.toString,
               "manifests-created" -> names.size.toString,
-              "total-records" -> snap.files.map(_.rowCount).sum.toString),
-            snap.files, manifests = names)
+              "total-records" -> (snap.files.map(_.rowCount).sum -
+                snap.deleteFiles.map(_.rowCount).sum).toString),
+            snap.files, manifests = names,
+            deleteFiles = snap.deleteFiles, deleteManifest = snap.deleteManifest)
           m.copy(snapshots = m.snapshots :+ next, lastSnapshotId = snapId,
             refs = m.refs + (branch -> Ref(snapId)),
             history = m.history :+ HistoryEntry(now, snapId, branch))
@@ -1166,8 +1402,9 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     // (usually unqualified) — comparing raw strings would mark every live
     // file an orphan.
     val m = meta
-    val referenced =
-      m.snapshots.flatMap(_.files).map(f => new Path(f.path).toUri.getPath).toSet
+    val referenced = m.snapshots.flatMap(s =>
+      s.files.map(_.path) ++ s.deleteFiles.map(_.path))
+      .map(p => new Path(p).toUri.getPath).toSet
     val orphans = scala.collection.mutable.ArrayBuffer[String]()
     if (fs.exists(dataDir)) {
       val it = fs.listFiles(dataDir, false)
@@ -1183,7 +1420,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     // reclaim any that no snapshot of the CURRENT metadata references.
     // (Superseded version files may still name such chunks, but they are
     // write-protocol artifacts — only the latest version is ever resolved.)
-    val liveChunks = m.snapshots.flatMap(s => s.manifests ++ s.manifestList).toSet
+    val liveChunks = m.snapshots.flatMap(s =>
+      s.manifests ++ s.manifestList ++ s.deleteManifest).toSet
     if (fs.exists(metaDir)) {
       val it = fs.listFiles(metaDir, false)
       while (it.hasNext) {
@@ -1215,6 +1453,9 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     }
     val cur = m.schema.byName(colName).orNull
     if (cur == null || !intFamily(cur.sparkType)) return None
+    // merge-on-read position deletes make footer bounds over-approximate
+    // (the extreme row may be deleted) — stats can prune but not vouch
+    if (snap.deleteFiles.nonEmpty) return None
     var lo = Option.empty[Long]
     var hi = Option.empty[Long]
     val it = snap.files.iterator
@@ -1335,13 +1576,39 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       .withColumn("_change_ordinal", lit(ordinal))
       .withColumn("_commit_snapshot_id", lit(snapId))
     val perCommit = path.zipWithIndex.map { case (s, ordinal) =>
-      val parentFiles = s.parentId.flatMap(m.snapshot).map(_.files).getOrElse(Seq.empty)
+      val parentSnap = s.parentId.flatMap(m.snapshot)
+      val parentFiles = parentSnap.map(_.files).getOrElse(Seq.empty)
       val parentPaths = parentFiles.map(_.path).toSet
       val curPaths = s.files.map(_.path).toSet
-      val addedDf = dataFrameFor(m, s.files.filterNot(f => parentPaths.contains(f.path)))
-      val removedDf = dataFrameFor(m, parentFiles.filterNot(f => curPaths.contains(f.path)))
+      // each side reads under ITS OWN snapshot's delete mask, so the diff
+      // is over LOGICAL content: a compaction that applies merge-on-read
+      // deletes cancels exactly (removed-live == rewritten), and a CoW
+      // rewrite never re-emits rows an earlier MoR commit already deleted
+      val addedDf = dataFrameForLive(m, Some(s),
+        s.files.filterNot(f => parentPaths.contains(f.path)))
+      val removedDf = dataFrameForLive(m, parentSnap,
+        parentFiles.filterNot(f => curPaths.contains(f.path)))
+      // merge-on-read transitions: delete FILES added by this commit mark
+      // rows of KEPT data files live→dead — read just those positions
+      // (churn-sized; the kept files' scan is pruned to referenced names)
+      val parentDelPaths = parentSnap.map(_.deleteFiles.map(_.path).toSet)
+        .getOrElse(Set.empty)
+      val newDels = s.deleteFiles.filterNot(d => parentDelPaths.contains(d.path))
+      val morDeleted: Option[DataFrame] =
+        if (newDels.isEmpty) None
+        else {
+          val refNames = newDels.flatMap(_.counts.keys).toSet
+          val kept = s.files.filter(f =>
+            parentPaths.contains(f.path) && refNames.contains(fileName(f.path)))
+          if (kept.isEmpty) None
+          else Some(dataFrameFor(m, kept, withRowMeta = true)
+            .join(broadcast(deleteEntriesDf(newDels)), Seq("_gd_file", "_gd_pos"),
+              "left_semi")
+            .drop("_gd_file", "_gd_pos"))
+        }
       val inserted = addedDf.exceptAll(removedDf)
-      val deleted = removedDf.exceptAll(addedDf)
+      val deleted = morDeleted.fold(removedDf.exceptAll(addedDf))(
+        removedDf.exceptAll(addedDf).unionByName(_))
       if (identifierFields.isEmpty)
         tag(inserted, "INSERT", ordinal, s.snapshotId)
           .unionByName(tag(deleted, "DELETE", ordinal, s.snapshotId))
@@ -1453,6 +1720,12 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
 
 object LakeTable {
   val MainBranch = "main"
+
+  /** On-disk schema of merge-on-read positional delete files
+    * (`data/del-*.parquet`): data-file basename + 0-based row position. */
+  val DeleteEntrySchema: StructType = StructType(Seq(
+    StructField("file_name", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
 
   /** Resolved-meta cache keyed by "location#vN". Version files are
     * IMMUTABLE once exclusively published, so entries never go stale —

@@ -61,6 +61,7 @@ object Manifests {
   // runs from accumulating unboundedly.
   private val cache = new ConcurrentHashMap[String, Seq[DataFile]]()
   private val listCache = new ConcurrentHashMap[String, Seq[String]]()
+  private val deleteCache = new ConcurrentHashMap[String, Seq[DeleteFile]]()
   private val MaxCacheEntries = 16384
 
   private def sha16(s: String): String = {
@@ -121,6 +122,37 @@ object Manifests {
     names
   }
 
+  /** Content-addressed chunk holding one snapshot's DELETE-file list
+    * (merge-on-read positional deletes). Appends don't change the delete
+    * set, so consecutive snapshots share the chunk by name and the root
+    * document carries one name per snapshot — the same reuse argument as
+    * data-manifest chunks, sized by churn-since-compaction rather than by
+    * table file count. */
+  private def writeDeleteManifest(fs: FileSystem, metaDir: Path,
+                                  dels: Seq[DeleteFile]): String = {
+    val json = Meta.deleteChunkToJson(dels)
+    val name = s"manifest-del-${sha16(json)}.json"
+    val p = chunkPath(metaDir, name)
+    if (!fs.exists(p)) {
+      Publish.exclusive(fs, p, json.getBytes(StandardCharsets.UTF_8))
+      ()
+    }
+    if (deleteCache.size < MaxCacheEntries) deleteCache.put(p.toString, dels)
+    name
+  }
+
+  private def readDeleteManifest(fs: FileSystem, metaDir: Path,
+                                 name: String): Seq[DeleteFile] = {
+    val key = chunkPath(metaDir, name).toString
+    val hit = deleteCache.get(key)
+    if (hit != null) return hit
+    val in = fs.open(chunkPath(metaDir, name))
+    val json = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    val dels = Meta.deleteChunkFromJson(json)
+    if (deleteCache.size < MaxCacheEntries) deleteCache.put(key, dels)
+    dels
+  }
+
   /** Chunk `files` against `parentChunks` (name → contents, in parent
     * order): greedy maximal-run reuse preserving file order exactly.
     * Returns the chunk-name list plus the chunks that must be written
@@ -166,7 +198,14 @@ object Manifests {
     val target = targetFiles(next)
     val byId = scala.collection.mutable.HashMap[Long, Snapshot]()
     val assigned = next.snapshots.map { s0 =>
-      val s = if (s0.files == null) s0.copy(files = Seq.empty) else s0
+      val s1 = if (s0.files == null) s0.copy(files = Seq.empty) else s0
+      // delete-manifest assignment is independent of data-chunk assignment:
+      // content-addressing makes an unchanged delete set a zero-byte reuse
+      val s =
+        if (s1.deleteFiles.nonEmpty && s1.deleteManifest.isEmpty)
+          s1.copy(deleteManifest =
+            Some(writeDeleteManifest(fs, metaDir, s1.deleteFiles)))
+        else s1
       val done =
         if (s.files.isEmpty || s.manifestList.isDefined) s
         else {
@@ -192,8 +231,8 @@ object Manifests {
       done
     }
     val inMemory = next.copy(snapshots = assigned)
-    val persisted = inMemory.copy(snapshots =
-      assigned.map(_.copy(files = Seq.empty, manifests = Seq.empty)))
+    val persisted = inMemory.copy(snapshots = assigned.map(
+      _.copy(files = Seq.empty, manifests = Seq.empty, deleteFiles = Seq.empty)))
     (inMemory, persisted)
   }
 
@@ -203,9 +242,15 @@ object Manifests {
     raw.copy(snapshots = raw.snapshots.map { s0 =>
       val files = Option(s0.files).getOrElse(Seq.empty)
       val names0 = Option(s0.manifests).getOrElse(Seq.empty)
-      val s = if (s0.files == null || s0.manifests == null)
-        s0.copy(files = files, manifests = names0) else s0
-      if (files.nonEmpty) s
+      val dels0 = Option(s0.deleteFiles).getOrElse(Seq.empty)
+      val s1 = if (s0.files == null || s0.manifests == null || s0.deleteFiles == null)
+        s0.copy(files = files, manifests = names0, deleteFiles = dels0) else s0
+      val s =
+        if (s1.deleteFiles.isEmpty && s1.deleteManifest.isDefined)
+          s1.copy(deleteFiles =
+            readDeleteManifest(fs, metaDir, s1.deleteManifest.get))
+        else s1
+      if (s.files.nonEmpty) s
       else {
         val names =
           if (s.manifests.nonEmpty) s.manifests
@@ -228,5 +273,7 @@ object Manifests {
 
   /** Probe hook: drop the process-wide caches so a load measures true
     * cold-resolve cost (one filesystem read per distinct chunk). */
-  private[lake] def clearCaches(): Unit = { cache.clear(); listCache.clear() }
+  private[lake] def clearCaches(): Unit = {
+    cache.clear(); listCache.clear(); deleteCache.clear()
+  }
 }

@@ -75,6 +75,33 @@ final case class DataFile(
     /** physical column name ("c<id>") → stats. */
     stats: Map[String, ColStat])
 
+/** Merge-on-read positional delete file (Iceberg v2 position deletes, ref:
+  * `write.delete.mode=merge-on-read` in the reference's Iceberg tables):
+  * a parquet file of `(file_name STRING, pos BIGINT)` rows marking data-file
+  * positions as deleted WITHOUT rewriting the data file — a point DELETE on
+  * a 100 TB table writes kilobytes instead of re-writing gigabyte files.
+  * Readers subtract the positions at scan time; `rewrite_position_deletes`
+  * or any CoW rewrite of the referenced files retires the entries.
+  *
+  * `counts` is keyed by data-file NAME (the UUID basename — unique per
+  * table, and exactly what Spark's `_metadata.file_name` yields at both
+  * delete-encode and scan time, so the join key needs no URI
+  * normalization). Commits prune `counts` to files still live in the new
+  * snapshot, so `Σ counts` stays an EXACT deleted-row count and the
+  * metadata-only COUNT(*) fast path remains exact under merge-on-read. */
+final case class DeleteFile(
+    path: String,
+    sizeBytes: Long,
+    /** referenced data-file name → deleted-position count in that file.
+      * Positions are globally disjoint across a snapshot's delete files
+      * (delete writes anti-join already-deleted positions).
+      * contentAs guards against Jackson's erasure default (Integer values
+      * for small counts → ClassCastException on first use after reload). */
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    counts: Map[String, Long]) {
+  def rowCount: Long = counts.values.sum
+}
+
 final case class Snapshot(
     snapshotId: Long,
     // contentAs guards against Jackson's erasure default (Option[Integer])
@@ -107,7 +134,21 @@ final case class Snapshot(
       * `manifests` (`metadata/manifest-list-<hash>.json`) — the one
       * per-snapshot pointer the root document serializes, exactly
       * Iceberg's snapshot → manifest-list indirection. */
-    manifestList: Option[String] = None)
+    manifestList: Option[String] = None,
+    /** Merge-on-read positional delete files applying to `files` (empty on
+      * copy-on-write-only tables). In-memory always resolved; ON DISK the
+      * list is serialized EMPTY and lives in one content-addressed chunk
+      * named by `deleteManifest` — consecutive snapshots that share a
+      * delete set (every append) share the chunk by name, so the root
+      * document carries one name per snapshot, not the entry list
+      * (Iceberg's delete-manifest indirection). Bounded by churn since the
+      * last compaction: `rewrite_position_deletes` / `rewrite_data_files`
+      * reset it. */
+    deleteFiles: Seq[DeleteFile] = Seq.empty,
+    /** Content-addressed chunk (`metadata/manifest-del-<hash>.json`)
+      * holding `deleteFiles`; None when `deleteFiles` is empty. Filled by
+      * [[Manifests.assign]] at commit time. */
+    deleteManifest: Option[String] = None)
 
 /** Named ref: `branch` (movable, writable) or `tag` (immutable marker). */
 final case class Ref(snapshotId: Long, kind: String = "branch")
@@ -147,6 +188,10 @@ final case class TableMeta(
   * the appended files. */
 final case class ManifestChunk(files: Seq[DataFile])
 
+/** Wire form of one snapshot's [[DeleteFile]] list (content-addressed —
+  * shared by name across every snapshot with the same live delete set). */
+final case class DeleteManifestChunk(deleteFiles: Seq[DeleteFile])
+
 object Meta {
   private val mapper: ObjectMapper with ClassTagExtensions = {
     val m = new ObjectMapper() with ClassTagExtensions
@@ -164,4 +209,8 @@ object Meta {
     mapper.readValue[ManifestChunk](json).files
   def listToJson(names: Seq[String]): String = mapper.writeValueAsString(names)
   def listFromJson(json: String): Seq[String] = mapper.readValue[Seq[String]](json)
+  def deleteChunkToJson(dels: Seq[DeleteFile]): String =
+    mapper.writeValueAsString(DeleteManifestChunk(dels))
+  def deleteChunkFromJson(json: String): Seq[DeleteFile] =
+    mapper.readValue[DeleteManifestChunk](json).deleteFiles
 }

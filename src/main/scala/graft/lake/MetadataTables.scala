@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object MetadataTables {
 
   val kinds: Seq[String] =
-    Seq("snapshots", "files", "partitions", "history", "refs", "manifests")
+    Seq("snapshots", "files", "partitions", "history", "refs", "manifests",
+      "delete_files")
 
   def apply(table: LakeTable, kind: String): DataFrame = {
     val spark = table.spark
@@ -77,6 +78,15 @@ object MetadataTables {
             files.size.toLong, files.map(_.rowCount).sum, sharedBy)
         }.toDF("path", "length", "added_snapshot_id",
           "existing_data_files_count", "existing_rows_count", "shared_by_snapshots")
+
+      case "delete_files" =>
+        // merge-on-read positional delete files of the CURRENT snapshot
+        // (Iceberg's delete_files table): the observability input for
+        // when to CALL rewrite_position_deletes
+        m.currentSnapshot.map(_.deleteFiles).getOrElse(Seq.empty).map { d =>
+          (d.path, d.sizeBytes, d.rowCount, d.counts.size.toLong, d.counts)
+        }.toDF("file_path", "file_size_in_bytes", "record_count",
+          "referenced_data_files", "position_delete_counts")
 
       case other =>
         throw new IllegalArgumentException(

@@ -19,7 +19,7 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq("rollback_to_snapshot", "cherrypick_snapshot",
     "expire_snapshots", "rewrite_data_files", "rewrite_manifests",
-    "fast_forward", "remove_orphan_files",
+    "rewrite_position_deletes", "fast_forward", "remove_orphan_files",
     "create_branch", "drop_branch", "create_tag", "drop_tag",
     "build_ivf_index", "build_pq_index", "create_changelog_view")
 
@@ -61,6 +61,9 @@ object GraftProcedures {
     case "rewrite_manifests" => Some(proc(name,
       Array(param("table", StringType)),
       row => lake.loadTable(row.getString(0)).rewriteManifests()))
+    case "rewrite_position_deletes" => Some(proc(name,
+      Array(param("table", StringType)),
+      row => lake.loadTable(row.getString(0)).rewritePositionDeletes()))
     case "fast_forward" => Some(proc(name,
       Array(param("table", StringType), param("branch", StringType),
         param("to", StringType)),

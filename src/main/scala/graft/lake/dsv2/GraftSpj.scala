@@ -91,7 +91,12 @@ object GraftSpj {
         case "identity" => m.schema.byId(f.sourceId).exists(c => identityType(c.sparkType))
         case _ => false
       }
-    }
+    } &&
+    // merge-on-read position deletes need the anti-join read path — fall
+    // back to the substituted relation (which applies them) until
+    // rewrite_position_deletes/compaction clears the delete set
+    t.lakeTable.resolveSnapshot(t.pinnedSnapshotId, t.pinnedBranch, t.pinnedTimestampMs)
+      .forall(_.deleteFiles.isEmpty)
   }
 
   /** Internal (InternalRow) value of one partition-field cell from its

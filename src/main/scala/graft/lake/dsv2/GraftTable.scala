@@ -60,7 +60,10 @@ case class GraftTable(
     case Some(_) => None
     case None => Some(lakeTable
       .resolveSnapshot(pinnedSnapshotId, pinnedBranch, pinnedTimestampMs)
-      .map(_.files.map(_.rowCount).sum).getOrElse(0L))
+      // merge-on-read position deletes subtract EXACTLY: commit-time
+      // pruning keeps delete counts scoped to live files only
+      .map(s => s.files.map(_.rowCount).sum - s.deleteFiles.map(_.rowCount).sum)
+      .getOrElse(0L))
   }
 
   /** Exact MIN/MAX of an integer-domain column from file stats (same

@@ -66,7 +66,7 @@ object LakeOps {
       // instance (and thus the original warehouse) per session, so a retry
       // of this lambda would otherwise trip over half-created tables
       Seq("nation", "supplier", "region", "chg", "mvbase", "mv_orders",
-        "bkt_orders", "bkt_cust")
+        "bkt_orders", "bkt_cust", "cust_mor")
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS lake.ops.$t"))
       // q31: nation round-trip (INSERT INTO ... SELECT — D13)
       s.sql("""CREATE TABLE lake.ops.nation
@@ -141,6 +141,21 @@ object LakeOps {
               |PARTITIONED BY (bucket(8, c_custkey))
               |TBLPROPERTIES ('write.distribution-mode'='hash')""".stripMargin)
       s.sql("INSERT INTO lake.ops.bkt_cust SELECT c_custkey, c_mktsegment FROM customer")
+      // q75: merge-on-read row-level DML — the DELETE writes a positional
+      // delete file (zero data files rewritten) and the UPDATE writes
+      // delete entries + new row versions; readers subtract the mask at
+      // scan time. The oracle recomputes the final logical content from
+      // the original parquet.
+      s.sql("""CREATE TABLE lake.ops.cust_mor
+              |  (c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE,
+              |   c_mktsegment STRING)
+              |TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+              |               'write.update.mode'='merge-on-read')""".stripMargin)
+      s.sql("""INSERT INTO lake.ops.cust_mor
+              |SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE), c_mktsegment
+              |FROM customer""".stripMargin)
+      s.sql("DELETE FROM lake.ops.cust_mor WHERE c_acctbal < 0")
+      sqlx("UPDATE lake.ops.cust_mor SET c_mktsegment = 'VIP' WHERE c_acctbal > 9000")
       Env(wh, snap1, chgFrom)
     })
   }
@@ -268,5 +283,27 @@ object LakeOps {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
 
-  def specs: Seq[QuerySpec] = Seq(q31, q32, q33, q59, q63, q65)
+  /** Merge-on-read row-level DML (Iceberg v2 `write.delete.mode` /
+    * `write.update.mode` = merge-on-read): the DELETE marks `(file, pos)`
+    * pairs in a kilobyte delete file and the UPDATE appends new row
+    * versions + delete entries — zero data files rewritten; every reader
+    * subtracts the positional mask at scan time. The oracle recomputes the
+    * final logical content (delete filter + update CASE) from the original
+    * parquet, so a masked read must be row-identical to materialized DML. */
+  val q75 = plan("q75_mor_dml",
+    fn = (s, dir) => {
+      ensure(s, dir)
+      s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
+              |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+              |FROM lake.ops.cust_mor
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    },
+    duckSql = """SELECT
+      |  CASE WHEN c_acctbal > 9000 THEN 'VIP' ELSE c_mktsegment END AS c_mktsegment,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer WHERE NOT (c_acctbal < 0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  def specs: Seq[QuerySpec] = Seq(q31, q32, q33, q59, q63, q65, q75)
 }

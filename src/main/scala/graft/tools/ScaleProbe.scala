@@ -347,6 +347,35 @@ object ScaleProbe {
         f""""refresh_secs":$secs%.2f,"mv_groups":$mvRows}""")
     }
 
+    // merge-on-read point delete (r9): DELETE one row out of a 1x vs Nx
+    // table, copy-on-write vs merge-on-read. The claim under test: CoW
+    // writes bytes proportional to the CONTAINING FILE (at 100 TB, a
+    // gigabyte rewrite for a one-row delete); MoR writes a kilobyte
+    // positional delete file + O(churn) metadata, independent of file and
+    // table size — while scans stay row-identical.
+    for (scale <- Seq(1, scaleN); mode <- Seq("copy-on-write", "merge-on-read")) {
+      val whDir = java.nio.file.Files.createTempDirectory(s"graft-morprobe-$scale-$mode")
+      val cat = new graft.lake.LakeCatalog(spark, whDir.toString)
+      val t = cat.createTable(s"probe.mor$scale",
+        spark.table("documents_base").schema)
+      t.setProperties(Map("write.delete.mode" -> mode))
+      (0 until scale).foreach(i => t.append(docCopy(spark, i)))
+      def treeBytes(p: java.nio.file.Path): Long = {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+      val before = treeBytes(whDir)
+      val t0 = System.nanoTime()
+      t.delete(col("doc_id") === 7) // one row, one containing file
+      val secs = (System.nanoTime() - t0) / 1e9
+      val written = treeBytes(whDir) - before
+      val rows = t.toDF.count()
+      println(f"""{"probe":"mor_delete","table_copies":$scale,"mode":"$mode",""" +
+        f""""secs":$secs%.2f,"bytes_written":$written,"rows_after":$rows}""")
+    }
+
     println(s"""{"summary":"growth ${scaleN}x vs 1x (sub-quadratic bar: ratio << ${scaleN * scaleN})"}""")
     for (name <- probes) {
       val (s1, r1, sr1, _) = results((name, 1))

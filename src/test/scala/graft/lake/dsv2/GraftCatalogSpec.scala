@@ -943,4 +943,33 @@ class GraftCatalogSpec extends AnyFunSuite {
       assert(sql("SELECT COUNT(*) FROM lake.wap9.audited").head.getLong(0) === 1)
     } finally spark.conf.unset("spark.wap.id")
   }
+
+  test("merge-on-read DELETE via SQL: delete_files table, exact metadata COUNT, " +
+    "CALL rewrite_position_deletes (r9)") {
+    sql("CREATE DATABASE IF NOT EXISTS lake.mor")
+    sql("""CREATE TABLE lake.mor.t (id BIGINT, v DOUBLE)
+          |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.mor.t SELECT id, CAST(id AS DOUBLE) FROM RANGE(0, 100)")
+    val filesBefore = sql("SELECT file_path FROM lake.mor.t.files").collect()
+      .map(_.getString(0)).toSet
+    sql("DELETE FROM lake.mor.t WHERE id = 42")
+    // no data file rewritten; one positional delete file, visible in the
+    // delete_files metadata table
+    assert(sql("SELECT file_path FROM lake.mor.t.files").collect()
+      .map(_.getString(0)).toSet === filesBefore)
+    val dels = sql("SELECT record_count, referenced_data_files FROM lake.mor.t.delete_files")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dels.toSeq === Seq((1L, 1L)))
+    // reads mask the position; COUNT(*) stays metadata-only AND exact
+    assert(sql("SELECT COUNT(*) FROM lake.mor.t WHERE id = 42").head.getLong(0) === 0)
+    val cnt = extSpark.sql("SELECT COUNT(*) AS n FROM lake.mor.t")
+    assert(cnt.head.getLong(0) === 99)
+    assert(!cnt.queryExecution.executedPlan.toString.contains("FileScan"),
+      "COUNT over a masked table must stay metadata-only (delete counts are exact)")
+    // compaction procedure retires the mask; results unchanged
+    sql("CALL lake.system.rewrite_position_deletes('mor.t')")
+    assert(sql("SELECT COUNT(*) FROM lake.mor.t.delete_files").head.getLong(0) === 0)
+    assert(sql("SELECT COUNT(*) FROM lake.mor.t").head.getLong(0) === 99)
+    assert(sql("SELECT COUNT(*) FROM lake.mor.t WHERE id = 42").head.getLong(0) === 0)
+  }
 }

@@ -450,4 +450,40 @@ class GraftSpjSpec extends AnyFunSuite {
       .asInstanceOf[BoundBucket]
     assert(sf.produceResult(InternalRow(8, UTF8String.fromString("graft"))) === sExpected)
   }
+
+  test("merge-on-read deletes suspend SPJ (fallback applies the mask); compaction restores it") {
+    sql("CREATE DATABASE IF NOT EXISTS lake.spjmor")
+    sql("""CREATE TABLE lake.spjmor.f (k BIGINT, v DOUBLE)
+          |PARTITIONED BY (bucket(4, k))
+          |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    spark.range(0, 100).selectExpr("id % 20 AS k", "CAST(id AS DOUBLE) AS v")
+      .writeTo("lake.spjmor.f").append()
+    sql("""CREATE TABLE lake.spjmor.d (k BIGINT, w STRING)
+          |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    spark.range(0, 20).selectExpr("id AS k", "concat('w', id) AS w")
+      .writeTo("lake.spjmor.d").append()
+    withSpj(on = true) {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        sql("DELETE FROM lake.spjmor.f WHERE v = 7.0") // k=7 row, file kept
+        val q = () => spark.table("lake.spjmor.f")
+          .join(spark.table("lake.spjmor.d"), "k")
+          .groupBy("k").count()
+        // masked table: the v2 SPJ scan (which cannot apply position
+        // deletes) must NOT be used — rows are correct, k=7 lost one row
+        val rows = q().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(rows(7L) === 4L)
+        assert(rows(8L) === 5L)
+        assert(rows.values.sum === 99L)
+        // retiring the mask restores the zero-Exchange SPJ plan
+        sql("CALL lake.system.rewrite_position_deletes('spjmor.f')")
+        val plan = explained(q())
+        assert(!plan.contains("Exchange"),
+          s"post-compaction join must SPJ with no Exchange:\n$plan")
+        val rows2 = q().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(rows2 === rows)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
 }
