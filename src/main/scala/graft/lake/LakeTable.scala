@@ -267,17 +267,22 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       val now = System.currentTimeMillis()
       val base = parent.map(_.files).getOrElse(Seq.empty)
       val parentDels = parent.map(_.deleteFiles).getOrElse(Seq.empty)
+      val parentEq = parent.map(_.eqDeleteFiles).getOrElse(Seq.empty)
       val summary = Map(
         "operation" -> "append",
         "added-data-files" -> newFiles.size.toString,
         "added-records" -> newFiles.map(_.rowCount).sum.toString,
         "total-records" -> (base.map(_.rowCount).sum + newFiles.map(_.rowCount).sum -
           parentDels.map(_.rowCount).sum).toString
-      ) ++ wapId.map("wap.id" -> _)
+      ) ++ (if (parentEq.nonEmpty) Map("has-equality-deletes" -> "true") else Map.empty) ++
+        wapId.map("wap.id" -> _)
       // appends only add files: the parent's merge-on-read delete entries
-      // all still apply, unpruned
+      // all still apply, unpruned; the new files are stamped with this
+      // commit's id so no LIVE equality delete (all strictly older) masks
+      // them
       val snap = Snapshot(snapId, parent.map(_.snapshotId), now, "append", summary,
-        base ++ newFiles, staged = staged, deleteFiles = parentDels)
+        base ++ newFiles.map(_.copy(addedSnapshotId = snapId)),
+        staged = staged, deleteFiles = parentDels, eqDeleteFiles = parentEq)
       val m2 = m.copy(snapshots = m.snapshots :+ snap, lastSnapshotId = snapId)
       if (staged) m2
       else m2.copy(
@@ -364,21 +369,63 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     spark.read.schema(LakeTable.DeleteEntrySchema).parquet(dels.map(_.path): _*)
       .select(col("file_name").as("_gd_file"), col("pos").as("_gd_pos"))
 
-  /** Read `files` under `snap`'s merge-on-read delete mask: rows at
-    * positions recorded in the snapshot's delete files are subtracted.
-    * Scale shape: files with no delete entries scan untouched; affected
-    * files anti-join the (metadata-sized) position set, broadcast while it
-    * is provably small (Σ metadata counts), shuffle-hash above that —
-    * deleted positions are bounded by churn since the last compaction,
-    * never by table size. */
+  /** Read `files` under `snap`'s merge-on-read delete masks — positional
+    * first, then equality. Scale shape: files with no applicable deletes
+    * scan untouched; affected files anti-join metadata-sized delete sets,
+    * broadcast while provably small, shuffle-hash above that — both masks
+    * are bounded by churn since the last compaction, never table size. */
   private[lake] def dataFrameForLive(m: TableMeta, snap: Option[Snapshot],
-                                     files: Seq[DataFile]): DataFrame = {
+                                     files: Seq[DataFile]): DataFrame =
+    liveRows(m, snap, files, withMeta = false)
+
+  /** Read `files` under BOTH merge-on-read masks (positions, then
+    * equality keys); `withMeta = true` keeps `_gd_file`/`_gd_pos` for
+    * callers that go on to write delete entries (MoR DELETE/UPDATE). */
+  private def liveRows(m: TableMeta, snap: Option[Snapshot],
+                       files: Seq[DataFile], withMeta: Boolean): DataFrame = {
+    val eqDels = snap.map(_.eqDeleteFiles).getOrElse(Seq.empty)
+    if (eqDels.isEmpty || files.isEmpty)
+      return maskPositions(m, snap, files, withMeta)
+    // An equality delete masks only files committed STRICTLY before it
+    // (addedSnapshotId < addedAt) — an upsert's own inserted files survive
+    // its own delete. Files with the same APPLICABLE delete subset form
+    // one mask class: classes are cut by the distinct addedAt thresholds,
+    // so their count is bounded by live equality deletes + 1 (churn since
+    // compaction), NOT by the table's commit count — the steady state
+    // after compaction is one class with one anti-join.
+    val classOf_ = (f: DataFile) => eqDels.count(_.addedAt > f.addedSnapshotId)
+    files.groupBy(classOf_).toSeq.sortBy(_._1).map { case (_, bucket) =>
+      val applicable = eqDels.filter(_.addedAt > bucket.head.addedSnapshotId)
+      val src = maskPositions(m, snap, bucket, withMeta)
+      applicable.groupBy(_.keyIds).foldLeft(src) { case (acc, (keyIds, dels)) =>
+        val keyNames = keyIds.map(id => m.schema.byId(id).getOrElse(throw
+          new IllegalStateException(
+            s"equality-delete key column id $id not in schema")).name)
+        val kdf0 = eqDeleteKeysDf(m, dels)
+        val kdf = if (dels.map(_.rowCount).sum <= 4L * 1000 * 1000)
+          broadcast(kdf0) else kdf0
+        // plain (null-rejecting) equality like mergeByKeys: null-keyed
+        // rows can never match a delete key and survive
+        acc.join(kdf, keyNames, "left_anti")
+      }
+    }.reduce(_ unionByName _)
+  }
+
+  /** Positional-delete mask only (the equality layer sits on top in
+    * [[liveRows]]): files with no entries scan untouched; affected files
+    * anti-join the metadata-sized position set, broadcast while provably
+    * small (Σ metadata counts), shuffle-hash above that. */
+  private def maskPositions(m: TableMeta, snap: Option[Snapshot],
+                            files: Seq[DataFile], withMeta: Boolean): DataFrame = {
+    def finish(df: DataFrame): DataFrame =
+      if (withMeta) df else df.drop("_gd_file", "_gd_pos")
     val dels = snap.map(_.deleteFiles).getOrElse(Seq.empty)
-    if (dels.isEmpty) return dataFrameFor(m, files)
+    if (dels.isEmpty) return dataFrameFor(m, files, withRowMeta = withMeta)
     val names = files.map(f => fileName(f.path)).toSet
     val affectedNames = dels.flatMap(_.counts.keys).toSet.intersect(names)
-    if (affectedNames.isEmpty) return dataFrameFor(m, files)
-    val (withDel, plain) = files.partition(f => affectedNames.contains(fileName(f.path)))
+    if (affectedNames.isEmpty) return dataFrameFor(m, files, withRowMeta = withMeta)
+    val (withDel, plain) =
+      files.partition(f => affectedNames.contains(fileName(f.path)))
     val relevant = dels.filter(_.counts.keys.exists(affectedNames.contains))
     val src = dataFrameFor(m, withDel, withRowMeta = true)
     val entries0 = deleteEntriesDf(relevant)
@@ -387,9 +434,31 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     val entries =
       if (relevant.map(_.rowCount).sum <= 4L * 1000 * 1000) broadcast(entries0)
       else entries0
-    val live = src.join(entries, Seq("_gd_file", "_gd_pos"), "left_anti")
-      .drop("_gd_file", "_gd_pos")
-    if (plain.isEmpty) live else dataFrameFor(m, plain).unionByName(live)
+    val live = finish(
+      src.join(entries, Seq("_gd_file", "_gd_pos"), "left_anti"))
+    if (plain.isEmpty) live
+    else dataFrameFor(m, plain, withRowMeta = withMeta).unionByName(live)
+  }
+
+  /** Distinct key tuples of the given equality delete files, as a
+    * DataFrame with CURRENT logical column names (keys are stored by
+    * stable column id, physical names `c<id>`, so renames are free). */
+  private def eqDeleteKeysDf(m: TableMeta, dels: Seq[EqualityDeleteFile]): DataFrame = {
+    val byLayout = dels.groupBy(d => (d.keyIds, d.schemaId))
+    byLayout.map { case ((keyIds, schemaId), ds) =>
+      val written = m.schemas.find(_.schemaId == schemaId).getOrElse(m.schema)
+      val fields = keyIds.map { id =>
+        val w = written.byId(id).getOrElse(throw new IllegalStateException(
+          s"equality-delete key id $id missing from schema $schemaId"))
+        StructField(w.physicalName, w.sparkType, nullable = true)
+      }
+      val raw = spark.read.schema(StructType(fields)).parquet(ds.map(_.path): _*)
+      raw.select(keyIds.map { id =>
+        val cur = m.schema.byId(id).getOrElse(throw new IllegalStateException(
+          s"equality-delete key id $id dropped from current schema"))
+        raw.col(written.byId(id).get.physicalName).cast(cur.sparkType).as(cur.name)
+      }: _*)
+    }.reduce(_ unionByName _).distinct()
   }
 
   /** Resolve which snapshot a read sees: explicit snapshot-id > explicit
@@ -466,14 +535,10 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       // re-run of the same DELETE commits nothing)
       val newDel: Option[DeleteFile] = if (rewrite.isEmpty) None else {
         val cond = coalesce(condition, lit(false))
-        val matched0 = dataFrameFor(m0, rewrite.toSeq, withRowMeta = true)
+        // read LIVE rows (both masks) so entries stay disjoint from prior
+        // positional deletes and never target already-equality-dead rows
+        val matched = liveRows(m0, snap, rewrite.toSeq, withMeta = true)
           .filter(cond).select(col("_gd_file"), col("_gd_pos"))
-        val priorDels = snap.map(_.deleteFiles).getOrElse(Seq.empty)
-          .filter(_.counts.keys.exists(n => rewrite.exists(f => fileName(f.path) == n)))
-        val matched =
-          if (priorDels.isEmpty) matched0
-          else matched0.join(broadcast(deleteEntriesDf(priorDels)),
-            Seq("_gd_file", "_gd_pos"), "left_anti")
         writeDeleteFile(matched)
       }
       val remaining = keep.toSeq ++ rewrite.toSeq
@@ -501,6 +566,37 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         "metadata-only" -> rewrite.isEmpty.toString), base = snap,
         conflictPredicate = Some(p), staged = stagedWap)
     }
+  }
+
+  /** Write the distinct key tuples of `keyDf` as ONE equality delete file
+    * under `data/eqdel-*.parquet` (physical column names, so renames stay
+    * metadata-only); None when the key set is empty. `addedAt` is a
+    * placeholder — [[commitReplace]] stamps it with the committing
+    * snapshot id. Bounds of the first key column ride along (ColStat
+    * encoding via the same footer-stats reader as data files). */
+  private def writeEqualityDeleteFile(keyDf: DataFrame,
+                                      keyCols: Seq[String],
+                                      m: TableMeta): Option[EqualityDeleteFile] = {
+    val schema = m.schema
+    val cols = keyCols.map(k => schema.byName(k).getOrElse(
+      throw new IllegalArgumentException(s"merge key column $k not in schema")))
+    val phys = keyDf.select(cols.map(c =>
+      keyDf.col(c.name).cast(c.sparkType).as(c.physicalName)): _*).distinct()
+    val tmp = new Path(location, s"tmp-eqdel-${UUID.randomUUID().toString.take(8)}")
+    phys.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val written = listParquet(fs, tmp)
+    require(written.size == 1, s"expected one equality delete file, found ${written.size}")
+    val target = new Path(dataDir, s"eqdel-${UUID.randomUUID().toString.take(12)}.parquet")
+    fs.mkdirs(dataDir)
+    if (!fs.rename(written.head, target))
+      throw new IllegalStateException(s"failed to move ${written.head} -> $target")
+    fs.delete(tmp, true)
+    val (rows, bytes, stats) = Stats.fromFooter(target.toString, hadoopConf)
+    if (rows == 0) { fs.delete(target, false); return None }
+    val firstKey = stats.get(cols.head.physicalName)
+    Some(EqualityDeleteFile(target.toString, bytes, cols.map(_.id),
+      schema.schemaId, rows, addedAt = 0L,
+      keyMin = firstKey.flatMap(_.min), keyMax = firstKey.flatMap(_.max)))
   }
 
   /** Write `(​_gd_file, _gd_pos)` rows as one positional delete file under
@@ -586,15 +682,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
                         condition: Option[Column], stagedWap: Boolean): TableMeta = {
     if (touched.isEmpty) return m0
     val cond = condition.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
-    val srcAll = dataFrameFor(m0, touched, withRowMeta = true)
-    val touchedNames = touched.map(f => fileName(f.path)).toSet
-    val priorDels = snap.map(_.deleteFiles).getOrElse(Seq.empty)
-      .filter(_.counts.keys.exists(touchedNames.contains))
-    val srcLive =
-      if (priorDels.isEmpty) srcAll
-      else srcAll.join(broadcast(deleteEntriesDf(priorDels)),
-        Seq("_gd_file", "_gd_pos"), "left_anti")
-    val matched = srcLive.filter(cond)
+    // live rows under BOTH masks, with positions kept for the new entries
+    val matched = liveRows(m0, snap, touched, withMeta = true).filter(cond)
     // every RHS reads the OLD row (matched rows pre-assignment), same
     // contract as the CoW projection above
     val dataCols = m0.schema.columns.map(_.name)
@@ -631,6 +720,16 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     // via the coalesce below.
     val ks = keys.filter(_ != null)
     val m0 = meta
+    // merge-on-read upserts share the DataFrame-keyed path (one equality
+    // delete + appends); lift the key list into a typed 1-column frame
+    if (m0.properties.get("write.merge.mode").contains("merge-on-read")) {
+      val kt = m0.schema.byName(key).getOrElse(
+        throw new IllegalArgumentException(s"merge key column $key not in schema"))
+      val keyDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(ks.map(v => Row(v)), 1),
+        StructType(Seq(StructField(key, kt.sparkType))))
+      return mergeByKeys(key, keyDf, upserts, extraSummary, toBranch)
+    }
     requireWapUnambiguous(m0)
     val branch = resolveWriteBranch(toBranch)
     val stagedWap = wapId.isDefined &&
@@ -677,6 +776,32 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         m0.properties.get("write.wap.enabled").contains("true") && toBranch.isEmpty
       val snap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
       val all = snap.map(_.files).getOrElse(Seq.empty)
+      // write.merge.mode=merge-on-read (the Flink/Iceberg CDC upsert
+      // design, ref IcebergStream.java:118 equalityFieldColumns + upsert):
+      // commit the batch as ONE equality delete (this batch's keys mask
+      // every strictly-older row version) + the appended upserts. O(batch)
+      // writes, no file rewrites — CDC ingestion cost is flat in table
+      // size; compaction (`rewrite_position_deletes`/`rewrite_data_files`)
+      // periodically folds the masks back in.
+      if (m0.properties.get("write.merge.mode").contains("merge-on-read")) {
+        val inserted =
+          if (upserts.isEmpty) Seq.empty
+          else writeDataFiles(toPhysical(upserts, m0.schema), m0, filePrefix = "app")
+        val eqDel =
+          if (nKeys == 0) None else writeEqualityDeleteFile(kd, Seq(key), m0)
+        if (inserted.isEmpty && eqDel.isEmpty) return m0
+        return commitReplace(branch, all ++ inserted, "overwrite",
+          extraSummary ++ Map(
+            "merge-keys" -> nKeys.toString,
+            "merge-mode" -> "merge-on-read",
+            "added-data-files" -> inserted.size.toString,
+            "added-equality-delete-files" -> eqDel.size.toString),
+          base = snap,
+          conflictPredicate =
+            if (nKeys == 0) None
+            else Some(Pruning.And(Pruning.GtE(key, r.get(1)), Pruning.LtE(key, r.get(2)))),
+          staged = stagedWap, extraEqDeleteFiles = eqDel.toSeq)
+      }
       val (touched, untouched) =
         if (nKeys == 0) (Seq.empty[DataFile], all)
         else {
@@ -857,7 +982,9 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
                                   strict: Boolean = false,
                                   conflictPredicate: Option[Pruning.Pred] = None,
                                   staged: Boolean = false,
-                                  extraDeleteFiles: Seq[DeleteFile] = Seq.empty): TableMeta =
+                                  extraDeleteFiles: Seq[DeleteFile] = Seq.empty,
+                                  extraEqDeleteFiles: Seq[EqualityDeleteFile] = Seq.empty)
+      : TableMeta =
     commit { m =>
       require(m.refs.get(branch).forall(_.kind != "tag"), s"cannot write to tag $branch")
       val parent = m.snapshotFor(branch).orElse(m.currentSnapshot)
@@ -868,8 +995,10 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
           // file-set diff (they change no files) but DO change row-level
           // content the replanned operation read — a CoW rewrite committed
           // over them would resurrect the deleted rows. Re-plan instead.
-          val parentDels = parent.map(_.deleteFiles).getOrElse(Seq.empty)
-          val baseDels = base.map(_.deleteFiles).getOrElse(Seq.empty)
+          val parentDels = parent.map(s => (s.deleteFiles, s.eqDeleteFiles))
+            .getOrElse((Seq.empty, Seq.empty))
+          val baseDels = base.map(s => (s.deleteFiles, s.eqDeleteFiles))
+            .getOrElse((Seq.empty, Seq.empty))
           if (parentDels != baseDels) throw CommitConflictException(
             s"$op planned against snapshot ${base.map(_.snapshotId).getOrElse(-1L)} " +
               "but a concurrent commit changed the merge-on-read delete set — " +
@@ -904,16 +1033,30 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       // add this operation's new entries. Pruning keeps the invariant that
       // Σ counts is an exact deleted-row count over LIVE files, which the
       // metadata-only COUNT(*) fast path subtracts.
-      val liveNames = reconciled.map(f => fileName(f.path)).toSet
+      // stamp files new to this lineage with the committing snapshot id —
+      // the data-sequence number equality deletes order against
+      val parentPaths = parent.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+      val stamped = reconciled.map(f =>
+        if (parentPaths.contains(f.path)) f else f.copy(addedSnapshotId = snapId))
+      val liveNames = stamped.map(f => fileName(f.path)).toSet
       val carriedDels = pruneDeleteFiles(
         parent.map(_.deleteFiles).getOrElse(Seq.empty), liveNames) ++ extraDeleteFiles
+      // an equality delete stays live while ANY file it could mask
+      // (strictly older) remains; full compaction re-stamps everything
+      // and retires the whole set
+      val carriedEq = parent.map(_.eqDeleteFiles).getOrElse(Seq.empty)
+        .filter(d => stamped.exists(_.addedSnapshotId < d.addedAt)) ++
+        extraEqDeleteFiles.map(_.copy(addedAt = snapId))
       val summary = extraSummary ++ Map(
         "operation" -> op,
-        "total-records" -> (reconciled.map(_.rowCount).sum -
+        // total-records is EXACT under positional masks (counts are pruned
+        // to live files); an equality mask makes it an upper bound, flagged
+        "total-records" -> (stamped.map(_.rowCount).sum -
           carriedDels.map(_.rowCount).sum).toString) ++
+        (if (carriedEq.nonEmpty) Map("has-equality-deletes" -> "true") else Map.empty) ++
         (if (staged) wapId.map("wap.id" -> _) else None)
-      val snap = Snapshot(snapId, parent.map(_.snapshotId), now, op, summary, reconciled,
-        staged = staged, deleteFiles = carriedDels)
+      val snap = Snapshot(snapId, parent.map(_.snapshotId), now, op, summary, stamped,
+        staged = staged, deleteFiles = carriedDels, eqDeleteFiles = carriedEq)
       // a STAGED replacement (row-level op under a wap.id session) records
       // the snapshot but leaves the ref unmoved — invisible to plain reads,
       // auditable via VERSION AS OF '<wap.id>', published by cherrypick
@@ -1211,10 +1354,13 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     val dels =
       if (isReplace) staged.deleteFiles
       else mainSnap.map(_.deleteFiles).getOrElse(Seq.empty)
+    val eqDels =
+      if (isReplace) staged.eqDeleteFiles
+      else mainSnap.map(_.eqDeleteFiles).getOrElse(Seq.empty)
     val snap = Snapshot(snapId, mainSnap.map(_.snapshotId), now, staged.operation,
       staged.summary ++ Map("published-wap-id" -> staged.summary.getOrElse("wap.id", ""),
         "source-snapshot-id" -> snapshotId.toString),
-      files, deleteFiles = dels)
+      files, deleteFiles = dels, eqDeleteFiles = eqDels)
     m.copy(snapshots = m.snapshots :+ snap, lastSnapshotId = snapId,
       refs = m.refs + (MainBranch -> Ref(snapId)),
       history = m.history :+ HistoryEntry(now, snapId, MainBranch))
@@ -1229,7 +1375,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): TableMeta = {
     val m0 = meta
     val before = m0.snapshots.flatMap(s =>
-      s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+      s.files.map(_.path) ++ s.deleteFiles.map(_.path) ++
+        s.eqDeleteFiles.map(_.path)).toSet
     val beforeChunks = m0.snapshots.flatMap(s =>
       s.manifests ++ s.manifestList ++ s.deleteManifest).toSet
     val m2 = commit { m =>
@@ -1262,7 +1409,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         harvested("graft.published-wap-ids", "published-wap-id"))
     }
     val live = m2.snapshots.flatMap(s =>
-      s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+      s.files.map(_.path) ++ s.deleteFiles.map(_.path) ++
+        s.eqDeleteFiles.map(_.path)).toSet
     (before -- live).foreach(p => fs.delete(new Path(p), false))
     // Manifest chunks are SHARED across snapshots (that's the point), so a
     // chunk is reclaimable only when no SURVIVING snapshot references it.
@@ -1340,18 +1488,24 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     val branch = resolveWriteBranch(None)
     val baseSnap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
     val dels = baseSnap.map(_.deleteFiles).getOrElse(Seq.empty)
-    if (dels.isEmpty) return m0
+    val eqDels = baseSnap.map(_.eqDeleteFiles).getOrElse(Seq.empty)
+    if (dels.isEmpty && eqDels.isEmpty) return m0
     val refNames = dels.flatMap(_.counts.keys).toSet
     val files = baseSnap.map(_.files).getOrElse(Seq.empty)
-    val (affected, clean) = files.partition(f => refNames.contains(fileName(f.path)))
+    // a file needs rewriting if positional entries reference it OR any
+    // equality delete is strictly newer than it (could mask its rows)
+    val (affected, clean) = files.partition(f =>
+      refNames.contains(fileName(f.path)) ||
+        eqDels.exists(_.addedAt > f.addedSnapshotId))
     val rewritten: Seq[DataFile] =
       if (affected.isEmpty) Seq.empty
       else writeDataFiles(
         toPhysical(dataFrameForLive(m0, baseSnap, affected), m0.schema), m0)
     commitReplace(branch, clean ++ rewritten, "replace", Map(
       "rewritten-data-files" -> affected.size.toString,
-      "removed-delete-files" -> dels.size.toString,
-      "applied-position-deletes" -> dels.map(_.rowCount).sum.toString),
+      "removed-delete-files" -> (dels.size + eqDels.size).toString,
+      "applied-position-deletes" -> dels.map(_.rowCount).sum.toString,
+      "applied-equality-delete-keys" -> eqDels.map(_.rowCount).sum.toString),
       base = baseSnap)
   }
 
@@ -1383,7 +1537,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
               "total-records" -> (snap.files.map(_.rowCount).sum -
                 snap.deleteFiles.map(_.rowCount).sum).toString),
             snap.files, manifests = names,
-            deleteFiles = snap.deleteFiles, deleteManifest = snap.deleteManifest)
+            deleteFiles = snap.deleteFiles, eqDeleteFiles = snap.eqDeleteFiles,
+            deleteManifest = snap.deleteManifest)
           m.copy(snapshots = m.snapshots :+ next, lastSnapshotId = snapId,
             refs = m.refs + (branch -> Ref(snapId)),
             history = m.history :+ HistoryEntry(now, snapId, branch))
@@ -1403,7 +1558,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     // file an orphan.
     val m = meta
     val referenced = m.snapshots.flatMap(s =>
-      s.files.map(_.path) ++ s.deleteFiles.map(_.path))
+      s.files.map(_.path) ++ s.deleteFiles.map(_.path) ++
+        s.eqDeleteFiles.map(_.path))
       .map(p => new Path(p).toUri.getPath).toSet
     val orphans = scala.collection.mutable.ArrayBuffer[String]()
     if (fs.exists(dataDir)) {
@@ -1453,9 +1609,10 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     }
     val cur = m.schema.byName(colName).orNull
     if (cur == null || !intFamily(cur.sparkType)) return None
-    // merge-on-read position deletes make footer bounds over-approximate
-    // (the extreme row may be deleted) — stats can prune but not vouch
-    if (snap.deleteFiles.nonEmpty) return None
+    // merge-on-read deletes (positional or equality) make footer bounds
+    // over-approximate (the extreme row may be deleted) — stats can prune
+    // but not vouch
+    if (snap.deleteFiles.nonEmpty || snap.eqDeleteFiles.nonEmpty) return None
     var lo = Option.empty[Long]
     var hi = Option.empty[Long]
     val it = snap.files.iterator
@@ -1606,9 +1763,31 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
               "left_semi")
             .drop("_gd_file", "_gd_pos"))
         }
+      // equality-delete transitions (merge-on-read upserts): keys added by
+      // this commit kill every strictly-older live row with that key —
+      // read kept older files LIVE UNDER THE PARENT's masks, semi-join the
+      // new keys. Churn-sized: the key set is the upsert batch.
+      val parentEqPaths = parentSnap.map(_.eqDeleteFiles.map(_.path).toSet)
+        .getOrElse(Set.empty)
+      val newEq = s.eqDeleteFiles.filterNot(d => parentEqPaths.contains(d.path))
+      val eqDeleted: Option[DataFrame] =
+        if (newEq.isEmpty) None
+        else {
+          val candidates = s.files.filter(f => parentPaths.contains(f.path) &&
+            newEq.exists(_.addedAt > f.addedSnapshotId))
+          if (candidates.isEmpty) None
+          else {
+            val live = dataFrameForLive(m, parentSnap, candidates)
+            Some(newEq.groupBy(_.keyIds).foldLeft(Seq.empty[DataFrame]) {
+              case (acc, (keyIds, ds)) =>
+                val keyNames = keyIds.flatMap(id => m.schema.byId(id)).map(_.name)
+                acc :+ live.join(broadcast(eqDeleteKeysDf(m, ds)), keyNames, "left_semi")
+            }.reduce(_ unionByName _))
+          }
+        }
       val inserted = addedDf.exceptAll(removedDf)
-      val deleted = morDeleted.fold(removedDf.exceptAll(addedDf))(
-        removedDf.exceptAll(addedDf).unionByName(_))
+      val deleted = Seq(Some(removedDf.exceptAll(addedDf)), morDeleted, eqDeleted)
+        .flatten.reduce(_ unionByName _)
       if (identifierFields.isEmpty)
         tag(inserted, "INSERT", ordinal, s.snapshotId)
           .unionByName(tag(deleted, "DELETE", ordinal, s.snapshotId))

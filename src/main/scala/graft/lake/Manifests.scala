@@ -61,7 +61,7 @@ object Manifests {
   // runs from accumulating unboundedly.
   private val cache = new ConcurrentHashMap[String, Seq[DataFile]]()
   private val listCache = new ConcurrentHashMap[String, Seq[String]]()
-  private val deleteCache = new ConcurrentHashMap[String, Seq[DeleteFile]]()
+  private val deleteCache = new ConcurrentHashMap[String, DeleteManifestChunk]()
   private val MaxCacheEntries = 16384
 
   private def sha16(s: String): String = {
@@ -129,28 +129,33 @@ object Manifests {
     * data-manifest chunks, sized by churn-since-compaction rather than by
     * table file count. */
   private def writeDeleteManifest(fs: FileSystem, metaDir: Path,
-                                  dels: Seq[DeleteFile]): String = {
-    val json = Meta.deleteChunkToJson(dels)
+                                  dels: Seq[DeleteFile],
+                                  eqDels: Seq[EqualityDeleteFile]): String = {
+    val json = Meta.deleteChunkToJson(dels, eqDels)
     val name = s"manifest-del-${sha16(json)}.json"
     val p = chunkPath(metaDir, name)
     if (!fs.exists(p)) {
       Publish.exclusive(fs, p, json.getBytes(StandardCharsets.UTF_8))
       ()
     }
-    if (deleteCache.size < MaxCacheEntries) deleteCache.put(p.toString, dels)
+    if (deleteCache.size < MaxCacheEntries)
+      deleteCache.put(p.toString, DeleteManifestChunk(dels, eqDels))
     name
   }
 
   private def readDeleteManifest(fs: FileSystem, metaDir: Path,
-                                 name: String): Seq[DeleteFile] = {
+                                 name: String): DeleteManifestChunk = {
     val key = chunkPath(metaDir, name).toString
     val hit = deleteCache.get(key)
     if (hit != null) return hit
     val in = fs.open(chunkPath(metaDir, name))
     val json = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-    val dels = Meta.deleteChunkFromJson(json)
-    if (deleteCache.size < MaxCacheEntries) deleteCache.put(key, dels)
-    dels
+    val chunk = Meta.deleteChunkFromJson(json)
+    val norm = DeleteManifestChunk(
+      Option(chunk.deleteFiles).getOrElse(Seq.empty),
+      Option(chunk.eqDeleteFiles).getOrElse(Seq.empty))
+    if (deleteCache.size < MaxCacheEntries) deleteCache.put(key, norm)
+    norm
   }
 
   /** Chunk `files` against `parentChunks` (name → contents, in parent
@@ -202,9 +207,10 @@ object Manifests {
       // delete-manifest assignment is independent of data-chunk assignment:
       // content-addressing makes an unchanged delete set a zero-byte reuse
       val s =
-        if (s1.deleteFiles.nonEmpty && s1.deleteManifest.isEmpty)
-          s1.copy(deleteManifest =
-            Some(writeDeleteManifest(fs, metaDir, s1.deleteFiles)))
+        if ((s1.deleteFiles.nonEmpty || s1.eqDeleteFiles.nonEmpty) &&
+            s1.deleteManifest.isEmpty)
+          s1.copy(deleteManifest = Some(
+            writeDeleteManifest(fs, metaDir, s1.deleteFiles, s1.eqDeleteFiles)))
         else s1
       val done =
         if (s.files.isEmpty || s.manifestList.isDefined) s
@@ -232,7 +238,8 @@ object Manifests {
     }
     val inMemory = next.copy(snapshots = assigned)
     val persisted = inMemory.copy(snapshots = assigned.map(
-      _.copy(files = Seq.empty, manifests = Seq.empty, deleteFiles = Seq.empty)))
+      _.copy(files = Seq.empty, manifests = Seq.empty,
+        deleteFiles = Seq.empty, eqDeleteFiles = Seq.empty)))
     (inMemory, persisted)
   }
 
@@ -243,13 +250,18 @@ object Manifests {
       val files = Option(s0.files).getOrElse(Seq.empty)
       val names0 = Option(s0.manifests).getOrElse(Seq.empty)
       val dels0 = Option(s0.deleteFiles).getOrElse(Seq.empty)
-      val s1 = if (s0.files == null || s0.manifests == null || s0.deleteFiles == null)
-        s0.copy(files = files, manifests = names0, deleteFiles = dels0) else s0
+      val eqDels0 = Option(s0.eqDeleteFiles).getOrElse(Seq.empty)
+      val s1 = if (s0.files == null || s0.manifests == null ||
+          s0.deleteFiles == null || s0.eqDeleteFiles == null)
+        s0.copy(files = files, manifests = names0,
+          deleteFiles = dels0, eqDeleteFiles = eqDels0) else s0
       val s =
-        if (s1.deleteFiles.isEmpty && s1.deleteManifest.isDefined)
-          s1.copy(deleteFiles =
-            readDeleteManifest(fs, metaDir, s1.deleteManifest.get))
-        else s1
+        if (s1.deleteFiles.isEmpty && s1.eqDeleteFiles.isEmpty &&
+            s1.deleteManifest.isDefined) {
+          val chunk = readDeleteManifest(fs, metaDir, s1.deleteManifest.get)
+          s1.copy(deleteFiles = chunk.deleteFiles,
+            eqDeleteFiles = chunk.eqDeleteFiles)
+        } else s1
       if (s.files.nonEmpty) s
       else {
         val names =

@@ -73,7 +73,14 @@ final case class DataFile(
     rowCount: Long,
     sizeBytes: Long,
     /** physical column name ("c<id>") → stats. */
-    stats: Map[String, ColStat])
+    stats: Map[String, ColStat],
+    /** Snapshot that first added this file (stamped at commit time — the
+      * data-sequence-number analog of Iceberg v2). Equality deletes mask
+      * only files with a STRICTLY lower addedSnapshotId, so an upsert's
+      * own inserted rows survive its own delete. 0 on files written
+      * before this field existed — lower than any real snapshot id, so
+      * legacy files are maskable (they predate every delete). */
+    addedSnapshotId: Long = 0L)
 
 /** Merge-on-read positional delete file (Iceberg v2 position deletes, ref:
   * `write.delete.mode=merge-on-read` in the reference's Iceberg tables):
@@ -101,6 +108,34 @@ final case class DeleteFile(
     counts: Map[String, Long]) {
   def rowCount: Long = counts.values.sum
 }
+
+/** Equality delete file (Iceberg v2 equality deletes — the Flink/CDC
+  * upsert mechanism, ref: `IcebergStream.java:118` equalityFieldColumns
+  * with upsert mode): a parquet file of distinct KEY tuples; every row in
+  * a data file with `addedSnapshotId < addedAt` whose key equals a stored
+  * tuple is deleted. A streaming upsert batch commits as ONE equality
+  * delete + appended row versions — O(batch) writes, zero data-file
+  * rewrites, which is what makes CDC ingestion survive a 100 TB table.
+  * Unlike positional deletes the masked-row count is unknowable without a
+  * scan, so the COUNT(*)/MIN-MAX metadata fast paths and SPJ disable
+  * while any equality delete is live; compaction retires them. */
+final case class EqualityDeleteFile(
+    path: String,
+    sizeBytes: Long,
+    /** Stable column ids of the equality key (schema-evolution-proof;
+      * the parquet columns are the matching physical names "c<id>"). */
+    keyIds: Seq[Int],
+    /** Schema the key columns were written under (type reconstruction). */
+    schemaId: Int,
+    /** Number of distinct key tuples in the file. */
+    rowCount: Long,
+    /** Snapshot that committed this delete — masks files with
+      * addedSnapshotId strictly below. Filled at commit time. */
+    addedAt: Long,
+    /** String-encoded bounds of the FIRST key column (ColStat encoding)
+      * for pruning which files need the mask join at all. */
+    keyMin: Option[String] = None,
+    keyMax: Option[String] = None)
 
 final case class Snapshot(
     snapshotId: Long,
@@ -145,9 +180,14 @@ final case class Snapshot(
       * last compaction: `rewrite_position_deletes` / `rewrite_data_files`
       * reset it. */
     deleteFiles: Seq[DeleteFile] = Seq.empty,
+    /** Live equality delete files (merge-on-read upserts). Same
+      * persistence scheme as `deleteFiles`: serialized EMPTY on disk,
+      * carried by the `deleteManifest` chunk, bounded by churn since the
+      * last compaction. */
+    eqDeleteFiles: Seq[EqualityDeleteFile] = Seq.empty,
     /** Content-addressed chunk (`metadata/manifest-del-<hash>.json`)
-      * holding `deleteFiles`; None when `deleteFiles` is empty. Filled by
-      * [[Manifests.assign]] at commit time. */
+      * holding `deleteFiles` + `eqDeleteFiles`; None when both are empty.
+      * Filled by [[Manifests.assign]] at commit time. */
     deleteManifest: Option[String] = None)
 
 /** Named ref: `branch` (movable, writable) or `tag` (immutable marker). */
@@ -188,9 +228,12 @@ final case class TableMeta(
   * the appended files. */
 final case class ManifestChunk(files: Seq[DataFile])
 
-/** Wire form of one snapshot's [[DeleteFile]] list (content-addressed —
-  * shared by name across every snapshot with the same live delete set). */
-final case class DeleteManifestChunk(deleteFiles: Seq[DeleteFile])
+/** Wire form of one snapshot's [[DeleteFile]] + [[EqualityDeleteFile]]
+  * lists (content-addressed — shared by name across every snapshot with
+  * the same live delete set). */
+final case class DeleteManifestChunk(
+    deleteFiles: Seq[DeleteFile],
+    eqDeleteFiles: Seq[EqualityDeleteFile] = Seq.empty)
 
 object Meta {
   private val mapper: ObjectMapper with ClassTagExtensions = {
@@ -209,8 +252,9 @@ object Meta {
     mapper.readValue[ManifestChunk](json).files
   def listToJson(names: Seq[String]): String = mapper.writeValueAsString(names)
   def listFromJson(json: String): Seq[String] = mapper.readValue[Seq[String]](json)
-  def deleteChunkToJson(dels: Seq[DeleteFile]): String =
-    mapper.writeValueAsString(DeleteManifestChunk(dels))
-  def deleteChunkFromJson(json: String): Seq[DeleteFile] =
-    mapper.readValue[DeleteManifestChunk](json).deleteFiles
+  def deleteChunkToJson(dels: Seq[DeleteFile],
+                        eqDels: Seq[EqualityDeleteFile]): String =
+    mapper.writeValueAsString(DeleteManifestChunk(dels, eqDels))
+  def deleteChunkFromJson(json: String): DeleteManifestChunk =
+    mapper.readValue[DeleteManifestChunk](json)
 }

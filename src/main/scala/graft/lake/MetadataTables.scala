@@ -80,13 +80,22 @@ object MetadataTables {
           "existing_data_files_count", "existing_rows_count", "shared_by_snapshots")
 
       case "delete_files" =>
-        // merge-on-read positional delete files of the CURRENT snapshot
-        // (Iceberg's delete_files table): the observability input for
-        // when to CALL rewrite_position_deletes
-        m.currentSnapshot.map(_.deleteFiles).getOrElse(Seq.empty).map { d =>
-          (d.path, d.sizeBytes, d.rowCount, d.counts.size.toLong, d.counts)
-        }.toDF("file_path", "file_size_in_bytes", "record_count",
-          "referenced_data_files", "position_delete_counts")
+        // merge-on-read delete files of the CURRENT snapshot (Iceberg's
+        // delete_files table; content mirrors its position/equality
+        // distinction): the observability input for when to CALL
+        // rewrite_position_deletes
+        val pos = m.currentSnapshot.map(_.deleteFiles).getOrElse(Seq.empty).map { d =>
+          ("position", d.path, d.sizeBytes, d.rowCount,
+            d.counts.size.toLong, d.counts, Seq.empty[String])
+        }
+        val eq = m.currentSnapshot.map(_.eqDeleteFiles).getOrElse(Seq.empty).map { d =>
+          ("equality", d.path, d.sizeBytes, d.rowCount,
+            0L, Map.empty[String, Long],
+            d.keyIds.flatMap(id => m.schema.byId(id)).map(_.name))
+        }
+        (pos ++ eq).toDF("content", "file_path", "file_size_in_bytes",
+          "record_count", "referenced_data_files", "position_delete_counts",
+          "equality_key_columns")
 
       case other =>
         throw new IllegalArgumentException(

@@ -92,11 +92,11 @@ object GraftSpj {
         case _ => false
       }
     } &&
-    // merge-on-read position deletes need the anti-join read path — fall
-    // back to the substituted relation (which applies them) until
-    // rewrite_position_deletes/compaction clears the delete set
+    // merge-on-read deletes (positional or equality) need the anti-join
+    // read path — fall back to the substituted relation (which applies
+    // them) until rewrite_position_deletes/compaction clears the masks
     t.lakeTable.resolveSnapshot(t.pinnedSnapshotId, t.pinnedBranch, t.pinnedTimestampMs)
-      .forall(_.deleteFiles.isEmpty)
+      .forall(s => s.deleteFiles.isEmpty && s.eqDeleteFiles.isEmpty)
   }
 
   /** Internal (InternalRow) value of one partition-field cell from its

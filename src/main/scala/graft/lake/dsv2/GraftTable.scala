@@ -58,12 +58,17 @@ case class GraftTable(
     * metadata tables. Lets COUNT(*) answer without touching data files. */
   def metadataRowCount: Option[Long] = metaKind match {
     case Some(_) => None
-    case None => Some(lakeTable
-      .resolveSnapshot(pinnedSnapshotId, pinnedBranch, pinnedTimestampMs)
-      // merge-on-read position deletes subtract EXACTLY: commit-time
-      // pruning keeps delete counts scoped to live files only
-      .map(s => s.files.map(_.rowCount).sum - s.deleteFiles.map(_.rowCount).sum)
-      .getOrElse(0L))
+    case None =>
+      lakeTable.resolveSnapshot(pinnedSnapshotId, pinnedBranch, pinnedTimestampMs) match {
+        // equality deletes mask an unknowable row count (a key may hit 0..n
+        // rows) — only a scan can answer
+        case Some(s) if s.eqDeleteFiles.nonEmpty => None
+        // merge-on-read position deletes subtract EXACTLY: commit-time
+        // pruning keeps delete counts scoped to live files only
+        case Some(s) =>
+          Some(s.files.map(_.rowCount).sum - s.deleteFiles.map(_.rowCount).sum)
+        case None => Some(0L)
+      }
   }
 
   /** Exact MIN/MAX of an integer-domain column from file stats (same
