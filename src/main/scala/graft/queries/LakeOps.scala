@@ -3,6 +3,7 @@ package graft.queries
 import graft.QuerySpec
 import graft.QuerySpec._
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
 
 import java.util.concurrent.ConcurrentHashMap
 
@@ -66,7 +67,7 @@ object LakeOps {
       // instance (and thus the original warehouse) per session, so a retry
       // of this lambda would otherwise trip over half-created tables
       Seq("nation", "supplier", "region", "chg", "mvbase", "mv_orders",
-        "bkt_orders", "bkt_cust", "cust_mor")
+        "bkt_orders", "bkt_cust", "cust_mor", "ord_mor")
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS lake.ops.$t"))
       // q31: nation round-trip (INSERT INTO ... SELECT — D13)
       s.sql("""CREATE TABLE lake.ops.nation
@@ -156,6 +157,29 @@ object LakeOps {
               |FROM customer""".stripMargin)
       s.sql("DELETE FROM lake.ops.cust_mor WHERE c_acctbal < 0")
       sqlx("UPDATE lake.ops.cust_mor SET c_mktsegment = 'VIP' WHERE c_acctbal > 9000")
+      // q76: equality-delete upsert (merge-on-read merge — the Flink CDC
+      // shape): one CDC batch deletes every %50 key and upserts every %40
+      // key with a new status/price, committed as ONE equality delete
+      // file + appends (zero rewrites). The read goes through the
+      // equality mask; the oracle recomputes the final logical content.
+      s.sql("""CREATE TABLE lake.ops.ord_mor
+              |  (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+              |TBLPROPERTIES ('write.merge.mode'='merge-on-read')""".stripMargin)
+      s.sql("""INSERT INTO lake.ops.ord_mor
+              |SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE)
+              |FROM orders WHERE o_orderkey <= 5000""".stripMargin)
+      val ordMor = cat.loadTable("ops.ord_mor")
+      val batchKeys = s.table("orders")
+        .filter(col("o_orderkey") <= 5000 &&
+          (col("o_orderkey") % 50 === 0 || col("o_orderkey") % 40 === 0))
+        .select(col("o_orderkey"))
+      val batchUpserts = s.table("orders")
+        .filter(col("o_orderkey") <= 5000 && col("o_orderkey") % 40 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          (col("o_totalprice") + 1).cast("double").as("o_totalprice"))
+      ordMor.mergeByKeys("o_orderkey", batchKeys, batchUpserts)
+      require(ordMor.meta.currentSnapshot.get.eqDeleteFiles.nonEmpty,
+        "q76 setup must exercise the equality-delete path")
       Env(wh, snap1, chgFrom)
     })
   }
@@ -305,5 +329,31 @@ object LakeOps {
       |FROM customer WHERE NOT (c_acctbal < 0)
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
-  def specs: Seq[QuerySpec] = Seq(q31, q32, q33, q59, q63, q65, q75)
+  /** Equality-delete upsert (merge-on-read MERGE — the reference's Flink
+    * CDC upsert, IcebergStream.java:118): the read side resolves the
+    * equality mask (strictly-older rows of batch keys die, the batch's
+    * own inserts survive) and must be row-identical to the oracle's
+    * recomputation of the final logical content from the original
+    * parquet. */
+  val q76 = plan("q76_eq_upsert",
+    fn = (s, dir) => {
+      ensure(s, dir)
+      s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              |FROM lake.ops.ord_mor
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+    duckSql = """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM (
+      |  SELECT CASE WHEN o_orderkey % 40 = 0 THEN 'X' ELSE o_orderstatus END
+      |           AS o_orderstatus,
+      |         CASE WHEN o_orderkey % 40 = 0 THEN o_totalprice + 1
+      |              ELSE o_totalprice END AS p
+      |  FROM orders
+      |  WHERE o_orderkey <= 5000
+      |    AND NOT (o_orderkey % 50 = 0 AND o_orderkey % 40 <> 0)
+      |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+
+  def specs: Seq[QuerySpec] = Seq(q31, q32, q33, q59, q63, q65, q75, q76)
 }

@@ -766,7 +766,75 @@ object TextOps {
       |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
       |ORDER BY t.doc_id""".stripMargin)
 
+  /** Bigram fluency filtering (the CCNet/Gopher "perplexity filter" shape
+    * — Wenzek et al. 2020 — completing the dedup/langid/fluency curation
+    * trio): a bigram language model is trained on the corpus itself
+    * (unigram + bigram counts), every document is scored by its mean
+    * add-one-smoothed conditional probability, and the 10 most / least
+    * fluent documents are reported. Fixed-point: p_fp(w2|w1) =
+    * ((c12+1)·10^6) DIV (c1+V), doc score = Σp_fp DIV n_bigrams —
+    * integer-only arithmetic, so Spark and DuckDB agree bit-for-bit
+    * (a float log-prob would differ in ulps; the integer mean-likelihood
+    * ranks fluency the same way for filtering purposes).
+    *
+    * Scale shape: counts are two map-side-combined aggregates over the
+    * token stream; scoring joins each doc's bigrams against the count
+    * tables on uniformly-distributed keys (at 100 TB: bucket both count
+    * tables on their key for co-located re-scoring); the top/bottom-k
+    * are ORDER BY … LIMIT subqueries, which Catalyst executes as
+    * TakeOrderedAndProject — no global sort materializes. */
+  val q77 = dialect("q77_bigram_fluency",
+    sparkSql = """WITH t AS (
+      |  SELECT doc_id, split(lower(trim(text)), '\\s+') AS w FROM documents),
+      |tok AS (SELECT wx AS w FROM t LATERAL VIEW explode(w) e AS wx),
+      |c1 AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+      |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+      |bg AS (SELECT doc_id, element_at(w, pos) AS w1,
+      |         concat(element_at(w, pos), ' ', element_at(w, pos + 1)) AS b
+      |       FROM t LATERAL VIEW explode(sequence(1, size(w) - 1)) e AS pos
+      |       WHERE size(w) >= 2),
+      |c2 AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+      |p AS (SELECT bg.doc_id,
+      |        (((c2.c + 1) * 1000000) DIV (c1.c + v.v)) AS p_fp
+      |      FROM bg JOIN c2 ON bg.b = c2.b JOIN c1 ON bg.w1 = c1.w CROSS JOIN v),
+      |sc AS (SELECT doc_id, SUM(p_fp) DIV COUNT(*) AS fluency_fp
+      |       FROM p GROUP BY doc_id),
+      |top AS (SELECT doc_id, fluency_fp FROM sc
+      |        ORDER BY fluency_fp DESC, doc_id LIMIT 10),
+      |bot AS (SELECT doc_id, fluency_fp FROM sc
+      |        ORDER BY fluency_fp ASC, doc_id LIMIT 10)
+      |SELECT band, doc_id, CAST(fluency_fp AS BIGINT) AS fluency_fp FROM (
+      |  SELECT 'fluent' AS band, doc_id, fluency_fp FROM top
+      |  UNION ALL
+      |  SELECT 'junk' AS band, doc_id, fluency_fp FROM bot)
+      |ORDER BY band, doc_id""".stripMargin,
+    duckSql = """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      |  FROM documents),
+      |tok AS (SELECT unnest(w) AS w FROM t),
+      |c1 AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+      |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+      |bg AS (SELECT doc_id, w[pos] AS w1,
+      |         concat(w[pos], ' ', w[pos + 1]) AS b
+      |       FROM t, unnest(generate_series(1, len(w) - 1)) AS e(pos)
+      |       WHERE len(w) >= 2),
+      |c2 AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+      |p AS (SELECT bg.doc_id,
+      |        (((c2.c + 1) * 1000000) // (c1.c + v.v)) AS p_fp
+      |      FROM bg JOIN c2 ON bg.b = c2.b JOIN c1 ON bg.w1 = c1.w CROSS JOIN v),
+      |sc AS (SELECT doc_id, SUM(p_fp) // COUNT(*) AS fluency_fp
+      |       FROM p GROUP BY doc_id),
+      |top AS (SELECT doc_id, fluency_fp FROM sc
+      |        ORDER BY fluency_fp DESC, doc_id LIMIT 10),
+      |bot AS (SELECT doc_id, fluency_fp FROM sc
+      |        ORDER BY fluency_fp ASC, doc_id LIMIT 10)
+      |SELECT band, doc_id, CAST(fluency_fp AS BIGINT) AS fluency_fp FROM (
+      |  SELECT 'fluent' AS band, doc_id, fluency_fp FROM top
+      |  UNION ALL
+      |  SELECT 'junk' AS band, doc_id, fluency_fp FROM bot)
+      |ORDER BY band, doc_id""".stripMargin)
+
   def specs: Seq[QuerySpec] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q51, q52, q56, q57, q58, q64, q66,
-      q70, q71, q73)
+      q70, q71, q73, q77)
 }

@@ -376,6 +376,38 @@ object ScaleProbe {
         f""""secs":$secs%.2f,"bytes_written":$written,"rows_after":$rows}""")
     }
 
+    // equality-delete upsert (r9): a FIXED 500-key CDC batch merged into a
+    // 1x vs Nx table, copy-on-write vs merge-on-read. The claim under
+    // test: CoW rewrites every key-overlapping file (bytes grow with the
+    // table), merge-on-read commits ONE equality delete + the appended
+    // upserts — bytes ∝ batch, flat in table size, which is what makes
+    // continuous CDC ingest survive 100 TB.
+    for (scale <- Seq(1, scaleN); mode <- Seq("copy-on-write", "merge-on-read")) {
+      val whDir = java.nio.file.Files.createTempDirectory(s"graft-upsprobe-$scale-$mode")
+      val cat = new graft.lake.LakeCatalog(spark, whDir.toString)
+      val t = cat.createTable(s"probe.ups$scale",
+        spark.table("documents_base").schema)
+      if (mode == "merge-on-read")
+        t.setProperties(Map("write.merge.mode" -> "merge-on-read"))
+      (0 until scale).foreach(i => t.append(docCopy(spark, i)))
+      def treeBytes(p: java.nio.file.Path): Long = {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+      val batch = docCopy(spark, 0).filter(col("doc_id") < 500)
+        .withColumn("text", concat(col("text"), lit(" upd")))
+      val before = treeBytes(whDir)
+      val t0 = System.nanoTime()
+      t.mergeByKeys("doc_id", batch.select(col("doc_id")), batch)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val written = treeBytes(whDir) - before
+      println(f"""{"probe":"upsert_commit","table_copies":$scale,"mode":"$mode",""" +
+        f""""batch_keys":500,"secs":$secs%.2f,"bytes_written":$written,""" +
+        f""""rows":${t.toDF.count()}}""")
+    }
+
     println(s"""{"summary":"growth ${scaleN}x vs 1x (sub-quadratic bar: ratio << ${scaleN * scaleN})"}""")
     for (name <- probes) {
       val (s1, r1, sr1, _) = results((name, 1))
