@@ -90,6 +90,39 @@ case class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => v // LongType, TimestampType (micros), TimestampNTZType
     }
     val counted = plan.transformDown {
+      // metadata-only GROUP BY partition-column COUNT(*): a grouped count
+      // keyed by an IDENTITY partition column reads the answer from the
+      // per-file partition values + footer row counts (the `partitions`
+      // metadata table as a query plan) — zero data files at any table
+      // size. Bails (→ normal scan) under merge-on-read masks, partition
+      // evolution gaps, or non-identity transforms.
+      case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _)
+          if agg.resolved && aggExprs.nonEmpty && aggExprs.forall {
+            case a: AttributeReference => a.exprId == g.exprId
+            case Alias(a: AttributeReference, _) => a.exprId == g.exprId
+            case Alias(ae: AggregateExpression, _)
+                if !ae.isDistinct && ae.filter.isEmpty =>
+              ae.aggregateFunction match {
+                case Count(Seq(Literal(1, _))) => true
+                case _ => false
+              }
+            case _ => false
+          } =>
+        unwrapScan(child) match {
+          case Some((r, gt)) if !writeTargets.contains(r) =>
+            gt.metadataPartitionCounts(g.name) match {
+              case Some(rows) =>
+                LocalRelation(agg.output.map(_.toAttribute), rows.map {
+                  case (v, n) => InternalRow.fromSeq(aggExprs.map {
+                    case _: AttributeReference => v
+                    case Alias(_: AttributeReference, _) => v
+                    case _ => n
+                  })
+                })
+              case None => agg
+            }
+          case _ => agg
+        }
       case agg @ Aggregate(groupings, aggExprs, child, _)
           if agg.resolved && groupings.isEmpty && aggExprs.nonEmpty &&
             aggExprs.forall(e => classify(e).isDefined) =>

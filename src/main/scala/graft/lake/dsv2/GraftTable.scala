@@ -71,6 +71,41 @@ case class GraftTable(
       }
   }
 
+  /** Exact per-value row counts of an IDENTITY-partitioned column, purely
+    * from snapshot metadata — `GROUP BY part_col → COUNT(*)` without
+    * touching a data file (the `partitions` metadata table as a query
+    * fast path). Some(values) only when EVERY file's spec identity-
+    * partitions this column AND the file carries a decodable value; None
+    * (→ scan) under any merge-on-read mask, a partition-evolved file
+    * missing the field, or a non-identity transform. Internal values
+    * (UTF8String etc.) — ready for a LocalRelation. */
+  def metadataPartitionCounts(colName: String): Option[Seq[(Any, Long)]] = metaKind match {
+    case Some(_) => None
+    case None =>
+      val m = lakeTable.meta
+      lakeTable.resolveSnapshot(pinnedSnapshotId, pinnedBranch, pinnedTimestampMs) match {
+        case None => Some(Seq.empty)
+        case Some(s) if s.deleteFiles.nonEmpty || s.eqDeleteFiles.nonEmpty => None
+        case Some(s) =>
+          m.schema.byName(colName).flatMap { c =>
+            val counts = scala.collection.mutable.LinkedHashMap[Any, Long]()
+            val ok = s.files.forall { f =>
+              val pf = m.partitionSpecs.find(_.specId == f.specId)
+                .flatMap(_.fields.find(p =>
+                  p.sourceId == c.id && p.transform == "identity"))
+              pf.flatMap(p => f.partitionValues.get(p.physicalName))
+                .flatMap(raw =>
+                  GraftSpj.internalKeyValue("identity", c.sparkType, raw)) match {
+                case Some(v) =>
+                  counts(v) = counts.getOrElse(v, 0L) + f.rowCount; true
+                case None => false
+              }
+            }
+            if (ok) Some(counts.toSeq) else None
+          }
+      }
+  }
+
   /** Exact MIN/MAX of an integer-domain column from file stats (same
     * snapshot resolution as reads); inner Nones = all-null column, outer
     * None = stats can't vouch and the caller must scan. */

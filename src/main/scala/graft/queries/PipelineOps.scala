@@ -556,7 +556,72 @@ object PipelineOps {
       |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
       |FROM s GROUP BY lang ORDER BY lang""".stripMargin)
 
+  /** Temperature-smoothed domain mixing (the GPT-3/PaLM α-sampling
+    * formula, α = 0.5): per-language mixing weights p_i ∝ n_i^α flatten
+    * the natural distribution so low-resource domains are up-weighted;
+    * per-doc acceptance is the deterministic md5-hash gate of q60 with
+    * the COMPUTED per-domain rate r_i = B·√n_i / (Σ√n_j · n_i) for a
+    * target budget B = half the corpus.
+    *
+    * Cross-engine exactness: n^0.5 is taken as FLOOR(SQRT(n)) — IEEE
+    * sqrt is correctly rounded in both engines, so the floor is
+    * bit-identical — and everything after is integer arithmetic; the
+    * gate compares 4-hex-char strings, with thresholds rendered by
+    * printf/format_string '%04x' (rate ≥ 1 ⇒ sentinel 'zzzz' accepts
+    * all). Scale shape: the weight table is one map-side-combined
+    * aggregate (domains-sized), broadcast back over the corpus scan —
+    * the sample itself never shuffles. */
+  val q78 = dialect("q78_temperature_mix",
+    sparkSql = """WITH n AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      |  GROUP BY lang),
+      |w AS (SELECT lang, n_docs,
+      |        CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS isq
+      |      FROM n),
+      |tot AS (SELECT CAST(SUM(isq) AS BIGINT) AS s,
+      |               CAST(SUM(n_docs) AS BIGINT) DIV 2 AS budget FROM w),
+      |th AS (SELECT lang, n_docs, isq,
+      |         (65536 * budget * isq) DIV (s * n_docs) AS t
+      |       FROM w CROSS JOIN tot),
+      |g AS (SELECT lang, n_docs, isq,
+      |        CASE WHEN t >= 65536 THEN 'zzzz'
+      |             ELSE format_string('%04x', CAST(t AS INT)) END AS gate
+      |      FROM th),
+      |k AS (SELECT d.doc_id, d.lang
+      |      FROM documents d JOIN g ON d.lang = g.lang
+      |      WHERE substr(md5(CAST(d.doc_id AS STRING)), 1, 4) < g.gate)
+      |SELECT g.lang, g.n_docs, g.isq AS weight, g.gate,
+      |  CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+      |  CAST(MIN(k.doc_id) AS BIGINT) AS first_kept,
+      |  CAST(MAX(k.doc_id) AS BIGINT) AS last_kept
+      |FROM g LEFT JOIN k ON g.lang = k.lang
+      |GROUP BY g.lang, g.n_docs, g.isq, g.gate ORDER BY g.lang""".stripMargin,
+    duckSql = """WITH n AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      |  GROUP BY lang),
+      |w AS (SELECT lang, n_docs,
+      |        CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS isq
+      |      FROM n),
+      |tot AS (SELECT CAST(SUM(isq) AS BIGINT) AS s,
+      |               CAST(SUM(n_docs) AS BIGINT) // 2 AS budget FROM w),
+      |th AS (SELECT lang, n_docs, isq,
+      |         (65536 * budget * isq) // (s * n_docs) AS t
+      |       FROM w CROSS JOIN tot),
+      |g AS (SELECT lang, n_docs, isq,
+      |        CASE WHEN t >= 65536 THEN 'zzzz'
+      |             ELSE printf('%04x', CAST(t AS INT)) END AS gate
+      |      FROM th),
+      |k AS (SELECT d.doc_id, d.lang
+      |      FROM documents d JOIN g ON d.lang = g.lang
+      |      WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < g.gate)
+      |SELECT g.lang, g.n_docs, g.isq AS weight, g.gate,
+      |  CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+      |  CAST(MIN(k.doc_id) AS BIGINT) AS first_kept,
+      |  CAST(MAX(k.doc_id) AS BIGINT) AS last_kept
+      |FROM g LEFT JOIN k ON g.lang = k.lang
+      |GROUP BY g.lang, g.n_docs, g.isq, g.gate ORDER BY g.lang""".stripMargin)
+
   def specs: Seq[QuerySpec] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q47, q48, q49, q50, q53, q54,
-      q60, q61, q62, q67, q69)
+      q60, q61, q62, q67, q69, q78)
 }

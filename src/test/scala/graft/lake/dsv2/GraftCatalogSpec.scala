@@ -944,6 +944,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.wap.id")
   }
 
+  test("GROUP BY identity-partition column COUNT(*) answers from metadata (r9)") {
+    sql("CREATE DATABASE IF NOT EXISTS lake.db")
+    sql("""CREATE TABLE lake.db.pcnt (id BIGINT, seg STRING)
+          |PARTITIONED BY (seg)""".stripMargin)
+    // REPARTITION(1): one file per partition value, so the MoR delete
+    // below is guaranteed a PARTIAL file (id=3 shares its file with 4,5)
+    // and must leave a positional mask, not a metadata-only drop
+    sql("""INSERT INTO lake.db.pcnt SELECT /*+ REPARTITION(1) */ * FROM VALUES
+          |  (1, 'a'), (2, 'a'), (3, 'b'), (4, 'b'), (5, 'b'), (6, NULL)
+          |  AS v(id, seg)""".stripMargin)
+    val q = () => extSpark.sql(
+      "SELECT seg, COUNT(*) AS n FROM lake.db.pcnt GROUP BY seg ORDER BY seg")
+    val df = q()
+    assert(!df.queryExecution.executedPlan.toString.contains("FileScan"),
+      s"partition-grouped count must not scan data files:\n${df.queryExecution.executedPlan}")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq((null, 1L), ("a", 2L), ("b", 3L)))
+    // a non-partition grouping column scans normally and stays correct
+    val other = extSpark.sql(
+      "SELECT id % 2 AS par, COUNT(*) AS n FROM lake.db.pcnt GROUP BY id % 2")
+    assert(other.queryExecution.executedPlan.toString.contains("FileScan"))
+    assert(other.collect().map(_.getLong(1)).sum === 6)
+    // a merge-on-read mask disables the fast path; results stay correct
+    sql("ALTER TABLE lake.db.pcnt SET TBLPROPERTIES('write.delete.mode'='merge-on-read')")
+    sql("DELETE FROM lake.db.pcnt WHERE id = 3")
+    val masked = q()
+    assert(masked.queryExecution.executedPlan.toString.contains("FileScan"),
+      "masked table must fall back to a real scan")
+    assert(masked.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq((null, 1L), ("a", 2L), ("b", 2L)))
+  }
+
   test("merge-on-read DELETE via SQL: delete_files table, exact metadata COUNT, " +
     "CALL rewrite_position_deletes (r9)") {
     sql("CREATE DATABASE IF NOT EXISTS lake.mor")
