@@ -1509,6 +1509,84 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       base = baseSnap)
   }
 
+  /** CALL convert_equality_deletes: the MINOR delete compaction — resolve
+    * every live equality delete into concrete `(file, pos)` entries (one
+    * masked-candidate scan, writes only the matched POSITIONS) and retire
+    * the equality set, WITHOUT rewriting any data file. After it: the
+    * metadata-only COUNT(*) is exact again (positional counts are), reads
+    * pay one position anti-join instead of per-class key joins, and the
+    * accumulated CDC masks stop growing. The cheap middle tier between
+    * "live with the masks" and `rewrite_position_deletes`' full data
+    * rewrite — at 100 TB it writes kilobytes where the full rewrite
+    * re-copies every masked file. */
+  def convertEqualityDeletes(): TableMeta = {
+    val m0 = meta
+    val branch = resolveWriteBranch(None)
+    val baseSnap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
+    val eqDels = baseSnap.map(_.eqDeleteFiles).getOrElse(Seq.empty)
+    if (eqDels.isEmpty) return m0
+    val files = baseSnap.map(_.files).getOrElse(Seq.empty)
+    val candidates = files.filter(f => eqDels.exists(_.addedAt > f.addedSnapshotId))
+    // rows killed by the equality masks = candidate rows live under the
+    // POSITIONAL mask only, minus rows live under BOTH masks
+    val posOnly = maskPositions(m0, baseSnap, candidates, withMeta = true)
+    val bothMasks = liveRows(m0, baseSnap, candidates, withMeta = true)
+    val killed = posOnly.select(col("_gd_file"), col("_gd_pos"))
+      .exceptAll(bothMasks.select(col("_gd_file"), col("_gd_pos")))
+    val newDel = writeDeleteFile(killed)
+    commit { m =>
+      val parent = m.snapshotFor(branch).orElse(m.currentSnapshot)
+      if (parent.map(_.snapshotId) != baseSnap.map(_.snapshotId))
+        throw CommitConflictException(
+          "convert_equality_deletes planned against a snapshot that moved — retry")
+      val snapId = m.lastSnapshotId + 1
+      val now = System.currentTimeMillis()
+      val dels = parent.map(_.deleteFiles).getOrElse(Seq.empty) ++ newDel
+      val snap = Snapshot(snapId, parent.map(_.snapshotId), now, "replace",
+        Map("operation" -> "replace",
+          "converted-equality-delete-files" -> eqDels.size.toString,
+          "added-position-deletes" -> newDel.map(_.rowCount).getOrElse(0L).toString,
+          "total-records" -> (files.map(_.rowCount).sum -
+            dels.map(_.rowCount).sum).toString),
+        files, deleteFiles = dels, eqDeleteFiles = Seq.empty)
+      m.copy(snapshots = m.snapshots :+ snap, lastSnapshotId = snapId,
+        refs = m.refs + (branch -> Ref(snapId)),
+        history = m.history :+ HistoryEntry(now, snapId, branch))
+    }
+  }
+
+  /** CALL rewrite_delete_files: compact accumulated positional delete
+    * files into ONE (metadata + one kilobyte-scale write, data files
+    * untouched) — the small-files problem exists for delete files too
+    * when every point DELETE adds one. Logical content unchanged. */
+  def rewriteDeleteFiles(): TableMeta = {
+    val m0 = meta
+    val branch = resolveWriteBranch(None)
+    val baseSnap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
+    val dels = baseSnap.map(_.deleteFiles).getOrElse(Seq.empty)
+    if (dels.size <= 1) return m0
+    val merged = writeDeleteFile(deleteEntriesDf(dels))
+    commit { m =>
+      val parent = m.snapshotFor(branch).orElse(m.currentSnapshot)
+      if (parent.map(_.snapshotId) != baseSnap.map(_.snapshotId))
+        throw CommitConflictException(
+          "rewrite_delete_files planned against a snapshot that moved — retry")
+      val snapId = m.lastSnapshotId + 1
+      val now = System.currentTimeMillis()
+      val snap = Snapshot(snapId, parent.map(_.snapshotId), now, "replace",
+        Map("operation" -> "replace",
+          "compacted-delete-files" -> dels.size.toString,
+          "total-records" -> (parent.map(_.files.map(_.rowCount).sum).getOrElse(0L) -
+            merged.map(_.rowCount).getOrElse(0L)).toString),
+        parent.map(_.files).getOrElse(Seq.empty),
+        deleteFiles = merged.toSeq,
+        eqDeleteFiles = parent.map(_.eqDeleteFiles).getOrElse(Seq.empty))
+      m.copy(snapshots = m.snapshots :+ snap, lastSnapshotId = snapId,
+        refs = m.refs + (branch -> Ref(snapId)),
+        history = m.history :+ HistoryEntry(now, snapId, branch))
+    }
+  }
+
   /** CALL rewrite_manifests (D21): compact the current snapshot's manifest
     * chunks. Incremental commits fragment the chunk list — every append
     * adds a (possibly tiny) chunk, every delete splinters the chunks it

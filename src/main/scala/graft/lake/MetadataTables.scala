@@ -11,7 +11,7 @@ object MetadataTables {
 
   val kinds: Seq[String] =
     Seq("snapshots", "files", "partitions", "history", "refs", "manifests",
-      "delete_files")
+      "delete_files", "position_deletes")
 
   def apply(table: LakeTable, kind: String): DataFrame = {
     val spark = table.spark
@@ -96,6 +96,25 @@ object MetadataTables {
         (pos ++ eq).toDF("content", "file_path", "file_size_in_bytes",
           "record_count", "referenced_data_files", "position_delete_counts",
           "equality_key_columns")
+
+      case "position_deletes" =>
+        // the CONTENT of the current snapshot's positional delete files
+        // (Iceberg's position_deletes table): one row per deleted
+        // (data file, position) — audit which rows a mask hides
+        val dels = m.currentSnapshot.map(_.deleteFiles).getOrElse(Seq.empty)
+        if (dels.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("file_name",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("pos",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("delete_file",
+                org.apache.spark.sql.types.StringType))))
+        else dels.map { d =>
+          spark.read.schema(LakeTable.DeleteEntrySchema).parquet(d.path)
+            .withColumn("delete_file", org.apache.spark.sql.functions.lit(d.path))
+        }.reduce(_ unionByName _)
 
       case other =>
         throw new IllegalArgumentException(

@@ -19,7 +19,8 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq("rollback_to_snapshot", "cherrypick_snapshot",
     "expire_snapshots", "rewrite_data_files", "rewrite_manifests",
-    "rewrite_position_deletes", "fast_forward", "remove_orphan_files",
+    "rewrite_position_deletes", "convert_equality_deletes",
+    "rewrite_delete_files", "fast_forward", "remove_orphan_files",
     "create_branch", "drop_branch", "create_tag", "drop_tag",
     "build_ivf_index", "build_pq_index", "create_changelog_view")
 
@@ -64,6 +65,12 @@ object GraftProcedures {
     case "rewrite_position_deletes" => Some(proc(name,
       Array(param("table", StringType)),
       row => lake.loadTable(row.getString(0)).rewritePositionDeletes()))
+    case "convert_equality_deletes" => Some(proc(name,
+      Array(param("table", StringType)),
+      row => lake.loadTable(row.getString(0)).convertEqualityDeletes()))
+    case "rewrite_delete_files" => Some(proc(name,
+      Array(param("table", StringType)),
+      row => lake.loadTable(row.getString(0)).rewriteDeleteFiles()))
     case "fast_forward" => Some(proc(name,
       Array(param("table", StringType), param("branch", StringType),
         param("to", StringType)),

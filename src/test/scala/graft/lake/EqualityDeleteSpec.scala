@@ -216,6 +216,34 @@ class EqualityDeleteSpec extends AnyFunSuite {
     assert(contents(t) === Set(1L -> "a2", 2L -> "b1", 3L -> "c1"))
   }
 
+  test("convert_equality_deletes: minor compaction — positions materialized, " +
+    "no data rewritten, COUNT exact again") {
+    val cat = freshCatalog()
+    val t = morTable(cat, "e.convert")
+    t.mergeByKey("id", Seq[Any](1L), rows(1L -> "a2")) // update key 1
+    t.mergeByKey("id", Seq[Any](3L), rows())           // pure-delete key 3
+    val before = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    t.convertEqualityDeletes()
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.eqDeleteFiles.isEmpty, "equality set retired")
+    assert(snap.files.map(_.path).toSet === before, "zero data files rewritten")
+    // killed rows: old (1,a1) and (3,c1) → 2 positional entries, exact
+    // 4 physical rows (3 original + 1 upserted version) − 2 killed = 2 live
+    assert(snap.deleteFiles.map(_.rowCount).sum === 2)
+    assert(snap.summary("total-records") === "2")
+    assert(contents(t) === Set(1L -> "a2", 2L -> "b1", 3L -> "c1") - (3L -> "c1"))
+    // stats MIN/MAX still gated (positional mask remains), COUNT is exact
+    assert(t.toDF.count() === 2)
+    // idempotent no-op on a table with no equality deletes
+    val v = t.meta.version
+    t.convertEqualityDeletes()
+    assert(t.meta.version === v)
+    // and the full rewrite clears everything
+    t.rewritePositionDeletes()
+    assert(t.meta.currentSnapshot.get.deleteFiles.isEmpty)
+    assert(contents(t) === Set(1L -> "a2", 2L -> "b1"))
+  }
+
   test("streaming CDC ingest path: mergeChangelog on a merge-on-read table") {
     val cat = freshCatalog()
     val t = morTable(cat, "e.stream")

@@ -271,6 +271,42 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(ids(t.toDF) === (0L until 30L).filterNot(_ == 8))
   }
 
+  test("rewrite_delete_files compacts N delete files into one, content unchanged") {
+    val cat = freshCatalog()
+    val t = threeFileTable(cat, "m.t15")
+    t.delete(col("id") === 2)
+    t.delete(col("id") === 13)
+    t.delete(col("id") === 27)
+    val snap0 = t.meta.currentSnapshot.get
+    assert(snap0.deleteFiles.size === 3)
+    val dataBefore = snap0.files.map(_.path).toSet
+    t.rewriteDeleteFiles()
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.deleteFiles.size === 1, "three delete files compact to one")
+    assert(snap.deleteFiles.head.rowCount === 3)
+    assert(snap.files.map(_.path).toSet === dataBefore)
+    assert(ids(t.toDF) === (0L until 30L).filterNot(i => Set(2L, 13L, 27L)(i)))
+    // compacted single file → no-op
+    val v = t.meta.version
+    t.rewriteDeleteFiles()
+    assert(t.meta.version === v)
+  }
+
+  test("position_deletes metadata table lists the masked (file, pos) rows") {
+    val cat = freshCatalog()
+    val t = threeFileTable(cat, "m.t16")
+    t.delete(col("id").isin(4, 15))
+    val pd = MetadataTables(t, "position_deletes").collect()
+    assert(pd.length === 2)
+    val names = t.meta.currentSnapshot.get.deleteFiles.flatMap(_.counts.keys).toSet
+    assert(pd.map(_.getString(0)).toSet === names)
+    assert(pd.map(_.getString(2)).toSet ===
+      t.meta.currentSnapshot.get.deleteFiles.map(_.path).toSet)
+    // empty on an unmasked table
+    t.rewritePositionDeletes()
+    assert(MetadataTables(t, "position_deletes").count() === 0)
+  }
+
   test("WAP: staged MoR delete is invisible until cherry-picked") {
     val cat = freshCatalog()
     val t = threeFileTable(cat, "m.t14")

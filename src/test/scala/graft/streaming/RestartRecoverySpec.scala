@@ -115,4 +115,58 @@ class RestartRecoverySpec extends AnyFunSuite {
     // equal to a never-stopped run over the same changelog
     assert(finalRows === Map(2L -> 250.0))
   }
+
+  test("lake CDC ingest on a MERGE-ON-READ table: restart + replay guard, " +
+    "every batch an equality delete + appends") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val cat = new graft.lake.LakeCatalog(spark,
+      Files.createTempDirectory("graft-restart-mor-wh").toString)
+    val t = cat.createTable("s.accmor", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bal", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType))))
+    t.setProperties(Map("write.merge.mode" -> "merge-on-read"))
+    val ckpt = Files.createTempDirectory("graft-ingest-mor-ckpt").toString
+    val mem = MemoryStream[(String, Long, Double, Long)]
+    def parsed() = mem.toDF().toDF("op", "id", "bal", "seq")
+
+    val q1 = Changelog.startIngest(t, parsed(), key = "id", seqCol = "seq",
+      checkpointDir = ckpt, triggerMs = 50L)
+    try {
+      mem.addData(("I", 1L, 100.0, 1L), ("I", 2L, 200.0, 2L))
+      q1.processAllAvailable()
+      mem.addData(("U", 1L, 150.0, 3L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(t.toDF.select("id", "bal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap ===
+      Map(1L -> 150.0, 2L -> 200.0))
+    // every upsert batch was O(batch): equality deletes accumulated, and
+    // NO data file was ever rewritten (all files are app-* appends)
+    val snapP1 = t.meta.currentSnapshot.get
+    assert(snapP1.eqDeleteFiles.nonEmpty)
+    assert(snapP1.files.forall(f =>
+      new org.apache.hadoop.fs.Path(f.path).getName.startsWith("app-")))
+    val snapshotsAfterP1 = t.meta.snapshots.size
+
+    val q2 = Changelog.startIngest(t, parsed(), key = "id", seqCol = "seq",
+      checkpointDir = ckpt, triggerMs = 50L)
+    try {
+      q2.processAllAvailable()
+      assert(t.meta.snapshots.size === snapshotsAfterP1,
+        "checkpoint replay must not commit a duplicate batch")
+      mem.addData(("U", 2L, 250.0, 4L), ("D", 1L, 0.0, 5L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(t.toDF.select("id", "bal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap === Map(2L -> 250.0))
+    // maintenance folds the accumulated CDC masks; content unchanged
+    t.convertEqualityDeletes()
+    t.rewritePositionDeletes()
+    assert(t.meta.currentSnapshot.get.eqDeleteFiles.isEmpty)
+    assert(t.meta.currentSnapshot.get.deleteFiles.isEmpty)
+    assert(t.toDF.select("id", "bal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap === Map(2L -> 250.0))
+  }
 }
