@@ -47,7 +47,10 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
+    // Locale.ROOT: the default-locale toLowerCase would diverge from the
+    // trainer's SQL lower() under e.g. a Turkish JVM locale ('I' → 'ı')
+    val text = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
     val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
     var i = 0
     val n = text.length

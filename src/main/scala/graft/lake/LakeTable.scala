@@ -1836,10 +1836,15 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
           val kept = s.files.filter(f =>
             parentPaths.contains(f.path) && refNames.contains(fileName(f.path)))
           if (kept.isEmpty) None
-          else Some(dataFrameFor(m, kept, withRowMeta = true)
-            .join(broadcast(deleteEntriesDf(newDels)), Seq("_gd_file", "_gd_pos"),
-              "left_semi")
-            .drop("_gd_file", "_gd_pos"))
+          else Some(
+            // read LIVE UNDER THE PARENT (both masks): a position that was
+            // already dead — notably convert_equality_deletes materializing
+            // equality-dead rows as positional entries — is NOT a new
+            // deletion and must not re-emit
+            liveRows(m, parentSnap, kept, withMeta = true)
+              .join(broadcast(deleteEntriesDf(newDels)), Seq("_gd_file", "_gd_pos"),
+                "left_semi")
+              .drop("_gd_file", "_gd_pos"))
         }
       // equality-delete transitions (merge-on-read upserts): keys added by
       // this commit kill every strictly-older live row with that key —

@@ -89,7 +89,9 @@ case class GraftTable(
         case Some(s) =>
           m.schema.byName(colName).flatMap { c =>
             val counts = scala.collection.mutable.LinkedHashMap[Any, Long]()
-            val ok = s.files.forall { f =>
+            // zero-row files contribute no group — including them would
+            // fabricate a (value, 0) row a real scan never produces
+            val ok = s.files.filter(_.rowCount > 0).forall { f =>
               val pf = m.partitionSpecs.find(_.specId == f.specId)
                 .flatMap(_.fields.find(p =>
                   p.sourceId == c.id && p.transform == "identity"))

@@ -34,9 +34,10 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   */
 object Bpe {
 
-  /** Separator for pair keys inside the fold's lookup map — not a
-    * character that survives [[normalizeWords]]. */
-  private val Sep = ""
+  /** Separator for pair keys inside the fold's lookup map — a control
+    * character [[wordHistogram]] filters out of the vocabulary, so no
+    * legitimate symbol can collide with a pair key. */
+  private val Sep = "\u0001"
 
   final case class Model(merges: Seq[(String, String)]) {
     def tokens(text: Column): Column = graft.functions.BpeTokens.tokens(text, merges)

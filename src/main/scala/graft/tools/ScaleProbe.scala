@@ -408,6 +408,49 @@ object ScaleProbe {
         f""""rows":${t.toDF.count()}}""")
     }
 
+    // BPE training growth (r9): the corpus is scanned ONCE (histogram
+    // build); every merge round then shuffles only the vocabulary-sized
+    // histogram. The claim under test: per-round shuffle bytes track the
+    // HISTOGRAM (vocab), not the corpus — here the word-suffixed copies
+    // grow vocab ~linearly, so round cost growing ~linearly (not with
+    // corpus bytes × rounds) is the histogram factorization working.
+    for (scale <- Seq(1, scaleN)) {
+      // PLAIN copies (ids offset, text identical): the vocabulary stays
+      // FIXED while the corpus grows Nx — so flat train cost IS the
+      // histogram factorization, not a coincidence of vocab growth
+      val base = spark.table("documents_base")
+      val corpus = (1 until scale).foldLeft(base)((acc, i) =>
+        acc.unionByName(base.withColumn("doc_id", col("doc_id") + lit(i * IdOffset))))
+      val hist = graft.operators.Bpe.wordHistogram(corpus, "text").cache()
+      val t0 = System.nanoTime()
+      val vocab = hist.count() // one corpus scan, materialized
+      val tHist = (System.nanoTime() - t0) / 1e9
+      var stable = 0; var last = (-1L, -1L); var waited = 0
+      while (stable < 2 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val cur = (shuffleRead.get(), shuffleWrite.get())
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      shuffleRead.set(0L); shuffleWrite.set(0L)
+      val t1 = System.nanoTime()
+      val model = graft.operators.Bpe.train(hist, numMerges = 16,
+        candidatesPerRound = 8)
+      val tTrain = (System.nanoTime() - t1) / 1e9
+      stable = 0; last = (-1L, -1L); waited = 0
+      while (stable < 2 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val cur = (shuffleRead.get(), shuffleWrite.get())
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      val (r, w) = (shuffleRead.getAndSet(0L), shuffleWrite.getAndSet(0L))
+      hist.unpersist()
+      println(f"""{"probe":"bpe_train","corpus_copies":$scale,"vocab":$vocab,""" +
+        f""""merges":${model.merges.size},"hist_secs":$tHist%.2f,""" +
+        f""""train_secs":$tTrain%.2f,""" +
+        f""""train_shuffle_read_mb":${r / 1e6}%.2f,""" +
+        f""""train_shuffle_write_mb":${w / 1e6}%.2f}""")
+    }
+
     println(s"""{"summary":"growth ${scaleN}x vs 1x (sub-quadratic bar: ratio << ${scaleN * scaleN})"}""")
     for (name <- probes) {
       val (s1, r1, sr1, _) = results((name, 1))

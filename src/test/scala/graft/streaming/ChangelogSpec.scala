@@ -406,6 +406,64 @@ class ChangelogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC replication from a MERGE-ON-READ source: masked DML streams as " +
+    "exact changelog events") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType)))
+    val src = cat.createTable("test.morsrc", schema)
+    src.setProperties(Map(
+      "write.delete.mode" -> "merge-on-read",
+      "write.update.mode" -> "merge-on-read",
+      "write.merge.mode" -> "merge-on-read"))
+    val replica = cat.createTable("test.morrep", schema)
+    val events = Changelog.streamChangelog(src)
+    val ckpt = Files.createTempDirectory("graft-morrepl-ckpt").toString
+    val q = events.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch
+          .withColumn("op", when(col("_change_type") === "INSERT", "I").otherwise("D"))
+          .withColumn("seq", col("_commit_snapshot_id") * 2 +
+            when(col("_change_type") === "INSERT", 1).otherwise(0))
+          .drop("_change_type", "_change_ordinal", "_commit_snapshot_id")
+        Changelog.mergeChangelog(replica, b, key = "id", seqCol = "seq",
+          batchId = id, writerId = "morrepl")
+      }
+      .start()
+    def replicaRows() = replica.toDF.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    try {
+      src.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v").coalesce(1))
+      q.processAllAvailable()
+      assert(replicaRows() === Seq((1, "a"), (2, "b"), (3, "c")))
+      // positional MoR delete: no file change at the source — the
+      // changelog must still emit the DELETE transition exactly once
+      src.delete(col("id") === 2)
+      q.processAllAvailable()
+      assert(replicaRows() === Seq((1, "a"), (3, "c")),
+        "replica must apply the positional-mask delete")
+      // MoR update: delete entries + new row version → UPDATE pair
+      src.update(Map("v" -> lit("c2")), Some(col("id") === 3))
+      q.processAllAvailable()
+      assert(replicaRows() === Seq((1, "a"), (3, "c2")))
+      // equality-delete upsert (CDC merge): key 1 updated, key 4 inserted
+      src.mergeByKey("id", Seq[Any](1), Seq((1, "a2"), (4, "d")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(replicaRows() === Seq((1, "a2"), (3, "c2"), (4, "d")),
+        "equality-masked upsert must replicate as update + insert")
+      // source-side compaction is changelog-silent: replica unchanged
+      src.convertEqualityDeletes()
+      src.rewritePositionDeletes()
+      q.processAllAvailable()
+      assert(replicaRows() === Seq((1, "a2"), (3, "c2"), (4, "d")))
+      // final parity: replica == masked source read
+      assert(src.toDF.orderBy("id").collect().map(r =>
+        (r.getInt(0), r.getString(1))).toSeq === replicaRows())
+    } finally q.stop()
+  }
+
   test("CALL create_changelog_view registers the CDC diff as a SQL temp view") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-cdcview").toString
