@@ -11,7 +11,7 @@ object MetadataTables {
 
   val kinds: Seq[String] =
     Seq("snapshots", "files", "partitions", "history", "refs", "manifests",
-      "delete_files", "position_deletes")
+      "delete_files", "position_deletes", "all_files", "all_delete_files")
 
   def apply(table: LakeTable, kind: String): DataFrame = {
     val spark = table.spark
@@ -96,6 +96,37 @@ object MetadataTables {
         (pos ++ eq).toDF("content", "file_path", "file_size_in_bytes",
           "record_count", "referenced_data_files", "position_delete_counts",
           "equality_key_columns")
+
+      case "all_files" =>
+        // every data file referenced by ANY retained snapshot (Iceberg's
+        // all_data_files): reclaimability / retention auditing — a file in
+        // `all_files` but not `files` is held only by history
+        m.snapshots.flatMap(s => s.files.map(f => (f, s.snapshotId)))
+          .groupBy(_._1.path).map { case (_, refs) =>
+            val f = refs.head._1
+            (f.path, f.rowCount, f.sizeBytes, f.addedSnapshotId,
+              refs.map(_._2).min, refs.size.toLong)
+          }.toSeq.sortBy(_._1)
+          .toDF("file_path", "record_count", "file_size_in_bytes",
+            "added_snapshot_id", "first_snapshot_id", "referenced_by_snapshots")
+
+      case "all_delete_files" =>
+        // every delete file (positional or equality) referenced by any
+        // retained snapshot
+        val pos = m.snapshots.flatMap(s =>
+          s.deleteFiles.map(d => (("position", d.path, d.sizeBytes, d.rowCount),
+            s.snapshotId)))
+        val eq = m.snapshots.flatMap(s =>
+          s.eqDeleteFiles.map(d => (("equality", d.path, d.sizeBytes, d.rowCount),
+            s.snapshotId)))
+        (pos ++ eq).groupBy(_._1._2).map { case (_, refs) =>
+          // liveness pruning shrinks a delete file's counts in LATER
+          // snapshots — report the first (fullest) reference's stats
+          val (content, path, size, rows) = refs.minBy(_._2)._1
+          (content, path, size, rows, refs.map(_._2).min, refs.size.toLong)
+        }.toSeq.sortBy(_._2)
+          .toDF("content", "file_path", "file_size_in_bytes", "record_count",
+            "first_snapshot_id", "referenced_by_snapshots")
 
       case "position_deletes" =>
         // the CONTENT of the current snapshot's positional delete files

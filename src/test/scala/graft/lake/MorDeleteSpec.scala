@@ -307,6 +307,54 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(MetadataTables(t, "position_deletes").count() === 0)
   }
 
+  test("concurrent MoR deletes from many threads: conflict-retry loses no mask") {
+    val cat = freshCatalog()
+    val t = threeFileTable(cat, "m.t17")
+    // 8 writers each MoR-delete a distinct id concurrently; the delete-set
+    // divergence check forces losers to replan — every mask must land
+    val targets = Seq(1L, 4L, 11L, 14L, 21L, 24L, 7L, 17L)
+    val threads = targets.map { id =>
+      new Thread(() => {
+        LakeTable.withConflictRetry(attempts = 20) {
+          t.delete(col("id") === id)
+        }
+        ()
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.deleteFiles.map(_.rowCount).sum === targets.size.toLong,
+      "every concurrent delete's positions must survive the race")
+    assert(ids(t.toDF) === (0L until 30L).filterNot(targets.contains))
+    // history is linear: each surviving commit parents the previous
+    val byId = t.meta.snapshots.map(s => s.snapshotId -> s).toMap
+    var cur = Option(snap)
+    var chain = 0
+    while (cur.isDefined) { chain += 1; cur = cur.get.parentId.flatMap(byId.get) }
+    assert(chain >= targets.size + 3, "one committed snapshot per delete + appends")
+  }
+
+  test("all_files / all_delete_files span retained history; expiry shrinks them") {
+    val cat = freshCatalog()
+    val t = threeFileTable(cat, "m.t18")
+    t.delete(col("id") === 5)
+    t.rewritePositionDeletes() // replaces the masked file, retires the mask
+    val allFiles = MetadataTables(t, "all_files")
+    val curFiles = MetadataTables(t, "files")
+    assert(allFiles.count() > curFiles.count(),
+      "history must hold files the current snapshot no longer references")
+    val allDels = MetadataTables(t, "all_delete_files").collect()
+    assert(allDels.length === 1)
+    assert(allDels.head.getString(0) === "position")
+    assert(allDels.head.getLong(3) === 1L) // the fullest (pre-prune) count
+    assert(MetadataTables(t, "delete_files").count() === 0, "none live now")
+    // expiring history makes all_* converge on the live set
+    t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000L, retainLast = 1)
+    assert(MetadataTables(t, "all_files").count() === curFiles.count())
+    assert(MetadataTables(t, "all_delete_files").count() === 0)
+  }
+
   test("WAP: staged MoR delete is invisible until cherry-picked") {
     val cat = freshCatalog()
     val t = threeFileTable(cat, "m.t14")
