@@ -1475,6 +1475,103 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       base = baseSnap)
   }
 
+  /** Selective bin-pack compaction (Iceberg's `rewrite_data_files`
+    * `strategy => 'binpack'`): merge ONLY small files into ~target-size
+    * outputs and leave everything else byte-untouched. [[rewriteDataFiles]]
+    * rewrites the whole table — right for re-clustering, wrong for routine
+    * small-files maintenance at 100 TB, where streaming ingest adds a few
+    * small files per partition per trigger and the fix must cost
+    * O(small-file bytes), never O(table bytes).
+    *
+    * Selection: files under `minInputSizeBytes` (default ¾ of target —
+    * Iceberg's min-file-size-bytes default), grouped by partition tuple;
+    * a partition contributes only if it has ≥ `minInputFiles` candidates
+    * (compacting one file buys nothing). Files carrying merge-on-read
+    * masks (positional entries, or older than a live equality delete) are
+    * EXCLUDED — folding masks is [[rewritePositionDeletes]]' job, and
+    * excluding them keeps this commit a pure file-set swap whose logical
+    * content provably doesn't change (the changelog emits nothing).
+    *
+    * Commit: a subset swap — untouched files keep their metadata entries
+    * (and `addedSnapshotId`, so equality-delete ordering is unaffected).
+    * Concurrent appends reconcile automatically (their files are simply
+    * kept); a concurrent commit that removed or masked a selected input
+    * aborts with [[CommitConflictException]] — wrap in
+    * [[LakeTable.withConflictRetry]] to re-plan. */
+  def binPack(targetSizeBytes: Long = 512L * 1024 * 1024,
+              minInputSizeBytes: Long = -1L,
+              minInputFiles: Int = 2,
+              partitionFilter: Map[String, String] = Map.empty): TableMeta = {
+    val minInput =
+      if (minInputSizeBytes > 0) minInputSizeBytes else targetSizeBytes * 3 / 4
+    val m0 = meta
+    val branch = resolveWriteBranch(None)
+    val baseSnap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
+    val posRef = baseSnap.map(_.deleteFiles.flatMap(_.counts.keys).toSet)
+      .getOrElse(Set.empty)
+    val eqDels = baseSnap.map(_.eqDeleteFiles).getOrElse(Seq.empty)
+    def clean(f: DataFile): Boolean =
+      !posRef.contains(fileName(f.path)) &&
+        !eqDels.exists(_.addedAt > f.addedSnapshotId)
+    // partitionFilter is keyed by the LOGICAL partition source column
+    // (user-facing); file partitionValues are keyed by the spec field's
+    // physical name — translate, rejecting columns that aren't partitioned
+    val physFilter = partitionFilter.map { case (k, v) =>
+      val pf = m0.spec.fields.find(f => m0.schema.byId(f.sourceId).exists(_.name == k))
+        .getOrElse(throw new IllegalArgumentException(
+          s"binpack where-column '$k' is not a partition source column"))
+      pf.physicalName -> v
+    }
+    val groups = baseSnap.map(_.files).getOrElse(Seq.empty)
+      .filter(f => f.sizeBytes < minInput && clean(f) &&
+        physFilter.forall { case (k, v) => f.partitionValues.get(k).contains(v) })
+      .groupBy(_.partitionValues).filter(_._2.size >= minInputFiles)
+    val selected = groups.values.flatten.toSeq
+    if (selected.isEmpty) return m0
+    // one output task per ~targetSizeBytes of selected input, summed per
+    // partition group; range-partitioning on the partition SOURCE columns
+    // keeps each task inside (or nearly inside) one partition value, so
+    // the dynamic-partition writer emits ~one target-size file per task
+    val nOut = groups.values.map(g =>
+      math.max(1, math.ceil(g.map(_.sizeBytes).sum.toDouble / targetSizeBytes).toInt)).sum
+    val base = dataFrameForLive(m0, baseSnap, selected)
+    val srcCols = m0.spec.fields.flatMap(f => m0.schema.byId(f.sourceId)).map(c => col(c.name))
+    val df = if (srcCols.nonEmpty) base.repartitionByRange(nOut, srcCols: _*)
+             else base.repartition(nOut)
+    val rewritten = writeDataFiles(toPhysical(df, m0.schema), m0, filePrefix = "bp")
+    val selectedPaths = selected.map(_.path).toSet
+    commit { m =>
+      require(m.refs.get(branch).forall(_.kind != "tag"), s"cannot write to tag $branch")
+      val parent = m.snapshotFor(branch).orElse(m.currentSnapshot).getOrElse(
+        throw CommitConflictException("binpack: table emptied concurrently — re-plan"))
+      if (!selectedPaths.subsetOf(parent.files.map(_.path).toSet))
+        throw CommitConflictException(
+          "binpack: a concurrent commit removed an input file — re-plan and retry")
+      val refNow = parent.deleteFiles.flatMap(_.counts.keys).toSet
+      if (selected.exists(f => refNow.contains(fileName(f.path))) ||
+          parent.eqDeleteFiles.exists(ed => selected.exists(_.addedSnapshotId < ed.addedAt)))
+        throw CommitConflictException(
+          "binpack: a concurrent merge-on-read delete masked an input file — " +
+            "re-plan and retry")
+      val snapId = m.lastSnapshotId + 1
+      val now = System.currentTimeMillis()
+      val kept = parent.files.filterNot(f => selectedPaths.contains(f.path))
+      val stamped = rewritten.map(_.copy(addedSnapshotId = snapId))
+      val snap = Snapshot(snapId, Some(parent.snapshotId), now, "replace",
+        Map("operation" -> "replace",
+          "binpack-rewritten-files" -> selected.size.toString,
+          "binpack-rewritten-bytes" -> selected.map(_.sizeBytes).sum.toString,
+          "added-data-files" -> rewritten.size.toString,
+          "total-records" -> ((kept ++ stamped).map(_.rowCount).sum -
+            parent.deleteFiles.map(_.rowCount).sum).toString),
+        kept ++ stamped,
+        deleteFiles = parent.deleteFiles, eqDeleteFiles = parent.eqDeleteFiles)
+      m.copy(snapshots = m.snapshots :+ snap, lastSnapshotId = snapId,
+        refs = m.refs + (branch -> Ref(snapId)),
+        history = m.history :+ HistoryEntry(now, snapId, branch))
+    }
+  }
+
   /** CALL rewrite_position_deletes: fold merge-on-read delete entries back
     * into their data files — ONLY files carrying delete entries are
     * rewritten (read under the mask, re-written without the dead rows);
@@ -1935,6 +2032,18 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       case "expire_snapshots" => expireSnapshots(
         args.get("older_than").map(_.toLong).getOrElse(System.currentTimeMillis()),
         args.get("retain_last").map(_.toInt).getOrElse(1))
+      case "rewrite_data_files" if args.get("strategy").contains("binpack") =>
+        // where => "k=v[,k=v]" scopes to matching partition tuples
+        binPack(
+          args.get("target-file-size-bytes").map(_.toLong).getOrElse(512L * 1024 * 1024),
+          args.get("min-input-size-bytes").map(_.toLong).getOrElse(-1L),
+          args.get("min-input-files").map(_.toInt).getOrElse(2),
+          args.get("where").map(_.split(",").toSeq.filter(_.nonEmpty).map { kv =>
+            kv.split("=", 2) match {
+              case Array(k, v) => k.trim -> v.trim
+              case _ => throw new IllegalArgumentException(s"bad where clause: $kv")
+            }
+          }.toMap).getOrElse(Map.empty))
       case "rewrite_data_files" => rewriteDataFiles(
         args.get("target-file-size-bytes").map(_.toLong).getOrElse(512L * 1024 * 1024),
         args.get("sort_by").map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty),
