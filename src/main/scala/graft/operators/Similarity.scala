@@ -110,7 +110,10 @@ object Similarity {
     * memoized centroids to probe a prebuilt IVF index. */
   def ivfAssignWith(embeddings: DataFrame, centroids: Seq[Seq[Float]],
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    embeddings.select(col(idCol), col(vecCol), nearestList(vecCol, centroids).as("list_id"))
+    // metadata columns are PRESERVED (withColumn, not a narrow select):
+    // filtered vector search predicates them ([[ivfTopKFiltered]]), and
+    // the planner prunes unused columns anyway
+    embeddings.withColumn("list_id", nearestList(vecCol, centroids))
 
   /** Nearest-centroid list id via the native [[graft.functions
     * .NearestCentroid]] expression — ONE fused loop over a float[][]
@@ -188,5 +191,35 @@ object Similarity {
       .select(col(idCol), cosine(col(vecCol), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Filtered IVF probe (filtered vector search): top-k under a metadata
+    * predicate, with the index still pruning the scan.
+    *
+    * Probing the unfiltered operating point's `nprobe` lists under a
+    * selective filter starves the candidate pool (a 1/s-selective filter
+    * leaves 1/s fewer candidates per list, and the true filtered top-k
+    * spreads over ~s× more lists) — recall collapses. The standard
+    * remedy (FAISS/Milvus pre-filtering): scale nprobe by 1/selectivity,
+    * capped at nlist. The cap is graceful degradation, not failure: at
+    * full probe the search is an EXACT scan of the filter's survivors,
+    * whose cost the filter already cut by s — the scanned fraction
+    * (nprobe/nlist)·s stays bounded by the unfiltered operating point,
+    * so cost never regresses while recall is restored.
+    *
+    * Selectivity is measured with one count aggregation over `assigned`
+    * (cheap: no vectors move; at scale, derive it from column stats or
+    * a sample instead). */
+  def ivfTopKFiltered(assigned: DataFrame, centroids: Seq[Seq[Float]],
+                      queryVec: Seq[Float], pred: Column, k: Int = 10,
+                      nprobe: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = assigned.agg(
+      count(lit(1)).as("n"),
+      count(when(pred, 1)).as("kept")).head
+    val sel = if (c.getLong(0) == 0L) 1.0
+              else math.max(c.getLong(1).toDouble / c.getLong(0), 1e-9)
+    val scaled = math.min(centroids.size, math.ceil(nprobe / sel).toInt)
+    ivfTopK(assigned.filter(pred), centroids, queryVec, k, scaled, idCol, vecCol)
   }
 }

@@ -387,5 +387,47 @@ object VectorOps {
       |  CAST(rv AS BIGINT) AS rv, CAST(rk AS BIGINT) AS rk
       |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin)
 
-  def specs: Seq[QuerySpec] = Seq(q23, q24, q25, q26, q27, q44, q68, q74)
+  /** Filtered vector search (r9): exact top-10 cosine neighbors of the
+    * vec_id=0 query among vectors satisfying a metadata predicate
+    * (`label % 7 = 3`) — the retrieval shape every RAG / curation stack
+    * needs ("nearest docs WITH lang='en' AND date > …").
+    *
+    * Spark plan: the predicate is evaluated BEFORE scoring, so it pushes
+    * to the parquet scan (PushedFilters on a stored column; here the
+    * modulo keeps it a post-scan codegen filter, still ahead of the dot
+    * products) → fused quantized-dot scoring over survivors only →
+    * TakeOrderedAndProject. Pre-filter-then-score is the 100 TB shape:
+    * scoring cost ∝ selectivity, and with a partition/bucket layout on
+    * the filter column the scan itself prunes. The approximate
+    * counterpart (pre-filtered IVF probe: `ivfTopK(assigned.filter(p))`)
+    * is recall-gated in OperatorsSpec — same composition, index-pruned. */
+  val q79 = dialect("q79_filtered_knn",
+    sparkSql = s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, label, dot_q,
+      |  CAST(dot_q AS DOUBLE) / SQRT(CAST(na_q AS DOUBLE) * CAST(nb_q AS DOUBLE)) AS cos_q
+      |FROM (
+      |  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+      |    ${dotQ("e.embedding", "q.qv")} AS dot_q,
+      |    ${normQ("e.embedding")} AS na_q,
+      |    ${normQ("q.qv")} AS nb_q
+      |  FROM embeddings e CROSS JOIN q
+      |  WHERE e.label % 7 = 3 AND e.vec_id != 0) s
+      |ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin,
+    duckSql = """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |f AS (SELECT vec_id, label, embedding FROM embeddings
+      |      WHERE label % 7 = 3 AND vec_id != 0),
+      |x AS (SELECT f.vec_id, f.label, unnest(f.embedding) AS v,
+      |             generate_subscripts(f.embedding, 1) AS i FROM f),
+      |s AS (SELECT x.vec_id, x.label,
+      |   CAST(SUM(CAST(FLOOR(CAST(x.v AS DOUBLE) * CAST(q.qv[x.i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS dot_q,
+      |   CAST(SUM(CAST(FLOOR(CAST(x.v AS DOUBLE) * CAST(x.v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS na_q
+      | FROM x, q GROUP BY x.vec_id, x.label),
+      |nq AS (SELECT CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS nb_q
+      |       FROM (SELECT unnest(qv) AS v FROM q) u)
+      |SELECT s.vec_id, CAST(s.label AS BIGINT) AS label, s.dot_q,
+      |  CAST(s.dot_q AS DOUBLE) / SQRT(CAST(s.na_q AS DOUBLE) * CAST(nq.nb_q AS DOUBLE)) AS cos_q
+      |FROM s, nq
+      |ORDER BY cos_q DESC, s.vec_id LIMIT 10""".stripMargin)
+
+  def specs: Seq[QuerySpec] = Seq(q23, q24, q25, q26, q27, q44, q68, q74, q79)
 }
