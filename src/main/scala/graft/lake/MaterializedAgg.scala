@@ -42,11 +42,32 @@ import org.apache.spark.sql.functions._
   * might have regressed. Compaction commits on the base are invisible
   * (CoW survivors cancel in the changelog) — refresh across them just
   * advances the watermark.
+  *
+  * Star-schema views (r9): `dims` enriches every fact row with broadcast
+  * dimension lookups BEFORE aggregation, so the view can group by / sum
+  * over dimension attributes ("revenue by region" over a lineitem-sized
+  * fact). The delta algebra stays exact because the enrichment is a
+  * DETERMINISTIC function of the fact row while the dimensions are
+  * frozen: a deleted fact row re-enriches to exactly the rows its insert
+  * produced, so signs cancel. That determinism is the load-bearing
+  * assumption, and it is ENFORCED, not hoped for: each refresh checks the
+  * dimensions' current snapshot ids against the ids recorded when the
+  * view was (re)built and refuses to apply deltas across a dimension
+  * change — a -U enriched with a post-change dimension would not cancel
+  * its +I and the state would silently corrupt. After a dimension change,
+  * [[rebuild]] recreates the state from scratch (replaying the base
+  * changelog from the beginning through the NEW dimension contents).
+  * Refresh cost is still churn-sized: the dimension broadcast is the same
+  * small-side join every star query pays.
   */
 final class MaterializedAgg private[lake] (
     val state: LakeTable, base: LakeTable,
-    val groupBy: Seq[String], val aggs: Seq[MaterializedAgg.AggCol]) {
+    val groupBy: Seq[String], val aggs: Seq[MaterializedAgg.AggCol],
+    catalog: LakeCatalog = null,
+    dims: Seq[(MaterializedAgg.DimJoin, LakeTable)] = Seq.empty) {
   import MaterializedAgg._
+
+  private def enrich(df: DataFrame): DataFrame = enrichWith(df, dims)
 
   private def spark = state.spark
 
@@ -69,13 +90,26 @@ final class MaterializedAgg private[lake] (
     * `toSnapshotId`). Returns the new watermark; no-op (and NO new
     * commit) when already current. */
   def refresh(toSnapshotId: Option[Long] = None): Option[Long] = {
+    // dim guard FIRST, even when there is no fact churn to apply: the
+    // view is stale against a mutated dimension either way, and a silent
+    // no-op "refresh" would misreport it as current
+    if (dims.nonEmpty) {
+      val recorded = state.meta.properties.get(DimSnapshotsKey)
+      val current = dimSnapshots(dims)
+      if (!recorded.contains(current))
+        throw new IllegalStateException(
+          s"materialized view ${state.meta.name}: a dimension table changed " +
+            s"(recorded ${recorded.getOrElse("<none>")}, current $current); " +
+            "incremental deltas against a mutated dimension are unsound — " +
+            "call rebuild() to recompute the view against the new contents")
+    }
     val head = toSnapshotId.orElse(base.meta.currentSnapshot.map(_.snapshotId))
     val from = watermark
     if (head.isEmpty || head == from) return from
     val to = head.get
 
     val keyCol = jsonKey(groupBy)
-    val cl = base.changelog(from, to)
+    val cl = enrich(base.changelog(from, to))
     val sign = when(col("_change_type").isin("INSERT", "UPDATE_AFTER"), 1L)
       .otherwise(-1L)
     // one signed, map-side-combined pass over the churn
@@ -130,7 +164,9 @@ final class MaterializedAgg private[lake] (
       val lostKeys = delta.filter(col(LostCol) === 1L)
         .select(groupBy.map(g => col(g).as("_lk_" + g)): _*)
       val extremes = aggs.filter(a => a.func == "min" || a.func == "max")
-      val rescan = base.read(snapshotId = Some(to))
+      // dim-grouped views enrich before the semi-join (the group columns
+      // may live on the dimension side)
+      val rescan = enrich(base.read(snapshotId = Some(to)))
         .join(lostKeys, groupBy.map(g => col(g) <=> col("_lk_" + g)).reduce(_ && _), "left_semi")
         .groupBy(groupBy.map(col): _*)
         .agg(extremes.head.fn, extremes.tail.map(_.fn): _*)
@@ -180,6 +216,21 @@ final class MaterializedAgg private[lake] (
 
   private def stateCols(old: DataFrame): Seq[Column] =
     old.schema.fieldNames.toSeq.map(col)
+
+  /** Recreate the view from scratch against the dimensions' CURRENT
+    * contents — the required (and refused-until-taken) step after a
+    * dimension change. Drops and recreates the state table, then replays
+    * the base changelog from the beginning (the initial build IS the
+    * incremental path). Returns the fresh view — this instance is stale
+    * after the call. */
+  def rebuild(): MaterializedAgg = {
+    require(catalog != null, "rebuild() requires the view's catalog (create/load it via MaterializedAgg)")
+    val ident = state.meta.name
+    catalog.dropTable(ident)
+    val fresh = MaterializedAgg.create(catalog, ident, base, groupBy, aggs, dims.map(_._1))
+    fresh.refresh()
+    fresh
+  }
 }
 
 object MaterializedAgg {
@@ -195,11 +246,35 @@ object MaterializedAgg {
     }
   }
 
+  /** One broadcast dimension lookup enriching the fact stream:
+    * `fact.factKey = dim.dimKey`, `kind` ∈ inner|left (inner drops
+    * unmatched facts — still delta-exact, since an unmatched fact is
+    * unmatched for both its insert and its delete while the dimension is
+    * frozen). The dimension must be a lake table in the view's catalog
+    * (its snapshot id is what the refresh guard pins). */
+  final case class DimJoin(dimIdent: String, factKey: String, dimKey: String,
+                           kind: String = "inner") {
+    require(Set("inner", "left")(kind), s"dim join kind must be inner|left: $kind")
+  }
+
+  private[lake] def enrichWith(df: DataFrame,
+                               dims: Seq[(DimJoin, LakeTable)]): DataFrame =
+    dims.foldLeft(df) { case (acc, (dj, dimT)) =>
+      val d = dimT.toDF
+      acc.join(broadcast(d), acc(dj.factKey) === d(dj.dimKey), dj.kind)
+        .drop(d(dj.dimKey))
+    }
+
+  private[lake] def dimSnapshots(dims: Seq[(DimJoin, LakeTable)]): String =
+    dims.map(_._2.meta.currentSnapshot.map(_.snapshotId).getOrElse(-1L)).mkString(",")
+
   private[lake] val KeyCol = "_ivm_key"
   private[lake] val RowsCol = "_ivm_rows"
   private[lake] val LostCol = "_ivm_lost"
   private[lake] val RescanCol = "_ivm_rescanned"
   private[lake] val WatermarkKey = "graft.ivm.base-snapshot"
+  private[lake] val DimSnapshotsKey = "graft.ivm.dim-snapshots"
+  private[lake] val DimsKey = "graft.ivm.dims"
   private[lake] def sumCol(alias: String) = alias + "__sum"
   private[lake] def cntCol(alias: String) = alias + "__cnt"
 
@@ -216,7 +291,8 @@ object MaterializedAgg {
     * beginning). The spec is recorded in table properties, so the view
     * reloads by name via [[load]]. */
   def create(catalog: LakeCatalog, ident: String, base: LakeTable,
-             groupBy: Seq[String], aggs: Seq[AggCol]): MaterializedAgg = {
+             groupBy: Seq[String], aggs: Seq[AggCol],
+             dims: Seq[DimJoin] = Seq.empty): MaterializedAgg = {
     require(groupBy.nonEmpty, "at least one group-by column")
     require(aggs.nonEmpty, "at least one aggregate")
     val names = aggs.flatMap(a => a.func match {
@@ -227,11 +303,29 @@ object MaterializedAgg {
     val reserved = groupBy.toSet ++ Set(KeyCol, RowsCol, RescanCol)
     require(names.forall(!reserved(_)),
       s"aggregate aliases may not collide with group-by or internal columns: $names")
+    // resolve dims and check column disjointness: a dim attribute that
+    // shadows a fact column would silently change every reference to it
+    val resolved: Seq[(DimJoin, LakeTable)] = dims.map { dj =>
+      val dimT = catalog.loadTable(dj.dimIdent)
+      require(dimT.meta.schema.byName(dj.dimKey).isDefined,
+        s"dim ${dj.dimIdent} has no column ${dj.dimKey}")
+      require(base.meta.schema.byName(dj.factKey).isDefined,
+        s"base table has no column ${dj.factKey}")
+      dj -> dimT
+    }
+    val factCols = base.meta.schema.columns.map(_.name).toSet
+    val carried = resolved.flatMap { case (dj, dimT) =>
+      dimT.meta.schema.columns.map(_.name).filter(_ != dj.dimKey) }
+    require(carried.distinct.size == carried.size &&
+        carried.forall(c => !factCols(c) && c != "_change_type"),
+      s"dimension columns must be disjoint from fact and changelog columns: $carried")
     // state schema = what one refresh would produce: derive it from an
-    // empty frame with the base schema so sum/min types match Spark's own
-    // aggregate result types (sum(INT)=LONG, sum(DECIMAL(p,s))=(p+10,s))
-    val empty = base.spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), base.meta.schema.sparkSchema)
+    // empty frame with the base schema (dim-enriched) so sum/min types
+    // match Spark's own aggregate result types (sum(INT)=LONG,
+    // sum(DECIMAL(p,s))=(p+10,s))
+    val empty = enrichWith(base.spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), base.meta.schema.sparkSchema),
+      resolved)
     val stateAggs: Seq[Column] = aggs.flatMap { a =>
       a.func match {
         case "count" => Seq(count(col(a.column)).as(a.alias))
@@ -248,8 +342,12 @@ object MaterializedAgg {
     t.setProperties(Map(
       "graft.ivm.base-location" -> base.location,
       "graft.ivm.group-by" -> groupBy.mkString(","),
-      "graft.ivm.aggs" -> aggs.map(a => s"${a.func}:${a.column}:${a.alias}").mkString(";")))
-    new MaterializedAgg(t, base, groupBy, aggs)
+      "graft.ivm.aggs" -> aggs.map(a => s"${a.func}:${a.column}:${a.alias}").mkString(";")) ++
+      (if (resolved.isEmpty) Map.empty else Map(
+        DimsKey -> dims.map(dj =>
+          s"${dj.dimIdent}|${dj.factKey}|${dj.dimKey}|${dj.kind}").mkString(";"),
+        DimSnapshotsKey -> dimSnapshots(resolved))))
+    new MaterializedAgg(t, base, groupBy, aggs, catalog, resolved)
   }
 
   /** Reload a view created by [[create]] from its recorded spec. */
@@ -263,6 +361,11 @@ object MaterializedAgg {
       val Array(f, c, a) = s.split(":", 3)
       AggCol(f, c, a)
     }
-    new MaterializedAgg(t, new LakeTable(t.spark, baseLoc), groupBy, aggs)
+    val dims = props.get(DimsKey).map(_.split(";").toSeq.map { s =>
+      val Array(d, fk, dk, k) = s.split("\\|", 4)
+      val dj = DimJoin(d, fk, dk, k)
+      dj -> catalog.loadTable(d)
+    }).getOrElse(Seq.empty)
+    new MaterializedAgg(t, new LakeTable(t.spark, baseLoc), groupBy, aggs, catalog, dims)
   }
 }

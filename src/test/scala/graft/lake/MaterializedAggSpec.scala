@@ -169,4 +169,128 @@ class MaterializedAggSpec extends AnyFunSuite {
     assert(viewed(mv) === recompute(base))
     intercept[IllegalArgumentException] { MaterializedAgg.load(cat, "ivm.base") }
   }
+
+  // ---- star-schema views (r9): broadcast dim enrichment --------------------
+
+  val FactSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("rkey", LongType, nullable = true),
+    StructField("v", LongType, nullable = true)))
+  val DimSchema = StructType(Seq(
+    StructField("r_key", LongType, nullable = false),
+    StructField("r_name", StringType, nullable = false)))
+
+  def factRows(rs: (Long, java.lang.Long, java.lang.Long)*): DataFrame = {
+    val data = rs.map { case (i, rk, v) => Row(i,
+      rk match { case null => null; case x => x.longValue() },
+      v match { case null => null; case x => x.longValue() }) }
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 2), FactSchema)
+  }
+
+  /** Oracle: full fact ⋈ dim recompute, grouped by the dim attribute. */
+  def starRecompute(fact: LakeTable, dim: LakeTable): Set[(String, Long, Option[Long], Option[Long])] =
+    fact.toDF.join(dim.toDF, col("rkey") === col("r_key"))
+      .groupBy("r_name")
+      .agg(count(col("v")).as("cnt"), sum(col("v")).as("total"),
+        min(col("v")).as("lo"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+
+  def starViewed(mv: MaterializedAgg): Set[(String, Long, Option[Long], Option[Long])] =
+    mv.read().collect().map(r => (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+
+  val starAggs = Seq(
+    MaterializedAgg.AggCol("count", "v", "cnt"),
+    MaterializedAgg.AggCol("sum", "v", "total"),
+    MaterializedAgg.AggCol("min", "v", "lo"))
+
+  def starTables(tag: String): (LakeCatalog, LakeTable, LakeTable) = {
+    val cat = freshCatalog(tag)
+    val dim = cat.createTable("ivm.region", DimSchema)
+    dim.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "emea"), Row(2L, "apac"), Row(3L, "amer")), 1), DimSchema))
+    val fact = cat.createTable("ivm.fact", FactSchema)
+    (cat, dim, fact)
+  }
+
+  test("star view: group by a dim attribute tracks full recompute through fact churn") {
+    val (cat, dim, fact) = starTables("star")
+    val mv = MaterializedAgg.create(cat, "ivm.rev_by_region", fact,
+      Seq("r_name"), starAggs,
+      dims = Seq(MaterializedAgg.DimJoin("ivm.region", "rkey", "r_key")))
+    // unmatched fact (rkey=99) must be dropped by the inner lookup —
+    // consistently on insert AND delete
+    fact.append(factRows((1L, 1L, 10L), (2L, 1L, 20L), (3L, 2L, 5L), (4L, 99L, 7L)))
+    mv.refresh()
+    assert(starViewed(mv) === starRecompute(fact, dim))
+    assert(starViewed(mv).map(_._1) === Set("emea", "apac"))
+    // delete the current min of group emea → rescan path through the dim
+    fact.delete(col("id") === 1L)
+    // and churn the unmatched row too
+    fact.delete(col("id") === 4L)
+    mv.refresh()
+    assert(starViewed(mv) === starRecompute(fact, dim))
+    // group death and rebirth
+    fact.delete(col("id") === 3L)
+    fact.append(factRows((5L, 3L, 42L)))
+    mv.refresh()
+    assert(starViewed(mv) === starRecompute(fact, dim))
+    assert(starViewed(mv).map(_._1) === Set("emea", "amer"))
+  }
+
+  test("star view: dim change is refused until rebuild(); rebuild reflects new dim") {
+    val (cat, dim, fact) = starTables("dimchange")
+    val mv = MaterializedAgg.create(cat, "ivm.rev_by_region", fact,
+      Seq("r_name"), starAggs,
+      dims = Seq(MaterializedAgg.DimJoin("ivm.region", "rkey", "r_key")))
+    fact.append(factRows((1L, 1L, 10L), (2L, 2L, 20L)))
+    mv.refresh()
+    assert(starViewed(mv) === starRecompute(fact, dim))
+    // dimension mutates (a region is renamed): deltas are now unsound
+    dim.mergeByKeys("r_key", dim.toDF.filter(col("r_key") === 1L).select("r_key"),
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        Seq(Row(1L, "europe")), 1), DimSchema))
+    fact.append(factRows((3L, 1L, 30L)))
+    val e = intercept[IllegalStateException] { mv.refresh() }
+    assert(e.getMessage.contains("rebuild"))
+    // the pre-change state is intact (refusal, not corruption)
+    assert(starViewed(mv).map(_._1) === Set("emea", "apac"))
+    val fresh = mv.rebuild()
+    assert(starViewed(fresh) === starRecompute(fact, dim))
+    assert(starViewed(fresh).map(_._1) === Set("europe", "apac"))
+    // and the rebuilt view keeps refreshing incrementally
+    fact.append(factRows((4L, 3L, 40L)))
+    fresh.refresh()
+    assert(starViewed(fresh) === starRecompute(fact, dim))
+  }
+
+  test("star view: load() restores the dim spec and the snapshot guard") {
+    val (cat, dim, fact) = starTables("starload")
+    MaterializedAgg.create(cat, "ivm.rev_by_region", fact,
+      Seq("r_name"), starAggs,
+      dims = Seq(MaterializedAgg.DimJoin("ivm.region", "rkey", "r_key")))
+    fact.append(factRows((1L, 1L, 10L), (2L, 3L, 20L)))
+    val mv = MaterializedAgg.load(cat, "ivm.rev_by_region")
+    mv.refresh()
+    assert(starViewed(mv) === starRecompute(fact, dim))
+    dim.append(spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(Row(4L, "lunar")), 1), DimSchema))
+    intercept[IllegalStateException] { mv.refresh() }
+  }
+
+  test("star view: colliding dim column names are rejected at create") {
+    val (cat, _, fact) = starTables("collide")
+    val bad = cat.createTable("ivm.baddim", StructType(Seq(
+      StructField("r_key", LongType, nullable = false),
+      StructField("v", LongType, nullable = false)))) // collides with fact.v
+    val e = intercept[IllegalArgumentException] {
+      MaterializedAgg.create(cat, "ivm.mv2", fact, Seq("r_key"),
+        Seq(MaterializedAgg.AggCol("count", "id", "cnt")),
+        dims = Seq(MaterializedAgg.DimJoin("ivm.baddim", "rkey", "r_key")))
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
 }
