@@ -1501,7 +1501,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   def binPack(targetSizeBytes: Long = 512L * 1024 * 1024,
               minInputSizeBytes: Long = -1L,
               minInputFiles: Int = 2,
-              partitionFilter: Map[String, String] = Map.empty): TableMeta = {
+              partitionFilter: Map[String, String] = Map.empty,
+              sortBy: Seq[String] = Seq.empty): TableMeta = {
     val minInput =
       if (minInputSizeBytes > 0) minInputSizeBytes else targetSizeBytes * 3 / 4
     val m0 = meta
@@ -1538,7 +1539,17 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     val srcCols = m0.spec.fields.flatMap(f => m0.schema.byId(f.sourceId)).map(c => col(c.name))
     val df = if (srcCols.nonEmpty) base.repartitionByRange(nOut, srcCols: _*)
              else base.repartition(nOut)
-    val rewritten = writeDataFiles(toPhysical(df, m0.schema), m0, filePrefix = "bp")
+    // sortBy: keep a sort-clustered table CLUSTERED through compaction —
+    // packed outputs are sorted within each written file (same contract
+    // as rewriteDataFiles(sortBy)), so footer min/max bounds stay tight
+    // and the table's point/range pruning doesn't regress as maintenance
+    // runs. Note the clustering is per-packed-file, not across the
+    // partition's pre-existing big files — a periodic full sort rewrite
+    // still owns global re-clustering.
+    sortBy.foreach(c => require(m0.schema.byName(c).isDefined, s"no column $c"))
+    val sortPhysical = sortBy.flatMap(c => m0.schema.byName(c).map(_.physicalName))
+    val rewritten = writeDataFiles(toPhysical(df, m0.schema), m0, filePrefix = "bp",
+      sortWithinPhysical = sortPhysical)
     val selectedPaths = selected.map(_.path).toSet
     commit { m =>
       require(m.refs.get(branch).forall(_.kind != "tag"), s"cannot write to tag $branch")
@@ -1570,6 +1581,40 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         refs = m.refs + (branch -> Ref(snapId)),
         history = m.history :+ HistoryEntry(now, snapId, branch))
     }
+  }
+
+  /** Opportunistic maintenance for continuously-ingested tables: run
+    * [[binPack]] iff at least `everyCommits` commits have landed since
+    * the last binpack (or table start). Cheap to call after every
+    * streaming micro-batch — the due-check is a metadata walk bounded by
+    * `everyCommits`, and the binpack itself costs O(small-file bytes).
+    * This is what keeps a `foreachBatch`-ingested corpus from
+    * accumulating one file per trigger forever: commits monotonically
+    * outpace compactions, so the LIVE file count stays bounded by
+    * everyCommits + big-file count while every snapshot stays readable.
+    * Conflict-safe vs the ingest itself (concurrent appends reconcile;
+    * retried on conflict). Returns whether a compaction ran. */
+  def autoCompact(everyCommits: Int = 10,
+                  targetSizeBytes: Long = 512L * 1024 * 1024,
+                  partitionFilter: Map[String, String] = Map.empty,
+                  sortBy: Seq[String] = Seq.empty): Boolean = {
+    require(everyCommits > 0, "everyCommits must be positive")
+    val m = meta
+    var cur = m.currentSnapshot
+    var n = 0
+    while (cur.isDefined && n < everyCommits &&
+        !cur.get.summary.contains("binpack-rewritten-files")) {
+      n += 1
+      cur = cur.get.parentId.flatMap(m.snapshot)
+    }
+    val due = n >= everyCommits
+    if (due) {
+      val before = m.currentSnapshot.map(_.snapshotId)
+      val after = LakeTable.withConflictRetry() {
+        binPack(targetSizeBytes, partitionFilter = partitionFilter, sortBy = sortBy)
+      }
+      after.currentSnapshot.map(_.snapshotId) != before
+    } else false
   }
 
   /** CALL rewrite_position_deletes: fold merge-on-read delete entries back
@@ -2043,7 +2088,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
               case Array(k, v) => k.trim -> v.trim
               case _ => throw new IllegalArgumentException(s"bad where clause: $kv")
             }
-          }.toMap).getOrElse(Map.empty))
+          }.toMap).getOrElse(Map.empty),
+          args.get("sort_by").map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty))
       case "rewrite_data_files" => rewriteDataFiles(
         args.get("target-file-size-bytes").map(_.toLong).getOrElse(512L * 1024 * 1024),
         args.get("sort_by").map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty),

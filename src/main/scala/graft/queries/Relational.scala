@@ -388,9 +388,90 @@ object Relational {
       |  CAST(CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
       |FROM f ORDER BY day""".stripMargin)
 
+  /** Ordered funnel (r9): users who signed up → first view strictly AFTER
+    * the signup → first purchase strictly AFTER that view. The
+    * event-sequence-matching shape of product analytics. Each stage is one
+    * map-side-combined MIN aggregation keyed by user_id plus one equi-join
+    * to the prior stage — per-stage shuffles are user-keyed and reuse the
+    * same hash partitioning, and nothing event-sized crosses stages (only
+    * one (user, ts) row per survivor). Exact integer µs arithmetic keeps
+    * both engines bit-identical. */
+  val q80 = dialect("q80_funnel",
+    sparkSql = """WITH s AS (
+      |  SELECT user_id, MIN(ts DIV 1000) AS t0
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |v AS (
+      |  SELECT e.user_id, MIN(e.ts DIV 1000) AS t1
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'view' AND (e.ts DIV 1000) > s.t0
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts DIV 1000) AS t2
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'purchase' AND (e.ts DIV 1000) > v.t1
+      |  GROUP BY e.user_id)
+      |SELECT CAST(ord AS BIGINT) AS ord, stage, users FROM (
+      |  SELECT 1 AS ord, 'signup' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM s
+      |  UNION ALL
+      |  SELECT 2, 'view_after_signup', CAST(COUNT(*) AS BIGINT) FROM v
+      |  UNION ALL
+      |  SELECT 3, 'purchase_after_view', CAST(COUNT(*) AS BIGINT) FROM p) f
+      |ORDER BY ord""".stripMargin,
+    duckSql = """WITH s AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t0
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |v AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'view' AND epoch_us(e.ts) > s.t0
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.t1
+      |  GROUP BY e.user_id)
+      |SELECT CAST(ord AS BIGINT) AS ord, stage, users FROM (
+      |  SELECT 1 AS ord, 'signup' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM s
+      |  UNION ALL
+      |  SELECT 2, 'view_after_signup', CAST(COUNT(*) AS BIGINT) FROM v
+      |  UNION ALL
+      |  SELECT 3, 'purchase_after_view', CAST(COUNT(*) AS BIGINT) FROM p) f
+      |ORDER BY ord""".stripMargin)
+
+  /** Cohort retention (r9): users grouped by signup week, distinct-active
+    * counts at week offsets 0–3. Week ids are exact integer µs division
+    * (epoch-week from a fixed origin) — never float FLOOR, which loses
+    * exactness above 2^53. Scale shape: the DISTINCT (user, week)
+    * activity grid collapses the event stream before the cohort join, so
+    * the join input is users × active-weeks, not raw events; both
+    * aggregations are user-keyed and map-side combined. */
+  val q81 = dialect("q81_cohort",
+    sparkSql = """WITH su AS (
+      |  SELECT user_id, MIN((ts DIV 1000) DIV 604800000000) AS cohort_w
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |act AS (
+      |  SELECT DISTINCT user_id, (ts DIV 1000) DIV 604800000000 AS w FROM events)
+      |SELECT su.cohort_w, act.w - su.cohort_w AS week_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS active_users
+      |FROM su JOIN act ON su.user_id = act.user_id
+      |WHERE act.w >= su.cohort_w AND act.w - su.cohort_w <= 3
+      |GROUP BY 1, 2
+      |ORDER BY cohort_w, week_offset""".stripMargin,
+    duckSql = """WITH su AS (
+      |  SELECT user_id, MIN(epoch_us(ts) // 604800000000) AS cohort_w
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |act AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w FROM events)
+      |SELECT su.cohort_w, act.w - su.cohort_w AS week_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS active_users
+      |FROM su JOIN act ON su.user_id = act.user_id
+      |WHERE act.w >= su.cohort_w AND act.w - su.cohort_w <= 3
+      |GROUP BY 1, 2
+      |ORDER BY cohort_w, week_offset""".stripMargin)
+
   val flagship: QuerySpec = q04
 
   def specs: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q28, q29, q30, q34, q35, q45, q46,
-    q55, q72)
+    q55, q72, q80, q81)
 }

@@ -202,6 +202,27 @@ class BinPackSpec extends AnyFunSuite {
     assert(ids(t.toDF) === ((0L until 20L) ++ (100L until 120L)))
   }
 
+  test("sortBy keeps packed output sort-clustered: rows in file order, tight bounds") {
+    val cat = freshCatalog()
+    val t = cat.createTable("b.t10", schema)
+    // small appends with INTERLEAVED id ranges — unpacked, each file's
+    // [min,max] id bounds overlap every other's
+    t.append(rows(0 until 10, "s").coalesce(1))
+    t.append(rows(20 until 30, "s").coalesce(1))
+    t.append(rows(10 until 20, "s").coalesce(1))
+    t.append(rows(30 until 40, "s").coalesce(1))
+    t.binPack(sortBy = Seq("id"))
+    val after = files(t)
+    assert(after.size === 1)
+    // physical row order inside the packed file is sorted (what keeps
+    // parquet row-group/footer bounds tight for range pruning)
+    val physical = spark.read.parquet(after.head.path)
+    val idPhys = physical.columns.head // c1 = id
+    val inOrder = physical.select(idPhys).collect().map(_.getLong(0)).toSeq
+    assert(inOrder === inOrder.sorted, "packed file must be internally sorted")
+    assert(ids(t.toDF) === (0L until 40L))
+  }
+
   test("time travel to the pre-binpack snapshot still reads the old files") {
     val cat = freshCatalog()
     val t = smallFilesTable(cat, "b.t9")

@@ -69,6 +69,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"knn must not shuffle-join vectors:\n$p")
   }
 
+  test("q79: filtered knn filters BEFORE scoring and plans top-k, no vector shuffle (r9)") {
+    val p = planOf("q79_filtered_knn")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), s"filtered knn must not shuffle-join vectors:\n$p")
+    // the metadata predicate must sit below the quantized-dot projection:
+    // scoring cost ∝ filter selectivity, not corpus size
+    val filterIdx = p.indexOf("(label")
+    val scoreIdx = p.indexOf("quantized_dot")
+    assert(filterIdx >= 0 && scoreIdx >= 0, p)
+    // explain-formatted numbers operators leaf-first in the detail
+    // section, so "filter below scoring" = filter detail printed EARLIER
+    assert(filterIdx < scoreIdx,
+      s"predicate must be evaluated before dot-product scoring:\n$p")
+  }
+
   test("q21: LSH banding is an equi-join, not a nested-loop over signatures") {
     val p = planOf("q21_minhash_lsh_pairs")
     // the OR-of-band-equalities form planned as BroadcastNestedLoopJoin:

@@ -83,4 +83,59 @@ class StreamingIngestSpec extends AnyFunSuite {
       assert(indexed.toSeq === Seq(1L, 2L, 4L, 7L))
     } finally q.stop()
   }
+
+  test("auto-compaction keeps the live file count bounded across many triggers (r9)") {
+    // Continuous ingest is the small-files factory: one commit (and ≥1
+    // file) per trigger, forever. autoCompact after each batch keeps the
+    // LIVE file set bounded without disturbing content, history, or the
+    // append-only stream-read contract (bp-* rewrites are never
+    // re-delivered; only app-* appends are).
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-stream-compact").toString
+    val cat = new graft.lake.LakeCatalog(spark, wh)
+    val corpus = cat.createTable("ing.corpus2", CorpusSchema)
+
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt2").toString
+    val q = docs.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        corpus.append(batch.select("doc_id", "text").coalesce(1))
+        corpus.autoCompact(everyCommits = 3)
+        ()
+      }
+      .start()
+    try {
+      (0 until 9).foreach { b =>
+        mem.addData((b.toLong, s"document number $b with some words"))
+        q.processAllAvailable()
+      }
+      // all 9 docs present, exactly once
+      assert(corpus.toDF.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+        (0L until 9L))
+      val snap = corpus.meta.currentSnapshot.get
+      // 9 append commits happened, but compaction keeps live files bounded
+      assert(corpus.meta.snapshots.count(_.operation == "append") === 9)
+      assert(snap.files.size < 9,
+        s"auto-compaction must bound the live file count, got ${snap.files.size}")
+      assert(corpus.meta.snapshots.exists(_.summary.contains("binpack-rewritten-files")))
+      // the append-only incremental read-back delivers each doc exactly
+      // once: bp-* compaction outputs are not re-delivered
+      val ckpt2 = java.nio.file.Files.createTempDirectory("graft-stream-ckpt3").toString
+      val seen = collection.mutable.ArrayBuffer[Long]()
+      val reader = Changelog.streamRead(corpus).writeStream
+        .option("checkpointLocation", ckpt2)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          seen ++= b.select("doc_id").collect().map(_.getLong(0)); ()
+        }
+        .start()
+      try {
+        reader.processAllAvailable()
+        assert(seen.sorted.toSeq === (0L until 9L),
+          "stream read must deliver appends exactly once, never compaction rewrites")
+      } finally reader.stop()
+    } finally q.stop()
+  }
 }
