@@ -388,14 +388,18 @@ object Relational {
       |  CAST(CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
       |FROM f ORDER BY day""".stripMargin)
 
-  /** Ordered funnel (r9): users who signed up → first view strictly AFTER
-    * the signup → first purchase strictly AFTER that view. The
-    * event-sequence-matching shape of product analytics. Each stage is one
-    * map-side-combined MIN aggregation keyed by user_id plus one equi-join
-    * to the prior stage — per-stage shuffles are user-keyed and reuse the
-    * same hash partitioning, and nothing event-sized crosses stages (only
-    * one (user, ts) row per survivor). Exact integer µs arithmetic keeps
-    * both engines bit-identical. */
+  /** Strict sequential funnel (r9): signup → first view AFTER the signup →
+    * first purchase AFTER that achieved view. Deliberately the
+    * JOIN-CASCADE funnel, not q49's single-pass conditional aggregation:
+    * q49 compares GLOBAL first-times (first click > first view), which
+    * cannot express "first purchase after the first view that itself
+    * followed signup" — each stage here anchors to the previous stage's
+    * ACHIEVED time, so an early pre-signup view doesn't satisfy stage 2.
+    * Scale shape: each stage is one map-side-combined MIN keyed by
+    * user_id plus one equi-join to the prior stage's survivors — all
+    * shuffles share the user_id hash partitioning and only one
+    * (user, ts) row per survivor crosses stages, never raw events. Exact
+    * integer µs arithmetic keeps both engines bit-identical. */
   val q80 = dialect("q80_funnel",
     sparkSql = """WITH s AS (
       |  SELECT user_id, MIN(ts DIV 1000) AS t0
