@@ -253,8 +253,43 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * with `spark.wap.id` set and `write.wap.enabled=true` the snapshot is
     * staged (invisible to all refs); with `spark.wap.branch` set it commits
     * to that branch. */
-  def append(df: DataFrame, toBranch: Option[String] = None): TableMeta = {
+  /** Schema-drift handling for continuous ingest (`write.merge-schema` =
+    * true, Delta's mergeSchema / Iceberg's accept-any-schema shape): an
+    * append whose frame carries UNKNOWN columns auto-evolves the table —
+    * one schema commit adding the new columns (fresh stable ids, forced
+    * nullable so every pre-drift file reads NULL for them) before the
+    * data commit. Without the property the engine keeps its default:
+    * unknown columns are dropped by the physical projection ([[toPhysical]]
+    * selects schema columns only) — and that drop is SILENT data loss for
+    * a drifting stream, which is exactly why the opt-in exists. Type
+    * changes are NOT auto-applied (a widening is an explicit
+    * [[updateColumnType]] DDL); the new columns append at schema end.
+    * Idempotent under concurrent drift: a racing writer adding the same
+    * column first just makes this a no-op. */
+  private def mergeSchemaIfEnabled(df: DataFrame): TableMeta = {
     val m0 = meta
+    if (!m0.properties.get("write.merge-schema").contains("true")) return m0
+    val known = m0.schema.columns.map(_.name).toSet
+    if (df.schema.fields.forall(f => known(f.name))) return m0
+    commit { m =>
+      val s = m.schema
+      val stillNew = df.schema.fields.filterNot(f => s.byName(f.name).isDefined)
+      if (stillNew.isEmpty) m // raced: someone else added them — no new version
+      else {
+        var lastId = m.lastColumnId
+        val added = stillNew.toSeq.map { f =>
+          lastId += 1
+          LakeColumn(lastId, f.name, f.dataType.json, nullable = true, None)
+        }
+        val next = LakeSchema(m.schemas.map(_.schemaId).max + 1, s.columns ++ added)
+        m.copy(schemas = m.schemas :+ next, currentSchemaId = next.schemaId,
+          lastColumnId = lastId)
+      }
+    }
+  }
+
+  def append(df: DataFrame, toBranch: Option[String] = None): TableMeta = {
+    val m0 = mergeSchemaIfEnabled(df)
     requireWapUnambiguous(m0)
     val newFiles = writeDataFiles(toPhysical(df, m0.schema), m0, filePrefix = "app")
     val staged = wapId.isDefined &&

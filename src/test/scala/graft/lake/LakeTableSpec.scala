@@ -99,6 +99,45 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.toDF.agg(min("fare")).head.getDouble(0) === 40.0)
   }
 
+  test("merge-schema drift (r9): unknown columns auto-evolve when opted in, drop silently when not") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    // DEFAULT contract: unknown columns are dropped by the physical
+    // projection — no schema change, no error
+    val t0 = cat.createTable("nyc.strict", StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType))))
+    t0.append(Seq((1L, 1.5, "surprise")).toDF("id", "v", "extra"))
+    assert(t0.toDF.columns.toSeq === Seq("id", "v"))
+    assert(t0.meta.schemas.size === 1, "no auto-evolution without the property")
+
+    // OPT-IN: write.merge-schema=true evolves then appends
+    val t = cat.createTable("nyc.drift", StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType))),
+      properties = Map("write.merge-schema" -> "true"))
+    t.append(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    t.append(Seq((3L, 3.0, "srcA"), (4L, 4.0, "srcB")).toDF("id", "v", "source"))
+    assert(t.toDF.columns.toSeq === Seq("id", "v", "source"))
+    // pre-drift rows read NULL for the new column; post-drift carry data
+    val bySrc = t.toDF.select("id", "source").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(bySrc === Map(1L -> None, 2L -> None, 3L -> Some("srcA"), 4L -> Some("srcB")))
+    // one added schema version; new column got a fresh stable id
+    assert(t.meta.schemas.size === 2)
+    assert(t.meta.schema.byName("source").get.id === 3)
+    // idempotent: same drifted shape again adds no third schema
+    t.append(Seq((5L, 5.0, "srcC")).toDF("id", "v", "source"))
+    assert(t.meta.schemas.size === 2)
+    // drift the OTHER way in the same stream: a batch missing `source`
+    // null-fills it (both directions of drift in one continuous ingest)
+    t.append(Seq((6L, 6.0)).toDF("id", "v"))
+    assert(t.toDF.filter(col("id") === 6L).select("source").head.isNullAt(0))
+    // stable ids survive a rename: the drifted column's data still resolves
+    t.renameColumn("source", "origin")
+    assert(t.toDF.filter(col("id") === 3L).select("origin").head.getString(0) === "srcA")
+    // forced nullable even if the incoming frame said non-null
+    assert(t.meta.schema.byName("origin").get.nullable)
+  }
+
   test("schema evolution: rename, widen, add-after, reorder, comment (c11-c16)") {
     val cat = freshCatalog()
     val t = cat.createTable("nyc.taxis", StructType(Seq(
