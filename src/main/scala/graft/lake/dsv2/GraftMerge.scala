@@ -20,8 +20,12 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   *   - ON target.k = <expr over source>
   *   - WHEN MATCHED [AND cond] THEN UPDATE SET <all columns> | DELETE
   *   - WHEN NOT MATCHED [AND cond] THEN INSERT <all columns>
-  *   - no NOT MATCHED BY SOURCE clauses
-  *   - action conditions/values reference only source columns
+  *   - WHEN NOT MATCHED BY SOURCE [AND cond-over-target] THEN DELETE
+  *     (the full-sync idiom: target rows absent from the source are
+  *     dropped in the SAME atomic commit; cond may reference only
+  *     TARGET columns — it is evaluated on a branch-correct target scan)
+  *   - matched/not-matched action conditions/values reference only
+  *     source columns
   *
   * Semantics: a matched target row is deleted iff SOME matched action
   * wins for a matching source row (first-true-condition wins, SQL order);
@@ -72,7 +76,13 @@ object GraftMerge {
       case InsertAction(cond, assigns) =>
         cond.forall(sourceOnly(m, _)) && assignsOk(assigns)
       case _ => false
-    } && m.notMatchedBySourceActions.isEmpty
+    } && (m.notMatchedBySourceActions match {
+      // full-sync DELETE: at most one clause, condition over target only
+      case Seq() => true
+      case Seq(DeleteAction(cond)) =>
+        cond.forall(_.references.subsetOf(m.targetTable.outputSet))
+      case _ => false
+    })
   }
 
   /** Rewrite if translatable; None leaves the plan for Spark to reject.
@@ -85,7 +95,7 @@ object GraftMerge {
         m.resolved && actionsOk(m)
       (keyName, keyExpr) <- keyOf(m)
     } yield MergeIntoGraftCommand(gt, m.sourceTable, keyName, keyExpr,
-      m.matchedActions, m.notMatchedActions)
+      m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions)
 
   /** Target-key scan for matched-ness, pruned to data files whose key
     * stats overlap the source batch's [lo, hi] key bounds — the same
@@ -105,7 +115,9 @@ case class MergeIntoGraftCommand(
     targetKeyName: String,
     sourceKeyExpr: Expression,
     matchedActions: Seq[MergeAction],
-    notMatchedActions: Seq[MergeAction]) extends LeafRunnableCommand {
+    notMatchedActions: Seq[MergeAction],
+    notMatchedBySourceActions: Seq[MergeAction] = Seq.empty)
+  extends LeafRunnableCommand {
 
   // conflict-retry: the matched-ness scan and file pruning are planned
   // against a snapshot; a concurrent rewrite re-plans the whole merge
@@ -159,8 +171,31 @@ case class MergeIntoGraftCommand(
       // delete a matched key iff some matched action wins for its source row
       val anyMatchedWin = matchedActions.map(condOf)
         .reduceOption(_ || _).getOrElse(lit(false))
-      val keyDf = marked.filter(col("_matched") && anyMatchedWin)
+      val matchedDeleteKeys = marked.filter(col("_matched") && anyMatchedWin)
         .select(c(sourceKeyExpr).as(targetKeyName))
+      // NOT MATCHED BY SOURCE DELETE (full sync): target keys with no
+      // source match, condition evaluated on a branch-correct target
+      // scan (the cond's target attributes are re-bound by NAME onto the
+      // scan — the plan's attribute ids don't resolve against a fresh
+      // read). The key scan is column-pruned to the key + cond columns;
+      // the rewrite set stays key-bound-pruned via mergeByKeys. NULL-keyed
+      // target rows never equi-match, so they are not-matched-by-source —
+      // the anti-join's null-never-equal semantics delete them, as SQL
+      // requires. Cost is honest to the semantics: full sync must at
+      // least read every target key.
+      val nmbsKeys = notMatchedBySourceActions.headOption.map {
+        case DeleteAction(cond) =>
+          val tdf = gt.lakeTable.read(branch = gt.pinnedBranch)
+          val condCol = cond.map(e => coalesce(ColumnBridge.column(e.transform {
+            case a: AttributeReference => ColumnBridge.expression(tdf(a.name))
+          }), lit(false))).getOrElse(lit(true))
+          val srcKeys = src.select(c(sourceKeyExpr).as("_sk")).distinct()
+          tdf.filter(condCol).select(col(targetKeyName))
+            .join(srcKeys, col(targetKeyName) === col("_sk"), "left_anti")
+        case other =>
+          throw new IllegalStateException(s"untranslatable NMBS action $other")
+      }
+      val keyDf = nmbsKeys.foldLeft(matchedDeleteKeys)(_ unionByName _)
       gt.lakeTable.mergeByKeys(targetKeyName, keyDf, upserts,
         Map("merged-by" -> "sql-merge-into"), toBranch = gt.pinnedBranch)
     } finally { marked.unpersist(); () }

@@ -348,6 +348,57 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, "a"), (2L, "b2"), (4L, "d")))
   }
 
+  test("MERGE INTO: NOT MATCHED BY SOURCE DELETE — full sync in one commit (r9)") {
+    sql("CREATE TABLE lake.db.ms (id BIGINT, v STRING)")
+    sql("INSERT INTO lake.db.ms VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    val v0 = extSpark.sql("SELECT COUNT(*) FROM lake.db.ms").head.getLong(0)
+    assert(v0 === 4)
+    extSpark.sql(
+      """MERGE INTO lake.db.ms t
+        |USING (SELECT * FROM VALUES (2, 'b2'), (5, 'e') AS s(id, v)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val out = sql("SELECT id, v FROM lake.db.ms ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // target mirrors the source exactly: 1/3/4 dropped, 2 updated, 5 inserted
+    assert(out.toSeq === Seq((2L, "b2"), (5L, "e")))
+    // ONE commit did all of it (atomicity of the sync)
+    val history = sql("SELECT * FROM lake.db.ms.history").count()
+    assert(history === 2, "insert + merge = 2 commits on main; the sync is one")
+  }
+
+  test("MERGE INTO: NMBS DELETE with a target-column condition deletes only matching strata (r9)") {
+    sql("CREATE TABLE lake.db.msc (id BIGINT, v STRING)")
+    sql("INSERT INTO lake.db.msc VALUES (1, 'keep'), (2, 'sync'), (3, 'sync'), (4, 'keep')")
+    extSpark.sql(
+      """MERGE INTO lake.db.msc t
+        |USING (SELECT * FROM VALUES (3, 'sync') AS s(id, v)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.v = 'sync' THEN DELETE""".stripMargin)
+    val out = sql("SELECT id, v FROM lake.db.msc ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // 2 ('sync', unmatched) deleted; 1/4 ('keep', unmatched) survive
+    assert(out.toSeq === Seq((1L, "keep"), (3L, "sync"), (4L, "keep")))
+  }
+
+  test("MERGE INTO: NMBS UPDATE stays untranslated (Spark rejects, table intact)") {
+    sql("CREATE TABLE lake.db.msu (id BIGINT, v STRING)")
+    sql("INSERT INTO lake.db.msu VALUES (1, 'a')")
+    intercept[Exception] {
+      extSpark.sql(
+        """MERGE INTO lake.db.msu t
+          |USING (SELECT * FROM VALUES (2, 'b') AS s(id, v)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'""".stripMargin)
+    }
+    assert(sql("SELECT v FROM lake.db.msu").head.getString(0) === "a")
+  }
+
   test("COUNT(*) answers from snapshot metadata, not a file scan") {
     sql("CREATE DATABASE IF NOT EXISTS lake.db")
     sql("CREATE TABLE lake.db.cnt (id BIGINT)")
