@@ -288,10 +288,38 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     }
   }
 
+  /** CHECK-constraint enforcement (ANSI semantics: a row violates only
+    * when the predicate is FALSE — NULL passes). Constraints live in
+    * table properties (`graft.constraint.<name>` → predicate SQL; see
+    * [[graft.lake.dsv2.GraftCatalog]] for the `ALTER TABLE … ADD
+    * CONSTRAINT … CHECK` DDL and [[graft.lake.dsv2.GraftTable]] for the
+    * `Table.constraints()` surface Spark's own analyzer enforces on SQL
+    * writes via CheckInvariant). This guard covers the Scala write
+    * paths with ZERO extra passes: each constraint becomes a filter
+    * `isnull(assert_true(coalesce(pred, true), msg))` fused into the
+    * write projection — assert_true rewrites to an If, so the error
+    * message (with the offending row as JSON) is only materialized on a
+    * violating row, and a violation fails the write job before any
+    * commit. Cost at 100 TB: nothing beyond evaluating the predicate on
+    * the batch being written; the table is never rescanned. */
+  private def withCheckConstraints(m: TableMeta, df: DataFrame): DataFrame = {
+    val prefix = "graft.constraint."
+    val checks = m.properties.collect {
+      case (k, sql) if k.startsWith(prefix) => k.stripPrefix(prefix) -> sql
+    }
+    checks.foldLeft(df) { case (d, (name, sql)) =>
+      d.filter(isnull(assert_true(
+        coalesce(expr(sql), lit(true)),
+        concat(lit(s"CHECK constraint '$name' ($sql) violated by row: "),
+          to_json(struct(d.columns.map(col): _*))))))
+    }
+  }
+
   def append(df: DataFrame, toBranch: Option[String] = None): TableMeta = {
     val m0 = mergeSchemaIfEnabled(df)
     requireWapUnambiguous(m0)
-    val newFiles = writeDataFiles(toPhysical(df, m0.schema), m0, filePrefix = "app")
+    val newFiles = writeDataFiles(
+      toPhysical(withCheckConstraints(m0, df), m0.schema), m0, filePrefix = "app")
     val staged = wapId.isDefined &&
       m0.properties.get("write.wap.enabled").contains("true") && toBranch.isEmpty
     val branch = resolveWriteBranch(toBranch)
@@ -782,7 +810,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     }
     val inserted =
       if (upserts.isEmpty) Seq.empty
-      else writeDataFiles(toPhysical(upserts, m0.schema), m0, filePrefix = "app")
+      else writeDataFiles(
+          toPhysical(withCheckConstraints(m0, upserts), m0.schema), m0, filePrefix = "app")
     commitReplace(branch, untouched ++ survivors ++ inserted, "overwrite",
       extraSummary ++ Map(
         "merge-keys" -> ks.size.toString,
@@ -821,7 +850,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       if (m0.properties.get("write.merge.mode").contains("merge-on-read")) {
         val inserted =
           if (upserts.isEmpty) Seq.empty
-          else writeDataFiles(toPhysical(upserts, m0.schema), m0, filePrefix = "app")
+          else writeDataFiles(
+          toPhysical(withCheckConstraints(m0, upserts), m0.schema), m0, filePrefix = "app")
         val eqDel =
           if (nKeys == 0) None else writeEqualityDeleteFile(kd, Seq(key), m0)
         if (inserted.isEmpty && eqDel.isEmpty) return m0
@@ -853,7 +883,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       }
       val inserted =
         if (upserts.isEmpty) Seq.empty
-        else writeDataFiles(toPhysical(upserts, m0.schema), m0, filePrefix = "app")
+        else writeDataFiles(
+          toPhysical(withCheckConstraints(m0, upserts), m0.schema), m0, filePrefix = "app")
       commitReplace(branch, untouched ++ survivors ++ inserted, "overwrite",
         extraSummary ++ Map(
           "merge-keys" -> nKeys.toString,
@@ -959,7 +990,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     val m0 = meta
     requireWapUnambiguous(m0)
     val branch = resolveWriteBranch(toBranch)
-    val newFiles = writeDataFiles(toPhysical(df, m0.schema), m0, filePrefix = "app")
+    val newFiles = writeDataFiles(
+      toPhysical(withCheckConstraints(m0, df), m0.schema), m0, filePrefix = "app")
     val staged = wapId.isDefined &&
       m0.properties.get("write.wap.enabled").contains("true") && toBranch.isEmpty
     val summary = Map(

@@ -33,6 +33,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   private var catalogName: String = _
   private[dsv2] var lake: LakeCatalog = _
 
+  /** Opt into Spark 4's constraints framework: without this capability
+    * the analyzer rejects `ALTER TABLE … ADD CONSTRAINT` before the
+    * catalog ever sees the TableChange. */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def spark: SparkSession = SparkSession.active
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -190,6 +198,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       t.setProperties(Map(c.property() -> c.value())); ()
     case c: TableChange.RemoveProperty =>
       t.unsetProperties(Seq(c.property())); ()
+    // ALTER TABLE … ADD CONSTRAINT <name> CHECK (<pred>): Spark's
+    // AddCheckConstraintExec has already VALIDATED existing data (one
+    // predicate scan) by the time this change arrives — persist the
+    // predicate SQL; GraftTable.constraints() surfaces it and Spark's
+    // analyzer enforces it on every subsequent SQL write.
+    case c: TableChange.AddConstraint => c.constraint() match {
+      case ch: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        val key = s"graft.constraint.${ch.name()}"
+        if (t.meta.properties.contains(key))
+          throw new IllegalArgumentException(s"constraint ${ch.name()} already exists")
+        val status = if (c.validatedTableVersion() != null) "VALID" else "UNVALIDATED"
+        t.setProperties(Map(key -> ch.predicateSql(),
+          s"graft.constraint-status.${ch.name()}" -> status)); ()
+      case other => throw new UnsupportedOperationException(
+        s"only CHECK constraints are supported: ${other.toDDL}")
+    }
+    case c: TableChange.DropConstraint =>
+      val key = s"graft.constraint.${c.name()}"
+      if (t.meta.properties.contains(key)) {
+        t.unsetProperties(Seq(key, s"graft.constraint-status.${c.name()}")); ()
+      } else if (!c.ifExists())
+        throw new IllegalArgumentException(s"no constraint ${c.name()}")
     case other =>
       throw new UnsupportedOperationException(s"unsupported table change $other")
   }

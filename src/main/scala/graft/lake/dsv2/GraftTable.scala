@@ -152,6 +152,30 @@ case class GraftTable(
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  /** CHECK constraints (Spark 4 constraints framework): surfaced from
+    * table properties so Spark's ResolveTableConstraints injects
+    * row-level CheckInvariant enforcement into every SQL write — zero
+    * engine-side passes; a violating INSERT fails before the commit.
+    * The Scala write paths enforce the same properties themselves
+    * (LakeTable.withCheckConstraints), so both routes agree. */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    val prefix = "graft.constraint."
+    val statusPrefix = "graft.constraint-status."
+    val props = lakeTable.meta.properties
+    props.toSeq.collect {
+      case (k, sql) if k.startsWith(prefix) =>
+        val cname = k.stripPrefix(prefix)
+        val status =
+          if (props.get(statusPrefix + cname).contains("VALID"))
+            Constraint.ValidationStatus.VALID
+          else Constraint.ValidationStatus.UNVALIDATED
+        Constraint.check(cname).predicateSql(sql)
+          .enforced(true).validationStatus(status).build()
+          .asInstanceOf[Constraint]
+    }.sortBy(_.name()).toArray
+  }
+
   // ---- reads (V1Scan fallback) --------------------------------------------
   //
   // [[GraftReadRule]] substitutes this relation with the LakeTable read

@@ -399,6 +399,47 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT v FROM lake.db.msu").head.getString(0) === "a")
   }
 
+  test("CHECK constraints: DDL, write-time enforcement on SQL and Scala routes (r9)") {
+    sql("CREATE TABLE lake.db.chk (id BIGINT, v DOUBLE)")
+    sql("INSERT INTO lake.db.chk VALUES (1, 1.0), (2, NULL)")
+    // adding a constraint VALIDATES existing data first — a violating row
+    // rejects the DDL (NULL passes, ANSI CHECK semantics)
+    sql("ALTER TABLE lake.db.chk ADD CONSTRAINT v_pos CHECK (v > 0)")
+    intercept[Exception] {
+      sql("ALTER TABLE lake.db.chk ADD CONSTRAINT id_big CHECK (id > 100)")
+    }
+    // SQL write route: Spark's CheckInvariant enforcement from
+    // Table.constraints() — violating INSERT fails, nothing committed
+    val e = intercept[Exception] {
+      sql("INSERT INTO lake.db.chk VALUES (3, -5.0)")
+    }
+    assert(e.getMessage.contains("v_pos") || e.getMessage.contains("CHECK"),
+      s"violation must name the constraint: ${e.getMessage}")
+    assert(sql("SELECT COUNT(*) FROM lake.db.chk").head.getLong(0) === 2,
+      "failed INSERT must commit nothing")
+    // valid and NULL rows pass
+    sql("INSERT INTO lake.db.chk VALUES (3, 3.0), (4, NULL)")
+    assert(sql("SELECT COUNT(*) FROM lake.db.chk").head.getLong(0) === 4)
+    // Scala write route: same properties enforced by LakeTable.append
+    val lt = new graft.lake.LakeCatalog(spark,
+      spark.conf.get("spark.sql.catalog.lake.warehouse")).loadTable("db.chk")
+    import spark.implicits._
+    val e2 = intercept[Exception] {
+      lt.append(Seq((5L, -1.0)).toDF("id", "v"))
+    }
+    assert(e2.getMessage.contains("v_pos") ||
+      Option(e2.getCause).exists(_.getMessage.contains("v_pos")),
+      s"Scala-route violation must name the constraint: ${e2.getMessage}")
+    lt.append(Seq((5L, 5.0)).toDF("id", "v"))
+    assert(sql("SELECT COUNT(*) FROM lake.db.chk").head.getLong(0) === 5)
+    // DROP CONSTRAINT restores writability for previously-violating rows
+    sql("ALTER TABLE lake.db.chk DROP CONSTRAINT v_pos")
+    sql("INSERT INTO lake.db.chk VALUES (6, -1.0)")
+    assert(sql("SELECT COUNT(*) FROM lake.db.chk").head.getLong(0) === 6)
+    intercept[Exception] { sql("ALTER TABLE lake.db.chk DROP CONSTRAINT nope") }
+    sql("ALTER TABLE lake.db.chk DROP CONSTRAINT IF EXISTS nope")
+  }
+
   test("COUNT(*) answers from snapshot metadata, not a file scan") {
     sql("CREATE DATABASE IF NOT EXISTS lake.db")
     sql("CREATE TABLE lake.db.cnt (id BIGINT)")
