@@ -39,7 +39,14 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     LakeTable.invalidateLocation(location)
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       LakeColumn(i + 1, f.name, f.dataType.json, f.nullable,
-        if (f.metadata.contains("comment")) Some(f.metadata.getString("comment")) else None)
+        comment = if (f.metadata.contains("comment"))
+          Some(f.metadata.getString("comment")) else None,
+        // CREATE TABLE (col … DEFAULT …): Spark ships the default in
+        // field metadata — persist both current + frozen exists defaults
+        currentDefaultSql = if (f.metadata.contains("CURRENT_DEFAULT"))
+          Some(f.metadata.getString("CURRENT_DEFAULT")) else None,
+        existsDefaultSql = if (f.metadata.contains("EXISTS_DEFAULT"))
+          Some(f.metadata.getString("EXISTS_DEFAULT")) else None)
     }.toSeq
     val lakeSchema = LakeSchema(0, cols)
     val specFields = partitionBy.map { case (colName, transform) =>

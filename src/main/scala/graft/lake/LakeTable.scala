@@ -159,6 +159,10 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     val inCols = df.columns.toSet
     val cols = schema.columns.map { c =>
       if (inCols.contains(c.name)) df.col(c.name).cast(c.sparkType).as(c.physicalName)
+      // absent column: ANSI INSERT-without-column-list semantics — the
+      // CURRENT default if declared, else NULL
+      else if (c.currentDefaultSql.isDefined)
+        expr(c.currentDefaultSql.get).cast(c.sparkType).as(c.physicalName)
       else if (c.nullable) lit(null).cast(c.sparkType).as(c.physicalName)
       else throw new IllegalArgumentException(s"missing required column ${c.name}")
     }
@@ -402,7 +406,11 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         val cols = cur.columns.map { c =>
           written.byId(c.id) match {
             case Some(w) => raw.col(w.physicalName).cast(c.sparkType).as(c.name)
-            case None => lit(null).cast(c.sparkType).as(c.name)
+            // column added after this file was written: rows logically
+            // hold the EXISTS default frozen at ADD COLUMN time (else
+            // NULL) — the metadata-only backfill
+            case None => c.existsDefaultSql.map(expr).getOrElse(lit(null))
+              .cast(c.sparkType).as(c.name)
           }
         } ++ (if (withRowMeta)
           Seq(col("_metadata.file_name").as("_gd_file"),
@@ -1168,17 +1176,34 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   }
 
   def addColumn(name: String, dataType: DataType, after: Option[String] = None,
-                comment: Option[String] = None): TableMeta = evolveSchemaM { (m, s) =>
+                comment: Option[String] = None,
+                defaultSql: Option[String] = None): TableMeta = evolveSchemaM { (m, s) =>
     require(s.byName(name).isEmpty, s"column $name exists")
     // id from lastColumnId, NOT the current schema's max: after dropColumn,
     // max(current ids)+1 can REUSE the dropped column's id, and the stable-id
     // read mapping would then resolve the new column to the dropped column's
     // physical data in old files (resurrecting deleted values) and pruning
     // would match its predicates against the dropped column's stats
+    //
+    // defaultSql becomes BOTH the current default (new writes) and the
+    // frozen exists-default (what pre-existing rows read) — ADD COLUMN
+    // with DEFAULT is metadata-only, no file rewrite.
     val col = LakeColumn(m.lastColumnId + 1, name, dataType.json,
-      nullable = true, comment)
+      nullable = true, comment,
+      currentDefaultSql = defaultSql, existsDefaultSql = defaultSql)
     insertAfter(s.columns, col, after)
   }
+
+  /** ALTER COLUMN … SET/DROP DEFAULT: changes the CURRENT default only —
+    * the exists-default stays frozen at its ADD COLUMN value, so rows
+    * that pre-date the column keep reading the value that was promised
+    * when it was added (Spark/Delta exists-default semantics). */
+  def setColumnDefault(name: String, defaultSql: Option[String]): TableMeta =
+    evolveSchema { s =>
+      require(s.byName(name).isDefined, s"no column $name")
+      s.columns.map(c =>
+        if (c.name == name) c.copy(currentDefaultSql = defaultSql) else c)
+    }
 
   /** ALTER COLUMN ... FIRST / AFTER <col> (D6 reorder). */
   def moveColumn(name: String, after: Option[String]): TableMeta = evolveSchema { s =>

@@ -30,13 +30,25 @@ final case class LakeColumn(
     /** DataType.json string (round-trips via DataType.fromJson). */
     dataType: String,
     nullable: Boolean = true,
-    comment: Option[String] = None) {
+    comment: Option[String] = None,
+    /** SQL of the column's DEFAULT for NEW writes (ANSI column default;
+      * `ALTER COLUMN … SET DEFAULT` updates it). Surfaced as the
+      * `CURRENT_DEFAULT` field metadata Spark's INSERT resolution reads. */
+    currentDefaultSql: Option[String] = None,
+    /** SQL of the value rows that PRE-DATE the column logically hold —
+      * frozen at ADD COLUMN time (never changed by SET DEFAULT), filled
+      * by the read mapping for files written under older schemas. This
+      * is what makes "add a column with a default" metadata-only: no
+      * file is rewritten, old rows just read the frozen literal. */
+    existsDefaultSql: Option[String] = None) {
   def sparkType: DataType = DataType.fromJson(dataType)
   def physicalName: String = s"c$id"
   def toField: StructField = {
-    val md = comment.fold(SparkMetadata.empty)(c =>
-      new org.apache.spark.sql.types.MetadataBuilder().putString("comment", c).build())
-    StructField(name, sparkType, nullable, md)
+    val b = new org.apache.spark.sql.types.MetadataBuilder()
+    comment.foreach(b.putString("comment", _))
+    currentDefaultSql.foreach(b.putString("CURRENT_DEFAULT", _))
+    existsDefaultSql.foreach(b.putString("EXISTS_DEFAULT", _))
+    StructField(name, sparkType, nullable, b.build())
   }
 }
 

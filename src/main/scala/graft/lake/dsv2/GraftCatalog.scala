@@ -33,13 +33,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   private var catalogName: String = _
   private[dsv2] var lake: LakeCatalog = _
 
-  /** Opt into Spark 4's constraints framework: without this capability
-    * the analyzer rejects `ALTER TABLE … ADD CONSTRAINT` before the
-    * catalog ever sees the TableChange. */
+  /** Opt into Spark 4's constraints + column-defaults frameworks:
+    * without these capabilities the analyzer rejects `ALTER TABLE … ADD
+    * CONSTRAINT` / `… DEFAULT …` before the catalog ever sees the
+    * TableChange. */
   override def capabilities(): java.util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -180,7 +182,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         case _ => None
       }
       t.addColumn(c.fieldNames.mkString("."), c.dataType(), after,
-        Option(c.comment())); ()
+        Option(c.comment()),
+        defaultSql = Option(c.defaultValue()).map(_.getSql)); ()
+    case c: TableChange.UpdateColumnDefaultValue =>
+      // SET DEFAULT sends the new SQL; DROP DEFAULT sends an empty string
+      t.setColumnDefault(c.fieldNames.mkString("."),
+        Option(c.newCurrentDefault()).map(_.getSql).filter(_.nonEmpty)); ()
     case c: TableChange.DeleteColumn =>
       t.dropColumn(c.fieldNames.mkString(".")); ()
     case c: TableChange.UpdateColumnType =>

@@ -52,7 +52,11 @@ class GraftStagedTable(
       val m = lakeTable.meta
       val base = m.lastColumnId
       val cols = sparkSchema.fields.zipWithIndex.map { case (f, i) =>
-        LakeColumn(base + i + 1, f.name, f.dataType.json, f.nullable)
+        LakeColumn(base + i + 1, f.name, f.dataType.json, f.nullable,
+          currentDefaultSql = if (f.metadata.contains("CURRENT_DEFAULT"))
+            Some(f.metadata.getString("CURRENT_DEFAULT")) else None,
+          existsDefaultSql = if (f.metadata.contains("EXISTS_DEFAULT"))
+            Some(f.metadata.getString("EXISTS_DEFAULT")) else None)
       }.toSeq
       val sch = LakeSchema(m.schemas.map(_.schemaId).max + 1, cols)
       val fields = partitionBy.map { case (c, t) =>

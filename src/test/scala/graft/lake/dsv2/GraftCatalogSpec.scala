@@ -440,6 +440,50 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("ALTER TABLE lake.db.chk DROP CONSTRAINT IF EXISTS nope")
   }
 
+  test("column DEFAULT values: metadata-only backfill, frozen exists-default (r9)") {
+    // CREATE TABLE with a declared default: INSERT without the column
+    sql("CREATE TABLE lake.db.dflt (id BIGINT, status STRING DEFAULT 'new')")
+    sql("INSERT INTO lake.db.dflt (id) VALUES (1)")
+    sql("INSERT INTO lake.db.dflt VALUES (2, 'open')")
+    val r0 = sql("SELECT id, status FROM lake.db.dflt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(r0.toSeq === Seq((1L, "new"), (2L, "open")))
+
+    // ADD COLUMN with DEFAULT: pre-existing rows read the default with
+    // ZERO file rewrites (the metadata-only backfill)
+    val lt = new graft.lake.LakeCatalog(spark,
+      spark.conf.get("spark.sql.catalog.lake.warehouse")).loadTable("db.dflt")
+    val filesBefore = lt.meta.currentSnapshot.get.files.map(_.path).toSet
+    sql("ALTER TABLE lake.db.dflt ADD COLUMN score BIGINT DEFAULT 100")
+    assert(lt.meta.currentSnapshot.get.files.map(_.path).toSet === filesBefore,
+      "ADD COLUMN DEFAULT must not rewrite any data file")
+    val r1 = sql("SELECT id, score FROM lake.db.dflt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(r1.toSeq === Seq((1L, 100L), (2L, 100L)), "old rows read the frozen default")
+
+    // SET DEFAULT changes NEW writes only; rows that pre-date the column
+    // keep the FROZEN exists-default (Spark/Delta semantics)
+    sql("ALTER TABLE lake.db.dflt ALTER COLUMN score SET DEFAULT 7")
+    sql("INSERT INTO lake.db.dflt (id) VALUES (3)")
+    val r2 = sql("SELECT id, score, status FROM lake.db.dflt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(r2.toSeq === Seq((1L, 100L, "new"), (2L, 100L, "open"), (3L, 7L, "new")))
+
+    // DROP DEFAULT: new rows go back to NULL; everything frozen stays
+    sql("ALTER TABLE lake.db.dflt ALTER COLUMN score DROP DEFAULT")
+    sql("INSERT INTO lake.db.dflt (id) VALUES (4)")
+    val r3 = sql("SELECT id, score FROM lake.db.dflt WHERE id = 4").collect()
+    assert(r3.head.isNullAt(1))
+    assert(sql("SELECT score FROM lake.db.dflt WHERE id = 1").head.getLong(0) === 100L)
+
+    // Scala append path: absent column fills the CURRENT default
+    import spark.implicits._
+    sql("ALTER TABLE lake.db.dflt ALTER COLUMN score SET DEFAULT 55")
+    lt.append(Seq((5L)).toDF("id"))
+    val r4 = sql("SELECT score, status FROM lake.db.dflt WHERE id = 5").head
+    assert(r4.getLong(0) === 55L && r4.getString(1) === "new")
+  }
+
   test("COUNT(*) answers from snapshot metadata, not a file scan") {
     sql("CREATE DATABASE IF NOT EXISTS lake.db")
     sql("CREATE TABLE lake.db.cnt (id BIGINT)")
