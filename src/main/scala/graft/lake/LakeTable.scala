@@ -732,7 +732,10 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
           case None => src.col(name)
         }
       }: _*)
-      writeDataFiles(toPhysical(updated, m0.schema), m0)
+      // constraints enforced on the rewrite: unchanged rows were valid
+      // when written (ADD CONSTRAINT validated them), so only rows the
+      // assignments changed can trip the assert
+      writeDataFiles(toPhysical(withCheckConstraints(m0, updated), m0.schema), m0)
     }
     commitReplace(branch, untouched ++ rewritten, "overwrite", Map(
       "rewritten-data-files" -> touched.size.toString), base = snap,
@@ -764,7 +767,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     // "rw" prefix like the CoW update path: the streaming read-back
     // delivers appends only, and an UPDATE's new row versions are not
     // appends there any more than a CoW rewrite's survivors are
-    val newFiles = writeDataFiles(toPhysical(updated, m0.schema), m0)
+    val newFiles = writeDataFiles(toPhysical(withCheckConstraints(m0, updated), m0.schema), m0)
     val newDel = writeDeleteFile(matched.select(col("_gd_file"), col("_gd_pos")))
     if (newFiles.isEmpty && newDel.isEmpty) return m0 // nothing matched
     commitReplace(branch, untouched ++ touched ++ newFiles, "overwrite", Map(

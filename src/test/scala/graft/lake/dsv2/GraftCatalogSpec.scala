@@ -432,6 +432,25 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"Scala-route violation must name the constraint: ${e2.getMessage}")
     lt.append(Seq((5L, 5.0)).toDF("id", "v"))
     assert(sql("SELECT COUNT(*) FROM lake.db.chk").head.getLong(0) === 5)
+    // UPDATE routes (CoW and MoR) enforce too — an assignment cannot
+    // smuggle in a violating value
+    val e3 = intercept[Exception] {
+      extSpark.sql("UPDATE lake.db.chk SET v = -9.0 WHERE id = 1")
+    }
+    assert(e3.getMessage.contains("v_pos") ||
+      Option(e3.getCause).exists(_.getMessage.contains("v_pos")))
+    assert(sql("SELECT v FROM lake.db.chk WHERE id = 1").head.getDouble(0) === 1.0,
+      "failed UPDATE must leave the row untouched")
+    lt.setProperties(Map("write.update.mode" -> "merge-on-read"))
+    val e4 = intercept[Exception] {
+      lt.update(Map("v" -> org.apache.spark.sql.functions.lit(-3.0)),
+        Some(org.apache.spark.sql.functions.col("id") === 3))
+    }
+    assert(e4.getMessage.contains("v_pos") ||
+      Option(e4.getCause).exists(_.getMessage.contains("v_pos")))
+    lt.unsetProperties(Seq("write.update.mode"))
+    extSpark.sql("UPDATE lake.db.chk SET v = 9.0 WHERE id = 1")
+    assert(sql("SELECT v FROM lake.db.chk WHERE id = 1").head.getDouble(0) === 9.0)
     // DROP CONSTRAINT restores writability for previously-violating rows
     sql("ALTER TABLE lake.db.chk DROP CONSTRAINT v_pos")
     sql("INSERT INTO lake.db.chk VALUES (6, -1.0)")
