@@ -46,7 +46,9 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
         currentDefaultSql = if (f.metadata.contains("CURRENT_DEFAULT"))
           Some(f.metadata.getString("CURRENT_DEFAULT")) else None,
         existsDefaultSql = if (f.metadata.contains("EXISTS_DEFAULT"))
-          Some(f.metadata.getString("EXISTS_DEFAULT")) else None)
+          Some(f.metadata.getString("EXISTS_DEFAULT")) else None,
+        generationSql = if (f.metadata.contains("GENERATION_EXPRESSION"))
+          Some(f.metadata.getString("GENERATION_EXPRESSION")) else None)
     }.toSeq
     val lakeSchema = LakeSchema(0, cols)
     val specFields = partitionBy.map { case (colName, transform) =>

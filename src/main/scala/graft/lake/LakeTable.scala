@@ -158,7 +158,26 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   private def toPhysical(df: DataFrame, schema: LakeSchema): DataFrame = {
     val inCols = df.columns.toSet
     val cols = schema.columns.map { c =>
-      if (inCols.contains(c.name)) df.col(c.name).cast(c.sparkType).as(c.physicalName)
+      if (c.generationSql.isDefined) {
+        val computed = expr(c.generationSql.get).cast(c.sparkType)
+        if (!inCols.contains(c.name)) computed.as(c.physicalName)
+        else
+          // a supplied NON-NULL value must AGREE with the generation
+          // expression (Delta semantics) — asserted in the write
+          // projection, one comparison per row, no extra pass. NULL is
+          // "not supplied": Spark pads absent columns with NULL during
+          // INSERT resolution, so a null here means the writer omitted
+          // the column, and the computed value is stored.
+          when(df.col(c.name).isNull, computed)
+            .otherwise(
+              when(isnull(assert_true(df.col(c.name).cast(c.sparkType) <=> computed,
+                concat(lit(s"generated column ${c.name} (${c.generationSql.get}) " +
+                  "does not match the supplied value on row: "),
+                  to_json(struct(df.columns.toIndexedSeq.map(df.col): _*))))),
+                computed))
+            .as(c.physicalName)
+      }
+      else if (inCols.contains(c.name)) df.col(c.name).cast(c.sparkType).as(c.physicalName)
       // absent column: ANSI INSERT-without-column-list semantics — the
       // CURRENT default if declared, else NULL
       else if (c.currentDefaultSql.isDefined)

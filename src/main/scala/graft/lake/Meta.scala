@@ -40,7 +40,13 @@ final case class LakeColumn(
       * by the read mapping for files written under older schemas. This
       * is what makes "add a column with a default" metadata-only: no
       * file is rewritten, old rows just read the frozen literal. */
-    existsDefaultSql: Option[String] = None) {
+    existsDefaultSql: Option[String] = None,
+    /** SQL of a GENERATED ALWAYS AS expression (over sibling columns).
+      * Writes compute it when the column is absent and ASSERT agreement
+      * when a value is supplied (Delta generated-column semantics);
+      * stored physically so reads pay nothing. Mutually exclusive with
+      * defaults (Spark's DDL enforces that). */
+    generationSql: Option[String] = None) {
   def sparkType: DataType = DataType.fromJson(dataType)
   def physicalName: String = s"c$id"
   def toField: StructField = {
@@ -48,6 +54,7 @@ final case class LakeColumn(
     comment.foreach(b.putString("comment", _))
     currentDefaultSql.foreach(b.putString("CURRENT_DEFAULT", _))
     existsDefaultSql.foreach(b.putString("EXISTS_DEFAULT", _))
+    generationSql.foreach(b.putString("GENERATION_EXPRESSION", _))
     StructField(name, sparkType, nullable, b.build())
   }
 }

@@ -41,7 +41,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -121,6 +122,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val s = identString(ident)
     if (!lake.tableExists(s)) throw new NoSuchTableException(ident)
     GraftTable(lake.loadTable(s), s, pinnedTimestampMs = Some(timestamp / 1000L))
+  }
+
+  /** Column-array CREATE (the path Spark actually calls): the default
+    * StructType conversion DROPS generation expressions (defaults survive
+    * as CURRENT_DEFAULT metadata, generated columns don't) — capture them
+    * here into the same field-metadata key the rest of the stack reads. */
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val withGen = StructType(columns.toIndexedSeq.map { c =>
+      val b = new org.apache.spark.sql.types.MetadataBuilder()
+      Option(c.comment()).foreach(b.putString("comment", _))
+      Option(c.defaultValue()).foreach { dv =>
+        b.putString("CURRENT_DEFAULT", dv.getSql)
+        b.putString("EXISTS_DEFAULT", dv.getSql)
+      }
+      Option(c.generationExpression()).foreach(b.putString("GENERATION_EXPRESSION", _))
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable(), b.build())
+    })
+    createTable(ident, withGen, partitions, properties)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

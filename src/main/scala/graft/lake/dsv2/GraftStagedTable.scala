@@ -56,7 +56,9 @@ class GraftStagedTable(
           currentDefaultSql = if (f.metadata.contains("CURRENT_DEFAULT"))
             Some(f.metadata.getString("CURRENT_DEFAULT")) else None,
           existsDefaultSql = if (f.metadata.contains("EXISTS_DEFAULT"))
-            Some(f.metadata.getString("EXISTS_DEFAULT")) else None)
+            Some(f.metadata.getString("EXISTS_DEFAULT")) else None,
+          generationSql = if (f.metadata.contains("GENERATION_EXPRESSION"))
+            Some(f.metadata.getString("GENERATION_EXPRESSION")) else None)
       }.toSeq
       val sch = LakeSchema(m.schemas.map(_.schemaId).max + 1, cols)
       val fields = partitionBy.map { case (c, t) =>

@@ -347,6 +347,40 @@ object ScaleProbe {
         f""""refresh_secs":$secs%.2f,"mv_groups":$mvRows}""")
     }
 
+    // star-schema MV refresh growth (r9): same fixed-churn shape, but the
+    // view groups by a DIMENSION attribute (broadcast DimJoin enrichment
+    // on `source`). The claim under test: the dim broadcast is a
+    // constant-size addition to the churn-sized delta aggregation, so
+    // star refresh wall stays ~flat under 10x base growth too.
+    for (scale <- Seq(1, scaleN)) {
+      val cat = new graft.lake.LakeCatalog(spark,
+        java.nio.file.Files.createTempDirectory(s"graft-starmv-$scale").toString)
+      val base = cat.createTable(s"probe.starbase$scale",
+        spark.table("documents_base").schema)
+      (0 until scale).foreach(i => base.append(docCopy(spark, i)))
+      val dim = cat.createTable("probe.srcdim", new org.apache.spark.sql.types.StructType()
+        .add("src_key", "string").add("tier", "string"))
+      dim.append(spark.table("documents_base").select(col("source").as("src_key"))
+        .distinct().withColumn("tier",
+          when(substring(col("src_key"), -1, 1).isin("0", "2", "4", "6", "8"), "even")
+            .otherwise("odd")))
+      val mv = graft.lake.MaterializedAgg.create(cat, s"probe.starmv$scale", base,
+        groupBy = Seq("tier"),
+        aggs = Seq(graft.lake.MaterializedAgg.AggCol("sum", "n_chars", "chars"),
+          graft.lake.MaterializedAgg.AggCol("count", "doc_id", "docs")),
+        dims = Seq(graft.lake.MaterializedAgg.DimJoin("probe.srcdim", "source", "src_key")))
+      mv.refresh()
+      val churn = docCopy(spark, 0).filter(col("doc_id") < 2000)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+      base.append(churn)
+      val t0 = System.nanoTime()
+      mv.refresh()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"star_mv_refresh","base_copies":$scale,""" +
+        f""""base_rows":${base.toDF.count()},"churn_rows":2000,""" +
+        f""""refresh_secs":$secs%.2f,"mv_groups":${mv.read().count()}}""")
+    }
+
     // merge-on-read point delete (r9): DELETE one row out of a 1x vs Nx
     // table, copy-on-write vs merge-on-read. The claim under test: CoW
     // writes bytes proportional to the CONTAINING FILE (at 100 TB, a

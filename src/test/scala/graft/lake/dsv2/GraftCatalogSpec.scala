@@ -503,6 +503,32 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(r4.getLong(0) === 55L && r4.getString(1) === "new")
   }
 
+  test("generated columns: computed on write, supplied values must agree (r9)") {
+    sql("""CREATE TABLE lake.db.gen (
+      |  id BIGINT, v DOUBLE,
+      |  doubled BIGINT GENERATED ALWAYS AS (id * 2))""".stripMargin)
+    // omitted → computed
+    sql("INSERT INTO lake.db.gen (id, v) VALUES (1, 1.0), (2, 2.0)")
+    val r0 = sql("SELECT id, doubled FROM lake.db.gen ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(r0.toSeq === Seq((1L, 2L), (2L, 4L)))
+    // supplied and consistent → accepted
+    sql("INSERT INTO lake.db.gen VALUES (3, 3.0, 6)")
+    assert(sql("SELECT doubled FROM lake.db.gen WHERE id = 3").head.getLong(0) === 6L)
+    // supplied and INCONSISTENT → rejected, nothing committed
+    val e = intercept[Exception] { sql("INSERT INTO lake.db.gen VALUES (4, 4.0, 9)") }
+    assert(e.getMessage.contains("generated column") ||
+      Option(e.getCause).exists(_.getMessage.contains("generated column")),
+      s"violation must name the generated column: ${e.getMessage}")
+    assert(sql("SELECT COUNT(*) FROM lake.db.gen").head.getLong(0) === 3)
+    // Scala append without the column → computed
+    val lt = new graft.lake.LakeCatalog(spark,
+      spark.conf.get("spark.sql.catalog.lake.warehouse")).loadTable("db.gen")
+    import spark.implicits._
+    lt.append(Seq((5L, 5.0)).toDF("id", "v"))
+    assert(sql("SELECT doubled FROM lake.db.gen WHERE id = 5").head.getLong(0) === 10L)
+  }
+
   test("COUNT(*) answers from snapshot metadata, not a file scan") {
     sql("CREATE DATABASE IF NOT EXISTS lake.db")
     sql("CREATE TABLE lake.db.cnt (id BIGINT)")
