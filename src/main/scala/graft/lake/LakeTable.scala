@@ -241,8 +241,26 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
       .flatMap(c => schema.byName(c).map(_.physicalName))
     val writer0 = withParts.write.mode("overwrite")
-    val writer = bloomCols.foldLeft(writer0)((w, c) =>
+    val writer1 = bloomCols.foldLeft(writer0)((w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    // write.target-file-size-bytes: roll oversized task outputs at
+    // ~target size. Spark's writer rolls by RECORDS, so the record cap is
+    // derived from the table's own footer-measured bytes/row (metadata
+    // already in hand — no sampling pass). Self-tuning: every commit's
+    // stats refresh the estimate. Without this, one giant input partition
+    // writes one giant file — the inverse of the small-files problem, and
+    // just as real at 100 TB (a 10 GB file defeats task-level parallelism
+    // and spills single readers). First-ever append has no estimate and
+    // writes unrolled; the next append corrects.
+    val writer = m.properties.get("write.target-file-size-bytes")
+      .flatMap(s => s.toLongOption).flatMap { tb =>
+        val files = m.currentSnapshot.map(_.files).getOrElse(Seq.empty)
+        val rows = files.map(_.rowCount).sum
+        val bytes = files.map(_.sizeBytes).sum
+        if (rows > 0 && bytes > 0)
+          Some(math.max(1L, tb / math.max(1L, bytes / rows)))
+        else None
+      }.fold(writer1)(n => writer1.option("maxRecordsPerFile", n))
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(tmp.toString)
 
     // enumerate written parquet files; parse partition values from dirs;

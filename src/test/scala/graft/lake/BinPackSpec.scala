@@ -223,6 +223,27 @@ class BinPackSpec extends AnyFunSuite {
     assert(ids(t.toDF) === (0L until 40L))
   }
 
+  test("write.target-file-size-bytes rolls oversized task outputs at ~target (r9)") {
+    val cat = freshCatalog()
+    val t = cat.createTable("b.t11", schema)
+    // first append seeds the bytes/row estimate from footer stats
+    t.append(rows(0 until 1000, "s").coalesce(1))
+    val seed = files(t).head
+    val bytesPerRow = seed.sizeBytes / seed.rowCount
+    // target ≈ 1000 rows worth of bytes; a 5000-row single-partition
+    // append must roll into ~5 files instead of one giant file
+    t.setProperties(Map("write.target-file-size-bytes" ->
+      (bytesPerRow * 1000).toString))
+    t.append(rows(10000 until 15000, "s").coalesce(1))
+    val appended = files(t).filterNot(_ == seed)
+    assert(appended.size >= 4 && appended.size <= 7,
+      s"5000 rows at a 1000-row target must roll into ~5 files: ${appended.map(_.rowCount)}")
+    assert(appended.map(_.rowCount).sum === 5000L)
+    assert(appended.forall(_.rowCount <= 1100),
+      "no rolled file may meaningfully exceed the record cap")
+    assert(ids(t.toDF) === ((0L until 1000L) ++ (10000L until 15000L)))
+  }
+
   test("time travel to the pre-binpack snapshot still reads the old files") {
     val cat = freshCatalog()
     val t = smallFilesTable(cat, "b.t9")
