@@ -198,21 +198,7 @@ final class MaterializedAgg private[lake] (
 
   /** The view's current contents with FINAL aggregate values (AVG
     * divided out as DOUBLE), ordered like a fresh groupBy would be. */
-  def read(): DataFrame = {
-    val finals = aggs.map { a =>
-      a.func match {
-        case "avg" => // AVG of zero non-null values is NULL, not 0/0
-          when(col(cntCol(a.alias)) === 0L, lit(null))
-            .otherwise(col(sumCol(a.alias)).cast("double") / col(cntCol(a.alias)))
-            .as(a.alias)
-        case "sum" => // SUM of zero non-null values is NULL, not the accumulator's 0
-          when(col(cntCol(a.alias)) === 0L, lit(null))
-            .otherwise(col(sumCol(a.alias))).as(a.alias)
-        case _ => col(a.alias)
-      }
-    }
-    state.toDF.select(groupBy.map(col) ++ finals: _*)
-  }
+  def read(): DataFrame = presentState(state.toDF, groupBy, aggs)
 
   private def stateCols(old: DataFrame): Seq[Column] =
     old.schema.fieldNames.toSeq.map(col)
@@ -267,6 +253,38 @@ object MaterializedAgg {
 
   private[lake] def dimSnapshots(dims: Seq[(DimJoin, LakeTable)]): String =
     dims.map(_._2.meta.currentSnapshot.map(_.snapshotId).getOrElse(-1L)).mkString(",")
+
+  /** Finalized-view projection over a state frame: group columns + final
+    * aggregate values (AVG divided out as DOUBLE; SUM/AVG of zero
+    * non-null values are NULL, not the accumulator's 0). Shared by
+    * [[MaterializedAgg.read]] and the DSv2 presentation of an MV table
+    * (`SELECT * FROM lake.db.mv` shows the VIEW, not the merge state). */
+  private[graft] def presentState(stateDf: DataFrame, groupBy: Seq[String],
+                                  aggs: Seq[AggCol]): DataFrame = {
+    val finals = aggs.map { a =>
+      a.func match {
+        case "avg" =>
+          when(col(cntCol(a.alias)) === 0L, lit(null))
+            .otherwise(col(sumCol(a.alias)).cast("double") / col(cntCol(a.alias)))
+            .as(a.alias)
+        case "sum" =>
+          when(col(cntCol(a.alias)) === 0L, lit(null))
+            .otherwise(col(sumCol(a.alias))).as(a.alias)
+        case _ => col(a.alias)
+      }
+    }
+    stateDf.select(groupBy.map(col) ++ finals: _*)
+  }
+
+  /** (groupBy, aggs) when the properties mark a materialized-view state
+    * table, None for ordinary tables. */
+  private[graft] def viewSpec(props: Map[String, String]): Option[(Seq[String], Seq[AggCol])] =
+    props.get("graft.ivm.aggs").map { aggsStr =>
+      (props("graft.ivm.group-by").split(",").toSeq,
+        aggsStr.split(";").toSeq.map { s =>
+          val Array(f, c, a) = s.split(":", 3); AggCol(f, c, a)
+        })
+    }
 
   private[lake] val KeyCol = "_ivm_key"
   private[lake] val RowsCol = "_ivm_rows"

@@ -1,0 +1,85 @@
+package graft.lake.dsv2
+
+import graft.lake.{LakeCatalog, MaterializedAgg}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+
+/** SQL surface for incrementally-maintained aggregates (q63's engine
+  * feature as DDL — stock Spark has no MATERIALIZED VIEW grammar, so
+  * [[GraftSqlParser]] intercepts these statement shapes):
+  *
+  *   CREATE MATERIALIZED VIEW <cat>.<db>.<mv> AS
+  *     SELECT g1[, g2…], func(col) AS alias[, …]
+  *     FROM <cat>.<db>.<base> GROUP BY g1[, g2…]
+  *   REFRESH MATERIALIZED VIEW <cat>.<db>.<mv>
+  *   DROP MATERIALIZED VIEW [IF EXISTS] <cat>.<db>.<mv>
+  *
+  * func ∈ count|sum|avg|min|max (the abelian/semigroup set the delta
+  * algebra maintains); every aggregate must be aliased (the alias is the
+  * view's column name); group-by items must be the SELECT's bare
+  * columns. Creation runs the initial build (which IS the incremental
+  * path — a changelog replay from the table's beginning); refresh costs
+  * churn, not table size (SCALEPROBE.md `mv_refresh`). The view reads as
+  * a normal table (`SELECT * FROM <mv>` presents finalized values —
+  * GraftTable's ivm presentation) and refuses direct writes. */
+object GraftMaterializedView {
+
+  /** The graft LakeCatalog behind a registered catalog name. */
+  private[dsv2] def lakeCatalogOf(spark: SparkSession, catalog: String): LakeCatalog =
+    spark.sessionState.catalogManager.catalog(catalog) match {
+      case g: GraftCatalog => g.lake
+      case other => throw new IllegalArgumentException(
+        s"MATERIALIZED VIEW requires a graft catalog; '$catalog' is ${other.getClass.getName}")
+    }
+
+  /** Split `cat.db.name` → (catalogName, "db.name"). */
+  private[dsv2] def splitIdent(ident: Seq[String]): (String, String) = {
+    require(ident.length >= 3,
+      s"materialized-view identifiers must be catalog-qualified (cat.db.name): ${ident.mkString(".")}")
+    (ident.head, ident.tail.mkString("."))
+  }
+}
+
+case class CreateMaterializedViewCommand(
+    viewIdent: Seq[String], baseIdent: Seq[String],
+    groupBy: Seq[String], aggs: Seq[MaterializedAgg.AggCol])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (vCat, vIdent) = GraftMaterializedView.splitIdent(viewIdent)
+    val (bCat, bIdent) = GraftMaterializedView.splitIdent(baseIdent)
+    require(vCat == bCat,
+      s"view and base table must live in the same catalog: $vCat vs $bCat")
+    val lake = GraftMaterializedView.lakeCatalogOf(spark, vCat)
+    val mv = MaterializedAgg.create(lake, vIdent, lake.loadTable(bIdent), groupBy, aggs)
+    mv.refresh() // initial build = the incremental path from the beginning
+    Seq.empty
+  }
+}
+
+case class RefreshMaterializedViewCommand(viewIdent: Seq[String])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident) = GraftMaterializedView.splitIdent(viewIdent)
+    val lake = GraftMaterializedView.lakeCatalogOf(spark, cat)
+    MaterializedAgg.load(lake, ident).refresh()
+    Seq.empty
+  }
+}
+
+case class DropMaterializedViewCommand(viewIdent: Seq[String], ifExists: Boolean)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident) = GraftMaterializedView.splitIdent(viewIdent)
+    val lake = GraftMaterializedView.lakeCatalogOf(spark, cat)
+    if (!lake.tableExists(ident)) {
+      if (ifExists) return Seq.empty
+      throw new IllegalArgumentException(s"materialized view $ident does not exist")
+    }
+    // refuse to DROP MATERIALIZED VIEW a plain table (and vice versa:
+    // DROP TABLE works on the state table regardless — it IS a table)
+    require(MaterializedAgg.viewSpec(lake.loadTable(ident).meta.properties).isDefined,
+      s"$ident is not a materialized view")
+    lake.dropTable(ident)
+    Seq.empty
+  }
+}

@@ -33,6 +33,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = {
     val plan = GraftSqlParser.parseBranchDdl(sqlText, delegate)
       .orElse(GraftSqlParser.parsePartitionFieldDdl(sqlText, delegate))
+      .orElse(GraftSqlParser.parseMaterializedViewDdl(sqlText, delegate))
       .getOrElse(delegate.parsePlan(sqlText))
     // view DDL/reads on graft catalogs rewrite at PARSE time: the
     // analyzer's ResolveSessionCatalog rejects v2-catalog view DDL before
@@ -126,6 +127,55 @@ object GraftSqlParser {
         Some(PartitionFieldDdlCommand(
           delegate.parseMultipartIdentifier(ident),
           add = verb.equalsIgnoreCase("ADD"), colName, transform))
+      case _ => None
+    }
+
+  private val MvIdent = """(?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))*"""
+  private val CreateMv =
+    s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+($MvIdent)\\s+AS\\s+SELECT\\s+(.+?)\\s+FROM\\s+($MvIdent)\\s+GROUP\\s+BY\\s+(.+?)\\s*;?\\s*""".r
+  private val RefreshMv =
+    s"""(?is)\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+($MvIdent)\\s*;?\\s*""".r
+  private val DropMv =
+    s"""(?is)\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+(?:(IF\\s+EXISTS)\\s+)?($MvIdent)\\s*;?\\s*""".r
+  private val AggItem = """(?i)\s*(count|sum|avg|min|max)\s*\(\s*`?(\w+)`?\s*\)\s+AS\s+`?(\w+)`?\s*""".r
+  private val BareItem = """\s*`?(\w+)`?\s*""".r
+
+  /** Some(command) when the text is MATERIALIZED VIEW DDL
+    * ([[GraftMaterializedView]]). The SELECT shape is restricted to what
+    * the delta algebra maintains: bare group columns +
+    * count/sum/avg/min/max aggregates, each aliased. */
+  def parseMaterializedViewDdl(sqlText: String,
+                               delegate: ParserInterface): Option[LogicalPlan] =
+    sqlText match {
+      case CreateMv(view, selectList, base, groupList) =>
+        val groupBy = groupList.split(",").toSeq.map {
+          case BareItem(c) => c
+          case other => parseError(sqlText,
+            s"GROUP BY items must be bare columns: $other")
+        }
+        var bare = Vector.empty[String]
+        var aggs = Vector.empty[graft.lake.MaterializedAgg.AggCol]
+        selectList.split(",").foreach {
+          case AggItem(f, c, a) =>
+            aggs :+= graft.lake.MaterializedAgg.AggCol(
+              f.toLowerCase(java.util.Locale.ROOT), c, a)
+          case BareItem(c) => bare :+= c
+          case other => parseError(sqlText,
+            "materialized-view SELECT items must be bare group columns or " +
+              s"count|sum|avg|min|max(col) AS alias: $other " +
+              "(COUNT(*) is not maintainable per-column — use count(<col>))")
+        }
+        if (bare.sorted != groupBy.sorted) parseError(sqlText,
+          s"SELECT's bare columns ${bare.mkString(",")} must equal GROUP BY ${groupBy.mkString(",")}")
+        if (aggs.isEmpty) parseError(sqlText, "at least one aggregate is required")
+        Some(CreateMaterializedViewCommand(
+          delegate.parseMultipartIdentifier(view),
+          delegate.parseMultipartIdentifier(base), groupBy, aggs))
+      case RefreshMv(view) =>
+        Some(RefreshMaterializedViewCommand(delegate.parseMultipartIdentifier(view)))
+      case DropMv(ifExists, view) =>
+        Some(DropMaterializedViewCommand(
+          delegate.parseMultipartIdentifier(view), ifExists != null))
       case _ => None
     }
 }

@@ -41,15 +41,30 @@ case class GraftTable(
 
   override def name(): String = identName
 
+  /** (groupBy, aggs) when this table is a materialized-view STATE table —
+    * such tables READ as the finalized view, never as raw merge state. */
+  private def ivmSpec = graft.lake.MaterializedAgg.viewSpec(lakeTable.meta.properties)
+
   override def schema(): StructType = metaKind match {
     case Some(k) => MetadataTables(lakeTable, k).schema
-    case None => lakeTable.meta.schema.sparkSchema
+    case None => ivmSpec match {
+      case Some((g, a)) =>
+        // finalized schema from an EMPTY state frame — no IO
+        graft.lake.MaterializedAgg.presentState(
+          lakeTable.spark.createDataFrame(
+            new java.util.ArrayList[Row](), lakeTable.meta.schema.sparkSchema),
+          g, a).schema
+      case None => lakeTable.meta.schema.sparkSchema
+    }
   }
 
   /** The DataFrame this table reads as (used by GraftReadRule). */
   def readDataFrame(): DataFrame = metaKind match {
     case Some(k) => lakeTable.metadataTable(k)
-    case None => lakeTable.read(pinnedSnapshotId, pinnedBranch, pinnedTimestampMs)
+    case None =>
+      val raw = lakeTable.read(pinnedSnapshotId, pinnedBranch, pinnedTimestampMs)
+      ivmSpec.fold(raw) { case (g, a) =>
+        graft.lake.MaterializedAgg.presentState(raw, g, a) }
   }
 
   /** Exact row count from snapshot metadata (parquet-footer counts summed
@@ -57,6 +72,8 @@ case class GraftTable(
     * [[readDataFrame]], so time travel and WAP routing hold. None for
     * metadata tables. Lets COUNT(*) answer without touching data files. */
   def metadataRowCount: Option[Long] = metaKind match {
+    // MV presentation is a pure projection (one view row per state row),
+    // so the metadata count stays exact for it too
     case Some(_) => None
     case None =>
       lakeTable.resolveSnapshot(pinnedSnapshotId, pinnedBranch, pinnedTimestampMs) match {
@@ -227,6 +244,15 @@ case class GraftTable(
               val cond = pushed.flatMap(filterToColumn).reduceOption(_ && _)
               val base = metaKind match {
                 case Some(k) => lakeTable.metadataTable(k)
+                // MV state tables present the finalized view; pushed
+                // filters reference VIEW columns, so they apply after the
+                // presentation projection, not at the raw state scan
+                case None if ivmSpec.isDefined =>
+                  val (g, a) = ivmSpec.get
+                  val v = graft.lake.MaterializedAgg.presentState(
+                    lakeTable.read(pinnedSnapshotId, pinnedBranch, pinnedTimestampMs),
+                    g, a)
+                  cond.map(v.filter).getOrElse(v)
                 case None => lakeTable.read(pinnedSnapshotId, pinnedBranch,
                   pinnedTimestampMs, filter = cond)
               }
@@ -245,6 +271,9 @@ case class GraftTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(metaKind.isEmpty, s"metadata table $identName is read-only")
+    require(ivmSpec.isEmpty,
+      s"$identName is a materialized view — it is refreshed from its base " +
+        "table (REFRESH MATERIALIZED VIEW), never written directly")
     require(pinnedSnapshotId.isEmpty && pinnedTimestampMs.isEmpty,
       s"cannot write to a time-travel snapshot of $identName")
     new WriteBuilder with SupportsTruncate {
@@ -267,7 +296,8 @@ case class GraftTable(
   // ---- DELETE FROM ---------------------------------------------------------
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    metaKind.isEmpty && filters.forall(filterToColumn(_).isDefined)
+    metaKind.isEmpty && ivmSpec.isEmpty &&
+      filters.forall(filterToColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(pinnedSnapshotId.isEmpty && pinnedTimestampMs.isEmpty,

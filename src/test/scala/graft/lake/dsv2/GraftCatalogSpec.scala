@@ -529,6 +529,40 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT doubled FROM lake.db.gen WHERE id = 5").head.getLong(0) === 10L)
   }
 
+  test("MATERIALIZED VIEW SQL: create, read-as-view, refresh at churn cost, drop (r9)") {
+    sql("CREATE TABLE lake.db.mvbase (g STRING, v BIGINT)")
+    sql("INSERT INTO lake.db.mvbase VALUES ('a', 1), ('a', 2), ('b', 10)")
+    extSpark.sql(
+      """CREATE MATERIALIZED VIEW lake.db.rev AS
+        |SELECT g, sum(v) AS total, count(v) AS cnt, avg(v) AS mean
+        |FROM lake.db.mvbase GROUP BY g""".stripMargin)
+    def viewRows(s: SparkSession) =
+      s.sql("SELECT g, total, cnt, mean FROM lake.db.rev ORDER BY g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // reads present the FINALIZED view (not raw merge state), on BOTH the
+    // extensions (plan-substituted) and plain (V1Scan) read paths
+    assert(viewRows(extSpark) === Seq(("a", 3L, 2L, 1.5), ("b", 10L, 1L, 10.0)))
+    assert(viewRows(spark) === Seq(("a", 3L, 2L, 1.5), ("b", 10L, 1L, 10.0)))
+    // base churn + REFRESH: incremental, equals recompute
+    sql("INSERT INTO lake.db.mvbase VALUES ('b', 5), ('c', 7)")
+    extSpark.sql("REFRESH MATERIALIZED VIEW lake.db.rev")
+    assert(viewRows(spark) ===
+      Seq(("a", 3L, 2L, 1.5), ("b", 15L, 2L, 7.5), ("c", 7L, 1L, 7.0)))
+    // the view refuses direct writes and DML
+    intercept[Exception] { sql("INSERT INTO lake.db.rev VALUES ('x', 1, 1, 1.0)") }
+    // bad shapes are parse errors, not silent misbuilds
+    intercept[Exception] { extSpark.sql(
+      "CREATE MATERIALIZED VIEW lake.db.bad AS SELECT g, count(*) AS n FROM lake.db.mvbase GROUP BY g") }
+    intercept[Exception] { extSpark.sql(
+      "CREATE MATERIALIZED VIEW lake.db.bad AS SELECT g, h, sum(v) AS t FROM lake.db.mvbase GROUP BY g") }
+    // DROP refuses a plain table; IF EXISTS tolerates a missing view
+    intercept[Exception] { extSpark.sql("DROP MATERIALIZED VIEW lake.db.mvbase") }
+    extSpark.sql("DROP MATERIALIZED VIEW IF EXISTS lake.db.nope")
+    extSpark.sql("DROP MATERIALIZED VIEW lake.db.rev")
+    assert(!new graft.lake.LakeCatalog(spark,
+      spark.conf.get("spark.sql.catalog.lake.warehouse")).tableExists("db.rev"))
+  }
+
   test("COUNT(*) answers from snapshot metadata, not a file scan") {
     sql("CREATE DATABASE IF NOT EXISTS lake.db")
     sql("CREATE TABLE lake.db.cnt (id BIGINT)")
