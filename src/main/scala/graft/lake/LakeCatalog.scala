@@ -48,7 +48,13 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
         existsDefaultSql = if (f.metadata.contains("EXISTS_DEFAULT"))
           Some(f.metadata.getString("EXISTS_DEFAULT")) else None,
         generationSql = if (f.metadata.contains("GENERATION_EXPRESSION"))
-          Some(f.metadata.getString("GENERATION_EXPRESSION")) else None)
+          Some(f.metadata.getString("GENERATION_EXPRESSION")) else None,
+        identityStart = if (f.metadata.contains("IDENTITY_START"))
+          Some(f.metadata.getLong("IDENTITY_START")) else None,
+        identityStep = if (f.metadata.contains("IDENTITY_STEP"))
+          Some(f.metadata.getLong("IDENTITY_STEP")) else None,
+        identityAllowExplicit = f.metadata.contains("IDENTITY_ALLOW_EXPLICIT") &&
+          f.metadata.getBoolean("IDENTITY_ALLOW_EXPLICIT"))
     }.toSeq
     val lakeSchema = LakeSchema(0, cols)
     val specFields = partitionBy.map { case (colName, transform) =>

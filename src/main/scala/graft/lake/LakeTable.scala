@@ -356,16 +356,80 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     }
   }
 
+  /** Identity-column assignment (GENERATED … AS IDENTITY): values are
+    * `next + monotonically_increasing_id() × step` — unique with GAPS
+    * ALLOWED (Delta identity semantics; mono ids are sparse across
+    * partitions). The post-write high-water comes from the new files'
+    * FOOTER STATS (no extra pass), and the property advance rides in the
+    * same commit as the data, guarded against a concurrent allocation
+    * from the same base (the loser gets CommitConflictException and
+    * re-plans — ids are never double-issued). ALWAYS refuses supplied
+    * non-null values row-level; BY DEFAULT keeps them. */
+  private def assignIdentity(m: TableMeta, df: DataFrame): (DataFrame, Seq[(LakeColumn, Long)]) = {
+    val idCols = m.schema.columns.filter(_.identityStart.isDefined)
+    if (idCols.isEmpty) return (df, Seq.empty)
+    var d = df
+    val planned = idCols.map { c =>
+      val step = c.identityStep.getOrElse(1L)
+      val base = m.properties.get(s"graft.identity.next.${c.id}")
+        .flatMap(_.toLongOption).getOrElse(c.identityStart.get)
+      val assigned = (lit(base) + monotonically_increasing_id() * lit(step))
+        .cast(c.sparkType)
+      d =
+        if (!d.columns.contains(c.name)) d.withColumn(c.name, assigned)
+        else if (c.identityAllowExplicit)
+          d.withColumn(c.name, coalesce(d.col(c.name).cast(c.sparkType), assigned))
+        else d.withColumn(c.name,
+          when(d.col(c.name).isNull, assigned).otherwise(
+            when(isnull(assert_true(lit(false),
+              concat(lit(s"identity column ${c.name} is GENERATED ALWAYS — " +
+                "explicit values are not allowed; row: "),
+                to_json(struct(df.columns.toIndexedSeq.map(df.col): _*))))),
+              assigned)))
+      c -> base
+    }
+    (d, planned)
+  }
+
+  /** Post-write identity high-water from the new files' footer stats. */
+  private def identityAdvance(planned: Seq[(LakeColumn, Long)],
+                              files: Seq[DataFile]): Map[String, String] =
+    planned.map { case (c, base) =>
+      val step = c.identityStep.getOrElse(1L)
+      val vals = files.flatMap(_.stats.get(c.physicalName))
+        .flatMap(s => (if (step > 0) s.max else s.min).flatMap(_.toLongOption))
+      val next =
+        if (vals.isEmpty) base
+        else if (step > 0) vals.max + step else vals.min + step
+      s"graft.identity.next.${c.id}" -> next.toString
+    }.toMap
+
+  /** Commit-time guard: the identity base each assignment planned from
+    * must still be current, else a concurrent append issued overlapping
+    * values and this one must re-plan. */
+  private def requireIdentityUnmoved(m: TableMeta,
+                                     planned: Seq[(LakeColumn, Long)]): Unit =
+    planned.foreach { case (c, base) =>
+      val cur = m.properties.get(s"graft.identity.next.${c.id}")
+        .flatMap(_.toLongOption).getOrElse(c.identityStart.get)
+      if (cur != base) throw CommitConflictException(
+        s"identity range for ${c.name} was allocated concurrently " +
+          s"(planned from $cur ≠ $base) — re-plan and retry")
+    }
+
   def append(df: DataFrame, toBranch: Option[String] = None): TableMeta = {
     val m0 = mergeSchemaIfEnabled(df)
     requireWapUnambiguous(m0)
+    val (df1, idPlan) = assignIdentity(m0, df)
     val newFiles = writeDataFiles(
-      toPhysical(withCheckConstraints(m0, df), m0.schema), m0, filePrefix = "app")
+      toPhysical(withCheckConstraints(m0, df1), m0.schema), m0, filePrefix = "app")
+    val idProps = identityAdvance(idPlan, newFiles)
     val staged = wapId.isDefined &&
       m0.properties.get("write.wap.enabled").contains("true") && toBranch.isEmpty
     val branch = resolveWriteBranch(toBranch)
     commit { m =>
       require(m.refs.get(branch).forall(_.kind != "tag"), s"cannot write to tag $branch")
+      requireIdentityUnmoved(m, idPlan)
       val parent = m.snapshotFor(branch).orElse(m.currentSnapshot)
       val snapId = m.lastSnapshotId + 1
       val now = System.currentTimeMillis()
@@ -387,7 +451,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       val snap = Snapshot(snapId, parent.map(_.snapshotId), now, "append", summary,
         base ++ newFiles.map(_.copy(addedSnapshotId = snapId)),
         staged = staged, deleteFiles = parentDels, eqDeleteFiles = parentEq)
-      val m2 = m.copy(snapshots = m.snapshots :+ snap, lastSnapshotId = snapId)
+      val m2 = m.copy(snapshots = m.snapshots :+ snap, lastSnapshotId = snapId,
+        properties = m.properties ++ idProps)
       if (staged) m2
       else m2.copy(
         refs = m.refs + (branch -> Ref(snapId)),
@@ -1038,14 +1103,20 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     val m0 = meta
     requireWapUnambiguous(m0)
     val branch = resolveWriteBranch(toBranch)
+    // identity continues across an overwrite (Delta semantics: TRUNCATE/
+    // OVERWRITE never restarts the sequence — restarting would reissue
+    // ids that time travel still exposes)
+    val (df1, idPlan) = assignIdentity(m0, df)
     val newFiles = writeDataFiles(
-      toPhysical(withCheckConstraints(m0, df), m0.schema), m0, filePrefix = "app")
+      toPhysical(withCheckConstraints(m0, df1), m0.schema), m0, filePrefix = "app")
+    val idProps = identityAdvance(idPlan, newFiles)
     val staged = wapId.isDefined &&
       m0.properties.get("write.wap.enabled").contains("true") && toBranch.isEmpty
     val summary = Map(
       "added-data-files" -> newFiles.size.toString,
       "added-records" -> newFiles.map(_.rowCount).sum.toString)
     if (staged) commit { m =>
+      requireIdentityUnmoved(m, idPlan)
       val parent = m.snapshotFor(branch).orElse(m.currentSnapshot)
       val snapId = m.lastSnapshotId + 1
       val snap = Snapshot(snapId, parent.map(_.snapshotId), System.currentTimeMillis(),
@@ -1054,9 +1125,11 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
           "total-records" -> newFiles.map(_.rowCount).sum.toString) ++
           wapId.map("wap.id" -> _),
         newFiles, staged = true)
-      m.copy(snapshots = m.snapshots :+ snap, lastSnapshotId = snapId)
+      m.copy(snapshots = m.snapshots :+ snap, lastSnapshotId = snapId,
+        properties = m.properties ++ idProps)
     } else commitReplace(branch, newFiles, "overwrite", summary,
-      base = m0.snapshotFor(branch).orElse(m0.currentSnapshot), strict = true)
+      base = m0.snapshotFor(branch).orElse(m0.currentSnapshot), strict = true,
+      identityPlan = idPlan, identityProps = idProps)
   }
 
   /** Replace the branch head's file list with `files` in one commit.
@@ -1098,10 +1171,13 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
                                   conflictPredicate: Option[Pruning.Pred] = None,
                                   staged: Boolean = false,
                                   extraDeleteFiles: Seq[DeleteFile] = Seq.empty,
-                                  extraEqDeleteFiles: Seq[EqualityDeleteFile] = Seq.empty)
+                                  extraEqDeleteFiles: Seq[EqualityDeleteFile] = Seq.empty,
+                                  identityPlan: Seq[(LakeColumn, Long)] = Seq.empty,
+                                  identityProps: Map[String, String] = Map.empty)
       : TableMeta =
     commit { m =>
       require(m.refs.get(branch).forall(_.kind != "tag"), s"cannot write to tag $branch")
+      requireIdentityUnmoved(m, identityPlan)
       val parent = m.snapshotFor(branch).orElse(m.currentSnapshot)
       val reconciled =
         if (parent.map(_.snapshotId) == base.map(_.snapshotId)) files
@@ -1177,12 +1253,14 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       // auditable via VERSION AS OF '<wap.id>', published by cherrypick
       // (which, for replacement ops, refuses if the branch moved meanwhile)
       if (staged)
-        m.copy(snapshots = m.snapshots :+ snap, lastSnapshotId = snapId)
+        m.copy(snapshots = m.snapshots :+ snap, lastSnapshotId = snapId,
+          properties = m.properties ++ identityProps)
       else m.copy(
         snapshots = m.snapshots :+ snap,
         lastSnapshotId = snapId,
         refs = m.refs + (branch -> Ref(snapId)),
-        history = m.history :+ HistoryEntry(now, snapId, branch))
+        history = m.history :+ HistoryEntry(now, snapId, branch),
+        properties = m.properties ++ identityProps)
     }
 
   // ---- schema evolution (D5-D7) -------------------------------------------

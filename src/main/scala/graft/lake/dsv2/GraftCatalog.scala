@@ -42,7 +42,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -140,6 +141,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         b.putString("EXISTS_DEFAULT", dv.getSql)
       }
       Option(c.generationExpression()).foreach(b.putString("GENERATION_EXPRESSION", _))
+      Option(c.identityColumnSpec()).foreach { is =>
+        b.putLong("IDENTITY_START", is.getStart)
+        b.putLong("IDENTITY_STEP", is.getStep)
+        b.putBoolean("IDENTITY_ALLOW_EXPLICIT", is.isAllowExplicitInsert)
+      }
       org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable(), b.build())
     })
     createTable(ident, withGen, partitions, properties)

@@ -563,6 +563,44 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.conf.get("spark.sql.catalog.lake.warehouse")).tableExists("db.rev"))
   }
 
+  test("identity columns: unique system-assigned values, concurrent allocation guarded (r9)") {
+    sql("""CREATE TABLE lake.db.ident (
+      |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 2),
+      |  v STRING)""".stripMargin)
+    // single-partition inserts get dense values from the start point
+    sql("INSERT INTO lake.db.ident (v) VALUES ('a'), ('b'), ('c')")
+    val r0 = sql("SELECT id, v FROM lake.db.ident ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(r0.toSeq === Seq((100L, "a"), (102L, "b"), (104L, "c")))
+    // next batch continues ABOVE the high-water (gaps allowed, overlap never)
+    sql("INSERT INTO lake.db.ident (v) VALUES ('d')")
+    val ids0 = sql("SELECT id FROM lake.db.ident").collect().map(_.getLong(0))
+    assert(ids0.distinct.length === 4, "identity values must be unique")
+    assert(ids0.max >= 106L)
+    // ALWAYS refuses explicit non-null values
+    val e = intercept[Exception] { sql("INSERT INTO lake.db.ident VALUES (999, 'x')") }
+    assert(e.getMessage.contains("GENERATED ALWAYS") ||
+      Option(e.getCause).exists(_.getMessage.contains("GENERATED ALWAYS")))
+    // concurrent Scala appends: withConflictRetry + the allocation guard
+    // mean every id is issued exactly once
+    val lt = new graft.lake.LakeCatalog(spark,
+      spark.conf.get("spark.sql.catalog.lake.warehouse")).loadTable("db.ident")
+    import spark.implicits._
+    val threads = (0 until 4).map { i =>
+      new Thread(() => {
+        graft.lake.LakeTable.withConflictRetry(attempts = 20) {
+          lt.append(Seq(s"t$i-1", s"t$i-2").toDF("v").coalesce(1)); ()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    val ids1 = sql("SELECT id FROM lake.db.ident").collect().map(_.getLong(0))
+    assert(ids1.length === 12 && ids1.distinct.length === 12,
+      s"concurrent appends must never double-issue identity values: ${ids1.sorted.toSeq}")
+    // step honored everywhere: all values share the start's parity
+    assert(ids1.forall(v => (v - 100L) % 2 == 0))
+  }
+
   test("COUNT(*) answers from snapshot metadata, not a file scan") {
     sql("CREATE DATABASE IF NOT EXISTS lake.db")
     sql("CREATE TABLE lake.db.cnt (id BIGINT)")
