@@ -2323,6 +2323,25 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
 
   def metadataTable(kind: String): DataFrame = MetadataTables(this, kind)
 
+  /** Every metadata version on disk: (version, file path, modified-ms,
+    * latest snapshot id recorded by that version). Backs the
+    * `metadata_log_entries` metadata table (Iceberg's metadata-log):
+    * the root-document history, one row per committed version. */
+  private[lake] def metadataVersions: Seq[(Int, String, Long, Option[Long])] = {
+    var v = 1
+    val out = Seq.newBuilder[(Int, String, Long, Option[Long])]
+    while (fs.exists(versionPath(v))) {
+      val p = versionPath(v)
+      val st = fs.getFileStatus(p)
+      val m = Meta.fromJson(readFile(p)) // root only — snapshot file lists stay unresolved
+      out += ((v, p.toString, st.getModificationTime,
+        m.currentSnapshot.map(_.snapshotId)
+          .orElse(m.snapshots.lastOption.map(_.snapshotId))))
+      v += 1
+    }
+    out.result()
+  }
+
   /** DESCRIBE EXTENDED analog (D4, Getting Started.ipynb c8): column
     * rows (name, type, comment) followed by table-detail rows. */
   def describeExtended: DataFrame = {

@@ -11,7 +11,8 @@ object MetadataTables {
 
   val kinds: Seq[String] =
     Seq("snapshots", "files", "partitions", "history", "refs", "manifests",
-      "delete_files", "position_deletes", "all_files", "all_delete_files")
+      "delete_files", "position_deletes", "all_files", "all_delete_files",
+      "metadata_log_entries")
 
   def apply(table: LakeTable, kind: String): DataFrame = {
     val spark = table.spark
@@ -127,6 +128,14 @@ object MetadataTables {
         }.toSeq.sortBy(_._2)
           .toDF("content", "file_path", "file_size_in_bytes", "record_count",
             "first_snapshot_id", "referenced_by_snapshots")
+
+      case "metadata_log_entries" =>
+        // the root-document history itself (Iceberg's metadata_log_entries):
+        // one row per committed metadata version — the audit trail of
+        // COMMITS, where `snapshots` is the audit trail of table states
+        table.metadataVersions.map { case (v, file, ts, snapId) =>
+          (new java.sql.Timestamp(ts), file, v, snapId)
+        }.toDF("timestamp", "file", "metadata_version", "latest_snapshot_id")
 
       case "position_deletes" =>
         // the CONTENT of the current snapshot's positional delete files

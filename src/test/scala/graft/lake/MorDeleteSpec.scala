@@ -355,6 +355,21 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(MetadataTables(t, "all_delete_files").count() === 0)
   }
 
+  test("metadata_log_entries: one row per committed metadata version (r9)") {
+    val cat = freshCatalog()
+    val t = threeFileTable(cat, "m.t19") // create + 1 props + 3 appends
+    t.delete(col("id") === 5)
+    val log = MetadataTables(t, "metadata_log_entries")
+      .orderBy("metadata_version").collect()
+    assert(log.length === t.meta.version, "one entry per version file on disk")
+    assert(log.map(_.getInt(2)).toSeq === (1 to t.meta.version))
+    // the last entry records the current snapshot
+    assert(log.last.getLong(3) === t.meta.currentSnapshot.get.snapshotId)
+    // earlier entries point at earlier (or no) snapshots, monotonically
+    val snaps = log.flatMap(r => if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    assert(snaps.toSeq === snaps.sorted.toSeq)
+  }
+
   test("WAP: staged MoR delete is invisible until cherry-picked") {
     val cat = freshCatalog()
     val t = threeFileTable(cat, "m.t14")
