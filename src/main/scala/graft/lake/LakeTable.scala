@@ -824,7 +824,17 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       // already-updated columns — `SET a = 6, b = 9 WHERE a = 5` would
       // skip b on exactly the matched rows, and `SET a = b, b = a` would
       // fail to swap.
-      val updated = src.select(src.columns.toIndexedSeq.map { name =>
+      // generated columns NOT explicitly assigned are DROPPED from the
+      // projection so toPhysical RECOMPUTES them from the post-update row
+      // (Delta semantics: updating a dependency refreshes the generated
+      // value; keeping the stored value would trip the agreement assert
+      // and wrongly fail the whole UPDATE). An explicit assignment stays
+      // and is agreement-asserted like any supplied value.
+      val recomputed = m0.schema.columns
+        .filter(c => c.generationSql.isDefined && !assignments.contains(c.name))
+        .map(_.name).toSet
+      val updated = src.select(src.columns.toIndexedSeq
+        .filterNot(recomputed).map { name =>
         assignments.get(name) match {
           case Some(expr0) => condition match {
             case Some(c) =>
@@ -861,8 +871,11 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     // live rows under BOTH masks, with positions kept for the new entries
     val matched = liveRows(m0, snap, touched, withMeta = true).filter(cond)
     // every RHS reads the OLD row (matched rows pre-assignment), same
-    // contract as the CoW projection above
-    val dataCols = m0.schema.columns.map(_.name)
+    // contract as the CoW projection above; unassigned generated columns
+    // drop so toPhysical recomputes them (see the CoW path's comment)
+    val dataCols = m0.schema.columns
+      .filterNot(c => c.generationSql.isDefined && !assignments.contains(c.name))
+      .map(_.name)
     val updated = matched.select(dataCols.map { name =>
       assignments.get(name).map(_.as(name)).getOrElse(col(name))
     }: _*)

@@ -527,6 +527,21 @@ class GraftCatalogSpec extends AnyFunSuite {
     import spark.implicits._
     lt.append(Seq((5L, 5.0)).toDF("id", "v"))
     assert(sql("SELECT doubled FROM lake.db.gen WHERE id = 5").head.getLong(0) === 10L)
+    // UPDATE of a DEPENDENCY recomputes the generated column (Delta
+    // semantics) — on BOTH write modes
+    extSpark.sql("UPDATE lake.db.gen SET id = 50 WHERE id = 5")
+    assert(sql("SELECT doubled FROM lake.db.gen WHERE id = 50").head.getLong(0) === 100L)
+    lt.setProperties(Map("write.update.mode" -> "merge-on-read"))
+    lt.update(Map("id" -> org.apache.spark.sql.functions.lit(60L)),
+      Some(org.apache.spark.sql.functions.col("id") === 50L))
+    assert(sql("SELECT doubled FROM lake.db.gen WHERE id = 60").head.getLong(0) === 120L)
+    lt.unsetProperties(Seq("write.update.mode"))
+    // explicit inconsistent assignment to the generated column still fails
+    intercept[Exception] {
+      lt.update(Map("doubled" -> org.apache.spark.sql.functions.lit(7L)),
+        Some(org.apache.spark.sql.functions.col("id") === 60L))
+    }
+    assert(sql("SELECT doubled FROM lake.db.gen WHERE id = 60").head.getLong(0) === 120L)
   }
 
   test("MATERIALIZED VIEW SQL: create, read-as-view, refresh at churn cost, drop (r9)") {
