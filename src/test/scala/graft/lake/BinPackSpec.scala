@@ -223,6 +223,26 @@ class BinPackSpec extends AnyFunSuite {
     assert(ids(t.toDF) === (0L until 40L))
   }
 
+  test("two racing binPacks: one wins, the loser re-plans or no-ops, content intact") {
+    val cat = freshCatalog()
+    val t = smallFilesTable(cat, "b.t12")
+    val big = files(t).maxBy(_.sizeBytes)
+    val threads = (0 until 2).map { _ =>
+      new Thread(() => {
+        LakeTable.withConflictRetry(attempts = 20) {
+          t.binPack(targetSizeBytes = big.sizeBytes - 1); ()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    // content identical; live files compacted exactly once (the loser
+    // either re-planned over an already-compact table — a no-op — or
+    // packed the winner's leftovers, which there are none of here)
+    assert(ids(t.toDF) === (0L until 1040L))
+    assert(files(t).size === 2, s"exactly big + packed expected: ${files(t)}")
+    assert(t.meta.currentSnapshot.get.summary("total-records") === "1040")
+  }
+
   test("write.target-file-size-bytes rolls oversized task outputs at ~target (r9)") {
     val cat = freshCatalog()
     val t = cat.createTable("b.t11", schema)

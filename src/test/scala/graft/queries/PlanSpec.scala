@@ -84,6 +84,16 @@ class PlanSpec extends AnyFunSuite {
       s"predicate must be evaluated before dot-product scoring:\n$p")
   }
 
+  test("q80/q81: funnel and cohort join on user keys — no cartesian, partial aggs (r9)") {
+    for (q <- Seq("q80_funnel", "q81_cohort")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must join on equi-keys only:\n$p")
+      // per-user MIN / DISTINCT stages are map-side combined
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q needs partial+final aggs:\n$p")
+    }
+  }
+
   test("q21: LSH banding is an equi-join, not a nested-loop over signatures") {
     val p = planOf("q21_minhash_lsh_pairs")
     // the OR-of-band-equalities form planned as BroadcastNestedLoopJoin:
