@@ -20,7 +20,7 @@ object GraftProcedures {
   val names: Seq[String] = Seq("rollback_to_snapshot", "cherrypick_snapshot",
     "expire_snapshots", "rewrite_data_files", "rewrite_manifests",
     "rewrite_position_deletes", "convert_equality_deletes",
-    "rewrite_delete_files", "fast_forward", "remove_orphan_files",
+    "rewrite_delete_files", "binpack", "fast_forward", "remove_orphan_files",
     "create_branch", "drop_branch", "create_tag", "drop_tag",
     "build_ivf_index", "build_pq_index", "create_changelog_view")
 
@@ -58,6 +58,30 @@ object GraftProcedures {
           if (row.isNullAt(2) || row.getString(2).isEmpty) Seq.empty[String]
           else row.getString(2).split(",").toSeq.map(_.trim)
         lake.loadTable(row.getString(0)).rewriteDataFiles(target, sortBy)
+      }))
+    // selective small-files compaction (rewrite_data_files strategy=binpack
+    // as its own named procedure): `where` scopes to a partition tuple
+    // ("col=val[,col=val]"), `sort_by` keeps clustering through the pack
+    case "binpack" => Some(proc(name,
+      Array(param("table", StringType),
+        param("target_file_size_bytes", LongType, Some((512L * 1024 * 1024).toString)),
+        param("where", StringType, Some("''")),
+        param("sort_by", StringType, Some("''"))),
+      row => {
+        val target = if (row.isNullAt(1)) 512L * 1024 * 1024 else row.getLong(1)
+        val where =
+          if (row.isNullAt(2) || row.getString(2).isEmpty) Map.empty[String, String]
+          else row.getString(2).split(",").toSeq.filter(_.nonEmpty).map { kv =>
+            kv.split("=", 2) match {
+              case Array(k, v) => k.trim -> v.trim
+              case _ => throw new IllegalArgumentException(s"bad where clause: $kv")
+            }
+          }.toMap
+        val sortBy =
+          if (row.isNullAt(3) || row.getString(3).isEmpty) Seq.empty[String]
+          else row.getString(3).split(",").toSeq.map(_.trim)
+        lake.loadTable(row.getString(0)).binPack(target,
+          partitionFilter = where, sortBy = sortBy)
       }))
     case "rewrite_manifests" => Some(proc(name,
       Array(param("table", StringType)),

@@ -616,6 +616,20 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ids1.forall(v => (v - 100L) % 2 == 0))
   }
 
+  test("CALL lake.system.binpack compacts small files via SQL (r9)") {
+    sql("CREATE TABLE lake.db.bp (id BIGINT, v DOUBLE)")
+    (0 until 4).foreach(i =>
+      sql(s"INSERT INTO lake.db.bp VALUES ($i, $i.0)"))
+    val lt = new graft.lake.LakeCatalog(spark,
+      spark.conf.get("spark.sql.catalog.lake.warehouse")).loadTable("db.bp")
+    assert(lt.meta.currentSnapshot.get.files.size === 4)
+    sql("CALL lake.system.binpack(table => 'db.bp', sort_by => 'id')")
+    val after = lt.meta.currentSnapshot.get.files
+    assert(after.size === 1, s"4 small files must pack into 1: $after")
+    assert(sql("SELECT id FROM lake.db.bp ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === (0L until 4L))
+  }
+
   test("COUNT(*) answers from snapshot metadata, not a file scan") {
     sql("CREATE DATABASE IF NOT EXISTS lake.db")
     sql("CREATE TABLE lake.db.cnt (id BIGINT)")
