@@ -32,12 +32,18 @@ object GraftMaterializedView {
         s"MATERIALIZED VIEW requires a graft catalog; '$catalog' is ${other.getClass.getName}")
     }
 
-  /** Split `cat.db.name` → (catalogName, "db.name"). */
-  private[dsv2] def splitIdent(ident: Seq[String]): (String, String) = {
-    require(ident.length >= 3,
-      s"materialized-view identifiers must be catalog-qualified (cat.db.name): ${ident.mkString(".")}")
-    (ident.head, ident.tail.mkString("."))
-  }
+  /** Split `cat.db.name` → (catalogName, "db.name"); a 2-part name
+    * resolves against the session's CURRENT catalog (`USE lake` +
+    * `CREATE MATERIALIZED VIEW db.mv …` — the same session-context
+    * resolution table/view DDL gets). */
+  private[dsv2] def splitIdent(spark: SparkSession, ident: Seq[String]): (String, String) =
+    ident.length match {
+      case n if n >= 3 => (ident.head, ident.tail.mkString("."))
+      case 2 => (spark.sessionState.catalogManager.currentCatalog.name(),
+        ident.mkString("."))
+      case _ => throw new IllegalArgumentException(
+        s"materialized-view identifiers need at least db.name: ${ident.mkString(".")}")
+    }
 }
 
 case class CreateMaterializedViewCommand(
@@ -45,8 +51,8 @@ case class CreateMaterializedViewCommand(
     groupBy: Seq[String], aggs: Seq[MaterializedAgg.AggCol])
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val (vCat, vIdent) = GraftMaterializedView.splitIdent(viewIdent)
-    val (bCat, bIdent) = GraftMaterializedView.splitIdent(baseIdent)
+    val (vCat, vIdent) = GraftMaterializedView.splitIdent(spark, viewIdent)
+    val (bCat, bIdent) = GraftMaterializedView.splitIdent(spark, baseIdent)
     require(vCat == bCat,
       s"view and base table must live in the same catalog: $vCat vs $bCat")
     val lake = GraftMaterializedView.lakeCatalogOf(spark, vCat)
@@ -59,7 +65,7 @@ case class CreateMaterializedViewCommand(
 case class RefreshMaterializedViewCommand(viewIdent: Seq[String])
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val (cat, ident) = GraftMaterializedView.splitIdent(viewIdent)
+    val (cat, ident) = GraftMaterializedView.splitIdent(spark, viewIdent)
     val lake = GraftMaterializedView.lakeCatalogOf(spark, cat)
     MaterializedAgg.load(lake, ident).refresh()
     Seq.empty
@@ -69,7 +75,7 @@ case class RefreshMaterializedViewCommand(viewIdent: Seq[String])
 case class DropMaterializedViewCommand(viewIdent: Seq[String], ifExists: Boolean)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val (cat, ident) = GraftMaterializedView.splitIdent(viewIdent)
+    val (cat, ident) = GraftMaterializedView.splitIdent(spark, viewIdent)
     val lake = GraftMaterializedView.lakeCatalogOf(spark, cat)
     if (!lake.tableExists(ident)) {
       if (ifExists) return Seq.empty

@@ -570,6 +570,16 @@ class GraftCatalogSpec extends AnyFunSuite {
       "CREATE MATERIALIZED VIEW lake.db.bad AS SELECT g, count(*) AS n FROM lake.db.mvbase GROUP BY g") }
     intercept[Exception] { extSpark.sql(
       "CREATE MATERIALIZED VIEW lake.db.bad AS SELECT g, h, sum(v) AS t FROM lake.db.mvbase GROUP BY g") }
+    // 2-part identifiers resolve against the session's current catalog
+    extSpark.sql("USE lake")
+    try {
+      extSpark.sql(
+        """CREATE MATERIALIZED VIEW db.rev2 AS
+          |SELECT g, sum(v) AS total FROM db.mvbase GROUP BY g""".stripMargin)
+      extSpark.sql("REFRESH MATERIALIZED VIEW db.rev2")
+      assert(extSpark.sql("SELECT COUNT(*) FROM lake.db.rev2").head.getLong(0) === 3L)
+      extSpark.sql("DROP MATERIALIZED VIEW db.rev2")
+    } finally extSpark.sql("USE spark_catalog")
     // DROP refuses a plain table; IF EXISTS tolerates a missing view
     intercept[Exception] { extSpark.sql("DROP MATERIALIZED VIEW lake.db.mvbase") }
     extSpark.sql("DROP MATERIALIZED VIEW IF EXISTS lake.db.nope")
