@@ -33,6 +33,17 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     require(!tableExists(ident), s"table $ident already exists")
     require(ident.split("\\.").last != "_views",
       "'_views' is a reserved identifier (the catalog's view-store directory)")
+    // identity columns are BIGINT-only (Delta's rule): assignment uses
+    // monotonically_increasing_id(), which jumps 2^33 per partition — a
+    // narrower declared type would silently wrap/null the cast and break
+    // the uniqueness guarantee
+    schema.fields.foreach { f =>
+      if (f.metadata.contains("IDENTITY_START"))
+        require(f.dataType == org.apache.spark.sql.types.LongType,
+          s"identity column ${f.name} must be BIGINT (got " +
+            s"${f.dataType.simpleString}): identity values are allocated " +
+            "sparsely across partitions and need the full 64-bit domain")
+    }
     val location = tableLocation(ident)
     // a recreate at a reused location restarts version numbering — stale
     // cached metas from the dropped incarnation must not be served

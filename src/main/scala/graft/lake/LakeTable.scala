@@ -348,7 +348,33 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     val checks = m.properties.collect {
       case (k, sql) if k.startsWith(prefix) => k.stripPrefix(prefix) -> sql
     }
-    checks.foldLeft(df) { case (d, (name, sql)) =>
+    if (checks.isEmpty) return df
+    // Materialize the logical post-write row BEFORE evaluating predicates
+    // (Spark's own CheckInvariant placement — after defaults/generated
+    // columns resolve): absent columns take their CURRENT default (else
+    // NULL), generated columns their generation expression (a supplied
+    // NULL means "not supplied" — toPhysical stores the computed value,
+    // so the check must see it too; a supplied non-null passes through
+    // and still reaches toPhysical's agreement assert). Without this, a
+    // CHECK referencing a default-filled column fails to RESOLVE on a
+    // legitimate INSERT, and one referencing a generated column aborts
+    // every UPDATE (whose projection drops unassigned generated columns
+    // for recompute). The added columns are harmless downstream:
+    // toPhysical computes identical values for them.
+    val inCols = df.columns.toSet
+    val complete = m.schema.columns.foldLeft(df) { (d, c) =>
+      if (c.generationSql.isDefined) {
+        val computed = expr(c.generationSql.get).cast(c.sparkType)
+        if (!inCols.contains(c.name)) d.withColumn(c.name, computed)
+        else d.withColumn(c.name,
+          coalesce(d.col(c.name).cast(c.sparkType), computed))
+      }
+      else if (!inCols.contains(c.name))
+        d.withColumn(c.name, c.currentDefaultSql.map(expr)
+          .getOrElse(lit(null)).cast(c.sparkType))
+      else d
+    }
+    checks.foldLeft(complete) { case (d, (name, sql)) =>
       d.filter(isnull(assert_true(
         coalesce(expr(sql), lit(true)),
         concat(lit(s"CHECK constraint '$name' ($sql) violated by row: "),
@@ -953,7 +979,14 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * naturally null-safe: null-keyed table rows never match and survive). */
   def mergeByKeys(key: String, keyDf: DataFrame, upserts: DataFrame,
                   extraSummary: Map[String, String] = Map.empty,
-                  toBranch: Option[String] = None): TableMeta = {
+                  toBranch: Option[String] = None,
+                  nullKeyDelete: Option[Column] = None): TableMeta = {
+    // `nullKeyDelete`: also delete target rows whose KEY IS NULL and the
+    // given (target-column) condition holds. Equality machinery can never
+    // express this (null never equi-matches), but SQL MERGE's NOT MATCHED
+    // BY SOURCE treats null-keyed target rows as not-matched and must
+    // delete them — GraftMerge routes that clause here. NULL condition
+    // values keep the row (ANSI: only TRUE deletes).
     val kd = keyDf.select(keyDf.col(key)).filter(col(key).isNotNull).distinct().cache()
     try {
       // single 1-row driver fetch: count + bounds (bounded regardless of batch size)
@@ -973,6 +1006,17 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       // writes, no file rewrites — CDC ingestion cost is flat in table
       // size; compaction (`rewrite_position_deletes`/`rewrite_data_files`)
       // periodically folds the masks back in.
+      // null-keyed deletion matches a file iff it may HOLD null keys
+      val nullPred = nullKeyDelete.map(_ => Pruning.IsNull(key))
+      val boundsPred =
+        if (nKeys == 0) None
+        else Some(Pruning.And(Pruning.GtE(key, r.get(1)), Pruning.LtE(key, r.get(2))))
+      val conflictPred = (boundsPred, nullPred) match {
+        case (Some(b), Some(n)) => Some(Pruning.Or(b, n))
+        case (b, n) => b.orElse(n)
+      }
+      // a null-keyed target row dies iff the condition is TRUE (ANSI)
+      val nullKill = nullKeyDelete.map(c => col(key).isNull && coalesce(c, lit(false)))
       if (m0.properties.get("write.merge.mode").contains("merge-on-read")) {
         val inserted =
           if (upserts.isEmpty) Seq.empty
@@ -980,7 +1024,16 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
           toPhysical(withCheckConstraints(m0, upserts), m0.schema), m0, filePrefix = "app")
         val eqDel =
           if (nKeys == 0) None else writeEqualityDeleteFile(kd, Seq(key), m0)
-        if (inserted.isEmpty && eqDel.isEmpty) return m0
+        // null-keyed rows can't ride the equality mask — encode them as a
+        // POSITIONAL delete file over the files that may hold null keys
+        val nullDel = nullKill.flatMap { kill =>
+          val cands = all.filter(f =>
+            Pruning.mayMatch(Pruning.IsNull(key), fileBounds(m0, f)))
+          if (cands.isEmpty) None
+          else writeDeleteFile(liveRows(m0, snap, cands, withMeta = true)
+            .filter(kill).select(col("_gd_file"), col("_gd_pos")))
+        }
+        if (inserted.isEmpty && eqDel.isEmpty && nullDel.isEmpty) return m0
         return commitReplace(branch, all ++ inserted, "overwrite",
           extraSummary ++ Map(
             "merge-keys" -> nKeys.toString,
@@ -988,24 +1041,26 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
             "added-data-files" -> inserted.size.toString,
             "added-equality-delete-files" -> eqDel.size.toString),
           base = snap,
-          conflictPredicate =
-            if (nKeys == 0) None
-            else Some(Pruning.And(Pruning.GtE(key, r.get(1)), Pruning.LtE(key, r.get(2)))),
-          staged = stagedWap, extraEqDeleteFiles = eqDel.toSeq)
+          conflictPredicate = conflictPred,
+          staged = stagedWap, extraEqDeleteFiles = eqDel.toSeq,
+          extraDeleteFiles = nullDel.toSeq)
       }
-      val (touched, untouched) =
-        if (nKeys == 0) (Seq.empty[DataFile], all)
-        else {
-          val p = Pruning.And(Pruning.GtE(key, r.get(1)), Pruning.LtE(key, r.get(2)))
-          all.partition(f => Pruning.mayMatch(p, fileBounds(m0, f)))
-        }
+      val touchPred = (boundsPred, nullPred) match {
+        case (Some(b), Some(n)) => Some(Pruning.Or(b, n))
+        case (b, n) => b.orElse(n)
+      }
+      val (touched, untouched) = touchPred match {
+        case None => (Seq.empty[DataFile], all)
+        case Some(p) => all.partition(f => Pruning.mayMatch(p, fileBounds(m0, f)))
+      }
       val survivors: Seq[DataFile] = if (touched.isEmpty) Seq.empty else {
         // broadcast the key side when it is provably small; else let the
         // planner shuffle both sides on the key
         val keySide = if (nKeys <= 1000000L) broadcast(kd) else kd
         val remaining = dataFrameForLive(m0, snap, touched)
           .join(keySide, Seq(key), "left_anti")
-        writeDataFiles(toPhysical(remaining, m0.schema), m0)
+        val kept = nullKill.map(kill => remaining.filter(!kill)).getOrElse(remaining)
+        writeDataFiles(toPhysical(kept, m0.schema), m0)
       }
       val inserted =
         if (upserts.isEmpty) Seq.empty
@@ -1015,9 +1070,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         extraSummary ++ Map(
           "merge-keys" -> nKeys.toString,
           "rewritten-data-files" -> touched.size.toString), base = snap,
-        conflictPredicate =
-          if (nKeys == 0) None
-          else Some(Pruning.And(Pruning.GtE(key, r.get(1)), Pruning.LtE(key, r.get(2)))),
+        conflictPredicate = conflictPred,
         staged = stagedWap)
     } finally { kd.unpersist(); () }
   }
@@ -1930,7 +1983,19 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     val baseSnap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
     val dels = baseSnap.map(_.deleteFiles).getOrElse(Seq.empty)
     if (dels.size <= 1) return m0
-    val merged = writeDeleteFile(deleteEntriesDf(dels))
+    // prune to LIVE data files before merging: the raw parquet entries may
+    // reference files later dropped/rewritten (pruneDeleteFiles already
+    // removed their metadata counts) — merging them back would resurrect
+    // dead counts into the new file's rowCount and break the "Σ counts is
+    // exact over live files" invariant the metadata-only COUNT(*) fast
+    // path and total-records depend on
+    val liveNames = baseSnap.map(_.files.map(f => fileName(f.path)))
+      .getOrElse(Seq.empty)
+    val liveDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(liveNames.map(Row(_)), 1),
+      StructType(Seq(StructField("_gd_file", StringType, nullable = false)))))
+    val merged = writeDeleteFile(
+      deleteEntriesDf(dels).join(liveDf, Seq("_gd_file"), "left_semi"))
     commit { m =>
       val parent = m.snapshotFor(branch).orElse(m.currentSnapshot)
       if (parent.map(_.snapshotId) != baseSnap.map(_.snapshotId))
@@ -2301,17 +2366,12 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         args.get("older_than").map(_.toLong).getOrElse(System.currentTimeMillis()),
         args.get("retain_last").map(_.toInt).getOrElse(1))
       case "rewrite_data_files" if args.get("strategy").contains("binpack") =>
-        // where => "k=v[,k=v]" scopes to matching partition tuples
+        // where => "k=v[,k=v]" (quote-aware) scopes to matching partition tuples
         binPack(
           args.get("target-file-size-bytes").map(_.toLong).getOrElse(512L * 1024 * 1024),
           args.get("min-input-size-bytes").map(_.toLong).getOrElse(-1L),
           args.get("min-input-files").map(_.toInt).getOrElse(2),
-          args.get("where").map(_.split(",").toSeq.filter(_.nonEmpty).map { kv =>
-            kv.split("=", 2) match {
-              case Array(k, v) => k.trim -> v.trim
-              case _ => throw new IllegalArgumentException(s"bad where clause: $kv")
-            }
-          }.toMap).getOrElse(Map.empty),
+          args.get("where").map(LakeTable.parsePartitionWhere).getOrElse(Map.empty),
           args.get("sort_by").map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty))
       case "rewrite_data_files" => rewriteDataFiles(
         args.get("target-file-size-bytes").map(_.toLong).getOrElse(512L * 1024 * 1024),
@@ -2379,6 +2439,56 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
 
 object LakeTable {
   val MainBranch = "main"
+
+  /** Parse a binpack `where` argument (`k=v[,k=v]`) with SQL-style single
+    * quoting: a value (or key) may be quoted `'…'` with `''` escaping an
+    * embedded quote, so partition values legally containing ',' or '='
+    * are expressible — `region='EU,=west'`. Unquoted tokens end at the
+    * next top-level ',' or '=' and are trimmed. */
+  def parsePartitionWhere(s: String): Map[String, String] = {
+    val pairs = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var i = 0
+    val n = s.length
+    def skipWs(): Unit = while (i < n && s(i).isWhitespace) i += 1
+    def readToken(stops: Set[Char]): String = {
+      skipWs()
+      if (i < n && s(i) == '\'') {
+        i += 1
+        val sb = new StringBuilder
+        var done = false
+        while (!done) {
+          if (i >= n) throw new IllegalArgumentException(
+            s"unterminated quote in where clause: $s")
+          if (s(i) == '\'') {
+            if (i + 1 < n && s(i + 1) == '\'') { sb += '\''; i += 2 }
+            else { i += 1; done = true }
+          } else { sb += s(i); i += 1 }
+        }
+        skipWs()
+        sb.toString
+      } else {
+        val start = i
+        while (i < n && !stops.contains(s(i))) i += 1
+        s.substring(start, i).trim
+      }
+    }
+    while ({ skipWs(); i < n }) {
+      val k = readToken(Set('=', ','))
+      if (i >= n || s(i) != '=') throw new IllegalArgumentException(
+        s"bad where clause (expected <col>=<value>): $s")
+      i += 1
+      val v = readToken(Set(','))
+      if (k.isEmpty) throw new IllegalArgumentException(
+        s"bad where clause (empty column name): $s")
+      pairs += (k -> v)
+      if (i < n) {
+        if (s(i) != ',') throw new IllegalArgumentException(
+          s"bad where clause (expected ',' near offset $i): $s")
+        i += 1
+      }
+    }
+    pairs.toMap
+  }
 
   /** On-disk schema of merge-on-read positional delete files
     * (`data/del-*.parquet`): data-file basename + 0-based row position. */

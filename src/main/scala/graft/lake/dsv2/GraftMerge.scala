@@ -179,10 +179,13 @@ case class MergeIntoGraftCommand(
       // scan — the plan's attribute ids don't resolve against a fresh
       // read). The key scan is column-pruned to the key + cond columns;
       // the rewrite set stays key-bound-pruned via mergeByKeys. NULL-keyed
-      // target rows never equi-match, so they are not-matched-by-source —
-      // the anti-join's null-never-equal semantics delete them, as SQL
-      // requires. Cost is honest to the semantics: full sync must at
-      // least read every target key.
+      // target rows never equi-match, so they too are not-matched-by-
+      // source and SQL requires them deleted — but equality-key machinery
+      // cannot express "delete WHERE key IS NULL" (mergeByKeys' key set
+      // is null-filtered and its anti-join is null-rejecting), so they
+      // route through mergeByKeys' dedicated `nullKeyDelete` condition
+      // instead of the key set. Cost is honest to the semantics: full
+      // sync must at least read every target key.
       val nmbsKeys = notMatchedBySourceActions.headOption.map {
         case DeleteAction(cond) =>
           val tdf = gt.lakeTable.read(branch = gt.pinnedBranch)
@@ -195,9 +198,22 @@ case class MergeIntoGraftCommand(
         case other =>
           throw new IllegalStateException(s"untranslatable NMBS action $other")
       }
+      // NMBS null-key condition, rebound by NAME so it resolves against
+      // mergeByKeys' internal live scan (TRUE when the clause has no cond)
+      val nullCond = notMatchedBySourceActions.headOption.map {
+        case DeleteAction(cond) =>
+          cond.map(e => ColumnBridge.column(e.transform {
+            case a: AttributeReference =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                .quoted(a.name)
+          })).getOrElse(lit(true))
+        case other =>
+          throw new IllegalStateException(s"untranslatable NMBS action $other")
+      }
       val keyDf = nmbsKeys.foldLeft(matchedDeleteKeys)(_ unionByName _)
       gt.lakeTable.mergeByKeys(targetKeyName, keyDf, upserts,
-        Map("merged-by" -> "sql-merge-into"), toBranch = gt.pinnedBranch)
+        Map("merged-by" -> "sql-merge-into"), toBranch = gt.pinnedBranch,
+        nullKeyDelete = nullCond)
     } finally { marked.unpersist(); () }
     Seq.empty
   }

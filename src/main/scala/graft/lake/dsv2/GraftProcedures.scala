@@ -71,12 +71,7 @@ object GraftProcedures {
         val target = if (row.isNullAt(1)) 512L * 1024 * 1024 else row.getLong(1)
         val where =
           if (row.isNullAt(2) || row.getString(2).isEmpty) Map.empty[String, String]
-          else row.getString(2).split(",").toSeq.filter(_.nonEmpty).map { kv =>
-            kv.split("=", 2) match {
-              case Array(k, v) => k.trim -> v.trim
-              case _ => throw new IllegalArgumentException(s"bad where clause: $kv")
-            }
-          }.toMap
+          else graft.lake.LakeTable.parsePartitionWhere(row.getString(2))
         val sortBy =
           if (row.isNullAt(3) || row.getString(3).isEmpty) Seq.empty[String]
           else row.getString(3).split(",").toSeq.map(_.trim)

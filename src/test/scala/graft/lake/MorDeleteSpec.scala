@@ -292,6 +292,32 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(t.meta.version === v)
   }
 
+  test("rewrite_delete_files prunes entries of dropped data files — no count resurrection (r10)") {
+    val cat = freshCatalog()
+    val t = threeFileTable(cat, "m.t15b")
+    // ONE delete file spanning file1 (id 2) and file2 (id 13), plus a
+    // second on file3 — both raw parquets outlive file drops
+    t.delete(col("id").isin(2, 13))
+    t.delete(col("id") === 27)
+    assert(t.meta.currentSnapshot.get.deleteFiles.size === 2)
+    // drop file1 wholesale (metadata-only CoW delete): the first delete
+    // file's METADATA counts are pruned to file2, but its parquet still
+    // holds the dead (file1, pos) entry
+    t.setProperties(Map("write.delete.mode" -> "copy-on-write"))
+    t.delete(col("id") < 10)
+    assert(t.meta.currentSnapshot.get.deleteFiles.map(_.rowCount).sum === 2,
+      "metadata counts pruned to live files (13, 27)")
+    t.rewriteDeleteFiles()
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.deleteFiles.size === 1)
+    // the merged file must cover LIVE files only — resurrecting the dead
+    // file1 entry would inflate rowCount to 3 and under-report COUNT(*)
+    assert(snap.deleteFiles.head.rowCount === 2,
+      s"dead entries resurrected: ${snap.deleteFiles.head.counts}")
+    assert(snap.summary("total-records").toLong === t.toDF.count())
+    assert(ids(t.toDF) === (10L until 30L).filterNot(i => i == 13 || i == 27))
+  }
+
   test("position_deletes metadata table lists the masked (file, pos) rows") {
     val cat = freshCatalog()
     val t = threeFileTable(cat, "m.t16")

@@ -385,6 +385,64 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, "keep"), (3L, "sync"), (4L, "keep")))
   }
 
+  test("MERGE INTO: NMBS DELETE removes NULL-keyed target rows (SQL semantics, r10)") {
+    // a NULL merge key never equi-matches, so such target rows are
+    // not-matched-by-source and MUST be deleted — the equality-key
+    // machinery can't express that (null-rejecting anti-join), so they
+    // route through mergeByKeys' nullKeyDelete condition
+    sql("CREATE TABLE lake.db.msn (id BIGINT, v STRING)")
+    sql("INSERT INTO lake.db.msn VALUES (1, 'a'), (NULL, 'orphan'), (3, 'c')")
+    extSpark.sql(
+      """MERGE INTO lake.db.msn t
+        |USING (SELECT * FROM VALUES (1, 'a2') AS s(id, v)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val out = sql("SELECT id, v FROM lake.db.msn ORDER BY id").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1)))
+    // 3 (unmatched) AND the NULL-keyed row both deleted; 1 updated
+    assert(out.toSeq === Seq((1L, "a2")))
+  }
+
+  test("MERGE INTO: NMBS null-key delete honors the target condition (r10)") {
+    sql("CREATE TABLE lake.db.msnc (id BIGINT, v STRING)")
+    sql("INSERT INTO lake.db.msnc VALUES (NULL, 'sync'), (NULL, 'keep'), (2, 'sync')")
+    extSpark.sql(
+      """MERGE INTO lake.db.msnc t
+        |USING (SELECT * FROM VALUES (2, 'sync2') AS s(id, v)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.v = 'sync' THEN DELETE""".stripMargin)
+    val out = sql("SELECT v FROM lake.db.msnc ORDER BY v").collect()
+      .map(_.getString(0))
+    // NULL/'sync' deleted by the conditional clause; NULL/'keep' survives
+    assert(out.toSeq === Seq("keep", "sync2"))
+  }
+
+  test("MERGE INTO: NMBS null-key delete on a merge-on-read table (positional mask, r10)") {
+    sql("""CREATE TABLE lake.db.msnm (id BIGINT, v STRING)
+          |TBLPROPERTIES ('write.merge.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.msnm VALUES (1, 'a'), (NULL, 'orphan'), (3, 'c')")
+    extSpark.sql(
+      """MERGE INTO lake.db.msnm t
+        |USING (SELECT * FROM VALUES (1, 'a2') AS s(id, v)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val out = sql("SELECT v FROM lake.db.msnm ORDER BY v").collect().map(_.getString(0))
+    assert(out.toSeq === Seq("a2"))
+    // the null-keyed row died via a POSITIONAL delete file (equality
+    // masks can't hold null keys); data files were not rewritten
+    val lt = new graft.lake.LakeCatalog(spark,
+      spark.conf.get("spark.sql.catalog.lake.warehouse")).loadTable("db.msnm")
+    val snap = lt.meta.currentSnapshot.get
+    assert(snap.deleteFiles.nonEmpty, "null-key NMBS delete must ride a positional mask")
+    assert(snap.eqDeleteFiles.nonEmpty, "keyed deletes still ride the equality mask")
+  }
+
   test("MERGE INTO: NMBS UPDATE stays untranslated (Spark rejects, table intact)") {
     sql("CREATE TABLE lake.db.msu (id BIGINT, v STRING)")
     sql("INSERT INTO lake.db.msu VALUES (1, 'a')")
@@ -542,6 +600,85 @@ class GraftCatalogSpec extends AnyFunSuite {
         Some(org.apache.spark.sql.functions.col("id") === 60L))
     }
     assert(sql("SELECT doubled FROM lake.db.gen WHERE id = 60").head.getLong(0) === 120L)
+  }
+
+  test("CHECK constraints referencing generated/default columns resolve and enforce (r10)") {
+    sql("""CREATE TABLE lake.db.chkgen (
+      |  id BIGINT,
+      |  doubled BIGINT GENERATED ALWAYS AS (id * 2),
+      |  status STRING DEFAULT 'new')""".stripMargin)
+    sql("INSERT INTO lake.db.chkgen (id) VALUES (1), (2)")
+    sql("ALTER TABLE lake.db.chkgen ADD CONSTRAINT d_pos CHECK (doubled >= 0)")
+    sql("ALTER TABLE lake.db.chkgen ADD CONSTRAINT s_known CHECK (status IN ('new', 'old'))")
+    // UPDATE drops unassigned generated columns for recompute — the CHECK
+    // referencing `doubled` must resolve against the RECOMPUTED value
+    // (CheckInvariant placement after generation), not abort the UPDATE
+    extSpark.sql("UPDATE lake.db.chkgen SET id = 5 WHERE id = 1")
+    val rows0 = sql("SELECT id, doubled, status FROM lake.db.chkgen ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows0.toSeq === Seq((2L, 4L, "new"), (5L, 10L, "new")))
+    // ... and ENFORCE: an UPDATE driving the generated value negative fails
+    intercept[Exception] { extSpark.sql("UPDATE lake.db.chkgen SET id = -3 WHERE id = 2") }
+    assert(sql("SELECT COUNT(*) FROM lake.db.chkgen WHERE id = 2").head.getLong(0) === 1)
+    // merge-on-read UPDATE path: same resolution, same enforcement
+    val lt = new graft.lake.LakeCatalog(spark,
+      spark.conf.get("spark.sql.catalog.lake.warehouse")).loadTable("db.chkgen")
+    lt.setProperties(Map("write.update.mode" -> "merge-on-read"))
+    lt.update(Map("id" -> lit(7L)), Some(col("id") === 5L))
+    assert(sql("SELECT doubled FROM lake.db.chkgen WHERE id = 7").head.getLong(0) === 14L)
+    intercept[Exception] { lt.update(Map("id" -> lit(-9L)), Some(col("id") === 7L)) }
+    lt.unsetProperties(Seq("write.update.mode"))
+    // Scala append that OMITS the default-filled column: the CHECK on
+    // `status` must resolve against the materialized default and pass
+    import spark.implicits._
+    lt.append(Seq(9L).toDF("id"))
+    assert(sql("SELECT status FROM lake.db.chkgen WHERE id = 9").head.getString(0) === "new")
+    // a default that VIOLATES a constraint is caught at write time
+    sql("ALTER TABLE lake.db.chkgen ALTER COLUMN status SET DEFAULT 'bogus'")
+    intercept[Exception] { lt.append(Seq(11L).toDF("id")) }
+    assert(sql("SELECT COUNT(*) FROM lake.db.chkgen").head.getLong(0) === 3)
+  }
+
+  test("identity columns are restricted to BIGINT at DDL time (r10)") {
+    // INT identity would silently wrap monotonically_increasing_id's
+    // 2^33-per-partition jumps — refuse at CREATE, like Delta
+    val e = intercept[Exception] {
+      sql("""CREATE TABLE lake.db.identint (
+        |  id INT GENERATED ALWAYS AS IDENTITY,
+        |  v STRING)""".stripMargin)
+    }
+    assert(e.getMessage.contains("BIGINT"),
+      s"refusal must name the required type: ${e.getMessage}")
+    assert(!new graft.lake.LakeCatalog(spark,
+      spark.conf.get("spark.sql.catalog.lake.warehouse")).tableExists("db.identint"))
+  }
+
+  test("binpack where-clause parser handles quoted values with ',' and '=' (r10)") {
+    import graft.lake.LakeTable.parsePartitionWhere
+    assert(parsePartitionWhere("region=EU") === Map("region" -> "EU"))
+    assert(parsePartitionWhere("a=1, b = x y ") === Map("a" -> "1", "b" -> "x y"))
+    assert(parsePartitionWhere("region='EU,west'") === Map("region" -> "EU,west"))
+    assert(parsePartitionWhere("k='a=b', j='it''s'") ===
+      Map("k" -> "a=b", "j" -> "it's"))
+    assert(parsePartitionWhere("") === Map.empty[String, String])
+    intercept[IllegalArgumentException] { parsePartitionWhere("region='EU") }
+    intercept[IllegalArgumentException] { parsePartitionWhere("novalue") }
+    // end-to-end: a quoted where through CALL scopes the compaction
+    sql("""CREATE TABLE lake.db.bpq (id BIGINT, reg STRING)
+          |PARTITIONED BY (reg)""".stripMargin)
+    sql("INSERT INTO lake.db.bpq VALUES (1, 'EU,west'), (2, 'EU,west')")
+    sql("INSERT INTO lake.db.bpq VALUES (3, 'EU,west'), (4, 'apac')")
+    sql("INSERT INTO lake.db.bpq VALUES (5, 'apac')")
+    val lt = new graft.lake.LakeCatalog(spark,
+      spark.conf.get("spark.sql.catalog.lake.warehouse")).loadTable("db.bpq")
+    val before = lt.meta.currentSnapshot.get.files
+      .filter(_.partitionValues.values.toSeq.contains("apac")).map(_.path).toSet
+    sql("CALL lake.system.binpack(table => 'db.bpq', where => 'reg=''EU,west''')")
+    val after = lt.meta.currentSnapshot.get
+    assert(after.summary.contains("binpack-rewritten-files"),
+      "quoted where must reach the partition filter and compact EU,west")
+    assert(after.files.filter(_.partitionValues.values.toSeq.contains("apac"))
+      .map(_.path).toSet === before, "apac partition must be untouched")
   }
 
   test("MATERIALIZED VIEW SQL: create, read-as-view, refresh at churn cost, drop (r9)") {
