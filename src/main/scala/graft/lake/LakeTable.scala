@@ -1893,6 +1893,44 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     } else false
   }
 
+  /** Full ingest-cadence maintenance: [[autoCompact]] (small-file binpack
+    * every `everyCommits` commits) PLUS merge-on-read delete-mask upkeep,
+    * so a sustained CDC upsert stream needs NO manual CALLs to stay
+    * readable at full speed. Cheap to call after every micro-batch:
+    *   - live equality-delete files ≥ `maxEqDeleteFiles` →
+    *     [[convertEqualityDeletes]] (each upsert batch adds one eq-delete
+    *     file, and the read plan fans out one scan branch per distinct
+    *     addedAt class — unbounded ingest would otherwise accrete
+    *     unboundedly many mask classes; converting folds them into ONE
+    *     positional mask at O(masked-candidate-scan) cost, writing KBs);
+    *   - positional delete files ≥ `maxDeleteFiles` →
+    *     [[rewriteDeleteFiles]] (metadata + one KB-scale write).
+    * The thresholds are checked on in-memory metadata (free); after a
+    * call the read plan carries ≤ maxEqDeleteFiles equality branches and
+    * ≤ 1 positional anti-join — bounded regardless of stream length
+    * (MaintenanceSpec drives 50 batches; probe in SCALEPROBE.md).
+    * Conflict-retried against the concurrent ingest itself. Returns
+    * whether any maintenance commit landed. */
+  def autoMaintain(everyCommits: Int = 10,
+                   targetSizeBytes: Long = 512L * 1024 * 1024,
+                   maxEqDeleteFiles: Int = 4,
+                   maxDeleteFiles: Int = 8,
+                   partitionFilter: Map[String, String] = Map.empty,
+                   sortBy: Seq[String] = Seq.empty): Boolean = {
+    var did = false
+    if (meta.currentSnapshot.exists(_.eqDeleteFiles.size >= maxEqDeleteFiles)) {
+      val v0 = meta.version
+      LakeTable.withConflictRetry() { convertEqualityDeletes() }
+      did |= meta.version != v0
+    }
+    if (meta.currentSnapshot.exists(_.deleteFiles.size >= maxDeleteFiles)) {
+      val v0 = meta.version
+      LakeTable.withConflictRetry() { rewriteDeleteFiles() }
+      did |= meta.version != v0
+    }
+    autoCompact(everyCommits, targetSizeBytes, partitionFilter, sortBy) || did
+  }
+
   /** CALL rewrite_position_deletes: fold merge-on-read delete entries back
     * into their data files — ONLY files carrying delete entries are
     * rewritten (read under the mask, re-written without the dead rows);

@@ -244,9 +244,20 @@ object Changelog {
 
   /** Start a continuous changelog ingest: 5 s micro-batches (the
     * reference's checkpoint cadence — IcebergStream.java:84) with
-    * exactly-once via checkpointLocation + the batch-id guard. */
+    * exactly-once via checkpointLocation + the batch-id guard.
+    *
+    * `maintainEvery` > 0 folds table maintenance into the ingest cadence
+    * ([[graft.lake.LakeTable.autoMaintain]]): small-file binpack every
+    * that-many commits PLUS merge-on-read delete-mask upkeep (equality
+    * masks converted, positional masks compacted, each threshold-gated on
+    * free metadata checks) — the reference's maintenance notebook treats
+    * compaction as routine policy, and a merge-on-read CDC stream without
+    * it accretes one equality-delete mask class per batch forever. The
+    * maintenance commits ride AFTER the batch's merge, conflict-retried,
+    * and never touch the batch-id marker, so exactly-once is unaffected. */
   def startIngest(table: LakeTable, parsed: DataFrame, key: String, seqCol: String,
-                  checkpointDir: String, triggerMs: Long = 5000L): StreamingQuery = {
+                  checkpointDir: String, triggerMs: Long = 5000L,
+                  maintainEvery: Int = 0): StreamingQuery = {
     val wid = writerIdFor(checkpointDir)
     parsed.writeStream
       .outputMode("append")
@@ -254,6 +265,7 @@ object Changelog {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, id: Long) =>
         mergeChangelog(table, batch, key, seqCol, batchId = id, writerId = wid)
+        if (maintainEvery > 0) { table.autoMaintain(maintainEvery); () }
       }
       .start()
   }
