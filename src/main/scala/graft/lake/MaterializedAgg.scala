@@ -115,6 +115,9 @@ final class MaterializedAgg private[lake] (
     // one signed, map-side-combined pass over the churn
     val deltaAggs: Seq[Column] =
       sum(sign).as(RowsCol) +: aggs.flatMap { a =>
+        // COUNT(*) counts rows, not non-nulls: its delta is the bare sign
+        if (a.isStar) Seq(sum(sign).as(a.alias))
+        else {
         val c = col(a.column)
         a.func match {
           case "count" => Seq(sum(when(c.isNotNull, sign).otherwise(0L)).as(a.alias))
@@ -126,6 +129,7 @@ final class MaterializedAgg private[lake] (
             sum(when(c.isNotNull, sign).otherwise(0L)).as(cntCol(a.alias)))
           case "min" => Seq(min(when(sign > 0, c)).as(a.alias))
           case "max" => Seq(max(when(sign > 0, c)).as(a.alias))
+        }
         }
       }
     val needsRescan = aggs.exists(a => a.func == "min" || a.func == "max")
@@ -221,10 +225,14 @@ final class MaterializedAgg private[lake] (
 
 object MaterializedAgg {
   /** One aggregate column of the view: `func` ∈ count|sum|avg|min|max
-    * over base column `column`, exposed as `alias`. */
+    * over base column `column`, exposed as `alias`. `column = "*"` (legal
+    * for count only) is COUNT(*): rows, not non-null values. */
   final case class AggCol(func: String, column: String, alias: String) {
     require(Set("count", "sum", "avg", "min", "max")(func),
       s"unsupported aggregate '$func' (count|sum|avg|min|max)")
+    require(column != "*" || func == "count",
+      s"'*' argument is only legal for count, not $func")
+    private[graft] def isStar: Boolean = column == "*"
     private[lake] def fn: Column = func match {
       case "min" => min(col(column)).as(alias)
       case "max" => max(col(column)).as(alias)
@@ -346,6 +354,7 @@ object MaterializedAgg {
       resolved)
     val stateAggs: Seq[Column] = aggs.flatMap { a =>
       a.func match {
+        case "count" if a.isStar => Seq(count(lit(1)).as(a.alias))
         case "count" => Seq(count(col(a.column)).as(a.alias))
         case "sum" | "avg" => Seq(sum(col(a.column)).as(sumCol(a.alias)),
           count(col(a.column)).cast("long").as(cntCol(a.alias)))

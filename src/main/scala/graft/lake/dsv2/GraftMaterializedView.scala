@@ -48,15 +48,26 @@ object GraftMaterializedView {
 
 case class CreateMaterializedViewCommand(
     viewIdent: Seq[String], baseIdent: Seq[String],
-    groupBy: Seq[String], aggs: Seq[MaterializedAgg.AggCol])
+    groupBy: Seq[String], aggs: Seq[MaterializedAgg.AggCol],
+    dims: Seq[MaterializedAgg.DimJoin] = Seq.empty)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (vCat, vIdent) = GraftMaterializedView.splitIdent(spark, viewIdent)
     val (bCat, bIdent) = GraftMaterializedView.splitIdent(spark, baseIdent)
     require(vCat == bCat,
       s"view and base table must live in the same catalog: $vCat vs $bCat")
+    // star-schema dims: resolve each against the SAME catalog (the DDL
+    // may spell them fully-qualified or catalog-relative)
+    val resolvedDims = dims.map { dj =>
+      val parts = dj.dimIdent.split("\\.").toSeq
+      val (dCat, dIdent) = GraftMaterializedView.splitIdent(spark, parts)
+      require(dCat == vCat,
+        s"dimension ${dj.dimIdent} must live in the view's catalog $vCat")
+      dj.copy(dimIdent = dIdent)
+    }
     val lake = GraftMaterializedView.lakeCatalogOf(spark, vCat)
-    val mv = MaterializedAgg.create(lake, vIdent, lake.loadTable(bIdent), groupBy, aggs)
+    val mv = MaterializedAgg.create(lake, vIdent, lake.loadTable(bIdent),
+      groupBy, aggs, resolvedDims)
     mv.refresh() // initial build = the incremental path from the beginning
     Seq.empty
   }

@@ -132,45 +132,99 @@ object GraftSqlParser {
 
   private val MvIdent = """(?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))*"""
   private val CreateMv =
-    s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+($MvIdent)\\s+AS\\s+SELECT\\s+(.+?)\\s+FROM\\s+($MvIdent)\\s+GROUP\\s+BY\\s+(.+?)\\s*;?\\s*""".r
+    s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+($MvIdent)\\s+AS\\s+SELECT\\s+(.+?)\\s+FROM\\s+(.+?)\\s+GROUP\\s+BY\\s+(.+?)\\s*;?\\s*""".r
   private val RefreshMv =
     s"""(?is)\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+($MvIdent)\\s*;?\\s*""".r
   private val DropMv =
     s"""(?is)\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+(?:(IF\\s+EXISTS)\\s+)?($MvIdent)\\s*;?\\s*""".r
-  private val AggItem = """(?i)\s*(count|sum|avg|min|max)\s*\(\s*`?(\w+)`?\s*\)\s+AS\s+`?(\w+)`?\s*""".r
-  private val BareItem = """\s*`?(\w+)`?\s*""".r
+  // SELECT items may be qualified (`f.col` / `d.col`) — the qualifier is
+  // stripped: MaterializedAgg enforces fact/dim column-name disjointness,
+  // so unqualified names are unambiguous in the enriched frame
+  private val AggItem =
+    """(?i)\s*(count|sum|avg|min|max)\s*\(\s*(?:(\*)|(?:`?\w+`?\s*\.\s*)?`?(\w+)`?)\s*\)\s+AS\s+`?(\w+)`?\s*""".r
+  private val BareItem = """\s*(?:`?\w+`?\s*\.\s*)?`?(\w+)`?\s*""".r
+  // FROM clause: base table [AS alias] + zero or more equi-joined dims
+  private val FromHead =
+    s"""(?is)\\s*($MvIdent)(?:\\s+(?:AS\\s+)?(?!JOIN|LEFT|INNER)(\\w+))?\\s*(.*)""".r
+  private val JoinRe =
+    s"""(?is)\\s*(?:(LEFT|INNER)\\s+)?JOIN\\s+($MvIdent)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+ON\\s+((?:`?\\w+`?\\s*\\.\\s*)?`?\\w+`?)\\s*=\\s*((?:`?\\w+`?\\s*\\.\\s*)?`?\\w+`?)\\s*(.*)""".r
+
+  private def unquote(s: String): String =
+    s.replace("`", "").replaceAll("\\s+", "")
 
   /** Some(command) when the text is MATERIALIZED VIEW DDL
     * ([[GraftMaterializedView]]). The SELECT shape is restricted to what
-    * the delta algebra maintains: bare group columns +
-    * count/sum/avg/min/max aggregates, each aliased. */
+    * the delta algebra maintains: group columns (fact or dimension) +
+    * aliased count/sum/avg/min/max aggregates (COUNT(*) included), over
+    * one fact table optionally equi-joined to broadcast dimension tables
+    * (`[LEFT|INNER] JOIN dim [AS d] ON f.key = d.key` — star schema). */
   def parseMaterializedViewDdl(sqlText: String,
                                delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
-      case CreateMv(view, selectList, base, groupList) =>
+      case CreateMv(view, selectList, fromClause, groupList) =>
+        // FROM: base [alias] (JOIN dim [alias] ON a.k = b.k)*
+        val (base, dims) = fromClause match {
+          case FromHead(b, bAlias, rest) =>
+            var joins = Vector.empty[graft.lake.MaterializedAgg.DimJoin]
+            var cur = rest
+            while (cur.trim.nonEmpty) cur match {
+              case JoinRe(kind, dimIdent, dimAlias, lhs, rhs, more) =>
+                val dim = unquote(dimIdent)
+                val dAlias = Option(dimAlias).getOrElse(dim.split("\\.").last)
+                // the side qualified by THIS join's alias (or dim name) is
+                // the dimension key; the other side is the (enriched) fact
+                def split(q: String): (Option[String], String) = {
+                  val parts = unquote(q).split("\\.")
+                  if (parts.length == 1) (None, parts(0))
+                  else (Some(parts.dropRight(1).mkString(".")), parts.last)
+                }
+                val (lq, lc) = split(lhs)
+                val (rq, rc) = split(rhs)
+                def isDimSide(q: Option[String]) =
+                  q.contains(dAlias) || q.contains(dim) || q.contains(dim.split("\\.").last)
+                val (factKey, dimKey) =
+                  if (isDimSide(rq) && !isDimSide(lq)) (lc, rc)
+                  else if (isDimSide(lq) && !isDimSide(rq)) (rc, lc)
+                  else parseError(sqlText,
+                    s"cannot tell the dimension side of ON $lhs = $rhs — " +
+                      s"qualify exactly one side with the join's alias '$dAlias'")
+                joins :+= graft.lake.MaterializedAgg.DimJoin(dim, factKey, dimKey,
+                  Option(kind).map(_.toLowerCase(java.util.Locale.ROOT))
+                    .filter(_ == "left").getOrElse("inner"))
+                cur = more
+              case other => parseError(sqlText,
+                s"unsupported FROM clause tail (expected [LEFT|INNER] JOIN " +
+                  s"<dim> [AS d] ON <fact.k> = <d.k>): $other")
+            }
+            (unquote(b), joins)
+          case other => parseError(sqlText, s"unsupported FROM clause: $other")
+        }
         val groupBy = groupList.split(",").toSeq.map {
           case BareItem(c) => c
           case other => parseError(sqlText,
-            s"GROUP BY items must be bare columns: $other")
+            s"GROUP BY items must be plain (optionally qualified) columns: $other")
         }
         var bare = Vector.empty[String]
         var aggs = Vector.empty[graft.lake.MaterializedAgg.AggCol]
         selectList.split(",").foreach {
-          case AggItem(f, c, a) =>
+          case AggItem(f, star, c, a) =>
+            val fn = f.toLowerCase(java.util.Locale.ROOT)
+            if (star != null && fn != "count") parseError(sqlText,
+              s"'*' argument is only legal for COUNT, not $fn")
             aggs :+= graft.lake.MaterializedAgg.AggCol(
-              f.toLowerCase(java.util.Locale.ROOT), c, a)
+              fn, if (star != null) "*" else c, a)
           case BareItem(c) => bare :+= c
           case other => parseError(sqlText,
-            "materialized-view SELECT items must be bare group columns or " +
-              s"count|sum|avg|min|max(col) AS alias: $other " +
-              "(COUNT(*) is not maintainable per-column — use count(<col>))")
+            "materialized-view SELECT items must be group columns or " +
+              s"count|sum|avg|min|max(col) AS alias (COUNT(*) allowed): $other")
         }
         if (bare.sorted != groupBy.sorted) parseError(sqlText,
           s"SELECT's bare columns ${bare.mkString(",")} must equal GROUP BY ${groupBy.mkString(",")}")
         if (aggs.isEmpty) parseError(sqlText, "at least one aggregate is required")
         Some(CreateMaterializedViewCommand(
           delegate.parseMultipartIdentifier(view),
-          delegate.parseMultipartIdentifier(base), groupBy, aggs))
+          delegate.parseMultipartIdentifier(base), groupBy, aggs,
+          dims))
       case RefreshMv(view) =>
         Some(RefreshMaterializedViewCommand(delegate.parseMultipartIdentifier(view)))
       case DropMv(ifExists, view) =>

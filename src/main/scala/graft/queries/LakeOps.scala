@@ -67,7 +67,8 @@ object LakeOps {
       // instance (and thus the original warehouse) per session, so a retry
       // of this lambda would otherwise trip over half-created tables
       Seq("nation", "supplier", "region", "chg", "mvbase", "mv_orders",
-        "bkt_orders", "bkt_cust", "cust_mor", "ord_mor")
+        "bkt_orders", "bkt_cust", "cust_mor", "ord_mor",
+        "star_fact", "star_dim", "star_mv")
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS lake.ops.$t"))
       // q31: nation round-trip (INSERT INTO ... SELECT — D13)
       s.sql("""CREATE TABLE lake.ops.nation
@@ -180,6 +181,33 @@ object LakeOps {
       ordMor.mergeByKeys("o_orderkey", batchKeys, batchUpserts)
       require(ordMor.meta.currentSnapshot.get.eqDeleteFiles.nonEmpty,
         "q76 setup must exercise the equality-delete path")
+      // q82: star-schema materialized view through the SQL DDL surface —
+      // dimension-enriched (customer segment) incremental aggregate with
+      // COUNT(*), refreshed BETWEEN the fact commits (initial build,
+      // insert delta, delete delta), so the final state is three composed
+      // churn-sized refreshes. The oracle recomputes the join-aggregate
+      // over the final logical content from the original parquet.
+      s.sql("""CREATE TABLE lake.ops.star_fact
+              |  (o_orderkey BIGINT, o_custkey BIGINT,
+              |   o_totalprice DECIMAL(18,2))""".stripMargin)
+      s.sql("""CREATE TABLE lake.ops.star_dim
+              |  (c_custkey BIGINT, c_mktsegment STRING)""".stripMargin)
+      s.sql("INSERT INTO lake.ops.star_dim SELECT c_custkey, c_mktsegment FROM customer")
+      s.sql("""INSERT INTO lake.ops.star_fact
+              |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2))
+              |FROM orders WHERE o_orderkey <= 3000""".stripMargin)
+      sqlx("""CREATE MATERIALIZED VIEW lake.ops.star_mv AS
+             |SELECT d.c_mktsegment, COUNT(*) AS n_orders,
+             |  sum(f.o_totalprice) AS revenue
+             |FROM lake.ops.star_fact f
+             |JOIN lake.ops.star_dim d ON f.o_custkey = d.c_custkey
+             |GROUP BY d.c_mktsegment""".stripMargin)
+      s.sql("""INSERT INTO lake.ops.star_fact
+              |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2))
+              |FROM orders WHERE o_orderkey > 3000 AND o_orderkey <= 6000""".stripMargin)
+      sqlx("REFRESH MATERIALIZED VIEW lake.ops.star_mv")
+      sqlx("DELETE FROM lake.ops.star_fact WHERE o_orderkey % 9 = 0")
+      sqlx("REFRESH MATERIALIZED VIEW lake.ops.star_mv")
       Env(wh, snap1, chgFrom)
     })
   }
@@ -355,5 +383,25 @@ object LakeOps {
       |    AND NOT (o_orderkey % 50 = 0 AND o_orderkey % 40 <> 0)
       |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 
-  def specs: Seq[QuerySpec] = Seq(q31, q32, q33, q59, q63, q65, q75, q76)
+  /** Star-schema materialized view created + maintained through the SQL
+    * DDL ([[graft.lake.dsv2.GraftSqlParser]] CREATE/REFRESH MATERIALIZED
+    * VIEW with a dimension JOIN and COUNT(*)): this query only READS the
+    * state table, so a hash match proves the DDL path built the same
+    * DimJoin-enriched incremental aggregate the Scala API maintains, and
+    * that three churn-sized refreshes (build, insert delta, delete delta)
+    * composed to exactly DuckDB's from-scratch join-aggregate. */
+  val q82 = plan("q82_star_mv_sql",
+    fn = (s, dir) => {
+      ensure(s, dir)
+      s.sql("""SELECT c_mktsegment, n_orders,
+              |  CAST(revenue AS DOUBLE) AS revenue
+              |FROM lake.ops.star_mv ORDER BY c_mktsegment""".stripMargin)
+    },
+    duckSql = """SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o.o_orderkey <= 6000 AND o.o_orderkey % 9 <> 0
+      |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
+
+  def specs: Seq[QuerySpec] = Seq(q31, q32, q33, q59, q63, q65, q75, q76, q82)
 }

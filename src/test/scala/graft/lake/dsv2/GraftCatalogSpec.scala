@@ -702,9 +702,9 @@ class GraftCatalogSpec extends AnyFunSuite {
       Seq(("a", 3L, 2L, 1.5), ("b", 15L, 2L, 7.5), ("c", 7L, 1L, 7.0)))
     // the view refuses direct writes and DML
     intercept[Exception] { sql("INSERT INTO lake.db.rev VALUES ('x', 1, 1, 1.0)") }
-    // bad shapes are parse errors, not silent misbuilds
+    // bad shapes are parse errors, not silent misbuilds ('*' only for COUNT)
     intercept[Exception] { extSpark.sql(
-      "CREATE MATERIALIZED VIEW lake.db.bad AS SELECT g, count(*) AS n FROM lake.db.mvbase GROUP BY g") }
+      "CREATE MATERIALIZED VIEW lake.db.bad AS SELECT g, sum(*) AS n FROM lake.db.mvbase GROUP BY g") }
     intercept[Exception] { extSpark.sql(
       "CREATE MATERIALIZED VIEW lake.db.bad AS SELECT g, h, sum(v) AS t FROM lake.db.mvbase GROUP BY g") }
     // 2-part identifiers resolve against the session's current catalog
@@ -723,6 +723,54 @@ class GraftCatalogSpec extends AnyFunSuite {
     extSpark.sql("DROP MATERIALIZED VIEW lake.db.rev")
     assert(!new graft.lake.LakeCatalog(spark,
       spark.conf.get("spark.sql.catalog.lake.warehouse")).tableExists("db.rev"))
+  }
+
+  test("MATERIALIZED VIEW SQL: star-schema JOIN + COUNT(*) — DDL parity with the Scala DimJoin path (r10)") {
+    sql("CREATE TABLE lake.db.sfact (ok BIGINT, ck BIGINT, price BIGINT)")
+    sql("CREATE TABLE lake.db.sdim (ck2 BIGINT, seg STRING)")
+    sql("INSERT INTO lake.db.sdim VALUES (1, 'gold'), (2, 'iron')")
+    sql("INSERT INTO lake.db.sfact VALUES (10, 1, 100), (11, 1, 50), (12, 2, 7), (13, 3, 999)")
+    // dimension-enriched MV straight from DDL: group by a DIM attribute,
+    // COUNT(*) + sum over the fact — ck=3 has no dim row and drops (inner)
+    extSpark.sql(
+      """CREATE MATERIALIZED VIEW lake.db.smv AS
+        |SELECT d.seg, COUNT(*) AS n, sum(f.price) AS revenue
+        |FROM lake.db.sfact f JOIN lake.db.sdim d ON f.ck = d.ck2
+        |GROUP BY d.seg""".stripMargin)
+    def rows() = sql("SELECT seg, n, revenue FROM lake.db.smv ORDER BY seg")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows() === Seq(("gold", 2L, 150L), ("iron", 1L, 7L)))
+    // churn + refresh: incremental result equals recompute
+    sql("INSERT INTO lake.db.sfact VALUES (14, 2, 3), (15, 1, 1)")
+    extSpark.sql("DELETE FROM lake.db.sfact WHERE ok = 10")
+    extSpark.sql("REFRESH MATERIALIZED VIEW lake.db.smv")
+    assert(rows() === Seq(("gold", 2L, 51L), ("iron", 2L, 10L)))
+    // it IS the Scala star path: the state table records the DimJoin spec,
+    // and a dimension change is refused until rebuild (delta unsoundness)
+    val lt = new graft.lake.LakeCatalog(spark,
+      spark.conf.get("spark.sql.catalog.lake.warehouse"))
+    assert(lt.loadTable("db.smv").meta.properties.contains("graft.ivm.dims"))
+    sql("INSERT INTO lake.db.sdim VALUES (3, 'clay')")
+    sql("INSERT INTO lake.db.sfact VALUES (16, 3, 20)")
+    val e = intercept[Exception] {
+      extSpark.sql("REFRESH MATERIALIZED VIEW lake.db.smv")
+    }
+    assert(e.getMessage.contains("rebuild"),
+      s"dim-change refusal must point at rebuild: ${e.getMessage}")
+    // rebuild via Scala API picks up the new dimension contents
+    graft.lake.MaterializedAgg.load(lt, "db.smv").rebuild()
+    assert(rows() === Seq(("clay", 2L, 1019L), ("gold", 2L, 51L), ("iron", 2L, 10L)))
+    // LEFT JOIN spelling parses and keeps unmatched facts
+    extSpark.sql(
+      """CREATE MATERIALIZED VIEW lake.db.smvl AS
+        |SELECT d.seg, COUNT(*) AS n
+        |FROM lake.db.sfact AS f LEFT JOIN lake.db.sdim AS d ON f.ck = d.ck2
+        |GROUP BY d.seg""".stripMargin)
+    val total = sql("SELECT SUM(n) FROM lake.db.smvl").head.getLong(0)
+    assert(total === sql("SELECT COUNT(*) FROM lake.db.sfact").head.getLong(0),
+      "LEFT-join MV must keep unmatched facts under the NULL dim group")
+    extSpark.sql("DROP MATERIALIZED VIEW lake.db.smvl")
+    extSpark.sql("DROP MATERIALIZED VIEW lake.db.smv")
   }
 
   test("identity columns: unique system-assigned values, concurrent allocation guarded (r9)") {
