@@ -74,17 +74,7 @@ final class MaterializedAgg private[lake] (
   /** The snapshot of the base table this view currently reflects: the
     * most recent state commit carrying a refresh marker (state-table
     * housekeeping like compaction does not disturb it). */
-  def watermark: Option[Long] = {
-    val m = state.meta
-    var cur = m.currentSnapshot
-    while (cur.isDefined) {
-      cur.get.summary.get(WatermarkKey) match {
-        case Some(v) => return Some(v.toLong)
-        case None => cur = cur.get.parentId.flatMap(m.snapshot)
-      }
-    }
-    None
-  }
+  def watermark: Option[Long] = MaterializedAgg.watermarkOf(state)
 
   /** Bring the view up to the base table's current head (or an explicit
     * `toSnapshotId`). Returns the new watermark; no-op (and NO new
@@ -294,13 +284,33 @@ object MaterializedAgg {
         })
     }
 
+  /** [[MaterializedAgg#watermark]] for a state table loaded by location
+    * (the query-routing rule has no MaterializedAgg instance). */
+  private[graft] def watermarkOf(state: LakeTable): Option[Long] = {
+    val m = state.meta
+    var cur = m.currentSnapshot
+    while (cur.isDefined) {
+      cur.get.summary.get(WatermarkKey) match {
+        case Some(v) => return Some(v.toLong)
+        case None => cur = cur.get.parentId.flatMap(m.snapshot)
+      }
+    }
+    None
+  }
+
   private[lake] val KeyCol = "_ivm_key"
   private[lake] val RowsCol = "_ivm_rows"
   private[lake] val LostCol = "_ivm_lost"
   private[lake] val RescanCol = "_ivm_rescanned"
   private[lake] val WatermarkKey = "graft.ivm.base-snapshot"
   private[lake] val DimSnapshotsKey = "graft.ivm.dim-snapshots"
-  private[lake] val DimsKey = "graft.ivm.dims"
+  private[graft] val DimsKey = "graft.ivm.dims"
+  /** Property on the BASE table: ';'-joined state-table locations of the
+    * views maintained over it — the discovery index for automatic query
+    * routing ([[graft.lake.dsv2.GraftMvRoute]]). Best-effort pointers:
+    * the router re-validates existence, spec, and freshness at use, so a
+    * stale entry (view dropped outside the SQL DDL) is just skipped. */
+  private[graft] val ViewsKey = "graft.ivm.views"
   private[lake] def sumCol(alias: String) = alias + "__sum"
   private[lake] def cntCol(alias: String) = alias + "__cnt"
 
@@ -374,6 +384,12 @@ object MaterializedAgg {
         DimsKey -> dims.map(dj =>
           s"${dj.dimIdent}|${dj.factKey}|${dj.dimKey}|${dj.kind}").mkString(";"),
         DimSnapshotsKey -> dimSnapshots(resolved))))
+    // register the view on the BASE table so the optimizer can route
+    // matching aggregate queries to the maintained state (GraftMvRoute)
+    val registered = base.meta.properties.get(ViewsKey)
+      .map(_.split(";").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    if (!registered.contains(t.location))
+      base.setProperties(Map(ViewsKey -> (registered :+ t.location).mkString(";")))
     new MaterializedAgg(t, base, groupBy, aggs, catalog, resolved)
   }
 

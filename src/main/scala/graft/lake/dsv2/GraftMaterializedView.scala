@@ -94,8 +94,23 @@ case class DropMaterializedViewCommand(viewIdent: Seq[String], ifExists: Boolean
     }
     // refuse to DROP MATERIALIZED VIEW a plain table (and vice versa:
     // DROP TABLE works on the state table regardless — it IS a table)
-    require(MaterializedAgg.viewSpec(lake.loadTable(ident).meta.properties).isDefined,
+    val state = lake.loadTable(ident)
+    require(MaterializedAgg.viewSpec(state.meta.properties).isDefined,
       s"$ident is not a materialized view")
+    // deregister from the base's routing index (best-effort: a base
+    // dropped first just means the pointer dies with it)
+    state.meta.properties.get("graft.ivm.base-location").foreach { baseLoc =>
+      try {
+        val base = graft.lake.LakeTable.at(spark, baseLoc)
+        val cur = base.meta.properties.get(MaterializedAgg.ViewsKey)
+          .map(_.split(";").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+        if (cur.contains(state.location)) {
+          val left = cur.filterNot(_ == state.location)
+          if (left.isEmpty) base.unsetProperties(Seq(MaterializedAgg.ViewsKey))
+          else base.setProperties(Map(MaterializedAgg.ViewsKey -> left.mkString(";")))
+        }
+      } catch { case scala.util.control.NonFatal(_) => }
+    }
     lake.dropTable(ident)
     Seq.empty
   }

@@ -89,7 +89,17 @@ case class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.DateType => v.toInt
       case _ => v // LongType, TimestampType (micros), TimestampNTZType
     }
-    val counted = plan.transformDown {
+    // materialized-view routing pre-pass: an aggregate a maintained MV
+    // already answers reads the (fresh) view state instead of scanning
+    // the base — see GraftMvRoute for the match/freshness contract. Runs
+    // before the metadata-count pass (a routed plan has no relation left
+    // for it) and leaves non-matching aggregates untouched for it.
+    val routed = plan.transformDown {
+      case agg: Aggregate =>
+        GraftMvRoute.route(spark, agg, unwrapScan, writeTargets.contains)
+          .getOrElse(agg)
+    }
+    val counted = routed.transformDown {
       // metadata-only GROUP BY partition-column COUNT(*): a grouped count
       // keyed by an IDENTITY partition column reads the answer from the
       // per-file partition values + footer row counts (the `partitions`

@@ -1,0 +1,124 @@
+package graft.lake.dsv2
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Automatic materialized-view query routing ([[GraftMvRoute]]): a
+  * matching aggregate over the base table must read the maintained view
+  * state (no aggregate executes at all — the state IS the answer), but
+  * ONLY while the view is exactly fresh; stale views, shape mismatches,
+  * and semantic near-misses (count(col) vs COUNT(*)) must scan normally.
+  * Results must be row-identical either way. */
+class MvRouteSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions()(_))
+      .getOrCreate()
+    prevDefault match {
+      case Some(d) => SparkSession.setDefaultSession(d)
+      case None => SparkSession.clearDefaultSession()
+    }
+    prevActive match {
+      case Some(a) => SparkSession.setActiveSession(a)
+      case None => SparkSession.clearActiveSession()
+    }
+    val wh = Files.createTempDirectory("graft-mvroute").toString
+    s.conf.set("spark.sql.catalog.lake", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.lake.warehouse", wh)
+    org.apache.spark.sql.graftbridge.CatalogBridge.resetCatalogs(s)
+    s.sql("CREATE DATABASE IF NOT EXISTS lake.db")
+    s
+  }
+
+  private def sql(q: String): DataFrame = spark.sql(q)
+
+  /** The routing signal: a routed query's physical plan has NO aggregate
+    * operator (the state projection is the whole answer); an unrouted
+    * aggregate always hashes/sorts-aggregates over a scan. */
+  private def isRouted(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Aggregate")
+
+  private def rows(df: DataFrame): Seq[(String, Long, Long)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("fresh MV answers a matching aggregate with zero aggregation; stale never routes") {
+    sql("CREATE TABLE lake.db.rb (g STRING, v BIGINT, w DOUBLE)")
+    sql("INSERT INTO lake.db.rb VALUES ('a', 1, 0.5), ('a', 2, 1.5), ('b', 10, 2.0)")
+    sql("""CREATE MATERIALIZED VIEW lake.db.rmv AS
+          |SELECT g, COUNT(*) AS n, sum(v) AS t
+          |FROM lake.db.rb GROUP BY g""".stripMargin)
+    val q = "SELECT g, count(*) AS n, sum(v) AS t FROM lake.db.rb GROUP BY g ORDER BY g"
+    val routedDf = sql(q)
+    assert(isRouted(routedDf), "fresh view must answer the matching aggregate:\n" +
+      routedDf.queryExecution.executedPlan.toString)
+    assert(rows(routedDf) === Seq(("a", 2L, 3L), ("b", 1L, 10L)))
+    // aliasing/order/subset variations still route
+    assert(isRouted(sql("SELECT sum(v) AS total, g FROM lake.db.rb GROUP BY g")))
+    // stale: base moved past the watermark → normal scan, correct rows
+    sql("INSERT INTO lake.db.rb VALUES ('b', 5, 3.0), ('c', 7, 4.0)")
+    val staleDf = sql(q)
+    assert(!isRouted(staleDf), "stale view must NOT route")
+    assert(rows(staleDf) === Seq(("a", 2L, 3L), ("b", 2L, 15L), ("c", 1L, 7L)))
+    // refresh → routes again, identical rows
+    sql("REFRESH MATERIALIZED VIEW lake.db.rmv")
+    val freshDf = sql(q)
+    assert(isRouted(freshDf), "refreshed view must route again")
+    assert(rows(freshDf) === rows(staleDf))
+  }
+
+  test("shape and semantic mismatches scan normally") {
+    sql("CREATE TABLE lake.db.rb2 (g STRING, h STRING, v BIGINT)")
+    sql("INSERT INTO lake.db.rb2 VALUES ('a', 'x', 1), ('b', 'y', 2)")
+    sql("""CREATE MATERIALIZED VIEW lake.db.rmv2 AS
+          |SELECT g, COUNT(*) AS n, sum(v) AS t
+          |FROM lake.db.rb2 GROUP BY g""".stripMargin)
+    // different group column
+    assert(!isRouted(sql("SELECT h, count(*) AS n FROM lake.db.rb2 GROUP BY h")))
+    // count(v) is null-sensitive — the view only has COUNT(*)
+    assert(!isRouted(sql("SELECT g, count(v) AS n FROM lake.db.rb2 GROUP BY g")))
+    // an aggregate the view lacks
+    assert(!isRouted(sql("SELECT g, min(v) AS lo FROM lake.db.rb2 GROUP BY g")))
+    // DISTINCT never routes
+    assert(!isRouted(sql("SELECT g, count(DISTINCT v) AS n FROM lake.db.rb2 GROUP BY g")))
+    // a filter below the aggregate never routes
+    assert(!isRouted(sql(
+      "SELECT g, count(*) AS n FROM lake.db.rb2 WHERE v > 1 GROUP BY g")))
+    // matching shape still routes (sanity that the view is live + fresh)
+    assert(isRouted(sql("SELECT g, count(*) AS n, sum(v) AS t FROM lake.db.rb2 GROUP BY g")))
+    // DROP deregisters: the same query scans again (and still answers)
+    sql("DROP MATERIALIZED VIEW lake.db.rmv2")
+    val after = sql("SELECT g, count(*) AS n, sum(v) AS t FROM lake.db.rb2 GROUP BY g ORDER BY g")
+    assert(!isRouted(after))
+    assert(rows(after) === Seq(("a", 1L, 1L), ("b", 1L, 2L)))
+  }
+
+  test("time travel and branches bypass the view; write targets are untouched") {
+    sql("CREATE TABLE lake.db.rb3 (g STRING, v BIGINT)")
+    sql("INSERT INTO lake.db.rb3 VALUES ('a', 1)")
+    val lt = new graft.lake.LakeCatalog(spark,
+      spark.conf.get("spark.sql.catalog.lake.warehouse")).loadTable("db.rb3")
+    val snap1 = lt.meta.currentSnapshot.get.snapshotId
+    sql("INSERT INTO lake.db.rb3 VALUES ('a', 2), ('b', 3)")
+    sql("""CREATE MATERIALIZED VIEW lake.db.rmv3 AS
+          |SELECT g, COUNT(*) AS n, sum(v) AS t FROM lake.db.rb3 GROUP BY g""".stripMargin)
+    assert(isRouted(sql("SELECT g, count(*) AS n, sum(v) AS t FROM lake.db.rb3 GROUP BY g")))
+    // VERSION AS OF pins a historical snapshot — the view reflects head
+    val tt = sql(s"SELECT g, count(*) AS n, sum(v) AS t FROM lake.db.rb3 VERSION AS OF $snap1 GROUP BY g")
+    assert(!isRouted(tt), "time travel must never route to the view")
+    assert(rows(tt) === Seq(("a", 1L, 1L)))
+    // INSERT INTO t SELECT-aggregate-over-t: source side may route, the
+    // write target must stay a DSv2 relation (no crash, correct result)
+    sql("CREATE TABLE lake.db.rb3sink (g STRING, n BIGINT, t BIGINT)")
+    sql("INSERT INTO lake.db.rb3sink SELECT g, count(*), sum(v) FROM lake.db.rb3 GROUP BY g")
+    assert(sql("SELECT COUNT(*) FROM lake.db.rb3sink").head.getLong(0) === 2L)
+  }
+}
