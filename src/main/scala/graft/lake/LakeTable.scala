@@ -960,15 +960,18 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         .filter(!coalesce(col(key).isin(ks: _*), lit(false)))
       writeDataFiles(toPhysical(remaining, m0.schema), m0)
     }
+    // upserts are new rows — identity assignment + advance, like append
+    val (upserts1, idPlan) = assignIdentity(m0, upserts)
     val inserted =
       if (upserts.isEmpty) Seq.empty
       else writeDataFiles(
-          toPhysical(withCheckConstraints(m0, upserts), m0.schema), m0, filePrefix = "app")
+          toPhysical(withCheckConstraints(m0, upserts1), m0.schema), m0, filePrefix = "app")
     commitReplace(branch, untouched ++ survivors ++ inserted, "overwrite",
       extraSummary ++ Map(
         "merge-keys" -> ks.size.toString,
         "rewritten-data-files" -> touched.size.toString), base = snap,
-      conflictPredicate = if (ks.isEmpty) None else Some(p), staged = stagedWap)
+      conflictPredicate = if (ks.isEmpty) None else Some(p), staged = stagedWap,
+      identityPlan = idPlan, identityProps = identityAdvance(idPlan, inserted))
   }
 
   /** Distributed equality-field upsert: like [[mergeByKey]] but the delete
@@ -1017,11 +1020,16 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       }
       // a null-keyed target row dies iff the condition is TRUE (ANSI)
       val nullKill = nullKeyDelete.map(c => col(key).isNull && coalesce(c, lit(false)))
+      // merged upserts are NEW rows: identity columns are assigned here
+      // exactly like append (a CDC ingest stream into an identity table
+      // must keep ids unique across batches), advanced from footer stats
+      // and commit-guarded against concurrent allocation
+      val (upserts1, idPlan) = assignIdentity(m0, upserts)
       if (m0.properties.get("write.merge.mode").contains("merge-on-read")) {
         val inserted =
           if (upserts.isEmpty) Seq.empty
           else writeDataFiles(
-          toPhysical(withCheckConstraints(m0, upserts), m0.schema), m0, filePrefix = "app")
+          toPhysical(withCheckConstraints(m0, upserts1), m0.schema), m0, filePrefix = "app")
         val eqDel =
           if (nKeys == 0) None else writeEqualityDeleteFile(kd, Seq(key), m0)
         // null-keyed rows can't ride the equality mask — encode them as a
@@ -1043,7 +1051,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
           base = snap,
           conflictPredicate = conflictPred,
           staged = stagedWap, extraEqDeleteFiles = eqDel.toSeq,
-          extraDeleteFiles = nullDel.toSeq)
+          extraDeleteFiles = nullDel.toSeq,
+          identityPlan = idPlan, identityProps = identityAdvance(idPlan, inserted))
       }
       val touchPred = (boundsPred, nullPred) match {
         case (Some(b), Some(n)) => Some(Pruning.Or(b, n))
@@ -1065,13 +1074,14 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       val inserted =
         if (upserts.isEmpty) Seq.empty
         else writeDataFiles(
-          toPhysical(withCheckConstraints(m0, upserts), m0.schema), m0, filePrefix = "app")
+          toPhysical(withCheckConstraints(m0, upserts1), m0.schema), m0, filePrefix = "app")
       commitReplace(branch, untouched ++ survivors ++ inserted, "overwrite",
         extraSummary ++ Map(
           "merge-keys" -> nKeys.toString,
           "rewritten-data-files" -> touched.size.toString), base = snap,
         conflictPredicate = conflictPred,
-        staged = stagedWap)
+        staged = stagedWap,
+        identityPlan = idPlan, identityProps = identityAdvance(idPlan, inserted))
     } finally { kd.unpersist(); () }
   }
 

@@ -464,6 +464,97 @@ class ChangelogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed MoR changelog events EQUAL the batch changelog() over the same range (r10)") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val src = cat.createTable("test.morpar", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType))))
+    src.setProperties(Map(
+      "write.delete.mode" -> "merge-on-read",
+      "write.update.mode" -> "merge-on-read",
+      "write.merge.mode" -> "merge-on-read"))
+    val ckpt = Files.createTempDirectory("graft-morpar-ckpt").toString
+    val q = Changelog.streamChangelog(src).writeStream
+      .format("memory").queryName("morpar_sink")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // the full MoR commit mix: append, positional delete, MoR update
+      // (delete entries + new versions), equality-delete upsert, and a
+      // changelog-silent delete-file compaction
+      src.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v").coalesce(1))
+      src.delete(col("id") === 2)
+      src.update(Map("v" -> lit("c2")), Some(col("id") === 3))
+      src.mergeByKey("id", Seq[Any](1), Seq((1, "a2"), (4, "d")).toDF("id", "v"))
+      src.convertEqualityDeletes()
+      q.processAllAvailable()
+      val head = src.meta.currentSnapshot.get.snapshotId
+      def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).sorted.toSeq
+      val streamed = canon(spark.table("morpar_sink")
+        .select("id", "v", "_change_type", "_commit_snapshot_id").collect())
+      // batch changelog over the SAME range; _change_ordinal is range-
+      // local by contract, so the comparison key excludes it
+      val batch = canon(src.changelog(None, head)
+        .select("id", "v", "_change_type", "_commit_snapshot_id").collect())
+      assert(streamed === batch,
+        s"streamed events must equal the batch changelog:\n$streamed\nvs\n$batch")
+      // sanity on content: exactly the MoR transitions, each exactly once
+      assert(streamed.count(e => e._3 == "DELETE" && e._1 == 2) === 1)
+      assert(streamed.count(e => e._3 == "DELETE" && e._1 == 3 && e._2 == "c") === 1)
+      assert(streamed.count(e => e._3 == "INSERT" && e._1 == 3 && e._2 == "c2") === 1)
+      assert(streamed.count(e => e._3 == "DELETE" && e._1 == 1 && e._2 == "a") === 1)
+      assert(streamed.count(e => e._3 == "INSERT" && e._1 == 1 && e._2 == "a2") === 1)
+      assert(!streamed.exists(_._4 == head),
+        "convert_equality_deletes is logically content-free and must emit nothing")
+    } finally q.stop()
+  }
+
+  test("CDC ingest into an identity + CHECK table: ids unique across batches, " +
+    "violating batch rejected without corrupting the stream (r10)") {
+    val cat = freshCatalog()
+    val idMeta = new MetadataBuilder()
+      .putLong("IDENTITY_START", 100L).putLong("IDENTITY_STEP", 1L).build()
+    val t = cat.createTable("test.identcdc", StructType(Seq(
+      StructField("rid", LongType, nullable = true, metadata = idMeta),
+      StructField("block_number", IntegerType),
+      StructField("hash", StringType),
+      StructField("seq", LongType))))
+    t.setProperties(Map("graft.constraint.hash_ok" -> "hash != 'bad'"))
+    def merge(b: DataFrame, id: Long): Unit =
+      Changelog.mergeChangelog(t, b, key = "block_number", seqCol = "seq",
+        batchId = id, writerId = "identw")
+    // batches 0-1: the ingest schema has NO rid column — the merge path
+    // must system-assign it, advancing the high-water across batches
+    merge(batchDF(Seq(("I", 1, "h1", 1L), ("I", 2, "h2", 2L))), 0L)
+    merge(batchDF(Seq(("I", 3, "h3", 3L), ("U", 1, "h1b", 4L))), 1L)
+    val rids0 = t.toDF.select("rid").collect().map(_.getLong(0)).toSeq
+    assert(rids0.size === 3 && rids0.distinct.size === 3,
+      s"identity values must be unique across CDC batches: $rids0")
+    assert(rids0.forall(_ >= 100L), s"identity values start at the declared base: $rids0")
+    // a batch violating the CHECK constraint fails loudly and commits
+    // nothing — neither rows nor the batch-id marker
+    val contentBefore = t.toDF.collect().map(r => (r.getInt(1), r.getString(2))).toSet
+    intercept[Exception] {
+      merge(batchDF(Seq(("I", 4, "bad", 5L))), 2L)
+    }
+    assert(t.toDF.collect().map(r => (r.getInt(1), r.getString(2))).toSet === contentBefore,
+      "violating batch must commit nothing")
+    // the stream is NOT corrupted: the corrected replay of batch 2 applies
+    // (the marker was never advanced), and later batches keep unique ids
+    merge(batchDF(Seq(("I", 4, "h4", 5L))), 2L)
+    merge(batchDF(Seq(("I", 5, "h5", 6L))), 3L)
+    val rids1 = t.toDF.select("rid").collect().map(_.getLong(0)).toSeq
+    assert(rids1.size === 5 && rids1.distinct.size === 5,
+      s"identity uniqueness must survive the rejected batch: $rids1")
+    // same contract on the merge-on-read upsert path
+    t.setProperties(Map("write.merge.mode" -> "merge-on-read"))
+    merge(batchDF(Seq(("I", 6, "h6", 7L), ("U", 5, "h5b", 8L))), 4L)
+    val rids2 = t.toDF.select("rid").collect().map(_.getLong(0)).toSeq
+    assert(rids2.size === 6 && rids2.distinct.size === 6,
+      s"identity uniqueness must hold on the MoR merge path too: $rids2")
+  }
+
   test("CALL create_changelog_view registers the CDC diff as a SQL temp view") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-cdcview").toString
