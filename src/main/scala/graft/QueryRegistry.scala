@@ -21,21 +21,33 @@ import java.util.concurrent.ConcurrentHashMap
 final case class QuerySpec(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String],
-    bench: Boolean = true)
+    oracleFn: Option[() => String],
+    bench: Boolean = true) {
+  /** The DuckDB oracle SQL. A thunk so that queries whose oracle is
+    * GENERATED from run-time state (q83's exported-scan DDL embeds the
+    * snapshot's data-file paths) resolve it at dump time — Verify runs
+    * every query BEFORE serializing oracle_sql.json. */
+  def oracle: Option[String] = oracleFn.map(_())
+}
 
 object QuerySpec {
   /** SQL that parses and evaluates identically in Spark SQL and DuckDB. */
   def both(name: String, sql: String, bench: Boolean = true): QuerySpec =
-    QuerySpec(name, (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, Some(sql), bench)
+    QuerySpec(name, (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, Some(() => sql), bench)
 
   /** Divergent dialects: Spark SQL text + DuckDB oracle text. */
   def dialect(name: String, sparkSql: String, duckSql: String, bench: Boolean = true): QuerySpec =
-    QuerySpec(name, (s, dir) => { Tables.registerAll(s, dir); s.sql(sparkSql) }, Some(duckSql), bench)
+    QuerySpec(name, (s, dir) => { Tables.registerAll(s, dir); s.sql(sparkSql) }, Some(() => duckSql), bench)
 
   /** DataFrame-API plan + DuckDB oracle text. */
   def plan(name: String, fn: (SparkSession, String) => DataFrame, duckSql: String,
            bench: Boolean = true): QuerySpec =
+    QuerySpec(name, fn, Some(() => duckSql), bench)
+
+  /** DataFrame-API plan whose DuckDB oracle text is computed AFTER the
+    * query has run (deferred to dump time). */
+  def planDeferred(name: String, fn: (SparkSession, String) => DataFrame,
+                   duckSql: () => String, bench: Boolean = true): QuerySpec =
     QuerySpec(name, fn, Some(duckSql), bench)
 
   /** Not SQL-expressible → driver records rows-only check. */

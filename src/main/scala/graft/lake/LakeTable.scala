@@ -2444,6 +2444,101 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
 
   def metadataTable(kind: String): DataFrame = MetadataTables(this, kind)
 
+  /** Second-engine read path: export a snapshot's scan as data-file
+    * paths + delete-file paths + a STANDALONE DuckDB SQL statement that
+    * reads the table's exact logical content — schema evolution
+    * (renames/widenings via per-write-time-schema column mapping, added
+    * columns via their frozen exists-default) and merge-on-read
+    * positional deletes (a NOT EXISTS anti-join on DuckDB's
+    * `filename`/`file_row_number` parquet metadata, the same
+    * (basename, row-position) key the Spark scan masks with) included.
+    * This is the PyIceberg/DuckDB client shape of the reference: another
+    * engine resolves the snapshot through exported metadata and reads
+    * the very same parquet bytes — no copy, no Spark.
+    *
+    * Honest boundaries: equality deletes are refused (run
+    * `convert_equality_deletes` first — their mask classes would need
+    * per-class join SQL); exists-defaults are emitted verbatim (literal
+    * defaults are dialect-portable; an expression default may not be).
+    *
+    * Wrap [[ExportedScan.sql]] in a view via [[ExportedScan.viewDdl]]:
+    * `duckdb.execute(export.viewDdl("my_table"))` and SELECT away. */
+  def exportScan(snapshotId: Option[Long] = None,
+                 branch: Option[String] = None): LakeTable.ExportedScan = {
+    val m = meta
+    val snap = resolveSnapshot(snapshotId, branch)
+    val files = snap.map(_.files).getOrElse(Seq.empty)
+    val dels = snap.map(_.deleteFiles).getOrElse(Seq.empty)
+    val eqDels = snap.map(_.eqDeleteFiles).getOrElse(Seq.empty)
+    if (eqDels.nonEmpty) throw new IllegalStateException(
+      s"exportScan: snapshot carries ${eqDels.size} equality-delete file(s), " +
+        "whose mask classes are not expressible as a single portable scan — " +
+        "CALL lake.system.convert_equality_deletes (folds them into " +
+        "positional entries, kilobyte-scale) and export the new snapshot")
+    val cur = m.schema
+    def q(ident: String) = "\"" + ident.replace("\"", "\"\"") + "\""
+    def lit(path: String) = "'" + path.replace("'", "''") + "'"
+    def duckType(dt: DataType): Option[String] = dt match {
+      case LongType => Some("BIGINT")
+      case IntegerType => Some("INTEGER")
+      case ShortType => Some("SMALLINT")
+      case ByteType => Some("TINYINT")
+      case DoubleType => Some("DOUBLE")
+      case FloatType => Some("FLOAT")
+      case StringType => Some("VARCHAR")
+      case BooleanType => Some("BOOLEAN")
+      case DateType => Some("DATE")
+      case TimestampType => Some("TIMESTAMP")
+      case d: DecimalType => Some(s"DECIMAL(${d.precision},${d.scale})")
+      case BinaryType => Some("BLOB")
+      case _ => None // arrays/maps/structs: emit bare, let DuckDB infer
+    }
+    def cast(e: String, dt: DataType): String =
+      duckType(dt).map(t => s"CAST($e AS $t)").getOrElse(e)
+    val withMeta = dels.nonEmpty
+    val groupSelects = files.groupBy(_.schemaId).toSeq.sortBy(_._1).map {
+      case (schemaId, fs) =>
+        val written = m.schemas.find(_.schemaId == schemaId).getOrElse(cur)
+        val cols = cur.columns.map { c =>
+          written.byId(c.id) match {
+            case Some(w) => s"${cast(q(w.physicalName), c.sparkType)} AS ${q(c.name)}"
+            // column added after these files were written: rows logically
+            // hold the exists-default frozen at ADD COLUMN time
+            case None =>
+              val v = c.existsDefaultSql.getOrElse("NULL")
+              s"${cast(v, c.sparkType)} AS ${q(c.name)}"
+          }
+        } ++ (if (withMeta)
+          Seq("regexp_extract(filename, '[^/]+$') AS \"_gd_file\"",
+            "file_row_number AS \"_gd_pos\"")
+        else Seq.empty)
+        val opts = if (withMeta) ", filename=true, file_row_number=true" else ""
+        s"""SELECT ${cols.mkString(", ")}
+           |FROM read_parquet([${fs.map(f => lit(f.path)).mkString(", ")}]$opts)""".stripMargin
+    }
+    val logicalCols = cur.columns.map(c => q(c.name)).mkString(", ")
+    val sql =
+      if (files.isEmpty)
+        s"SELECT ${cur.columns.map(c => s"${cast("NULL", c.sparkType)} AS ${q(c.name)}")
+          .mkString(", ")} WHERE 1 = 0"
+      else if (!withMeta) groupSelects.mkString("\nUNION ALL\n")
+      else
+        s"""WITH gd_scan AS (
+           |${groupSelects.mkString("\nUNION ALL\n")}
+           |), gd_dels AS (
+           |  SELECT file_name, pos
+           |  FROM read_parquet([${dels.map(d => lit(d.path)).mkString(", ")}])
+           |)
+           |SELECT $logicalCols FROM gd_scan s
+           |WHERE NOT EXISTS (SELECT 1 FROM gd_dels d
+           |  WHERE d.file_name = s."_gd_file" AND d.pos = s."_gd_pos")""".stripMargin
+    LakeTable.ExportedScan(
+      snapshotId = snap.map(_.snapshotId).getOrElse(-1L),
+      dataFiles = files.map(_.path),
+      deleteFiles = dels.map(_.path),
+      sql = sql)
+  }
+
   /** Every metadata version on disk: (version, file path, modified-ms,
     * latest snapshot id recorded by that version). Backs the
     * `metadata_log_entries` metadata table (Iceberg's metadata-log):
@@ -2487,6 +2582,15 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
 
 object LakeTable {
   val MainBranch = "main"
+
+  /** A snapshot's scan exported for a second engine ([[LakeTable.exportScan]]):
+    * the exact parquet paths plus a standalone DuckDB SELECT over them
+    * honoring schema evolution and positional delete masks. */
+  final case class ExportedScan(snapshotId: Long, dataFiles: Seq[String],
+                                deleteFiles: Seq[String], sql: String) {
+    def viewDdl(viewName: String): String =
+      s"CREATE OR REPLACE VIEW $viewName AS\n$sql"
+  }
 
   /** Parse a binpack `where` argument (`k=v[,k=v]`) with SQL-style single
     * quoting: a value (or key) may be quoted `'…'` with `''` escaping an
