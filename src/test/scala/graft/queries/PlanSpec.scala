@@ -94,6 +94,45 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q82: star-MV read touches ONLY the state table — no join, no re-aggregation (r10)") {
+    val p = planOf("q82_star_mv_sql")
+    // the maintained state IS the answer: reading the view must not
+    // re-join the dimension or re-aggregate the fact at any scale
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"MV read must not aggregate:\n$p")
+    assert(!"Join".r.findAllIn(p).nonEmpty, s"MV read must not join:\n$p")
+    assert(p.contains("star_mv"), s"scan must read the MV state table:\n$p")
+    assert(!p.contains("star_fact"), s"the fact table must not be scanned:\n$p")
+  }
+
+  test("q83: exported-table read prunes columns, no cartesian; mask is a broadcast anti-join (r10)") {
+    // the no-extensions session reads through the V1Scan fallback, which
+    // hides the mask join inside the scan — assert what IS visible there
+    val p = planOf("q83_duckdb_export")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("lake.ops.exp"), p)
+    assert(p.contains("struct<p_partkey:bigint,part_name:string,p_retailprice:double>"),
+      s"scan must prune to the three referenced columns:\n$p")
+    // the mask-join SHAPE gate runs on the Scala read path, where the
+    // plan is transparent: a masked MoR read anti-joins the broadcast
+    // metadata-sized delete set — never a shuffle or nested loop
+    val cat = new graft.lake.LakeCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-planspec").toString)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = cat.createTable("p.mor", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))))
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    t.append((0L until 100L).toDF("id"))
+    t.delete(col("id") === 7L)
+    val mp = t.toDF.queryExecution.executedPlan.toString
+    assert(mp.contains("LeftAnti"), s"MoR mask must plan as an anti-join:\n$mp")
+    assert(mp.contains("BroadcastHashJoin") || mp.contains("BroadcastExchange"),
+      s"metadata-sized delete set must broadcast:\n$mp")
+    assert(!mp.contains("CartesianProduct") && !mp.contains("BroadcastNestedLoopJoin"), mp)
+  }
+
   test("q21: LSH banding is an equi-join, not a nested-loop over signatures") {
     val p = planOf("q21_minhash_lsh_pairs")
     // the OR-of-band-equalities form planned as BroadcastNestedLoopJoin:
