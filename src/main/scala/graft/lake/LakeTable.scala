@@ -2448,17 +2448,19 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * paths + delete-file paths + a STANDALONE DuckDB SQL statement that
     * reads the table's exact logical content — schema evolution
     * (renames/widenings via per-write-time-schema column mapping, added
-    * columns via their frozen exists-default) and merge-on-read
-    * positional deletes (a NOT EXISTS anti-join on DuckDB's
-    * `filename`/`file_row_number` parquet metadata, the same
-    * (basename, row-position) key the Spark scan masks with) included.
+    * columns via their frozen exists-default) and BOTH merge-on-read
+    * masks included: positional deletes as a NOT EXISTS anti-join on
+    * DuckDB's `filename`/`file_row_number` parquet metadata (the same
+    * (basename, row-position) key the Spark scan masks with), equality
+    * deletes as per-mask-class key anti-joins (files cut into classes by
+    * which deletes are strictly newer — exactly [[liveRows]]' grouping —
+    * each class NOT-EXISTS-joined against its applicable distinct key
+    * sets; null keys never equi-match and survive, as in the engine).
     * This is the PyIceberg/DuckDB client shape of the reference: another
     * engine resolves the snapshot through exported metadata and reads
     * the very same parquet bytes — no copy, no Spark.
     *
-    * Honest boundaries: equality deletes are refused (run
-    * `convert_equality_deletes` first — their mask classes would need
-    * per-class join SQL); exists-defaults are emitted verbatim (literal
+    * Honest boundary: exists-defaults are emitted verbatim (literal
     * defaults are dialect-portable; an expression default may not be).
     *
     * Wrap [[ExportedScan.sql]] in a view via [[ExportedScan.viewDdl]]:
@@ -2470,11 +2472,6 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     val files = snap.map(_.files).getOrElse(Seq.empty)
     val dels = snap.map(_.deleteFiles).getOrElse(Seq.empty)
     val eqDels = snap.map(_.eqDeleteFiles).getOrElse(Seq.empty)
-    if (eqDels.nonEmpty) throw new IllegalStateException(
-      s"exportScan: snapshot carries ${eqDels.size} equality-delete file(s), " +
-        "whose mask classes are not expressible as a single portable scan — " +
-        "CALL lake.system.convert_equality_deletes (folds them into " +
-        "positional entries, kilobyte-scale) and export the new snapshot")
     val cur = m.schema
     def q(ident: String) = "\"" + ident.replace("\"", "\"\"") + "\""
     def lit(path: String) = "'" + path.replace("'", "''") + "'"
@@ -2496,46 +2493,89 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     def cast(e: String, dt: DataType): String =
       duckType(dt).map(t => s"CAST($e AS $t)").getOrElse(e)
     val withMeta = dels.nonEmpty
-    val groupSelects = files.groupBy(_.schemaId).toSeq.sortBy(_._1).map {
-      case (schemaId, fs) =>
-        val written = m.schemas.find(_.schemaId == schemaId).getOrElse(cur)
-        val cols = cur.columns.map { c =>
-          written.byId(c.id) match {
-            case Some(w) => s"${cast(q(w.physicalName), c.sparkType)} AS ${q(c.name)}"
-            // column added after these files were written: rows logically
-            // hold the exists-default frozen at ADD COLUMN time
-            case None =>
-              val v = c.existsDefaultSql.getOrElse("NULL")
-              s"${cast(v, c.sparkType)} AS ${q(c.name)}"
+    def groupSelects(fs: Seq[DataFile]): Seq[String] =
+      fs.groupBy(_.schemaId).toSeq.sortBy(_._1).map {
+        case (schemaId, gfs) =>
+          val written = m.schemas.find(_.schemaId == schemaId).getOrElse(cur)
+          val cols = cur.columns.map { c =>
+            written.byId(c.id) match {
+              case Some(w) => s"${cast(q(w.physicalName), c.sparkType)} AS ${q(c.name)}"
+              // column added after these files were written: rows logically
+              // hold the exists-default frozen at ADD COLUMN time
+              case None =>
+                val v = c.existsDefaultSql.getOrElse("NULL")
+                s"${cast(v, c.sparkType)} AS ${q(c.name)}"
+            }
+          } ++ (if (withMeta)
+            Seq("regexp_extract(filename, '[^/]+$') AS \"_gd_file\"",
+              "file_row_number AS \"_gd_pos\"")
+          else Seq.empty)
+          val opts = if (withMeta) ", filename=true, file_row_number=true" else ""
+          s"""SELECT ${cols.mkString(", ")}
+             |FROM read_parquet([${gfs.map(f => lit(f.path)).mkString(", ")}]$opts)""".stripMargin
+      }
+    val posPred =
+      if (!withMeta) None
+      else Some(s"""NOT EXISTS (SELECT 1 FROM gd_dels d
+                   |  WHERE d.file_name = s."_gd_file" AND d.pos = s."_gd_pos")""".stripMargin)
+    // one anti-join predicate per applicable equality-delete key layout:
+    // distinct key tuples read under their write-time PHYSICAL names,
+    // compared (cast to current types) against the scan's logical columns
+    def eqPreds(applicable: Seq[EqualityDeleteFile]): Seq[String] =
+      applicable.groupBy(d => (d.keyIds, d.schemaId)).toSeq.map {
+        case ((keyIds, schemaId), ds) =>
+          val written = m.schemas.find(_.schemaId == schemaId).getOrElse(cur)
+          val pairs = keyIds.map { id =>
+            val curC = cur.byId(id).getOrElse(throw new IllegalStateException(
+              s"equality-delete key id $id dropped from current schema"))
+            val w = written.byId(id).getOrElse(throw new IllegalStateException(
+              s"equality-delete key id $id missing from schema $schemaId"))
+            (q(w.physicalName), q(curC.name), curC.sparkType)
           }
-        } ++ (if (withMeta)
-          Seq("regexp_extract(filename, '[^/]+$') AS \"_gd_file\"",
-            "file_row_number AS \"_gd_pos\"")
-        else Seq.empty)
-        val opts = if (withMeta) ", filename=true, file_row_number=true" else ""
-        s"""SELECT ${cols.mkString(", ")}
-           |FROM read_parquet([${fs.map(f => lit(f.path)).mkString(", ")}]$opts)""".stripMargin
-    }
-    val logicalCols = cur.columns.map(c => q(c.name)).mkString(", ")
+          val proj = pairs.map { case (p, n, t) => s"${cast(p, t)} AS $n" }.mkString(", ")
+          val on = pairs.map { case (_, n, _) => s"e.$n = s.$n" }.mkString(" AND ")
+          s"""NOT EXISTS (SELECT 1 FROM (
+             |    SELECT DISTINCT $proj
+             |    FROM read_parquet([${ds.map(d => lit(d.path)).mkString(", ")}])
+             |  ) e WHERE $on)""".stripMargin
+      }
+    // mask classes exactly as the engine's scan cuts them: an equality
+    // delete applies only to files committed STRICTLY before it
+    val classSelects = files.groupBy(f => eqDels.count(_.addedAt > f.addedSnapshotId))
+      .toSeq.sortBy(_._1).map { case (_, bucket) =>
+        val applicable = eqDels.filter(_.addedAt > bucket.head.addedSnapshotId)
+        val scanSql = groupSelects(bucket).mkString("\nUNION ALL\n")
+        val preds = posPred.toSeq ++ eqPreds(applicable)
+        // with meta columns in play, EVERY class branch must project back
+        // to the logical columns so the UNION ALL arms agree
+        if (preds.isEmpty && !withMeta) scanSql
+        else {
+          val logicalCols = cur.columns.map(c => q(c.name)).mkString(", ")
+          val where =
+            if (preds.isEmpty) "" else s"\nWHERE ${preds.mkString("\n  AND ")}"
+          s"""SELECT $logicalCols FROM (
+             |$scanSql
+             |) s$where""".stripMargin
+        }
+      }
     val sql =
       if (files.isEmpty)
         s"SELECT ${cur.columns.map(c => s"${cast("NULL", c.sparkType)} AS ${q(c.name)}")
           .mkString(", ")} WHERE 1 = 0"
-      else if (!withMeta) groupSelects.mkString("\nUNION ALL\n")
-      else
-        s"""WITH gd_scan AS (
-           |${groupSelects.mkString("\nUNION ALL\n")}
-           |), gd_dels AS (
-           |  SELECT file_name, pos
-           |  FROM read_parquet([${dels.map(d => lit(d.path)).mkString(", ")}])
-           |)
-           |SELECT $logicalCols FROM gd_scan s
-           |WHERE NOT EXISTS (SELECT 1 FROM gd_dels d
-           |  WHERE d.file_name = s."_gd_file" AND d.pos = s."_gd_pos")""".stripMargin
+      else {
+        val body = classSelects.mkString("\nUNION ALL\n")
+        if (!withMeta) body
+        else
+          s"""WITH gd_dels AS (
+             |  SELECT file_name, pos
+             |  FROM read_parquet([${dels.map(d => lit(d.path)).mkString(", ")}])
+             |)
+             |$body""".stripMargin
+      }
     LakeTable.ExportedScan(
       snapshotId = snap.map(_.snapshotId).getOrElse(-1L),
       dataFiles = files.map(_.path),
-      deleteFiles = dels.map(_.path),
+      deleteFiles = (dels.map(_.path) ++ eqDels.map(_.path)),
       sql = sql)
   }
 

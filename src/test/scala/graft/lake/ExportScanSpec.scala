@@ -68,21 +68,36 @@ class ExportScanSpec extends AnyFunSuite {
     assert(got === want && want.map(_._1) === Seq(1L, 3L, 4L))
   }
 
-  test("equality-delete snapshots are refused with the convert remedy") {
+  test("equality-delete snapshots export as per-mask-class key anti-joins") {
     import spark.implicits._
     val cat = freshCatalog()
     val t = cat.createTable("e.t2", StructType(Seq(
       StructField("id", LongType), StructField("v", StringType))))
     t.setProperties(Map("write.merge.mode" -> "merge-on-read"))
-    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
-    t.mergeByKey("id", Seq[Any](1L), Seq((1L, "a2")).toDF("id", "v"))
-    val e = intercept[IllegalStateException] { t.exportScan() }
-    assert(e.getMessage.contains("convert_equality_deletes"),
-      s"refusal must name the remedy: ${e.getMessage}")
-    // after conversion the same snapshot content exports fine
-    t.convertEqualityDeletes()
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    // two upsert batches → two mask classes: batch-1's inserts are masked
+    // by batch-2's delete but not their own; the export must cut classes
+    // exactly like the engine's scan
+    t.mergeByKey("id", Seq[Any](1L), Seq((1L, "a2")).toDF("id", "v").coalesce(1))
+    t.mergeByKey("id", Seq[Any](2L, 1L), Seq((2L, "b2")).toDF("id", "v").coalesce(1))
     val ex = t.exportScan()
-    assert(ex.deleteFiles.nonEmpty && ex.sql.contains("NOT EXISTS"))
+    // engine read: 1→? batch2 deleted key 1 with NO replacement for it in
+    // batch 2 (only 2 upserted) — so 1's batch-1 version dies; expect 2b2, 3c, and...
+    val want = t.toDF.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // the generated SQL carries a key anti-join per applicable class and
+    // lists every eq-delete file
+    assert(ex.sql.contains("NOT EXISTS"), ex.sql)
+    assert(ex.sql.contains("SELECT DISTINCT"), ex.sql)
+    assert(ex.sql.contains("e.\"id\" = s.\"id\""), ex.sql)
+    val eqPaths = t.meta.currentSnapshot.get.eqDeleteFiles.map(_.path)
+    assert(eqPaths.nonEmpty && eqPaths.forall(ex.deleteFiles.contains), ex.deleteFiles)
+    assert(eqPaths.forall(ex.sql.contains), "every eq-delete file appears in the SQL")
+    // classes: three distinct addedSnapshotId strata → three class arms
+    assert("UNION ALL".r.findAllIn(ex.sql).size >= 2,
+      s"per-class arms expected:\n${ex.sql}")
+    // sanity: the engine's own read of this table (the content DuckDB
+    // must reproduce — executed for real by q83's oracle gate)
+    assert(want === Seq((2L, "b2"), (3L, "c")))
   }
 
   test("empty table and time-travel exports") {

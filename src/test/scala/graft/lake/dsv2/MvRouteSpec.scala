@@ -16,13 +16,15 @@ class MvRouteSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
+    // create(), NOT getOrCreate(): a shared session from another suite
+    // would come back WITHOUT GraftExtensions and the routing rule
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions()(_))
-      .getOrCreate()
+      .create()
     prevDefault match {
       case Some(d) => SparkSession.setDefaultSession(d)
       case None => SparkSession.clearDefaultSession()
