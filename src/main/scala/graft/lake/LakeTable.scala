@@ -1921,24 +1921,37 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * (MaintenanceSpec drives 50 batches; probe in SCALEPROBE.md).
     * Conflict-retried against the concurrent ingest itself. Returns
     * whether any maintenance commit landed. */
-  def autoMaintain(everyCommits: Int = 10,
-                   targetSizeBytes: Long = 512L * 1024 * 1024,
-                   maxEqDeleteFiles: Int = 4,
-                   maxDeleteFiles: Int = 8,
+  def autoMaintain(everyCommits: Int = -1,
+                   targetSizeBytes: Long = -1L,
+                   maxEqDeleteFiles: Int = -1,
+                   maxDeleteFiles: Int = -1,
                    partitionFilter: Map[String, String] = Map.empty,
                    sortBy: Seq[String] = Seq.empty): Boolean = {
+    // non-positive arguments resolve from table properties (the policy
+    // then travels WITH the table, readable by any engine/session and
+    // settable from plain SQL TBLPROPERTIES), falling back to defaults
+    val props = meta.properties
+    def intP(v: Int, key: String, dflt: Int): Int =
+      if (v > 0) v else props.get(key).flatMap(_.toIntOption).filter(_ > 0).getOrElse(dflt)
+    val every = intP(everyCommits, "graft.maintenance.every-commits", 10)
+    val target =
+      if (targetSizeBytes > 0) targetSizeBytes
+      else props.get("graft.maintenance.target-file-size-bytes")
+        .flatMap(_.toLongOption).filter(_ > 0).getOrElse(512L * 1024 * 1024)
+    val maxEq = intP(maxEqDeleteFiles, "graft.maintenance.max-eq-delete-files", 4)
+    val maxPos = intP(maxDeleteFiles, "graft.maintenance.max-delete-files", 8)
     var did = false
-    if (meta.currentSnapshot.exists(_.eqDeleteFiles.size >= maxEqDeleteFiles)) {
+    if (meta.currentSnapshot.exists(_.eqDeleteFiles.size >= maxEq)) {
       val v0 = meta.version
       LakeTable.withConflictRetry() { convertEqualityDeletes() }
       did |= meta.version != v0
     }
-    if (meta.currentSnapshot.exists(_.deleteFiles.size >= maxDeleteFiles)) {
+    if (meta.currentSnapshot.exists(_.deleteFiles.size >= maxPos)) {
       val v0 = meta.version
       LakeTable.withConflictRetry() { rewriteDeleteFiles() }
       did |= meta.version != v0
     }
-    autoCompact(everyCommits, targetSizeBytes, partitionFilter, sortBy) || did
+    autoCompact(every, target, partitionFilter, sortBy) || did
   }
 
   /** CALL rewrite_position_deletes: fold merge-on-read delete entries back
@@ -2426,6 +2439,12 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         args.get("sort_by").map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty),
         args.get("zorder_by").map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty))
       case "rewrite_manifests" => rewriteManifests()
+      case "auto_maintain" =>
+        autoMaintain(
+          args.get("every_commits").map(_.toInt).getOrElse(-1),
+          maxEqDeleteFiles = args.get("max_eq_delete_files").map(_.toInt).getOrElse(-1),
+          maxDeleteFiles = args.get("max_delete_files").map(_.toInt).getOrElse(-1))
+        meta
       case "fast_forward" =>
         fastForward(args.getOrElse("branch", MainBranch), args("to"))
       case "remove_orphan_files" =>

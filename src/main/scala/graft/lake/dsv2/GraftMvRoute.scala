@@ -47,6 +47,11 @@ object GraftMvRoute {
             unwrap: LogicalPlan => Option[(DataSourceV2Relation, GraftTable)],
             isWriteTarget: DataSourceV2Relation => Boolean): Option[LogicalPlan] = {
     if (!agg.resolved) return None
+    // a WAP session redirects un-pinned reads to the audit branch
+    // (LakeTable.resolveSnapshot) — the view reflects MAIN's head, so
+    // routing would silently answer from the wrong lineage
+    if (spark.conf.getOption("spark.wap.branch").exists(_.nonEmpty) ||
+        spark.conf.getOption("spark.wap.id").exists(_.nonEmpty)) return None
     for {
       (r, gt) <- unwrap(agg.child)
       if !isWriteTarget(r) && gt.metaKind.isEmpty && gt.pinnedSnapshotId.isEmpty &&

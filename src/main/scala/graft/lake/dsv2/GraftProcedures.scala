@@ -20,7 +20,8 @@ object GraftProcedures {
   val names: Seq[String] = Seq("rollback_to_snapshot", "cherrypick_snapshot",
     "expire_snapshots", "rewrite_data_files", "rewrite_manifests",
     "rewrite_position_deletes", "convert_equality_deletes",
-    "rewrite_delete_files", "binpack", "fast_forward", "remove_orphan_files",
+    "rewrite_delete_files", "binpack", "auto_maintain", "export_scan",
+    "fast_forward", "remove_orphan_files",
     "create_branch", "drop_branch", "create_tag", "drop_tag",
     "build_ivf_index", "build_pq_index", "create_changelog_view")
 
@@ -77,6 +78,43 @@ object GraftProcedures {
           else row.getString(3).split(",").toSeq.map(_.trim)
         lake.loadTable(row.getString(0)).binPack(target,
           partitionFilter = where, sortBy = sortBy)
+      }))
+    // full ingest-cadence maintenance (LakeTable.autoMaintain): binpack
+    // every N commits + threshold-gated delete-mask upkeep; non-positive
+    // args resolve from graft.maintenance.* TBLPROPERTIES so the policy
+    // is SQL-configurable and travels with the table
+    case "auto_maintain" => Some(proc(name,
+      Array(param("table", StringType),
+        param("every_commits", LongType, Some("-1")),
+        param("max_eq_delete_files", LongType, Some("-1")),
+        param("max_delete_files", LongType, Some("-1"))),
+      row => {
+        def i(idx: Int) = if (row.isNullAt(idx)) -1 else row.getLong(idx).toInt
+        lake.loadTable(row.getString(0)).autoMaintain(
+          everyCommits = i(1), maxEqDeleteFiles = i(2), maxDeleteFiles = i(3))
+      }))
+    // second-engine export (LakeTable.exportScan): writes the standalone
+    // DuckDB view DDL for the current (or pinned) snapshot to a file —
+    // the SQL-surface route to handing a scan to another engine
+    case "export_scan" => Some(proc(name,
+      Array(param("table", StringType),
+        param("output", StringType),
+        param("view_name", StringType, Some("''")),
+        param("snapshot_id", LongType, Some("-1"))),
+      row => {
+        val t = lake.loadTable(row.getString(0))
+        val snapId =
+          if (row.isNullAt(3) || row.getLong(3) < 0) None else Some(row.getLong(3))
+        val view =
+          if (row.isNullAt(2) || row.getString(2).isEmpty)
+            row.getString(0).replace('.', '_')
+          else row.getString(2)
+        val ddl = t.exportScan(snapId).viewDdl(view)
+        val path = new org.apache.hadoop.fs.Path(row.getString(1))
+        val fs = path.getFileSystem(
+          lake.spark.sessionState.newHadoopConf())
+        val out = fs.create(path, true)
+        try out.write((ddl + "\n").getBytes("UTF-8")) finally out.close()
       }))
     case "rewrite_manifests" => Some(proc(name,
       Array(param("table", StringType)),

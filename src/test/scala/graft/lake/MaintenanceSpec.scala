@@ -89,6 +89,22 @@ class MaintenanceSpec extends AnyFunSuite {
       "one equality-delete file per batch accretes without maintenance")
   }
 
+  test("maintenance policy resolves from graft.maintenance.* table properties") {
+    val cat = freshCatalog()
+    val t = morTable(cat, "m.props")
+    // a tight property bound (2) triggers conversion that the default (4)
+    // would not — proving the policy is read from the table, not the call
+    t.setProperties(Map("graft.maintenance.max-eq-delete-files" -> "2"))
+    for (b <- 0 until 3) {
+      val df = batch(b)
+      t.mergeByKeys("id", df.select("id"), df)
+    }
+    assert(t.meta.currentSnapshot.get.eqDeleteFiles.size === 2)
+    t.autoMaintain() // all args from properties
+    assert(t.meta.currentSnapshot.get.eqDeleteFiles.isEmpty,
+      "property-configured bound must trigger the convert")
+  }
+
   test("autoMaintain is a cheap no-op below thresholds (no commits)") {
     val cat = freshCatalog()
     val t = morTable(cat, "m.noop")

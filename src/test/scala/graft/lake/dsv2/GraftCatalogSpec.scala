@@ -639,6 +639,32 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT COUNT(*) FROM lake.db.chkgen").head.getLong(0) === 3)
   }
 
+  test("CALL auto_maintain and export_scan: the SQL surface of ingest maintenance and second-engine export (r10)") {
+    sql("""CREATE TABLE lake.db.amt (id BIGINT, v STRING)
+          |TBLPROPERTIES ('write.merge.mode'='merge-on-read')""".stripMargin)
+    val lt = new graft.lake.LakeCatalog(spark,
+      spark.conf.get("spark.sql.catalog.lake.warehouse")).loadTable("db.amt")
+    import spark.implicits._
+    for (b <- 0 until 4) {
+      val df = ((b * 5) until (b * 5 + 10)).map(k => (k.toLong, s"v$b")).toDF("id", "v")
+      lt.mergeByKeys("id", df.select("id"), df)
+    }
+    assert(lt.meta.currentSnapshot.get.eqDeleteFiles.size === 3)
+    sql("CALL lake.system.auto_maintain(table => 'db.amt', max_eq_delete_files => 2)")
+    assert(lt.meta.currentSnapshot.get.eqDeleteFiles.isEmpty,
+      "CALL must trigger the equality-mask conversion")
+    // export_scan writes the standalone DuckDB view DDL to a file
+    val out = java.nio.file.Files.createTempDirectory("graft-proc-export")
+      .resolve("amt.sql").toString
+    sql(s"CALL lake.system.export_scan(table => 'db.amt', output => '$out')")
+    val ddl = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out)), "UTF-8")
+    assert(ddl.startsWith("CREATE OR REPLACE VIEW db_amt AS"), ddl.take(80))
+    assert(ddl.contains("read_parquet"), "DDL must scan the exported parquet")
+    val live = lt.meta.currentSnapshot.get.files.map(_.path)
+    assert(live.forall(ddl.contains), "every live data file appears in the DDL")
+  }
+
   test("identity columns are restricted to BIGINT at DDL time (r10)") {
     // INT identity would silently wrap monotonically_increasing_id's
     // 2^33-per-partition jumps — refuse at CREATE, like Delta

@@ -117,6 +117,19 @@ class MvRouteSpec extends AnyFunSuite {
     val tt = sql(s"SELECT g, count(*) AS n, sum(v) AS t FROM lake.db.rb3 VERSION AS OF $snap1 GROUP BY g")
     assert(!isRouted(tt), "time travel must never route to the view")
     assert(rows(tt) === Seq(("a", 1L, 1L)))
+    // a WAP session redirects un-pinned reads to the audit branch — the
+    // view reflects main, so routing must disable itself entirely
+    spark.conf.set("spark.wap.branch", "audit_x")
+    try {
+      val lt3 = new graft.lake.LakeCatalog(spark,
+        spark.conf.get("spark.sql.catalog.lake.warehouse")).loadTable("db.rb3")
+      lt3.createBranch("audit_x")
+      assert(!isRouted(sql(
+        "SELECT g, count(*) AS n, sum(v) AS t FROM lake.db.rb3 GROUP BY g")),
+        "WAP-branch sessions must never route to the main-lineage view")
+    } finally spark.conf.unset("spark.wap.branch")
+    assert(isRouted(sql("SELECT g, count(*) AS n, sum(v) AS t FROM lake.db.rb3 GROUP BY g")),
+      "routing resumes once the WAP session ends")
     // INSERT INTO t SELECT-aggregate-over-t: source side may route, the
     // write target must stay a DSv2 relation (no crash, correct result)
     sql("CREATE TABLE lake.db.rb3sink (g STRING, n BIGINT, t BIGINT)")
