@@ -15,15 +15,18 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * cost. Classic query rewrite over materialized aggregates (Goldstein &
   * Larson, SIGMOD'01), scoped to exact-match single-table views.
   *
-  * Matches `Aggregate(groupCols, aggExprs, <graft base relation>)` where:
+  * Matches `Aggregate(groupCols, aggExprs, <graft base relation>)` and
+  * the star shape `Aggregate(…, Join(…Join(base, dim1)…, dimN))` where:
   *   - the base table's `graft.ivm.views` index names a view whose
   *     recorded spec has exactly the query's group columns and whose
   *     AggCols cover every aggregate expression (COUNT(*) / count / sum /
   *     avg / min / max over a plain column, no DISTINCT, no FILTER);
-  *   - the view is dimension-free (star views need a join-shape match —
-  *     out of scope) and its base-location records THIS table;
+  *   - the query's equi-join chain equals the view's recorded DimJoin
+  *     list in order — same dim tables, same fact/dim keys, same
+  *     inner/left kinds (a dim-free query matches only a dim-free view);
   *   - **freshness**: the view's watermark equals the base's current
-  *     snapshot id — a stale or mid-refresh view never routes;
+  *     snapshot id AND every dimension sits at its recorded build-time
+  *     snapshot — a stale or mid-refresh view never routes;
   *   - the presented column's dataType equals the query expression's
   *     (AVG over DECIMAL presents as DOUBLE and is rejected here);
   *   - the relation is not a write/DML target and carries no time-travel
@@ -53,18 +56,59 @@ object GraftMvRoute {
     if (spark.conf.getOption("spark.wap.branch").exists(_.nonEmpty) ||
         spark.conf.getOption("spark.wap.id").exists(_.nonEmpty)) return None
     for {
-      (r, gt) <- unwrap(agg.child)
-      if !isWriteTarget(r) && gt.metaKind.isEmpty && gt.pinnedSnapshotId.isEmpty &&
-        gt.pinnedTimestampMs.isEmpty && gt.pinnedBranch.isEmpty
+      ((r, gt), planDims) <- unwrapStar(agg.child, unwrap)
+      if !isWriteTarget(r) && unpinned(gt) && planDims.forall(d => unpinned(d._2))
       base = gt.lakeTable
       viewsProp <- base.meta.properties.get(MaterializedAgg.ViewsKey)
       // group expressions must be plain columns
       groupNames <- attrNames(agg.groupingExpressions)
       if groupNames.nonEmpty
       plan <- viewsProp.split(";").iterator.filter(_.nonEmpty)
-        .flatMap(loc => tryRoute(spark, agg, base, groupNames, loc))
+        .flatMap(loc => tryRoute(spark, agg, base, groupNames, planDims, loc))
         .nextOption()
     } yield plan
+  }
+
+  private def unpinned(gt: GraftTable): Boolean =
+    gt.metaKind.isEmpty && gt.pinnedSnapshotId.isEmpty &&
+      gt.pinnedTimestampMs.isEmpty && gt.pinnedBranch.isEmpty
+
+  /** One dimension join of the query plan, normalized to the DimJoin
+    * vocabulary: (dim relation, dim table, factKey, dimKey, kind). */
+  private type PlanDim = (DataSourceV2Relation, GraftTable, String, String, String)
+
+  /** Peel the left-deep equi-join chain a star query plans to:
+    * `Join(… Join(base, dim1) …, dimN)` — exactly the shape
+    * [[MaterializedAgg.enrichWith]]'s fold produces for its DimJoin list,
+    * so plan dims match the recorded spec in order. */
+  private def unwrapStar(plan: LogicalPlan,
+                         unwrap: LogicalPlan => Option[(DataSourceV2Relation, GraftTable)])
+      : Option[((DataSourceV2Relation, GraftTable), Seq[PlanDim])] = plan match {
+    case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(_, c) =>
+      unwrapStar(c, unwrap)
+    case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+      val kind = j.joinType match {
+        case org.apache.spark.sql.catalyst.plans.Inner => "inner"
+        case org.apache.spark.sql.catalyst.plans.LeftOuter => "left"
+        case _ => return None
+      }
+      for {
+        (baseInfo, dims) <- unwrapStar(j.left, unwrap)
+        dimInfo <- unwrap(j.right)
+        cond <- j.condition
+        (a, b) <- cond match {
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            x: AttributeReference, y: AttributeReference) => Some((x, y))
+          case _ => None
+        }
+        rightAttrs = j.right.outputSet
+        // exactly one side of the equality lives on the dim relation
+        (factKey, dimKey) <-
+          if (rightAttrs.contains(b) && !rightAttrs.contains(a)) Some((a.name, b.name))
+          else if (rightAttrs.contains(a) && !rightAttrs.contains(b)) Some((b.name, a.name))
+          else None
+      } yield (baseInfo, dims :+ ((dimInfo._1, dimInfo._2, factKey, dimKey, kind)))
+    case other => unwrap(other).map(x => (x, Seq.empty))
   }
 
   private def attrNames(es: Seq[Expression]): Option[Seq[String]] = {
@@ -87,18 +131,40 @@ object GraftMvRoute {
     }
 
   private def tryRoute(spark: SparkSession, agg: Aggregate, base: LakeTable,
-                       groupNames: Seq[String], loc: String): Option[LogicalPlan] =
+                       groupNames: Seq[String], planDims: Seq[PlanDim],
+                       loc: String): Option[LogicalPlan] =
     try {
       val state = LakeTable.at(spark, loc)
       val props = state.meta.properties
       val (mvGroup, mvAggs) = MaterializedAgg.viewSpec(props).getOrElse(return None)
-      // spec match: same base, no dims, same group-column set
+      // spec match: same base and same group-column set
       if (!props.get("graft.ivm.base-location").contains(base.location)) return None
-      if (props.contains(MaterializedAgg.DimsKey)) return None
       if (mvGroup.sorted != groupNames.sorted) return None
-      // freshness: the view must reflect exactly the base's current head
+      // star shape: the query's dim-join chain must equal the view's
+      // recorded DimJoin list IN ORDER (enrichWith folds in order, so an
+      // equivalent query plans the same left-deep chain) — same dim table
+      // (by catalog-relative location suffix), same fact/dim keys, same
+      // join kind; a dim-free query matches only a dim-free view
+      val mvDims = props.get(MaterializedAgg.DimsKey)
+        .map(_.split(";").toSeq.map { s =>
+          val Array(d, fk, dk, k) = s.split("\\|", 4); (d, fk, dk, k)
+        }).getOrElse(Seq.empty)
+      if (mvDims.length != planDims.length) return None
+      val dimsMatch = mvDims.zip(planDims).forall {
+        case ((ident, fk, dk, kind), (_, dgt, pfk, pdk, pkind)) =>
+          dgt.lakeTable.location.endsWith("/" + ident.replace('.', '/')) &&
+            fk == pfk && dk == pdk && kind == pkind
+      }
+      if (!dimsMatch) return None
+      // freshness: the view must reflect exactly the base's current head,
+      // and every dimension must be at its recorded (build-time) snapshot
       val head = base.meta.currentSnapshot.map(_.snapshotId)
       if (head.isEmpty || MaterializedAgg.watermarkOf(state) != head) return None
+      if (planDims.nonEmpty) {
+        val current = planDims.map(_._2.lakeTable.meta.currentSnapshot
+          .map(_.snapshotId).getOrElse(-1L)).mkString(",")
+        if (!props.get(MaterializedAgg.DimSnapshotsKey).contains(current)) return None
+      }
       // map every output expression onto a presented view column
       val presented = MaterializedAgg.presentState(state.toDF, mvGroup, mvAggs)
         .queryExecution.analyzed

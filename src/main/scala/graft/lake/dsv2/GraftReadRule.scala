@@ -31,6 +31,14 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 case class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // act only on FULLY-resolved plans: substitution preserves exprIds so
+    // nothing here is needed FOR resolution, and rewriting early destroys
+    // information later resolution steps still read (a Sort over `d.seg`
+    // resolves its qualifier against the aggregate's output; the MV
+    // routing pre-pass must also see the relation BEFORE the scan
+    // substitution consumes it). The analyzer's fixed point re-runs this
+    // rule the iteration after the plan resolves.
+    if (!plan.resolved) return plan
     // relations serving as write/DML targets must stay DSv2 — register
     // every relation under the target plan (DML targets arrive wrapped in
     // SubqueryAlias layers, so the top node alone is not enough)

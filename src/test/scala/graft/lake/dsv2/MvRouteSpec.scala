@@ -103,6 +103,48 @@ class MvRouteSpec extends AnyFunSuite {
     assert(rows(after) === Seq(("a", 1L, 1L), ("b", 1L, 2L)))
   }
 
+  test("star-schema routing: the dim-join aggregate reads the view; key/kind/dim-change mismatches scan (r10)") {
+    sql("CREATE TABLE lake.db.sf (ok BIGINT, ck BIGINT, price BIGINT)")
+    sql("CREATE TABLE lake.db.sd (ck2 BIGINT, seg STRING)")
+    sql("INSERT INTO lake.db.sd VALUES (1, 'gold'), (2, 'iron')")
+    sql("INSERT INTO lake.db.sf VALUES (10, 1, 100), (11, 1, 50), (12, 2, 7), (13, 3, 999)")
+    sql("""CREATE MATERIALIZED VIEW lake.db.smvr AS
+          |SELECT d.seg, COUNT(*) AS n, sum(f.price) AS t
+          |FROM lake.db.sf f JOIN lake.db.sd d ON f.ck = d.ck2
+          |GROUP BY d.seg""".stripMargin)
+    val starQ = """SELECT d.seg, count(*) AS n, sum(f.price) AS t
+                  |FROM lake.db.sf f JOIN lake.db.sd d ON f.ck = d.ck2
+                  |GROUP BY d.seg ORDER BY d.seg""".stripMargin
+    val routed = sql(starQ)
+    assert(isRouted(routed), "matching star aggregate must read the view:\n" +
+      routed.queryExecution.executedPlan.toString)
+    assert(rows(routed) === Seq(("gold", 2L, 150L), ("iron", 1L, 7L)))
+    // ON-key mismatch (joining on the price column) scans normally
+    assert(!isRouted(sql(
+      """SELECT d.seg, count(*) AS n FROM lake.db.sf f
+        |JOIN lake.db.sd d ON f.price = d.ck2 GROUP BY d.seg""".stripMargin)))
+    // join-kind mismatch (LEFT vs the view's INNER) scans normally
+    assert(!isRouted(sql(
+      """SELECT d.seg, count(*) AS n FROM lake.db.sf f
+        |LEFT JOIN lake.db.sd d ON f.ck = d.ck2 GROUP BY d.seg""".stripMargin)))
+    // the plain (dim-free) aggregate over the base must NOT take the
+    // star view — a dim-free query matches only a dim-free view
+    assert(!isRouted(sql("SELECT ck, count(*) AS n FROM lake.db.sf GROUP BY ck")))
+    // fact churn → stale → scans; refresh → routes again
+    sql("INSERT INTO lake.db.sf VALUES (14, 2, 3)")
+    assert(!isRouted(sql(starQ)))
+    sql("REFRESH MATERIALIZED VIEW lake.db.smvr")
+    assert(isRouted(sql(starQ)))
+    assert(rows(sql(starQ)) === Seq(("gold", 2L, 150L), ("iron", 2L, 10L)))
+    // DIMENSION churn → deltas are unsound AND routing must stop, even
+    // though the base watermark still matches
+    sql("INSERT INTO lake.db.sd VALUES (3, 'clay')")
+    val afterDim = sql(starQ)
+    assert(!isRouted(afterDim), "a mutated dimension must disable routing")
+    assert(rows(afterDim) ===
+      Seq(("clay", 1L, 999L), ("gold", 2L, 150L), ("iron", 2L, 10L)))
+  }
+
   test("time travel and branches bypass the view; write targets are untouched") {
     sql("CREATE TABLE lake.db.rb3 (g STRING, v BIGINT)")
     sql("INSERT INTO lake.db.rb3 VALUES ('a', 1)")
