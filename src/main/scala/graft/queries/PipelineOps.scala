@@ -621,7 +621,26 @@ object PipelineOps {
       |FROM g LEFT JOIN k ON g.lang = k.lang
       |GROUP BY g.lang, g.n_docs, g.isq, g.gate ORDER BY g.lang""".stripMargin)
 
+  /** Trainer shard-manifest audit — the oracle-checkable half of
+    * [[graft.operators.TrainingExport]]'s discipline: a deterministic
+    * hash shard (here the first md5 hex nibble → 16 shards, the
+    * engine-portable spelling; the operator's xxhash64 path and its
+    * order-sensitive manifest are TrainingExportSpec-gated) with the
+    * per-shard manifest stats a data-loader verifies before a run.
+    * Fused projection + one 16-group aggregate — scan-bound at any
+    * corpus size. */
+  val q84 = QuerySpec.both("q84_train_shards",
+    """WITH s AS (
+      |  SELECT doc_id, n_chars,
+      |    substr(md5(CAST(doc_id AS STRING)), 1, 1) AS shard
+      |  FROM documents)
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_id,
+      |  CAST(MAX(doc_id) AS BIGINT) AS last_id
+      |FROM s GROUP BY shard ORDER BY shard""".stripMargin)
+
   def specs: Seq[QuerySpec] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q47, q48, q49, q50, q53, q54,
-      q60, q61, q62, q67, q69, q78)
+      q60, q61, q62, q67, q69, q78, q84)
 }
