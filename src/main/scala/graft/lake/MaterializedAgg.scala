@@ -394,11 +394,28 @@ object MaterializedAgg {
   }
 
   /** Reload a view created by [[create]] from its recorded spec. */
-  def load(catalog: LakeCatalog, ident: String): MaterializedAgg = {
-    val t = catalog.loadTable(ident)
+  def load(catalog: LakeCatalog, ident: String): MaterializedAgg =
+    fromState(catalog.loadTable(ident), catalog)
+
+  /** Reload a view from its STATE-TABLE LOCATION alone (the form the
+    * base table's `graft.ivm.views` routing index stores): the owning
+    * catalog is recovered from the state location minus the recorded
+    * table identifier — what streaming auto-refresh has in hand. */
+  def loadAt(spark: org.apache.spark.sql.SparkSession,
+             stateLocation: String): MaterializedAgg = {
+    val t = LakeTable.at(spark, stateLocation)
+    val suffix = "/" + t.meta.name.replace('.', '/')
+    val catalog =
+      if (stateLocation.endsWith(suffix))
+        new LakeCatalog(spark, stateLocation.dropRight(suffix.length))
+      else null // dim-free views never need the catalog
+    fromState(t, catalog)
+  }
+
+  private def fromState(t: LakeTable, catalog: LakeCatalog): MaterializedAgg = {
     val props = t.meta.properties
     val baseLoc = props.getOrElse("graft.ivm.base-location",
-      throw new IllegalArgumentException(s"$ident is not a materialized view"))
+      throw new IllegalArgumentException(s"${t.meta.name} is not a materialized view"))
     val groupBy = props("graft.ivm.group-by").split(",").toSeq
     val aggs = props("graft.ivm.aggs").split(";").toSeq.map { s =>
       val Array(f, c, a) = s.split(":", 3)
@@ -407,6 +424,8 @@ object MaterializedAgg {
     val dims = props.get(DimsKey).map(_.split(";").toSeq.map { s =>
       val Array(d, fk, dk, k) = s.split("\\|", 4)
       val dj = DimJoin(d, fk, dk, k)
+      require(catalog != null,
+        s"star view ${t.meta.name} needs its owning catalog to resolve dim $d")
       dj -> catalog.loadTable(d)
     }).getOrElse(Seq.empty)
     new MaterializedAgg(t, new LakeTable(t.spark, baseLoc), groupBy, aggs, catalog, dims)

@@ -255,9 +255,17 @@ object Changelog {
     * it accretes one equality-delete mask class per batch forever. The
     * maintenance commits ride AFTER the batch's merge, conflict-retried,
     * and never touch the batch-id marker, so exactly-once is unaffected. */
+  /** `refreshViews` additionally refreshes every materialized view
+    * registered on the table (the `graft.ivm.views` routing index) after
+    * each batch — churn-sized per refresh, and it keeps the views
+    * EXACTLY at the base head between triggers, so automatic MV query
+    * routing stays hot for a continuously-ingested table. A failing view
+    * (dropped concurrently, or a star view refused over a mutated
+    * dimension until rebuild) is skipped, never killing the stream. */
   def startIngest(table: LakeTable, parsed: DataFrame, key: String, seqCol: String,
                   checkpointDir: String, triggerMs: Long = 5000L,
-                  maintainEvery: Int = 0): StreamingQuery = {
+                  maintainEvery: Int = 0,
+                  refreshViews: Boolean = false): StreamingQuery = {
     val wid = writerIdFor(checkpointDir)
     parsed.writeStream
       .outputMode("append")
@@ -266,9 +274,22 @@ object Changelog {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         mergeChangelog(table, batch, key, seqCol, batchId = id, writerId = wid)
         if (maintainEvery > 0) { table.autoMaintain(maintainEvery); () }
+        if (refreshViews) refreshRegisteredViews(table)
       }
       .start()
   }
+
+  /** Refresh every view in the table's routing index; failures skip. */
+  def refreshRegisteredViews(table: LakeTable): Unit =
+    table.meta.properties.get("graft.ivm.views").toSeq
+      .flatMap(_.split(";")).filter(_.nonEmpty).foreach { loc =>
+        try {
+          graft.lake.MaterializedAgg.loadAt(table.spark, loc).refresh()
+          ()
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] view refresh skipped for $loc: ${e.getMessage}")
+        }
+      }
 
   /** Incremental streaming read-back of a lake table — the Spark-first
     * analog of the reference's continuous changelog read
