@@ -1054,10 +1054,9 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
           extraDeleteFiles = nullDel.toSeq,
           identityPlan = idPlan, identityProps = identityAdvance(idPlan, inserted))
       }
-      val touchPred = (boundsPred, nullPred) match {
-        case (Some(b), Some(n)) => Some(Pruning.Or(b, n))
-        case (b, n) => b.orElse(n)
-      }
+      // the rewrite set and the conflict window are the same predicate by
+      // construction — reuse it so they can never desynchronize
+      val touchPred = conflictPred
       val (touched, untouched) = touchPred match {
         case None => (Seq.empty[DataFile], all)
         case Some(p) => all.partition(f => Pruning.mayMatch(p, fileBounds(m0, f)))
@@ -2460,6 +2459,12 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     commit(m => m.copy(properties = m.properties ++ props))
   def unsetProperties(keys: Seq[String]): TableMeta =
     commit(m => m.copy(properties = m.properties -- keys))
+  /** Atomic read-modify-write of the property map: `f` re-applies inside
+    * the commit retry loop against FRESH metadata, so concurrent updates
+    * of a list-valued property (e.g. the `graft.ivm.views` routing
+    * index) compose instead of losing writes. */
+  def updateProperties(f: Map[String, String] => Map[String, String]): TableMeta =
+    commit(m => m.copy(properties = f(m.properties)))
 
   def metadataTable(kind: String): DataFrame = MetadataTables(this, kind)
 
@@ -2647,8 +2652,10 @@ object LakeTable {
     * honoring schema evolution and positional delete masks. */
   final case class ExportedScan(snapshotId: Long, dataFiles: Seq[String],
                                 deleteFiles: Seq[String], sql: String) {
+    /** The name is emitted as a quoted identifier — keywords, spaces and
+      * embedded quotes cannot break (or inject into) the DDL. */
     def viewDdl(viewName: String): String =
-      s"CREATE OR REPLACE VIEW $viewName AS\n$sql"
+      s"""CREATE OR REPLACE VIEW "${viewName.replace("\"", "\"\"")}" AS\n$sql"""
   }
 
   /** Parse a binpack `where` argument (`k=v[,k=v]`) with SQL-style single

@@ -385,11 +385,14 @@ object MaterializedAgg {
           s"${dj.dimIdent}|${dj.factKey}|${dj.dimKey}|${dj.kind}").mkString(";"),
         DimSnapshotsKey -> dimSnapshots(resolved))))
     // register the view on the BASE table so the optimizer can route
-    // matching aggregate queries to the maintained state (GraftMvRoute)
-    val registered = base.meta.properties.get(ViewsKey)
-      .map(_.split(";").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
-    if (!registered.contains(t.location))
-      base.setProperties(Map(ViewsKey -> (registered :+ t.location).mkString(";")))
+    // matching aggregate queries to the maintained state (GraftMvRoute).
+    // Atomic RMW: concurrent creates over the same base must compose.
+    base.updateProperties { props =>
+      val cur = props.get(ViewsKey)
+        .map(_.split(";").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+      if (cur.contains(t.location)) props
+      else props + (ViewsKey -> (cur :+ t.location).mkString(";"))
+    }
     new MaterializedAgg(t, base, groupBy, aggs, catalog, resolved)
   }
 

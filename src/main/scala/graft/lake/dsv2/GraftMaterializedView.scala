@@ -101,14 +101,19 @@ case class DropMaterializedViewCommand(viewIdent: Seq[String], ifExists: Boolean
     // dropped first just means the pointer dies with it)
     state.meta.properties.get("graft.ivm.base-location").foreach { baseLoc =>
       try {
-        val base = graft.lake.LakeTable.at(spark, baseLoc)
-        val cur = base.meta.properties.get(MaterializedAgg.ViewsKey)
-          .map(_.split(";").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
-        if (cur.contains(state.location)) {
-          val left = cur.filterNot(_ == state.location)
-          if (left.isEmpty) base.unsetProperties(Seq(MaterializedAgg.ViewsKey))
-          else base.setProperties(Map(MaterializedAgg.ViewsKey -> left.mkString(";")))
+        // atomic RMW: a concurrent CREATE on the same base must not lose
+        // its registration to this deregistration (and vice versa)
+        graft.lake.LakeTable.at(spark, baseLoc).updateProperties { props =>
+          props.get(MaterializedAgg.ViewsKey) match {
+            case None => props
+            case Some(v) =>
+              val left = v.split(";").toSeq.filter(_.nonEmpty)
+                .filterNot(_ == state.location)
+              if (left.isEmpty) props - MaterializedAgg.ViewsKey
+              else props + (MaterializedAgg.ViewsKey -> left.mkString(";"))
+          }
         }
+        ()
       } catch { case scala.util.control.NonFatal(_) => }
     }
     lake.dropTable(ident)

@@ -150,9 +150,16 @@ object GraftMvRoute {
           val Array(d, fk, dk, k) = s.split("\\|", 4); (d, fk, dk, k)
         }).getOrElse(Seq.empty)
       if (mvDims.length != planDims.length) return None
+      // dim identity must be EXACT-location: the recorded idents are
+      // relative to the view's catalog, whose warehouse is the state
+      // location minus the view's own identifier path — a suffix match
+      // would accept a same-named dim from another catalog/warehouse
+      val viewSuffix = "/" + state.meta.name.replace('.', '/')
+      if (!loc.endsWith(viewSuffix)) return None
+      val warehouse = loc.dropRight(viewSuffix.length)
       val dimsMatch = mvDims.zip(planDims).forall {
         case ((ident, fk, dk, kind), (_, dgt, pfk, pdk, pkind)) =>
-          dgt.lakeTable.location.endsWith("/" + ident.replace('.', '/')) &&
+          dgt.lakeTable.location == warehouse + "/" + ident.replace('.', '/') &&
             fk == pfk && dk == pdk && kind == pkind
       }
       if (!dimsMatch) return None

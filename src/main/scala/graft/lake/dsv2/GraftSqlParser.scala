@@ -144,8 +144,12 @@ object GraftSqlParser {
     """(?i)\s*(count|sum|avg|min|max)\s*\(\s*(?:(\*)|(?:`?\w+`?\s*\.\s*)?`?(\w+)`?)\s*\)\s+AS\s+`?(\w+)`?\s*""".r
   private val BareItem = """\s*(?:`?\w+`?\s*\.\s*)?`?(\w+)`?\s*""".r
   // FROM clause: base table [AS alias] + zero or more equi-joined dims
+  // the alias lookahead must exclude EVERY join-introducing keyword:
+  // otherwise `FROM fact RIGHT JOIN dim …` consumes RIGHT as the fact
+  // alias and the unsupported join kind silently parses as INNER instead
+  // of erroring on the FROM-clause tail
   private val FromHead =
-    s"""(?is)\\s*($MvIdent)(?:\\s+(?:AS\\s+)?(?!JOIN|LEFT|INNER)(\\w+))?\\s*(.*)""".r
+    s"""(?is)\\s*($MvIdent)(?:\\s+(?:AS\\s+)?(?!JOIN|LEFT|INNER|RIGHT|FULL|CROSS|SEMI|ANTI)(\\w+))?\\s*(.*)""".r
   private val JoinRe =
     s"""(?is)\\s*(?:(LEFT|INNER)\\s+)?JOIN\\s+($MvIdent)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+ON\\s+((?:`?\\w+`?\\s*\\.\\s*)?`?\\w+`?)\\s*=\\s*((?:`?\\w+`?\\s*\\.\\s*)?`?\\w+`?)\\s*(.*)""".r
 

@@ -254,8 +254,9 @@ object Changelog {
     * compaction as routine policy, and a merge-on-read CDC stream without
     * it accretes one equality-delete mask class per batch forever. The
     * maintenance commits ride AFTER the batch's merge, conflict-retried,
-    * and never touch the batch-id marker, so exactly-once is unaffected. */
-  /** `refreshViews` additionally refreshes every materialized view
+    * and never touch the batch-id marker, so exactly-once is unaffected.
+    *
+    * `refreshViews` additionally refreshes every materialized view
     * registered on the table (the `graft.ivm.views` routing index) after
     * each batch — churn-sized per refresh, and it keeps the views
     * EXACTLY at the base head between triggers, so automatic MV query
@@ -281,7 +282,7 @@ object Changelog {
 
   /** Refresh every view in the table's routing index; failures skip. */
   def refreshRegisteredViews(table: LakeTable): Unit =
-    table.meta.properties.get("graft.ivm.views").toSeq
+    table.meta.properties.get(graft.lake.MaterializedAgg.ViewsKey).toSeq
       .flatMap(_.split(";")).filter(_.nonEmpty).foreach { loc =>
         try {
           graft.lake.MaterializedAgg.loadAt(table.spark, loc).refresh()

@@ -659,7 +659,7 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql(s"CALL lake.system.export_scan(table => 'db.amt', output => '$out')")
     val ddl = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(out)), "UTF-8")
-    assert(ddl.startsWith("CREATE OR REPLACE VIEW db_amt AS"), ddl.take(80))
+    assert(ddl.startsWith("CREATE OR REPLACE VIEW \"db_amt\" AS"), ddl.take(80))
     assert(ddl.contains("read_parquet"), "DDL must scan the exported parquet")
     val live = lt.meta.currentSnapshot.get.files.map(_.path)
     assert(live.forall(ddl.contains), "every live data file appears in the DDL")
