@@ -786,6 +786,15 @@ class GraftCatalogSpec extends AnyFunSuite {
     // rebuild via Scala API picks up the new dimension contents
     graft.lake.MaterializedAgg.load(lt, "db.smv").rebuild()
     assert(rows() === Seq(("clay", 2L, 1019L), ("gold", 2L, 51L), ("iron", 2L, 10L)))
+    // unsupported join kinds are PARSE ERRORS, not silent inner joins
+    // (RIGHT must not be consumed as the fact alias)
+    intercept[Exception] { extSpark.sql(
+      """CREATE MATERIALIZED VIEW lake.db.smvbad AS
+        |SELECT d.seg, COUNT(*) AS n
+        |FROM lake.db.sfact RIGHT JOIN lake.db.sdim d ON sfact.ck = d.ck2
+        |GROUP BY d.seg""".stripMargin) }
+    assert(!new graft.lake.LakeCatalog(spark,
+      spark.conf.get("spark.sql.catalog.lake.warehouse")).tableExists("db.smvbad"))
     // LEFT JOIN spelling parses and keeps unmatched facts
     extSpark.sql(
       """CREATE MATERIALIZED VIEW lake.db.smvl AS

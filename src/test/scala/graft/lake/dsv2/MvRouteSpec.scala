@@ -96,6 +96,14 @@ class MvRouteSpec extends AnyFunSuite {
       "SELECT g, count(*) AS n FROM lake.db.rb2 WHERE v > 1 GROUP BY g")))
     // matching shape still routes (sanity that the view is live + fresh)
     assert(isRouted(sql("SELECT g, count(*) AS n, sum(v) AS t FROM lake.db.rb2 GROUP BY g")))
+    // HAVING rides on top of the routed aggregate: the filter references
+    // the aggregate's output by exprId, which the rewrite preserves
+    val having = sql(
+      "SELECT g, count(*) AS n FROM lake.db.rb2 GROUP BY g HAVING count(*) >= 1 ORDER BY g")
+    assert(isRouted(having), "HAVING must not block routing:\n" +
+      having.queryExecution.executedPlan.toString)
+    assert(having.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 1L), ("b", 1L)))
     // DROP deregisters: the same query scans again (and still answers)
     sql("DROP MATERIALIZED VIEW lake.db.rmv2")
     val after = sql("SELECT g, count(*) AS n, sum(v) AS t FROM lake.db.rb2 GROUP BY g ORDER BY g")
