@@ -86,6 +86,11 @@ object GraftMvRoute {
       : Option[((DataSourceV2Relation, GraftTable), Seq[PlanDim])] = plan match {
     case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(_, c) =>
       unwrapStar(c, unwrap)
+    // a subquery wrapper (`FROM (SELECT * FROM fact JOIN dim …) s`) plans
+    // an attribute-only Project over the join — transparent for matching
+    case org.apache.spark.sql.catalyst.plans.logical.Project(pl, c)
+        if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrapStar(c, unwrap)
     case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
       val kind = j.joinType match {
         case org.apache.spark.sql.catalyst.plans.Inner => "inner"

@@ -144,6 +144,14 @@ class MvRouteSpec extends AnyFunSuite {
     sql("REFRESH MATERIALIZED VIEW lake.db.smvr")
     assert(isRouted(sql(starQ)))
     assert(rows(sql(starQ)) === Seq(("gold", 2L, 150L), ("iron", 2L, 10L)))
+    // a subquery wrapper around the join is transparent for matching
+    val wrapped = sql(
+      """SELECT seg, count(*) AS n, sum(price) AS t FROM (
+        |  SELECT d.seg, f.price FROM lake.db.sf f
+        |  JOIN lake.db.sd d ON f.ck = d.ck2) s
+        |GROUP BY seg""".stripMargin)
+    assert(isRouted(wrapped), "subquery-wrapped star join must still route:\n" +
+      wrapped.queryExecution.executedPlan.toString)
     // DIMENSION churn → deltas are unsound AND routing must stop, even
     // though the base watermark still matches
     sql("INSERT INTO lake.db.sd VALUES (3, 'clay')")
