@@ -2,9 +2,9 @@ package graft.lake.dsv2
 
 import graft.lake.{LakeTable, MaterializedAgg}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 /** Automatic materialized-view query routing: an aggregate query whose
@@ -32,6 +32,15 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   *   - the relation is not a write/DML target and carries no time-travel
   *     pin or branch (the view reflects main's head only).
   *
+  * A WHERE below the aggregate (the standard dashboard shape
+  * `SELECT g, agg FROM t WHERE g = 'x' GROUP BY g`) routes when every
+  * predicate is a deterministic, subquery-free function of the GROUP BY
+  * columns: such a predicate is constant within each group, so filtering
+  * rows before aggregation equals filtering groups after it, and the
+  * rewrite re-applies the predicate over the presented state (a
+  * state-table-sized filter instead of a base scan). Predicates touching
+  * any non-group column disable the rewrite for the whole query.
+  *
   * The rewrite preserves the Aggregate's output names and exprIds (an
   * aliased Project over the finalized-state plan), so parent operators
   * stay bound. Validation cost when no index entry exists: one property
@@ -55,8 +64,19 @@ object GraftMvRoute {
     // routing would silently answer from the wrong lineage
     if (spark.conf.getOption("spark.wap.branch").exists(_.nonEmpty) ||
         spark.conf.getOption("spark.wap.id").exists(_.nonEmpty)) return None
+    val (peeled, filters) = peelFilters(agg.child)
+    // a WHERE below the aggregate routes only when every predicate is a
+    // deterministic, subquery-free function of the GROUP BY columns —
+    // then filtering rows before aggregation ≡ filtering groups of the
+    // full aggregate, so the same predicate re-applies over the presented
+    // state. Anything touching a non-group column kills the rewrite.
+    val groupIds = agg.groupingExpressions
+      .collect { case a: AttributeReference => a.exprId }.toSet
+    if (!filters.forall(c => c.deterministic &&
+        c.find(_.isInstanceOf[PlanExpression[_]]).isEmpty &&
+        c.references.forall(r => groupIds.contains(r.exprId)))) return None
     for {
-      ((r, gt), planDims) <- unwrapStar(agg.child, unwrap)
+      ((r, gt), planDims) <- unwrapStar(peeled, unwrap)
       if !isWriteTarget(r) && unpinned(gt) && planDims.forall(d => unpinned(d._2))
       base = gt.lakeTable
       viewsProp <- base.meta.properties.get(MaterializedAgg.ViewsKey)
@@ -64,9 +84,21 @@ object GraftMvRoute {
       groupNames <- attrNames(agg.groupingExpressions)
       if groupNames.nonEmpty
       plan <- viewsProp.split(";").iterator.filter(_.nonEmpty)
-        .flatMap(loc => tryRoute(spark, agg, base, groupNames, planDims, loc))
+        .flatMap(loc => tryRoute(spark, agg, base, groupNames, planDims, filters, loc))
         .nextOption()
     } yield plan
+  }
+
+  /** Peel SubqueryAlias / attribute-only Project / Filter layers off the
+    * aggregate's input, collecting the Filter conditions — filters
+    * commute with those wrappers, so position among them is irrelevant.
+    * Filters BELOW a star join (inside a subquery join operand) are not
+    * peeled: the chain match in [[unwrapStar]] rejects them. */
+  private def peelFilters(plan: LogicalPlan): (LogicalPlan, Seq[Expression]) = plan match {
+    case SubqueryAlias(_, c) => peelFilters(c)
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => peelFilters(c)
+    case Filter(cond, c) => val (p, fs) = peelFilters(c); (p, cond +: fs)
+    case other => (other, Seq.empty)
   }
 
   private def unpinned(gt: GraftTable): Boolean =
@@ -137,6 +169,7 @@ object GraftMvRoute {
 
   private def tryRoute(spark: SparkSession, agg: Aggregate, base: LakeTable,
                        groupNames: Seq[String], planDims: Seq[PlanDim],
+                       filters: Seq[Expression],
                        loc: String): Option[LogicalPlan] =
     try {
       val state = LakeTable.at(spark, loc)
@@ -178,9 +211,17 @@ object GraftMvRoute {
         if (!props.get(MaterializedAgg.DimSnapshotsKey).contains(current)) return None
       }
       // map every output expression onto a presented view column
-      val presented = MaterializedAgg.presentState(state.toDF, mvGroup, mvAggs)
+      val presentedBare = MaterializedAgg.presentState(state.toDF, mvGroup, mvAggs)
         .queryExecution.analyzed
-      val byName = presented.output.map(a => a.name -> a).toMap
+      val byName = presentedBare.output.map(a => a.name -> a).toMap
+      // group-column WHERE: re-apply over the presented state (every
+      // referenced attribute is a grouping attr — route() checked — so
+      // its name maps onto a presented group column)
+      val presented: LogicalPlan =
+        if (filters.isEmpty) presentedBare
+        else Filter(filters.map(_.transform {
+          case a: AttributeReference => byName(a.name)
+        }).reduce(org.apache.spark.sql.catalyst.expressions.And), presentedBare)
       val mapped: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
         case a: AttributeReference if groupNames.contains(a.name) =>
           byName.get(a.name).map(attr => Alias(attr, a.name)(exprId = a.exprId))

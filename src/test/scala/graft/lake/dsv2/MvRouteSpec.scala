@@ -91,9 +91,12 @@ class MvRouteSpec extends AnyFunSuite {
     assert(!isRouted(sql("SELECT g, min(v) AS lo FROM lake.db.rb2 GROUP BY g")))
     // DISTINCT never routes
     assert(!isRouted(sql("SELECT g, count(DISTINCT v) AS n FROM lake.db.rb2 GROUP BY g")))
-    // a filter below the aggregate never routes
+    // a filter on a NON-group column below the aggregate never routes
     assert(!isRouted(sql(
       "SELECT g, count(*) AS n FROM lake.db.rb2 WHERE v > 1 GROUP BY g")))
+    // … and a mixed predicate (group AND non-group) never routes either
+    assert(!isRouted(sql(
+      "SELECT g, count(*) AS n FROM lake.db.rb2 WHERE g = 'a' AND v > 0 GROUP BY g")))
     // matching shape still routes (sanity that the view is live + fresh)
     assert(isRouted(sql("SELECT g, count(*) AS n, sum(v) AS t FROM lake.db.rb2 GROUP BY g")))
     // HAVING rides on top of the routed aggregate: the filter references
@@ -109,6 +112,43 @@ class MvRouteSpec extends AnyFunSuite {
     val after = sql("SELECT g, count(*) AS n, sum(v) AS t FROM lake.db.rb2 GROUP BY g ORDER BY g")
     assert(!isRouted(after))
     assert(rows(after) === Seq(("a", 1L, 1L), ("b", 1L, 2L)))
+  }
+
+  test("group-column WHERE routes as a filter over the presented state (r11)") {
+    sql("CREATE TABLE lake.db.fb (g STRING, h STRING, v BIGINT)")
+    sql("INSERT INTO lake.db.fb VALUES ('a', 'x', 1), ('a', 'y', 2), ('b', 'x', 10), ('c', 'z', 40)")
+    sql("""CREATE MATERIALIZED VIEW lake.db.fmv AS
+          |SELECT g, h, COUNT(*) AS n, sum(v) AS t
+          |FROM lake.db.fb GROUP BY g, h""".stripMargin)
+    // equality on one group column
+    val eq = sql("SELECT g, h, count(*) AS n, sum(v) AS t FROM lake.db.fb WHERE g = 'a' GROUP BY g, h ORDER BY h")
+    assert(isRouted(eq), "group-column equality filter must route:\n" +
+      eq.queryExecution.executedPlan.toString)
+    assert(eq.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq(("a", "x", 1L, 1L), ("a", "y", 1L, 2L)))
+    // compound predicate over BOTH group columns, IN + inequality
+    val in = sql(
+      "SELECT g, h, count(*) AS n FROM lake.db.fb WHERE g IN ('a','b') AND h <> 'y' GROUP BY g, h ORDER BY g")
+    assert(isRouted(in))
+    assert(in.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("a", "x", 1L), ("b", "x", 1L)))
+    // filter inside a subquery wrapper is transparent too
+    val sub = sql(
+      """SELECT g, h, count(*) AS n FROM (
+        |  SELECT * FROM lake.db.fb WHERE g = 'b') s
+        |GROUP BY g, h""".stripMargin)
+    assert(isRouted(sub), "subquery-wrapped group filter must route:\n" +
+      sub.queryExecution.executedPlan.toString)
+    assert(sub.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("b", "x", 1L)))
+    // filtered rows match a direct scan exactly once the view is stale
+    sql("INSERT INTO lake.db.fb VALUES ('a', 'x', 100)")
+    val stale = sql("SELECT g, h, count(*) AS n, sum(v) AS t FROM lake.db.fb WHERE g = 'a' GROUP BY g, h ORDER BY h")
+    assert(stale.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq(("a", "x", 2L, 101L), ("a", "y", 1L, 2L)))
+    // nondeterministic predicates never route, even over group columns
+    assert(!isRouted(sql(
+      "SELECT g, count(*) AS n FROM lake.db.fb WHERE g > string(rand()) GROUP BY g")))
   }
 
   test("star-schema routing: the dim-join aggregate reads the view; key/kind/dim-change mismatches scan (r10)") {
