@@ -2282,6 +2282,31 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * per commit in the range — for a backfill over thousands of commits,
     * consume in snapshot windows (or via the streaming source, which
     * batches per trigger) rather than one giant range. */
+  /** Metadata-only proof that no existing row became dead in the snapshot
+    * window `(from, to]`: every commit in the window only ADDED data
+    * files — nothing removed, no positional or equality delete file
+    * introduced. What stale-route compensation checks before trusting
+    * the algebraic MIN/MAX merge ([[MaterializedAgg.compensatedState]]):
+    * a lost extreme would need a base rescan, which read-side routing
+    * refuses to pay. False (conservatively) when `from` is not an
+    * ancestor of `to`. Zero data I/O — walks snapshot file LISTS only. */
+  private[graft] def windowLossFree(fromSnapshotId: Long, toSnapshotId: Long): Boolean = {
+    val m = meta
+    var cur = m.snapshot(toSnapshotId)
+    while (cur.isDefined && cur.get.snapshotId != fromSnapshotId) {
+      val s = cur.get
+      val parent = s.parentId.flatMap(m.snapshot)
+      val curPaths = s.files.map(_.path).toSet
+      val parentDel = parent.map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty)
+      val parentEq = parent.map(_.eqDeleteFiles.map(_.path).toSet).getOrElse(Set.empty)
+      if (parent.exists(_.files.exists(f => !curPaths.contains(f.path))) ||
+          s.deleteFiles.exists(d => !parentDel.contains(d.path)) ||
+          s.eqDeleteFiles.exists(d => !parentEq.contains(d.path))) return false
+      cur = parent
+    }
+    cur.isDefined
+  }
+
   def changelog(fromSnapshotId: Option[Long], toSnapshotId: Long,
                 identifierFields: Seq[String] = Seq.empty): DataFrame = {
     val m = meta

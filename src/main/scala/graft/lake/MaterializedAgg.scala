@@ -97,7 +97,25 @@ final class MaterializedAgg private[lake] (
     val from = watermark
     if (head.isEmpty || head == from) return from
     val to = head.get
+    val (delta, merged) = deltaMerge(from, to, eager = true, skipRescan = false)
+    state.mergeByKeys(KeyCol, delta.select(KeyCol), merged,
+      extraSummary = Map(WatermarkKey -> to.toString))
+    Some(to)
+  }
 
+  /** The signed-delta application for the base window `(from, to]`: the
+    * per-group delta frame (keyed by [[KeyCol]] — its key set IS the set
+    * of affected groups) and those groups' NEW state rows in state-schema
+    * column order. [[refresh]] commits these via mergeByKeys;
+    * stale-route compensation ([[compensatedState]]) overlays them over
+    * the committed state read-side, without committing. `eager`
+    * checkpoint-materializes the delta — worth it on the write path,
+    * where the commit machinery consumes it twice; the read path stays
+    * lazy (the churn-sized delta just recomputes inside one query).
+    * `skipRescan` elides the lost-extreme base rescan; callers must
+    * first prove the window loss-free or the view MIN/MAX-free. */
+  private def deltaMerge(from: Option[Long], to: Long, eager: Boolean,
+                         skipRescan: Boolean): (DataFrame, DataFrame) = {
     val keyCol = jsonKey(groupBy)
     val cl = enrich(base.changelog(from, to))
     val sign = when(col("_change_type").isin("INSERT", "UPDATE_AFTER"), 1L)
@@ -122,13 +140,15 @@ final class MaterializedAgg private[lake] (
         }
         }
       }
-    val needsRescan = aggs.exists(a => a.func == "min" || a.func == "max")
+    val needsRescan = !skipRescan &&
+      aggs.exists(a => a.func == "min" || a.func == "max")
     val lostExtras: Seq[Column] =
       if (needsRescan) Seq(max(when(sign < 0, 1L).otherwise(0L)).as(LostCol)) else Seq.empty
-    val delta = cl
+    val deltaRaw = cl
       .groupBy((keyCol.as(KeyCol) +: groupBy.map(col)): _*)
       .agg(deltaAggs.head, (deltaAggs.tail ++ lostExtras): _*)
-      .localCheckpoint(true) // consumed by the join below AND as the merge key set
+    // write path: consumed by the join below AND as the merge key set
+    val delta = if (eager) deltaRaw.localCheckpoint(true) else deltaRaw
 
     val old = state.toDF
     val joined = delta.as("d").join(old.as("o"), col("d." + KeyCol) === col("o." + KeyCol), "left")
@@ -184,10 +204,39 @@ final class MaterializedAgg private[lake] (
         }: _*)
       merged = rescanned
     }
+    (delta, merged.select(stateCols(old): _*))
+  }
 
-    state.mergeByKeys(KeyCol, delta.select(KeyCol), merged.select(stateCols(old): _*),
-      extraSummary = Map(WatermarkKey -> to.toString))
-    Some(to)
+  /** Read-side compensation for stale-tolerant MV routing
+    * ([[graft.lake.dsv2.GraftMvRoute]]): the FULL state contents as the
+    * view would hold them after a refresh to base snapshot `to`,
+    * computed by overlaying the `(watermark, to]` signed delta over the
+    * committed state WITHOUT committing — unchanged groups pass through
+    * an anti-join, affected groups come from the delta merge. Cost is
+    * churn-shaped: state-table-sized anti-join + file-set-pruned
+    * changelog, never a base scan. None when compensation is unsound or
+    * uneconomical:
+    *   - never-refreshed view (replaying from genesis ≈ the full scan
+    *     routing is meant to avoid);
+    *   - a dimension moved off its recorded snapshot (deltas against a
+    *     mutated dimension are unsound — same guard as [[refresh]]);
+    *   - a MIN/MAX view over a window that removed rows (positional or
+    *     equality deletes, CoW rewrites): the lost extreme needs a base
+    *     rescan, which routing refuses to pay — proven loss-free at the
+    *     metadata level by [[LakeTable.windowLossFree]], zero data I/O. */
+  private[graft] def compensatedState(to: Long): Option[DataFrame] = {
+    val from = watermark
+    if (from.isEmpty) return None
+    if (from.contains(to)) return Some(state.toDF)
+    if (dims.nonEmpty &&
+        !state.meta.properties.get(DimSnapshotsKey).contains(dimSnapshots(dims)))
+      return None
+    if (aggs.exists(a => a.func == "min" || a.func == "max") &&
+        !base.windowLossFree(from.get, to)) return None
+    val (delta, merged) = deltaMerge(from, to, eager = false, skipRescan = true)
+    val old = state.toDF
+    Some(old.join(delta.select(KeyCol), Seq(KeyCol), "left_anti")
+      .unionByName(merged))
   }
 
   /** The view's current contents with FINAL aggregate values (AVG
@@ -311,6 +360,18 @@ object MaterializedAgg {
     * the router re-validates existence, spec, and freshness at use, so a
     * stale entry (view dropped outside the SQL DDL) is just skipped. */
   private[graft] val ViewsKey = "graft.ivm.views"
+  /** Refresh-health record on the STATE table, written by the streaming
+    * auto-refresh loop ([[graft.streaming.Changelog.refreshRegisteredViews]])
+    * when a refresh attempt fails (e.g. a star view refused over a
+    * mutated dimension until rebuild): consecutive-failure count, last
+    * error message, and when it happened. Cleared by the next successful
+    * refresh; [[MaterializedAgg.rebuild]] recreates the state table and
+    * so clears it too. Surfaced per view by the base table's
+    * `materialized_views` metadata table — the operator-visible signal
+    * that routing has silently degraded to cold. */
+  private[graft] val FailuresKey = "graft.ivm.refresh-failures"
+  private[graft] val LastErrorKey = "graft.ivm.last-error"
+  private[graft] val LastErrorAtKey = "graft.ivm.last-error-at"
   private[lake] def sumCol(alias: String) = alias + "__sum"
   private[lake] def cntCol(alias: String) = alias + "__cnt"
 

@@ -12,7 +12,7 @@ object MetadataTables {
   val kinds: Seq[String] =
     Seq("snapshots", "files", "partitions", "history", "refs", "manifests",
       "delete_files", "position_deletes", "all_files", "all_delete_files",
-      "metadata_log_entries")
+      "metadata_log_entries", "materialized_views")
 
   def apply(table: LakeTable, kind: String): DataFrame = {
     val spark = table.spark
@@ -155,6 +155,35 @@ object MetadataTables {
           spark.read.schema(LakeTable.DeleteEntrySchema).parquet(d.path)
             .withColumn("delete_file", org.apache.spark.sql.functions.lit(d.path))
         }.reduce(_ unionByName _)
+
+      case "materialized_views" =>
+        // refresh-health listing of every view registered on THIS base
+        // table (the graft.ivm.views routing index): spec, freshness
+        // against the base head, and the failure record the streaming
+        // auto-refresh loop maintains (refreshRegisteredViews) — the
+        // operator signal that routing silently degraded to cold
+        val head = m.currentSnapshot.map(_.snapshotId)
+        m.properties.get(MaterializedAgg.ViewsKey).toSeq
+          .flatMap(_.split(";")).filter(_.nonEmpty).map { loc =>
+            try {
+              val st = LakeTable.at(spark, loc)
+              val p = st.meta.properties
+              val wm = MaterializedAgg.watermarkOf(st)
+              (loc, st.meta.name, p.getOrElse("graft.ivm.group-by", null),
+                p.getOrElse("graft.ivm.aggs", null), wm, head,
+                wm.isDefined && wm == head,
+                p.get(MaterializedAgg.FailuresKey).flatMap(_.toLongOption)
+                  .getOrElse(0L),
+                p.getOrElse(MaterializedAgg.LastErrorKey, null),
+                p.get(MaterializedAgg.LastErrorAtKey).flatMap(_.toLongOption)
+                  .map(t => new java.sql.Timestamp(t)).orNull)
+            } catch { case scala.util.control.NonFatal(e) =>
+              (loc, null, null, null, None: Option[Long], head, false, 0L,
+                s"unreachable: ${e.getMessage}", null)
+            }
+          }.toDF("state_location", "view", "group_by", "aggs", "watermark",
+            "base_snapshot", "fresh", "refresh_failures", "last_error",
+            "last_error_at")
 
       case other =>
         throw new IllegalArgumentException(

@@ -10,6 +10,9 @@ import java.nio.file.Files
   * bare — at 1× and 10× base size. The claim under test: the ROUTED
   * query reads the group-count-sized state, so its wall is flat in base
   * size, while the direct aggregate scans the base and grows with it.
+  * The `stale` mode (r11) appends a small churn batch AFTER the refresh
+  * and measures the compensated route: wall must track the CHURN size,
+  * not the base size — flat across base scales like the fresh route.
   * Results recorded in SCALEPROBE.md.
   *
   * Run: sbt "runMain graft.lake.MvRouteProbe" (env SPARK_GRAFT_CPUS). */
@@ -49,21 +52,30 @@ object MvRouteProbe {
 
     for (scale <- Seq(1, 50)) {
       val rows = 2000000 * scale
-      for (mode <- Seq("routed", "direct")) {
+      for (mode <- Seq("routed", "stale", "direct")) {
         val name = s"p.b_${mode}_$scale"
         spark.sql(s"DROP TABLE IF EXISTS lake.$name")
         spark.sql(s"CREATE TABLE lake.$name (g BIGINT, v BIGINT)")
         val t = cat.loadTable(name)
-        t.append((0L until rows.toLong).toDF("x")
+        // spark.range: distributed generation — a driver-local Range at
+        // 100M rows ships the data inside every task binary and OOMs
+        t.append(spark.range(rows.toLong).toDF("x")
           .selectExpr("x % 100 AS g", "x AS v"))
-        if (mode == "routed") {
+        if (mode != "direct") {
           val mv = MaterializedAgg.create(cat, s"${name}_mv", t,
             Seq("g"), Seq(MaterializedAgg.AggCol("count", "*", "n"),
               MaterializedAgg.AggCol("sum", "v", "t")))
           mv.refresh()
+          // stale mode: a fixed-size churn batch lands after the refresh;
+          // the compensated route folds JUST this batch over the state
+          if (mode == "stale")
+            t.append(spark.range(10000L).toDF("x")
+              .selectExpr("x % 100 AS g", "x AS v"))
         }
         val q = s"SELECT g, count(*) AS n, sum(v) AS t FROM lake.$name GROUP BY g"
-        // routing-shape sanity: the routed mode must plan no aggregate
+        // routing-shape sanity: the FRESH routed mode must plan no
+        // aggregate; the stale mode aggregates the churn but must not
+        // scan pre-watermark base files (asserted in MvRouteSpec)
         val agg = spark.sql(q).queryExecution.executedPlan.toString
           .contains("Aggregate")
         val w = wall(q)

@@ -24,9 +24,17 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   *   - the query's equi-join chain equals the view's recorded DimJoin
   *     list in order — same dim tables, same fact/dim keys, same
   *     inner/left kinds (a dim-free query matches only a dim-free view);
-  *   - **freshness**: the view's watermark equals the base's current
-  *     snapshot id AND every dimension sits at its recorded build-time
-  *     snapshot — a stale or mid-refresh view never routes;
+  *   - **freshness**: every dimension sits at its recorded build-time
+  *     snapshot, and the view's watermark equals the base's current
+  *     snapshot id — OR (r11) the stale window is compensated read-side:
+  *     the routed plan overlays the `(watermark, head]` signed changelog
+  *     delta over the committed state without committing (the identical
+  *     fold [[MaterializedAgg.refresh]] would apply), so routing keeps
+  *     working between refreshes at churn cost, never base-scan cost.
+  *     Compensation declines (→ normal scan) for never-refreshed views,
+  *     mutated dimensions, and MIN/MAX views whose window removed rows
+  *     (metadata-proven via `windowLossFree`); disable wholesale with
+  *     `graft.mv.route.compensate=false`;
   *   - the presented column's dataType equals the query expression's
   *     (AVG over DECIMAL presents as DOUBLE and is rejected here);
   *   - the relation is not a write/DML target and carries no time-travel
@@ -52,6 +60,10 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * orders differ the same way).
   */
 object GraftMvRoute {
+
+  /** Session conf gating stale-view compensation (default true): set to
+    * `false` to restore r10's exact-freshness-only routing. */
+  val CompensateKey = "graft.mv.route.compensate"
 
   /** Some(rewritten plan) when `agg` is answerable by a registered fresh
     * view of the graft relation under it. */
@@ -201,17 +213,31 @@ object GraftMvRoute {
             fk == pfk && dk == pdk && kind == pkind
       }
       if (!dimsMatch) return None
-      // freshness: the view must reflect exactly the base's current head,
-      // and every dimension must be at its recorded (build-time) snapshot
+      // freshness: every dimension must sit at its recorded (build-time)
+      // snapshot — a mutated dimension never routes, fresh or stale
       val head = base.meta.currentSnapshot.map(_.snapshotId)
-      if (head.isEmpty || MaterializedAgg.watermarkOf(state) != head) return None
+      if (head.isEmpty) return None
       if (planDims.nonEmpty) {
         val current = planDims.map(_._2.lakeTable.meta.currentSnapshot
           .map(_.snapshotId).getOrElse(-1L)).mkString(",")
         if (!props.get(MaterializedAgg.DimSnapshotsKey).contains(current)) return None
       }
+      // the state to present: the committed state when the view reflects
+      // exactly the base's head; otherwise STALE-TOLERANT COMPENSATION —
+      // overlay the (watermark→head] signed delta over the state
+      // read-side, without committing (the same churn-sized fold refresh
+      // applies). compensatedState returns None when that is unsound
+      // (never-refreshed view, mutated dim, min/max-clipping deletes in
+      // the window) and the query scans normally.
+      val stateDf: org.apache.spark.sql.DataFrame =
+        if (MaterializedAgg.watermarkOf(state) == head) state.toDF
+        else if (!spark.conf.getOption(CompensateKey).forall(_.toBoolean)) return None
+        else MaterializedAgg.loadAt(spark, loc).compensatedState(head.get) match {
+          case Some(df) => df
+          case None => return None
+        }
       // map every output expression onto a presented view column
-      val presentedBare = MaterializedAgg.presentState(state.toDF, mvGroup, mvAggs)
+      val presentedBare = MaterializedAgg.presentState(stateDf, mvGroup, mvAggs)
         .queryExecution.analyzed
       val byName = presentedBare.output.map(a => a.name -> a).toMap
       // group-column WHERE: re-apply over the presented state (every

@@ -280,17 +280,44 @@ object Changelog {
       .start()
   }
 
-  /** Refresh every view in the table's routing index; failures skip. */
-  def refreshRegisteredViews(table: LakeTable): Unit =
-    table.meta.properties.get(graft.lake.MaterializedAgg.ViewsKey).toSeq
+  /** Refresh every view in the table's routing index; failures skip —
+    * but never silently: each failed attempt records a consecutive
+    * failure count + last error on the view's STATE table (r11), and the
+    * next successful refresh clears it, so an operator watching the base
+    * table's `materialized_views` metadata table sees a view stuck
+    * behind a mutated dimension instead of discovering cold routing
+    * later. Recording is itself best-effort (a dropped view has no state
+    * table left to write to). */
+  def refreshRegisteredViews(table: LakeTable): Unit = {
+    import graft.lake.MaterializedAgg
+    table.meta.properties.get(MaterializedAgg.ViewsKey).toSeq
       .flatMap(_.split(";")).filter(_.nonEmpty).foreach { loc =>
         try {
-          graft.lake.MaterializedAgg.loadAt(table.spark, loc).refresh()
-          ()
+          MaterializedAgg.loadAt(table.spark, loc).refresh()
+          // success: clear any failure record (only commits when present)
+          val st = LakeTable.at(table.spark, loc)
+          if (st.meta.properties.contains(MaterializedAgg.FailuresKey)) {
+            st.updateProperties(_ - MaterializedAgg.FailuresKey -
+              MaterializedAgg.LastErrorKey - MaterializedAgg.LastErrorAtKey)
+            ()
+          }
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft] view refresh skipped for $loc: ${e.getMessage}")
+          try {
+            val st = LakeTable.at(table.spark, loc)
+            st.updateProperties { p =>
+              val n = p.get(MaterializedAgg.FailuresKey)
+                .flatMap(_.toLongOption).getOrElse(0L) + 1
+              p + (MaterializedAgg.FailuresKey -> n.toString) +
+                (MaterializedAgg.LastErrorKey ->
+                  Option(e.getMessage).getOrElse(e.getClass.getName).take(512)) +
+                (MaterializedAgg.LastErrorAtKey -> System.currentTimeMillis().toString)
+            }
+            ()
+          } catch { case scala.util.control.NonFatal(_) => () }
         }
       }
+  }
 
   /** Incremental streaming read-back of a lake table — the Spark-first
     * analog of the reference's continuous changelog read

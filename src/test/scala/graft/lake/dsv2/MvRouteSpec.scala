@@ -65,10 +65,12 @@ class MvRouteSpec extends AnyFunSuite {
     assert(rows(routedDf) === Seq(("a", 2L, 3L), ("b", 1L, 10L)))
     // aliasing/order/subset variations still route
     assert(isRouted(sql("SELECT sum(v) AS total, g FROM lake.db.rb GROUP BY g")))
-    // stale: base moved past the watermark → normal scan, correct rows
+    // stale: base moved past the watermark → no zero-aggregation route
+    // (r11 compensation still answers from state+delta, which aggregates
+    // the churn — the file-set proof lives in the dedicated r11 tests)
     sql("INSERT INTO lake.db.rb VALUES ('b', 5, 3.0), ('c', 7, 4.0)")
     val staleDf = sql(q)
-    assert(!isRouted(staleDf), "stale view must NOT route")
+    assert(!isRouted(staleDf), "stale view must NOT take the zero-agg route")
     assert(rows(staleDf) === Seq(("a", 2L, 3L), ("b", 2L, 15L), ("c", 1L, 7L)))
     // refresh → routes again, identical rows
     sql("REFRESH MATERIALIZED VIEW lake.db.rmv")
@@ -178,9 +180,11 @@ class MvRouteSpec extends AnyFunSuite {
     // the plain (dim-free) aggregate over the base must NOT take the
     // star view — a dim-free query matches only a dim-free view
     assert(!isRouted(sql("SELECT ck, count(*) AS n FROM lake.db.sf GROUP BY ck")))
-    // fact churn → stale → scans; refresh → routes again
+    // fact churn → stale → the zero-agg route stops; r11 compensation
+    // still answers through the dim-enriched delta, rows identical
     sql("INSERT INTO lake.db.sf VALUES (14, 2, 3)")
     assert(!isRouted(sql(starQ)))
+    assert(rows(sql(starQ)) === Seq(("gold", 2L, 150L), ("iron", 2L, 10L)))
     sql("REFRESH MATERIALIZED VIEW lake.db.smvr")
     assert(isRouted(sql(starQ)))
     assert(rows(sql(starQ)) === Seq(("gold", 2L, 150L), ("iron", 2L, 10L)))
@@ -199,6 +203,88 @@ class MvRouteSpec extends AnyFunSuite {
     assert(!isRouted(afterDim), "a mutated dimension must disable routing")
     assert(rows(afterDim) ===
       Seq(("clay", 1L, 999L), ("gold", 2L, 150L), ("iron", 2L, 10L)))
+  }
+
+  test("stale view compensates read-side: no pre-watermark base files scanned (r11)") {
+    sql("CREATE TABLE lake.db.cb (g STRING, v BIGINT)")
+    sql("INSERT INTO lake.db.cb VALUES ('a', 1), ('b', 10)")
+    sql("INSERT INTO lake.db.cb VALUES ('a', 2)")
+    sql("""CREATE MATERIALIZED VIEW lake.db.cmv AS
+          |SELECT g, COUNT(*) AS n, sum(v) AS t FROM lake.db.cb GROUP BY g""".stripMargin)
+    val cat = new graft.lake.LakeCatalog(spark,
+      spark.conf.get("spark.sql.catalog.lake.warehouse"))
+    val preFiles = cat.loadTable("db.cb").toDF.inputFiles.toSet
+    assert(preFiles.nonEmpty)
+    // go stale: two more appends past the watermark
+    sql("INSERT INTO lake.db.cb VALUES ('b', 5), ('c', 7)")
+    sql("INSERT INTO lake.db.cb VALUES ('c', 3)")
+    val q = "SELECT g, count(*) AS n, sum(v) AS t FROM lake.db.cb GROUP BY g ORDER BY g"
+    val comp = sql(q)
+    val scanned = comp.inputFiles.toSet
+    assert(scanned.intersect(preFiles).isEmpty,
+      "compensated route must not scan pre-watermark base files, scanned:\n" +
+        scanned.intersect(preFiles).mkString("\n"))
+    assert(rows(comp) === Seq(("a", 2L, 3L), ("b", 2L, 15L), ("c", 2L, 10L)))
+    // compensation disabled → the same query scans the base, same rows
+    spark.conf.set(GraftMvRoute.CompensateKey, "false")
+    try {
+      val scan = sql(q)
+      assert(scan.inputFiles.toSet.intersect(preFiles).nonEmpty,
+        "with compensation off a stale view must scan normally")
+      assert(rows(scan) === rows(comp))
+    } finally spark.conf.unset(GraftMvRoute.CompensateKey)
+    // group-column WHERE composes with compensation
+    val filtered = sql(
+      "SELECT g, count(*) AS n, sum(v) AS t FROM lake.db.cb WHERE g = 'c' GROUP BY g")
+    assert(filtered.inputFiles.toSet.intersect(preFiles).isEmpty)
+    assert(rows(filtered) === Seq(("c", 2L, 10L)))
+    // refresh catches up → the zero-aggregation fresh route resumes
+    sql("REFRESH MATERIALIZED VIEW lake.db.cmv")
+    assert(isRouted(sql(q)))
+  }
+
+  test("count/sum views compensate across delete windows reading only churn files; min/max falls back (r11)") {
+    val cat = new graft.lake.LakeCatalog(spark,
+      spark.conf.get("spark.sql.catalog.lake.warehouse"))
+    sql("CREATE TABLE lake.db.dv (g STRING, v BIGINT)")
+    sql("INSERT INTO lake.db.dv VALUES ('a', 1)")
+    val f1 = cat.loadTable("db.dv").toDF.inputFiles.toSet
+    sql("INSERT INTO lake.db.dv VALUES ('b', 10)")
+    val f12 = cat.loadTable("db.dv").toDF.inputFiles.toSet
+    sql("INSERT INTO lake.db.dv VALUES ('c', 100)")
+    val f123 = cat.loadTable("db.dv").toDF.inputFiles.toSet
+    val f2 = f12 -- f1; val f3 = f123 -- f12
+    assert(f2.nonEmpty && f3.nonEmpty)
+    sql("""CREATE MATERIALIZED VIEW lake.db.dmv AS
+          |SELECT g, COUNT(*) AS n, sum(v) AS t FROM lake.db.dv GROUP BY g""".stripMargin)
+    // a CoW DELETE rewrites exactly b's file — the compensated route may
+    // read THAT file (it is the churn) but must not touch a or c's files
+    sql("DELETE FROM lake.db.dv WHERE g = 'b'")
+    val comp = sql("SELECT g, count(*) AS n, sum(v) AS t FROM lake.db.dv GROUP BY g ORDER BY g")
+    val scanned = comp.inputFiles.toSet
+    assert(scanned.intersect(f1 ++ f3).isEmpty,
+      "compensation across a delete window must read only the churn files")
+    assert(rows(comp) === Seq(("a", 1L, 1L), ("c", 1L, 100L)))
+
+    // min/max: an append-only window compensates algebraically…
+    sql("CREATE TABLE lake.db.mm (g STRING, v BIGINT)")
+    sql("INSERT INTO lake.db.mm VALUES ('a', 5), ('b', 50)")
+    sql("""CREATE MATERIALIZED VIEW lake.db.mmv AS
+          |SELECT g, min(v) AS lo, max(v) AS hi FROM lake.db.mm GROUP BY g""".stripMargin)
+    val mmPre = cat.loadTable("db.mm").toDF.inputFiles.toSet
+    sql("INSERT INTO lake.db.mm VALUES ('a', 1), ('b', 99)")
+    val mq = "SELECT g, min(v) AS lo, max(v) AS hi FROM lake.db.mm GROUP BY g ORDER BY g"
+    val mmComp = sql(mq)
+    assert(mmComp.inputFiles.toSet.intersect(mmPre).isEmpty,
+      "append-only window must compensate min/max without a base scan")
+    assert(rows(mmComp) === Seq(("a", 1L, 5L), ("b", 50L, 99L)))
+    // …but a delete in the window may have clipped the extreme — the
+    // route must refuse and the full scan answer
+    sql("DELETE FROM lake.db.mm WHERE v = 99")
+    val fb = sql(mq)
+    assert(fb.inputFiles.toSet.intersect(mmPre).nonEmpty,
+      "min/max over a delete window must fall back to the full scan")
+    assert(rows(fb) === Seq(("a", 1L, 5L), ("b", 50L, 50L)))
   }
 
   test("time travel and branches bypass the view; write targets are untouched") {

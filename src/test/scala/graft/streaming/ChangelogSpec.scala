@@ -251,6 +251,66 @@ class ChangelogSpec extends AnyFunSuite {
     val _ = mv // created above; loaded fresh per assertion
   }
 
+  test("failing per-batch view refresh records health on the state table; rebuild clears it (r11)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cat = freshCatalog()
+    val t = cat.createTable("test.hstream", StructType(Seq(
+      StructField("block_number", IntegerType),
+      StructField("hash", StringType),
+      StructField("timestamp", TimestampType))))
+    val dim = cat.createTable("test.hdim", StructType(Seq(
+      StructField("h2", StringType), StructField("grp", StringType))))
+    dim.append(Seq(("aa", "g1"), ("bb", "g2")).toDF("h2", "grp"))
+    import graft.lake.MaterializedAgg
+    MaterializedAgg.create(cat, "test.hstream_agg", t,
+      Seq("grp"), Seq(MaterializedAgg.AggCol("count", "*", "n")),
+      dims = Seq(MaterializedAgg.DimJoin("test.hdim", "hash", "h2")))
+    val mem = MemoryStream[String]
+    val parsed = Changelog.parseCsvLines(mem.toDF())
+    val ckpt = Files.createTempDirectory("graft-hstream-ckpt").toString
+    val q = Changelog.startIngest(t, parsed, "block_number", "timestamp",
+      ckpt, triggerMs = 200L, refreshViews = true)
+    def stateProps: Map[String, String] =
+      cat.loadTable("test.hstream_agg").meta.properties
+    try {
+      mem.addData("I,1,aa", "I,2,bb")
+      q.processAllAvailable()
+      assert(stateProps.get(MaterializedAgg.FailuresKey).isEmpty,
+        "healthy refresh must leave no failure record")
+      // mutate the dimension: every later refresh refuses until rebuild
+      dim.append(Seq(("cc", "g3")).toDF("h2", "grp"))
+      mem.addData("I,3,aa")
+      q.processAllAvailable()
+      val n1 = stateProps.get(MaterializedAgg.FailuresKey).map(_.toLong)
+      assert(n1.exists(_ >= 1L),
+        s"a refused refresh must record a failure: $stateProps")
+      assert(stateProps.get(MaterializedAgg.LastErrorKey).exists(_.contains("dimension")))
+      assert(stateProps.contains(MaterializedAgg.LastErrorAtKey))
+      // …and keeps accumulating while the stream lives
+      mem.addData("I,4,bb")
+      q.processAllAvailable()
+      assert(stateProps(MaterializedAgg.FailuresKey).toLong > n1.get,
+        "failures must accumulate per attempt")
+      // the base table's materialized_views listing surfaces it
+      val row = t.metadataTable("materialized_views")
+        .where("view = 'test.hstream_agg'").collect().head
+      assert(row.getAs[Long]("refresh_failures") >= 2L)
+      assert(row.getAs[String]("last_error").contains("dimension"))
+      assert(!row.getAs[Boolean]("fresh"))
+    } finally q.stop()
+    // rebuild() recreates the state against the new dim contents: the
+    // failure record is gone and the view is fresh again
+    MaterializedAgg.load(cat, "test.hstream_agg").rebuild()
+    assert(stateProps.get(MaterializedAgg.FailuresKey).isEmpty)
+    val after = t.metadataTable("materialized_views")
+      .where("view = 'test.hstream_agg'").collect().head
+    assert(after.getAs[Long]("refresh_failures") === 0L)
+    assert(after.getAs[Boolean]("fresh"))
+    assert(after.getAs[String]("last_error") == null)
+  }
+
   test("socket text stream feeds the changelog parse (S7, IcebergStream.java:87-88)") {
     // a local server stands in for the reference's `nc localhost 9999` peer
     val server = new java.net.ServerSocket(0)
