@@ -732,24 +732,24 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       // positions matching the predicate, minus positions already deleted
       // (keeps delete files disjoint, so metadata counts stay exact and a
       // re-run of the same DELETE commits nothing)
-      val newDel: Option[DeleteFile] = if (rewrite.isEmpty) None else {
+      val newDel: Seq[DeleteFile] = if (rewrite.isEmpty) Seq.empty else {
         val cond = coalesce(condition, lit(false))
         // read LIVE rows (both masks) so entries stay disjoint from prior
         // positional deletes and never target already-equality-dead rows
         val matched = liveRows(m0, snap, rewrite.toSeq, withMeta = true)
           .filter(cond).select(col("_gd_file"), col("_gd_pos"))
-        writeDeleteFile(matched)
+        writeDeleteFiles(matched)
       }
       val remaining = keep.toSeq ++ rewrite.toSeq
       if (drop.isEmpty && newDel.isEmpty) m0 // nothing matched — no commit
       else commitReplace(branch, remaining, "delete", Map(
         "deleted-data-files" -> drop.size.toString,
         "added-delete-files" -> newDel.size.toString,
-        "added-position-deletes" -> newDel.map(_.rowCount).getOrElse(0L).toString,
+        "added-position-deletes" -> newDel.map(_.rowCount).sum.toString,
         "delete-mode" -> "merge-on-read",
         "metadata-only" -> newDel.isEmpty.toString), base = snap,
         conflictPredicate = Some(p), staged = stagedWap,
-        extraDeleteFiles = newDel.toSeq)
+        extraDeleteFiles = newDel)
     } else {
       val rewritten: Seq[DataFile] = if (rewrite.isEmpty) Seq.empty else {
         // keep rows where the predicate is NOT TRUE (false or null survive);
@@ -798,26 +798,61 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       keyMin = firstKey.flatMap(_.min), keyMax = firstKey.flatMap(_.max)))
   }
 
-  /** Write `(​_gd_file, _gd_pos)` rows as one positional delete file under
-    * `data/del-*.parquet`; None when no positions matched. The per-file
-    * counts ride in metadata so liveness pruning and the COUNT(*) fast
-    * path never read the parquet. */
-  private def writeDeleteFile(entries: DataFrame): Option[DeleteFile] = {
+  /** Write `(​_gd_file, _gd_pos)` rows as positional delete files under
+    * `data/del-*.parquet`; empty when no positions matched. The
+    * per-(delete file, data file) counts ride in metadata so liveness
+    * pruning and the COUNT(*) fast path never read the parquet.
+    *
+    * Rolled, not funneled (r11): entries hash-distribute by TARGET DATA
+    * FILE — one data file's mask rows land in one delete file, so a read
+    * prunes to exactly the masks that reference it — and the partition
+    * count scales with the total entry count
+    * (`write.delete.target-records` per file, default 4M ≈ tens of MB of
+    * dict-encoded parquet). A point DML still plans ONE partition and
+    * takes the r10 single-file path with no readback job — no
+    * small-files regression for the workload MoR targets — while a giant
+    * MoR DELETE fans its position set across tasks instead of one. */
+  private def writeDeleteFiles(entries: DataFrame): Seq[DeleteFile] = {
     val counts = entries.groupBy("_gd_file").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (counts.isEmpty) return None
+    if (counts.isEmpty) return Seq.empty
+    val total = counts.values.sum
+    val targetRecords = meta.properties.get("write.delete.target-records")
+      .flatMap(_.toLongOption).filter(_ > 0L).getOrElse(4L * 1000 * 1000)
+    val parts = math.min((total + targetRecords - 1) / targetRecords, 1024L).toInt max 1
     val tmp = new Path(location, s"tmp-del-${UUID.randomUUID().toString.take(8)}")
-    entries.select(col("_gd_file").as("file_name"), col("_gd_pos").as("pos"))
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val named = entries.select(col("_gd_file").as("file_name"), col("_gd_pos").as("pos"))
+    (if (parts == 1) named.coalesce(1)
+     else named.repartition(parts, col("file_name"))
+       .sortWithinPartitions("file_name", "pos"))
+      .write.mode("overwrite").parquet(tmp.toString)
     val written = listParquet(fs, tmp)
-    require(written.size == 1, s"expected one delete file, found ${written.size}")
-    val target = new Path(dataDir, s"del-${UUID.randomUUID().toString.take(12)}.parquet")
+    // per-output counts: the driver-side map covers the single-file case;
+    // a rolled write needs one readback aggregation over the KB/MB-scale
+    // files just written (keyed by basename — UUID part names are unique)
+    val perOut: Map[String, Map[String, Long]] =
+      if (written.size == 1) Map(written.head.getName -> counts)
+      else spark.read.schema(LakeTable.DeleteEntrySchema).parquet(tmp.toString)
+        .groupBy(input_file_name().as("_src"), col("file_name")).count()
+        .collect()
+        .groupBy(r => fileName(r.getString(0)))
+        .map { case (src, rows) =>
+          src -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+        }
     fs.mkdirs(dataDir)
-    if (!fs.rename(written.head, target))
-      throw new IllegalStateException(s"failed to move ${written.head} -> $target")
+    val out = written.flatMap { p =>
+      perOut.get(p.getName).filter(_.nonEmpty).map { c =>
+        val target = new Path(dataDir, s"del-${UUID.randomUUID().toString.take(12)}.parquet")
+        if (!fs.rename(p, target))
+          throw new IllegalStateException(s"failed to move $p -> $target")
+        DeleteFile(target.toString, fs.getFileStatus(target).getLen, c)
+      }
+    }
     fs.delete(tmp, true)
-    val size = fs.getFileStatus(target).getLen
-    Some(DeleteFile(target.toString, size, counts))
+    // rolling must never lose or duplicate a position
+    require(out.map(_.rowCount).sum == total,
+      s"delete-file roll wrote ${out.map(_.rowCount).sum} of $total entries")
+    out
   }
 
   /** UPDATE SET — copy-on-write rewrite of files that may match
@@ -909,16 +944,16 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     // delivers appends only, and an UPDATE's new row versions are not
     // appends there any more than a CoW rewrite's survivors are
     val newFiles = writeDataFiles(toPhysical(withCheckConstraints(m0, updated), m0.schema), m0)
-    val newDel = writeDeleteFile(matched.select(col("_gd_file"), col("_gd_pos")))
+    val newDel = writeDeleteFiles(matched.select(col("_gd_file"), col("_gd_pos")))
     if (newFiles.isEmpty && newDel.isEmpty) return m0 // nothing matched
     commitReplace(branch, untouched ++ touched ++ newFiles, "overwrite", Map(
       "update-mode" -> "merge-on-read",
       "added-data-files" -> newFiles.size.toString,
       "added-delete-files" -> newDel.size.toString,
-      "added-position-deletes" -> newDel.map(_.rowCount).getOrElse(0L).toString),
+      "added-position-deletes" -> newDel.map(_.rowCount).sum.toString),
       base = snap,
       conflictPredicate = Some(condition.map(Pruning.translate).getOrElse(Pruning.Unknown)),
-      staged = stagedWap, extraDeleteFiles = newDel.toSeq)
+      staged = stagedWap, extraDeleteFiles = newDel)
   }
 
   /** Equality-field upsert (J2: `MERGE` = anti-join + union, ref:
@@ -1034,11 +1069,11 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
           if (nKeys == 0) None else writeEqualityDeleteFile(kd, Seq(key), m0)
         // null-keyed rows can't ride the equality mask — encode them as a
         // POSITIONAL delete file over the files that may hold null keys
-        val nullDel = nullKill.flatMap { kill =>
+        val nullDel = nullKill.toSeq.flatMap { kill =>
           val cands = all.filter(f =>
             Pruning.mayMatch(Pruning.IsNull(key), fileBounds(m0, f)))
-          if (cands.isEmpty) None
-          else writeDeleteFile(liveRows(m0, snap, cands, withMeta = true)
+          if (cands.isEmpty) Seq.empty
+          else writeDeleteFiles(liveRows(m0, snap, cands, withMeta = true)
             .filter(kill).select(col("_gd_file"), col("_gd_pos")))
         }
         if (inserted.isEmpty && eqDel.isEmpty && nullDel.isEmpty) return m0
@@ -2011,7 +2046,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     val bothMasks = liveRows(m0, baseSnap, candidates, withMeta = true)
     val killed = posOnly.select(col("_gd_file"), col("_gd_pos"))
       .exceptAll(bothMasks.select(col("_gd_file"), col("_gd_pos")))
-    val newDel = writeDeleteFile(killed)
+    val newDel = writeDeleteFiles(killed)
     commit { m =>
       val parent = m.snapshotFor(branch).orElse(m.currentSnapshot)
       if (parent.map(_.snapshotId) != baseSnap.map(_.snapshotId))
@@ -2023,7 +2058,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       val snap = Snapshot(snapId, parent.map(_.snapshotId), now, "replace",
         Map("operation" -> "replace",
           "converted-equality-delete-files" -> eqDels.size.toString,
-          "added-position-deletes" -> newDel.map(_.rowCount).getOrElse(0L).toString,
+          "added-position-deletes" -> newDel.map(_.rowCount).sum.toString,
           "total-records" -> (files.map(_.rowCount).sum -
             dels.map(_.rowCount).sum).toString),
         files, deleteFiles = dels, eqDeleteFiles = Seq.empty)
@@ -2034,9 +2069,11 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   }
 
   /** CALL rewrite_delete_files: compact accumulated positional delete
-    * files into ONE (metadata + one kilobyte-scale write, data files
-    * untouched) — the small-files problem exists for delete files too
-    * when every point DELETE adds one. Logical content unchanged. */
+    * files into the fewest target-size files (metadata + kilobyte-scale
+    * writes, data files untouched; ONE file until the mask exceeds
+    * `write.delete.target-records`) — the small-files problem exists for
+    * delete files too when every point DELETE adds one. Logical content
+    * unchanged. */
   def rewriteDeleteFiles(): TableMeta = {
     val m0 = meta
     val branch = resolveWriteBranch(None)
@@ -2054,7 +2091,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     val liveDf = broadcast(spark.createDataFrame(
       spark.sparkContext.parallelize(liveNames.map(Row(_)), 1),
       StructType(Seq(StructField("_gd_file", StringType, nullable = false)))))
-    val merged = writeDeleteFile(
+    val merged = writeDeleteFiles(
       deleteEntriesDf(dels).join(liveDf, Seq("_gd_file"), "left_semi"))
     commit { m =>
       val parent = m.snapshotFor(branch).orElse(m.currentSnapshot)
@@ -2067,9 +2104,9 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
         Map("operation" -> "replace",
           "compacted-delete-files" -> dels.size.toString,
           "total-records" -> (parent.map(_.files.map(_.rowCount).sum).getOrElse(0L) -
-            merged.map(_.rowCount).getOrElse(0L)).toString),
+            merged.map(_.rowCount).sum).toString),
         parent.map(_.files).getOrElse(Seq.empty),
-        deleteFiles = merged.toSeq,
+        deleteFiles = merged,
         eqDeleteFiles = parent.map(_.eqDeleteFiles).getOrElse(Seq.empty))
       m.copy(snapshots = m.snapshots :+ snap, lastSnapshotId = snapId,
         refs = m.refs + (branch -> Ref(snapId)),

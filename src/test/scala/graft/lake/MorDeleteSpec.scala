@@ -292,6 +292,38 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(t.meta.version === v)
   }
 
+  test("a large MoR DELETE rolls the position set across >1 delete file; compaction folds them back (r11)") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val t = cat.createTable("m.bigdel", schema)
+    // 1000-entry roll target: a 5k-row delete must fan out, never funnel
+    // through one task (the coalesce(1) this test exists to forbid)
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read",
+      "write.delete.target-records" -> "1000"))
+    // four data files × 2500 rows
+    for (base <- 0 until 4)
+      t.append((0 until 2500).map(i => ((base * 2500 + i).toLong, s"g$base",
+        i * 1.0)).toDF("id", "grp", "v").coalesce(1))
+    val before = dataFilePaths(t)
+    t.delete(col("id") % 2 === 0) // 5000 positions across all 4 files
+    val snap = t.meta.currentSnapshot.get
+    assert(dataFilePaths(t) === before, "MoR delete must not touch data files")
+    assert(snap.deleteFiles.size > 1,
+      s"5000 positions at a 1000-record target must roll: got ${snap.deleteFiles.size} file(s)")
+    // counts exact: Σ per-file counts == 5000, disjoint across delete files
+    assert(snap.deleteFiles.map(_.rowCount).sum === 5000L)
+    // read parity + metadata-only COUNT(*) parity
+    assert(t.toDF.count() === 5000L)
+    assert(ids(t.toDF) === (0L until 10000L).filter(_ % 2 == 1))
+    // compaction folds the mask back to ONE file at a larger target
+    t.setProperties(Map("write.delete.target-records" -> "10000000"))
+    t.rewriteDeleteFiles()
+    val after = t.meta.currentSnapshot.get
+    assert(after.deleteFiles.size === 1)
+    assert(after.deleteFiles.head.rowCount === 5000L)
+    assert(ids(t.toDF) === (0L until 10000L).filter(_ % 2 == 1))
+  }
+
   test("rewrite_delete_files prunes entries of dropped data files — no count resurrection (r10)") {
     val cat = freshCatalog()
     val t = threeFileTable(cat, "m.t15b")
