@@ -640,7 +640,98 @@ object PipelineOps {
       |  CAST(MAX(doc_id) AS BIGINT) AS last_id
       |FROM s GROUP BY shard ORDER BY shard""".stripMargin)
 
+  /** 4-byte little-endian hex of an integral SQL expression — the
+    * building block for composing real binary media headers in pure,
+    * codegen'd SQL string functions (no UDF, no driver loop). */
+  private def le32(e: String): String = {
+    val hx = s"lpad(hex($e), 8, '0')"
+    s"concat(substr($hx,7,2), substr($hx,5,2), substr($hx,3,2), substr($hx,1,2))"
+  }
+
+  /** Multimodal audit through the oracle gate (r11): deterministic REAL
+    * media blobs — 24-bpp BI_RGB BMPs (even doc_ids) and 16-bit PCM
+    * silence WAVs (odd doc_ids) — are composed per document as hex
+    * strings with codegen'd string functions and `unhex`ed into a binary
+    * column, then decoded by the engine's own byte-level decoders
+    * ([[graft.functions.BmpFeatures]]/[[graft.functions.WavFeatures]],
+    * native Catalyst expressions — zero UDFs). The per-format audit
+    * (count, decode-ok count, byte volume, magic bytes, decoded
+    * dimension sums) hash-matches a DuckDB oracle that derives every
+    * value ARITHMETICALLY from the format specs (54 + h·rowstride BMP
+    * bytes, 44 + 2n WAV bytes, n·1000/8000 ms) — so a header-layout or
+    * decoder-field bug on the Spark side cannot cancel out.
+    * Scale shape: one documents scan, fused blob-build+decode
+    * projection, blobs never shuffle (only the 2-group audit rows move).
+    * Ref: docker/notebooks multimodal ingestion treats media as opaque
+    * blob + metadata columns. */
+  val q85 = QuerySpec.dialect("q85_media_audit",
+    s"""WITH base AS (SELECT doc_id AS d FROM documents),
+      |par AS (
+      |  SELECT d,
+      |    CASE WHEN d % 2 = 0 THEN 'bmp' ELSE 'wav' END AS fmt,
+      |    CAST(1 + d % 16 AS INT) AS w, CAST(1 + d % 8 AS INT) AS h,
+      |    CAST(d % 256 AS INT) AS pr, CAST((2*d) % 256 AS INT) AS pg,
+      |    CAST((3*d) % 256 AS INT) AS pb,
+      |    CAST(((3*(1 + d % 16) + 3) DIV 4) * 4 AS INT) AS row_size,
+      |    CAST(64 + d % 64 AS INT) AS n
+      |  FROM base),
+      |hexed AS (
+      |  SELECT d, fmt,
+      |    CASE WHEN fmt = 'bmp' THEN concat(
+      |      '424D', ${le32("54 + h * row_size")}, '00000000', '36000000',
+      |      '28000000', ${le32("w")}, ${le32("h")}, '0100', '1800',
+      |      '00000000', ${le32("h * row_size")}, '130B0000', '130B0000',
+      |      '00000000', '00000000',
+      |      repeat(concat(repeat(concat(lpad(hex(pb),2,'0'), lpad(hex(pg),2,'0'),
+      |                                  lpad(hex(pr),2,'0')), w),
+      |                    repeat('00', row_size - 3*w)), h))
+      |    ELSE concat(
+      |      '52494646', ${le32("36 + 2*n")}, '57415645',
+      |      '666D7420', '10000000', '0100', '0100', '401F0000', '803E0000',
+      |      '0200', '1000', '64617461', ${le32("2*n")},
+      |      repeat('0000', n)) END AS mh
+      |  FROM par),
+      |media AS (SELECT d, fmt, unhex(mh) AS media FROM hexed),
+      |feat AS (
+      |  SELECT fmt, media, bmp_features(media) AS bf, wav_features(media) AS wf
+      |  FROM media)
+      |SELECT fmt,
+      |  CAST(COUNT(*) AS BIGINT) AS n_media,
+      |  CAST(SUM(CASE WHEN fmt = 'bmp' AND bf.ok THEN 1
+      |                WHEN fmt = 'wav' AND wf.ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+      |  CAST(SUM(octet_length(media)) AS BIGINT) AS sum_bytes,
+      |  MIN(hex(substring(media, 1, 2))) AS magic_lo,
+      |  MAX(hex(substring(media, 1, 2))) AS magic_hi,
+      |  CAST(SUM(CASE WHEN fmt = 'bmp' THEN bf.width ELSE wf.n_samples END) AS BIGINT) AS sum_dim1,
+      |  CAST(SUM(CASE WHEN fmt = 'bmp' THEN bf.height ELSE wf.duration_ms END) AS BIGINT) AS sum_dim2,
+      |  CAST(SUM(CASE WHEN fmt = 'bmp' THEN CAST(bf.mean_r AS BIGINT)
+      |                ELSE CAST(wf.peak AS BIGINT) END) AS BIGINT) AS sum_px
+      |FROM feat GROUP BY fmt ORDER BY fmt""".stripMargin,
+    """WITH base AS (SELECT doc_id AS d FROM documents),
+      |bmp AS (
+      |  SELECT d, 1 + d % 16 AS w, 1 + d % 8 AS h, d % 256 AS pr,
+      |    ((3*(1 + d % 16) + 3) // 4) * 4 AS row_size
+      |  FROM base WHERE d % 2 = 0),
+      |wav AS (SELECT d, 64 + d % 64 AS n FROM base WHERE d % 2 = 1),
+      |b AS (SELECT 'bmp' AS fmt,
+      |  CAST(COUNT(*) AS BIGINT) AS n_media,
+      |  CAST(COUNT(*) AS BIGINT) AS n_ok,
+      |  CAST(SUM(54 + h * row_size) AS BIGINT) AS sum_bytes,
+      |  '424D' AS magic_lo, '424D' AS magic_hi,
+      |  CAST(SUM(w) AS BIGINT) AS sum_dim1,
+      |  CAST(SUM(h) AS BIGINT) AS sum_dim2,
+      |  CAST(SUM(pr) AS BIGINT) AS sum_px FROM bmp),
+      |v AS (SELECT 'wav' AS fmt,
+      |  CAST(COUNT(*) AS BIGINT) AS n_media,
+      |  CAST(COUNT(*) AS BIGINT) AS n_ok,
+      |  CAST(SUM(44 + 2*n) AS BIGINT) AS sum_bytes,
+      |  '5249' AS magic_lo, '5249' AS magic_hi,
+      |  CAST(SUM(n) AS BIGINT) AS sum_dim1,
+      |  CAST(SUM(n * 1000 // 8000) AS BIGINT) AS sum_dim2,
+      |  CAST(0 AS BIGINT) AS sum_px FROM wav)
+      |SELECT * FROM b UNION ALL SELECT * FROM v ORDER BY fmt""".stripMargin)
+
   def specs: Seq[QuerySpec] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q47, q48, q49, q50, q53, q54,
-      q60, q61, q62, q67, q69, q78, q84)
+      q60, q61, q62, q67, q69, q78, q84, q85)
 }

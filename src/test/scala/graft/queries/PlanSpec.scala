@@ -412,6 +412,22 @@ class PlanSpec extends AnyFunSuite {
       s"all three rank windows must group-limit:\n$p")
   }
 
+  test("q85: blob build + decode fuse into one documents scan — no UDF, no blob shuffle (r11)") {
+    val p = planOf("q85_media_audit")
+    // zero UDFs: media composition is codegen'd string functions, decode
+    // is a native Catalyst expression
+    assert(!p.toLowerCase.contains("python") && !p.contains("BatchEval") &&
+      !p.contains("ScalaUDF"), s"media path must not use UDFs:\n$p")
+    assert(p.contains("bmp_features") && p.contains("wav_features"),
+      s"decode must run through the native expressions:\n$p")
+    // ONE pass over documents: build+decode fused in the scan's projection
+    assert("documents.parquet".r.findAllIn(p).size <= 1,
+      s"blob build + decode must fuse into one scan:\n$p")
+    // only the 2-group audit rows shuffle — never the blobs themselves
+    // (a single partial/final agg exchange pair, no repartition/join)
+    assert(!p.contains("Join"), s"no join may move media bytes:\n$p")
+  }
+
   test("whole-stage codegen covers the relational queries' hot path") {
     val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
     df.collect() // AQE finalizes (and codegens) the plan only on execution
