@@ -486,6 +486,98 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     }
   }
 
+  /** Register existing FOREIGN parquet files as table data IN PLACE
+    * (Iceberg's `add_files` / migrate import — ref: the reference's
+    * taxi-parquet bootstrap, spark/Dockerfile:81-95): one append-shaped
+    * snapshot whose DataFile entries point at the source files with
+    * footer-derived row counts and column stats — no data is read or
+    * rewritten, so importing N TB costs N footer reads (metadata-bound at
+    * any volume). `source` may be a single parquet file or a directory
+    * (recursive).
+    *
+    * The bridge to the stable-id world is a dedicated per-import SCHEMA
+    * GROUP: native files store columns as `c<id>`, foreign files keep
+    * their original names, so the import records a schema whose columns
+    * carry the same ids as the current schema but a `physicalOverride` =
+    * the original name and the FILE's (possibly narrower) type. The
+    * existing per-write-time-schema read mapping then does everything:
+    * scans read the original names, stats-pruning resolves bounds through
+    * the same ids, and LATER renames/widenings on the table stay
+    * metadata-only for imported files too.
+    *
+    * Constraints: every table column must exist in the files under its
+    * current LOGICAL name with the same Spark type (or one the table's
+    * widening rules accept); the table must be unpartitioned (no
+    * hive-layout mapping); basenames must be unique table-wide (the
+    * positional-delete mask keys on basename). Imported rows are trusted
+    * as-is (constraints/generation are write-path concerns, as in
+    * Iceberg). The files live OUTSIDE the table directory: maintenance
+    * never deletes them — compaction copies content into table-owned
+    * files and retires only the REFERENCE. */
+  def addFiles(source: String): TableMeta = {
+    val m0 = meta
+    require(m0.spec.fields.isEmpty,
+      "add_files imports into unpartitioned tables only (no hive-layout mapping)")
+    val src = new Path(source)
+    val srcFs = src.getFileSystem(hadoopConf)
+    val status = srcFs.getFileStatus(src)
+    val paths =
+      if (status.isDirectory) LakeTable.listParquet(srcFs, src) else Seq(src)
+    require(paths.nonEmpty, s"add_files: no parquet files under $source")
+    val names = paths.map(_.getName)
+    require(names.distinct.size == names.size,
+      s"add_files: duplicate basenames in $source (positional masks key on basename)")
+    // one merged-footer schema check: every table column present by its
+    // logical name, type equal or widening-compatible
+    val fileSchema = spark.read.parquet(paths.map(_.toString): _*).schema
+    val importCols = m0.schema.columns.map { c =>
+      val f = fileSchema.find(_.name == c.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"add_files: column ${c.name} missing from $source " +
+            "(files must carry every table column under its current name)"))
+      require(f.dataType == c.sparkType ||
+          LakeTable.isWidening(f.dataType, c.sparkType),
+        s"add_files: column ${c.name} is ${f.dataType.simpleString} in the " +
+          s"files but ${c.sparkType.simpleString} in the table")
+      c.copy(dataType = f.dataType.json, physicalOverride = Some(c.name))
+    }
+    val stats = paths.map(p => p -> Stats.fromFooter(p.toString, hadoopConf))
+    commit { m =>
+      if (m.currentSchemaId != m0.currentSchemaId)
+        throw CommitConflictException(
+          "add_files planned against a schema that changed — retry")
+      val importSchema = LakeSchema(m.schemas.map(_.schemaId).max + 1, importCols)
+      val parent = m.currentSnapshot
+      val parentFiles = parent.map(_.files).getOrElse(Seq.empty)
+      val taken = parentFiles.map(f => new Path(f.path).getName).toSet
+      names.find(taken.contains).foreach(n => throw new IllegalArgumentException(
+        s"add_files: basename $n already referenced by the table"))
+      val snapId = m.lastSnapshotId + 1
+      val now = System.currentTimeMillis()
+      val newFiles = stats.map { case (p, (rows, bytes, st)) =>
+        DataFile(p.toString, m.spec.specId, importSchema.schemaId, Map.empty,
+          rows, bytes, st, addedSnapshotId = snapId)
+      }
+      val summary = Map(
+        "operation" -> "append",
+        "imported-files" -> newFiles.size.toString,
+        "added-data-files" -> newFiles.size.toString,
+        "added-records" -> newFiles.map(_.rowCount).sum.toString,
+        "source" -> source,
+        "total-records" -> (parentFiles.map(_.rowCount).sum +
+          newFiles.map(_.rowCount).sum -
+          parent.map(_.deleteFiles.map(_.rowCount).sum).getOrElse(0L)).toString)
+      val snap = Snapshot(snapId, parent.map(_.snapshotId), now, "append",
+        summary, parentFiles ++ newFiles,
+        deleteFiles = parent.map(_.deleteFiles).getOrElse(Seq.empty),
+        eqDeleteFiles = parent.map(_.eqDeleteFiles).getOrElse(Seq.empty))
+      m.copy(schemas = m.schemas :+ importSchema,
+        snapshots = m.snapshots :+ snap, lastSnapshotId = snapId,
+        refs = m.refs + (LakeTable.MainBranch -> Ref(snapId)),
+        history = m.history :+ HistoryEntry(now, snapId, LakeTable.MainBranch))
+    }
+  }
+
   // ---- read path -----------------------------------------------------------
 
   /** Build FileBounds for pruning: logical column names resolved against the

@@ -21,7 +21,7 @@ object GraftProcedures {
     "expire_snapshots", "rewrite_data_files", "rewrite_manifests",
     "rewrite_position_deletes", "convert_equality_deletes",
     "rewrite_delete_files", "binpack", "auto_maintain", "export_scan",
-    "fast_forward", "remove_orphan_files",
+    "add_files", "fast_forward", "remove_orphan_files",
     "create_branch", "drop_branch", "create_tag", "drop_tag",
     "build_ivf_index", "build_pq_index", "create_changelog_view")
 
@@ -128,6 +128,11 @@ object GraftProcedures {
     case "rewrite_delete_files" => Some(proc(name,
       Array(param("table", StringType)),
       row => lake.loadTable(row.getString(0)).rewriteDeleteFiles()))
+    // foreign-parquet import (LakeTable.addFiles): register existing
+    // files as table data in place — footer stats, zero data movement
+    case "add_files" => Some(proc(name,
+      Array(param("table", StringType), param("source", StringType)),
+      row => lake.loadTable(row.getString(0)).addFiles(row.getString(1))))
     case "fast_forward" => Some(proc(name,
       Array(param("table", StringType), param("branch", StringType),
         param("to", StringType)),

@@ -1272,4 +1272,43 @@ class LakeTableSpec extends AnyFunSuite {
     intercept[Exception](t.dropBranch("missing"))
     intercept[Exception](t.dropTag("missing"))
   }
+
+  test("add_files: foreign parquet in place — stats pruning, widen, rename, basename guard, maintenance-safe (r11)") {
+    import spark.implicits._
+    // three foreign single-file dirs under one parent (recursive listing),
+    // ORIGINAL column names, disjoint id ranges, v stored NARROW (INT)
+    val parent = Files.createTempDirectory("graft-foreign").toString
+    for (i <- 0 until 3)
+      (i * 10 until (i + 1) * 10).map(x => (x.toLong, x)).toDF("id", "v")
+        .coalesce(1).write.parquet(s"$parent/d$i")
+    val cat = freshCatalog()
+    val t = cat.createTable("db.imp", StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))) // v widened
+    t.addFiles(parent)
+    // registered IN PLACE: the table references the source paths directly
+    val files = t.meta.currentSnapshot.get.files
+    assert(files.size === 3 && files.forall(_.path.contains(parent)),
+      s"files must reference the source paths: ${files.map(_.path)}")
+    assert(t.toDF.count() === 30)
+    assert(t.toDF.agg(sum("v")).head.getLong(0) === (0 until 30).sum.toLong)
+    // footer stats drive pruning exactly like native files
+    val pruned = t.read(filter = Some(col("id") >= 20))
+    assert(pruned.inputFiles.length === 1,
+      s"id>=20 must prune to one foreign file: ${pruned.inputFiles.mkString(",")}")
+    assert(pruned.count() === 10)
+    // basenames are the mask key: re-importing the same files must refuse
+    val e = intercept[Exception](t.addFiles(parent))
+    assert(e.getMessage.contains("basename"))
+    // later DDL stays metadata-only for foreign files too
+    t.renameColumn("id", "key")
+    assert(t.toDF.filter(col("key") === 25L).count() === 1)
+    // maintenance never deletes foreign bytes (they live outside dataDir)
+    t.removeOrphanFiles(olderThanMs = 0L)
+    assert(t.toDF.count() === 30, "orphan sweep must not touch imported files")
+    // schema mismatch is an actionable error, not silent corruption
+    val bad = Files.createTempDirectory("graft-foreign-bad").toString
+    Seq((1L, "x")).toDF("id", "other").write.parquet(s"$bad/d0")
+    val e2 = intercept[Exception](t.addFiles(bad))
+    assert(e2.getMessage.contains("column"))
+  }
 }
