@@ -20,6 +20,14 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     (warehouse +: parts).mkString("/")
   }
 
+  /** The metadata authority for `ident`: filesystem under the table
+    * location by default; [[RemoteLakeCatalog]] overrides with the
+    * wire-protocol client so every metadata byte flows through the
+    * catalog service while data stays on shared storage. */
+  protected def metaStoreFor(ident: String): MetaStore =
+    new FsMetaStore(new Path(tableLocation(ident)).getFileSystem(hadoopConf),
+      tableLocation(ident))
+
   def createNamespace(name: String): Unit =
     fs.mkdirs(new Path(s"$warehouse/$name"))
 
@@ -89,25 +97,31 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       lastColumnId = cols.map(_.id).maxOption.getOrElse(0),
       lastSnapshotId = 0L,
       version = 1)
-    val metaDir = new Path(location, "metadata")
-    fs.mkdirs(metaDir)
-    val out = fs.create(new Path(metaDir, "v1.json"), false)
-    try out.write(Meta.toJson(meta).getBytes("UTF-8")) finally out.close()
-    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
-    try hint.write("1".getBytes("UTF-8")) finally hint.close()
+    // CREATE = winning the conditional put of version 1 — through the
+    // same MetaStore seam commits use, so the wire-protocol catalog gets
+    // DDL for free and two racing CREATEs serialize at the authority
+    val store = metaStoreFor(ident)
+    require(store.putIfAbsent("v1.json", Meta.toJson(meta).getBytes("UTF-8")),
+      s"table $ident already exists")
+    store.putOverwrite("version-hint.text", "1".getBytes("UTF-8"))
     loadTable(ident)
   }
 
-  def tableExists(ident: String): Boolean =
-    fs.exists(new Path(s"${tableLocation(ident)}/metadata/v1.json"))
+  def tableExists(ident: String): Boolean = metaStoreFor(ident).exists("v1.json")
 
   def loadTable(ident: String): LakeTable = {
     require(tableExists(ident), s"table $ident does not exist")
-    new LakeTable(spark, tableLocation(ident))
+    new LakeTable(spark, tableLocation(ident), metaStoreFor(ident))
   }
 
   def dropTable(ident: String): Unit = {
     LakeTable.invalidateLocation(tableLocation(ident))
+    metaStoreFor(ident) match {
+      case h: HttpMetaStore =>
+        LakeTable.invalidateLocation(h.id)
+        h.dropTable() // metadata authority first, then the data bytes
+      case _ => ()
+    }
     fs.delete(new Path(tableLocation(ident)), true)
     ()
   }
@@ -128,5 +142,41 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       MetadataTables(t, k).createOrReplaceTempView(s"${viewName}__$k")
     }
     t
+  }
+}
+
+/** Wire-protocol client catalog: table METADATA resolves and commits
+  * through a [[graft.lake.catalog.CatalogServer]] at `uri` (the
+  * reference's REST-catalog boundary, docker-compose.yml:35-48 +
+  * spark-defaults.conf:22-29), while DATA files read and write directly
+  * against `warehouse` on shared storage — engines never hold a
+  * filesystem path to any metadata file, and commit linearization
+  * happens in the server's conditional put. Configure on a Spark
+  * catalog with `spark.sql.catalog.<name>.uri` alongside the warehouse.
+  *
+  * Scope: the engine-critical path — create / load / exists / drop /
+  * list, every read, every commit (append, DML, merge, maintenance,
+  * branches, properties). Features that resolve SIBLING tables by
+  * filesystem convention (SQL materialized-view routing, `loadAt`-based
+  * streaming auto-refresh) assume the default filesystem catalog and are
+  * not re-routed here. */
+class RemoteLakeCatalog(spark: SparkSession, warehouse: String, val uri: String)
+    extends LakeCatalog(spark, warehouse) {
+
+  override protected def metaStoreFor(ident: String): MetaStore =
+    new HttpMetaStore(uri, ident)
+
+  /** The server is the source of truth for what exists — an empty remote
+    * table has no data directory yet, so directory scans under-report. */
+  override def listTables(namespace: String): Seq[String] = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val r = client.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${uri.stripSuffix("/")}/tables")).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(r.statusCode() == 200, s"GET /tables -> ${r.statusCode()}")
+    r.body().split("\n").toSeq.filter(_.nonEmpty)
+      .filter(_.startsWith(namespace + "."))
+      .map(_.stripPrefix(namespace + "."))
   }
 }

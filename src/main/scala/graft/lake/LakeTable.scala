@@ -24,7 +24,8 @@ import java.util.UUID
   * set. Re-read the table and re-plan the operation to retry. */
 case class CommitConflictException(message: String) extends RuntimeException(message)
 
-class LakeTable private[lake] (val spark: SparkSession, val location: String) {
+class LakeTable private[lake] (val spark: SparkSession, val location: String,
+                               store0: MetaStore = null) {
   import LakeTable._
 
   private val hadoopConf = spark.sessionState.newHadoopConf()
@@ -33,25 +34,16 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   private def dataDir = new Path(location, "data")
 
   // ---- metadata IO -------------------------------------------------------
+  // Every metadata read/write goes through the MetaStore seam: filesystem
+  // under <location>/metadata by default, or the wire-protocol catalog
+  // client ([[HttpMetaStore]]) when the table is resolved through a
+  // catalog service — data-file I/O below never switches, matching the
+  // REST-catalog + object-store split.
 
-  private def versionPath(v: Int) = new Path(metaDir, s"v$v.json")
-  private def hintPath = new Path(metaDir, "version-hint.text")
+  private[lake] val metaStore: MetaStore =
+    Option(store0).getOrElse(new FsMetaStore(fs, location))
 
-  private def readFile(p: Path): String = {
-    val in = fs.open(p)
-    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-  }
-
-  private def writeFile(p: Path, s: String, overwrite: Boolean): Boolean = {
-    if (!overwrite) writeExclusive(p, s)
-    else {
-      try {
-        val out = fs.create(p, true)
-        try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    }
-  }
+  private def versionName(v: Int) = s"v$v.json"
 
   /** Atomically publish a COMPLETE metadata file, failing if it exists.
     * Delegates to the per-scheme [[Publish]] strategy: hard-link on local
@@ -59,8 +51,6 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * and a registered [[Publish.ConditionalPut]] on object stores with a
     * put-if-absent primitive. See [[PublishStrategy]] for why plain
     * `fs.create(p, overwrite=false)` is not an option. */
-  private def writeExclusive(p: Path, s: String): Boolean =
-    Publish.exclusive(fs, p, s.getBytes(StandardCharsets.UTF_8))
 
   /** Monotonic cache of the highest version this handle has observed —
     * version files are never deleted (rollback only moves refs), so probing
@@ -72,9 +62,10 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
 
   /** Latest committed version: start from max(hint, last-seen), probe forward. */
   def currentVersion: Int = {
-    val hint = try readFile(hintPath).trim.toInt catch { case _: Exception => 0 }
+    val hint = try metaStore.read("version-hint.text").trim.toInt
+      catch { case _: Exception => 0 }
     var v = math.max(math.max(hint, lastSeenVersion), 0)
-    while (fs.exists(versionPath(v + 1))) v += 1
+    while (metaStore.exists(versionName(v + 1))) v += 1
     lastSeenVersion = v
     v
   }
@@ -91,10 +82,10 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     * location ([[LakeTable.invalidateLocation]]). */
   def meta: TableMeta = {
     val v = currentVersion
-    val key = s"$location#v$v"
+    val key = s"${metaStore.id}#v$v"
     val hit = LakeTable.metaCache.get(key)
     if (hit != null) return hit
-    val m = Manifests.resolve(Meta.fromJson(readFile(versionPath(v))), fs, metaDir)
+    val m = Manifests.resolve(Meta.fromJson(metaStore.read(versionName(v))), metaStore)
     LakeTable.cacheMeta(key, m)
     m
   }
@@ -118,11 +109,13 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
       // (idempotent across retries), and a committed version therefore
       // never references a missing chunk. The version JSON itself carries
       // only chunk names — commit bytes are O(churn), not O(history×files).
-      val (inMemory, persisted) = Manifests.assign(next, fs, metaDir)
-      if (writeFile(versionPath(next.version), Meta.toJson(persisted), overwrite = false)) {
-        writeFile(hintPath, next.version.toString, overwrite = true)
+      val (inMemory, persisted) = Manifests.assign(next, metaStore)
+      if (metaStore.putIfAbsent(versionName(next.version),
+          Meta.toJson(persisted).getBytes(StandardCharsets.UTF_8))) {
+        metaStore.putOverwrite("version-hint.text",
+          next.version.toString.getBytes(StandardCharsets.UTF_8))
         lastSeenVersion = math.max(lastSeenVersion, next.version)
-        LakeTable.cacheMeta(s"$location#v${next.version}", inMemory)
+        LakeTable.cacheMeta(s"${metaStore.id}#v${next.version}", inMemory)
         return inMemory
       }
       attempts += 1
@@ -1829,7 +1822,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     val liveChunks = m2.snapshots.flatMap(s =>
       s.manifests ++ s.manifestList ++ s.deleteManifest).toSet
     (beforeChunks -- liveChunks).foreach(n =>
-      fs.delete(Manifests.chunkPath(metaDir, n), false))
+      metaStore.delete(n))
     m2
   }
 
@@ -2224,7 +2217,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
           Manifests.compactChunks(snap.files.toIndexedSeq, Manifests.targetFiles(m))
         if (names == snap.manifests) m // already compact — no-op commit
         else {
-          Manifests.writeChunks(fs, metaDir, fresh)
+          Manifests.writeChunks(metaStore, fresh)
           val snapId = m.lastSnapshotId + 1
           val now = System.currentTimeMillis()
           val next = Snapshot(snapId, Some(snap.snapshotId), now, "rewrite-manifests",
@@ -2275,15 +2268,11 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
     // write-protocol artifacts — only the latest version is ever resolved.)
     val liveChunks = m.snapshots.flatMap(s =>
       s.manifests ++ s.manifestList ++ s.deleteManifest).toSet
-    if (fs.exists(metaDir)) {
-      val it = fs.listFiles(metaDir, false)
-      while (it.hasNext) {
-        val st = it.next()
-        val name = st.getPath.getName
-        if (name.startsWith("manifest-") && name.endsWith(".json") &&
-            !liveChunks.contains(name) && st.getModificationTime < olderThanMs) {
-          if (fs.delete(st.getPath, false)) orphans += st.getPath.toUri.getPath
-        }
+    metaStore.list().foreach { case (name, modified) =>
+      if (name.startsWith("manifest-") && name.endsWith(".json") &&
+          !liveChunks.contains(name) && modified < olderThanMs) {
+        metaStore.delete(name)
+        orphans += s"${metaStore.id}/metadata/$name"
       }
     }
     orphans.toSeq
@@ -2764,11 +2753,10 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String) {
   private[lake] def metadataVersions: Seq[(Int, String, Long, Option[Long])] = {
     var v = 1
     val out = Seq.newBuilder[(Int, String, Long, Option[Long])]
-    while (fs.exists(versionPath(v))) {
-      val p = versionPath(v)
-      val st = fs.getFileStatus(p)
-      val m = Meta.fromJson(readFile(p)) // root only — snapshot file lists stay unresolved
-      out += ((v, p.toString, st.getModificationTime,
+    while (metaStore.exists(versionName(v))) {
+      val m = Meta.fromJson(metaStore.read(versionName(v))) // root only — snapshot file lists stay unresolved
+      out += ((v, s"${metaStore.id}/metadata/${versionName(v)}",
+        metaStore.modifiedMs(versionName(v)),
         m.currentSnapshot.map(_.snapshotId)
           .orElse(m.snapshots.lastOption.map(_.snapshotId))))
       v += 1

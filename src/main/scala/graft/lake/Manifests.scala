@@ -71,13 +71,11 @@ object Manifests {
 
   private[lake] def chunkPath(metaDir: Path, name: String) = new Path(metaDir, name)
 
-  private def readChunk(fs: FileSystem, metaDir: Path, name: String): Seq[DataFile] = {
-    val key = chunkPath(metaDir, name).toString
+  private def readChunk(store: MetaStore, name: String): Seq[DataFile] = {
+    val key = store.id + "/" + name
     val hit = cache.get(key)
     if (hit != null) return hit
-    val in = fs.open(chunkPath(metaDir, name))
-    val json = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-    val files = Meta.chunkFromJson(json)
+    val files = Meta.chunkFromJson(store.read(name))
     if (cache.size < MaxCacheEntries) cache.put(key, files)
     files
   }
@@ -85,39 +83,35 @@ object Manifests {
   /** Write a chunk if absent (content-addressed ⇒ an existing file already
     * holds these bytes). Uses the exclusive-publish protocol so a reader
     * never observes a partially written chunk; losing the race is fine. */
-  private def writeChunk(fs: FileSystem, metaDir: Path, name: String, json: String,
+  private def writeChunk(store: MetaStore, name: String, json: String,
                          files: Seq[DataFile]): Unit = {
-    val p = chunkPath(metaDir, name)
-    if (!fs.exists(p)) {
-      Publish.exclusive(fs, p, json.getBytes(StandardCharsets.UTF_8))
+    if (!store.exists(name)) {
+      store.putIfAbsent(name, json.getBytes(StandardCharsets.UTF_8))
       ()
     }
-    val key = p.toString
+    val key = store.id + "/" + name
     if (cache.size < MaxCacheEntries) cache.put(key, files)
   }
 
   /** Content-addressed manifest-LIST file: the ordered chunk names of one
     * snapshot. The root document points here (one name per snapshot), so
     * root size is O(snapshots), not O(snapshots × chunks). */
-  private def writeList(fs: FileSystem, metaDir: Path, names: Seq[String]): String = {
+  private def writeList(store: MetaStore, names: Seq[String]): String = {
     val json = Meta.listToJson(names)
     val listName = s"manifest-list-${sha16(json)}.json"
-    val p = chunkPath(metaDir, listName)
-    if (!fs.exists(p)) {
-      Publish.exclusive(fs, p, json.getBytes(StandardCharsets.UTF_8))
+    if (!store.exists(listName)) {
+      store.putIfAbsent(listName, json.getBytes(StandardCharsets.UTF_8))
       ()
     }
-    if (listCache.size < MaxCacheEntries) listCache.put(p.toString, names)
+    if (listCache.size < MaxCacheEntries) listCache.put(store.id + "/" + listName, names)
     listName
   }
 
-  private def readList(fs: FileSystem, metaDir: Path, listName: String): Seq[String] = {
-    val key = chunkPath(metaDir, listName).toString
+  private def readList(store: MetaStore, listName: String): Seq[String] = {
+    val key = store.id + "/" + listName
     val hit = listCache.get(key)
     if (hit != null) return hit
-    val in = fs.open(chunkPath(metaDir, listName))
-    val json = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-    val names = Meta.listFromJson(json)
+    val names = Meta.listFromJson(store.read(listName))
     if (listCache.size < MaxCacheEntries) listCache.put(key, names)
     names
   }
@@ -128,28 +122,26 @@ object Manifests {
     * document carries one name per snapshot — the same reuse argument as
     * data-manifest chunks, sized by churn-since-compaction rather than by
     * table file count. */
-  private def writeDeleteManifest(fs: FileSystem, metaDir: Path,
+  private def writeDeleteManifest(store: MetaStore,
                                   dels: Seq[DeleteFile],
                                   eqDels: Seq[EqualityDeleteFile]): String = {
     val json = Meta.deleteChunkToJson(dels, eqDels)
     val name = s"manifest-del-${sha16(json)}.json"
-    val p = chunkPath(metaDir, name)
-    if (!fs.exists(p)) {
-      Publish.exclusive(fs, p, json.getBytes(StandardCharsets.UTF_8))
+    if (!store.exists(name)) {
+      store.putIfAbsent(name, json.getBytes(StandardCharsets.UTF_8))
       ()
     }
     if (deleteCache.size < MaxCacheEntries)
-      deleteCache.put(p.toString, DeleteManifestChunk(dels, eqDels))
+      deleteCache.put(store.id + "/" + name, DeleteManifestChunk(dels, eqDels))
     name
   }
 
-  private def readDeleteManifest(fs: FileSystem, metaDir: Path,
+  private def readDeleteManifest(store: MetaStore,
                                  name: String): DeleteManifestChunk = {
-    val key = chunkPath(metaDir, name).toString
+    val key = store.id + "/" + name
     val hit = deleteCache.get(key)
     if (hit != null) return hit
-    val in = fs.open(chunkPath(metaDir, name))
-    val json = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    val json = store.read(name)
     val chunk = Meta.deleteChunkFromJson(json)
     val norm = DeleteManifestChunk(
       Option(chunk.deleteFiles).getOrElse(Seq.empty),
@@ -199,7 +191,7 @@ object Manifests {
     * resolved `files` for immediate use, the latter has `files` stripped
     * for the version JSON. Must run before the version-file publish so a
     * committed version never references a missing chunk. */
-  private[lake] def assign(next: TableMeta, fs: FileSystem, metaDir: Path): (TableMeta, TableMeta) = {
+  private[lake] def assign(next: TableMeta, store: MetaStore): (TableMeta, TableMeta) = {
     val target = targetFiles(next)
     val byId = scala.collection.mutable.HashMap[Long, Snapshot]()
     val assigned = next.snapshots.map { s0 =>
@@ -210,7 +202,7 @@ object Manifests {
         if ((s1.deleteFiles.nonEmpty || s1.eqDeleteFiles.nonEmpty) &&
             s1.deleteManifest.isEmpty)
           s1.copy(deleteManifest = Some(
-            writeDeleteManifest(fs, metaDir, s1.deleteFiles, s1.eqDeleteFiles)))
+            writeDeleteManifest(store, s1.deleteFiles, s1.eqDeleteFiles)))
         else s1
       val done =
         if (s.files.isEmpty || s.manifestList.isDefined) s
@@ -222,16 +214,16 @@ object Manifests {
             else {
               val parent = s.parentId.flatMap(byId.get)
               val parentChunks: Seq[(String, Seq[DataFile])] =
-                parent.map(_.manifests.map(n => n -> readChunk(fs, metaDir, n)))
+                parent.map(_.manifests.map(n => n -> readChunk(store, n)))
                   .getOrElse(Seq.empty)
               val (ns, fresh) = chunksFor(s.files.toIndexedSeq, parentChunks, target)
               fresh.foreach { case (name, (json, slice)) =>
-                writeChunk(fs, metaDir, name, json, slice)
+                writeChunk(store, name, json, slice)
               }
               ns
             }
           s.copy(manifests = names,
-            manifestList = Some(writeList(fs, metaDir, names)))
+            manifestList = Some(writeList(store, names)))
         }
       byId(done.snapshotId) = done
       done
@@ -245,7 +237,7 @@ object Manifests {
 
   /** Re-inflate `manifests` + `files` from the manifest list and chunks on
     * a freshly parsed meta. */
-  private[lake] def resolve(raw: TableMeta, fs: FileSystem, metaDir: Path): TableMeta =
+  private[lake] def resolve(raw: TableMeta, store: MetaStore): TableMeta =
     raw.copy(snapshots = raw.snapshots.map { s0 =>
       val files = Option(s0.files).getOrElse(Seq.empty)
       val names0 = Option(s0.manifests).getOrElse(Seq.empty)
@@ -258,7 +250,7 @@ object Manifests {
       val s =
         if (s1.deleteFiles.isEmpty && s1.eqDeleteFiles.isEmpty &&
             s1.deleteManifest.isDefined) {
-          val chunk = readDeleteManifest(fs, metaDir, s1.deleteManifest.get)
+          val chunk = readDeleteManifest(store, s1.deleteManifest.get)
           s1.copy(deleteFiles = chunk.deleteFiles,
             eqDeleteFiles = chunk.eqDeleteFiles)
         } else s1
@@ -266,10 +258,10 @@ object Manifests {
       else {
         val names =
           if (s.manifests.nonEmpty) s.manifests
-          else s.manifestList.map(readList(fs, metaDir, _)).getOrElse(Seq.empty)
+          else s.manifestList.map(readList(store, _)).getOrElse(Seq.empty)
         if (names.isEmpty) s
         else s.copy(manifests = names,
-          files = names.flatMap(n => readChunk(fs, metaDir, n)))
+          files = names.flatMap(n => readChunk(store, n)))
       }
     })
 
@@ -279,9 +271,9 @@ object Manifests {
       : (Seq[String], Seq[(String, (String, Seq[DataFile]))]) =
     chunksFor(files, Seq.empty, target)
 
-  private[lake] def writeChunks(fs: FileSystem, metaDir: Path,
+  private[lake] def writeChunks(store: MetaStore,
                                 fresh: Seq[(String, (String, Seq[DataFile]))]): Unit =
-    fresh.foreach { case (name, (json, slice)) => writeChunk(fs, metaDir, name, json, slice) }
+    fresh.foreach { case (name, (json, slice)) => writeChunk(store, name, json, slice) }
 
   /** Probe hook: drop the process-wide caches so a load measures true
     * cold-resolve cost (one filesystem read per distinct chunk). */

@@ -1,0 +1,161 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import java.nio.charset.StandardCharsets
+
+/** The metadata-I/O seam of the table format: everything under
+  * `<table>/metadata/` — version root documents, the version hint, and
+  * content-addressed manifest chunks — reads and writes through this
+  * trait, while DATA files keep going straight to shared storage. This is
+  * exactly the boundary the reference draws with its REST catalog
+  * (docker-compose.yml:35-48): engines talk to a catalog service for
+  * metadata authority and to the object store for bytes.
+  *
+  * Two implementations:
+  *   - [[FsMetaStore]] — the default: metadata lives beside the data under
+  *     the table location, atomicity from the per-scheme [[Publish]]
+  *     strategy (hard link / atomic rename / conditional put).
+  *   - [[HttpMetaStore]] — the wire-protocol client: metadata lives in a
+  *     [[graft.lake.catalog.CatalogServer]]'s private root, reached over
+  *     plain HTTP; the CONDITIONAL PUT that linearizes commits happens in
+  *     the server process. A client resolves and commits tables while
+  *     holding no filesystem path to any metadata file.
+  *
+  * Contract notes: `putIfAbsent` must expose a COMPLETE file or nothing
+  * (readers may never observe partial bytes) and return false — leaving
+  * the winner untouched — when the name is already taken; names are flat
+  * (no directories) and match `[A-Za-z0-9._-]+`.
+  */
+trait MetaStore {
+  /** Stable cache identity: two stores with the same id serve the same
+    * bytes (the resolved-meta and chunk caches key on `id + name`). */
+  def id: String
+  def read(name: String): String
+  def exists(name: String): Boolean
+  /** Atomic put-if-absent of a complete file; true = this caller won. */
+  def putIfAbsent(name: String, bytes: Array[Byte]): Boolean
+  /** Unconditional overwrite — the advisory version hint only. */
+  def putOverwrite(name: String, bytes: Array[Byte]): Unit
+  def delete(name: String): Unit
+  /** (name, modified-ms) of every metadata file — metadata_log_entries
+    * and the orphan-chunk sweep. */
+  def list(): Seq[(String, Long)]
+  def modifiedMs(name: String): Long
+}
+
+/** Filesystem-backed metadata under `<location>/metadata` — the default
+  * store, byte-identical to the pre-seam layout. */
+final class FsMetaStore(fs: FileSystem, location: String) extends MetaStore {
+  private val metaDir = new Path(location, "metadata")
+  private def p(name: String) = new Path(metaDir, name)
+
+  override def id: String = location
+
+  override def read(name: String): String = {
+    val in = fs.open(p(name))
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  override def exists(name: String): Boolean = fs.exists(p(name))
+
+  override def putIfAbsent(name: String, bytes: Array[Byte]): Boolean =
+    Publish.exclusive(fs, p(name), bytes)
+
+  override def putOverwrite(name: String, bytes: Array[Byte]): Unit = {
+    try {
+      val out = fs.create(p(name), true)
+      try out.write(bytes) finally out.close()
+    } catch { case _: java.io.IOException => () } // hint is advisory
+  }
+
+  override def delete(name: String): Unit = { fs.delete(p(name), false); () }
+
+  override def list(): Seq[(String, Long)] = {
+    if (!fs.exists(metaDir)) return Seq.empty
+    val it = fs.listFiles(metaDir, false)
+    val buf = Seq.newBuilder[(String, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      buf += ((st.getPath.getName, st.getModificationTime))
+    }
+    buf.result()
+  }
+
+  override def modifiedMs(name: String): Long =
+    fs.getFileStatus(p(name)).getModificationTime
+}
+
+/** Wire-protocol metadata client: every operation is one HTTP round trip
+  * to a [[graft.lake.catalog.CatalogServer]]; the commit-deciding
+  * conditional put runs server-side (POST → 200 won / 409 lost), so two
+  * engines that share nothing but the server URI serialize exactly like
+  * two writers sharing a filesystem do through [[Publish]]. */
+final class HttpMetaStore(baseUri: String, ident: String) extends MetaStore {
+  private val base = baseUri.stripSuffix("/")
+  private val client = java.net.http.HttpClient.newHttpClient()
+
+  private def uri(tail: String) =
+    java.net.URI.create(s"$base/t/$ident/$tail")
+
+  private def send(b: java.net.http.HttpRequest.Builder): java.net.http.HttpResponse[Array[Byte]] =
+    client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+
+  override def id: String = s"$base!$ident"
+
+  override def read(name: String): String = {
+    val r = send(java.net.http.HttpRequest.newBuilder(uri(s"f/$name")).GET())
+    if (r.statusCode() == 404)
+      throw new java.io.FileNotFoundException(s"$ident/$name on $base")
+    require(r.statusCode() == 200, s"GET $ident/$name -> ${r.statusCode()}")
+    new String(r.body(), StandardCharsets.UTF_8)
+  }
+
+  override def exists(name: String): Boolean =
+    send(java.net.http.HttpRequest.newBuilder(uri(s"f/$name"))
+      .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody()))
+      .statusCode() == 200
+
+  override def putIfAbsent(name: String, bytes: Array[Byte]): Boolean = {
+    val r = send(java.net.http.HttpRequest.newBuilder(uri(s"f/$name"))
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(bytes)))
+    r.statusCode() match {
+      case 200 => true
+      case 409 => false
+      case c => throw new IllegalStateException(s"POST $ident/$name -> $c")
+    }
+  }
+
+  override def putOverwrite(name: String, bytes: Array[Byte]): Unit = {
+    val r = send(java.net.http.HttpRequest.newBuilder(uri(s"f/$name"))
+      .PUT(java.net.http.HttpRequest.BodyPublishers.ofByteArray(bytes)))
+    require(r.statusCode() == 200, s"PUT $ident/$name -> ${r.statusCode()}")
+  }
+
+  override def delete(name: String): Unit = {
+    send(java.net.http.HttpRequest.newBuilder(uri(s"f/$name")).DELETE())
+    ()
+  }
+
+  override def list(): Seq[(String, Long)] = {
+    val r = send(java.net.http.HttpRequest.newBuilder(uri("list")).GET())
+    if (r.statusCode() == 404) return Seq.empty
+    require(r.statusCode() == 200, s"GET $ident/list -> ${r.statusCode()}")
+    new String(r.body(), StandardCharsets.UTF_8).split("\n").toSeq
+      .filter(_.nonEmpty).map { line =>
+        val Array(n, ts) = line.split("\t", 2); (n, ts.toLong)
+      }
+  }
+
+  override def modifiedMs(name: String): Long =
+    list().collectFirst { case (n, ts) if n == name => ts }.getOrElse(
+      throw new java.io.FileNotFoundException(s"$ident/$name on $base"))
+
+  /** Drop every metadata file of the table on the server (client-mode
+    * DROP TABLE: data-file removal stays the engine's job on shared
+    * storage; metadata authority is the server's). */
+  def dropTable(): Unit = {
+    val r = send(java.net.http.HttpRequest.newBuilder(uri("all")).DELETE())
+    require(r.statusCode() == 200, s"DELETE $ident -> ${r.statusCode()}")
+  }
+}

@@ -1,0 +1,170 @@
+package graft.lake.catalog
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+/** Catalog-as-a-service: a dependency-free (JDK-only) HTTP server that is
+  * the METADATA AUTHORITY for a set of lake tables — the role the
+  * reference delegates to its REST catalog container
+  * (docker-compose.yml:35-48, spark-defaults.conf:22-29). Engines resolve
+  * versions, read root documents / manifest chunks, and COMMIT through
+  * this process; data files never pass through it (they live on shared
+  * storage, exactly the REST-catalog + object-store split).
+  *
+  * Metadata lives under a PRIVATE `metadataRoot` the clients never learn
+  * — `metadataRoot/<db>/<table>/<name>` — which is what makes the
+  * wire-protocol tests honest: a client that can read a table has
+  * provably fetched every metadata byte over HTTP.
+  *
+  * Protocol (all bodies are the raw file bytes):
+  * {{{
+  *   GET    /t/{db.table}/f/{name}   -> 200 bytes | 404
+  *   HEAD   /t/{db.table}/f/{name}   -> 200 | 404
+  *   POST   /t/{db.table}/f/{name}   -> 200 (won) | 409 (name taken)   [conditional put]
+  *   PUT    /t/{db.table}/f/{name}   -> 200                            [hint overwrite]
+  *   DELETE /t/{db.table}/f/{name}   -> 200
+  *   GET    /t/{db.table}/list       -> 200 "name\tmtimeMs\n"*
+  *   DELETE /t/{db.table}/all        -> 200                            [drop table metadata]
+  *   GET    /tables                  -> 200 "db.table\n"*
+  * }}}
+  *
+  * The conditional put is the commit protocol's linearization point: the
+  * server publishes via temp-file + hard link (atomic, complete-or-
+  * nothing, EEXIST for the loser — the same primitive [[graft.lake
+  * .Publish.HardLink]] uses), so concurrent committers from ANY number of
+  * client processes serialize here, and a racing reader can never observe
+  * a torn root document. Per-request work is one small-file filesystem
+  * op — the server stays metadata-sized while the engines do all data
+  * work; at fleet scale this is the same stateless-front/durable-store
+  * shape real REST catalogs deploy. */
+final class CatalogServer(metadataRoot: String, port: Int = 0) {
+
+  private val root = Paths.get(metadataRoot)
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+
+  private val SafeName = "[A-Za-z0-9._-]+".r
+  private def safe(s: String): Boolean =
+    SafeName.matches(s) && !s.contains("..")
+
+  private def tableDir(ident: String): Option[Path] = {
+    val parts = ident.split("\\.")
+    if (parts.length < 2 || !parts.forall(safe)) None
+    else Some(parts.foldLeft(root)(_.resolve(_)))
+  }
+
+  private def respond(x: HttpExchange, code: Int,
+                      body: Array[Byte] = Array.empty): Unit = {
+    x.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
+    if (body.nonEmpty) { val os = x.getResponseBody; os.write(body); os.close() }
+    x.close()
+  }
+
+  /** Atomic complete-or-nothing put-if-absent: temp write + hard link. */
+  private def putIfAbsent(target: Path, bytes: Array[Byte]): Boolean = {
+    Files.createDirectories(target.getParent)
+    val tmp = target.getParent.resolve(
+      s".${target.getFileName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    Files.write(tmp, bytes)
+    try { Files.createLink(target, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally { Files.deleteIfExists(tmp); () }
+  }
+
+  server.createContext("/tables", (x: HttpExchange) => {
+    try {
+      if (x.getRequestMethod != "GET") respond(x, 405)
+      else {
+        val out = new StringBuilder
+        if (Files.isDirectory(root)) {
+          Files.list(root).forEach { db =>
+            if (Files.isDirectory(db)) Files.list(db).forEach { t =>
+              if (Files.exists(t.resolve("v1.json")))
+                out.append(s"${db.getFileName}.${t.getFileName}\n")
+            }
+          }
+        }
+        respond(x, 200, out.toString.getBytes(StandardCharsets.UTF_8))
+      }
+    } catch { case _: Exception => respond(x, 500) }
+  })
+
+  server.createContext("/t/", (x: HttpExchange) => {
+    try {
+      val segs = x.getRequestURI.getPath.stripPrefix("/t/").split("/")
+      (segs.toSeq, x.getRequestMethod) match {
+        case (Seq(ident, "f", name), method) if safe(name) =>
+          tableDir(ident) match {
+            case None => respond(x, 400)
+            case Some(dir) =>
+              val f = dir.resolve(name)
+              method match {
+                case "GET" =>
+                  if (Files.exists(f)) respond(x, 200, Files.readAllBytes(f))
+                  else respond(x, 404)
+                case "HEAD" =>
+                  respond(x, if (Files.exists(f)) 200 else 404)
+                case "POST" =>
+                  val body = x.getRequestBody.readAllBytes()
+                  respond(x, if (putIfAbsent(f, body)) 200 else 409)
+                case "PUT" =>
+                  val body = x.getRequestBody.readAllBytes()
+                  Files.createDirectories(f.getParent)
+                  Files.write(f, body)
+                  respond(x, 200)
+                case "DELETE" =>
+                  Files.deleteIfExists(f)
+                  respond(x, 200)
+                case _ => respond(x, 405)
+              }
+          }
+        case (Seq(ident, "list"), "GET") =>
+          tableDir(ident) match {
+            case None => respond(x, 400)
+            case Some(dir) if !Files.isDirectory(dir) => respond(x, 404)
+            case Some(dir) =>
+              val out = new StringBuilder
+              Files.list(dir).forEach { f =>
+                if (Files.isRegularFile(f) && !f.getFileName.toString.startsWith("."))
+                  out.append(s"${f.getFileName}\t${Files.getLastModifiedTime(f).toMillis}\n")
+              }
+              respond(x, 200, out.toString.getBytes(StandardCharsets.UTF_8))
+          }
+        case (Seq(ident, "all"), "DELETE") =>
+          tableDir(ident) match {
+            case None => respond(x, 400)
+            case Some(dir) =>
+              if (Files.isDirectory(dir)) {
+                Files.list(dir).forEach(f => { Files.deleteIfExists(f); () })
+                Files.deleteIfExists(dir)
+              }
+              respond(x, 200)
+          }
+        case _ => respond(x, 404)
+      }
+    } catch { case _: Exception => respond(x, 500) }
+  })
+
+  def start(): CatalogServer = { server.start(); this }
+  def boundPort: Int = server.getAddress.getPort
+  def uri: String = s"http://127.0.0.1:$boundPort"
+  def stop(): Unit = server.stop(0)
+}
+
+/** Standalone entry point: `runMain graft.lake.catalog.CatalogServerMain
+  * <metadataRoot> <port> [readyFile]` — the second-process half of the
+  * cross-process wire-catalog tests, and a usable dev server. */
+object CatalogServerMain {
+  def main(args: Array[String]): Unit = {
+    val root = args(0)
+    val port = if (args.length > 1) args(1).toInt else 0
+    val srv = new CatalogServer(root, port).start()
+    println(s"[catalog-server] serving $root at ${srv.uri}")
+    if (args.length > 2)
+      Files.write(Paths.get(args(2)), srv.uri.getBytes(StandardCharsets.UTF_8))
+    Thread.currentThread().join()
+  }
+}

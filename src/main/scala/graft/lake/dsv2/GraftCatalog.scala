@@ -52,7 +52,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val wh = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires spark.sql.catalog.$name.warehouse"))
-    lake = new LakeCatalog(spark, wh)
+    // spark.sql.catalog.<name>.uri → wire-protocol client mode: metadata
+    // authority is the CatalogServer at that uri, data stays on the
+    // warehouse (the reference's REST-catalog split,
+    // spark-defaults.conf:22-29)
+    lake = Option(options.get("uri")) match {
+      case Some(uri) => new graft.lake.RemoteLakeCatalog(spark, wh, uri)
+      case None => new LakeCatalog(spark, wh)
+    }
   }
 
   override def name(): String = catalogName
