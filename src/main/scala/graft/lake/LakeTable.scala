@@ -1816,7 +1816,16 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     val live = m2.snapshots.flatMap(s =>
       s.files.map(_.path) ++ s.deleteFiles.map(_.path) ++
         s.eqDeleteFiles.map(_.path)).toSet
-    (before -- live).foreach(p => fs.delete(new Path(p), false))
+    // physical deletion stays INSIDE the table's own directory: files
+    // registered in place by add_files live in foreign directories the
+    // table references but does not own — expiring the snapshots that
+    // referenced them must never reach into the source dir (the data-loss
+    // footgun Iceberg's add_files docs warn about, closed here)
+    val owned = new Path(location).toUri.getPath + "/"
+    (before -- live).foreach { p =>
+      if (new Path(p).toUri.getPath.startsWith(owned))
+        fs.delete(new Path(p), false)
+    }
     // Manifest chunks are SHARED across snapshots (that's the point), so a
     // chunk is reclaimable only when no SURVIVING snapshot references it.
     val liveChunks = m2.snapshots.flatMap(s =>

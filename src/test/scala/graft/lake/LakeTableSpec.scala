@@ -1305,6 +1305,17 @@ class LakeTableSpec extends AnyFunSuite {
     // maintenance never deletes foreign bytes (they live outside dataDir)
     t.removeOrphanFiles(olderThanMs = 0L)
     assert(t.toDF.count() === 30, "orphan sweep must not touch imported files")
+    // the hard case: compaction rewrites the imports into table-owned
+    // files (dropping the foreign REFERENCES), then expire retires the
+    // snapshots that held them — the source directory must survive both
+    t.rewriteDataFiles(targetSizeBytes = 512L * 1024 * 1024)
+    t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    assert(t.meta.currentSnapshot.get.files.forall(!_.path.contains(parent)),
+      "compaction must have replaced the foreign references")
+    for (i <- 0 until 3)
+      assert(spark.read.parquet(s"$parent/d$i").count() === 10,
+        "expire must never delete bytes outside the table directory")
+    assert(t.toDF.count() === 30)
     // schema mismatch is an actionable error, not silent corruption
     val bad = Files.createTempDirectory("graft-foreign-bad").toString
     Seq((1L, "x")).toDF("id", "other").write.parquet(s"$bad/d0")
