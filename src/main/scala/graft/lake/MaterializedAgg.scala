@@ -223,11 +223,28 @@ final class MaterializedAgg private[lake] (
     *   - a MIN/MAX view over a window that removed rows (positional or
     *     equality deletes, CoW rewrites): the lost extreme needs a base
     *     rescan, which routing refuses to pay — proven loss-free at the
-    *     metadata level by [[LakeTable.windowLossFree]], zero data I/O. */
-  private[graft] def compensatedState(to: Long): Option[DataFrame] = {
+    *     metadata level by [[LakeTable.windowLossFree]], zero data I/O;
+    *   - a window spanning more than `maxCommits` commits: the changelog
+    *     unions one per-commit diff, so a weeks-stale view would build an
+    *     enormous plan and likely cost more than the scan it replaces —
+    *     the router passes `graft.mv.route.compensate.max-commits`
+    *     (default 64) and long-stale views fall back to the scan. */
+  private[graft] def compensatedState(to: Long,
+                                      maxCommits: Int = 64): Option[DataFrame] = {
     val from = watermark
     if (from.isEmpty) return None
     if (from.contains(to)) return Some(state.toDF)
+    // commit-count walk: metadata-only, bails (None) when `from` is not
+    // an ancestor of `to` — the changelog would throw there anyway
+    val bm = base.meta
+    var n = 0
+    var cur = bm.snapshot(to)
+    while (cur.isDefined && !from.contains(cur.get.snapshotId)) {
+      n += 1
+      if (n > maxCommits) return None
+      cur = cur.get.parentId.flatMap(bm.snapshot)
+    }
+    if (cur.isEmpty) return None
     if (dims.nonEmpty &&
         !state.meta.properties.get(DimSnapshotsKey).contains(dimSnapshots(dims)))
       return None

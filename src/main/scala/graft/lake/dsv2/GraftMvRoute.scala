@@ -65,6 +65,13 @@ object GraftMvRoute {
     * `false` to restore r10's exact-freshness-only routing. */
   val CompensateKey = "graft.mv.route.compensate"
 
+  /** Session conf bounding the stale window (commits) compensation will
+    * fold read-side (default 64): the changelog unions one per-commit
+    * diff, so a weeks-stale view would build an enormous plan and likely
+    * cost more than the scan it replaces — beyond the bound the query
+    * scans normally. */
+  val CompensateMaxCommitsKey = "graft.mv.route.compensate.max-commits"
+
   /** Some(rewritten plan) when `agg` is answerable by a registered fresh
     * view of the graft relation under it. */
   def route(spark: SparkSession, agg: Aggregate,
@@ -232,7 +239,9 @@ object GraftMvRoute {
       val stateDf: org.apache.spark.sql.DataFrame =
         if (MaterializedAgg.watermarkOf(state) == head) state.toDF
         else if (!spark.conf.getOption(CompensateKey).forall(_.toBoolean)) return None
-        else MaterializedAgg.loadAt(spark, loc).compensatedState(head.get) match {
+        else MaterializedAgg.loadAt(spark, loc).compensatedState(head.get,
+          maxCommits = spark.conf.getOption(CompensateMaxCommitsKey)
+            .flatMap(_.toIntOption).getOrElse(64)) match {
           case Some(df) => df
           case None => return None
         }

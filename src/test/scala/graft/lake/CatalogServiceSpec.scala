@@ -120,6 +120,42 @@ class CatalogServiceSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("streaming CDC ingest commits every micro-batch through the service") {
+    val (srv, metaRoot, warehouse) = newEnv()
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      // the streaming checkpoint manager keeps the test snappy (see
+      // ChangelogSpec — FileContext forks readlink per rename otherwise)
+      spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+      spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      val cat = new RemoteLakeCatalog(spark, warehouse, srv.uri)
+      val t = cat.createTable("db.ing", StructType(Seq(
+        StructField("block_number", IntegerType),
+        StructField("hash", StringType),
+        StructField("timestamp", TimestampType))))
+      val mem = MemoryStream[String]
+      val parsed = graft.streaming.Changelog.parseCsvLines(mem.toDF())
+      val ckpt = Files.createTempDirectory("graft-wire-ckpt").toString
+      val q = graft.streaming.Changelog.startIngest(t, parsed,
+        "block_number", "timestamp", ckpt, triggerMs = 200L)
+      try {
+        mem.addData("I,1,aa", "I,2,bb")
+        q.processAllAvailable()
+        mem.addData("D,1,aa", "I,3,cc")
+        q.processAllAvailable()
+        assert(t.toDF.orderBy("block_number").collect().map(_.getInt(0)).toSeq
+          === Seq(2, 3))
+        // every batch's merge committed through the wire: versions exist
+        // on the server, none under the table location
+        assert(Files.list(Paths.get(metaRoot, "db", "ing")).count() >= 3)
+        assert(!Files.exists(Paths.get(warehouse, "db", "ing", "metadata")))
+      } finally q.stop()
+    } finally srv.stop()
+  }
+
   test("two JVMs racing through the service: every commit survives exactly once") {
     val (srv, _, warehouse) = newEnv()
     try {

@@ -238,6 +238,16 @@ class MvRouteSpec extends AnyFunSuite {
       "SELECT g, count(*) AS n, sum(v) AS t FROM lake.db.cb WHERE g = 'c' GROUP BY g")
     assert(filtered.inputFiles.toSet.intersect(preFiles).isEmpty)
     assert(rows(filtered) === Seq(("c", 2L, 10L)))
+    // a window beyond the commit bound falls back to the scan: the
+    // changelog plan would union one diff per commit, so compensation
+    // must refuse long-stale views instead of out-costing the scan
+    spark.conf.set(GraftMvRoute.CompensateMaxCommitsKey, "1")
+    try {
+      val bounded = sql(q) // window is 2 commits > bound 1
+      assert(bounded.inputFiles.toSet.intersect(preFiles).nonEmpty,
+        "a window beyond max-commits must scan normally")
+      assert(rows(bounded) === rows(comp))
+    } finally spark.conf.unset(GraftMvRoute.CompensateMaxCommitsKey)
     // refresh catches up → the zero-aggregation fresh route resumes
     sql("REFRESH MATERIALIZED VIEW lake.db.cmv")
     assert(isRouted(sql(q)))
