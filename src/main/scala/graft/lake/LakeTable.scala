@@ -2461,10 +2461,10 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
       // is over LOGICAL content: a compaction that applies merge-on-read
       // deletes cancels exactly (removed-live == rewritten), and a CoW
       // rewrite never re-emits rows an earlier MoR commit already deleted
-      val addedDf = dataFrameForLive(m, Some(s),
-        s.files.filterNot(f => parentPaths.contains(f.path)))
-      val removedDf = dataFrameForLive(m, parentSnap,
-        parentFiles.filterNot(f => curPaths.contains(f.path)))
+      val addedFiles = s.files.filterNot(f => parentPaths.contains(f.path))
+      val removedFiles = parentFiles.filterNot(f => curPaths.contains(f.path))
+      val addedDf = dataFrameForLive(m, Some(s), addedFiles)
+      val removedDf = dataFrameForLive(m, parentSnap, removedFiles)
       // merge-on-read transitions: delete FILES added by this commit mark
       // rows of KEPT data files live→dead — read just those positions
       // (churn-sized; the kept files' scan is pruned to referenced names)
@@ -2510,8 +2510,17 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
             }.reduce(_ unionByName _))
           }
         }
-      val inserted = addedDf.exceptAll(removedDf)
-      val deleted = Seq(Some(removedDf.exceptAll(addedDf)), morDeleted, eqDeleted)
+      // exceptAll against an empty side is the identity, and the empty
+      // side is the COMMON case (a pure append removes nothing; a pure
+      // delete adds nothing) — skipping it drops two shuffles per such
+      // commit from every changelog consumer (IVM refresh, stale-route
+      // compensation, CDC streaming). The cancellation semantics only
+      // matter when BOTH sides are non-empty (CoW rewrites).
+      val inserted =
+        if (removedFiles.isEmpty) addedDf else addedDf.exceptAll(removedDf)
+      val removedRows =
+        if (addedFiles.isEmpty) removedDf else removedDf.exceptAll(addedDf)
+      val deleted = Seq(Some(removedRows), morDeleted, eqDeleted)
         .flatten.reduce(_ unionByName _)
       if (identifierFields.isEmpty)
         tag(inserted, "INSERT", ordinal, s.snapshotId)
