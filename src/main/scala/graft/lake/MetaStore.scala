@@ -93,13 +93,17 @@ final class FsMetaStore(fs: FileSystem, location: String) extends MetaStore {
   * two writers sharing a filesystem do through [[Publish]]. */
 final class HttpMetaStore(baseUri: String, ident: String) extends MetaStore {
   private val base = baseUri.stripSuffix("/")
-  private val client = java.net.http.HttpClient.newHttpClient()
+  private val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
 
   private def uri(tail: String) =
     java.net.URI.create(s"$base/t/$ident/$tail")
 
+  // bounded per-request timeout: a dead catalog endpoint must surface as
+  // an error the commit retry loop / caller can act on, never a hang
   private def send(b: java.net.http.HttpRequest.Builder): java.net.http.HttpResponse[Array[Byte]] =
-    client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+    client.send(b.timeout(java.time.Duration.ofSeconds(30)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofByteArray())
 
   override def id: String = s"$base!$ident"
 

@@ -77,6 +77,11 @@ class MvRouteSpec extends AnyFunSuite {
     val freshDf = sql(q)
     assert(isRouted(freshDf), "refreshed view must route again")
     assert(rows(freshDf) === rows(staleDf))
+    // the refresh-health listing is a SQL-reachable metadata table (r11)
+    val listing = sql(
+      "SELECT view, fresh, refresh_failures FROM lake.db.rb.materialized_views").collect()
+    assert(listing.exists(r => r.getString(0) == "db.rmv" && r.getBoolean(1)
+      && r.getLong(2) == 0L), listing.mkString(","))
   }
 
   test("shape and semantic mismatches scan normally") {
