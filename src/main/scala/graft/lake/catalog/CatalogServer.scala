@@ -44,7 +44,11 @@ final class CatalogServer(metadataRoot: String, port: Int = 0) {
 
   private val root = Paths.get(metadataRoot)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  // daemon workers + explicit shutdown in stop(): an embedding process
+  // (probe mains, tests) must be able to exit after stop()
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+    (r: Runnable) => { val t = new Thread(r, "catalog-server"); t.setDaemon(true); t })
+  server.setExecutor(pool)
 
   private val SafeName = "[A-Za-z0-9._-]+".r
   private def safe(s: String): Boolean =
@@ -151,7 +155,7 @@ final class CatalogServer(metadataRoot: String, port: Int = 0) {
   def start(): CatalogServer = { server.start(); this }
   def boundPort: Int = server.getAddress.getPort
   def uri: String = s"http://127.0.0.1:$boundPort"
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }
 
 /** Standalone entry point: `runMain graft.lake.catalog.CatalogServerMain
