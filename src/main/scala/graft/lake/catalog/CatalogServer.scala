@@ -5,6 +5,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
+import scala.util.Using
 
 /** Catalog-as-a-service: a dependency-free (JDK-only) HTTP server that is
   * the METADATA AUTHORITY for a set of lake tables — the role the
@@ -84,10 +85,14 @@ final class CatalogServer(metadataRoot: String, port: Int = 0) {
       else {
         val out = new StringBuilder
         if (Files.isDirectory(root)) {
-          Files.list(root).forEach { db =>
-            if (Files.isDirectory(db)) Files.list(db).forEach { t =>
-              if (Files.exists(t.resolve("v1.json")))
-                out.append(s"${db.getFileName}.${t.getFileName}\n")
+          Using.resource(Files.list(root)) { dbs =>
+            dbs.forEach { db =>
+              if (Files.isDirectory(db)) Using.resource(Files.list(db)) { ts =>
+                ts.forEach { t =>
+                  if (Files.exists(t.resolve("v1.json")))
+                    out.append(s"${db.getFileName}.${t.getFileName}\n")
+                }
+              }
             }
           }
         }
@@ -131,9 +136,11 @@ final class CatalogServer(metadataRoot: String, port: Int = 0) {
             case Some(dir) if !Files.isDirectory(dir) => respond(x, 404)
             case Some(dir) =>
               val out = new StringBuilder
-              Files.list(dir).forEach { f =>
-                if (Files.isRegularFile(f) && !f.getFileName.toString.startsWith("."))
-                  out.append(s"${f.getFileName}\t${Files.getLastModifiedTime(f).toMillis}\n")
+              Using.resource(Files.list(dir)) { fs =>
+                fs.forEach { f =>
+                  if (Files.isRegularFile(f) && !f.getFileName.toString.startsWith("."))
+                    out.append(s"${f.getFileName}\t${Files.getLastModifiedTime(f).toMillis}\n")
+                }
               }
               respond(x, 200, out.toString.getBytes(StandardCharsets.UTF_8))
           }
@@ -142,7 +149,8 @@ final class CatalogServer(metadataRoot: String, port: Int = 0) {
             case None => respond(x, 400)
             case Some(dir) =>
               if (Files.isDirectory(dir)) {
-                Files.list(dir).forEach(f => { Files.deleteIfExists(f); () })
+                Using.resource(Files.list(dir))(
+                  _.forEach(f => { Files.deleteIfExists(f); () }))
                 Files.deleteIfExists(dir)
               }
               respond(x, 200)

@@ -280,21 +280,39 @@ object Changelog {
       .start()
   }
 
+  /** Pending (not-yet-committed) refresh failures per view location: a
+    * stuck view fails EVERY trigger, and committing a health record per
+    * attempt is ~17k metadata commits/day at a 5 s trigger. The record
+    * cadence is bounded instead — commit on the FIRST failure, whenever
+    * the error message changes, and every `graft.mv.health.record-every`
+    * (base-table property, default 16) attempts in between; the counter
+    * for the quiet stretches lives here, driver-side. A driver restart
+    * forgets the pending tail, which costs at most one under-count of
+    * N-1 attempts — the record itself (stuck + last error + when) stays
+    * visible throughout. */
+  private val pendingRefreshFailures =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
   /** Refresh every view in the table's routing index; failures skip —
-    * but never silently: each failed attempt records a consecutive
-    * failure count + last error on the view's STATE table (r11), and the
-    * next successful refresh clears it, so an operator watching the base
-    * table's `materialized_views` metadata table sees a view stuck
-    * behind a mutated dimension instead of discovering cold routing
-    * later. Recording is itself best-effort (a dropped view has no state
-    * table left to write to). */
+    * but never silently: a failing view records a consecutive failure
+    * count + last error on its STATE table (r11; r12 bounds the commit
+    * cadence, see [[pendingRefreshFailures]]), and the next successful
+    * refresh clears both the record and the pending counter, so an
+    * operator watching the base table's `materialized_views` metadata
+    * table sees a view stuck behind a mutated dimension instead of
+    * discovering cold routing later. Recording is itself best-effort (a
+    * dropped view has no state table left to write to). */
   def refreshRegisteredViews(table: LakeTable): Unit = {
     import graft.lake.MaterializedAgg
+    val recordEvery = table.meta.properties
+      .get("graft.mv.health.record-every").flatMap(_.toLongOption)
+      .filter(_ > 0).getOrElse(16L)
     table.meta.properties.get(MaterializedAgg.ViewsKey).toSeq
       .flatMap(_.split(";")).filter(_.nonEmpty).foreach { loc =>
         try {
           MaterializedAgg.loadAt(table.spark, loc).refresh()
           // success: clear any failure record (only commits when present)
+          pendingRefreshFailures.remove(loc)
           val st = LakeTable.at(table.spark, loc)
           if (st.meta.properties.contains(MaterializedAgg.FailuresKey)) {
             st.updateProperties(_ - MaterializedAgg.FailuresKey -
@@ -304,16 +322,23 @@ object Changelog {
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft] view refresh skipped for $loc: ${e.getMessage}")
           try {
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(512)
+            val pending = pendingRefreshFailures.merge(loc, 1L, _ + _)
             val st = LakeTable.at(table.spark, loc)
-            st.updateProperties { p =>
-              val n = p.get(MaterializedAgg.FailuresKey)
-                .flatMap(_.toLongOption).getOrElse(0L) + 1
-              p + (MaterializedAgg.FailuresKey -> n.toString) +
-                (MaterializedAgg.LastErrorKey ->
-                  Option(e.getMessage).getOrElse(e.getClass.getName).take(512)) +
-                (MaterializedAgg.LastErrorAtKey -> System.currentTimeMillis().toString)
+            val props = st.meta.properties
+            val recorded = props.get(MaterializedAgg.FailuresKey).flatMap(_.toLongOption)
+            val errChanged = !props.get(MaterializedAgg.LastErrorKey).contains(msg)
+            if (recorded.isEmpty || errChanged || pending >= recordEvery) {
+              st.updateProperties { p =>
+                val base = p.get(MaterializedAgg.FailuresKey)
+                  .flatMap(_.toLongOption).getOrElse(0L)
+                p + (MaterializedAgg.FailuresKey -> (base + pending).toString) +
+                  (MaterializedAgg.LastErrorKey -> msg) +
+                  (MaterializedAgg.LastErrorAtKey -> System.currentTimeMillis().toString)
+              }
+              pendingRefreshFailures.put(loc, 0L)
+              ()
             }
-            ()
           } catch { case scala.util.control.NonFatal(_) => () }
         }
       }

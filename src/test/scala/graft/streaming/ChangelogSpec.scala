@@ -263,6 +263,9 @@ class ChangelogSpec extends AnyFunSuite {
     val dim = cat.createTable("test.hdim", StructType(Seq(
       StructField("h2", StringType), StructField("grp", StringType))))
     dim.append(Seq(("aa", "g1"), ("bb", "g2")).toDF("h2", "grp"))
+    // r12: bound the health-record commit cadence (default 16; 4 here so
+    // the every-Nth commit is observable within a short test)
+    t.updateProperties(_ + ("graft.mv.health.record-every" -> "4"))
     import graft.lake.MaterializedAgg
     MaterializedAgg.create(cat, "test.hstream_agg", t,
       Seq("grp"), Seq(MaterializedAgg.AggCol("count", "*", "n")),
@@ -285,14 +288,30 @@ class ChangelogSpec extends AnyFunSuite {
       q.processAllAvailable()
       val n1 = stateProps.get(MaterializedAgg.FailuresKey).map(_.toLong)
       assert(n1.exists(_ >= 1L),
-        s"a refused refresh must record a failure: $stateProps")
+        s"the FIRST refused refresh must record a failure: $stateProps")
       assert(stateProps.get(MaterializedAgg.LastErrorKey).exists(_.contains("dimension")))
       assert(stateProps.contains(MaterializedAgg.LastErrorAtKey))
-      // …and keeps accumulating while the stream lives
-      mem.addData("I,4,bb")
+      // r12: repeated identical failures do NOT commit per attempt — the
+      // record stays visible while the state table's history stays flat
+      // until the every-Nth (record-every=4) cadence point
+      def stateSnapshots: Int = // metadata version: every commit bumps it
+        cat.loadTable("test.hstream_agg").meta.version
+      val s1 = stateSnapshots
+      for (i <- 4 to 6) { // three more identical failures: pending 1..3 < 4
+        mem.addData(s"I,$i,bb")
+        q.processAllAvailable()
+      }
+      assert(stateSnapshots === s1,
+        "identical repeat failures below the cadence must not commit")
+      assert(stateProps(MaterializedAgg.FailuresKey).toLong === n1.get,
+        "the health record must stay visible between cadence commits")
+      mem.addData("I,7,aa") // 4th identical repeat: pending hits record-every
       q.processAllAvailable()
-      assert(stateProps(MaterializedAgg.FailuresKey).toLong > n1.get,
-        "failures must accumulate per attempt")
+      assert(stateSnapshots === s1 + 1,
+        "the every-Nth failure must commit exactly one catch-up record")
+      assert(stateProps(MaterializedAgg.FailuresKey).toLong === n1.get + 4,
+        "the catch-up record must account for the quiet attempts")
+      // 5 failed batches -> 2 state commits total (first + one cadence)
       // the base table's materialized_views listing surfaces it
       val row = t.metadataTable("materialized_views")
         .where("view = 'test.hstream_agg'").collect().head
