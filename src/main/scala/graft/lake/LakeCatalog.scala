@@ -107,6 +107,38 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     loadTable(ident)
   }
 
+  /** Iceberg `migrate`/`snapshot`-shape import (r12, D36 extension):
+    * derive the table FROM the files — merged footer schema for the data
+    * columns plus, for a hive `key=value` layout, the path-only columns
+    * as identity partitions with partition-discovery types — create it,
+    * then register every file in place via [[LakeTable.addFiles]]. One
+    * footer pass per file, zero data movement; the source keeps owning
+    * its bytes (maintenance never deletes outside the table directory).
+    * Reference shape: Iceberg's `migrate` procedure, which snapshots an
+    * existing hive-layout dataset without a pre-declared schema. */
+  def migrate(ident: String, source: String): LakeTable = {
+    require(!tableExists(ident), s"table $ident already exists")
+    // partition discovery ON: a hive layout surfaces its key=value
+    // columns (typed by inference) appended to the data columns
+    val discovered = spark.read.parquet(source).schema
+    val src = new Path(source)
+    val srcFs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    val files =
+      if (srcFs.getFileStatus(src).isDirectory) LakeTable.listParquet(srcFs, src)
+      else Seq(src)
+    require(files.nonEmpty, s"migrate: no parquet files under $source")
+    // data columns = what the bytes carry (explicit leaf files read with
+    // no discovery); every other discovered column came from the path
+    val inBytes = spark.read.parquet(files.map(_.toString): _*)
+      .schema.fieldNames.toSet
+    val partCols = discovered.fields.filterNot(f => inBytes.contains(f.name))
+      .map(_.name).toSeq
+    val t = createTable(ident, discovered,
+      partitionBy = partCols.map(_ -> "identity"))
+    try { t.addFiles(source); t }
+    catch { case e: Throwable => dropTable(ident); throw e }
+  }
+
   def tableExists(ident: String): Boolean = metaStoreFor(ident).exists("v1.json")
 
   def loadTable(ident: String): LakeTable = {
@@ -154,12 +186,13 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
   * happens in the server's conditional put. Configure on a Spark
   * catalog with `spark.sql.catalog.<name>.uri` alongside the warehouse.
   *
-  * Scope: the engine-critical path — create / load / exists / drop /
-  * list, every read, every commit (append, DML, merge, maintenance,
-  * branches, properties). Features that resolve SIBLING tables by
-  * filesystem convention (SQL materialized-view routing, `loadAt`-based
-  * streaming auto-refresh) assume the default filesystem catalog and are
-  * not re-routed here. */
+  * Scope: the whole engine — create / load / exists / drop / list, every
+  * read, every commit (append, DML, merge, maintenance, branches,
+  * properties), AND the sibling-table surface (r12): SQL
+  * materialized-view routing, streaming auto-refresh, and the
+  * `materialized_views` listing resolve state tables through
+  * [[MetaStore.sibling]], so a `uri`-mode engine routes and refreshes
+  * exactly like a filesystem one (CatalogServiceSpec "MV surface"). */
 class RemoteLakeCatalog(spark: SparkSession, warehouse: String, val uri: String)
     extends LakeCatalog(spark, warehouse) {
 

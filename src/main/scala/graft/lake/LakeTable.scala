@@ -43,6 +43,16 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
   private[lake] val metaStore: MetaStore =
     Option(store0).getOrElse(new FsMetaStore(fs, location))
 
+  /** Resolve a SIBLING table (an MV state table from the routing index, a
+    * view's recorded base location) through the SAME metadata authority
+    * as this table — a `uri`-mode table resolves siblings over the wire,
+    * a filesystem table under the sibling's location. Every feature that
+    * follows a location found in table properties must come through here,
+    * never [[LakeTable.at]] (which hard-codes the filesystem). */
+  def sibling(loc: String): LakeTable =
+    if (loc == location) this
+    else new LakeTable(spark, loc, metaStore.sibling(location, loc))
+
   private def versionName(v: Int) = s"v$v.json"
 
   /** Atomically publish a COMPLETE metadata file, failing if it exists.
@@ -500,17 +510,29 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     *
     * Constraints: every table column must exist in the files under its
     * current LOGICAL name with the same Spark type (or one the table's
-    * widening rules accept); the table must be unpartitioned (no
-    * hive-layout mapping); basenames must be unique table-wide (the
-    * positional-delete mask keys on basename). Imported rows are trusted
-    * as-is (constraints/generation are write-path concerns, as in
-    * Iceberg). The files live OUTSIDE the table directory: maintenance
-    * never deletes them — compaction copies content into table-owned
-    * files and retires only the REFERENCE. */
+    * widening rules accept) — EXCEPT identity-partition source columns,
+    * which a hive `key=value` layout stores only in the path (r12): each
+    * file must then carry a `<column>=<value>` path segment, the value is
+    * recorded in the file's partition tuple (so hidden-partition pruning
+    * and SPJ treat imported files exactly like native ones), and the
+    * import schema marks the column `fromPath` so readers fill it from
+    * the path instead of the footer. Non-identity transforms refuse (a
+    * hive layout carries no transform provenance). Basenames must be
+    * unique table-wide (the positional-delete mask keys on basename).
+    * Imported rows are trusted as-is (constraints/generation are
+    * write-path concerns, as in Iceberg). The files live OUTSIDE the
+    * table directory: maintenance never deletes them — compaction copies
+    * content into table-owned files and retires only the REFERENCE. */
   def addFiles(source: String): TableMeta = {
     val m0 = meta
-    require(m0.spec.fields.isEmpty,
-      "add_files imports into unpartitioned tables only (no hive-layout mapping)")
+    require(m0.spec.fields.forall(_.transform == "identity"),
+      "add_files into a partitioned table requires identity partitions " +
+        "(a hive key=value layout carries no transform provenance)")
+    val partSources: Seq[(PartitionField, LakeColumn)] =
+      m0.spec.fields.map(pf => pf -> m0.schema.byId(pf.sourceId).getOrElse(
+        throw new IllegalStateException(
+          s"partition source id ${pf.sourceId} not in schema")))
+    val partSourceNames = partSources.map(_._2.name).toSet
     val src = new Path(source)
     val srcFs = src.getFileSystem(hadoopConf)
     val status = srcFs.getFileStatus(src)
@@ -520,25 +542,58 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     val names = paths.map(_.getName)
     require(names.distinct.size == names.size,
       s"add_files: duplicate basenames in $source (positional masks key on basename)")
+    // hive-layout partition tuples: key=value directory segments, matched
+    // by the spec source columns' current names, %XX-unescaped like the
+    // native write path's directory parse
+    val pathTuples: Map[Path, Map[String, String]] = paths.map { p =>
+      p -> p.toString.split("/").dropRight(1).flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) if partSourceNames.contains(k) =>
+            Some(k -> LakeTable.unescapePathName(v))
+          case _ => None
+        }
+      }.toMap
+    }.toMap
+    partSources.foreach { case (_, sc) =>
+      pathTuples.collectFirst { case (p, vs) if !vs.contains(sc.name) => p }
+        .foreach(p => throw new IllegalArgumentException(
+          s"add_files: $p carries no ${sc.name}=<value> path segment " +
+            s"(the table partitions by ${sc.name})"))
+    }
     // one merged-footer schema check: every table column present by its
-    // logical name, type equal or widening-compatible
+    // logical name, type equal or widening-compatible — partition source
+    // columns instead come from the path and must NOT be in the bytes
     val fileSchema = spark.read.parquet(paths.map(_.toString): _*).schema
     val importCols = m0.schema.columns.map { c =>
-      val f = fileSchema.find(_.name == c.name).getOrElse(
-        throw new IllegalArgumentException(
-          s"add_files: column ${c.name} missing from $source " +
-            "(files must carry every table column under its current name)"))
-      require(f.dataType == c.sparkType ||
-          LakeTable.isWidening(f.dataType, c.sparkType),
-        s"add_files: column ${c.name} is ${f.dataType.simpleString} in the " +
-          s"files but ${c.sparkType.simpleString} in the table")
-      c.copy(dataType = f.dataType.json, physicalOverride = Some(c.name))
+      fileSchema.find(_.name == c.name) match {
+        case Some(_) if partSourceNames.contains(c.name) =>
+          throw new IllegalArgumentException(
+            s"add_files: partition column ${c.name} is also present in the " +
+              "file bytes — a hive layout stores it only in the path")
+        case Some(f) =>
+          require(f.dataType == c.sparkType ||
+              LakeTable.isWidening(f.dataType, c.sparkType),
+            s"add_files: column ${c.name} is ${f.dataType.simpleString} in the " +
+              s"files but ${c.sparkType.simpleString} in the table")
+          c.copy(dataType = f.dataType.json, physicalOverride = Some(c.name))
+        case None if partSourceNames.contains(c.name) =>
+          // value lives in the path; the directory string casts to the
+          // TABLE's type at read time (no footer type to bridge)
+          c.copy(physicalOverride = Some(c.name), fromPath = true)
+        case None =>
+          throw new IllegalArgumentException(
+            s"add_files: column ${c.name} missing from $source " +
+              "(files must carry every table column under its current name)")
+      }
     }
     val stats = paths.map(p => p -> Stats.fromFooter(p.toString, hadoopConf))
     commit { m =>
       if (m.currentSchemaId != m0.currentSchemaId)
         throw CommitConflictException(
           "add_files planned against a schema that changed — retry")
+      if (m.defaultSpecId != m0.defaultSpecId)
+        throw CommitConflictException(
+          "add_files planned against a partition spec that changed — retry")
       val importSchema = LakeSchema(m.schemas.map(_.schemaId).max + 1, importCols)
       val parent = m.currentSnapshot
       val parentFiles = parent.map(_.files).getOrElse(Seq.empty)
@@ -548,7 +603,10 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
       val snapId = m.lastSnapshotId + 1
       val now = System.currentTimeMillis()
       val newFiles = stats.map { case (p, (rows, bytes, st)) =>
-        DataFile(p.toString, m.spec.specId, importSchema.schemaId, Map.empty,
+        val pv = partSources.map { case (pf, sc) =>
+          pf.physicalName -> pathTuples(p)(sc.name)
+        }.toMap
+        DataFile(p.toString, m.spec.specId, importSchema.schemaId, pv,
           rows, bytes, st, addedSnapshotId = snapId)
       }
       val summary = Map(
@@ -589,7 +647,10 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
         v <- f.partitionValues.get(pf.physicalName)
       } yield src.name -> (pf.transform, v)
     }.toMap).getOrElse(Map.empty)
-    Pruning.FileBounds(f.rowCount, cols, partition)
+    val partitionTypes = spec.map(_.fields.flatMap(pf =>
+      m.schema.byId(pf.sourceId).map(src => src.name -> src.sparkType))
+      .toMap).getOrElse(Map.empty[String, DataType])
+    Pruning.FileBounds(f.rowCount, cols, partition, partitionTypes)
   }
 
   /** DataFrame over a set of files, mapped to the current logical schema
@@ -614,8 +675,27 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
       val groups = files.groupBy(_.schemaId)
       val parts = groups.map { case (schemaId, fs) =>
         val written = m.schemas.find(_.schemaId == schemaId).getOrElse(cur)
-        val raw = spark.read.schema(written.physicalSchema)
+        val pathCols = written.columns.filter(_.fromPath)
+        val fileOnlySchema = StructType(written.physicalSchema.fields
+          .filterNot(f => pathCols.exists(_.physicalName == f.name)))
+        val raw0 = spark.read.schema(fileOnlySchema)
           .parquet(fs.map(_.path): _*)
+        // hive-layout import groups (r12): a fromPath column's value is
+        // in the file's `name=value` path segment, not the bytes — parse
+        // it from `_metadata.file_path` in ONE scan (no per-partition
+        // plan nodes), unescape %XX while preserving literal '+'
+        // (url_decode after masking '+' = Hive's unescapePathName), and
+        // cast the directory string to the table type
+        val raw = pathCols.foldLeft(raw0) { (d, c) =>
+          val seg = regexp_extract(col("_metadata.file_path"),
+            "(?:^|/)" + java.util.regex.Pattern.quote(c.physicalName) +
+              "=([^/]+)", 1)
+          d.withColumn(c.physicalName,
+            when(seg === "" || seg === "__HIVE_DEFAULT_PARTITION__",
+                lit(null))
+              .otherwise(url_decode(regexp_replace(seg, "\\+", "%2B")))
+              .cast(c.sparkType))
+        }
         val cols = cur.columns.map { c =>
           written.byId(c.id) match {
             case Some(w) => raw.col(w.physicalName).cast(c.sparkType).as(c.name)
@@ -2695,7 +2775,11 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
             Seq("regexp_extract(filename, '[^/]+$') AS \"_gd_file\"",
               "file_row_number AS \"_gd_pos\"")
           else Seq.empty)
-          val opts = if (withMeta) ", filename=true, file_row_number=true" else ""
+          // hive-layout import groups: the fromPath columns live in the
+          // file paths — DuckDB parses them with hive_partitioning and
+          // exposes them under their original names (then cast as usual)
+          val opts = (if (withMeta) ", filename=true, file_row_number=true" else "") +
+            (if (written.columns.exists(_.fromPath)) ", hive_partitioning=1" else "")
           s"""SELECT ${cols.mkString(", ")}
              |FROM read_parquet([${gfs.map(f => lit(f.path)).mkString(", ")}]$opts)""".stripMargin
       }

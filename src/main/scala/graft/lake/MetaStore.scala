@@ -42,6 +42,15 @@ trait MetaStore {
     * and the orphan-chunk sweep. */
   def list(): Seq[(String, Long)]
   def modifiedMs(name: String): Long
+  /** A store of the SAME kind and authority for a sibling table at
+    * `siblingLocation` — tables reference siblings by LOCATION (the MV
+    * routing index, a view's recorded base location), and resolving one
+    * must stay inside whatever metadata authority resolved THIS table:
+    * filesystem siblings stay filesystem, wire-catalog siblings resolve
+    * through the same server. `myLocation` is the location of the table
+    * this store serves — the anchor that maps locations back to catalog
+    * identifiers for authorities that key tables by ident, not path. */
+  def sibling(myLocation: String, siblingLocation: String): MetaStore
 }
 
 /** Filesystem-backed metadata under `<location>/metadata` — the default
@@ -84,6 +93,9 @@ final class FsMetaStore(fs: FileSystem, location: String) extends MetaStore {
 
   override def modifiedMs(name: String): Long =
     fs.getFileStatus(p(name)).getModificationTime
+
+  override def sibling(myLocation: String, siblingLocation: String): MetaStore =
+    new FsMetaStore(fs, siblingLocation)
 }
 
 /** Wire-protocol metadata client: every operation is one HTTP round trip
@@ -91,7 +103,7 @@ final class FsMetaStore(fs: FileSystem, location: String) extends MetaStore {
   * conditional put runs server-side (POST → 200 won / 409 lost), so two
   * engines that share nothing but the server URI serialize exactly like
   * two writers sharing a filesystem do through [[Publish]]. */
-final class HttpMetaStore(baseUri: String, ident: String) extends MetaStore {
+final class HttpMetaStore(val baseUri: String, ident: String) extends MetaStore {
   private val base = baseUri.stripSuffix("/")
   private val client = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(10)).build()
@@ -154,6 +166,23 @@ final class HttpMetaStore(baseUri: String, ident: String) extends MetaStore {
   override def modifiedMs(name: String): Long =
     list().collectFirst { case (n, ts) if n == name => ts }.getOrElse(
       throw new java.io.FileNotFoundException(s"$ident/$name on $base"))
+
+  /** Sibling idents come from the LOCATION layout the owning catalog
+    * writes (`<warehouse>/<db>/<table>`): my own ident's path form anchors
+    * the warehouse root, and the sibling's location relative to that root
+    * IS its ident. A location outside the warehouse has no identity at
+    * this authority — refuse rather than guess. */
+  override def sibling(myLocation: String, siblingLocation: String): MetaStore = {
+    val myPath = "/" + ident.replace('.', '/')
+    require(myLocation.endsWith(myPath),
+      s"cannot anchor warehouse: $myLocation does not end with $myPath")
+    val warehouse = myLocation.dropRight(myPath.length)
+    require(siblingLocation.startsWith(warehouse + "/"),
+      s"sibling $siblingLocation is outside warehouse $warehouse — " +
+        s"no identity at catalog service $base")
+    new HttpMetaStore(base,
+      siblingLocation.drop(warehouse.length + 1).replace('/', '.'))
+  }
 
   /** Drop every metadata file of the table on the server (client-mode
     * DROP TABLE: data-file removal stays the engine's job on shared

@@ -155,6 +155,17 @@ object Pruning {
     case _ => s
   }
 
+  /** Identity partition values ride in DIRECTORY-string form (what the
+    * write path parses from `key=value` dirs and `add_files` parses from
+    * hive layouts): dates are ISO strings there, unlike the epoch-day
+    * stat encoding. */
+  def decodePartitionValue(s: String, dt: DataType): Any = dt match {
+    case DateType =>
+      scala.util.Try(java.time.LocalDate.parse(s).toEpochDay.toLong)
+        .getOrElse(s.toLong)
+    case other => decodeStat(s, other)
+  }
+
   def compare(a: Any, b: Any): Option[Int] = (norm(a), norm(b)) match {
     case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
     case (x: Long, y: Double) => Some(java.lang.Double.compare(x.toDouble, y))
@@ -174,7 +185,11 @@ object Pruning {
       cols: Map[String, (ColStat, DataType)],
       /** logical column name → set of partition transform values, e.g.
         * ("days", 19723L) meaning every row's days(col) == 19723. */
-      partition: Map[String, (String, String)])
+      partition: Map[String, (String, String)],
+      /** logical column name → the partition SOURCE column's type — the
+        * decode key when the file has no footer stats for the column
+        * (hive-layout imports store identity values only in the path). */
+      partitionTypes: Map[String, DataType] = Map.empty)
 
   /** Could any row in the file satisfy `p`? (false ⇒ prune the file) */
   def mayMatch(p: Pred, f: FileBounds): Boolean = p match {
@@ -299,10 +314,15 @@ object Pruning {
           case _ => true
         }
       case Some(("identity", vStr)) =>
-        f.cols.get(c) match {
-          case Some((_, dt)) =>
-            val pv = decodeStat(vStr, dt)
-            compare(pv, lo).forall(_ >= 0) && compare(pv, hi).forall(_ <= 0)
+        f.cols.get(c).map(_._2).orElse(f.partitionTypes.get(c)) match {
+          case Some(dt) =>
+            // identity values are stored in DIRECTORY-string form (dates
+            // as ISO strings, not stat-encoded epoch days); an undecodable
+            // value vouches nothing rather than crashing the planner
+            scala.util.Try {
+              val pv = decodePartitionValue(vStr, dt)
+              compare(pv, lo).forall(_ >= 0) && compare(pv, hi).forall(_ <= 0)
+            }.getOrElse(true)
           case None => true
         }
       // bucket[N] partitions prune POINT predicates only (Eq / In members

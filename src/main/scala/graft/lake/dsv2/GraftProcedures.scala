@@ -133,6 +133,12 @@ object GraftProcedures {
     case "add_files" => Some(proc(name,
       Array(param("table", StringType), param("source", StringType)),
       row => lake.loadTable(row.getString(0)).addFiles(row.getString(1))))
+    // Iceberg migrate-shape import: derive the table from the files
+    // (merged footer schema + hive key=value identity partitions), then
+    // delegate to addFiles — no pre-declared schema needed
+    case "migrate" => Some(proc(name,
+      Array(param("table", StringType), param("source", StringType)),
+      row => lake.migrate(row.getString(0), row.getString(1)).meta.name))
     case "fast_forward" => Some(proc(name,
       Array(param("table", StringType), param("branch", StringType),
         param("to", StringType)),

@@ -233,7 +233,22 @@ case class GraftInputPartition(
   override def partitionKey(): InternalRow = new GenericInternalRow(key)
 }
 
-case class GraftFileSlice(path: String, sizeBytes: Long, schemaId: Int)
+case class GraftFileSlice(path: String, sizeBytes: Long, schemaId: Int,
+    /** hive-layout import only (r12): logical column name → raw directory
+      * string for each `fromPath` column of this file's schema group. */
+    pathValues: Map[String, String] = Map.empty)
+
+/** Where one OUTPUT column's value comes from when reading a file of a
+  * given written-schema group. */
+sealed trait GraftColRead extends Serializable
+object GraftColRead {
+  /** Column added after this file was written → null-fill at its type. */
+  final case class NullFill(dt: DataType) extends GraftColRead
+  /** Read from the parquet bytes at this ordinal of the read schema. */
+  final case class FromFile(ordinal: Int, needCast: Boolean) extends GraftColRead
+  /** Hive-layout import: constant per file, from the slice's pathValues. */
+  final case class FromPath(name: String) extends GraftColRead
+}
 
 /** Per-written-schema read plan: the parquet reader function (driver-built,
   * executor-shipped — it carries its own broadcast hadoop conf) plus the
@@ -242,9 +257,8 @@ case class GraftSchemaReader(
     reader: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow],
     /** read-side schema (write-time physical names/types, required cols only) */
     readSchema: StructType,
-    /** for each OUTPUT column: Left(outputType)=null-fill (column added
-      * after this file was written), Right((inputOrdinal, cast needed)) */
-    colMap: Seq[Either[DataType, (Int, Boolean)]],
+    /** value source for each OUTPUT column */
+    colMap: Seq[GraftColRead],
     outputSchema: StructType)
 
 case class GraftReaderFactory(bySchema: Map[Int, GraftSchemaReader])
@@ -252,18 +266,30 @@ case class GraftReaderFactory(bySchema: Map[Int, GraftSchemaReader])
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val gp = partition.asInstanceOf[GraftInputPartition]
-    // one projection per written-schema group, built lazily executor-side
-    val projections = scala.collection.mutable.Map.empty[Int, UnsafeProjection]
-    def projectionFor(schemaId: Int): UnsafeProjection =
-      projections.getOrElseUpdate(schemaId, {
+    // one projection per (written-schema group, partition tuple), built
+    // lazily executor-side — the tuple varies only across hive-layout
+    // imported files, and a task sees few distinct tuples (one under SPJ)
+    val projections =
+      scala.collection.mutable.Map.empty[(Int, Map[String, String]), UnsafeProjection]
+    def projectionFor(schemaId: Int, pv: Map[String, String]): UnsafeProjection =
+      projections.getOrElseUpdate((schemaId, pv), {
         val sr = bySchema(schemaId)
         val in = sr.readSchema.fields.zipWithIndex.map { case (f, i) =>
           BoundReference(i, f.dataType, f.nullable)
         }
         val exprs: Seq[Expression] = sr.colMap.zip(sr.outputSchema.fields).map {
-          case (Left(dt), _) => Literal(null, dt)
-          case (Right((i, needCast)), out) =>
+          case (GraftColRead.NullFill(dt), _) => Literal(null, dt)
+          case (GraftColRead.FromFile(i, needCast), out) =>
             if (needCast) Cast(in(i), out.dataType, Some("UTC")) else in(i)
+          case (GraftColRead.FromPath(name), out) =>
+            // directory-string semantics: cast the raw segment exactly
+            // like Spark casts partition-directory values
+            pv.get(name).filter(_ != "__HIVE_DEFAULT_PARTITION__") match {
+              case Some(raw) => Cast(Literal(
+                org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+                org.apache.spark.sql.types.StringType), out.dataType, Some("UTC"))
+              case None => Literal(null, out.dataType)
+            }
         }
         UnsafeProjection.create(exprs)
       })
@@ -271,7 +297,7 @@ case class GraftReaderFactory(bySchema: Map[Int, GraftSchemaReader])
     new PartitionReader[InternalRow] {
       private val iter: Iterator[InternalRow] = gp.files.iterator.flatMap { f =>
         val sr = bySchema(f.schemaId)
-        val proj = projectionFor(f.schemaId)
+        val proj = projectionFor(f.schemaId, f.pathValues)
         sr.reader(ScanBridge.wholeFile(f.path, f.sizeBytes)).map(proj.apply)
       }
       private var current: InternalRow = _
@@ -502,6 +528,26 @@ class GraftBatchScan(
     case None => true
   }
 
+  /** Slice for one file; hive-layout imported files carry their partition
+    * tuple's raw directory strings so the reader can fill `fromPath`
+    * columns (constant per file, never in the bytes). */
+  private def sliceFor(f: DataFile): GraftFileSlice = {
+    val fromPath = m.schemas.find(_.schemaId == f.schemaId)
+      .map(_.columns.filter(_.fromPath)).getOrElse(Seq.empty)
+    val pv =
+      if (fromPath.isEmpty) Map.empty[String, String]
+      else {
+        val spec = m.partitionSpecs.find(_.specId == f.specId)
+        fromPath.flatMap { c =>
+          spec.flatMap(_.fields.find(p =>
+              p.sourceId == c.id && p.transform == "identity"))
+            .flatMap(pf => f.partitionValues.get(pf.physicalName))
+            .map(c.physicalName -> _)
+        }.toMap
+      }
+    GraftFileSlice(f.path, f.sizeBytes, f.schemaId, pv)
+  }
+
   override def planInputPartitions(): Array[InputPartition] = grouped match {
     case Some(groups) =>
       groups.map { case (k, fs) =>
@@ -513,14 +559,12 @@ class GraftBatchScan(
             val ordered = sortedLeading.flatMap(c => orderedIfDisjoint(fs, c)).getOrElse(fs)
             ordered.filter(runtimeKeep)
           }
-        GraftInputPartition(k, kept.map(f => GraftFileSlice(f.path, f.sizeBytes, f.schemaId)))
-          : InputPartition
+        GraftInputPartition(k, kept.map(sliceFor)): InputPartition
       }.toArray
     case None =>
       // non-SPJ fallback: one split per file, no partition keys
       liveFiles.filter(runtimeKeep).map(f =>
-        GraftInputPartition(Array.empty,
-          Seq(GraftFileSlice(f.path, f.sizeBytes, f.schemaId))): InputPartition).toArray
+        GraftInputPartition(Array.empty, Seq(sliceFor(f))): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -535,28 +579,36 @@ class GraftBatchScan(
           throw new IllegalStateException(s"required column ${out.name} not in schema"))
         written.byId(c.id)
       }
-      val readFields = mapped.flatten.map(w =>
+      // fromPath columns (hive-layout imports) are NOT in the bytes:
+      // excluded from the parquet read schema, filled per-slice instead
+      val readFields = mapped.flatten.filterNot(_.fromPath).map(w =>
         StructField(w.physicalName, w.sparkType, w.nullable))
       val readSchema = StructType(readFields)
       var nextIdx = -1
-      val colMap: Seq[Either[DataType, (Int, Boolean)]] =
+      val colMap: Seq[GraftColRead] =
         required.fields.toSeq.zip(mapped.toSeq).map {
-          case (out, None) => Left(out.dataType)
+          case (out, None) => GraftColRead.NullFill(out.dataType)
+          case (_, Some(w)) if w.fromPath => GraftColRead.FromPath(w.physicalName)
           case (out, Some(w)) =>
             nextIdx += 1
-            Right((nextIdx, w.sparkType != out.dataType))
+            GraftColRead.FromFile(nextIdx, w.sparkType != out.dataType)
         }
       // parquet row-group pruning: rewrite pushed filter column names to
       // this group's write-time physical names; drop any filter touching
       // a renamed-type/missing column (residual evaluation catches it)
       val nameMap = cur.columns.flatMap { c =>
         written.byId(c.id).collect {
-          case w if w.sparkType == c.sparkType => c.name -> w.physicalName
+          // fromPath columns aren't in the bytes — nothing to push there
+          case w if w.sparkType == c.sparkType && !w.fromPath =>
+            c.name -> w.physicalName
         }
       }.toMap
       val physFilters = pushed.toSeq.flatMap(GraftFilterRewrite.rewrite(_, nameMap))
+      val fileOnlySchema = StructType(
+        written.physicalSchema.fields.filterNot(f =>
+          written.columns.exists(c => c.fromPath && c.physicalName == f.name)))
       val reader = ScanBridge.parquetReader(
-        spark, written.physicalSchema, readSchema, physFilters, hadoopConf)
+        spark, fileOnlySchema, readSchema, physFilters, hadoopConf)
       sid -> GraftSchemaReader(reader, readSchema, colMap, required)
     }.toMap
     GraftReaderFactory(bySchema)

@@ -1322,4 +1322,90 @@ class LakeTableSpec extends AnyFunSuite {
     val e2 = intercept[Exception](t.addFiles(bad))
     assert(e2.getMessage.contains("column"))
   }
+
+  test("add_files: hive key=value layout into an identity-partitioned table — " +
+      "path values, pruning, rename (r12)") {
+    import spark.implicits._
+    // the reference's taxi-corpus shape (spark/Dockerfile:81-95): one file
+    // per month, the month only in the PATH, never in the bytes
+    val root = Files.createTempDirectory("graft-hive").toString
+    val src = (0 until 60).map(i => (i.toLong, s"row$i", 1 + i % 3))
+      .toDF("id", "name", "month")
+    for (m <- 1 to 3)
+      src.filter(col("month") === m).drop("month")
+        .coalesce(1).write.parquet(s"$root/month=$m")
+    val cat = freshCatalog()
+    val t = cat.createTable("db.himp", StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("month", IntegerType))),
+      partitionBy = Seq("month" -> "identity"))
+    t.addFiles(root)
+    val files = t.meta.currentSnapshot.get.files
+    assert(files.size === 3 && files.forall(_.path.contains(root)),
+      s"files must reference the source paths: ${files.map(_.path)}")
+    // each imported file carries its identity partition tuple (the
+    // hidden-partition key native files get from the write path)
+    val pf = t.meta.spec.fields.head
+    assert(files.map(_.partitionValues(pf.physicalName)).sorted === Seq("1", "2", "3"))
+    // full read parity: month filled from the path, other columns from bytes
+    assert(t.toDF.orderBy("id").collect().toSeq ===
+      src.orderBy("id").collect().toSeq)
+    // hidden-partition pruning reaches imported files
+    val pruned = t.read(filter = Some(col("month") === 2))
+    assert(pruned.inputFiles.length === 1,
+      s"month=2 must prune to one imported file: ${pruned.inputFiles.mkString(",")}")
+    assert(pruned.count() === src.filter(col("month") === 2).count())
+    // stats pruning on a BYTES column composes with the path column
+    val both = t.read(filter = Some(col("month") === 2 && col("id") > 1000))
+    assert(both.count() === 0)
+    // rename of the partition source column stays metadata-only: the
+    // import group keeps parsing the ORIGINAL month= path segment
+    t.renameColumn("month", "m")
+    assert(t.toDF.filter(col("m") === 3).count() ===
+      src.filter(col("month") === 3).count())
+    // a layout missing the key refuses with the file named
+    val flat = Files.createTempDirectory("graft-hive-flat").toString
+    src.drop("month").coalesce(1).write.parquet(s"$flat/d0")
+    val e = intercept[Exception](t.addFiles(flat))
+    assert(e.getMessage.contains("path segment"), e.getMessage)
+    // a partition column ALSO in the bytes refuses the ambiguity
+    val dup = Files.createTempDirectory("graft-hive-dup").toString
+    src.withColumnRenamed("month", "m").coalesce(1)
+      .write.parquet(s"$dup/m=9")
+    val e2 = intercept[Exception](t.addFiles(dup))
+    assert(e2.getMessage.contains("also present"), e2.getMessage)
+  }
+
+  test("migrate: derive the table FROM the files — footer schema + hive " +
+      "identity partitions, then register in place (r12)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-migrate").toString
+    val src = (0 until 40).map(i => (i.toLong, s"n$i", 1 + i % 2))
+      .toDF("id", "name", "month")
+    for (m <- 1 to 2)
+      src.filter(col("month") === m).drop("month")
+        .coalesce(1).write.parquet(s"$root/month=$m")
+    val cat = freshCatalog()
+    val t = cat.migrate("db.mig", root)
+    // schema IS spark.read.parquet's discovery: data columns from the
+    // merged footers, the path column appended with its inferred type
+    assert(t.toDF.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      spark.read.parquet(root).schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(t.meta.spec.fields.map(_.transform) === Seq("identity"))
+    // files registered in place, read parity incl. path-derived values
+    assert(t.meta.currentSnapshot.get.files.forall(_.path.contains(root)))
+    assert(t.toDF.orderBy("id").collect().toSeq ===
+      spark.read.parquet(root).select("id", "name", "month")
+        .orderBy("id").collect().toSeq)
+    // partition pruning reaches the migrated files
+    assert(t.read(filter = Some(col("month") === 2)).inputFiles.length === 1)
+    // a flat directory (no key=value segments) migrates unpartitioned
+    val flat = Files.createTempDirectory("graft-migrate-flat").toString + "/d"
+    src.coalesce(1).write.parquet(flat)
+    val t2 = cat.migrate("db.migflat", flat)
+    assert(t2.meta.spec.fields.isEmpty && t2.toDF.count() === 40)
+    // an already-existing ident refuses (migrate never replaces)
+    val e = intercept[Exception](cat.migrate("db.mig", root))
+    assert(e.getMessage.contains("already exists"))
+  }
 }
