@@ -479,17 +479,31 @@ object MaterializedAgg {
     fromState(catalog.loadTable(ident), catalog)
 
   /** Reload a view from its STATE-TABLE LOCATION alone (the form the
-    * base table's `graft.ivm.views` routing index stores): the owning
-    * catalog is recovered from the state location minus the recorded
-    * table identifier — what streaming auto-refresh has in hand. */
+    * base table's `graft.ivm.views` routing index stores), assuming the
+    * default filesystem authority. Callers holding the table whose
+    * routing index supplied the location must use [[loadVia]] so a
+    * `uri`-mode engine resolves the state table over the wire. */
   def loadAt(spark: org.apache.spark.sql.SparkSession,
-             stateLocation: String): MaterializedAgg = {
-    val t = LakeTable.at(spark, stateLocation)
+             stateLocation: String): MaterializedAgg =
+    loadVia(LakeTable.at(spark, stateLocation), stateLocation)
+
+  /** Reload a view from its state-table location THROUGH the metadata
+    * authority of `owner` (the base table whose `graft.ivm.views` index
+    * supplied the location, or the state table itself): the owning
+    * catalog — needed to resolve star-view dimensions — is recovered
+    * from the state location minus the recorded table identifier, in the
+    * same mode (wire-protocol client when the owner resolved remotely). */
+  def loadVia(owner: LakeTable, stateLocation: String): MaterializedAgg = {
+    val t = owner.sibling(stateLocation)
     val suffix = "/" + t.meta.name.replace('.', '/')
     val catalog =
-      if (stateLocation.endsWith(suffix))
-        new LakeCatalog(spark, stateLocation.dropRight(suffix.length))
-      else null // dim-free views never need the catalog
+      if (stateLocation.endsWith(suffix)) {
+        val wh = stateLocation.dropRight(suffix.length)
+        t.metaStore match {
+          case h: HttpMetaStore => new RemoteLakeCatalog(t.spark, wh, h.baseUri)
+          case _ => new LakeCatalog(t.spark, wh)
+        }
+      } else null // dim-free views never need the catalog
     fromState(t, catalog)
   }
 
@@ -509,6 +523,9 @@ object MaterializedAgg {
         s"star view ${t.meta.name} needs its owning catalog to resolve dim $d")
       dj -> catalog.loadTable(d)
     }).getOrElse(Seq.empty)
-    new MaterializedAgg(t, new LakeTable(t.spark, baseLoc), groupBy, aggs, catalog, dims)
+    // the base resolves through the state table's own authority: a
+    // wire-resolved view must not fall back to filesystem metadata for
+    // its base (there is none under the location in uri mode)
+    new MaterializedAgg(t, t.sibling(baseLoc), groupBy, aggs, catalog, dims)
   }
 }

@@ -166,7 +166,7 @@ object MetadataTables {
         m.properties.get(MaterializedAgg.ViewsKey).toSeq
           .flatMap(_.split(";")).filter(_.nonEmpty).map { loc =>
             try {
-              val st = LakeTable.at(spark, loc)
+              val st = table.sibling(loc)
               val p = st.meta.properties
               val wm = MaterializedAgg.watermarkOf(st)
               (loc, st.meta.name, p.getOrElse("graft.ivm.group-by", null),

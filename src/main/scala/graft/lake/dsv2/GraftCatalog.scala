@@ -311,6 +311,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     else if (!cascade && lake.listTables(ns).nonEmpty)
       throw new IllegalStateException(s"namespace $ns is not empty")
     else {
+      // cascade drops each table THROUGH the catalog first: in uri mode
+      // the metadata authority is the server — deleting only the
+      // warehouse directory would orphan every table's server-side
+      // metadata (r12, wire-mode DROP completeness)
+      if (cascade) lake.listTables(ns).foreach(t => lake.dropTable(s"$ns.$t"))
       val nsPath = new org.apache.hadoop.fs.Path(s"${lake.warehouse}/$ns")
       val fs = nsPath.getFileSystem(spark.sessionState.newHadoopConf())
       fs.delete(nsPath, true)

@@ -103,7 +103,7 @@ case class DropMaterializedViewCommand(viewIdent: Seq[String], ifExists: Boolean
       try {
         // atomic RMW: a concurrent CREATE on the same base must not lose
         // its registration to this deregistration (and vice versa)
-        graft.lake.LakeTable.at(spark, baseLoc).updateProperties { props =>
+        state.sibling(baseLoc).updateProperties { props =>
           props.get(MaterializedAgg.ViewsKey) match {
             case None => props
             case Some(v) =>

@@ -191,7 +191,9 @@ object GraftMvRoute {
                        filters: Seq[Expression],
                        loc: String): Option[LogicalPlan] =
     try {
-      val state = LakeTable.at(spark, loc)
+      // sibling resolution: the state table must resolve through the
+      // BASE table's metadata authority (over the wire in uri mode)
+      val state = base.sibling(loc)
       val props = state.meta.properties
       val (mvGroup, mvAggs) = MaterializedAgg.viewSpec(props).getOrElse(return None)
       // spec match: same base and same group-column set
@@ -239,7 +241,7 @@ object GraftMvRoute {
       val stateDf: org.apache.spark.sql.DataFrame =
         if (MaterializedAgg.watermarkOf(state) == head) state.toDF
         else if (!spark.conf.getOption(CompensateKey).forall(_.toBoolean)) return None
-        else MaterializedAgg.loadAt(spark, loc).compensatedState(head.get,
+        else MaterializedAgg.loadVia(base, loc).compensatedState(head.get,
           maxCommits = spark.conf.getOption(CompensateMaxCommitsKey)
             .flatMap(_.toIntOption).getOrElse(64)) match {
           case Some(df) => df

@@ -310,10 +310,10 @@ object Changelog {
     table.meta.properties.get(MaterializedAgg.ViewsKey).toSeq
       .flatMap(_.split(";")).filter(_.nonEmpty).foreach { loc =>
         try {
-          MaterializedAgg.loadAt(table.spark, loc).refresh()
+          MaterializedAgg.loadVia(table, loc).refresh()
           // success: clear any failure record (only commits when present)
           pendingRefreshFailures.remove(loc)
-          val st = LakeTable.at(table.spark, loc)
+          val st = table.sibling(loc)
           if (st.meta.properties.contains(MaterializedAgg.FailuresKey)) {
             st.updateProperties(_ - MaterializedAgg.FailuresKey -
               MaterializedAgg.LastErrorKey - MaterializedAgg.LastErrorAtKey)
@@ -324,7 +324,7 @@ object Changelog {
           try {
             val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(512)
             val pending = pendingRefreshFailures.merge(loc, 1L, _ + _)
-            val st = LakeTable.at(table.spark, loc)
+            val st = table.sibling(loc)
             val props = st.meta.properties
             val recorded = props.get(MaterializedAgg.FailuresKey).flatMap(_.toLongOption)
             val errChanged = !props.get(MaterializedAgg.LastErrorKey).contains(msg)

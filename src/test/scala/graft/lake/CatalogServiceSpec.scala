@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Catalog-as-a-service across a wire (r11): the engine resolves
   * versions, chunks, and COMMITS through [[CatalogServer]] over HTTP
@@ -153,6 +154,199 @@ class CatalogServiceSpec extends AnyFunSuite {
         assert(Files.list(Paths.get(metaRoot, "db", "ing")).count() >= 3)
         assert(!Files.exists(Paths.get(warehouse, "db", "ing", "metadata")))
       } finally q.stop()
+    } finally srv.stop()
+  }
+
+  test("MV surface over the wire: SQL create/route/refresh/listing with zero " +
+      "metadata under the warehouse (r12)") {
+    val (srv, metaRoot, warehouse) = newEnv()
+    // routing needs GraftExtensions — build a dedicated session (create(),
+    // not getOrCreate: a shared session would lack the routing rule) and
+    // restore the default/active slots for later suites
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions()(_))
+      .create()
+    prevDefault match {
+      case Some(d) => SparkSession.setDefaultSession(d)
+      case None => SparkSession.clearDefaultSession()
+    }
+    prevActive match {
+      case Some(a) => SparkSession.setActiveSession(a)
+      case None => SparkSession.clearActiveSession()
+    }
+    try {
+      s.conf.set("spark.sql.catalog.rmv", classOf[graft.lake.dsv2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.rmv.warehouse", warehouse)
+      s.conf.set("spark.sql.catalog.rmv.uri", srv.uri)
+      org.apache.spark.sql.graftbridge.CatalogBridge.resetCatalogs(s)
+      s.sql("CREATE DATABASE IF NOT EXISTS rmv.db")
+      s.sql("CREATE TABLE rmv.db.mb (g STRING, v BIGINT)")
+      s.sql("INSERT INTO rmv.db.mb VALUES ('a', 1), ('a', 2), ('b', 10)")
+      s.sql("""CREATE MATERIALIZED VIEW rmv.db.mmv AS
+              |SELECT g, COUNT(*) AS n, sum(v) AS t
+              |FROM rmv.db.mb GROUP BY g""".stripMargin)
+      def run(q: String) = {
+        val df = s.sql(q)
+        (df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq,
+          !df.queryExecution.executedPlan.toString.contains("Aggregate"))
+      }
+      val q = "SELECT g, count(*) AS n, sum(v) AS t FROM rmv.db.mb GROUP BY g ORDER BY g"
+      val (rows1, routed1) = run(q)
+      assert(routed1, "a fresh view must answer with zero aggregation in uri mode")
+      assert(rows1 === Seq(("a", 2L, 3L), ("b", 1L, 10L)))
+      // the listing resolves the state table through the base's authority
+      val listing = s.sql(
+        "SELECT view, fresh, refresh_failures FROM rmv.db.mb.materialized_views").collect()
+      assert(listing.exists(r => r.getString(0) == "db.mmv" && r.getBoolean(1)
+        && r.getLong(2) == 0L), listing.mkString(","))
+      // stale: rows stay correct (compensation aggregates the churn);
+      // wire REFRESH restores the zero-aggregation route
+      s.sql("INSERT INTO rmv.db.mb VALUES ('c', 7), ('b', 5)")
+      val (rows2, routed2) = run(q)
+      assert(!routed2 && rows2 === Seq(("a", 2L, 3L), ("b", 2L, 15L), ("c", 1L, 7L)))
+      s.sql("REFRESH MATERIALIZED VIEW rmv.db.mmv")
+      val (rows3, routed3) = run(q)
+      assert(routed3, "a refreshed view must route again over the wire")
+      assert(rows3 === rows2)
+      // THE structural proof: base AND state metadata live only on the server
+      assert(!Files.exists(Paths.get(warehouse, "db", "mb", "metadata")))
+      assert(!Files.exists(Paths.get(warehouse, "db", "mmv", "metadata")))
+      assert(Files.exists(Paths.get(metaRoot, "db", "mmv", "v1.json")))
+      // DROP deregisters through the state table's authority (the base's
+      // routing index is an RMW on the SERVER's copy, not a local file)
+      s.sql("DROP MATERIALIZED VIEW rmv.db.mmv")
+      val (rows4, routed4) = run(q)
+      assert(!routed4 && rows4 === rows2)
+    } finally srv.stop() // the session shares the JVM-wide SparkContext — never stop it
+  }
+
+  test("streaming auto-refresh resolves MV state over the wire (r12)") {
+    val (srv, metaRoot, warehouse) = newEnv()
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+      spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      val cat = new RemoteLakeCatalog(spark, warehouse, srv.uri)
+      val t = cat.createTable("db.sb", StructType(Seq(
+        StructField("block_number", IntegerType),
+        StructField("hash", StringType),
+        StructField("timestamp", TimestampType))))
+      MaterializedAgg.create(cat, "db.sb_agg", t,
+        Seq("hash"), Seq(MaterializedAgg.AggCol("count", "*", "n")))
+      val mem = MemoryStream[String]
+      val parsed = graft.streaming.Changelog.parseCsvLines(mem.toDF())
+      val ckpt = Files.createTempDirectory("graft-wire-mv-ckpt").toString
+      val q = graft.streaming.Changelog.startIngest(t, parsed,
+        "block_number", "timestamp", ckpt, triggerMs = 200L, refreshViews = true)
+      try {
+        mem.addData("I,1,aa", "I,2,aa", "I,3,bb")
+        q.processAllAvailable()
+        val mv = MaterializedAgg.load(cat, "db.sb_agg")
+        assert(mv.watermark === t.meta.currentSnapshot.map(_.snapshotId),
+          "per-batch refresh must have tracked the stream head over the wire")
+        assert(mv.read().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          === Map("aa" -> 2L, "bb" -> 1L))
+        // refresh committed through the service, nothing on the filesystem
+        assert(!Files.exists(Paths.get(warehouse, "db", "sb_agg", "metadata")))
+        assert(Files.list(Paths.get(metaRoot, "db", "sb_agg")).count() >= 2)
+      } finally q.stop()
+    } finally srv.stop()
+  }
+
+  test("maintenance over the wire: expire/rewrite_manifests/binpack commit through " +
+      "the service — chunk deletes server-side, data-file GC client-side (r12)") {
+    val (srv, metaRoot, warehouse) = newEnv()
+    try {
+      import spark.implicits._
+      val cat = new RemoteLakeCatalog(spark, warehouse, srv.uri)
+      val t = cat.createTable("db.mt", StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType))))
+      (0 until 4).foreach(i =>
+        t.append(Seq((i.toLong, s"r$i")).toDF("id", "v")))
+      def serverFiles: Set[String] = {
+        val dir = Paths.get(metaRoot, "db", "mt")
+        val st = Files.list(dir)
+        try st.iterator().asScala.map(_.getFileName.toString).toSet
+        finally st.close()
+      }
+      def dataFiles: Set[String] = {
+        val dir = Paths.get(warehouse, "db", "mt", "data")
+        if (!Files.exists(dir)) Set.empty
+        else {
+          val st = Files.list(dir)
+          try st.iterator().asScala.map(_.getFileName.toString).toSet
+          finally st.close()
+        }
+      }
+      // compact 4 one-row files into 1 (replace snapshot over the wire)
+      t.rewriteDataFiles()
+      assert(t.toDF.count() === 4)
+      val dataBefore = dataFiles
+      val serverBefore = serverFiles
+      // expire everything but the compacted head: the 4 small files are
+      // CLIENT-side deletes on shared storage; the dropped snapshots'
+      // manifest chunks are SERVER-side deletes through the protocol
+      t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000)
+      assert(t.toDF.count() === 4, "expire must not change the presented rows")
+      val dataAfter = dataFiles
+      assert(dataAfter.size < dataBefore.size,
+        s"pre-compaction files must be GC'd from the warehouse: $dataBefore -> $dataAfter")
+      val serverAfter = serverFiles
+      assert((serverBefore -- serverAfter).exists(!_.startsWith("v")),
+        s"expire must delete dead manifest chunks ON THE SERVER: " +
+          s"${(serverBefore -- serverAfter).mkString(",")}")
+      // rewrite_manifests commits a new chunk layout through the service
+      (0 until 3).foreach(i =>
+        t.append(Seq((100L + i, s"m$i")).toDF("id", "v")))
+      t.rewriteManifests()
+      assert(t.toDF.count() === 7)
+      // orphan sweep: a stray data file (client-side bytes) goes away
+      val stray = Paths.get(warehouse, "db", "mt", "data", "stray.parquet")
+      Files.write(stray, Array[Byte](1, 2, 3))
+      val removed = t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 1000)
+      assert(!Files.exists(stray) &&
+        removed.exists(_.endsWith("stray.parquet")))
+      // the whole tier ran with zero metadata under the table location
+      assert(!Files.exists(Paths.get(warehouse, "db", "mt", "metadata")))
+    } finally srv.stop()
+  }
+
+  test("wire-mode DROP completeness: table drop clears server metadata AND " +
+      "warehouse bytes; cascade namespace drop leaves no server orphans (r12)") {
+    val (srv, metaRoot, warehouse) = newEnv()
+    try {
+      import spark.implicits._
+      val cat = new RemoteLakeCatalog(spark, warehouse, srv.uri)
+      val t = cat.createTable("dc.t1", StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType))))
+      t.append(Seq((1L, "a")).toDF("id", "v"))
+      cat.createTable("dc.t2", StructType(Seq(StructField("id", LongType))))
+      assert(Files.exists(Paths.get(warehouse, "dc", "t1", "data")))
+      cat.dropTable("dc.t1")
+      assert(!Files.exists(Paths.get(metaRoot, "dc", "t1")) ||
+        Files.list(Paths.get(metaRoot, "dc", "t1")).count() === 0,
+        "drop must clear the server-side metadata")
+      assert(!Files.exists(Paths.get(warehouse, "dc", "t1")),
+        "drop must clear the warehouse data directory")
+      assert(cat.listTables("dc") === Seq("t2"))
+      // cascade namespace drop: t2 has never written data (no warehouse
+      // dir) — its server metadata must still be dropped, not orphaned
+      val sqlCat = new graft.lake.dsv2.GraftCatalog()
+      sqlCat.initialize("dcat", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("warehouse", warehouse, "uri", srv.uri)))
+      assert(sqlCat.dropNamespace(Array("dc"), true))
+      assert(!cat.tableExists("dc.t2"), "cascade must drop through the catalog")
+      assert(!Files.exists(Paths.get(metaRoot, "dc", "t2")) ||
+        Files.list(Paths.get(metaRoot, "dc", "t2")).count() === 0,
+        "cascade drop must leave no server-side orphan metadata")
     } finally srv.stop()
   }
 
