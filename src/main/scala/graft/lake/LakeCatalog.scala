@@ -202,7 +202,7 @@ class RemoteLakeCatalog(spark: SparkSession, warehouse: String, val uri: String)
   /** The server is the source of truth for what exists — an empty remote
     * table has no data directory yet, so directory scans under-report. */
   override def listTables(namespace: String): Seq[String] = {
-    val client = java.net.http.HttpClient.newHttpClient()
+    val client = HttpMetaStore.sharedClient
     val r = client.send(
       java.net.http.HttpRequest.newBuilder(
         java.net.URI.create(s"${uri.stripSuffix("/")}/tables")).GET().build(),

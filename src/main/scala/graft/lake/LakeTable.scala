@@ -91,13 +91,26 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     * on drop/recreate, which restarts version numbering at a reused
     * location ([[LakeTable.invalidateLocation]]). */
   def meta: TableMeta = {
-    val v = currentVersion
-    val key = s"${metaStore.id}#v$v"
-    val hit = LakeTable.metaCache.get(key)
-    if (hit != null) return hit
-    val m = Manifests.resolve(Meta.fromJson(metaStore.read(versionName(v))), metaStore)
-    LakeTable.cacheMeta(key, m)
-    m
+    // wire stores answer (version, root) in ONE round trip; filesystem
+    // stores fall back to hint-read + forward-probe (r12)
+    metaStore.resolveLatest() match {
+      case Some((v, body)) =>
+        lastSeenVersion = math.max(lastSeenVersion, v)
+        val key = s"${metaStore.id}#v$v"
+        val hit = LakeTable.metaCache.get(key)
+        if (hit != null) return hit
+        val m = Manifests.resolve(Meta.fromJson(body), metaStore)
+        LakeTable.cacheMeta(key, m)
+        m
+      case None =>
+        val v = currentVersion
+        val key = s"${metaStore.id}#v$v"
+        val hit = LakeTable.metaCache.get(key)
+        if (hit != null) return hit
+        val m = Manifests.resolve(Meta.fromJson(metaStore.read(versionName(v))), metaStore)
+        LakeTable.cacheMeta(key, m)
+        m
+    }
   }
 
   /** Optimistic-concurrency commit: apply `transform` to the latest metadata

@@ -51,6 +51,12 @@ trait MetaStore {
     * this store serves — the anchor that maps locations back to catalog
     * identifiers for authorities that key tables by ident, not path. */
   def sibling(myLocation: String, siblingLocation: String): MetaStore
+  /** The latest committed root document in ONE authority round trip —
+    * `(version, root json)` — or None when the authority has no cheaper
+    * answer than probing (filesystem stores) or the table doesn't exist.
+    * This is the REST-catalog `loadTable` shape: without it a wire client
+    * pays hint-read + forward-probe (2+ round trips) per `meta` access. */
+  def resolveLatest(): Option[(Int, String)] = None
 }
 
 /** Filesystem-backed metadata under `<location>/metadata` — the default
@@ -105,8 +111,7 @@ final class FsMetaStore(fs: FileSystem, location: String) extends MetaStore {
   * two writers sharing a filesystem do through [[Publish]]. */
 final class HttpMetaStore(val baseUri: String, ident: String) extends MetaStore {
   private val base = baseUri.stripSuffix("/")
-  private val client = java.net.http.HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+  private def client = HttpMetaStore.sharedClient
 
   private def uri(tail: String) =
     java.net.URI.create(s"$base/t/$ident/$tail")
@@ -163,9 +168,24 @@ final class HttpMetaStore(val baseUri: String, ident: String) extends MetaStore 
       }
   }
 
-  override def modifiedMs(name: String): Long =
-    list().collectFirst { case (n, ts) if n == name => ts }.getOrElse(
-      throw new java.io.FileNotFoundException(s"$ident/$name on $base"))
+  override def modifiedMs(name: String): Long = {
+    // one /stat round trip per lookup — NOT a full listing (r12: the
+    // metadata_log_entries table calls this once per version file)
+    val r = send(java.net.http.HttpRequest.newBuilder(uri(s"stat/$name")).GET())
+    if (r.statusCode() == 404)
+      throw new java.io.FileNotFoundException(s"$ident/$name on $base")
+    require(r.statusCode() == 200, s"GET $ident/stat/$name -> ${r.statusCode()}")
+    new String(r.body(), StandardCharsets.UTF_8).trim.toLong
+  }
+
+  override def resolveLatest(): Option[(Int, String)] = {
+    val r = send(java.net.http.HttpRequest.newBuilder(uri("resolve")).GET())
+    if (r.statusCode() == 404) return None
+    require(r.statusCode() == 200, s"GET $ident/resolve -> ${r.statusCode()}")
+    val body = new String(r.body(), StandardCharsets.UTF_8)
+    val nl = body.indexOf('\n')
+    Some((body.substring(0, nl).toInt, body.substring(nl + 1)))
+  }
 
   /** Sibling idents come from the LOCATION layout the owning catalog
     * writes (`<warehouse>/<db>/<table>`): my own ident's path form anchors
@@ -191,4 +211,15 @@ final class HttpMetaStore(val baseUri: String, ident: String) extends MetaStore 
     val r = send(java.net.http.HttpRequest.newBuilder(uri("all")).DELETE())
     require(r.statusCode() == 200, s"DELETE $ident -> ${r.statusCode()}")
   }
+}
+
+object HttpMetaStore {
+  /** One JVM-wide client (thread-safe, keep-alive connection pool): a
+    * table handle is cheap to create and an engine creates MANY — sibling
+    * resolution, catalog loads, per-query metadata reads. A per-handle
+    * client would open a fresh TCP pool each time; at fleet scale the
+    * catalog endpoint sees connection churn instead of reuse. */
+  private[lake] lazy val sharedClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
 }

@@ -28,6 +28,8 @@ import scala.util.Using
   *   PUT    /t/{db.table}/f/{name}   -> 200                            [hint overwrite]
   *   DELETE /t/{db.table}/f/{name}   -> 200
   *   GET    /t/{db.table}/list       -> 200 "name\tmtimeMs\n"*
+  *   GET    /t/{db.table}/stat/{name}-> 200 "mtimeMs" | 404
+  *   GET    /t/{db.table}/resolve    -> 200 "version\n<root json>" | 404
   *   DELETE /t/{db.table}/all        -> 200                            [drop table metadata]
   *   GET    /tables                  -> 200 "db.table\n"*
   * }}}
@@ -44,12 +46,21 @@ import scala.util.Using
 final class CatalogServer(metadataRoot: String, port: Int = 0) {
 
   private val root = Paths.get(metadataRoot)
+  // TCP_NODELAY on accepted sockets: the JDK server writes response
+  // headers and body separately, and with Nagle on, a keep-alive client
+  // stalls one delayed-ACK (~40 ms) per request — measured 44 ms/req vs
+  // 1.3 ms with the flag (must be set before the FIRST HttpServer in the
+  // JVM initializes its static config)
+  System.setProperty("sun.net.httpserver.nodelay", "true")
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   // daemon workers + explicit shutdown in stop(): an embedding process
   // (probe mains, tests) must be able to exit after stop()
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
     (r: Runnable) => { val t = new Thread(r, "catalog-server"); t.setDaemon(true); t })
   server.setExecutor(pool)
+
+  /** Total requests served — lets probes/tests assert round-trip counts. */
+  val requestCount = new java.util.concurrent.atomic.AtomicLong(0)
 
   private val SafeName = "[A-Za-z0-9._-]+".r
   private def safe(s: String): Boolean =
@@ -80,6 +91,7 @@ final class CatalogServer(metadataRoot: String, port: Int = 0) {
   }
 
   server.createContext("/tables", (x: HttpExchange) => {
+    requestCount.incrementAndGet()
     try {
       if (x.getRequestMethod != "GET") respond(x, 405)
       else {
@@ -102,6 +114,7 @@ final class CatalogServer(metadataRoot: String, port: Int = 0) {
   })
 
   server.createContext("/t/", (x: HttpExchange) => {
+    requestCount.incrementAndGet()
     try {
       val segs = x.getRequestURI.getPath.stripPrefix("/t/").split("/")
       (segs.toSeq, x.getRequestMethod) match {
@@ -129,6 +142,41 @@ final class CatalogServer(metadataRoot: String, port: Int = 0) {
                   respond(x, 200)
                 case _ => respond(x, 405)
               }
+          }
+        case (Seq(ident, "resolve"), "GET") =>
+          // latest committed root in ONE round trip (the REST-catalog
+          // loadTable shape, r12): version files are immutable and never
+          // deleted, so max(vN) IS the current version
+          tableDir(ident) match {
+            case None => respond(x, 400)
+            case Some(dir) if !Files.isDirectory(dir) => respond(x, 404)
+            case Some(dir) =>
+              val V = "v(\\d+)\\.json".r
+              var best = 0
+              Using.resource(Files.list(dir))(_.forEach { f =>
+                f.getFileName.toString match {
+                  case V(n) => best = math.max(best, n.toInt)
+                  case _ => ()
+                }
+              })
+              if (best == 0) respond(x, 404)
+              else {
+                val bytes = Files.readAllBytes(dir.resolve(s"v$best.json"))
+                val head = s"$best\n".getBytes(StandardCharsets.UTF_8)
+                respond(x, 200, head ++ bytes)
+              }
+          }
+        case (Seq(ident, "stat", name), "GET") if safe(name) =>
+          // single-file mtime: keeps the client's modifiedMs O(1) instead
+          // of a full listing per lookup (r12)
+          tableDir(ident) match {
+            case None => respond(x, 400)
+            case Some(dir) =>
+              val f = dir.resolve(name)
+              if (Files.isRegularFile(f))
+                respond(x, 200, Files.getLastModifiedTime(f).toMillis.toString
+                  .getBytes(StandardCharsets.UTF_8))
+              else respond(x, 404)
           }
         case (Seq(ident, "list"), "GET") =>
           tableDir(ident) match {

@@ -52,6 +52,9 @@ class CatalogServiceSpec extends AnyFunSuite {
         "no metadata may exist under the table location in wire mode")
       assert(Files.exists(Paths.get(metaRoot, "db", "wt", "v1.json")))
       assert(Files.list(Paths.get(metaRoot, "db", "wt")).count() >= 4)
+      // metadata_log_entries stats each version via the /stat endpoint
+      // (one round trip per file, not a listing per lookup — r12)
+      assert(MetadataTables(t, "metadata_log_entries").count() >= 4)
       // a SECOND client handle (fresh caches) resolves by uri alone
       val cat2 = new RemoteLakeCatalog(spark, warehouse, srv.uri)
       assert(cat2.listTables("db") === Seq("wt"))
