@@ -40,7 +40,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
   // catalog service — data-file I/O below never switches, matching the
   // REST-catalog + object-store split.
 
-  private[lake] val metaStore: MetaStore =
+  private[graft] val metaStore: MetaStore =
     Option(store0).getOrElse(new FsMetaStore(fs, location))
 
   /** Resolve a SIBLING table (an MV state table from the routing index, a
@@ -2999,6 +2999,13 @@ object LakeTable {
     * provider reconstructing its table from DataSource options). */
   def at(spark: SparkSession, location: String): LakeTable =
     new LakeTable(spark, location)
+
+  /** Open a table over an EXPLICIT metadata authority — how a streaming
+    * source reconstructed from string options reaches a wire-catalog
+    * table (`uri` + `ident` options): there is no metadata under the
+    * location to probe in uri mode (r12). */
+  def at(spark: SparkSession, location: String, store: MetaStore): LakeTable =
+    new LakeTable(spark, location, store)
 
   /** Run a CoW operation, retrying on [[CommitConflictException]] — each
     * attempt re-reads table metadata and re-plans from scratch, which is

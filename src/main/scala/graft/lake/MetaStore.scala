@@ -109,7 +109,7 @@ final class FsMetaStore(fs: FileSystem, location: String) extends MetaStore {
   * conditional put runs server-side (POST → 200 won / 409 lost), so two
   * engines that share nothing but the server URI serialize exactly like
   * two writers sharing a filesystem do through [[Publish]]. */
-final class HttpMetaStore(val baseUri: String, ident: String) extends MetaStore {
+final class HttpMetaStore(val baseUri: String, val ident: String) extends MetaStore {
   private val base = baseUri.stripSuffix("/")
   private def client = HttpMetaStore.sharedClient
 

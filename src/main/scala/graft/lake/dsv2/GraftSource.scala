@@ -35,7 +35,16 @@ class GraftSource extends TableProvider with DataSourceRegister {
     require(path != null && path.nonEmpty,
       """format("graft") requires .load(<table location>) / .save(<table location>)""")
     val spark = SparkSession.active
-    val lt = LakeTable.at(spark, path)
+    // wire-catalog tables (r12): `uri` + `ident` options name the
+    // metadata authority — the location holds data only in uri mode
+    val lt = Option(options.get("uri")) match {
+      case Some(u) =>
+        val ident = Option(options.get("ident")).getOrElse(throw
+          new IllegalArgumentException(
+            """format("graft") with uri needs the ident option too"""))
+        LakeTable.at(spark, path, new graft.lake.HttpMetaStore(u, ident))
+      case None => LakeTable.at(spark, path)
+    }
     GraftTable(lt, s"graft.`$path`",
       pinnedSnapshotId = Option(options.get("snapshot-id")).map(_.toLong),
       pinnedBranch = Option(options.get("branch")),

@@ -360,10 +360,22 @@ object Changelog {
     * Caveat: the source schema is pinned at start (streaming requires a
     * stable schema) — renames/widenings need the stream restarted. */
   def streamRead(table: LakeTable): DataFrame =
-    table.spark.readStream
+    withAuthority(table, table.spark.readStream
       .format(classOf[LakeStreamSourceProvider].getName)
-      .option("location", table.location)
+      .option("location", table.location))
       .load()
+
+  /** Carry the table's metadata authority into the string-option world a
+    * streaming source is reconstructed from: wire-catalog tables add
+    * `uri` + `ident` so the source resolves snapshots over the wire
+    * (the location holds no metadata in uri mode — r12). */
+  private def withAuthority(table: LakeTable,
+      r: org.apache.spark.sql.streaming.DataStreamReader) =
+    table.metaStore match {
+      case h: graft.lake.HttpMetaStore =>
+        r.option("uri", h.baseUri).option("ident", h.ident)
+      case _ => r
+    }
 
   /** Continuous row-level CDC stream — the FULL `toChangelogStream`
     * parity (StreamRead.java:31-34): each micro-batch carries the
@@ -378,10 +390,10 @@ object Changelog {
     * invisibility, same cost shape (per-commit file-set-pruned diff:
     * cost ∝ churn, never table size). */
   def streamChangelog(table: LakeTable): DataFrame =
-    table.spark.readStream
+    withAuthority(table, table.spark.readStream
       .format(classOf[LakeStreamSourceProvider].getName)
       .option("location", table.location)
-      .option("mode", "changelog")
+      .option("mode", "changelog"))
       .load()
 
   /** Console read-back per trigger (StreamRead.java:34 print loop /

@@ -36,9 +36,13 @@ import org.apache.spark.sql.types.StructType
   * stable schema); renames/adds during the stream need a restart to pick
   * up, same caveat as before. */
 class LakeStreamSource(sqlContext: SQLContext, location: String,
-                       changelogMode: Boolean = false) extends Source {
+                       changelogMode: Boolean = false,
+                       store: Option[graft.lake.MetaStore] = None) extends Source {
 
-  private val table: LakeTable = LakeTable.at(sqlContext.sparkSession, location)
+  private val table: LakeTable = store match {
+    case Some(s) => LakeTable.at(sqlContext.sparkSession, location, s)
+    case None => LakeTable.at(sqlContext.sparkSession, location)
+  }
   private val pinnedSchema: StructType = table.meta.schema.sparkSchema
 
   override def schema: StructType =
@@ -118,17 +122,33 @@ class LakeStreamSourceProvider extends StreamSourceProvider with DataSourceRegis
   private def isChangelog(parameters: Map[String, String]): Boolean =
     parameters.get("mode").exists(_.equalsIgnoreCase("changelog"))
 
+  /** Wire-catalog tables carry their authority in `uri` + `ident`
+    * options (there is no metadata under the location to probe in uri
+    * mode); filesystem tables resolve by location alone (r12). */
+  private def storeFor(parameters: Map[String, String]): Option[graft.lake.MetaStore] =
+    parameters.get("uri").map(u =>
+      new graft.lake.HttpMetaStore(u, parameters.getOrElse("ident",
+        throw new IllegalArgumentException(
+          "wire-mode stream source needs both uri and ident options"))))
+
+  private def tableFor(sqlContext: SQLContext,
+                       parameters: Map[String, String]): LakeTable =
+    storeFor(parameters) match {
+      case Some(s) => LakeTable.at(sqlContext.sparkSession, parameters("location"), s)
+      case None => LakeTable.at(sqlContext.sparkSession, parameters("location"))
+    }
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) =
     (shortName(), schema.getOrElse {
-      val base = LakeTable.at(sqlContext.sparkSession, parameters("location"))
-        .meta.schema.sparkSchema
+      val base = tableFor(sqlContext, parameters).meta.schema.sparkSchema
       if (isChangelog(parameters)) LakeStreamSource.withChangeColumns(base) else base
     })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
-    new LakeStreamSource(sqlContext, parameters("location"), isChangelog(parameters))
+    new LakeStreamSource(sqlContext, parameters("location"), isChangelog(parameters),
+      storeFor(parameters))
 }

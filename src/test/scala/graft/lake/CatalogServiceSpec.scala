@@ -264,6 +264,36 @@ class CatalogServiceSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("streaming changelog read-back resolves snapshots over the wire (r12)") {
+    val (srv, _, warehouse) = newEnv()
+    try {
+      import spark.implicits._
+      spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+      spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      val cat = new RemoteLakeCatalog(spark, warehouse, srv.uri)
+      val t = cat.createTable("db.sr", StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType))))
+      t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+      val ckpt = Files.createTempDirectory("graft-wire-read-ckpt").toString
+      val q = graft.streaming.Changelog.streamChangelog(t).writeStream
+        .format("memory").queryName("wire_cdc")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("wire_cdc").count() === 2)
+        // a post-start commit is discovered through the SERVER (no
+        // metadata exists under the location to poll)
+        t.delete(col("id") === 1L)
+        q.processAllAvailable()
+        val rows = spark.table("wire_cdc").select("id", "_change_type")
+          .as[(Long, String)].collect().toSet
+        assert(rows === Set((1L, "INSERT"), (2L, "INSERT"), (1L, "DELETE")))
+        assert(!Files.exists(Paths.get(warehouse, "db", "sr", "metadata")))
+      } finally q.stop()
+    } finally srv.stop()
+  }
+
   test("maintenance over the wire: expire/rewrite_manifests/binpack commit through " +
       "the service — chunk deletes server-side, data-file GC client-side (r12)") {
     val (srv, metaRoot, warehouse) = newEnv()
