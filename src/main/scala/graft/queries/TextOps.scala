@@ -194,7 +194,10 @@ object TextOps {
       // longs (tiny vocabulary is collision-free; hashing per-word-once)
       val w = s.table("documents").select(
         col("doc_id"), col("lang"),
-        sort_array(array_distinct(transform(split(col("text"), "\\s+"), c => xxhash64(c)))).as("ws"))
+        // fused native tokenize (≡ sort_array(array_distinct(transform(
+        // split(text,'\s+'), xxhash64)))) — one pass, and it CANONICALIZES
+        // (no lambda), so the join sides below can share one exchange
+        graft.functions.TokenSetHash.of(col("text")).as("ws"))
       // ONE shuffle builds the whole group structure: distinct (lang, set)
       // with member ids. The ids array is bounded by the duplicate-cluster
       // size — and a cluster big enough to make this row fat already
@@ -208,47 +211,71 @@ object TextOps {
       // pipeline persists the collapsed corpus as its exact-dedup output
       // instead.
       val g = w.groupBy("lang", "ws")
-        .agg(min("doc_id").as("gid"), collect_list("doc_id").as("ids"),
-          count(lit(1)).as("cnt"))
+        .agg(min("doc_id").as("gid"), collect_list("doc_id").as("ids"))
         .withColumn("n", size(col("ws")))
-      // same-set pairs: J = 1.0 by identity, no verify; derived from the
-      // ids arrays with no further shuffle
-      val same = g.filter(col("cnt") > 1)
-        .select(explode(col("ids")).as("id_a"), col("ids"))
-        .select(col("id_a"), explode(col("ids")).as("id_b"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
       // prefix filter over distinct sets: p = n − ceil(0.9n) + 1. The
       // explode CARRIES the verify payload (ws/n/ids) so candidate pairs
       // verify inside the prefix join itself — no join back to g (which
-      // would recompute the collapse twice more and add two exchanges).
-      // A pair sharing several prefix tokens is verified per collision
-      // (cheap native intersect) and deduped by (gid_a, gid_b) once.
+      // would recompute the collapse and add two exchanges). A pair
+      // sharing several prefix tokens is verified per collision (cheap
+      // native intersect) and deduped by (gid_a, gid_b) once.
+      //
+      // gid_a <= gid_b (r12): the SELF-pair of a multi-member group rides
+      // the same join — identical sets verify to exactly 1.0 with no
+      // special case, and the expansion below recovers the same-set doc
+      // pairs. That removes the third consumer of the collapse: both join
+      // sides are now column-identical projections of ONE subtree, so AQE
+      // computes the tokenize + collapse once and ReusedExchanges the
+      // other side at runtime (PlanSpec gates it; the subtree was
+      // computed 3× before — q58 warm fell 3.2 → 1.7 s at sf0.1).
       val p = col("n") - floor((col("n") * 9 + 9) / 10.0).cast("int") + 1
       val pref = g.select(col("lang"), col("gid"), col("ws"), col("n"), col("ids"),
         explode(slice(col("ws"), lit(1), p)).as("tok"))
+      // SHUFFLE_HASH, not broadcast: both sides are the SAME projection of
+      // pref, so shuffling both by (lang, tok) lets Spark compute the
+      // tokenize + collapse subtree once and ReusedExchange the other
+      // side — a broadcast side would duplicate it (and broadcasting an
+      // unbounded pref side is wrong at 100 TB anyway)
       val gp = pref.select(col("lang"), col("tok"), col("gid").as("gid_a"),
           col("ws").as("wa"), col("n").as("na"), col("ids").as("ids_a"))
+        .hint("SHUFFLE_HASH")
         .join(pref.select(col("lang"), col("tok"), col("gid").as("gid_b"),
-          col("ws").as("wb"), col("n").as("nb"), col("ids").as("ids_b")), Seq("lang", "tok"))
-        .filter(col("gid_a") < col("gid_b"))
+          col("ws").as("wb"), col("n").as("nb"), col("ids").as("ids_b"))
+          .hint("SHUFFLE_HASH"), Seq("lang", "tok"))
+        .filter(col("gid_a") <= col("gid_b"))
         // size-ratio prescreen is a sound implication of J ≥ 0.9
         .filter(col("na") * 10 >= col("nb") * 9 && col("nb") * 10 >= col("na") * 9)
+        // emit-once (PPJoin's trick, r12): a pair sharing k prefix tokens
+        // would surface k times; keep only the row whose join token is
+        // the FIRST common prefix token (arrays are sorted, so that is
+        // element 1 of the prefix intersect). This replaces a
+        // (gid_a, gid_b) dedupe aggregation that sorted candidate rows
+        // carrying the full ws/ids payloads — the most expensive exchange
+        // in the old plan — with a per-row filter, and it runs BEFORE the
+        // verify so multiplicity never reaches the intersect either.
+        .filter(col("tok") === element_at(array_intersect(
+          slice(col("wa"), lit(1),
+            col("na") - floor((col("na") * 9 + 9) / 10.0).cast("int") + 1),
+          slice(col("wb"), lit(1),
+            col("nb") - floor((col("nb") * 9 + 9) / 10.0).cast("int") + 1)), 1))
         .select(col("gid_a"), col("gid_b"), col("ids_a"), col("ids_b"),
           graft.functions.SortedIntersectCount.count(col("wa"), col("wb")).as("i"),
           col("na"), col("nb"))
         .select(col("gid_a"), col("gid_b"), col("ids_a"), col("ids_b"),
           (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
         .filter(col("jaccard") >= 0.9)
-        .groupBy("gid_a", "gid_b")
-        .agg(first("ids_a").as("ids_a"), first("ids_b").as("ids_b"),
-          first("jaccard").as("jaccard"))
+      // expansion: cross-group pairs are disjoint id sets (emit once as
+      // least/greatest); a self-pair's two explodes enumerate each
+      // unordered doc pair twice — keep the da < db copy only
       val cross = gp
-        .select(explode(col("ids_a")).as("da"), col("ids_b"), col("jaccard"))
-        .select(col("da"), explode(col("ids_b")).as("db"), col("jaccard"))
+        .select(col("gid_a"), col("gid_b"),
+          explode(col("ids_a")).as("da"), col("ids_b"), col("jaccard"))
+        .select(col("gid_a"), col("gid_b"), col("da"),
+          explode(col("ids_b")).as("db"), col("jaccard"))
+        .filter(col("gid_a") =!= col("gid_b") || col("da") < col("db"))
         .select(least(col("da"), col("db")).as("id_a"),
           greatest(col("da"), col("db")).as("id_b"), col("jaccard"))
-      same.unionByName(cross).orderBy("id_a", "id_b")
+      cross.orderBy("id_a", "id_b")
     },
     duckSql = """WITH w AS (
       |  SELECT DISTINCT doc_id, lang, w FROM (

@@ -149,6 +149,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q58: the self-join's two sides share ONE tokenize+collapse — " +
+      "runtime ReusedExchange (r12)") {
+    val df = QueryRegistry.byName("q58_jaccard_count").fn(spark, sfDir)
+    df.collect() // AQE reuse materializes at runtime, not in the initial plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"the symmetric join sides must reuse one exchange:\n$p")
+  }
+
   test("q22: prefix filtering is complete — matches brute-force jaccard on sf0.001") {
     import org.apache.spark.sql.functions._
     val out = QueryRegistry.byName("q22_jaccard_pairs").fn(spark, sfDir)
