@@ -287,9 +287,18 @@ object Dedup {
         nn.select(col(idA).cast("long").as("src"),
           col(idB).cast("long").as("dst")).distinct()
       else nn.select(col(idA).as("src"), col(idB).as("dst")).distinct()
-    if (integralIds && driverMaxEdges > 0 &&
-        gateProbe(directed, driverMaxEdges) <= driverMaxEdges) {
-      val es = directed.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // gate + data in ONE action (r12): a limited collect both answers
+    // "small enough for the driver?" and, when yes, already holds every
+    // edge — the pair-generation pipeline above (LSH bands, shingle
+    // hashing) used to execute twice, once for the count probe and once
+    // for the collect. Over the cap the wasted work is one limited
+    // collect, the same class as the old limited count.
+    val probed: Array[org.apache.spark.sql.Row] =
+      if (integralIds && driverMaxEdges > 0)
+        directed.limit(math.min(driverMaxEdges + 1, Int.MaxValue.toLong).toInt).collect()
+      else null
+    if (probed != null && probed.length <= driverMaxEdges) {
+      val es = probed.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

@@ -153,7 +153,12 @@ object TextOps {
       |    struct(2 AS band, concat(h3, h4) AS bucket)))
       |  FROM sig
       |)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |-- SHUFFLE_HASH (r12): the two sides are the SAME subquery — shuffled
+      |-- by (band, bucket) they are canonically identical, so AQE computes
+      |-- the shingle+md5+min pipeline ONCE and ReusedExchanges the other
+      |-- side; a broadcast side would run it twice (and broadcasting an
+      |-- unbounded signature table is wrong at 100 TB)
+      |SELECT /*+ SHUFFLE_HASH(a, b) */ a.doc_id AS id_a, b.doc_id AS id_b
       |FROM banded a JOIN banded b
       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       |GROUP BY a.doc_id, b.doc_id

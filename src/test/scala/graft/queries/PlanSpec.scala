@@ -149,6 +149,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q21: the banded self-join's two sides share ONE signature pipeline — " +
+      "runtime ReusedExchange (r12)") {
+    val df = QueryRegistry.byName("q21_minhash_lsh_pairs").fn(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"the symmetric banded sides must reuse one exchange:\n$p")
+  }
+
   test("q58: the self-join's two sides share ONE tokenize+collapse — " +
       "runtime ReusedExchange (r12)") {
     val df = QueryRegistry.byName("q58_jaccard_count").fn(spark, sfDir)
