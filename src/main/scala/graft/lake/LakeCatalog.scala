@@ -13,9 +13,9 @@ import java.util.UUID
 class LakeCatalog(val spark: SparkSession, val warehouse: String) {
 
   private val hadoopConf = spark.sessionState.newHadoopConf()
-  private def fs: FileSystem = new Path(warehouse).getFileSystem(hadoopConf)
+  protected def fs: FileSystem = new Path(warehouse).getFileSystem(hadoopConf)
 
-  private def tableLocation(ident: String): String = {
+  protected def tableLocation(ident: String): String = {
     val parts = ident.split("\\.")
     (warehouse +: parts).mkString("/")
   }
@@ -198,6 +198,57 @@ class RemoteLakeCatalog(spark: SparkSession, warehouse: String, val uri: String)
 
   override protected def metaStoreFor(ident: String): MetaStore =
     new HttpMetaStore(uri, ident)
+
+  /** Adopt an EXISTING filesystem-metadata table into this catalog
+    * service (Iceberg's `register_table`, extended to move authority):
+    * every metadata file — all versions, manifest chunks, the hint — is
+    * copied to the server, then the filesystem copy is REMOVED so the
+    * service becomes the sole commit authority (a writer still holding
+    * the location cannot commit against a stale root). Data files never
+    * move. Requires no concurrent writers during the hand-over, the same
+    * contract Iceberg's register_table documents. */
+  def attachTable(ident: String): LakeTable = {
+    require(!tableExists(ident), s"table $ident already exists at $uri")
+    val loc = tableLocation(ident)
+    val fsStore = new FsMetaStore(fs, loc)
+    require(fsStore.exists("v1.json"),
+      s"no filesystem table metadata under $loc to attach")
+    val remote = metaStoreFor(ident)
+    val names = fsStore.list().map(_._1)
+    names.filterNot(_ == "version-hint.text").foreach { n =>
+      require(remote.putIfAbsent(n, fsStore.read(n).getBytes("UTF-8")),
+        s"catalog service already holds $ident/$n — refusing a partial attach")
+    }
+    fsStore.list().collectFirst { case ("version-hint.text", _) =>
+      remote.putOverwrite("version-hint.text", fsStore.read("version-hint.text").getBytes("UTF-8"))
+    }
+    // authority hand-over: the filesystem metadata must not survive
+    LakeTable.invalidateLocation(loc)
+    fs.delete(new Path(loc, "metadata"), true)
+    loadTable(ident)
+  }
+
+  /** Inverse of [[attachTable]]: write every metadata file back under the
+    * table location and drop it from the service — the table returns to
+    * plain filesystem authority (readable by a warehouse-only catalog). */
+  def detachTable(ident: String): LakeTable = {
+    require(tableExists(ident), s"table $ident does not exist at $uri")
+    val loc = tableLocation(ident)
+    val remote = metaStoreFor(ident)
+    val fsStore = new FsMetaStore(fs, loc)
+    require(!fsStore.exists("v1.json"),
+      s"filesystem metadata already present under $loc — refusing to overwrite")
+    remote.list().map(_._1).foreach { n =>
+      if (n == "version-hint.text")
+        fsStore.putOverwrite(n, remote.read(n).getBytes("UTF-8"))
+      else require(fsStore.putIfAbsent(n, remote.read(n).getBytes("UTF-8")),
+        s"$loc/metadata/$n appeared during detach")
+    }
+    remote match { case h: HttpMetaStore => h.dropTable(); case _ => () }
+    LakeTable.invalidateLocation(loc)
+    LakeTable.invalidateLocation(remote.id)
+    new LakeTable(spark, loc)
+  }
 
   /** The server is the source of truth for what exists — an empty remote
     * table has no data directory yet, so directory scans under-report. */

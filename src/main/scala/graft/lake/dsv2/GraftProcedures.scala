@@ -21,7 +21,8 @@ object GraftProcedures {
     "expire_snapshots", "rewrite_data_files", "rewrite_manifests",
     "rewrite_position_deletes", "convert_equality_deletes",
     "rewrite_delete_files", "binpack", "auto_maintain", "export_scan",
-    "add_files", "fast_forward", "remove_orphan_files",
+    "add_files", "migrate", "attach_table", "detach_table",
+    "fast_forward", "remove_orphan_files",
     "create_branch", "drop_branch", "create_tag", "drop_tag",
     "build_ivf_index", "build_pq_index", "create_changelog_view")
 
@@ -139,6 +140,22 @@ object GraftProcedures {
     case "migrate" => Some(proc(name,
       Array(param("table", StringType), param("source", StringType)),
       row => lake.migrate(row.getString(0), row.getString(1)).meta.name))
+    // wire-catalog authority hand-over (r12): adopt an existing
+    // filesystem table into the catalog service / release it back
+    case "attach_table" => Some(proc(name,
+      Array(param("table", StringType)),
+      row => lake match {
+        case r: graft.lake.RemoteLakeCatalog => r.attachTable(row.getString(0)).meta.name
+        case _ => throw new UnsupportedOperationException(
+          "attach_table needs a wire catalog (spark.sql.catalog.<name>.uri)")
+      }))
+    case "detach_table" => Some(proc(name,
+      Array(param("table", StringType)),
+      row => lake match {
+        case r: graft.lake.RemoteLakeCatalog => r.detachTable(row.getString(0)).meta.name
+        case _ => throw new UnsupportedOperationException(
+          "detach_table needs a wire catalog (spark.sql.catalog.<name>.uri)")
+      }))
     case "fast_forward" => Some(proc(name,
       Array(param("table", StringType), param("branch", StringType),
         param("to", StringType)),

@@ -383,6 +383,46 @@ class CatalogServiceSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("attach/detach: an existing filesystem table moves under the service's " +
+      "authority and back, data in place, history intact (r12)") {
+    val (srv, metaRoot, warehouse) = newEnv()
+    try {
+      import spark.implicits._
+      // born as a plain filesystem table: metadata beside the data
+      val fsCat = new LakeCatalog(spark, warehouse)
+      val t0 = fsCat.createTable("db.mv2w", StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType))))
+      t0.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+      t0.append(Seq((3L, "c")).toDF("id", "v"))
+      val snap1 = t0.meta.snapshots.head.snapshotId
+      assert(Files.exists(Paths.get(warehouse, "db", "mv2w", "metadata")))
+
+      // ATTACH: the service becomes the sole commit authority
+      val cat = new RemoteLakeCatalog(spark, warehouse, srv.uri)
+      val t = cat.attachTable("db.mv2w")
+      assert(!Files.exists(Paths.get(warehouse, "db", "mv2w", "metadata")),
+        "filesystem metadata must not survive the hand-over")
+      assert(Files.exists(Paths.get(metaRoot, "db", "mv2w", "v1.json")))
+      assert(t.toDF.count() === 3)
+      // full history moved: time travel to the pre-attach snapshot works
+      assert(t.read(snapshotId = Some(snap1)).count() === 2)
+      // new commits go through the service
+      t.append(Seq((4L, "d")).toDF("id", "v"))
+      assert(cat.loadTable("db.mv2w").toDF.count() === 4)
+      // double-attach refuses (the ident is taken at the authority)
+      val e = intercept[Exception](cat.attachTable("db.mv2w"))
+      assert(e.getMessage.contains("already exists"))
+
+      // DETACH: back to plain filesystem authority, post-attach commits kept
+      val back = cat.detachTable("db.mv2w")
+      assert(Files.exists(Paths.get(warehouse, "db", "mv2w", "metadata")))
+      assert(!Files.exists(Paths.get(metaRoot, "db", "mv2w", "v1.json")),
+        "the service must release the ident on detach")
+      assert(back.toDF.count() === 4)
+      assert(fsCat.loadTable("db.mv2w").read(snapshotId = Some(snap1)).count() === 2)
+    } finally srv.stop()
+  }
+
   test("two JVMs racing through the service: every commit survives exactly once") {
     val (srv, _, warehouse) = newEnv()
     try {
