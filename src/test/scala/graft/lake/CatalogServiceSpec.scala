@@ -55,6 +55,12 @@ class CatalogServiceSpec extends AnyFunSuite {
       // metadata_log_entries stats each version via the /stat endpoint
       // (one round trip per file, not a listing per lookup — r12)
       assert(MetadataTables(t, "metadata_log_entries").count() >= 4)
+      // path-mode addressing with an explicit authority (r12): the
+      // DataSource reconstructs the table from string options — uri +
+      // ident — and resolves snapshots over the wire
+      assert(spark.read.format("graft")
+        .option("uri", srv.uri).option("ident", "db.wt")
+        .load(s"$warehouse/db/wt").count() === 2)
       // a SECOND client handle (fresh caches) resolves by uri alone
       val cat2 = new RemoteLakeCatalog(spark, warehouse, srv.uri)
       assert(cat2.listTables("db") === Seq("wt"))
