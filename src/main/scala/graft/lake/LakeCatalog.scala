@@ -206,7 +206,10 @@ class RemoteLakeCatalog(spark: SparkSession, warehouse: String, val uri: String)
     * service becomes the sole commit authority (a writer still holding
     * the location cannot commit against a stale root). Data files never
     * move. Requires no concurrent writers during the hand-over, the same
-    * contract Iceberg's register_table documents. */
+    * contract Iceberg's register_table documents. A table whose routing
+    * index names SIBLING state tables (materialized views) needs those
+    * attached too — sibling resolution stays inside one authority, so a
+    * half-moved pair declines to route rather than mixing authorities. */
   def attachTable(ident: String): LakeTable = {
     require(!tableExists(ident), s"table $ident already exists at $uri")
     val loc = tableLocation(ident)

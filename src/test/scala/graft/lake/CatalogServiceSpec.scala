@@ -429,6 +429,27 @@ class CatalogServiceSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("server restart: a new CatalogServer over the same metadata root " +
+      "serves every table — the root IS the durable state (r12)") {
+    val (srv, metaRoot, warehouse) = newEnv()
+    import spark.implicits._
+    val cat = new RemoteLakeCatalog(spark, warehouse, srv.uri)
+    val t = cat.createTable("db.dur", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    srv.stop()
+    // a FRESH server process (new port) over the same private root
+    val srv2 = new CatalogServer(metaRoot).start()
+    try {
+      val cat2 = new RemoteLakeCatalog(spark, warehouse, srv2.uri)
+      assert(cat2.listTables("db") === Seq("dur"))
+      val t2 = cat2.loadTable("db.dur")
+      assert(t2.toDF.count() === 2)
+      t2.append(Seq((3L, "c")).toDF("id", "v")) // commits keep flowing
+      assert(t2.toDF.count() === 3)
+    } finally srv2.stop()
+  }
+
   test("two JVMs racing through the service: every commit survives exactly once") {
     val (srv, _, warehouse) = newEnv()
     try {
