@@ -199,53 +199,135 @@ class RemoteLakeCatalog(spark: SparkSession, warehouse: String, val uri: String)
   override protected def metaStoreFor(ident: String): MetaStore =
     new HttpMetaStore(uri, ident)
 
+  /** Copy order for a metadata hand-over: content-addressed chunks and
+    * auxiliary files FIRST, then version roots newest→oldest, `v1.json`
+    * dead last. `tableExists`/`loadTable` key on `v1.json`, so a crash at
+    * any point leaves the partial copy INVISIBLE to the destination
+    * catalog — and because every file is immutable once written, a retry
+    * resumes idempotently (see [[copyMetadata]]). */
+  private def handOverOrder(names: Seq[String]): Seq[String] = {
+    val Version = "v(\\d+)\\.json".r
+    names.filterNot(_ == "version-hint.text").sortBy {
+      case Version(n) => (1, -n.toLong)
+      case _ => (0, 0L)
+    }
+  }
+
+  /** Idempotently copy every metadata file from `from` to `to` in
+    * hand-over order. A name the destination already holds is fine IFF
+    * the bytes match (metadata files are immutable — an identical file is
+    * a crashed earlier attempt's work, resume over it); mismatched bytes
+    * mean a DIFFERENT table or a competing hand-over owns the name, so
+    * every file THIS call won is deleted (best-effort) before rethrowing
+    * — the destination is left exactly as found. Returns the copied
+    * names. */
+  private def copyMetadata(from: MetaStore, to: MetaStore,
+                           what: String): Seq[String] = {
+    val names = handOverOrder(from.list().map(_._1))
+    val won = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      names.foreach { n =>
+        val bytes = from.read(n)
+        if (to.putIfAbsent(n, bytes.getBytes("UTF-8"))) won += n
+        else require(to.read(n) == bytes,
+          s"$what already holds $n with different content — refusing " +
+            "the hand-over (another table or a competing attach owns it)")
+      }
+    } catch { case e: Throwable =>
+      won.reverse.foreach(n =>
+        try to.delete(n) catch { case _: Exception => () })
+      throw e
+    }
+    from.list().collectFirst { case ("version-hint.text", _) =>
+      to.putOverwrite("version-hint.text",
+        from.read("version-hint.text").getBytes("UTF-8"))
+    }
+    names
+  }
+
+  /** Test seam: runs between the metadata copy and the fence re-list of a
+    * hand-over — the window a concurrent commit must be detected in. */
+  protected def beforeHandOver(ident: String): Unit = ()
+
   /** Adopt an EXISTING filesystem-metadata table into this catalog
     * service (Iceberg's `register_table`, extended to move authority):
     * every metadata file — all versions, manifest chunks, the hint — is
     * copied to the server, then the filesystem copy is REMOVED so the
     * service becomes the sole commit authority (a writer still holding
     * the location cannot commit against a stale root). Data files never
-    * move. Requires no concurrent writers during the hand-over, the same
-    * contract Iceberg's register_table documents. A table whose routing
-    * index names SIBLING state tables (materialized views) needs those
-    * attached too — sibling resolution stays inside one authority, so a
-    * half-moved pair declines to route rather than mixing authorities. */
+    * move. The hand-over is CRASH-SAFE and idempotent (r13): files copy
+    * in [[handOverOrder]] (`v1.json` last, so a partial copy is invisible
+    * to the catalog API), a retry resumes over byte-identical files, a
+    * crash after the filesystem delete makes the call a no-op returning
+    * the attached table. It is also FENCED: after the copy, the
+    * filesystem store is re-listed, and any metadata file that appeared
+    * during the copy (a concurrent commit — outside the documented
+    * no-concurrent-writers contract, same as Iceberg's register_table)
+    * aborts the hand-over with the filesystem copy kept intact and the
+    * server-side `v1.json` removed, so the half-copy stays invisible and
+    * a retry picks the new commit up. A table whose routing index names
+    * SIBLING state tables (materialized views) needs those attached too —
+    * sibling resolution stays inside one authority, so a half-moved pair
+    * declines to route rather than mixing authorities. */
   def attachTable(ident: String): LakeTable = {
-    require(!tableExists(ident), s"table $ident already exists at $uri")
     val loc = tableLocation(ident)
     val fsStore = new FsMetaStore(fs, loc)
-    require(fsStore.exists("v1.json"),
-      s"no filesystem table metadata under $loc to attach")
     val remote = metaStoreFor(ident)
-    val names = fsStore.list().map(_._1)
-    names.filterNot(_ == "version-hint.text").foreach { n =>
-      require(remote.putIfAbsent(n, fsStore.read(n).getBytes("UTF-8")),
-        s"catalog service already holds $ident/$n — refusing a partial attach")
+    if (!fsStore.exists("v1.json")) {
+      // no filesystem metadata: either the hand-over already completed
+      // (idempotent re-call / crash after the delete) or nothing to attach
+      require(remote.exists("v1.json"),
+        s"no filesystem table metadata under $loc to attach")
+      return loadTable(ident)
     }
-    fsStore.list().collectFirst { case ("version-hint.text", _) =>
-      remote.putOverwrite("version-hint.text", fsStore.read("version-hint.text").getBytes("UTF-8"))
+    val copied = copyMetadata(fsStore, remote, s"catalog service $uri: $ident")
+    beforeHandOver(ident)
+    // fence: a commit that landed on the filesystem DURING the copy would
+    // be silently destroyed by the delete below — detect it, hide the
+    // server-side copy again (v1.json keys visibility; every other file
+    // is immutable and reusable by the retry) and make the caller retry
+    val appeared = fsStore.list().map(_._1).toSet -- copied.toSet - "version-hint.text"
+    if (appeared.nonEmpty) {
+      try remote.delete("v1.json") catch { case _: Exception => () }
+      throw CommitConflictException(
+        s"concurrent commit during attach of $ident (new metadata: " +
+          s"${appeared.toSeq.sorted.mkString(", ")}) — filesystem copy " +
+          "kept; retry attach_table")
     }
     // authority hand-over: the filesystem metadata must not survive
     LakeTable.invalidateLocation(loc)
+    LakeTable.invalidateLocation(remote.id)
     fs.delete(new Path(loc, "metadata"), true)
     loadTable(ident)
   }
 
   /** Inverse of [[attachTable]]: write every metadata file back under the
     * table location and drop it from the service — the table returns to
-    * plain filesystem authority (readable by a warehouse-only catalog). */
+    * plain filesystem authority (readable by a warehouse-only catalog).
+    * Crash-safe, idempotent and fenced exactly like attach (r13): the
+    * copy resumes over byte-identical files with `v1.json` last, a wire
+    * commit landing during the copy aborts the hand-over (filesystem
+    * `v1.json` removed so the half-copy stays invisible, server copy
+    * kept), and a re-call after the server-side drop returns the
+    * filesystem table. */
   def detachTable(ident: String): LakeTable = {
-    require(tableExists(ident), s"table $ident does not exist at $uri")
     val loc = tableLocation(ident)
     val remote = metaStoreFor(ident)
     val fsStore = new FsMetaStore(fs, loc)
-    require(!fsStore.exists("v1.json"),
-      s"filesystem metadata already present under $loc — refusing to overwrite")
-    remote.list().map(_._1).foreach { n =>
-      if (n == "version-hint.text")
-        fsStore.putOverwrite(n, remote.read(n).getBytes("UTF-8"))
-      else require(fsStore.putIfAbsent(n, remote.read(n).getBytes("UTF-8")),
-        s"$loc/metadata/$n appeared during detach")
+    if (!remote.exists("v1.json")) {
+      require(fsStore.exists("v1.json"),
+        s"table $ident does not exist at $uri")
+      return new LakeTable(spark, loc)
+    }
+    val copied = copyMetadata(remote, fsStore, s"$loc/metadata")
+    beforeHandOver(ident)
+    val appeared = remote.list().map(_._1).toSet -- copied.toSet - "version-hint.text"
+    if (appeared.nonEmpty) {
+      try fsStore.delete("v1.json") catch { case _: Exception => () }
+      throw CommitConflictException(
+        s"concurrent commit during detach of $ident (new metadata: " +
+          s"${appeared.toSeq.sorted.mkString(", ")}) — service copy kept; " +
+          "retry detach_table")
     }
     remote match { case h: HttpMetaStore => h.dropTable(); case _ => () }
     LakeTable.invalidateLocation(loc)

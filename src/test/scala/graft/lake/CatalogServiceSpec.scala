@@ -415,9 +415,10 @@ class CatalogServiceSpec extends AnyFunSuite {
       // new commits go through the service
       t.append(Seq((4L, "d")).toDF("id", "v"))
       assert(cat.loadTable("db.mv2w").toDF.count() === 4)
-      // double-attach refuses (the ident is taken at the authority)
-      val e = intercept[Exception](cat.attachTable("db.mv2w"))
-      assert(e.getMessage.contains("already exists"))
+      // re-attach is idempotent (r13): the filesystem copy is gone and
+      // the service owns the ident — indistinguishable from a crash after
+      // the hand-over's delete, so the call returns the attached table
+      assert(cat.attachTable("db.mv2w").toDF.count() === 4)
 
       // DETACH: back to plain filesystem authority, post-attach commits kept
       val back = cat.detachTable("db.mv2w")
@@ -426,6 +427,88 @@ class CatalogServiceSpec extends AnyFunSuite {
         "the service must release the ident on detach")
       assert(back.toDF.count() === 4)
       assert(fsCat.loadTable("db.mv2w").read(snapshotId = Some(snap1)).count() === 2)
+    } finally srv.stop()
+  }
+
+  test("attach_table is crash-safe: a partial copy is invisible and a retry " +
+      "resumes it; a concurrent commit is fenced; a foreign ident rolls back (r13)") {
+    val (srv, metaRoot, warehouse) = newEnv()
+    try {
+      import spark.implicits._
+      val fsCat = new LakeCatalog(spark, warehouse)
+      val cat = new RemoteLakeCatalog(spark, warehouse, srv.uri)
+
+      // -- 1. resume after a crash mid-copy ---------------------------------
+      val t0 = fsCat.createTable("db.cr", StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType))))
+      t0.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+      t0.append(Seq((3L, "c")).toDF("id", "v"))
+      val snap1 = t0.meta.snapshots.head.snapshotId
+      // simulate the crash state: every metadata file EXCEPT v1.json made
+      // it to the server before the process died
+      val metaDir = Paths.get(warehouse, "db", "cr", "metadata")
+      val remote = new HttpMetaStore(srv.uri, "db.cr")
+      Files.list(metaDir).iterator().asScala
+        .filter(p => p.getFileName.toString != "v1.json")
+        .foreach(p => remote.putIfAbsent(p.getFileName.toString, Files.readAllBytes(p)))
+      // the half-copy is INVISIBLE: v1.json keys existence at the catalog
+      assert(!cat.tableExists("db.cr"),
+        "a crashed partial attach must not be visible as an existing table")
+      // retry completes the hand-over over the byte-identical files
+      val t = cat.attachTable("db.cr")
+      assert(t.toDF.count() === 3)
+      assert(t.read(snapshotId = Some(snap1)).count() === 2)
+      assert(!Files.exists(metaDir))
+
+      // -- 2. fence: a commit landing during the copy aborts the hand-over --
+      val f0 = fsCat.createTable("db.fence", StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType))))
+      f0.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+      val fenceLoc = s"$warehouse/db/fence"
+      var raced = false
+      val racingCat = new RemoteLakeCatalog(spark, warehouse, srv.uri) {
+        override protected def beforeHandOver(ident: String): Unit =
+          if (ident == "db.fence" && !raced) {
+            raced = true // a writer still holding the location commits now
+            new LakeTable(spark, fenceLoc).append(Seq((4L, "d")).toDF("id", "v"))
+          }
+      }
+      val e = intercept[CommitConflictException](racingCat.attachTable("db.fence"))
+      assert(e.getMessage.contains("concurrent commit during attach"))
+      // the filesystem copy survives (nothing destroyed), the server-side
+      // half-copy went invisible again, and a retry lands EVERY commit
+      assert(Files.exists(Paths.get(warehouse, "db", "fence", "metadata")))
+      assert(!cat.tableExists("db.fence"))
+      assert(racingCat.attachTable("db.fence").toDF.count() === 4)
+
+      // -- 3. mismatch: the ident belongs to a different table → rollback ---
+      val own = cat.createTable("db.clash", StructType(Seq(
+        StructField("k", LongType))))
+      own.append(Seq(Tuple1(7L)).toDF("k"))
+      val before = new HttpMetaStore(srv.uri, "db.clash").list().map(_._1).toSet
+      val c0 = fsCat.createTable("db.clash", StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType))))
+      c0.append(Seq((1L, "a")).toDF("id", "v"))
+      val e2 = intercept[Exception](cat.attachTable("db.clash"))
+      assert(e2.getMessage.contains("different content"))
+      // every file THIS attach won was deleted: the server holds exactly
+      // the foreign table's files, and that table still reads
+      assert(new HttpMetaStore(srv.uri, "db.clash").list().map(_._1).toSet === before)
+      assert(cat.loadTable("db.clash").toDF.count() === 1)
+
+      // -- 4. detach resumes a partial copy the same way --------------------
+      // simulate the crash: every file except v1.json already written back
+      val dMeta = Paths.get(warehouse, "db", "cr", "metadata")
+      Files.createDirectories(dMeta)
+      remote.list().map(_._1).filterNot(_ == "v1.json").foreach { n =>
+        Files.write(dMeta.resolve(n), remote.read(n).getBytes("UTF-8")); ()
+      }
+      val back = cat.detachTable("db.cr")
+      assert(back.toDF.count() === 3)
+      assert(!cat.tableExists("db.cr"), "detach must release the ident")
+      assert(fsCat.loadTable("db.cr").read(snapshotId = Some(snap1)).count() === 2)
+      // re-detach after completion is an idempotent no-op
+      assert(cat.detachTable("db.cr").toDF.count() === 3)
     } finally srv.stop()
   }
 
