@@ -559,13 +559,24 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     // by the spec source columns' current names, %XX-unescaped like the
     // native write path's directory parse
     val pathTuples: Map[Path, Map[String, String]] = paths.map { p =>
-      p -> p.toString.split("/").dropRight(1).flatMap { seg =>
+      val segs = p.toString.split("/").dropRight(1).toSeq.flatMap { seg =>
         seg.split("=", 2) match {
           case Array(k, v) if partSourceNames.contains(k) =>
             Some(k -> LakeTable.unescapePathName(v))
           case _ => None
         }
-      }.toMap
+      }
+      // a path carrying the same key twice with CONFLICTING values has no
+      // unambiguous partition tuple — refuse rather than pick one (every
+      // downstream parse of the path — DuckDB's hive_partitioning in the
+      // exportScan SQL, external hive readers — must agree on the value)
+      segs.groupBy(_._1).foreach { case (k, vs) =>
+        require(vs.map(_._2).distinct.size == 1,
+          s"add_files: $p carries conflicting values for partition " +
+            s"column $k (${vs.map(_._2).distinct.mkString(", ")}) — " +
+            "ambiguous hive layout")
+      }
+      p -> segs.toMap
     }.toMap
     partSources.foreach { case (_, sc) =>
       pathTuples.collectFirst { case (p, vs) if !vs.contains(sc.name) => p }
@@ -694,20 +705,40 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
         val raw0 = spark.read.schema(fileOnlySchema)
           .parquet(fs.map(_.path): _*)
         // hive-layout import groups (r12): a fromPath column's value is
-        // in the file's `name=value` path segment, not the bytes — parse
-        // it from `_metadata.file_path` in ONE scan (no per-partition
-        // plan nodes), unescape %XX while preserving literal '+'
-        // (url_decode after masking '+' = Hive's unescapePathName), and
-        // cast the directory string to the table type
-        val raw = pathCols.foldLeft(raw0) { (d, c) =>
-          val seg = regexp_extract(col("_metadata.file_path"),
-            "(?:^|/)" + java.util.regex.Pattern.quote(c.physicalName) +
-              "=([^/]+)", 1)
-          d.withColumn(c.physicalName,
-            when(seg === "" || seg === "__HIVE_DEFAULT_PARTITION__",
-                lit(null))
-              .otherwise(url_decode(regexp_replace(seg, "\\+", "%2B")))
-              .cast(c.sparkType))
+        // in the file's `name=value` path segment, not the bytes. Fill it
+        // from the RECORDED partition tuple (r13) — the exact values
+        // hidden-partition pruning and the DSv2/SPJ read already use —
+        // via one broadcast join on the table-unique basename, still ONE
+        // scan (no per-partition plan nodes). Re-parsing the path here
+        // (the r12 regexp) could disagree with addFiles' last-wins
+        // directory-segment parse on adversarial layouts, leaving
+        // pruning and row values inconsistent.
+        val raw = if (pathCols.isEmpty) raw0 else {
+          val lookupRows = fs.map { f =>
+            val spec = m.partitionSpecs.find(_.specId == f.specId)
+            val vals = pathCols.map { c =>
+              spec.flatMap(_.fields.find(p =>
+                  p.sourceId == c.id && p.transform == "identity"))
+                .flatMap(pf => f.partitionValues.get(pf.physicalName))
+                .filter(_ != "__HIVE_DEFAULT_PARTITION__").orNull
+            }
+            Row.fromSeq(fileName(f.path) +: vals)
+          }
+          val lookupSchema = StructType(
+            StructField("_gd_pv_file", StringType, nullable = false) +:
+              pathCols.map(c => StructField("_gd_pv_" + c.physicalName,
+                StringType)))
+          val lookup = spark.createDataFrame(
+            java.util.Arrays.asList(lookupRows: _*), lookupSchema)
+          val joined = raw0.join(broadcast(lookup),
+            col("_metadata.file_name") === col("_gd_pv_file"), "left")
+          pathCols.foldLeft(joined) { (d, c) =>
+            // directory-string semantics: cast the recorded raw segment
+            // exactly like Spark casts partition-directory values
+            d.withColumn(c.physicalName,
+              col("_gd_pv_" + c.physicalName).cast(c.sparkType))
+          }.drop(("_gd_pv_file" +:
+            pathCols.map("_gd_pv_" + _.physicalName)): _*)
         }
         val cols = cur.columns.map { c =>
           written.byId(c.id) match {

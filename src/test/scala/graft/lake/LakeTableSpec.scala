@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** End-to-end lake-table scenarios mirroring the reference notebooks'
   * observable behavior (SURVEY.md §5: counts drop after DELETE and return
@@ -1374,6 +1375,50 @@ class LakeTableSpec extends AnyFunSuite {
       .write.parquet(s"$dup/m=9")
     val e2 = intercept[Exception](t.addFiles(dup))
     assert(e2.getMessage.contains("also present"), e2.getMessage)
+  }
+
+  test("add_files: adversarial hive layouts — row fill comes from the " +
+      "RECORDED tuple, conflicting duplicate keys refuse (r13)") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    def freshTable(n: String) = cat.createTable(s"db.$n", StructType(Seq(
+      StructField("id", LongType), StructField("month", IntegerType))),
+      partitionBy = Seq("month" -> "identity"))
+    // the key segment appearing twice with the SAME value is harmless
+    // (backup/copy trees do this); pruning and the row fill agree
+    val same = Files.createTempDirectory("graft-hive-same").toString
+    Seq(1L, 2L).toDF("id").coalesce(1)
+      .write.parquet(s"$same/month=2/copy/month=2")
+    val t1 = freshTable("hsame")
+    t1.addFiles(same)
+    val f1 = t1.meta.currentSnapshot.get.files.head
+    assert(f1.partitionValues.values.toSeq === Seq("2"))
+    assert(t1.toDF.select("month").distinct().collect().map(_.getInt(0)).toSeq === Seq(2))
+    assert(t1.read(filter = Some(col("month") === 2)).count() === 2)
+    // CONFLICTING values for one key have no unambiguous tuple: refuse
+    // (the r12 first-match read vs last-wins import disagreement can no
+    // longer arise — the layout that caused it never imports)
+    val conflict = Files.createTempDirectory("graft-hive-conf").toString
+    Seq(3L).toDF("id").coalesce(1)
+      .write.parquet(s"$conflict/month=1/x/month=2")
+    val t2 = freshTable("hconf")
+    val e = intercept[Exception](t2.addFiles(conflict))
+    assert(e.getMessage.contains("conflicting values"), e.getMessage)
+    // a basename that LOOKS like a key=value segment is not a directory:
+    // the recorded tuple and the row fill both come from the parent dirs
+    val base = Files.createTempDirectory("graft-hive-base").toString
+    Seq(4L, 5L).toDF("id").coalesce(1).write.parquet(s"$base/tmp-m")
+    val dataFile = Files.list(Paths.get(base, "tmp-m")).iterator().asScala
+      .map(_.toString).find(_.endsWith(".parquet")).get
+    Files.createDirectories(Paths.get(base, "month=1"))
+    Files.move(Paths.get(dataFile), Paths.get(base, "month=1", "month=9.parquet"))
+    val t3 = freshTable("hbase")
+    t3.addFiles(s"$base/month=1")
+    assert(t3.meta.currentSnapshot.get.files.head
+      .partitionValues.values.toSeq === Seq("1"))
+    assert(t3.toDF.select("month").distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(1),
+      "the row fill must use the recorded tuple, never the basename")
   }
 
   test("migrate: derive the table FROM the files — footer schema + hive " +
