@@ -46,12 +46,7 @@ import scala.util.Using
 final class CatalogServer(metadataRoot: String, port: Int = 0) {
 
   private val root = Paths.get(metadataRoot)
-  // TCP_NODELAY on accepted sockets: the JDK server writes response
-  // headers and body separately, and with Nagle on, a keep-alive client
-  // stalls one delayed-ACK (~40 ms) per request — measured 44 ms/req vs
-  // 1.3 ms with the flag (must be set before the FIRST HttpServer in the
-  // JVM initializes its static config)
-  System.setProperty("sun.net.httpserver.nodelay", "true")
+  CatalogServer.ensureNoDelay()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   // daemon workers + explicit shutdown in stop(): an embedding process
   // (probe mains, tests) must be able to exit after stop()
@@ -212,6 +207,42 @@ final class CatalogServer(metadataRoot: String, port: Int = 0) {
   def boundPort: Int = server.getAddress.getPort
   def uri: String = s"http://127.0.0.1:$boundPort"
   def stop(): Unit = { server.stop(0); pool.shutdown() }
+}
+
+object CatalogServer {
+  /** TCP_NODELAY on accepted sockets: the JDK server writes response
+    * headers and body separately, and with Nagle on, a keep-alive client
+    * stalls one delayed-ACK (~40 ms) per request — measured 44 ms/req vs
+    * 1.3 ms with the flag. The JDK reads the property ONCE, in
+    * `sun.net.httpserver.ServerConfig`'s static init, which runs when the
+    * first HttpServer in the JVM is created — so the property is set at
+    * CLASS-LOAD time of this companion (before any CatalogServer
+    * instance can construct its HttpServer), and [[ensureNoDelay]] then
+    * tries to read the effective flag back reflectively: if some OTHER
+    * HttpServer initialized ServerConfig earlier with the flag unset, the
+    * 40 ms stall is back and we log a loud warning instead of silently
+    * regressing. (The reflective read itself forces ServerConfig init
+    * AFTER our setProperty, so when it is readable it also guarantees the
+    * flag took effect; `jdk.httpserver` doesn't open the package by
+    * default, in which case the check is skipped — best effort.) */
+  System.setProperty("sun.net.httpserver.nodelay", "true")
+
+  private lazy val noDelayEffective: Option[Boolean] =
+    try {
+      val m = Class.forName("sun.net.httpserver.ServerConfig")
+        .getDeclaredMethod("noDelay")
+      m.setAccessible(true)
+      Some(m.invoke(null).asInstanceOf[Boolean])
+    } catch { case _: Throwable => None }
+
+  private[catalog] def ensureNoDelay(): Unit = noDelayEffective match {
+    case Some(false) => System.err.println(
+      "[graft] WARNING: sun.net.httpserver.nodelay was read before this " +
+        "library could set it (another HttpServer initialized first) — " +
+        "catalog requests will pay a ~40 ms Nagle/delayed-ACK stall each; " +
+        "set -Dsun.net.httpserver.nodelay=true on the JVM command line")
+    case _ => ()
+  }
 }
 
 /** Standalone entry point: `runMain graft.lake.catalog.CatalogServerMain

@@ -171,20 +171,29 @@ object Similarity {
     (assigned, centroids)
   }
 
-  /** IVF probe: search only the `nprobe` lists whose centroids are nearest
-    * to the query (list choice computed driver-side — centroids are local). */
-  def ivfTopK(assigned: DataFrame, centroids: Seq[Seq[Float]], queryVec: Seq[Float],
-              k: Int = 10, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** The `nprobe` list ids whose centroids are nearest to the query —
+    * computed driver-side (centroids are local by construction). Shared
+    * by [[ivfTopK]] and the persistent [[VectorIndex]] probe, whose
+    * partition pruning needs the list BEFORE building the scan. */
+  private[graft] def probeLists(centroids: Seq[Seq[Float]],
+                                queryVec: Seq[Float], nprobe: Int): Seq[Int] = {
     def localCos(a: Seq[Float], b: Seq[Float]): Double = {
       val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
       val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
       val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
       if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
     }
-    val probe = centroids.zipWithIndex
+    centroids.zipWithIndex
       .sortBy { case (c, i) => (-localCos(c, queryVec), i) }
       .take(nprobe).map(_._2)
+  }
+
+  /** IVF probe: search only the `nprobe` lists whose centroids are nearest
+    * to the query (list choice computed driver-side — centroids are local). */
+  def ivfTopK(assigned: DataFrame, centroids: Seq[Seq[Float]], queryVec: Seq[Float],
+              k: Int = 10, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probe = probeLists(centroids, queryVec, nprobe)
     val q = typedLit(queryVec)
     assigned
       .filter(col("list_id").isin(probe: _*)) // partition-prunable at scale

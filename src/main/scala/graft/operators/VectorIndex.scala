@@ -1,0 +1,243 @@
+package graft.operators
+
+import graft.lake.{LakeCatalog, LakeTable}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persistent IVF vector index over a lake table — the missing piece
+  * between the ephemeral [[Similarity.ivfAssign]] (centroids rebuilt per
+  * session, assignments never stored) and ANN at corpus scale, where the
+  * index must be (a) DURABLE — a new engine probes without touching the
+  * base vectors, (b) INCREMENTALLY MAINTAINED — an append of B vectors
+  * into a corpus of N costs O(B·nlist), never O(N), and (c) PHYSICALLY
+  * CLUSTERED — the posting lists are identity partitions of the index
+  * table, so a probe of `nprobe` lists is a metadata-level
+  * partition-pruned scan of ~nprobe/nlist of the index bytes (the
+  * IVF/IVFADC layout of Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", re-expressed as lake-table partitioning).
+  *
+  * Layout — two lake tables plus two snapshot-summary pins:
+  *   - `<ident>` (the index/state table): `(id, embedding, list_id)`,
+  *     identity-partitioned by `list_id`.
+  *   - `<ident>_centroids`: `(list_id, embedding)` — nlist×dim, tiny.
+  *   - Every index commit's snapshot summary carries the base snapshot
+  *     the content reflects ([[VectorIndex.WatermarkKey]]) and the
+  *     centroid-table snapshot the assignments were computed against
+  *     ([[VectorIndex.CentroidSnapKey]]). Probes time-travel the
+  *     centroid table to that pin, so assignments and centroids can
+  *     NEVER be observed torn: a crash between a centroid rewrite and
+  *     the index rebuild commit leaves the index pinning the OLD
+  *     centroid snapshot — still a consistent (merely stale) index.
+  *
+  * Maintenance is the MV pattern ([[graft.lake.MaterializedAgg]]):
+  * [[refresh]] reads the base table's batch changelog over the window
+  * `(watermark, head]`, reduces it to each changed key's FINAL state,
+  * assigns only those vectors against the PINNED centroids (a pure
+  * codegen'd projection — no shuffle beyond the churn-sized last-state
+  * window), and applies one equality-keyed upsert commit that also
+  * advances the watermark. Assignment against pinned centroids is
+  * deterministic, so re-applying a window after a crash (stale
+  * watermark) converges to the same index — refresh is idempotent.
+  *
+  * Centroid drift: incremental assignment keeps OLD centroids by design
+  * (stability is what makes refresh cheap); a corpus whose distribution
+  * moves shows up as list-population [[imbalance]]. Operators watch it
+  * and call [[rebuild]] — a full recluster + reassignment, committed
+  * with the same torn-proof pin discipline.
+  *
+  * 100 TB notes: the index table is a regular lake table — set
+  * `write.merge.mode=merge-on-read` on it for high-churn bases (refresh
+  * upserts become equality-delete files instead of CoW rewrites), and
+  * `write.target-file-size-bytes` to keep posting-list partitions in
+  * task-sized files; both compose with the maintenance tiers. */
+final class VectorIndex private (
+    val state: LakeTable, val centroidsTable: LakeTable, val base: LakeTable,
+    val idCol: String, val vecCol: String, val metric: String) {
+  import VectorIndex._
+
+  /** Base snapshot the index content reflects (from the latest index
+    * commit that recorded one). */
+  def watermark: Option[Long] = summaryPin(state, WatermarkKey)
+
+  /** Centroid-table snapshot the current assignments were computed
+    * against — probes read the centroid table AT this snapshot. */
+  def centroidSnapshot: Long = summaryPin(state, CentroidSnapKey).getOrElse(
+    throw new IllegalStateException(
+      s"index ${state.meta.name} has no centroid pin — not a VectorIndex state table"))
+
+  /** The pinned centroid matrix, list-ordered. nlist×dim — driver-sized
+    * by construction (it becomes plan literals for assignment). */
+  def centroids: Seq[Seq[Float]] =
+    centroidsTable.read(snapshotId = Some(centroidSnapshot))
+      .select("list_id", "embedding").orderBy("list_id")
+      .collect().map(_.getSeq[Float](1)).toSeq
+
+  /** Catch the index up to the base table's head (or `toSnapshotId`):
+    * one changelog read over `(watermark, head]`, one last-state
+    * reduction per changed key, one nearest-centroid projection over the
+    * insert side, one upsert commit. Cost is churn-shaped — O(batch),
+    * never O(corpus). Returns the new watermark; no-op when already
+    * current. */
+  def refresh(toSnapshotId: Option[Long] = None): Option[Long] = {
+    val head = toSnapshotId.orElse(base.meta.currentSnapshot.map(_.snapshotId))
+    val from = watermark
+    if (head.isEmpty || head == from) return from
+    val to = head.get
+    val cl = base.changelog(from, to)
+    // a key can change many times inside the window (insert→delete,
+    // update chains): only its FINAL state matters to the index. Within
+    // one commit ordinal an insert outranks the delete of the same key
+    // (a row rewritten in a commit ends alive; a row only deleted does
+    // not). The window shuffles churn-sized data keyed by id.
+    val isAlive = col("_change_type").isin("INSERT", "UPDATE_AFTER")
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_change_ordinal").desc, when(isAlive, 1).otherwise(0).desc)
+    val last = cl.select(col(idCol), col(vecCol), col("_change_type"),
+        col("_change_ordinal"))
+      .withColumn("_vx_rn", row_number().over(w))
+      .filter(col("_vx_rn") === 1)
+    val alive = last.filter(isAlive).select(col(idCol), col(vecCol))
+    val assigned = Similarity.ivfAssignWith(alive, centroids, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("list_id").cast(IntegerType))
+    // every changed key is deleted; final-alive keys are re-inserted with
+    // their (possibly unchanged) assignment — an idempotent upsert
+    state.mergeByKeys(idCol, cl.select(col(idCol)), assigned,
+      extraSummary = Map(WatermarkKey -> to.toString,
+        CentroidSnapKey -> centroidSnapshot.toString))
+    Some(to)
+  }
+
+  /** ANN top-k over the index alone: probe-list choice is driver-side
+    * (pinned centroids), the scan is metadata-level partition-pruned to
+    * the `nprobe` chosen lists, scoring is the codegen'd cosine. The
+    * base table is never touched. */
+  def search(queryVec: Seq[Float], k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val probe = Similarity.probeLists(centroids, queryVec, nprobe)
+    val pruned = state.read(filter =
+      Some(col("list_id").isin(probe.map(Int.box): _*)))
+    pruned.select(col(idCol),
+        Similarity.cosine(col(vecCol), typedLit(queryVec)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** max/mean posting-list population — the drift signal. Incremental
+    * maintenance never moves centroids, so a shifting corpus piles new
+    * vectors onto few lists; when this ratio degrades probe cost/recall,
+    * schedule [[rebuild]]. One count-aggregate over the index. */
+  def imbalance: Double = {
+    val sizes = state.toDF.groupBy("list_id").count()
+      .collect().map(_.getLong(1))
+    if (sizes.isEmpty) 1.0
+    else sizes.max.toDouble * sizes.length / sizes.sum.toDouble
+  }
+
+  /** Full recluster + reassignment at the base head: new k-means
+    * centroids appended to the centroid table (after clearing it — old
+    * pins still time-travel to their rows), then ONE index commit
+    * replacing every assignment and moving both pins. A crash at any
+    * point leaves the previous consistent index serving. */
+  def rebuild(nlist: Int = 0, iters: Int = 3): Option[Long] = {
+    val head = base.meta.currentSnapshot.map(_.snapshotId)
+    if (head.isEmpty) return watermark
+    val n = if (nlist > 0) nlist else centroids.size
+    val (assigned, cs) = Similarity.ivfAssign(
+      base.read(snapshotId = head).select(col(idCol), col(vecCol)),
+      n, iters, idCol, vecCol, metric)
+    centroidsTable.delete(lit(true))
+    val cSnap = centroidsTable.append(centroidsDf(state.spark, cs))
+      .currentSnapshot.get.snapshotId
+    val allKeys = state.toDF.select(col(idCol))
+      .union(assigned.select(col(idCol)))
+    state.mergeByKeys(idCol, allKeys,
+      assigned.select(col(idCol), col(vecCol), col("list_id").cast(IntegerType)),
+      extraSummary = Map(WatermarkKey -> head.get.toString,
+        CentroidSnapKey -> cSnap.toString))
+    head
+  }
+}
+
+object VectorIndex {
+  /** Snapshot-summary key: base snapshot the index content reflects. */
+  private[graft] val WatermarkKey = "graft.vindex.base-snapshot"
+  /** Snapshot-summary key: centroid-table snapshot of the assignments. */
+  private[graft] val CentroidSnapKey = "graft.vindex.centroids-snapshot"
+  private val BaseLocKey = "graft.vindex.base-location"
+  private val CentroidsLocKey = "graft.vindex.centroids-location"
+  private val IdColKey = "graft.vindex.id-col"
+  private val VecColKey = "graft.vindex.vec-col"
+  private val MetricKey = "graft.vindex.metric"
+
+  private def summaryPin(state: LakeTable, key: String): Option[Long] = {
+    val m = state.meta
+    var cur = m.currentSnapshot
+    while (cur.isDefined) {
+      cur.get.summary.get(key) match {
+        case Some(v) => return Some(v.toLong)
+        case None => cur = cur.get.parentId.flatMap(m.snapshot)
+      }
+    }
+    None
+  }
+
+  private def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+                          cs: Seq[Seq[Float]]): DataFrame = {
+    val rows = cs.zipWithIndex.map { case (c, i) => Row(i, c) }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+      StructField("list_id", IntegerType, nullable = false),
+      StructField("embedding", ArrayType(FloatType)))))
+  }
+
+  /** Build the index over `base`'s current snapshot: sample+Lloyd
+    * centroids ([[Similarity.ivfAssign]]), persist them, create the
+    * identity-partitioned index table, and commit the initial
+    * assignments with both pins. `idCol` must uniquely identify a
+    * vector (it is the upsert key of every refresh). */
+  def create(catalog: LakeCatalog, ident: String, base: LakeTable,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             nlist: Int = 16, iters: Int = 3,
+             metric: String = "cosine"): VectorIndex = {
+    val head = base.meta.currentSnapshot.map(_.snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        "create the index after the base table has data — centroids are " +
+          "sampled from it"))
+    val idType = base.meta.schema.byName(idCol).getOrElse(
+      throw new IllegalArgumentException(s"base has no column $idCol")).sparkType
+    require(base.meta.schema.byName(vecCol).isDefined, s"base has no column $vecCol")
+    val (assigned, cs) = Similarity.ivfAssign(
+      base.read(snapshotId = Some(head)).select(col(idCol), col(vecCol)),
+      nlist, iters, idCol, vecCol, metric)
+    val cT = catalog.createTable(s"${ident}_centroids", StructType(Seq(
+      StructField("list_id", IntegerType, nullable = false),
+      StructField("embedding", ArrayType(FloatType)))))
+    val cSnap = cT.append(centroidsDf(base.spark, cs))
+      .currentSnapshot.get.snapshotId
+    val t = catalog.createTable(ident, StructType(Seq(
+      StructField(idCol, idType),
+      StructField(vecCol, ArrayType(FloatType)),
+      StructField("list_id", IntegerType))),
+      partitionBy = Seq("list_id" -> "identity"),
+      properties = Map(BaseLocKey -> base.location,
+        CentroidsLocKey -> cT.location, IdColKey -> idCol,
+        VecColKey -> vecCol, MetricKey -> metric))
+    t.mergeByKeys(idCol, assigned.select(col(idCol)).limit(0),
+      assigned.select(col(idCol), col(vecCol), col("list_id").cast(IntegerType)),
+      extraSummary = Map(WatermarkKey -> head.toString,
+        CentroidSnapKey -> cSnap.toString))
+    new VectorIndex(t, cT, base, idCol, vecCol, metric)
+  }
+
+  /** Reload an index created by [[create]] from its recorded spec. The
+    * base and centroid tables resolve as SIBLINGS of the state table —
+    * through the same metadata authority (a wire-catalog index stays
+    * wire; see [[graft.lake.MetaStore.sibling]]). */
+  def load(catalog: LakeCatalog, ident: String): VectorIndex = {
+    val t = catalog.loadTable(ident)
+    val p = t.meta.properties
+    require(p.contains(BaseLocKey), s"$ident is not a VectorIndex state table")
+    new VectorIndex(t, t.sibling(p(CentroidsLocKey)), t.sibling(p(BaseLocKey)),
+      p(IdColKey), p(VecColKey), p.getOrElse(MetricKey, "cosine"))
+  }
+}

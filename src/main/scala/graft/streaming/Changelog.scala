@@ -289,9 +289,13 @@ object Changelog {
     * for the quiet stretches lives here, driver-side. A driver restart
     * forgets the pending tail, which costs at most one under-count of
     * N-1 attempts — the record itself (stuck + last error + when) stays
-    * visible throughout. */
+    * visible throughout. Keyed by (base-table location, view location)
+    * and pruned against the base table's CURRENT routing index on every
+    * refresh pass (r13): a view dropped while failing no longer leaves
+    * its counter forever, and a new view later created at the same state
+    * location starts its failure count from zero. */
   private val pendingRefreshFailures =
-    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
 
   /** Refresh every view in the table's routing index; failures skip —
     * but never silently: a failing view records a consecutive failure
@@ -307,12 +311,19 @@ object Changelog {
     val recordEvery = table.meta.properties
       .get("graft.mv.health.record-every").flatMap(_.toLongOption)
       .filter(_ > 0).getOrElse(16L)
-    table.meta.properties.get(MaterializedAgg.ViewsKey).toSeq
-      .flatMap(_.split(";")).filter(_.nonEmpty).foreach { loc =>
+    val locs = table.meta.properties.get(MaterializedAgg.ViewsKey).toSeq
+      .flatMap(_.split(";")).filter(_.nonEmpty)
+    // prune counters for views no longer in THIS table's routing index
+    // (dropped while failing): without this a stuck-then-dropped view
+    // leaks its entry forever, and a new view created at the same state
+    // location would inherit the stale pending count (r13)
+    pendingRefreshFailures.keySet.removeIf(k =>
+      k._1 == table.location && !locs.contains(k._2))
+    locs.foreach { loc =>
         try {
           MaterializedAgg.loadVia(table, loc).refresh()
           // success: clear any failure record (only commits when present)
-          pendingRefreshFailures.remove(loc)
+          pendingRefreshFailures.remove((table.location, loc))
           val st = table.sibling(loc)
           if (st.meta.properties.contains(MaterializedAgg.FailuresKey)) {
             st.updateProperties(_ - MaterializedAgg.FailuresKey -
@@ -323,11 +334,18 @@ object Changelog {
           System.err.println(s"[graft] view refresh skipped for $loc: ${e.getMessage}")
           try {
             val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(512)
-            val pending = pendingRefreshFailures.merge(loc, 1L, _ + _)
+            val pending = pendingRefreshFailures.merge((table.location, loc), 1L, _ + _)
             val st = table.sibling(loc)
             val props = st.meta.properties
             val recorded = props.get(MaterializedAgg.FailuresKey).flatMap(_.toLongOption)
-            val errChanged = !props.get(MaterializedAgg.LastErrorKey).contains(msg)
+            // "the error changed" compares NORMALIZED messages — digit
+            // runs collapsed — so an error embedding a value that
+            // advances per attempt (a snapshot id, a timestamp, a row
+            // count) doesn't recommit every trigger and defeat the
+            // cadence bound; the stored record keeps the real message
+            def norm(s: String) = s.replaceAll("[0-9]+", "#")
+            val errChanged = !props.get(MaterializedAgg.LastErrorKey)
+              .map(norm).contains(norm(msg))
             if (recorded.isEmpty || errChanged || pending >= recordEvery) {
               st.updateProperties { p =>
                 val base = p.get(MaterializedAgg.FailuresKey)
@@ -336,7 +354,7 @@ object Changelog {
                   (MaterializedAgg.LastErrorKey -> msg) +
                   (MaterializedAgg.LastErrorAtKey -> System.currentTimeMillis().toString)
               }
-              pendingRefreshFailures.put(loc, 0L)
+              pendingRefreshFailures.put((table.location, loc), 0L)
               ()
             }
           } catch { case scala.util.control.NonFatal(_) => () }

@@ -257,6 +257,63 @@ class GraftSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("hive-imported identity tables SPJ: the FromPath per-slice fill is " +
+      "live executor code — rows match the substituted path, nulls round-trip (r13)") {
+    setup
+    import spark.implicits._
+    // two hive key=value corpora, partition value ONLY in the path, one
+    // null partition each (written as __HIVE_DEFAULT_PARTITION__)
+    val dirA = Files.createTempDirectory("graft-spj-hiveA").toString + "/d"
+    Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta"), (4L, null))
+      .toDF("v", "cat").write.partitionBy("cat").parquet(dirA)
+    val dirB = Files.createTempDirectory("graft-spj-hiveB").toString + "/d"
+    Seq(("A", "alpha"), ("B", "beta"), ("N", null), ("D", "delta"))
+      .toDF("w", "cat").write.partitionBy("cat").parquet(dirB)
+    sql("""CREATE TABLE lake.spj.ha (v BIGINT, cat STRING)
+          |PARTITIONED BY (cat)""".stripMargin)
+    sql(s"CALL lake.system.add_files('spj.ha', '$dirA')")
+    sql("""CREATE TABLE lake.spj.hb (w STRING, cat STRING)
+          |PARTITIONED BY (cat)""".stripMargin)
+    sql(s"CALL lake.system.add_files('spj.hb', '$dirB')")
+    // the V2 batch scan must FILL cat per-slice (it is not in the bytes):
+    // full parity against the substituted-path read, null included
+    val expectA = Set((1L, "alpha"), (2L, "alpha"), (3L, "beta"), (4L, null))
+    val offA = withSpj(on = false)(spark.table("lake.spj.ha").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet)
+    val onA = withSpj(on = true)(spark.table("lake.spj.ha").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet)
+    assert(offA === expectA)
+    assert(onA === expectA,
+      "the v2 FromPath fill must produce the path values, null for " +
+        "__HIVE_DEFAULT_PARTITION__")
+    withSpj(on = true) {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = spark.table("lake.spj.ha").join(spark.table("lake.spj.hb"), "cat")
+        // both scans report KeyGroupedPartitioning on cat — that is the
+        // ONLY way a SortMergeJoin can plan with no Exchange on either side
+        val plan = explained(j)
+        assert(plan.contains("SortMergeJoin"), plan)
+        assert(!plan.contains("Exchange"),
+          s"hive-imported identity SPJ join must not shuffle:\n$plan")
+        val got = j.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+        // null partitions never match in an equi-join; path values do
+        assert(got === Set(("alpha", 1L, "A"), ("alpha", 2L, "A"),
+          ("beta", 3L, "B")))
+        // a predicate on the filled column evaluates correctly through
+        // the v2 scan (the value exists only per-slice, not in the bytes;
+        // file-level pruning of imported files is gated in LakeTableSpec)
+        val f = spark.table("lake.spj.ha").where(col("cat") === "beta")
+        assert(f.collect().map(_.getLong(0)).toSeq === Seq(3L))
+        val n = spark.table("lake.spj.ha").where(col("cat").isNull)
+        assert(n.collect().map(_.getLong(0)).toSeq === Seq(4L),
+          "__HIVE_DEFAULT_PARTITION__ must read back as SQL NULL")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("runtime filtering: a filtered build side dynamically prunes buckets and files") {
     setup
     withSpj(on = true) {

@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.lake.LakeCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Persistent incremental IVF index ([[VectorIndex]]): the invariant
+  * under test everywhere is *incremental ≡ rebuilt-from-scratch* — after
+  * any base churn, a refreshed index must hold exactly the assignments a
+  * full [[Similarity.ivfAssignWith]] pass over the live base produces
+  * against the SAME pinned centroids, and probes over the index must
+  * equal probes over that fresh assignment. */
+class VectorIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def freshCatalog(): LakeCatalog =
+    new LakeCatalog(spark, Files.createTempDirectory("graft-vidx").toString)
+
+  /** Deterministic clustered vectors: cluster id%5 dominates one axis,
+    * a hash ripple makes every vector distinct. */
+  private def vec(id: Long): Seq[Float] = {
+    val c = (id % 5).toInt
+    (0 until 8).map { d =>
+      (if (d == c) 10f else 0f) + ((id * 2654435761L + d * 97) % 7).toFloat * 0.1f
+    }
+  }
+
+  private def vecDf(ids: Seq[Long]): DataFrame = {
+    val rows = ids.map(i => org.apache.spark.sql.Row(i, vec(i)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType)))))
+  }
+
+  private def assignSet(df: DataFrame, cs: Seq[Seq[Float]]): Set[(Long, Int)] =
+    Similarity.ivfAssignWith(df, cs, "id", "embedding")
+      .select(col("id"), col("list_id").cast(IntegerType))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+  private def indexSet(idx: VectorIndex): Set[(Long, Int)] =
+    idx.state.toDF.select("id", "list_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+  test("create + incremental refresh ≡ full reassignment against the " +
+      "pinned centroids; watermark rides the commit") {
+    val cat = freshCatalog()
+    val base = cat.createTable("db.vecs", StructType(Seq(
+      StructField("id", LongType), StructField("embedding", ArrayType(FloatType)))))
+    base.append(vecDf(0L until 300L))
+    val idx = VectorIndex.create(cat, "db.vidx", base, "id", "embedding",
+      nlist = 8, iters = 2)
+    val cs = idx.centroids
+    assert(cs.size === 8)
+    assert(indexSet(idx) === assignSet(base.toDF, cs))
+    assert(idx.watermark === base.meta.currentSnapshot.map(_.snapshotId))
+    // churn: append — refresh assigns ONLY the new vectors, result is
+    // indistinguishable from a full pass with the same centroids
+    base.append(vecDf(300L until 450L))
+    idx.refresh()
+    assert(idx.centroids === cs, "refresh must never move centroids")
+    assert(indexSet(idx) === assignSet(base.toDF, cs))
+    assert(idx.watermark === base.meta.currentSnapshot.map(_.snapshotId))
+    // no-op refresh: already at head, no new commit
+    val v = idx.state.meta.version
+    idx.refresh()
+    assert(idx.state.meta.version === v, "a current index must not commit")
+  }
+
+  test("deletes, updates, and insert-then-delete inside one window all " +
+      "land as the key's FINAL state") {
+    val cat = freshCatalog()
+    val base = cat.createTable("db.vecs2", StructType(Seq(
+      StructField("id", LongType), StructField("embedding", ArrayType(FloatType)))))
+    base.append(vecDf(0L until 200L))
+    val idx = VectorIndex.create(cat, "db.vidx2", base, "id", "embedding",
+      nlist = 8, iters = 2)
+    val cs = idx.centroids
+    // window with three kinds of churn, refreshed ONCE:
+    base.delete(col("id") < 20)                       // deletes
+    base.mergeByKey("id", (50L until 60L).map(Long.box),  // updates (new vectors)
+      vecDf((50L until 60L).map(i => i + 1000L)).withColumn("id", col("id") - 1000L))
+    base.append(vecDf(900L until 910L))               // insert...
+    base.delete(col("id") >= 900L)                    // ...then delete, same window
+    idx.refresh()
+    val got = indexSet(idx)
+    assert(got === assignSet(base.toDF, cs))
+    assert(!got.exists(_._1 < 20), "deleted keys must leave the index")
+    assert(!got.exists(_._1 >= 900), "a key inserted and deleted inside " +
+      "the window must not materialize")
+    // updated keys present exactly once with the NEW vector's assignment
+    val updated = assignSet(vecDf((50L until 60L).map(_ + 1000L))
+      .withColumn("id", col("id") - 1000L), cs)
+    assert(updated.subsetOf(got))
+  }
+
+  test("windowed refresh ≡ one-shot refresh (idempotent, resumable)") {
+    val cat = freshCatalog()
+    val base = cat.createTable("db.vecs3", StructType(Seq(
+      StructField("id", LongType), StructField("embedding", ArrayType(FloatType)))))
+    base.append(vecDf(0L until 100L))
+    val idx = VectorIndex.create(cat, "db.vidx3", base, "id", "embedding",
+      nlist = 4, iters = 1)
+    base.append(vecDf(100L until 150L))
+    val mid = base.meta.currentSnapshot.get.snapshotId
+    base.delete(col("id") % 7 === 0)
+    base.append(vecDf(150L until 180L))
+    // advance in two windows: (wm, mid], then (mid, head]
+    idx.refresh(toSnapshotId = Some(mid))
+    assert(idx.watermark === Some(mid))
+    idx.refresh()
+    assert(indexSet(idx) === assignSet(base.toDF, idx.centroids))
+  }
+
+  test("search probes only the chosen posting-list partitions and equals " +
+      "the ephemeral ivfTopK over a fresh full assignment") {
+    val cat = freshCatalog()
+    val base = cat.createTable("db.vecs4", StructType(Seq(
+      StructField("id", LongType), StructField("embedding", ArrayType(FloatType)))))
+    base.append(vecDf(0L until 300L))
+    val idx = VectorIndex.create(cat, "db.vidx4", base, "id", "embedding",
+      nlist = 8, iters = 2)
+    base.append(vecDf(300L until 400L))
+    idx.refresh()
+    val cs = idx.centroids
+    val q = vec(123L).map(x => x + 0.05f)
+    val got = idx.search(q, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Similarity.ivfTopK(
+      Similarity.ivfAssignWith(base.toDF, cs, "id", "embedding"),
+      cs, q, k = 10, nprobe = 2, "id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want)
+    // physical claim: the probe scan is partition-pruned at the metadata
+    // level — it reads strictly fewer files than the whole index
+    val probe = Similarity.probeLists(cs, q, 2)
+    val prunedFiles = idx.state.read(filter =
+      Some(col("list_id").isin(probe.map(Int.box): _*))).inputFiles.length
+    val allFiles = idx.state.toDF.inputFiles.length
+    assert(prunedFiles > 0 && prunedFiles < allFiles,
+      s"probe must prune posting-list partitions: $prunedFiles of $allFiles")
+  }
+
+  test("drift → rebuild: new centroids + full reassignment, pins move " +
+      "atomically, a reloaded index serves from the new state") {
+    val cat = freshCatalog()
+    val base = cat.createTable("db.vecs5", StructType(Seq(
+      StructField("id", LongType), StructField("embedding", ArrayType(FloatType)))))
+    base.append(vecDf(0L until 200L))
+    val idx = VectorIndex.create(cat, "db.vidx5", base, "id", "embedding",
+      nlist = 4, iters = 2)
+    val pin0 = idx.centroidSnapshot
+    // shift the distribution: a new dominant cluster piles onto existing
+    // lists (centroids never move incrementally) — imbalance grows
+    val shifted = (1000L until 1400L).map(i =>
+      org.apache.spark.sql.Row(i, (0 until 8).map(d =>
+        (if (d == 6) 25f else 0f) + (i % 5).toFloat * 0.1f)))
+    base.append(spark.createDataFrame(java.util.Arrays.asList(shifted: _*),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType))))))
+    idx.refresh()
+    val skewed = idx.imbalance
+    assert(skewed > 1.5, s"piled-on lists must show imbalance, got $skewed")
+    idx.rebuild(nlist = 6, iters = 2)
+    val cs2 = idx.centroids
+    assert(cs2.size === 6)
+    assert(idx.centroidSnapshot > pin0, "rebuild must advance the centroid pin")
+    assert(indexSet(idx) === assignSet(base.toDF, cs2))
+    // reload from the catalog: spec recorded in properties, pins in
+    // summaries — the reloaded handle probes identically
+    val idx2 = VectorIndex.load(cat, "db.vidx5")
+    val q = (0 until 8).map(d => if (d == 6) 25f else 0f)
+    assert(idx2.search(q, k = 5, nprobe = 2).collect().toSeq ===
+      idx.search(q, k = 5, nprobe = 2).collect().toSeq)
+  }
+}

@@ -251,6 +251,45 @@ class ChangelogSpec extends AnyFunSuite {
     val _ = mv // created above; loaded fresh per assertion
   }
 
+  test("pending failure counters prune when a view leaves the routing " +
+      "index — a new view at the same location starts from zero (r13)") {
+    import spark.implicits._
+    import graft.lake.MaterializedAgg
+    val cat = freshCatalog()
+    val t = cat.createTable("test.prune_base", StructType(Seq(
+      StructField("block_number", IntegerType),
+      StructField("hash", StringType))))
+    val dim = cat.createTable("test.prune_dim", StructType(Seq(
+      StructField("h2", StringType), StructField("grp", StringType))))
+    dim.append(Seq(("aa", "g1")).toDF("h2", "grp"))
+    t.updateProperties(_ + ("graft.mv.health.record-every" -> "16"))
+    def mkView() = MaterializedAgg.create(cat, "test.prune_agg", t,
+      Seq("grp"), Seq(MaterializedAgg.AggCol("count", "*", "n")),
+      dims = Seq(MaterializedAgg.DimJoin("test.prune_dim", "hash", "h2")))
+    mkView()
+    def failures: Option[Long] = cat.loadTable("test.prune_agg")
+      .meta.properties.get(MaterializedAgg.FailuresKey).map(_.toLong)
+    // mutate the dim → every refresh refuses; accrue UNCOMMITTED pending
+    dim.append(Seq(("bb", "g2")).toDF("h2", "grp"))
+    Changelog.refreshRegisteredViews(t) // 1st failure commits, pending→0
+    Changelog.refreshRegisteredViews(t) // pending 1, below cadence
+    Changelog.refreshRegisteredViews(t) // pending 2, below cadence
+    assert(failures === Some(1L))
+    // the view is dropped while failing: deregister + drop the state
+    // table; the next refresh pass prunes its driver-side counter
+    t.updateProperties(_ - MaterializedAgg.ViewsKey)
+    Changelog.refreshRegisteredViews(t)
+    // a NEW view created at the SAME state location fails afresh: its
+    // first record must say 1, not inherit the dead view's pending tail
+    cat.dropTable("test.prune_agg")
+    mkView()
+    dim.append(Seq(("cc", "g3")).toDF("h2", "grp"))
+    Changelog.refreshRegisteredViews(t)
+    assert(failures === Some(1L),
+      "a stale pending count from a dropped view must not inflate the " +
+        "new view's first failure record")
+  }
+
   test("failing per-batch view refresh records health on the state table; rebuild clears it (r11)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -298,11 +337,17 @@ class ChangelogSpec extends AnyFunSuite {
         cat.loadTable("test.hstream_agg").meta.version
       val s1 = stateSnapshots
       for (i <- 4 to 6) { // three more identical failures: pending 1..3 < 4
+        // r13: mutate the dim again mid-failure — the refusal message now
+        // embeds a DIFFERENT current snapshot id each time; the
+        // error-changed trigger compares digit-normalized messages, so a
+        // varying embedded value must not defeat the cadence bound
+        if (i == 5) dim.append(Seq(("dd", "g4")).toDF("h2", "grp"))
         mem.addData(s"I,$i,bb")
         q.processAllAvailable()
       }
       assert(stateSnapshots === s1,
-        "identical repeat failures below the cadence must not commit")
+        "repeat failures below the cadence must not commit — even when " +
+          "the error embeds a value that advances per attempt")
       assert(stateProps(MaterializedAgg.FailuresKey).toLong === n1.get,
         "the health record must stay visible between cadence commits")
       mem.addData("I,7,aa") // 4th identical repeat: pending hits record-every
