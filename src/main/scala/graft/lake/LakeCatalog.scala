@@ -165,6 +165,17 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       .filter(t => tableExists(s"$namespace.$t"))
   }
 
+  /** Top-level namespaces. Filesystem mode walks the warehouse directory;
+    * [[RemoteLakeCatalog]] additionally asks the server, because a remote
+    * table with no data directory yet has no warehouse footprint and a
+    * directory walk would under-report it (the same gap `listTables`
+    * closed in r12). */
+  def listNamespaces(): Seq[String] = {
+    val wh = new Path(warehouse)
+    if (!fs.exists(wh)) Seq.empty
+    else fs.listStatus(wh).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
+
   /** Register `<name>` plus `<name>__snapshots` etc. as temp views — the
     * SQL-parity route for S3/S6 metadata-table scans. */
   def registerViews(ident: String, viewName: String): LakeTable = {
@@ -335,9 +346,7 @@ class RemoteLakeCatalog(spark: SparkSession, warehouse: String, val uri: String)
     new LakeTable(spark, loc)
   }
 
-  /** The server is the source of truth for what exists — an empty remote
-    * table has no data directory yet, so directory scans under-report. */
-  override def listTables(namespace: String): Seq[String] = {
+  private def serverTables(): Seq[String] = {
     val client = HttpMetaStore.sharedClient
     val r = client.send(
       java.net.http.HttpRequest.newBuilder(
@@ -345,7 +354,24 @@ class RemoteLakeCatalog(spark: SparkSession, warehouse: String, val uri: String)
       java.net.http.HttpResponse.BodyHandlers.ofString())
     require(r.statusCode() == 200, s"GET /tables -> ${r.statusCode()}")
     r.body().split("\n").toSeq.filter(_.nonEmpty)
-      .filter(_.startsWith(namespace + "."))
-      .map(_.stripPrefix(namespace + "."))
   }
+
+  /** The server is the source of truth for what exists — an empty remote
+    * table has no data directory yet, so directory scans under-report. */
+  override def listTables(namespace: String): Seq[String] =
+    serverTables().filter(_.startsWith(namespace + "."))
+      .map(_.stripPrefix(namespace + "."))
+
+  /** Namespaces are the union of warehouse directories (createNamespace
+    * makes one even before any table lands) and the namespaces of the
+    * server's table list — a remote namespace holding only empty tables
+    * has zero warehouse footprint, so the directory walk alone
+    * under-reports exactly as listTables used to. */
+  override def listNamespaces(): Seq[String] =
+    (super.listNamespaces() ++
+      serverTables().map(_.split("\\.").head)).distinct.sorted
+
+  override def namespaceExists(name: String): Boolean =
+    super.namespaceExists(name) ||
+      serverTables().exists(_.startsWith(name + "."))
 }

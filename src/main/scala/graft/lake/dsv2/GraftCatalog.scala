@@ -277,14 +277,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   // ---- namespaces ----------------------------------------------------------
 
-  override def listNamespaces(): Array[Array[String]] = {
-    // resolve the filesystem FROM the warehouse path (like LakeCatalog/
-    // LakeTable) — getLocal would return nothing for hdfs:///s3a:// warehouses
-    val wh = new org.apache.hadoop.fs.Path(lake.warehouse)
-    val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(wh)) Array.empty
-    else fs.listStatus(wh).filter(_.isDirectory).map(s => Array(s.getPath.getName))
-  }
+  override def listNamespaces(): Array[Array[String]] =
+    // delegate to the catalog so wire mode (`RemoteLakeCatalog`) can merge
+    // the server's table list — an empty remote namespace has no warehouse
+    // directory and a pure filesystem walk under-reports it
+    lake.listNamespaces().map(n => Array(n)).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()

@@ -592,4 +592,98 @@ class CatalogServiceSpec extends AnyFunSuite {
       } finally if (child.isAlive) child.destroyForcibly()
     } finally srv.stop()
   }
+
+  test("namespace listing asks the server: an empty remote namespace with " +
+      "ZERO warehouse footprint is listed (r13)") {
+    val (srv, _, warehouse) = newEnv()
+    try {
+      val cat = new RemoteLakeCatalog(spark, warehouse, srv.uri)
+      cat.createTable("nsx.empty", StructType(Seq(StructField("id", LongType))))
+      // never written to: the warehouse holds NO directory at all, so a
+      // directory walk alone would report zero namespaces
+      assert(Files.list(Paths.get(warehouse)).count() === 0)
+      assert(cat.listNamespaces() === Seq("nsx"))
+      assert(cat.namespaceExists("nsx") && !cat.namespaceExists("nope"))
+      assert(cat.listTables("nsx") === Seq("empty"))
+      // union with directory-backed namespaces (created but table-less)
+      cat.createNamespace("fsonly")
+      assert(cat.listNamespaces() === Seq("fsonly", "nsx"))
+      // the DSv2 surface (SHOW NAMESPACES) sees the server-only namespace
+      spark.conf.set("spark.sql.catalog.rns", classOf[graft.lake.dsv2.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.rns.warehouse", warehouse)
+      spark.conf.set("spark.sql.catalog.rns.uri", srv.uri)
+      org.apache.spark.sql.graftbridge.CatalogBridge.resetCatalogs(spark)
+      assert(spark.sql("SHOW NAMESPACES IN rns").collect()
+        .map(_.getString(0)).sorted.toSeq === Seq("fsonly", "nsx"))
+    } finally {
+      srv.stop()
+      spark.conf.unset("spark.sql.catalog.rns.uri")
+    }
+  }
+
+  test("half-attached MV pair: a base attached without its state table " +
+      "declines to route (cold scan, correct rows), the listing reports the " +
+      "unresolvable sibling; attaching the state too restores the route (r13)") {
+    val (srv, _, warehouse) = newEnv()
+    // routing needs GraftExtensions — dedicated session (create(), not
+    // getOrCreate), default/active slots restored for later suites
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions()(_))
+      .create()
+    prevDefault match {
+      case Some(d) => SparkSession.setDefaultSession(d)
+      case None => SparkSession.clearDefaultSession()
+    }
+    prevActive match {
+      case Some(a) => SparkSession.setActiveSession(a)
+      case None => SparkSession.clearActiveSession()
+    }
+    try {
+      // born filesystem-mode: base + MV state side by side in the warehouse
+      s.conf.set("spark.sql.catalog.hfs", classOf[graft.lake.dsv2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.hfs.warehouse", warehouse)
+      s.conf.set("spark.sql.catalog.hw", classOf[graft.lake.dsv2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.hw.warehouse", warehouse)
+      s.conf.set("spark.sql.catalog.hw.uri", srv.uri)
+      org.apache.spark.sql.graftbridge.CatalogBridge.resetCatalogs(s)
+      s.sql("CREATE DATABASE IF NOT EXISTS hfs.db")
+      s.sql("CREATE TABLE hfs.db.hb (g STRING, v BIGINT)")
+      s.sql("INSERT INTO hfs.db.hb VALUES ('a', 1), ('a', 2), ('b', 10)")
+      s.sql("""CREATE MATERIALIZED VIEW hfs.db.hmv AS
+              |SELECT g, count(*) AS n, sum(v) AS t FROM hfs.db.hb GROUP BY g""".stripMargin)
+
+      // attach ONLY the base: the pair is now split across authorities
+      new RemoteLakeCatalog(s, warehouse, srv.uri).attachTable("db.hb")
+
+      def run(q: String) = {
+        val df = s.sql(q)
+        (df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq,
+          !df.queryExecution.executedPlan.toString.contains("Aggregate"))
+      }
+      val q = "SELECT g, count(*) AS n, sum(v) AS t FROM hw.db.hb GROUP BY g ORDER BY g"
+      val expected = Seq(("a", 2L, 3L), ("b", 1L, 10L))
+      // DECLINES to route — the state location has no identity at the wire
+      // authority — but the cold aggregation still answers correctly
+      val (rows1, routed1) = run(q)
+      assert(!routed1, "a half-attached pair must NOT route (authority mixing)")
+      assert(rows1 === expected)
+      // the listing REPORTS the unresolvable sibling instead of throwing
+      val listing = s.sql(
+        "SELECT view, fresh, last_error FROM hw.db.hb.materialized_views").collect()
+      assert(listing.length === 1)
+      assert(listing(0).isNullAt(0) && !listing(0).getBoolean(1))
+      assert(listing(0).getString(2).startsWith("unreachable"), listing(0).toString)
+
+      // attach the state table too: one authority again, the route resumes
+      new RemoteLakeCatalog(s, warehouse, srv.uri).attachTable("db.hmv")
+      val (rows2, routed2) = run(q)
+      assert(routed2, "with both halves attached the view must route again")
+      assert(rows2 === expected)
+    } finally srv.stop()
+  }
 }

@@ -1453,4 +1453,50 @@ class LakeTableSpec extends AnyFunSuite {
     val e = intercept[Exception](cat.migrate("db.mig", root))
     assert(e.getMessage.contains("already exists"))
   }
+
+  test("add_files + migrate: multi-level hive layouts (k1=/k2=) — pruning " +
+      "on both path columns, migrate derives both identity partitions (r13)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-hive2").toString
+    val src = (0 until 120).map(i => (i.toLong, s"r$i", 2024 + i % 2, 1 + i % 3))
+      .toDF("id", "name", "year", "month")
+    for (y <- 2024 to 2025; m <- 1 to 3)
+      src.filter(col("year") === y && col("month") === m).drop("year", "month")
+        .coalesce(1).write.parquet(s"$root/year=$y/month=$m")
+    val cat = freshCatalog()
+    val t = cat.createTable("db.h2", StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("year", IntegerType), StructField("month", IntegerType))),
+      partitionBy = Seq("year" -> "identity", "month" -> "identity"))
+    t.addFiles(root)
+    val files = t.meta.currentSnapshot.get.files
+    assert(files.size === 6)
+    // every imported file's recorded tuple carries BOTH keys
+    assert(files.forall(_.partitionValues.size == 2),
+      files.map(_.partitionValues).mkString(","))
+    // read parity: both columns filled from the path, the rest from bytes
+    assert(t.toDF.orderBy("id").collect().toSeq === src.orderBy("id").collect().toSeq)
+    // pruning: each key prunes its own level, the conjunction hits ONE file
+    assert(t.read(filter = Some(col("year") === 2024)).inputFiles.length === 3)
+    assert(t.read(filter = Some(col("month") === 2)).inputFiles.length === 2)
+    val one = t.read(filter = Some(col("year") === 2025 && col("month") === 3))
+    assert(one.inputFiles.length === 1)
+    assert(one.count() ===
+      src.filter(col("year") === 2025 && col("month") === 3).count())
+    // a layout carrying only the OUTER key refuses, naming the missing one
+    val partial = Files.createTempDirectory("graft-hive2-partial").toString
+    src.drop("year", "month").coalesce(1).write.parquet(s"$partial/year=2026")
+    val e2 = intercept[Exception](t.addFiles(partial))
+    assert(e2.getMessage.contains("month=<value>"), e2.getMessage)
+
+    // migrate: BOTH path-only columns become identity partitions, schema
+    // is exactly spark.read.parquet's discovery over the same directory
+    val m2 = cat.migrate("db.h2mig", root)
+    assert(m2.meta.spec.fields.map(_.transform) === Seq("identity", "identity"))
+    assert(m2.toDF.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      spark.read.parquet(root).schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(m2.read(filter = Some(col("year") === 2024 && col("month") === 1))
+      .inputFiles.length === 1)
+    assert(m2.toDF.count() === 120)
+  }
 }
