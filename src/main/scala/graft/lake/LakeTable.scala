@@ -466,6 +466,9 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     val newFiles = writeDataFiles(
       toPhysical(withCheckConstraints(m0, df1), m0.schema), m0, filePrefix = "app")
     val idProps = identityAdvance(idPlan, newFiles)
+    // manifest blooms for the new files (one aggregate over just-written
+    // data; a no-op unless the table declares graft.bloom.columns)
+    val bloomBundle = BloomSkip.buildBundleFor(spark, metaStore, m0, newFiles)
     val staged = wapId.isDefined &&
       m0.properties.get("write.wap.enabled").contains("true") && toBranch.isEmpty
     val branch = resolveWriteBranch(toBranch)
@@ -485,7 +488,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
         "total-records" -> (base.map(_.rowCount).sum + newFiles.map(_.rowCount).sum -
           parentDels.map(_.rowCount).sum).toString
       ) ++ (if (parentEq.nonEmpty) Map("has-equality-deletes" -> "true") else Map.empty) ++
-        wapId.map("wap.id" -> _)
+        wapId.map("wap.id" -> _) ++
+        bloomBundle.map(BloomSkip.BundleSummaryKey -> _)
       // appends only add files: the parent's merge-on-read delete entries
       // all still apply, unpruned; the new files are stamped with this
       // commit's id so no LIVE equality delete (all strictly older) masks
@@ -896,9 +900,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     val snap = resolveSnapshot(snapshotId, branch, asOfTimestampMs)
     val all = snap.map(_.files).getOrElse(Seq.empty)
     val files = filter match {
-      case Some(f) =>
-        val p = Pruning.translate(f)
-        all.filter(df => Pruning.mayMatch(p, fileBounds(m, df)))
+      case Some(f) => pruneFiles(m, all, Pruning.translate(f))
       case None => all
     }
     val df = dataFrameForLive(m, snap, files)
@@ -906,6 +908,16 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
   }
 
   def toDF: DataFrame = read()
+
+  /** Scan-planning file pruning: footer stats + hidden partitions
+    * ([[Pruning.mayMatch]]), then manifest blooms ([[BloomSkip.filter]])
+    * over the survivors — both sound over-approximations, composed as
+    * AND. Shared by [[read]] and the DSv2 pushed-filter path. */
+  private[graft] def pruneFiles(m: TableMeta, files: Seq[DataFile],
+                                p: Pruning.Pred): Seq[DataFile] = {
+    val statsKept = files.filter(f => Pruning.mayMatch(p, fileBounds(m, f)))
+    BloomSkip.filter(metaStore, m, p, statsKept)
+  }
 
   // ---- DML (D10-D13, D3) ---------------------------------------------------
 
@@ -1594,10 +1606,23 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
         lastColumnId = math.max(m.lastColumnId, next.columns.map(_.id).max))
     }
 
-  def renameColumn(from: String, to: String): TableMeta = evolveSchema { s =>
+  def renameColumn(from: String, to: String): TableMeta = commit { m =>
+    val s = m.schema
     require(s.byName(from).isDefined, s"no column $from")
     require(s.byName(to).isEmpty, s"column $to exists")
-    s.columns.map(c => if (c.name == from) c.copy(name = to) else c)
+    val next = LakeSchema(m.schemas.map(_.schemaId).max + 1,
+      s.columns.map(c => if (c.name == from) c.copy(name = to) else c))
+    // logical-NAME-keyed table properties follow the rename in the same
+    // commit (manifest blooms, parquet write blooms) — left behind they
+    // silently detach from the column they configure
+    def renamedList(v: String) = v.split(",").map(_.trim)
+      .map(n => if (n == from) to else n).mkString(",")
+    val props = Seq(BloomSkip.ColumnsKey, "write.bloom-filter.columns")
+      .foldLeft(m.properties)((p, k) =>
+        p.get(k).fold(p)(v => p.updated(k, renamedList(v))))
+    m.copy(schemas = m.schemas :+ next, currentSchemaId = next.schemaId,
+      lastColumnId = math.max(m.lastColumnId, next.columns.map(_.id).max),
+      properties = props)
   }
 
   /** Widening-only type change (int→bigint/double, float→double, …). */
@@ -2341,6 +2366,57 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     * snapshot: data files untouched, metadata-only, exactly Iceberg's
     * `rewrite_manifests` (ref: Table Maintenance notebook, §manifests).
     * Already-compact tables commit nothing (identity transform). */
+  /** CALL rewrite_blooms: build manifest blooms for every CURRENT data
+    * file not yet covered by a bundle — compaction/CoW output, imports,
+    * files appended before the columns were declared (and files whose
+    * coverage was lost to `expire_snapshots` retiring the snapshot whose
+    * summary named their bundle — documented degradation: skipping falls
+    * back to stats-only, never to wrong, until this runs). One distributed
+    * aggregate over the uncovered files, one bundle object, one
+    * file-identical snapshot recording it. No-op commit-free when
+    * coverage is already complete. */
+  def rewriteBlooms(): TableMeta = {
+    val m0 = meta
+    val cols = BloomSkip.declaredCols(m0)
+    require(cols.nonEmpty,
+      s"${m0.name}: declare ${BloomSkip.ColumnsKey} before rewrite_blooms")
+    val snap0 = m0.currentSnapshot.getOrElse(return m0)
+    val idx = BloomSkip.bundleIndex(metaStore, m0)
+    def norm(p: String) = new Path(p).toUri.getPath
+    val uncovered = snap0.files.filter { f =>
+      val have = idx.getOrElse(norm(f.path), Map.empty)
+      val schema = m0.schemas.find(_.schemaId == f.schemaId).getOrElse(m0.schema)
+      // only demand coverage for columns this file HAS bytes for
+      cols.exists(c => schema.byId(c.id).exists(!_.fromPath) &&
+        !have.contains(s"col-${c.id}"))
+    }
+    if (uncovered.isEmpty) return m0
+    val blooms = BloomSkip.build(spark, m0, uncovered, cols)
+    if (blooms.isEmpty) return m0
+    val name = BloomSkip.writeBundle(metaStore, blooms)
+    commit { m =>
+      val branch = resolveWriteBranch(None)
+      m.snapshotFor(branch).orElse(m.currentSnapshot) match {
+        case None => m
+        case Some(snap) =>
+          val snapId = m.lastSnapshotId + 1
+          val now = System.currentTimeMillis()
+          val next = Snapshot(snapId, Some(snap.snapshotId), now, "rewrite-blooms",
+            Map("operation" -> "rewrite-blooms",
+              "bloom-files-covered" -> blooms.size.toString,
+              BloomSkip.BundleSummaryKey -> name,
+              "total-records" -> (snap.files.map(_.rowCount).sum -
+                snap.deleteFiles.map(_.rowCount).sum).toString),
+            snap.files, manifests = snap.manifests,
+            deleteFiles = snap.deleteFiles, eqDeleteFiles = snap.eqDeleteFiles,
+            deleteManifest = snap.deleteManifest)
+          m.copy(snapshots = m.snapshots :+ next, lastSnapshotId = snapId,
+            refs = m.refs + (branch -> Ref(snapId)),
+            history = m.history :+ HistoryEntry(now, snapId, branch))
+      }
+    }
+  }
+
   def rewriteManifests(): TableMeta = commit { m =>
     val branch = resolveWriteBranch(None)
     m.snapshotFor(branch).orElse(m.currentSnapshot) match {
@@ -2401,9 +2477,15 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     // write-protocol artifacts — only the latest version is ever resolved.)
     val liveChunks = m.snapshots.flatMap(s =>
       s.manifests ++ s.manifestList ++ s.deleteManifest).toSet
+    // bloom bundles live exactly as long as a snapshot summary names them
+    val liveBundles = m.snapshots
+      .flatMap(_.summary.get(BloomSkip.BundleSummaryKey)).toSet
     metaStore.list().foreach { case (name, modified) =>
-      if (name.startsWith("manifest-") && name.endsWith(".json") &&
-          !liveChunks.contains(name) && modified < olderThanMs) {
+      val deadChunk = name.startsWith("manifest-") && name.endsWith(".json") &&
+        !liveChunks.contains(name)
+      val deadBundle = name.startsWith("bloom-") && name.endsWith(".json") &&
+        !liveBundles.contains(name)
+      if ((deadChunk || deadBundle) && modified < olderThanMs) {
         metaStore.delete(name)
         orphans += s"${metaStore.id}/metadata/$name"
       }

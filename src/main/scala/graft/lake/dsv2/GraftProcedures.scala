@@ -19,6 +19,7 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq("rollback_to_snapshot", "cherrypick_snapshot",
     "expire_snapshots", "rewrite_data_files", "rewrite_manifests",
+    "rewrite_blooms",
     "rewrite_position_deletes", "convert_equality_deletes",
     "rewrite_delete_files", "binpack", "auto_maintain", "export_scan",
     "add_files", "migrate", "attach_table", "detach_table",
@@ -120,6 +121,11 @@ object GraftProcedures {
     case "rewrite_manifests" => Some(proc(name,
       Array(param("table", StringType)),
       row => lake.loadTable(row.getString(0)).rewriteManifests()))
+    // manifest-bloom coverage for files added without blooms (compaction
+    // output, imports, pre-declaration appends)
+    case "rewrite_blooms" => Some(proc(name,
+      Array(param("table", StringType)),
+      row => lake.loadTable(row.getString(0)).rewriteBlooms()))
     case "rewrite_position_deletes" => Some(proc(name,
       Array(param("table", StringType)),
       row => lake.loadTable(row.getString(0)).rewritePositionDeletes()))

@@ -344,9 +344,8 @@ class GraftBatchScan(
     val all = snap.map(_.files).getOrElse(Seq.empty)
     val cond = pushed.toSeq.flatMap(f => table.filterToColumn(f)).reduceOption(_ && _)
     cond match {
-      case Some(c) =>
-        val p = graft.lake.Pruning.translate(c)
-        all.filter(df => graft.lake.Pruning.mayMatch(p, lake.fileBounds(m, df)))
+      // stats + hidden partitions + manifest blooms, like LakeTable.read
+      case Some(c) => lake.pruneFiles(m, all, graft.lake.Pruning.translate(c))
       case None => all
     }
   }
