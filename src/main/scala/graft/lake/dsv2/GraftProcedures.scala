@@ -25,7 +25,8 @@ object GraftProcedures {
     "add_files", "migrate", "attach_table", "detach_table",
     "fast_forward", "remove_orphan_files",
     "create_branch", "drop_branch", "create_tag", "drop_tag",
-    "build_ivf_index", "build_pq_index", "create_changelog_view")
+    "build_ivf_index", "build_pq_index", "create_changelog_view",
+    "create_vector_index", "refresh_vector_index", "rebuild_vector_index")
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
     val b = ProcedureParameter.in(name, dt)
@@ -203,6 +204,38 @@ object GraftProcedures {
     // k-means centroids + per-vector list assignment are computed once and
     // persisted — probes then pay only the bucket-pruned scan, never an
     // implicit query-time index build
+    // persistent incremental IVF index (graft.operators.VectorIndex):
+    // unlike build_ivf_index's one-shot aux table, this index is durable
+    // (posting lists = identity partitions, centroids snapshot-pinned)
+    // and maintained through the base changelog — refresh costs O(batch)
+    case "create_vector_index" => Some(proc(name,
+      Array(param("index", StringType),
+        param("base_table", StringType),
+        param("id_col", StringType, Some("'vec_id'")),
+        param("vec_col", StringType, Some("'embedding'")),
+        param("nlist", LongType, Some("16")),
+        param("iters", LongType, Some("3"))),
+      row => {
+        val idCol = if (row.isNullAt(2)) "vec_id" else row.getString(2)
+        val vecCol = if (row.isNullAt(3)) "embedding" else row.getString(3)
+        val nlist = if (row.isNullAt(4)) 16 else row.getLong(4).toInt
+        val iters = if (row.isNullAt(5)) 3 else row.getLong(5).toInt
+        graft.operators.VectorIndex.create(lake, row.getString(0),
+          lake.loadTable(row.getString(1)), idCol, vecCol, nlist, iters)
+      }))
+    case "refresh_vector_index" => Some(proc(name,
+      Array(param("index", StringType)),
+      row => graft.operators.VectorIndex.load(lake, row.getString(0)).refresh()))
+    case "rebuild_vector_index" => Some(proc(name,
+      Array(param("index", StringType),
+        param("nlist", LongType, Some("0")),
+        param("iters", LongType, Some("3"))),
+      row => {
+        val nlist = if (row.isNullAt(1)) 0 else row.getLong(1).toInt
+        val iters = if (row.isNullAt(2)) 3 else row.getLong(2).toInt
+        graft.operators.VectorIndex.load(lake, row.getString(0))
+          .rebuild(nlist, iters)
+      }))
     case "build_ivf_index" => Some(proc(name,
       Array(param("table", StringType),
         param("vector_col", StringType, Some("'embedding'")),

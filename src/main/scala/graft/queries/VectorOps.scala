@@ -429,5 +429,78 @@ object VectorOps {
       |FROM s, nq
       |ORDER BY cos_q DESC, s.vec_id LIMIT 10""".stripMargin)
 
-  def specs: Seq[QuerySpec] = Seq(q23, q24, q25, q26, q27, q44, q68, q74, q79)
+  /** Memoized per (session, sfDir): a lake-backed [[graft.operators.
+    * VectorIndex]] whose content was produced INCREMENTALLY — the index
+    * is created over half the corpus, the other half is appended to the
+    * base afterwards, and one `refresh()` catches the index up through
+    * the changelog. q90 then answers from the index alone. */
+  private val vindexes =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.VectorIndex]()
+
+  private def ensureIndex(s: org.apache.spark.sql.SparkSession,
+                          dir: String): graft.operators.VectorIndex = {
+    val key = System.identityHashCode(s) + "|" + dir
+    vindexes.computeIfAbsent(key, { _ =>
+      graft.Tables.registerAll(s, dir)
+      val wh = java.nio.file.Files.createTempDirectory("graft-vindex").toString
+      val cat = new graft.lake.LakeCatalog(s, wh)
+      val emb = graft.Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val base = cat.createTable("vx.base", org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      base.append(emb.filter(pmod(col("vec_id"), lit(2)) === 0))
+      val idx = graft.operators.VectorIndex.create(cat, "vx.vidx", base,
+        nlist = 8, iters = 2)
+      base.append(emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+      idx.refresh()
+      idx
+    })
+  }
+
+  /** Persistent-IVF index answer path (r13): the top-k is computed FROM
+    * THE INDEX STATE TABLE — the base is never scanned at query time —
+    * after the index was maintained incrementally (created on half the
+    * corpus, refreshed over the appended other half). A full probe
+    * (nprobe = nlist) makes IVF exact, so the DuckDB brute-force oracle
+    * over the ORIGINAL parquet hash-gates create + changelog refresh +
+    * the probe read: one missing, stale, or duplicated vector in the
+    * index breaks the match. Partition-pruned nprobe<nlist probes (the
+    * scale path) are gated by VectorIndexSpec + the SCALEPROBE run. */
+  val q90 = plan("q90_vector_index",
+    fn = (s, dir) => {
+      val idx = ensureIndex(s, dir)
+      val all = idx.centroids.indices.map(Int.box)
+      val q = graft.Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      idx.state.read(filter = Some(col("list_id").isin(all: _*)))
+        .crossJoin(broadcast(q))
+        .selectExpr("vec_id", "quantized_dot(embedding, qv) AS dot_q",
+          "quantized_dot(embedding, embedding) AS na_q",
+          "quantized_dot(qv, qv) AS nb_q")
+        .select(col("vec_id"), col("dot_q"),
+          (col("dot_q").cast("double") /
+            sqrt(col("na_q").cast("double") * col("nb_q").cast("double")))
+            .as("cos_q"))
+        .orderBy(col("cos_q").desc, col("vec_id")).limit(10)
+    },
+    duckSql = """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |x AS (SELECT e.vec_id, unnest(e.embedding) AS v, generate_subscripts(e.embedding, 1) AS i
+      |      FROM embeddings e),
+      |s AS (SELECT x.vec_id,
+      |   CAST(SUM(CAST(FLOOR(CAST(x.v AS DOUBLE) * CAST(q.qv[x.i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS dot_q,
+      |   CAST(SUM(CAST(FLOOR(CAST(x.v AS DOUBLE) * CAST(x.v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS na_q
+      | FROM x, q GROUP BY x.vec_id),
+      |nq AS (SELECT CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS nb_q
+      |       FROM (SELECT unnest(qv) AS v FROM q) u)
+      |SELECT s.vec_id, s.dot_q,
+      |  CAST(s.dot_q AS DOUBLE) / SQRT(CAST(s.na_q AS DOUBLE) * CAST(nq.nb_q AS DOUBLE)) AS cos_q
+      |FROM s, nq
+      |ORDER BY cos_q DESC, s.vec_id LIMIT 10""".stripMargin)
+
+  def specs: Seq[QuerySpec] =
+    Seq(q23, q24, q25, q26, q27, q44, q68, q74, q79, q90)
 }

@@ -181,4 +181,31 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(idx2.search(q, k = 5, nprobe = 2).collect().toSeq ===
       idx.search(q, k = 5, nprobe = 2).collect().toSeq)
   }
+
+  test("SQL surface: CALL create/refresh/rebuild_vector_index maintain the " +
+      "index through the procedure catalog (r13)") {
+    val wh = Files.createTempDirectory("graft-vidx-sql").toString
+    spark.conf.set("spark.sql.catalog.vxc", classOf[graft.lake.dsv2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vxc.warehouse", wh)
+    org.apache.spark.sql.graftbridge.CatalogBridge.resetCatalogs(spark)
+    val cat = new LakeCatalog(spark, wh)
+    val base = cat.createTable("db.vb", StructType(Seq(
+      StructField("id", LongType), StructField("embedding", ArrayType(FloatType)))))
+    base.append(vecDf(0L until 200L))
+    spark.sql("CALL vxc.system.create_vector_index('db.vidx_sql', 'db.vb', " +
+      "id_col => 'id', nlist => 6, iters => 2)")
+    val idx = VectorIndex.load(cat, "db.vidx_sql")
+    assert(indexSet(idx) === assignSet(base.toDF, idx.centroids))
+    // churn + CALL refresh: incremental ≡ full reassignment, same pins
+    base.append(vecDf(200L until 260L))
+    spark.sql("CALL vxc.system.refresh_vector_index('db.vidx_sql')")
+    assert(indexSet(idx) === assignSet(base.toDF, idx.centroids))
+    assert(idx.watermark === base.meta.currentSnapshot.map(_.snapshotId))
+    // CALL rebuild: recluster at a new width, both pins move atomically
+    val pin0 = idx.centroidSnapshot
+    spark.sql("CALL vxc.system.rebuild_vector_index('db.vidx_sql', nlist => 4)")
+    assert(idx.centroids.size === 4)
+    assert(idx.centroidSnapshot > pin0)
+    assert(indexSet(idx) === assignSet(base.toDF, idx.centroids))
+  }
 }
