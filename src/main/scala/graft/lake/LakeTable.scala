@@ -919,6 +919,18 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     BloomSkip.filter(metaStore, m, p, statsKept)
   }
 
+  /** DML classification with the same two pruning tiers: `touched` may
+    * hold matching rows; `untouched` provably cannot (stats OR bloom
+    * disproved it) and rides into the new snapshot unrewritten. On a
+    * hash-keyed CDC table the key bounds span every file, so the bloom is
+    * what keeps an upsert batch from rewriting the whole table. */
+  private def partitionTouched(m: TableMeta, files: Seq[DataFile],
+                               p: Pruning.Pred): (Seq[DataFile], Seq[DataFile]) = {
+    val touched = pruneFiles(m, files, p)
+    val ts = touched.map(_.path).toSet
+    (touched, files.filterNot(f => ts(f.path)))
+  }
+
   // ---- DML (D10-D13, D3) ---------------------------------------------------
 
   /** DELETE FROM WHERE — metadata-only when stats prove a file wholly
@@ -942,9 +954,12 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     val keep = scala.collection.mutable.ArrayBuffer[DataFile]()
     val drop = scala.collection.mutable.ArrayBuffer[DataFile]()
     val rewrite = scala.collection.mutable.ArrayBuffer[DataFile]()
+    // blooms can clear files whose stats overlap the predicate (hash-like
+    // columns): a cleared file provably holds no matching row → keep
+    val bloomMay = BloomSkip.filter(metaStore, m0, p, all).map(_.path).toSet
     all.foreach { f =>
       val b = fileBounds(m0, f)
-      if (!Pruning.mayMatch(p, b)) keep += f
+      if (!Pruning.mayMatch(p, b) || !bloomMay(f.path)) keep += f
       else if (Pruning.allMatch(p, b)) drop += f
       else rewrite += f
     }
@@ -1088,9 +1103,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     val snap = m0.snapshotFor(branch).orElse(m0.currentSnapshot)
     val all = snap.map(_.files).getOrElse(Seq.empty)
     val (touched, untouched) = condition match {
-      case Some(c) =>
-        val p = Pruning.translate(c)
-        all.partition(f => Pruning.mayMatch(p, fileBounds(m0, f)))
+      case Some(c) => partitionTouched(m0, all, Pruning.translate(c))
       case None => (all, Seq.empty[DataFile])
     }
     assignments.keys.foreach(k => require(m0.schema.byName(k).isDefined,
@@ -1210,7 +1223,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     val p = Pruning.In(key, ks)
     val (touched, untouched) =
       if (ks.isEmpty) (Seq.empty[DataFile], all)
-      else all.partition(f => Pruning.mayMatch(p, fileBounds(m0, f)))
+      else partitionTouched(m0, all, p)
     val survivors: Seq[DataFile] = if (touched.isEmpty) Seq.empty else {
       val remaining = dataFrameForLive(m0, snap, touched)
         .filter(!coalesce(col(key).isin(ks: _*), lit(false)))
@@ -1267,10 +1280,16 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
       // periodically folds the masks back in.
       // null-keyed deletion matches a file iff it may HOLD null keys
       val nullPred = nullKeyDelete.map(_ => Pruning.IsNull(key))
-      val boundsPred =
+      // a SMALL batch collects its keys into an exact In predicate: per-key
+      // stats ranges AND manifest blooms then prune files the [min,max]
+      // envelope cannot (on a hash-keyed table the envelope spans every
+      // file — the bloom is what keeps a point-CDC merge from rewriting
+      // the whole table). Large batches keep the bounded 1-row fetch.
+      val keysPred =
         if (nKeys == 0) None
+        else if (nKeys <= 1024) Some(Pruning.In(key, kd.collect().map(_.get(0)).toSeq))
         else Some(Pruning.And(Pruning.GtE(key, r.get(1)), Pruning.LtE(key, r.get(2))))
-      val conflictPred = (boundsPred, nullPred) match {
+      val conflictPred = (keysPred, nullPred) match {
         case (Some(b), Some(n)) => Some(Pruning.Or(b, n))
         case (b, n) => b.orElse(n)
       }
@@ -1315,7 +1334,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
       val touchPred = conflictPred
       val (touched, untouched) = touchPred match {
         case None => (Seq.empty[DataFile], all)
-        case Some(p) => all.partition(f => Pruning.mayMatch(p, fileBounds(m0, f)))
+        case Some(p) => partitionTouched(m0, all, p)
       }
       val survivors: Seq[DataFile] = if (touched.isEmpty) Seq.empty else {
         // broadcast the key side when it is provably small; else let the
@@ -1505,7 +1524,20 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
                                   extraEqDeleteFiles: Seq[EqualityDeleteFile] = Seq.empty,
                                   identityPlan: Seq[(LakeColumn, Long)] = Seq.empty,
                                   identityProps: Map[String, String] = Map.empty)
-      : TableMeta =
+      : TableMeta = {
+    // manifest blooms for the files THIS operation wrote (new vs base):
+    // every CoW rewrite / merge survivor / compaction output keeps its
+    // coverage, so DML never degrades lookups or later DML classification
+    // to stats-only. Built once, before the commit race — the bundle is
+    // content-addressed, so retries reuse it; concurrently added files
+    // carry their own commits' bundles.
+    val bloomBundle = {
+      val baseF = base.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+      BloomSkip.buildBundleFor(spark, metaStore, meta,
+        files.filterNot(f => baseF.contains(f.path)))
+    }
+    val summaryWithBloom =
+      extraSummary ++ bloomBundle.map(BloomSkip.BundleSummaryKey -> _)
     commit { m =>
       require(m.refs.get(branch).forall(_.kind != "tag"), s"cannot write to tag $branch")
       requireIdentityUnmoved(m, identityPlan)
@@ -1569,7 +1601,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
       val carriedEq = parent.map(_.eqDeleteFiles).getOrElse(Seq.empty)
         .filter(d => stamped.exists(_.addedSnapshotId < d.addedAt)) ++
         extraEqDeleteFiles.map(_.copy(addedAt = snapId))
-      val summary = extraSummary ++ Map(
+      val summary = summaryWithBloom ++ Map(
         "operation" -> op,
         // total-records is EXACT under positional masks (counts are pruned
         // to live files); an equality mask makes it an upper bound, flagged
@@ -1593,6 +1625,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
         history = m.history :+ HistoryEntry(now, snapId, branch),
         properties = m.properties ++ identityProps)
     }
+  }
 
   // ---- schema evolution (D5-D7) -------------------------------------------
 

@@ -88,8 +88,38 @@ class BloomSkipSpec extends AnyFunSuite {
     assert(or.count() === 500)
   }
 
-  test("rename keeps blooms (column-id keyed); rewrite degrades then " +
-      "rewrite_blooms restores; expire + orphan sweep GCs dead bundles") {
+  test("DML classification: a point DELETE and a small-batch merge rewrite " +
+      "ONLY the files that can hold the key — the rest survive by reference") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val t = cat.createTable("db.bld", schema, properties = props)
+    for (b <- 0 until 4) t.append(batch(b * 1000 until (b + 1) * 1000).coalesce(1))
+    val files0 = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    assert(files0.size === 4)
+
+    // CoW DELETE of one key: three files ride into the new snapshot
+    // UNREWRITTEN (same paths); only the key's file is replaced
+    t.delete(col("k") === keyOf(1500))
+    val files1 = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    assert((files0 & files1).size === 3, "three files must survive by reference")
+    assert(t.toDF.count() === 3999)
+    assert(t.read(filter = Some(col("k") === keyOf(1500))).count() === 0)
+
+    // small-batch DF merge (the CDC shape): keys collect into an exact In
+    // predicate, the bloom clears the other files — again 3 survive
+    val files2 = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    t.mergeByKeys("k", Seq(keyOf(2500)).toDF("k"),
+      Seq((2500L, keyOf(2500), 9.9)).toDF("id", "k", "bucket_x")
+        .select(col("id"), col("k"), lit(99).as("bucket")))
+    val files3 = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    assert((files2 & files3).size >= 3,
+      s"merge must rewrite only the matching file: ${files2.size} -> ${files3.size}")
+    assert(t.toDF.filter(col("id") === 2500L).select("bucket").head.getInt(0) === 99)
+    assert(t.toDF.count() === 3999)
+  }
+
+  test("rename keeps blooms (column-id keyed); compaction output carries " +
+      "coverage through commitReplace") {
     val cat = freshCatalog()
     val t = cat.createTable("db.blm", schema, properties = props)
     for (b <- 0 until 4) t.append(batch(b * 1000 until (b + 1) * 1000).coalesce(1))
@@ -99,17 +129,30 @@ class BloomSkipSpec extends AnyFunSuite {
     assert(t.read(filter = Some(col("doc_key") === keyOf(1500)))
       .inputFiles.length === 1)
 
-    // compaction rewrites files; output is uncovered → correct, unpruned
-    t.rewriteDataFiles(targetSizeBytes = 512L * 1024 * 1024)
+    // compaction rewrites every file; the output gets ITS OWN bundle in
+    // the same commit, so the lookup stays file-pruned afterwards
+    t.rewriteDataFiles(targetSizeBytes = 96L * 1024)
     val total = t.toDF.inputFiles.length
+    assert(total >= 2, "premise: the small target must produce several files")
     val lookup = t.read(filter = Some(col("doc_key") === keyOf(1500)))
-    assert(lookup.inputFiles.length === total,
-      "uncovered rewrite output must scan unpruned")
+    assert(lookup.inputFiles.length < total,
+      s"compacted output must keep pruning: ${lookup.inputFiles.length}/$total")
     assert(lookup.select("id").head.getLong(0) === 1500L)
+  }
 
-    // rewrite_blooms covers the current files; pruning resumes
+  test("late declaration: rewrite_blooms backfills coverage; expire loses " +
+      "it honestly and the orphan sweep GCs dead bundles") {
+    val cat = freshCatalog()
+    // born WITHOUT bloom columns — appends record nothing
+    val t = cat.createTable("db.bll", schema)
+    for (b <- 0 until 4) t.append(batch(b * 1000 until (b + 1) * 1000).coalesce(1))
+    t.updateProperties(_ ++ props)
+    assert(t.read(filter = Some(col("k") === keyOf(1500)))
+      .inputFiles.length === 4, "no coverage yet — unpruned but correct")
+
+    // backfill: one aggregate over the uncovered files, pruning resumes
     t.rewriteBlooms()
-    val again = t.read(filter = Some(col("doc_key") === keyOf(1500)))
+    val again = t.read(filter = Some(col("k") === keyOf(1500)))
     assert(again.inputFiles.length === 1)
     assert(again.select("id").head.getLong(0) === 1500L)
     // idempotent: full coverage → no new commit
@@ -117,21 +160,32 @@ class BloomSkipSpec extends AnyFunSuite {
     t.rewriteBlooms()
     assert(t.meta.version === v)
 
-    // expire the append/rewrite history: the old bundles' snapshots are
-    // gone, the orphan sweep reclaims their objects, the live bundle stays
+    // a later append records its own bundle; expiring down to that append
+    // retires the backfill bundle — old keys lose pruning (never
+    // correctness), new keys keep it, the sweep reclaims the dead object
+    t.append(batch(4000 until 5000).coalesce(1))
     val metaDir = Paths.get(t.location, "metadata")
     def bundles() = Files.list(metaDir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("bloom-")).toSeq
-    val before = bundles().size
-    assert(before >= 2)
+      .map(_.getFileName.toString).filter(_.startsWith("bloom-")).toSet
+    assert(bundles().size === 2)
     t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
     t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 1000)
     val live = t.meta.snapshots.flatMap(_.summary.get(BloomSkip.BundleSummaryKey)).toSet
-    assert(bundles().toSet === live, s"sweep must keep exactly the live bundles")
     assert(live.size === 1)
-    // and the surviving coverage still prunes
-    assert(t.read(filter = Some(col("doc_key") === keyOf(1500)))
-      .inputFiles.length === 1)
+    assert(bundles() === live, "sweep must keep exactly the live bundles")
+    // the 4 uncovered old files all scan; the NEW file's surviving bloom
+    // still clears it for an old key — partial coverage composes
+    val old = t.read(filter = Some(col("k") === keyOf(1500)))
+    assert(old.inputFiles.length === 4, "old files lost coverage — unpruned")
+    assert(old.select("id").head.getLong(0) === 1500L)
+    // a key of the covered file cannot clear the UNCOVERED files (blooms
+    // prune negatives only) — all 5 scan, rows stay right
+    val fresh = t.read(filter = Some(col("k") === keyOf(4500)))
+    assert(fresh.inputFiles.length === 5)
+    assert(fresh.select("id").head.getLong(0) === 4500L)
+    // rewrite_blooms restores the rest
+    t.rewriteBlooms()
+    assert(t.read(filter = Some(col("k") === keyOf(1500))).inputFiles.length === 1)
   }
 
   test("wire mode: bundles flow through the catalog service, pruning " +
