@@ -139,14 +139,25 @@ object BloomSkip {
     name
   }
 
-  /** Build + persist a bundle for `newFiles` when the table declares bloom
-    * columns; None otherwise (and when nothing bloomable was written). */
+  /** Driver-memory bound: files per build job / bundle object. Each
+    * file's blooms return to the driver once (collect of ~bits/8 bytes
+    * per declared column), so a backfill over 10^5 files must run as a
+    * sequence of bounded jobs, never one giant collect. */
+  private val FilesPerBundle = 512
+
+  /** Build + persist bundles for `newFiles` when the table declares bloom
+    * columns; None otherwise (and when nothing bloomable was written).
+    * Returns the comma-separated bundle names for the snapshot summary —
+    * large file sets produce several bounded bundles. */
   def buildBundleFor(spark: SparkSession, store: MetaStore, m: TableMeta,
                      newFiles: Seq[DataFile]): Option[String] = {
     val cols = declaredCols(m)
     if (cols.isEmpty || newFiles.isEmpty) return None
-    val blooms = build(spark, m, newFiles, cols)
-    if (blooms.isEmpty) None else Some(writeBundle(store, blooms))
+    val names = newFiles.grouped(FilesPerBundle).flatMap { group =>
+      val blooms = build(spark, m, group, cols)
+      if (blooms.isEmpty) None else Some(writeBundle(store, blooms))
+    }.toSeq
+    if (names.isEmpty) None else Some(names.mkString(","))
   }
 
   // ---- load -----------------------------------------------------------------
@@ -173,18 +184,32 @@ object BloomSkip {
     parsed
   }
 
+  // The MERGED index is cached per (store, version): metadata versions
+  // are immutable, so the fold over every bundle runs once per commit
+  // observed, not once per query — at 10^4 commits the per-read cost
+  // would otherwise be an O(commits) map merge.
+  private val mergedCache =
+    new ConcurrentHashMap[String, Map[String, Map[String, SketchBloom]]]()
+
   /** Merged per-file bloom index for every bundle `m`'s snapshots
     * reference. Later snapshots win per (path, column) — a rebuilt bundle
     * supersedes the original for files both cover. */
   def bundleIndex(store: MetaStore,
                   m: TableMeta): Map[String, Map[String, SketchBloom]] = {
-    val names = m.snapshots.flatMap(_.summary.get(BundleSummaryKey)).distinct
-    if (names.isEmpty) Map.empty
-    else names.foldLeft(Map.empty[String, Map[String, SketchBloom]]) { (acc, n) =>
-      loadBundle(store, n).foldLeft(acc) { case (a, (path, byCol)) =>
-        a.updated(path, a.getOrElse(path, Map.empty) ++ byCol)
+    val key = store.id + "#" + m.version
+    val hit = mergedCache.get(key)
+    if (hit != null) return hit
+    val names = m.snapshots.flatMap(_.summary.get(BundleSummaryKey))
+      .flatMap(_.split(",")).filter(_.nonEmpty).distinct
+    val merged =
+      if (names.isEmpty) Map.empty[String, Map[String, SketchBloom]]
+      else names.foldLeft(Map.empty[String, Map[String, SketchBloom]]) { (acc, n) =>
+        loadBundle(store, n).foldLeft(acc) { case (a, (path, byCol)) =>
+          a.updated(path, a.getOrElse(path, Map.empty) ++ byCol)
+        }
       }
-    }
+    if (mergedCache.size < MaxCacheEntries) mergedCache.put(key, merged)
+    merged
   }
 
   // ---- probe ----------------------------------------------------------------

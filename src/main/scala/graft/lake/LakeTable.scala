@@ -2424,9 +2424,10 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
         !have.contains(s"col-${c.id}"))
     }
     if (uncovered.isEmpty) return m0
-    val blooms = BloomSkip.build(spark, m0, uncovered, cols)
-    if (blooms.isEmpty) return m0
-    val name = BloomSkip.writeBundle(metaStore, blooms)
+    // bounded jobs: a 10^5-file backfill runs as a sequence of
+    // FilesPerBundle-sized builds, never one giant driver collect
+    val name = BloomSkip.buildBundleFor(spark, metaStore, m0, uncovered)
+      .getOrElse(return m0)
     commit { m =>
       val branch = resolveWriteBranch(None)
       m.snapshotFor(branch).orElse(m.currentSnapshot) match {
@@ -2436,7 +2437,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
           val now = System.currentTimeMillis()
           val next = Snapshot(snapId, Some(snap.snapshotId), now, "rewrite-blooms",
             Map("operation" -> "rewrite-blooms",
-              "bloom-files-covered" -> blooms.size.toString,
+              "bloom-files-covered" -> uncovered.size.toString,
               BloomSkip.BundleSummaryKey -> name,
               "total-records" -> (snap.files.map(_.rowCount).sum -
                 snap.deleteFiles.map(_.rowCount).sum).toString),
@@ -2512,7 +2513,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
       s.manifests ++ s.manifestList ++ s.deleteManifest).toSet
     // bloom bundles live exactly as long as a snapshot summary names them
     val liveBundles = m.snapshots
-      .flatMap(_.summary.get(BloomSkip.BundleSummaryKey)).toSet
+      .flatMap(_.summary.get(BloomSkip.BundleSummaryKey))
+      .flatMap(_.split(",")).filter(_.nonEmpty).toSet
     metaStore.list().foreach { case (name, modified) =>
       val deadChunk = name.startsWith("manifest-") && name.endsWith(".json") &&
         !liveChunks.contains(name)
