@@ -446,6 +446,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"no join may move media bytes:\n$p")
   }
 
+  test("q89: the literal IN pushes to the lake scan (the bloom's entry " +
+      "point) and the lookup plans join-free") {
+    val p = planOf("q89_bloom_lookup")
+    // constant-folded md5 literals must reach pushFilters — a runtime
+    // filter would never consult the manifest blooms
+    assert(p.contains("In(k,"), s"IN over k must be pushed:\n$p")
+    assert(!p.contains("Join"), s"a point lookup must not join:\n$p")
+  }
+
+  test("q90: the top-k is served FROM the index table — broadcast 1-row " +
+      "query side, TakeOrderedAndProject, probe filter pushed") {
+    val p = planOf("q90_vector_index")
+    assert(p.contains("vidx"), s"the corpus side must scan the INDEX table:\n$p")
+    // list_id is column id 3 → physical name c3 in the index table
+    assert(p.contains("In(c3,"),
+      s"the probe-list filter must reach the index scan:\n$p")
+    assert(p.contains("Broadcast"), s"the 1-row query vector must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    // exactly one corpus-sized scan: embeddings appears only as the
+    // broadcast 1-row query side
+    assert("embeddings.parquet".r.findAllIn(p).size <= 1, p)
+  }
+
   test("whole-stage codegen covers the relational queries' hot path") {
     val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
     df.collect() // AQE finalizes (and codegens) the plan only on execution
