@@ -76,6 +76,20 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
       catch { case _: Exception => 0 }
     var v = math.max(math.max(hint, lastSeenVersion), 0)
     while (metaStore.exists(versionName(v + 1))) v += 1
+    // Bounded-retention tables (retireOldVersions) leave a HOLE below the
+    // retention floor, so a stale advisory hint must not be trusted: the
+    // forward probe can strand a reader at v1 (always retained — it is
+    // the existence marker) or at the hint itself when the next file was
+    // retired. A FRESH handle therefore confirms with one listing; warm
+    // handles (lastSeenVersion > 0, monotonic, above any hole by
+    // construction) never pay it.
+    if (lastSeenVersion == 0 ||
+        (v >= 1 && !metaStore.exists(versionName(v)))) {
+      val pat = "^v(\\d+)\\.json$".r
+      v = metaStore.list().flatMap { case (n, _) =>
+        pat.findFirstMatchIn(n).map(_.group(1).toInt)
+      }.maxOption.getOrElse(v)
+    }
     lastSeenVersion = v
     v
   }
@@ -139,11 +153,37 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
           next.version.toString.getBytes(StandardCharsets.UTF_8))
         lastSeenVersion = math.max(lastSeenVersion, next.version)
         LakeTable.cacheMeta(s"${metaStore.id}#v${next.version}", inMemory)
+        retireOldVersions(next)
         return inMemory
       }
       attempts += 1
     }
     throw new IllegalStateException(s"commit contention on $location after 20 attempts")
+  }
+
+  /** Bounded version-file retention (Iceberg's
+    * `write.metadata.delete-after-commit.enabled` +
+    * `write.metadata.previous-versions-max`, default 100): after a
+    * successful commit, version files below `version - max` are deleted.
+    * Without this a continuously-ingested table accretes one version file
+    * per commit FOREVER (~17k/day at a 5 s trigger). Time travel is
+    * unaffected — snapshots live in the CURRENT version's document, old
+    * version files serve only the metadata log. `v1.json` is always
+    * retained: it is the catalog's existence marker (tableExists keys on
+    * it). The walk stops at the first already-missing version, so steady
+    * state deletes exactly one file per commit; the first commit after
+    * enabling catches up over the whole backlog once. */
+  private def retireOldVersions(next: TableMeta): Unit = {
+    if (!next.properties.get("write.metadata.delete-after-commit.enabled")
+        .contains("true")) return
+    val max = next.properties.get("write.metadata.previous-versions-max")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(100)
+    var v = next.version - max - 1
+    while (v >= 2 && metaStore.exists(versionName(v))) {
+      try metaStore.delete(versionName(v))
+      catch { case _: Exception => return } // best-effort; next commit retries
+      v -= 1
+    }
   }
 
   // ---- session-conf plumbing (WAP, ref: Integrated Audits c13-c27) --------
@@ -2261,6 +2301,23 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
       LakeTable.withConflictRetry() { rewriteDeleteFiles() }
       did |= meta.version != v0
     }
+    // snapshot-count bound (graft.maintenance.expire.keep-last): without
+    // it a continuously-ingested table accretes one snapshot per commit
+    // forever, and EVERY version document carries the whole list — the
+    // metadata itself becomes the unbounded cost at a 5 s trigger. Opt-in:
+    // expiry trades time-travel depth (and changelog/bloom coverage older
+    // than the window) for bounded metadata; branch/tag targets and the
+    // newest K always survive (expireSnapshots' own rules).
+    props.get("graft.maintenance.expire.keep-last").flatMap(_.toIntOption)
+      .filter(_ > 0).foreach { k =>
+        if (meta.snapshots.count(!_.staged) > k) {
+          val v0 = meta.version
+          LakeTable.withConflictRetry() {
+            expireSnapshots(System.currentTimeMillis() + 1, retainLast = k)
+          }
+          did |= meta.version != v0
+        }
+      }
     autoCompact(every, target, partitionFilter, sortBy) || did
   }
 

@@ -1454,6 +1454,56 @@ class LakeTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("bounded metadata for continuous ingest: version-file retention + " +
+      "auto snapshot expiry keep both growth axes flat (r13)") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    // axis 1: version FILES (write.metadata.delete-after-commit.enabled)
+    val t = cat.createTable("db.vret", StructType(Seq(
+      StructField("id", LongType))), properties = Map(
+      "write.metadata.delete-after-commit.enabled" -> "true",
+      "write.metadata.previous-versions-max" -> "5"))
+    for (i <- 1 to 25) t.append(Seq(i.toLong).toDF("id"))
+    val metaDir = Paths.get(t.location, "metadata")
+    def versions() = Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.matches("v\\d+\\.json")).toSeq
+      .map(_.stripPrefix("v").stripSuffix(".json").toInt).sorted
+    // v1 (the existence marker) + the last window survive; the backlog is gone
+    val vs = versions()
+    assert(vs.head === 1, "v1.json must always survive (tableExists keys on it)")
+    assert(vs.tail.head > 5, s"old versions must be retired: $vs")
+    assert(vs.size <= 8, s"version files must stay bounded: $vs")
+    // snapshots are untouched by version retirement: full time travel
+    assert(t.read(snapshotId = Some(t.meta.snapshots.head.snapshotId)).count() === 1)
+    assert(cat.loadTable("db.vret").toDF.count() === 25)
+    // a STALE hint below the retention hole must not strand a fresh reader
+    // (written through the Hadoop fs so the checksum stays consistent)
+    val hfs = new org.apache.hadoop.fs.Path(t.location)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val hout = hfs.create(new org.apache.hadoop.fs.Path(
+      t.location, "metadata/version-hint.text"), true)
+    hout.write("2".getBytes("UTF-8")); hout.close()
+    LakeTable.invalidateLocation(t.location)
+    assert(cat.loadTable("db.vret").toDF.count() === 25,
+      "a fresh handle must recover the true latest version past the hole")
+
+    // axis 2: the snapshot LIST (graft.maintenance.expire.keep-last)
+    val s = cat.createTable("db.sret", StructType(Seq(
+      StructField("id", LongType))), properties = Map(
+      "graft.maintenance.expire.keep-last" -> "6",
+      "graft.maintenance.every-commits" -> "1000")) // isolate expiry
+    for (i <- 1 to 20) {
+      s.append(Seq(i.toLong).toDF("id"))
+      s.autoMaintain()
+      assert(s.meta.snapshots.count(!_.staged) <= 6,
+        s"snapshot list must stay bounded at commit $i")
+    }
+    assert(s.toDF.count() === 20, "expiry must never lose data")
+    // beyond-window time travel is GONE (the documented trade), inside works
+    assert(s.read(snapshotId = s.meta.snapshots.map(_.snapshotId).minOption)
+      .count() > 0)
+  }
+
   test("add_files + migrate: multi-level hive layouts (k1=/k2=) — pruning " +
       "on both path columns, migrate derives both identity partitions (r13)") {
     import spark.implicits._
