@@ -160,6 +160,11 @@ final class VectorIndex private (
 }
 
 object VectorIndex {
+  /** Routing index on the BASE table: ';'-separated state-table locations
+    * of every vector index registered on it — the ingest loop
+    * ([[graft.streaming.Changelog.startIngest]] `refreshIndexes=true`)
+    * refreshes each one per batch, exactly like the MV routing index. */
+  private[graft] val IndexesKey = "graft.vindex.indexes"
   /** Snapshot-summary key: base snapshot the index content reflects. */
   private[graft] val WatermarkKey = "graft.vindex.base-snapshot"
   /** Snapshot-summary key: centroid-table snapshot of the assignments. */
@@ -226,6 +231,14 @@ object VectorIndex {
       assigned.select(col(idCol), col(vecCol), col("list_id").cast(IntegerType)),
       extraSummary = Map(WatermarkKey -> head.toString,
         CentroidSnapKey -> cSnap.toString))
+    // register on the base's routing index so ingest-cadence maintenance
+    // can keep the index fresh per batch (same shape as the MV index)
+    base.updateProperties { props =>
+      val cur = props.get(IndexesKey)
+        .map(_.split(";").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+      if (cur.contains(t.location)) props
+      else props + (IndexesKey -> (cur :+ t.location).mkString(";"))
+    }
     new VectorIndex(t, cT, base, idCol, vecCol, metric)
   }
 
@@ -233,11 +246,42 @@ object VectorIndex {
     * base and centroid tables resolve as SIBLINGS of the state table —
     * through the same metadata authority (a wire-catalog index stays
     * wire; see [[graft.lake.MetaStore.sibling]]). */
-  def load(catalog: LakeCatalog, ident: String): VectorIndex = {
-    val t = catalog.loadTable(ident)
+  def load(catalog: LakeCatalog, ident: String): VectorIndex =
+    fromState(catalog.loadTable(ident))
+
+  /** Reload from the state-table LOCATION the base's routing index
+    * stores, THROUGH the owner's metadata authority — the ingest loop's
+    * route (a `uri`-mode base resolves its indexes over the wire). */
+  def loadVia(owner: LakeTable, stateLocation: String): VectorIndex =
+    fromState(owner.sibling(stateLocation))
+
+  private def fromState(t: LakeTable): VectorIndex = {
     val p = t.meta.properties
-    require(p.contains(BaseLocKey), s"$ident is not a VectorIndex state table")
+    require(p.contains(BaseLocKey),
+      s"${t.meta.name} is not a VectorIndex state table")
     new VectorIndex(t, t.sibling(p(CentroidsLocKey)), t.sibling(p(BaseLocKey)),
       p(IdColKey), p(VecColKey), p.getOrElse(MetricKey, "cosine"))
+  }
+
+  /** Drop the index: BOTH tables removed and the base's routing-index
+    * registration cleared (a bare dropTable of the state table leaves a
+    * stale registration, which the ingest loop skips with a warning). */
+  def drop(catalog: LakeCatalog, ident: String): Unit = {
+    val t = catalog.loadTable(ident)
+    val baseLoc = t.meta.properties.get(BaseLocKey)
+    val loc = t.location
+    baseLoc.foreach { bl =>
+      try t.sibling(bl).updateProperties { props =>
+        props.get(IndexesKey) match {
+          case Some(v) =>
+            val left = v.split(";").filter(l => l.nonEmpty && l != loc)
+            if (left.isEmpty) props - IndexesKey
+            else props + (IndexesKey -> left.mkString(";"))
+          case None => props
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    catalog.dropTable(s"${ident}_centroids")
+    catalog.dropTable(ident)
   }
 }

@@ -266,7 +266,8 @@ object Changelog {
   def startIngest(table: LakeTable, parsed: DataFrame, key: String, seqCol: String,
                   checkpointDir: String, triggerMs: Long = 5000L,
                   maintainEvery: Int = 0,
-                  refreshViews: Boolean = false): StreamingQuery = {
+                  refreshViews: Boolean = false,
+                  refreshIndexes: Boolean = false): StreamingQuery = {
     val wid = writerIdFor(checkpointDir)
     parsed.writeStream
       .outputMode("append")
@@ -276,6 +277,7 @@ object Changelog {
         mergeChangelog(table, batch, key, seqCol, batchId = id, writerId = wid)
         if (maintainEvery > 0) { table.autoMaintain(maintainEvery); () }
         if (refreshViews) refreshRegisteredViews(table)
+        if (refreshIndexes) refreshRegisteredIndexes(table)
       }
       .start()
   }
@@ -306,6 +308,24 @@ object Changelog {
     * table sees a view stuck behind a mutated dimension instead of
     * discovering cold routing later. Recording is itself best-effort (a
     * dropped view has no state table left to write to). */
+  /** Refresh every persistent vector index in the table's routing index
+    * (`graft.vindex.indexes`) — each refresh is churn-shaped (the index's
+    * own changelog window), so a CDC-ingested corpus keeps its ANN index
+    * exactly at the base head between triggers. Failures skip with a
+    * warning, never killing the stream: a lagging index is OBSERVABLE
+    * (its watermark pin trails the base head), and a stale registration
+    * left by a bare dropTable (use [[graft.operators.VectorIndex.drop]])
+    * is skipped harmlessly. Index resolution goes through the base's
+    * metadata authority — a `uri`-mode base refreshes over the wire. */
+  def refreshRegisteredIndexes(table: LakeTable): Unit =
+    table.meta.properties.get(graft.operators.VectorIndex.IndexesKey).toSeq
+      .flatMap(_.split(";")).filter(_.nonEmpty).foreach { loc =>
+        try { graft.operators.VectorIndex.loadVia(table, loc).refresh(); () }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] index refresh skipped for $loc: ${e.getMessage}")
+        }
+      }
+
   def refreshRegisteredViews(table: LakeTable): Unit = {
     import graft.lake.MaterializedAgg
     val recordEvery = table.meta.properties

@@ -182,6 +182,44 @@ class VectorIndexSpec extends AnyFunSuite {
       idx.search(q, k = 5, nprobe = 2).collect().toSeq)
   }
 
+  test("ingest-cadence auto-refresh: registered indexes track the base " +
+      "head (the startIngest refreshIndexes hook); drop deregisters (r13)") {
+    val cat = freshCatalog()
+    val base = cat.createTable("db.vri", StructType(Seq(
+      StructField("id", LongType), StructField("embedding", ArrayType(FloatType)))))
+    base.append(vecDf(0L until 200L))
+    val idx = VectorIndex.create(cat, "db.vri_a", base, "id", "embedding",
+      nlist = 6, iters = 2)
+    // create registered the state location on the base's routing index
+    assert(base.meta.properties.get(VectorIndex.IndexesKey)
+      .exists(_.contains(idx.state.location)))
+
+    // churn, then the ingest loop's per-batch call: index lands at head
+    base.append(vecDf(200L until 260L))
+    graft.streaming.Changelog.refreshRegisteredIndexes(base)
+    assert(idx.watermark === base.meta.currentSnapshot.map(_.snapshotId))
+    assert(indexSet(idx) === assignSet(base.toDF, idx.centroids))
+
+    // a second registered index refreshes in the same pass
+    val idx2 = VectorIndex.create(cat, "db.vri_b", base, "id", "embedding",
+      nlist = 4, iters = 1)
+    base.append(vecDf(260L until 300L))
+    graft.streaming.Changelog.refreshRegisteredIndexes(base)
+    val head = base.meta.currentSnapshot.map(_.snapshotId)
+    assert(idx.watermark === head && idx2.watermark === head)
+    assert(indexSet(idx) === assignSet(base.toDF, idx.centroids))
+
+    // drop: BOTH tables gone and the registration cleared — the next
+    // refresh pass touches only the survivor
+    VectorIndex.drop(cat, "db.vri_b")
+    assert(!cat.tableExists("db.vri_b") && !cat.tableExists("db.vri_b_centroids"))
+    assert(!base.meta.properties.get(VectorIndex.IndexesKey)
+      .exists(_.contains("vri_b")))
+    base.append(vecDf(300L until 320L))
+    graft.streaming.Changelog.refreshRegisteredIndexes(base)
+    assert(idx.watermark === base.meta.currentSnapshot.map(_.snapshotId))
+  }
+
   test("SQL surface: CALL create/refresh/rebuild_vector_index maintain the " +
       "index through the procedure catalog (r13)") {
     val wh = Files.createTempDirectory("graft-vidx-sql").toString
