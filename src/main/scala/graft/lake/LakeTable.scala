@@ -2310,7 +2310,12 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     // newest K always survive (expireSnapshots' own rules).
     props.get("graft.maintenance.expire.keep-last").flatMap(_.toIntOption)
       .filter(_ > 0).foreach { k =>
-        if (meta.snapshots.count(!_.staged) > k) {
+        // 25% slack amortizes the expiry commit: at exactly `> k` every
+        // append would trip it (count k+1 → expire → k → repeat), doubling
+        // the stream's commit rate; with slack the bound is k+slack and
+        // expiry runs once per `slack` commits
+        val slack = math.max(k / 4, 2)
+        if (meta.snapshots.count(!_.staged) > k + slack) {
           val v0 = meta.version
           LakeTable.withConflictRetry() {
             expireSnapshots(System.currentTimeMillis() + 1, retainLast = k)
