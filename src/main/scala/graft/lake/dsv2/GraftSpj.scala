@@ -523,7 +523,14 @@ class GraftBatchScan(
   }
 
   private def runtimeKeep(f: DataFile): Boolean = runtimePred match {
-    case Some(p) => graft.lake.Pruning.mayMatch(p, lake.fileBounds(m, f))
+    // stats first, then manifest blooms: a DPP/runtime-filter In over a
+    // bloom-declared join key (hash-like — stats overlap every file)
+    // prunes the probe side file-by-file. BloomSkip.filter short-circuits
+    // to the input when the pred or table doesn't engage blooms, and the
+    // merged index is version-cached, so the per-file call stays cheap.
+    case Some(p) =>
+      graft.lake.Pruning.mayMatch(p, lake.fileBounds(m, f)) &&
+        graft.lake.BloomSkip.filter(lake.metaStore, m, p, Seq(f)).nonEmpty
     case None => true
   }
 
