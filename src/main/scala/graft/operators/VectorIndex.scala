@@ -123,6 +123,49 @@ final class VectorIndex private (
       .limit(k)
   }
 
+  /** Online near-duplicate lookup for a NEW batch against the indexed
+    * corpus (the ingest-time half of SemDeDup): every batch vector
+    * probes its `nprobe` nearest posting lists — ranked in one pass over
+    * the broadcast nlist-row centroid table — and scores ONLY those
+    * candidates. The corpus side is a metadata-pruned scan of the UNION
+    * of probed lists (collected driver-side: ≤ nlist ints), the join is
+    * an equi-join on `list_id`, and no corpus-sized side ever shuffles —
+    * O(batch × corpus·nprobe/nlist) compute at any corpus size.
+    * `nprobe = nlist` makes it EXACT (every pair ≥ threshold); smaller
+    * nprobe trades recall the usual IVF way (near-duplicates share a
+    * list with their twin almost surely — that is SemDeDup's premise).
+    * Returns (batch_id, match_id, cos); self-id matches excluded. Cache
+    * `batch` upstream if it is expensive — it is traversed twice. */
+  def nearDuplicates(batch: DataFrame, threshold: Double,
+                     nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cs = centroids
+    val n = math.min(math.max(nprobe, 1), cs.size)
+    val cdf = broadcast(VectorIndex.centroidsDf(state.spark, cs)
+      .select(col("list_id"), col("embedding").as("_vx_cvec")))
+    val probes = batch
+      .select(col(idCol).as("batch_id"), col(vecCol).as("_vx_qvec"))
+      .crossJoin(cdf)
+      .withColumn("_vx_rank", row_number().over(
+        Window.partitionBy(col("batch_id")).orderBy(
+          Similarity.cosine(col("_vx_qvec"), col("_vx_cvec")).desc,
+          col("list_id"))))
+      .filter(col("_vx_rank") <= n)
+      .select(col("batch_id"), col("_vx_qvec"), col("list_id"))
+    val probed = probes.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by nlist
+    val cand = state
+      .read(filter = Some(col("list_id").isin(probed.map(Int.box): _*)))
+      .select(col("list_id"), col(idCol).as("match_id"),
+        col(vecCol).as("_vx_mvec"))
+    probes.join(cand, Seq("list_id"))
+      .filter(col("batch_id") =!= col("match_id"))
+      .select(col("batch_id"), col("match_id"),
+        Similarity.cosine(col("_vx_qvec"), col("_vx_mvec")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct() // a pair reachable through several probed lists, once
+  }
+
   /** max/mean posting-list population — the drift signal. Incremental
     * maintenance never moves centroids, so a shifting corpus piles new
     * vectors onto few lists; when this ratio degrades probe cost/recall,

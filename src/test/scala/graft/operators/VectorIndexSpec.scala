@@ -182,6 +182,53 @@ class VectorIndexSpec extends AnyFunSuite {
       idx.search(q, k = 5, nprobe = 2).collect().toSeq)
   }
 
+  test("nearDuplicates: a new batch probes the index — exact at full " +
+      "probe, near-dup recall at nprobe=1, never a corpus shuffle (r13)") {
+    val cat = freshCatalog()
+    val base = cat.createTable("db.vnd", StructType(Seq(
+      StructField("id", LongType), StructField("embedding", ArrayType(FloatType)))))
+    base.append(vecDf(0L until 300L))
+    val idx = VectorIndex.create(cat, "db.vnd_idx", base, "id", "embedding",
+      nlist = 8, iters = 2)
+    // batch = near-duplicates of existing rows (same cluster axis, tiny
+    // ripple) plus genuinely new far vectors
+    val batchRows = (1000L until 1040L).map { i =>
+      val twin = i - 1000L // duplicates vec(twin) up to the ripple
+      org.apache.spark.sql.Row(i, vec(twin).map(_ + 0.01f))
+    } ++ (2000L until 2010L).map(i =>
+      org.apache.spark.sql.Row(i, (0 until 8).map(d => ((i + d) % 5).toFloat - 2f)))
+    val batch = spark.createDataFrame(
+      java.util.Arrays.asList(batchRows: _*), StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType)))))
+
+    // ground truth: brute-force batch × corpus pairs over the threshold
+    val brute = batch.select(col("id").as("batch_id"), col("embedding").as("qv"))
+      .crossJoin(base.toDF.select(col("id").as("match_id"), col("embedding").as("mv")))
+      .select(col("batch_id"), col("match_id"),
+        Similarity.cosine(col("qv"), col("mv")).as("cos"))
+      .filter(col("cos") >= 0.995)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("batch_id", "match_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(brute)
+    assert(exact.nonEmpty, "test premise: the batch must contain near-dups")
+
+    // full probe is EXACT
+    assert(pairs(idx.nearDuplicates(batch, 0.995, nprobe = 8)) === exact)
+    // nprobe=1: every returned pair is true (candidates verify exactly),
+    // and every batch vector's actual TWIN is found — a near-duplicate
+    // lands in its twin's list (SemDeDup's premise). Same-cluster
+    // siblings above the loose threshold may be missed across list
+    // boundaries — that is the recall IVF trades below full probe.
+    val p1 = pairs(idx.nearDuplicates(batch, 0.995, nprobe = 1))
+    assert(p1.subsetOf(exact))
+    val twins = exact.filter { case (b, m) => b - 1000L == m }
+    assert(twins.size === 40, "test premise: every injected twin scores above threshold")
+    assert(twins.subsetOf(p1),
+      s"nprobe=1 must find every true twin: ${(twins -- p1).take(5)}")
+  }
+
   test("ingest-cadence auto-refresh: registered indexes track the base " +
       "head (the startIngest refreshIndexes hook); drop deregisters (r13)") {
     val cat = freshCatalog()
