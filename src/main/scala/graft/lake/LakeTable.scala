@@ -279,15 +279,28 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     // partition-values-per-task, the small-files factory at 100 TB.
     // Default "none" keeps writes shuffle-free (right for single-partition
     // micro-batches and huge per-partition loads).
-    val withParts1 =
-      if (partCols.nonEmpty &&
-          m.properties.get("write.distribution-mode").contains("hash"))
+    // write.distribution-mode=range + write.sort-order (Iceberg's pair):
+    // range-partition the batch by the declared sort columns and sort
+    // within tasks, so files land with DISJOINT min/max on those columns
+    // — range predicates then prune files from the FIRST commit, no
+    // sort-by compaction pass needed. The sort columns resolve by
+    // LOGICAL name at write time (rename-safe: the property is rewritten
+    // with renames like the bloom columns... it is consulted per write).
+    val sortOrderCols = m.properties.get("write.sort-order")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+      .flatMap(c => schema.byName(c).map(_.physicalName))
+    val withParts1 = m.properties.get("write.distribution-mode") match {
+      case Some("hash") if partCols.nonEmpty =>
         withParts0.repartition(partCols.map(c => col(c)): _*)
-      else withParts0
+      case Some("range") if sortOrderCols.nonEmpty =>
+        withParts0.repartitionByRange(
+          (partCols ++ sortOrderCols).map(c => col(c)): _*)
+      case _ => withParts0
+    }
+    val sortCols = (partCols ++ sortWithinPhysical ++ sortOrderCols).distinct
     val withParts =
-      if (sortWithinPhysical.nonEmpty)
-        withParts1.sortWithinPartitions(
-          (partCols ++ sortWithinPhysical).map(c => col(c)): _*)
+      if (sortCols.nonEmpty && (sortWithinPhysical.nonEmpty || sortOrderCols.nonEmpty))
+        withParts1.sortWithinPartitions(sortCols.map(c => col(c)): _*)
       else withParts1
     // write.bloom-filter.columns: per-column parquet bloom filters for
     // high-cardinality point lookups — row-group-level pruning inside the
@@ -1690,7 +1703,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     // silently detach from the column they configure
     def renamedList(v: String) = v.split(",").map(_.trim)
       .map(n => if (n == from) to else n).mkString(",")
-    val props = Seq(BloomSkip.ColumnsKey, "write.bloom-filter.columns")
+    val props = Seq(BloomSkip.ColumnsKey, "write.bloom-filter.columns",
+        "write.sort-order")
       .foldLeft(m.properties)((p, k) =>
         p.get(k).fold(p)(v => p.updated(k, renamedList(v))))
     m.copy(schemas = m.schemas :+ next, currentSchemaId = next.schemaId,

@@ -1454,6 +1454,49 @@ class LakeTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("write.distribution-mode=range + write.sort-order: one append lands " +
+      "files with DISJOINT bounds — range predicates prune from commit one (r13)") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val t = cat.createTable("db.rng", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      properties = Map(
+        "write.distribution-mode" -> "range",
+        "write.sort-order" -> "id"))
+    // one shuffled batch (ids arrive in arbitrary partition order); AQE
+    // would coalesce 40k toy rows into one post-shuffle partition, which
+    // is correct engine behavior (fewer, still-disjoint files) but
+    // defeats the multi-file premise this test needs
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try t.append(spark.range(0, 40000).select(
+      col("id"), concat(lit("v"), col("id")).as("v"))
+      .repartition(8, col("v")))
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val files = t.meta.currentSnapshot.get.files
+    assert(files.size >= 4, s"premise: several files, got ${files.size}")
+    // range distribution ⇒ per-file id bounds are pairwise DISJOINT
+    val bounds = files.map { f =>
+      val st = f.stats("c1") // id's physical name
+      (st.min.get.toLong, st.max.get.toLong)
+    }.sortBy(_._1)
+    bounds.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"file bounds must be disjoint: $bounds")
+      case _ => ()
+    }
+    // so a range predicate prunes to a strict subset immediately
+    val pruned = t.read(filter = Some(col("id") >= 35000L))
+    assert(pruned.inputFiles.length < files.size,
+      s"range pruning must engage: ${pruned.inputFiles.length}/${files.size}")
+    assert(pruned.count() === 5000)
+    // rename keeps the sort order attached (name-keyed property rewritten)
+    t.renameColumn("id", "seq")
+    t.append(spark.range(40000, 40100).select(
+      col("id").as("seq"), concat(lit("v"), col("id")).as("v")))
+    assert(t.meta.properties("write.sort-order") === "seq")
+    assert(t.toDF.count() === 40100)
+  }
+
   test("bounded metadata for continuous ingest: version-file retention + " +
       "auto snapshot expiry keep both growth axes flat (r13)") {
     import spark.implicits._
