@@ -46,7 +46,11 @@ import java.util.concurrent.ConcurrentHashMap
   *   - Files written by compaction/CoW/import have no blooms until
   *     [[LakeTable.rewriteBlooms]] (also `CALL lake.system.rewrite_blooms`)
   *     covers them — skipping degrades to stats-only, never to wrong.
-  *   - Blooms are keyed by COLUMN ID, so a rename never orphans them.
+  *   - Blooms are keyed by (COLUMN ID, table type): a rename never
+  *     orphans them, and a type WIDENING makes the old blooms silently
+  *     stop matching (their hashes were computed under the narrow type —
+  *     probing them under the wide one would wrongly prune) until
+  *     rewrite_blooms re-covers under the widened type.
   *
   * Hash contract (build and probe must agree bit-for-bit): the stored
   * filter holds `xxhash64(CAST(col AS <table type>))` of every row; the
@@ -64,6 +68,17 @@ object BloomSkip {
   /** Spark's runtime-bloom aggregate refuses above this (default conf). */
   private val MaxItems = 4000000L
   private val MaxBits = 67108864L
+
+  /** Bundle key: column id + the TABLE type the hash was computed under.
+    * Spark's xxhash64 hashes int and long (and float and double)
+    * DIFFERENTLY, so a bloom built before `updateColumnType` widened the
+    * column would wrongly prune present values if probed under the new
+    * type — keying by (id, type) makes the stale blooms silently stop
+    * matching instead: the column degrades to stats-only until
+    * rewrite_blooms re-covers it under the widened type. Rename-proof
+    * (ids, not names) like before. */
+  private[lake] def bloomKey(c: LakeColumn): String =
+    s"col-${c.id}:${c.sparkType.catalogString}"
 
   def declaredCols(m: TableMeta): Seq[LakeColumn] =
     m.properties.get(ColumnsKey).toSeq.flatMap(_.split(","))
@@ -103,12 +118,12 @@ object BloomSkip {
         else {
           val items = math.min(MaxItems, math.max(1L, group.map(_.rowCount).max))
           val bits = numBits(items, p)
-          val aggs = resolved.map { case (c, phys) =>
+          val aggs = resolved.zipWithIndex.map { case ((c, phys), i) =>
             val child = ColumnBridge.expression(
               xxhash64(col(phys).cast(c.sparkType)))
             ColumnBridge.column(new BloomFilterAggregate(child,
               Literal(items), Literal(bits)).toAggregateExpression())
-              .as(s"col-${c.id}")
+              .as(s"_bloom_$i")
           }
           spark.read.parquet(group.map(_.path): _*)
             .select(col("_metadata.file_path").as("__bloom_path") +:
@@ -118,7 +133,7 @@ object BloomSkip {
             .collect().map { row =>
               val blooms = resolved.indices.flatMap { i =>
                 if (row.isNullAt(i + 1)) None
-                else Some(s"col-${resolved(i)._1.id}" ->
+                else Some(bloomKey(resolved(i)._1) ->
                   Base64.getEncoder.encodeToString(row.getAs[Array[Byte]](i + 1)))
               }.toMap
               normPath(row.getString(0)) -> blooms
@@ -276,7 +291,7 @@ object BloomSkip {
     if (cols.isEmpty || !consultsBloom(p, cols.map(_.name).toSet)) return files
     val idx = bundleIndex(store, m)
     if (idx.isEmpty) return files
-    val types = cols.map(c => c.name -> (s"col-${c.id}", c.sparkType)).toMap
+    val types = cols.map(c => c.name -> (bloomKey(c), c.sparkType)).toMap
     files.filter { f =>
       idx.get(normPath(f.path)) match {
         case Some(blooms) => mayMatch(p, blooms, types)

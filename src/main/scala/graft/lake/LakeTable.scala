@@ -2497,7 +2497,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
       val schema = m0.schemas.find(_.schemaId == f.schemaId).getOrElse(m0.schema)
       // only demand coverage for columns this file HAS bytes for
       cols.exists(c => schema.byId(c.id).exists(!_.fromPath) &&
-        !have.contains(s"col-${c.id}"))
+        !have.contains(BloomSkip.bloomKey(c)))
     }
     if (uncovered.isEmpty) return m0
     // bounded jobs: a 10^5-file backfill runs as a sequence of

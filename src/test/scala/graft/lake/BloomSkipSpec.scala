@@ -188,6 +188,37 @@ class BloomSkipSpec extends AnyFunSuite {
     assert(t.read(filter = Some(col("k") === keyOf(1500))).inputFiles.length === 1)
   }
 
+  test("type widening detaches stale blooms (narrow-type hashes would " +
+      "wrongly prune) until rewrite_blooms re-covers under the new type") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    // bloom on an INT column: xxhash64 of int and long DIFFER in Spark,
+    // so a bloom built pre-widening must never be probed under LONG
+    val t = cat.createTable("db.blw2", StructType(Seq(
+      StructField("id", LongType), StructField("n", IntegerType))),
+      properties = Map(BloomSkip.ColumnsKey -> "n", BloomSkip.FppKey -> "0.001"))
+    // n = odd-multiplier scramble mod 2^16: injective over the 4k ids
+    // (exactly one row matches any probed value) AND every file spans
+    // nearly the whole range, so min/max stats can prune nothing — the
+    // bloom is the only separator, which is what this test must isolate
+    def scr(i: Int): Int = (i * 40503) & 0xffff
+    for (b <- 0 until 4)
+      t.append((b * 1000 until (b + 1) * 1000)
+        .map(i => (i.toLong, scr(i))).toDF("id", "n").coalesce(1))
+    assert(t.read(filter = Some(col("n") === scr(2500))).inputFiles.length === 1)
+    t.updateColumnType("n", LongType)
+    // stale blooms no longer match the (id, type) key: unpruned, CORRECT
+    val after = t.read(filter = Some(col("n") === scr(2500).toLong))
+    assert(after.inputFiles.length === 4,
+      "post-widening the narrow-type blooms must detach, not mis-prune")
+    assert(after.select("id").head.getLong(0) === 2500L)
+    // re-cover under the widened type: pruning resumes
+    t.rewriteBlooms()
+    val again = t.read(filter = Some(col("n") === scr(2500).toLong))
+    assert(again.inputFiles.length === 1)
+    assert(again.select("id").head.getLong(0) === 2500L)
+  }
+
   test("wire mode: bundles flow through the catalog service, pruning " +
       "works with zero metadata under the table location") {
     val metaRoot = Files.createTempDirectory("graft-bloom-meta").toString
