@@ -103,7 +103,7 @@ object BloomSkip {
     * group (groups can store a column under a different physical name or a
     * narrower type; a group whose column has no bytes — a hive-import
     * path column — is skipped for that column). Returns
-    * normalized-file-path -> ("col-<id>" -> base64 filter bytes). */
+    * normalized-file-path -> ([[bloomKey]] -> base64 filter bytes). */
   def build(spark: SparkSession, m: TableMeta, files: Seq[DataFile],
             cols: Seq[LakeColumn]): Map[String, Map[String, String]] = {
     val p = fpp(m)
