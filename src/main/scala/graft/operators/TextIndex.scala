@@ -1,0 +1,336 @@
+package graft.operators
+
+import graft.lake.{BloomSkip, LakeCatalog, LakeTable}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persistent BM25 inverted index over a lake table — the durable scale
+  * path for ranked text retrieval (q66 recomputes tf/df/lens from the
+  * whole corpus per query; this index makes a query touch ONLY the
+  * posting lists of its terms). The text twin of [[VectorIndex]]:
+  * (a) DURABLE — a new engine searches without scanning the corpus,
+  * (b) INCREMENTALLY MAINTAINED — indexing an ingest batch of B docs
+  * into a corpus of N costs O(B·terms-per-doc), never O(N), via the
+  * base table's batch changelog, (c) PHYSICALLY CLUSTERED — postings
+  * are `bucket[n](term)` partitions of a lake table, so a Q-term query
+  * is a partition-pruned scan of ≤ Q/n of the index bytes.
+  *
+  * Layout — two lake tables plus snapshot-summary pins:
+  *   - `<ident>` (postings): `(id, term, tf, len_d)`, bucket-partitioned
+  *     by term. `len_d` is denormalized onto every posting (the
+  *     impact-file layout of classic IR engines) so scoring never joins
+  *     a side table: any change to a doc rewrites all its postings
+  *     anyway.
+  *   - `<ident>_docs`: `(id, len_d)`, bucket-partitioned + manifest
+  *     blooms on id — the O(matching-files) lookup of a churn batch's
+  *     PREVIOUS lengths during refresh.
+  *   - Corpus-level BM25 constants ride the docs table's snapshot
+  *     summary ([[TextIndex.NDocsKey]]/[[TextIndex.TotalLenKey]]),
+  *     maintained by DELTA per refresh — search reads two driver-side
+  *     longs, never an O(corpus) aggregate.
+  *
+  * Crash safety: refresh commits the docs table first (its summary
+  * carries its own watermark + the updated corpus constants), then the
+  * postings upsert (carrying the postings watermark). Each step is
+  * fenced by ITS OWN watermark and each is deterministic from its
+  * changelog window, so a crash between the two leaves the docs step
+  * complete and the retry skips straight to the postings step — the
+  * corpus constants can never double-count a window.
+  *
+  * Scoring is the engine's cross-verifiable fixed-point BM25 (see
+  * q66_bm25_search in [[graft.queries.TextOps]]): scale 10^6, truncating
+  * BIGINT division, log-free Robertson–Spärck-Jones idf — bit-identical
+  * to the DuckDB oracle, which is what lets q91 hash-gate create +
+  * changelog refresh + the pruned probe read end-to-end.
+  *
+  * Tokenization matches q66 exactly: `split(lower(text), '\s+')`, empty
+  * tokens included, docs with NULL text absent from the index.
+  *
+  * 100 TB notes: set `write.merge.mode=merge-on-read` on both tables for
+  * high-churn bases (refresh upserts become equality-delete files, not
+  * CoW rewrites) and `write.target-file-size-bytes` to keep term buckets
+  * in task-sized files; both compose with the maintenance tiers. The
+  * per-refresh previous-length lookup collects ≤ [[TextIndex.MaxInKeys]]
+  * changed ids into an exact IN predicate (bucket + bloom pruned);
+  * larger catch-up bursts fall back to a semi-join against the docs
+  * table — O(docs), never O(postings). */
+final class TextIndex private (
+    val state: LakeTable, val docsTable: LakeTable, val base: LakeTable,
+    val idCol: String, val textCol: String) {
+  import TextIndex._
+
+  /** Base snapshot the POSTINGS content reflects. */
+  def watermark: Option[Long] = summaryPin(state, WatermarkKey)
+
+  /** Base snapshot the docs table (and the corpus constants) reflect —
+    * ≥ [[watermark]] whenever a crash split the two-step refresh. */
+  def docsWatermark: Option[Long] = summaryPin(docsTable, WatermarkKey)
+
+  /** (n_docs, total_len): corpus constants as of [[docsWatermark]] —
+    * two driver longs off the docs table's snapshot summary. */
+  def corpusStats: (Long, Long) = {
+    val m = docsTable.meta
+    var cur = m.currentSnapshot
+    while (cur.isDefined) {
+      (cur.get.summary.get(NDocsKey), cur.get.summary.get(TotalLenKey)) match {
+        case (Some(n), Some(t)) => return (n.toLong, t.toLong)
+        case _ => cur = cur.get.parentId.flatMap(m.snapshot)
+      }
+    }
+    (0L, 0L)
+  }
+
+  /** q66's tokenizer, verbatim: whitespace split of the lowercased text
+    * (empty tokens kept — both engines produce them identically). */
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("term"))
+
+  /** Postings of a doc batch: tf per (id, term) + the doc length
+    * denormalized per row. One explode + one map-side-combined aggregate
+    * + one batch-sized window. */
+  private def postingsOf(docs: DataFrame): DataFrame =
+    tokenized(docs)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("len_d", sum(col("tf")).over(Window.partitionBy(col(idCol))))
+      .select(col(idCol), col("term"), col("tf"), col("len_d"))
+
+  /** (id, len_d) of the docs in a batch that have ≥1 token (NULL-text
+    * docs have none and stay out of the index — q66's `lens`). */
+  private def docStatsOf(docs: DataFrame): DataFrame =
+    tokenized(docs).groupBy(col(idCol)).agg(count(lit(1)).as("len_d"))
+
+  /** Last state of every doc changed in the changelog window
+    * `(from, to]`: (changed ids, final-alive (id, text) rows). A key
+    * changed many times inside the window reduces to its final state;
+    * within one commit an insert outranks the delete of the same key. */
+  private def lastState(from: Option[Long], to: Long): (DataFrame, DataFrame) = {
+    val cl = base.changelog(from, to)
+    val isAlive = col("_change_type").isin("INSERT", "UPDATE_AFTER")
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_change_ordinal").desc, when(isAlive, 1).otherwise(0).desc)
+    val last = cl.select(col(idCol), col(textCol), col("_change_type"),
+        col("_change_ordinal"))
+      .withColumn("_tx_rn", row_number().over(w))
+      .filter(col("_tx_rn") === 1)
+    (last.select(col(idCol)), last.filter(isAlive).select(col(idCol), col(textCol)))
+  }
+
+  /** Previous (count, total length) of the changed docs — what the delta
+    * update subtracts. Small windows collect their ids into an exact IN
+    * predicate so the docs read prunes via bucket partitions + manifest
+    * blooms (O(matching files)); catch-up bursts semi-join instead
+    * (O(docs table), never O(postings)). */
+  private def previousStats(changed: DataFrame): (Long, Long) = {
+    val keys = changed.distinct().limit(MaxInKeys + 1).collect().map(_.get(0))
+    val prev =
+      if (keys.length <= MaxInKeys)
+        docsTable.read(filter = Some(col(idCol).isin(keys: _*)))
+      else docsTable.toDF.join(changed.distinct(), Seq(idCol), "left_semi")
+    val r = prev.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("len_d")), lit(0L)).as("len")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Catch the index up to the base head (or `toSnapshotId`). Two
+    * watermark-fenced steps — docs+constants, then postings — each one
+    * changelog window, one last-state reduction, one upsert commit.
+    * Cost is churn-shaped. Returns the new watermark; no-op when
+    * current. */
+  def refresh(toSnapshotId: Option[Long] = None): Option[Long] = {
+    val head = toSnapshotId.orElse(base.meta.currentSnapshot.map(_.snapshotId))
+    val wmP = watermark
+    if (head.isEmpty || head == wmP) return wmP
+    val to = head.get
+    refreshDocsStep(to)
+    val (changedP, aliveP) = lastState(wmP, to)
+    state.mergeByKeys(idCol, changedP, postingsOf(aliveP),
+      extraSummary = Map(WatermarkKey -> to.toString))
+    Some(to)
+  }
+
+  /** The docs-and-constants half of [[refresh]], fenced by the DOCS
+    * watermark (no-op when already at `to`). Package-visible so the spec
+    * can drive the crash window — docs committed, postings not — that a
+    * real crash between the two commits leaves behind. */
+  private[graft] def refreshDocsStep(to: Long): Unit = {
+    val wmD = docsWatermark
+    if (wmD.contains(to)) return
+    // the docs window starts at the DOCS watermark: after a crash that
+    // left docs ahead of postings, the already-applied sub-window must
+    // not have its deltas re-counted
+    val (changed, alive) = lastState(wmD, to)
+    val stats = docStatsOf(alive)
+    val nw = stats.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("len_d")), lit(0L)).as("len")).head()
+    val (nOld, lenOld) = previousStats(changed)
+    val (n0, len0) = corpusStats
+    docsTable.mergeByKeys(idCol, changed, stats, extraSummary = Map(
+      WatermarkKey -> to.toString,
+      NDocsKey -> (n0 + nw.getLong(0) - nOld).toString,
+      TotalLenKey -> (len0 + nw.getLong(1) - lenOld).toString))
+    ()
+  }
+
+  /** BM25 top-k per query — FROM THE INDEX ALONE. The postings scan is
+    * partition-pruned to the query terms' buckets (+ row-filtered within
+    * them); per-term df comes off those same pruned postings in one
+    * term-clustered window (one row per (doc, term) makes count == df);
+    * the corpus constants are plan literals. Scoring is q66's exact
+    * fixed-point arithmetic, so the result is bit-comparable to a
+    * from-scratch engine. Output: (qid, id, score, rk), rk ≤ k.
+    *
+    * Fixed-point headroom (same analysis as q66): idf_fp ≤ N·10^6, so
+    * scores stay in BIGINT for corpora to ~10^7 docs; drop the idf scale
+    * to 10^3 beyond (ranking unchanged). */
+  def search(queries: Seq[(Int, String)], k: Int = 5): DataFrame = {
+    require(queries.nonEmpty, "search needs at least one (qid, term)")
+    val spark = state.spark
+    val (n, tl) = corpusStats
+    require(n > 0 && tl > 0, "search on an empty index")
+    val terms = queries.map(_._2).distinct
+    val post = state.read(filter = Some(col("term").isin(terms: _*)))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val q = spark.createDataFrame(queries).toDF("qid", "term")
+    val hit = broadcast(q).join(post, "term")
+      .select(col("qid"), col(idCol),
+        expr(s"(($n - df) * 1000000) DIV (df + 1)").as("idf_fp"),
+        expr(s"(11 * tf * 1000000 * 1000000) DIV ((5 * 1000000 * tf) + " +
+          s"6 * (250000 + ((3 * 1000000 * len_d * $n) DIV (4 * $tl))))").as("tf_fp"))
+    hit.groupBy(col("qid"), col(idCol))
+      .agg(expr("SUM((idf_fp * tf_fp) DIV 1000000)").as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col(idCol))))
+      .filter(col("rk") <= k)
+      .select(col("qid").cast(LongType).as("qid"), col(idCol),
+        col("score").cast(LongType).as("score"), col("rk").cast(LongType).as("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+}
+
+object TextIndex {
+  /** Routing index on the BASE table: ';'-separated state-table locations
+    * of every text index registered on it — the ingest loop refreshes
+    * each per batch, exactly like the MV / vector-index routing. */
+  private[graft] val IndexesKey = "graft.tindex.indexes"
+  /** Snapshot-summary key: base snapshot the content reflects (used on
+    * both tables — each fences its own refresh step). */
+  private[graft] val WatermarkKey = "graft.tindex.base-snapshot"
+  /** Snapshot-summary keys on the DOCS table: corpus-level BM25
+    * constants as of its watermark. */
+  private[graft] val NDocsKey = "graft.tindex.n-docs"
+  private[graft] val TotalLenKey = "graft.tindex.total-len"
+  private val BaseLocKey = "graft.tindex.base-location"
+  private val DocsLocKey = "graft.tindex.docs-location"
+  private val IdColKey = "graft.tindex.id-col"
+  private val TextColKey = "graft.tindex.text-col"
+
+  /** Changed-id count above which the previous-length lookup stops
+    * collecting keys for an exact IN predicate and semi-joins instead —
+    * the same small-batch/big-batch split [[LakeTable.mergeByKeys]]
+    * makes for its own pruning. */
+  private val MaxInKeys = 10000
+
+  private def summaryPin(t: LakeTable, key: String): Option[Long] = {
+    val m = t.meta
+    var cur = m.currentSnapshot
+    while (cur.isDefined) {
+      cur.get.summary.get(key) match {
+        case Some(v) => return Some(v.toLong)
+        case None => cur = cur.get.parentId.flatMap(m.snapshot)
+      }
+    }
+    None
+  }
+
+  /** Build the index over `base`'s current snapshot: the docs table
+    * (lengths + corpus constants) commits first, then the postings —
+    * the same two-step watermark discipline every refresh uses. */
+  def create(catalog: LakeCatalog, ident: String, base: LakeTable,
+             idCol: String = "doc_id", textCol: String = "text",
+             nBuckets: Int = 32): TextIndex = {
+    val head = base.meta.currentSnapshot.map(_.snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        "create the index after the base table has data"))
+    val idType = base.meta.schema.byName(idCol).getOrElse(
+      throw new IllegalArgumentException(s"base has no column $idCol")).sparkType
+    require(base.meta.schema.byName(textCol).isDefined,
+      s"base has no column $textCol")
+    val docsT = catalog.createTable(s"${ident}_docs", StructType(Seq(
+      StructField(idCol, idType),
+      StructField("len_d", LongType))),
+      partitionBy = Seq(idCol -> "bucket[16]"),
+      properties = Map(BloomSkip.ColumnsKey -> idCol))
+    val t = catalog.createTable(ident, StructType(Seq(
+      StructField(idCol, idType),
+      StructField("term", StringType),
+      StructField("tf", LongType),
+      StructField("len_d", LongType))),
+      partitionBy = Seq("term" -> s"bucket[$nBuckets]"),
+      properties = Map(BaseLocKey -> base.location, DocsLocKey -> docsT.location,
+        IdColKey -> idCol, TextColKey -> textCol))
+    val idx = new TextIndex(t, docsT, base, idCol, textCol)
+    val src = base.read(snapshotId = Some(head))
+      .select(col(idCol), col(textCol))
+    val stats = idx.docStatsOf(src)
+    val agg = stats.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("len_d")), lit(0L)).as("len")).head()
+    docsT.mergeByKeys(idCol, stats.select(col(idCol)).limit(0), stats,
+      extraSummary = Map(WatermarkKey -> head.toString,
+        NDocsKey -> agg.getLong(0).toString,
+        TotalLenKey -> agg.getLong(1).toString))
+    t.mergeByKeys(idCol, src.select(col(idCol)).limit(0), idx.postingsOf(src),
+      extraSummary = Map(WatermarkKey -> head.toString))
+    // register on the base's routing index so ingest-cadence maintenance
+    // refreshes the index per batch (same shape as the MV/vindex routing)
+    base.updateProperties { props =>
+      val cur = props.get(IndexesKey)
+        .map(_.split(";").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+      if (cur.contains(t.location)) props
+      else props + (IndexesKey -> (cur :+ t.location).mkString(";"))
+    }
+    idx
+  }
+
+  /** Reload an index created by [[create]]. Base and docs tables resolve
+    * as SIBLINGS of the state table — through the same metadata
+    * authority, so a wire-catalog index stays wire. */
+  def load(catalog: LakeCatalog, ident: String): TextIndex =
+    fromState(catalog.loadTable(ident))
+
+  /** Reload from the state-table LOCATION the base's routing index
+    * stores, THROUGH the owner's metadata authority (the ingest loop's
+    * route). */
+  def loadVia(owner: LakeTable, stateLocation: String): TextIndex =
+    fromState(owner.sibling(stateLocation))
+
+  private def fromState(t: LakeTable): TextIndex = {
+    val p = t.meta.properties
+    require(p.contains(BaseLocKey),
+      s"${t.meta.name} is not a TextIndex state table")
+    new TextIndex(t, t.sibling(p(DocsLocKey)), t.sibling(p(BaseLocKey)),
+      p(IdColKey), p(TextColKey))
+  }
+
+  /** Drop the index: both tables removed and the base's routing-index
+    * registration cleared. */
+  def drop(catalog: LakeCatalog, ident: String): Unit = {
+    val t = catalog.loadTable(ident)
+    val baseLoc = t.meta.properties.get(BaseLocKey)
+    val loc = t.location
+    baseLoc.foreach { bl =>
+      try t.sibling(bl).updateProperties { props =>
+        props.get(IndexesKey) match {
+          case Some(v) =>
+            val left = v.split(";").filter(l => l.nonEmpty && l != loc)
+            if (left.isEmpty) props - IndexesKey
+            else props + (IndexesKey -> left.mkString(";"))
+          case None => props
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    catalog.dropTable(s"${ident}_docs")
+    catalog.dropTable(ident)
+  }
+}

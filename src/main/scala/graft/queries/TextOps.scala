@@ -624,6 +624,50 @@ object TextOps {
       |  CAST(rk AS BIGINT) AS rk
       |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)
 
+  /** Memoized per (session, sfDir): a lake-backed
+    * [[graft.operators.TextIndex]] whose content was produced
+    * INCREMENTALLY — created over the even-id half of the corpus, the
+    * odd half appended to the base afterwards, one `refresh()` catching
+    * the postings and corpus constants up through the changelog. */
+  private val tindexes =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.TextIndex]()
+
+  private[queries] def ensureTextIndex(s: org.apache.spark.sql.SparkSession,
+                                       dir: String): graft.operators.TextIndex = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val key = System.identityHashCode(s) + "|" + dir
+    tindexes.computeIfAbsent(key, { _ =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-tindex").toString
+      val cat = new graft.lake.LakeCatalog(s, wh)
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val base = cat.createTable("tx.base", StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      base.append(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+      val idx = graft.operators.TextIndex.create(cat, "tx.tidx", base)
+      base.append(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      idx.refresh()
+      idx
+    })
+  }
+
+  /** Persistent-inverted-index answer path for BM25 (r13 follow-on to
+    * q66): the ranking is computed FROM THE INDEX STATE TABLE — postings
+    * partition-pruned to the 7 query terms' buckets, corpus constants
+    * off the docs table's snapshot summary — after the index was
+    * maintained incrementally (created on half the corpus, refreshed
+    * over the appended other half). The oracle is q66's from-scratch
+    * DuckDB BM25 over the ORIGINAL parquet, so the hash gates create +
+    * changelog refresh + delta-maintained constants + the pruned probe
+    * read end-to-end: one stale posting, one missing doc, or one
+    * double-counted length breaks the BIGINT scores bit-for-bit. */
+  val q91 = plan("q91_bm25_index",
+    fn = (s, dir) => ensureTextIndex(s, dir).search(Seq(
+      1 -> "vector", 1 -> "scan", 2 -> "spark", 2 -> "merge", 2 -> "stream",
+      3 -> "window", 3 -> "filter"), k = 5),
+    duckSql = q66.oracle.get)
+
   /** N-gram-level benchmark decontamination (the GPT-3 13-gram rule, at
     * 3-gram scale for this corpus): a corpus doc is contaminated if it
     * shares ANY word shingle with the benchmark set — catching partial
@@ -868,5 +912,5 @@ object TextOps {
 
   def specs: Seq[QuerySpec] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q51, q52, q56, q57, q58, q64, q66,
-      q70, q71, q73, q77)
+      q70, q71, q73, q77, q91)
 }

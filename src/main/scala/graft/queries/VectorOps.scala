@@ -501,6 +501,62 @@ object VectorOps {
       |FROM s, nq
       |ORDER BY cos_q DESC, s.vec_id LIMIT 10""".stripMargin)
 
+  /** Hybrid RRF served FROM THE PERSISTENT INDEXES (r13 follow-on to
+    * q74/q90/q91): the BM25 top-20 comes off the incrementally-maintained
+    * [[graft.operators.TextIndex]] (postings pruned to the 7 query
+    * terms' buckets, corpus constants off the docs-table summary) and
+    * the cosine top-20 off the [[graft.operators.VectorIndex]] state
+    * table at full probe (exact); the fusion is q74's integer RRF_k=60.
+    * The oracle is q74's from-scratch DuckDB hybrid over the ORIGINAL
+    * parquet, so the hash gates BOTH index maintenance pipelines and the
+    * fusion in one statement: any stale posting, missed vector, or wrong
+    * corpus constant shifts a rank and breaks the BIGINT fusion scores.
+    * Scale shape: each side is its index's pruned-probe shape; the
+    * FULL OUTER fusion touches ≤20 rows/query/side — constant-size at
+    * any corpus. */
+  val q92 = plan("q92_hybrid_index",
+    fn = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tidx = TextOps.ensureTextIndex(s, dir)
+      val vidx = ensureIndex(s, dir)
+      val tb = tidx.search(Seq(
+          1 -> "vector", 1 -> "scan", 2 -> "spark", 2 -> "merge",
+          2 -> "stream", 3 -> "window", 3 -> "filter"), k = 20)
+        .select(col("qid"), col("doc_id"), col("rk").as("rb"))
+      val qv = graft.Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id").isin(17L, 34L, 51L))
+        .selectExpr("CAST(vec_id DIV 17 AS INT) AS qid", "embedding AS qe")
+      val all = vidx.centroids.indices.map(Int.box)
+      val vb = vidx.state.read(filter = Some(col("list_id").isin(all: _*)))
+        .crossJoin(broadcast(qv))
+        .selectExpr("qid", "vec_id AS doc_id",
+          "quantized_dot(embedding, qe) AS dot_q",
+          "quantized_dot(embedding, embedding) AS na_q",
+          "quantized_dot(qe, qe) AS nb_q")
+        .withColumn("rv", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy((col("dot_q").cast("double") /
+            sqrt(col("na_q").cast("double") * col("nb_q").cast("double"))).desc,
+            col("doc_id"))))
+        .filter(col("rv") <= 20)
+        .select(col("qid").cast("long").as("qid"), col("doc_id"),
+          col("rv").cast("long").as("rv"))
+      tb.join(vb, Seq("qid", "doc_id"), "full_outer")
+        .na.fill(0L, Seq("rb", "rv"))
+        .withColumn("score_fp",
+          expr("CASE WHEN rb = 0 THEN 0 ELSE 1000000000 DIV (60 + rb) END + " +
+            "CASE WHEN rv = 0 THEN 0 ELSE 1000000000 DIV (60 + rv) END"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score_fp").desc, col("doc_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("qid").cast("long").as("qid"),
+          col("doc_id").cast("long").as("doc_id"),
+          col("score_fp").cast("long").as("score_fp"),
+          col("rb").cast("long").as("rb"), col("rv").cast("long").as("rv"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("qid", "rk")
+    },
+    duckSql = q74.oracle.get)
+
   def specs: Seq[QuerySpec] =
-    Seq(q23, q24, q25, q26, q27, q44, q68, q74, q79, q90)
+    Seq(q23, q24, q25, q26, q27, q44, q68, q74, q79, q90, q92)
 }

@@ -316,15 +316,24 @@ object Changelog {
     * (its watermark pin trails the base head), and a stale registration
     * left by a bare dropTable (use [[graft.operators.VectorIndex.drop]])
     * is skipped harmlessly. Index resolution goes through the base's
-    * metadata authority — a `uri`-mode base refreshes over the wire. */
-  def refreshRegisteredIndexes(table: LakeTable): Unit =
-    table.meta.properties.get(graft.operators.VectorIndex.IndexesKey).toSeq
-      .flatMap(_.split(";")).filter(_.nonEmpty).foreach { loc =>
-        try { graft.operators.VectorIndex.loadVia(table, loc).refresh(); () }
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[graft] index refresh skipped for $loc: ${e.getMessage}")
+    * metadata authority — a `uri`-mode base refreshes over the wire.
+    * Covers both secondary-index kinds: IVF vector indexes
+    * ([[graft.operators.VectorIndex]]) and BM25 text indexes
+    * ([[graft.operators.TextIndex]]), each off its own routing key. */
+  def refreshRegisteredIndexes(table: LakeTable): Unit = {
+    def each(key: String)(refresh: String => Unit): Unit =
+      table.meta.properties.get(key).toSeq
+        .flatMap(_.split(";")).filter(_.nonEmpty).foreach { loc =>
+          try refresh(loc)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft] index refresh skipped for $loc: ${e.getMessage}")
+          }
         }
-      }
+    each(graft.operators.VectorIndex.IndexesKey)(loc =>
+      graft.operators.VectorIndex.loadVia(table, loc).refresh())
+    each(graft.operators.TextIndex.IndexesKey)(loc =>
+      graft.operators.TextIndex.loadVia(table, loc).refresh())
+  }
 
   def refreshRegisteredViews(table: LakeTable): Unit = {
     import graft.lake.MaterializedAgg

@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.lake.{LakeCatalog, LakeTable}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Persistent BM25 inverted index ([[TextIndex]]): the invariant under
+  * test everywhere is *index answer ≡ from-scratch BM25 over the live
+  * corpus* — after create, after incremental churn (append / update /
+  * delete / null-text), and across the crash window between the two
+  * refresh commits. Scoring parity is BIT-exact (fixed-point integers),
+  * so one stale posting, one wrong corpus constant, or one double-counted
+  * delta breaks a test. */
+class TextIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def freshCatalog(): LakeCatalog =
+    new LakeCatalog(spark, Files.createTempDirectory("graft-tidx").toString)
+
+  private val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa")
+
+  /** Deterministic doc text: 3..12 vocab words keyed by id (repeats
+    * common — tf matters), every doc distinct. */
+  private def text(id: Long): String = {
+    val n = 3 + (id * 7 % 10).toInt
+    (0 until n).map(j => vocab(((id * 2654435761L + j * 13) % vocab.size).toInt.abs))
+      .mkString(" ")
+  }
+
+  private def docsDf(ids: Seq[Long]): DataFrame = {
+    val rows = ids.map(i => Row(i, text(i)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType))))
+  }
+
+  private def mkBase(cat: LakeCatalog, ids: Seq[Long]): LakeTable = {
+    val t = cat.createTable("tx.base", StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType))))
+    t.append(docsDf(ids))
+    t
+  }
+
+  /** From-scratch fixed-point BM25 over the LIVE base — q66's exact
+    * arithmetic, query terms injected. The ground truth every index
+    * answer must equal bit-for-bit. */
+  private def expectedBm25(base: LakeTable, queries: Seq[(Int, String)],
+                           k: Int): Seq[Row] = {
+    base.toDF.createOrReplaceTempView("tx_corpus")
+    val qvals = queries.map { case (q, w) => s"($q,'$w')" }.mkString(", ")
+    spark.sql(s"""WITH tok AS (
+      |  SELECT doc_id, explode(split(lower(text), '\\\\s+')) AS w FROM tx_corpus),
+      |lens AS (SELECT doc_id, COUNT(*) AS len_d FROM tok GROUP BY doc_id),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |               CAST(SUM(len_d) AS BIGINT) AS total_len FROM lens),
+      |q AS (SELECT qid, w FROM VALUES $qvals AS t(qid, w)),
+      |hit AS (
+      |  SELECT q.qid, tf.doc_id,
+      |    (((n_docs - df.df) * 1000000) DIV (df.df + 1)) AS idf_fp,
+      |    ((11 * tf.tf * 1000000 * 1000000) DIV
+      |      ((5 * 1000000 * tf.tf) +
+      |       6 * (250000 + ((3 * 1000000 * lens.len_d * n_docs) DIV (4 * total_len))))) AS tf_fp
+      |  FROM q JOIN tf ON q.w = tf.w JOIN df ON q.w = df.w
+      |    JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN tot),
+      |sc AS (SELECT qid, doc_id, SUM((idf_fp * tf_fp) DIV 1000000) AS score
+      |       FROM hit GROUP BY qid, doc_id),
+      |r AS (SELECT qid, doc_id, score,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+      |      FROM sc)
+      |SELECT CAST(qid AS BIGINT) AS qid, doc_id, CAST(score AS BIGINT) AS score,
+      |  CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin).collect().toSeq
+  }
+
+  private val queries = Seq((1, "alpha"), (1, "kappa"), (2, "gamma"),
+    (2, "zeta"), (3, "theta"))
+
+  test("create + search == from-scratch fixed-point BM25 (bit parity)") {
+    val cat = freshCatalog()
+    val base = mkBase(cat, 0L until 200L)
+    val idx = TextIndex.create(cat, "tx.tidx", base, nBuckets = 8)
+    val got = idx.search(queries, k = 5).collect().toSeq
+    val want = expectedBm25(base, queries, 5)
+    assert(got === want)
+    // corpus constants match a direct recount
+    val (n, tl) = idx.corpusStats
+    assert(n === 200L)
+    val directLen = base.toDF
+      .select(explode(split(lower(col("text")), "\\s+"))).count()
+    assert(tl === directLen)
+  }
+
+  test("incremental refresh (append + update + delete + to-null) == fresh index") {
+    val cat = freshCatalog()
+    val base = mkBase(cat, 0L until 120L)
+    val idx = TextIndex.create(cat, "tx.tidx", base, nBuckets = 8)
+    // churn: 40 new docs, 20 rewritten (different text), 10 deleted,
+    // 5 updated to NULL text (must leave the index entirely)
+    base.append(docsDf(200L until 240L))
+    val rewrite = (0L until 20L).map(i => Row(i, text(i + 1000)))
+    base.mergeByKeys("doc_id",
+      spark.createDataFrame((0L until 20L).map(Tuple1(_))).toDF("doc_id"),
+      spark.createDataFrame(java.util.Arrays.asList(rewrite: _*),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType)))))
+    base.delete(col("doc_id").between(30, 39))
+    val toNull: Seq[Row] = (50L until 55L).map(i => Row(i, null))
+    base.mergeByKeys("doc_id",
+      spark.createDataFrame((50L until 55L).map(Tuple1(_))).toDF("doc_id"),
+      spark.createDataFrame(java.util.Arrays.asList(toNull: _*),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType, nullable = true)))))
+    assert(idx.refresh() === base.meta.currentSnapshot.map(_.snapshotId))
+
+    val fresh = TextIndex.create(cat, "tx.tidx2", base, nBuckets = 8)
+    assert(idx.corpusStats === fresh.corpusStats)
+    assert(idx.search(queries, 10).collect().toSeq ===
+      fresh.search(queries, 10).collect().toSeq)
+    // and both equal ground truth
+    assert(idx.search(queries, 10).collect().toSeq ===
+      expectedBm25(base, queries, 10))
+    // postings content identical row-for-row
+    def rows(t: LakeTable) = t.toDF.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rows(idx.state) === rows(fresh.state))
+    // null-text docs are OUT: no postings, not counted
+    assert(idx.state.toDF.filter(col("doc_id").between(50, 54)).count() === 0)
+    assert(idx.docsTable.toDF.filter(col("doc_id").between(50, 54)).count() === 0)
+  }
+
+  test("crash window between the two refresh commits: retry converges, " +
+    "constants never double-count") {
+    val cat = freshCatalog()
+    val base = mkBase(cat, 0L until 60L)
+    val idx = TextIndex.create(cat, "tx.tidx", base, nBuckets = 8)
+    base.append(docsDf(100L until 130L))
+    base.delete(col("doc_id") < 10)
+    val head = base.meta.currentSnapshot.get.snapshotId
+    // simulate: docs step committed, then crash before the postings step
+    idx.refreshDocsStep(head)
+    assert(idx.docsWatermark === Some(head))
+    assert(idx.watermark !== Some(head)) // postings still behind
+    val statsAfterCrash = idx.corpusStats
+    // the docs step is fenced: re-driving it must not re-apply deltas
+    idx.refreshDocsStep(head)
+    assert(idx.corpusStats === statsAfterCrash)
+    // retry of the FULL refresh completes the postings half only
+    assert(idx.refresh() === Some(head))
+    assert(idx.corpusStats === statsAfterCrash)
+    // converged state == fresh index, bit-for-bit
+    val fresh = TextIndex.create(cat, "tx.tidx2", base, nBuckets = 8)
+    assert(idx.corpusStats === fresh.corpusStats)
+    assert(idx.search(queries, 10).collect().toSeq ===
+      fresh.search(queries, 10).collect().toSeq)
+    // ...and more base churn AFTER the crash-repair still lands right
+    base.append(docsDf(300L until 320L))
+    idx.refresh()
+    assert(idx.search(queries, 10).collect().toSeq ===
+      expectedBm25(base, queries, 10))
+  }
+
+  test("search scans only the query terms' buckets (partition pruning)") {
+    val cat = freshCatalog()
+    val base = mkBase(cat, 0L until 300L)
+    val idx = TextIndex.create(cat, "tx.tidx", base, nBuckets = 8)
+    val all = idx.state.toDF.inputFiles.length
+    val one = idx.state.read(filter = Some(col("term") === "alpha"))
+      .inputFiles.length
+    assert(all >= 4, s"expected several postings files (per-bucket layout), got $all")
+    assert(one < all,
+      s"single-term read must scan fewer files than the full index ($one vs $all)")
+    // pruned read still answers exactly
+    assert(idx.search(Seq((1, "alpha")), 5).collect().toSeq ===
+      expectedBm25(base, Seq((1, "alpha")), 5))
+  }
+
+  test("ingest-cadence routing: refreshRegisteredIndexes catches a " +
+    "registered text index up to the base head") {
+    val cat = freshCatalog()
+    val base = mkBase(cat, 0L until 50L)
+    val idx = TextIndex.create(cat, "tx.tidx", base, nBuckets = 4)
+    base.append(docsDf(50L until 80L))
+    graft.streaming.Changelog.refreshRegisteredIndexes(base)
+    val reloaded = TextIndex.load(cat, "tx.tidx")
+    assert(reloaded.watermark === base.meta.currentSnapshot.map(_.snapshotId))
+    assert(reloaded.search(queries, 5).collect().toSeq ===
+      expectedBm25(base, queries, 5))
+    // drop clears the routing registration and both tables
+    TextIndex.drop(cat, "tx.tidx")
+    assert(!base.meta.properties.contains("graft.tindex.indexes"))
+    assert(!cat.tableExists("tx.tidx") && !cat.tableExists("tx.tidx_docs"))
+  }
+}
