@@ -26,7 +26,8 @@ object GraftProcedures {
     "fast_forward", "remove_orphan_files",
     "create_branch", "drop_branch", "create_tag", "drop_tag",
     "build_ivf_index", "build_pq_index", "create_changelog_view",
-    "create_vector_index", "refresh_vector_index", "rebuild_vector_index")
+    "create_vector_index", "refresh_vector_index", "rebuild_vector_index",
+    "create_text_index", "refresh_text_index")
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
     val b = ProcedureParameter.in(name, dt)
@@ -236,6 +237,25 @@ object GraftProcedures {
         graft.operators.VectorIndex.load(lake, row.getString(0))
           .rebuild(nlist, iters)
       }))
+    // persistent incremental BM25 text index (graft.operators.TextIndex):
+    // postings = bucket[n](term) partitions, corpus constants delta-
+    // maintained on the docs sibling — the text twin of the vector index
+    case "create_text_index" => Some(proc(name,
+      Array(param("index", StringType),
+        param("base_table", StringType),
+        param("id_col", StringType, Some("'doc_id'")),
+        param("text_col", StringType, Some("'text'")),
+        param("n_buckets", LongType, Some("32"))),
+      row => {
+        val idCol = if (row.isNullAt(2)) "doc_id" else row.getString(2)
+        val textCol = if (row.isNullAt(3)) "text" else row.getString(3)
+        val nBuckets = if (row.isNullAt(4)) 32 else row.getLong(4).toInt
+        graft.operators.TextIndex.create(lake, row.getString(0),
+          lake.loadTable(row.getString(1)), idCol, textCol, nBuckets)
+      }))
+    case "refresh_text_index" => Some(proc(name,
+      Array(param("index", StringType)),
+      row => graft.operators.TextIndex.load(lake, row.getString(0)).refresh()))
     case "build_ivf_index" => Some(proc(name,
       Array(param("table", StringType),
         param("vector_col", StringType, Some("'embedding'")),

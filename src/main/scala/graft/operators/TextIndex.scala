@@ -228,9 +228,11 @@ object TextIndex {
 
   /** Changed-id count above which the previous-length lookup stops
     * collecting keys for an exact IN predicate and semi-joins instead —
-    * the same small-batch/big-batch split [[LakeTable.mergeByKeys]]
-    * makes for its own pruning. */
-  private val MaxInKeys = 10000
+    * the same 1024-key small-batch/big-batch split
+    * [[LakeTable.mergeByKeys]] makes for its own pruning (a larger
+    * literal IN costs more in plan translation + per-file pruning than
+    * the one doc-table scan it saves; measured 6× on a 10k-key batch). */
+  private val MaxInKeys = 1024
 
   private def summaryPin(t: LakeTable, key: String): Option[Long] = {
     val m = t.meta

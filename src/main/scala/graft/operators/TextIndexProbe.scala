@@ -61,6 +61,13 @@ object TextIndexProbe {
       idx.state.updateProperties(_ + ("write.merge.mode" -> "merge-on-read"))
       idx.docsTable.updateProperties(_ + ("write.merge.mode" -> "merge-on-read"))
 
+      // untimed warmup churn: the first refresh in a JVM pays codegen +
+      // C2 compilation of the whole merge path (measured ~10× the
+      // steady-state wall) — absorb it so the timed batches compare
+      // steady state at both corpus sizes
+      base.append(docs(spark.range(-100L, 0L).toDF("id")))
+      idx.refresh()
+
       // fixed-size churn: append NEW docs, then rewrite EXISTING ones
       base.append(docs(spark.range(n, n + batch).toDF("id")))
       val tA = System.nanoTime()

@@ -188,6 +188,24 @@ class TextIndexSpec extends AnyFunSuite {
       expectedBm25(base, Seq((1, "alpha")), 5))
   }
 
+  test("SQL surface: CALL create/refresh_text_index maintain the index " +
+    "through the procedure catalog") {
+    val wh = Files.createTempDirectory("graft-tidx-sql").toString
+    spark.conf.set("spark.sql.catalog.txc", classOf[graft.lake.dsv2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.txc.warehouse", wh)
+    org.apache.spark.sql.graftbridge.CatalogBridge.resetCatalogs(spark)
+    val cat = new LakeCatalog(spark, wh)
+    val base = mkBase(cat, 0L until 100L)
+    spark.sql("CALL txc.system.create_text_index('tx.tidx_sql', 'tx.base', " +
+      "n_buckets => 8)")
+    val idx = TextIndex.load(cat, "tx.tidx_sql")
+    assert(idx.search(queries, 5).collect().toSeq === expectedBm25(base, queries, 5))
+    base.append(docsDf(100L until 160L))
+    spark.sql("CALL txc.system.refresh_text_index('tx.tidx_sql')")
+    assert(idx.watermark === base.meta.currentSnapshot.map(_.snapshotId))
+    assert(idx.search(queries, 5).collect().toSeq === expectedBm25(base, queries, 5))
+  }
+
   test("ingest-cadence routing: refreshRegisteredIndexes catches a " +
     "registered text index up to the base head") {
     val cat = freshCatalog()
