@@ -12,7 +12,7 @@ object MetadataTables {
   val kinds: Seq[String] =
     Seq("snapshots", "files", "partitions", "history", "refs", "manifests",
       "delete_files", "position_deletes", "all_files", "all_delete_files",
-      "metadata_log_entries", "materialized_views")
+      "metadata_log_entries", "materialized_views", "indexes")
 
   def apply(table: LakeTable, kind: String): DataFrame = {
     val spark = table.spark
@@ -184,6 +184,41 @@ object MetadataTables {
           }.toDF("state_location", "view", "group_by", "aggs", "watermark",
             "base_snapshot", "fresh", "refresh_failures", "last_error",
             "last_error_at")
+
+      case "indexes" =>
+        // freshness listing of every secondary index registered on THIS
+        // base table (the graft.vindex/tindex routing properties) — the
+        // same operator signal materialized_views gives for MVs: an
+        // index whose watermark trails the base head is serving stale
+        // answers. Resolution goes through the base's metadata authority
+        // (sibling), so a wire-mode base lists its wire indexes.
+        val head = m.currentSnapshot.map(_.snapshotId)
+        def indexRows(key: String, kind: String) =
+          m.properties.get(key).toSeq
+            .flatMap(_.split(";")).filter(_.nonEmpty).map { loc =>
+              try {
+                val st = table.sibling(loc)
+                val (wm, detail) = kind match {
+                  case "vector" =>
+                    val idx = graft.operators.VectorIndex.loadVia(table, loc)
+                    (idx.watermark, Map("nlist" -> idx.centroids.size.toString))
+                  case _ =>
+                    val idx = graft.operators.TextIndex.loadVia(table, loc)
+                    val (n, tl) = idx.corpusStats
+                    (idx.watermark,
+                      Map("n_docs" -> n.toString, "total_len" -> tl.toString))
+                }
+                (loc, st.meta.name, kind, wm, head,
+                  wm.isDefined && wm == head, detail)
+              } catch { case scala.util.control.NonFatal(e) =>
+                (loc, null, kind, None: Option[Long], head, false,
+                  Map("error" -> e.getMessage))
+              }
+            }
+        (indexRows(graft.operators.VectorIndex.IndexesKey, "vector") ++
+          indexRows(graft.operators.TextIndex.IndexesKey, "text"))
+          .toDF("state_location", "index", "kind", "watermark",
+            "base_snapshot", "fresh", "detail")
 
       case other =>
         throw new IllegalArgumentException(

@@ -206,6 +206,26 @@ class TextIndexSpec extends AnyFunSuite {
     assert(idx.search(queries, 5).collect().toSeq === expectedBm25(base, queries, 5))
   }
 
+  test("`indexes` metadata table: registered indexes list with freshness " +
+    "against the base head") {
+    val cat = freshCatalog()
+    val base = mkBase(cat, 0L until 60L)
+    val idx = TextIndex.create(cat, "tx.tidx", base, nBuckets = 4)
+    def listing() = graft.lake.MetadataTables(cat.loadTable("tx.base"), "indexes")
+      .collect().map(r => (r.getString(2), r.getBoolean(5),
+        r.getMap[String, String](6)))
+    val fresh = listing()
+    assert(fresh.length === 1)
+    assert(fresh.head._1 === "text" && fresh.head._2 === true)
+    assert(fresh.head._3.get("n_docs").contains("60"))
+    // base churn without refresh: the listing flags the index stale
+    base.append(docsDf(60L until 70L))
+    val stale = listing()
+    assert(stale.head._2 === false, "index must list as stale after churn")
+    idx.refresh()
+    assert(listing().head._2 === true)
+  }
+
   test("ingest-cadence routing: refreshRegisteredIndexes catches a " +
     "registered text index up to the base head") {
     val cat = freshCatalog()
