@@ -76,6 +76,54 @@ class CatalogServiceSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("secondary indexes over the wire: create, routing refresh, and " +
+    "search resolve every metadata byte through the catalog service") {
+    val (srv, metaRoot, warehouse) = newEnv()
+    try {
+      import spark.implicits._
+      def txt(i: Long) = s"alpha beta w$i gamma w${i % 7}"
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val cat = new RemoteLakeCatalog(spark, warehouse, srv.uri)
+      val base = cat.createTable("db.corpus", docSchema)
+      base.append((0L until 40L).map(i => (i, txt(i))).toDF("doc_id", "text"))
+      graft.operators.TextIndex.create(cat, "db.tidx", base, nBuckets = 4)
+      // structural wire proof for all three tables: postings and the docs
+      // sibling hold ZERO metadata under the warehouse
+      for (t <- Seq("corpus", "tidx", "tidx_docs")) {
+        assert(!Files.exists(Paths.get(warehouse, "db", t, "metadata")),
+          s"wire table $t must keep no filesystem metadata")
+        assert(Files.exists(Paths.get(metaRoot, "db", t, "v1.json")))
+      }
+      // churn + the ingest loop's routing entry point: the registered
+      // index resolves THROUGH the wire base (sibling authority stays
+      // wire) and catches up
+      base.append((40L until 60L).map(i => (i, txt(i))).toDF("doc_id", "text"))
+      graft.streaming.Changelog.refreshRegisteredIndexes(base)
+      val reloaded = graft.operators.TextIndex.load(cat, "db.tidx")
+      assert(reloaded.watermark === base.meta.currentSnapshot.map(_.snapshotId))
+      // bit parity: the wire index answers exactly like a filesystem
+      // index built fresh over the same corpus
+      val queries = Seq(1 -> "alpha", 1 -> "w3", 2 -> "gamma")
+      val fsCat = new LakeCatalog(spark,
+        Files.createTempDirectory("graft-wirefs").toString)
+      val fsBase = fsCat.createTable("db.corpus", docSchema)
+      fsBase.append((0L until 60L).map(i => (i, txt(i))).toDF("doc_id", "text"))
+      val fsIdx = graft.operators.TextIndex.create(fsCat, "db.tidx", fsBase,
+        nBuckets = 4)
+      assert(reloaded.search(queries, 5).collect().toSeq ===
+        fsIdx.search(queries, 5).collect().toSeq)
+      // the `indexes` metadata table resolves the sibling over the wire
+      val listing = MetadataTables(cat.loadTable("db.corpus"), "indexes").collect()
+      assert(listing.length === 1 && listing.head.getString(2) === "text"
+        && listing.head.getBoolean(5))
+      // drop through the wire removes both tables and the registration
+      graft.operators.TextIndex.drop(cat, "db.tidx")
+      assert(!cat.tableExists("db.tidx") && !cat.tableExists("db.tidx_docs"))
+      assert(!base.meta.properties.contains("graft.tindex.indexes"))
+    } finally srv.stop()
+  }
+
   test("SQL surface: a catalog configured with uri runs DDL/DML/reads through the service") {
     val (srv, metaRoot, warehouse) = newEnv()
     try {
