@@ -469,6 +469,40 @@ class PlanSpec extends AnyFunSuite {
     assert("embeddings.parquet".r.findAllIn(p).size <= 1, p)
   }
 
+  test("q91: BM25 is served FROM the postings index — corpus never " +
+      "scanned, term IN pushed, query relation broadcast, rank limited") {
+    val p = planOf("q91_bm25_index")
+    // THE claim: the documents corpus is not in the plan at all — every
+    // byte comes off the index tables
+    assert(!p.contains("documents.parquet"),
+      s"q91 must answer from the index, never the corpus:\n$p")
+    assert(p.contains("tidx"), s"the scan must be the postings table:\n$p")
+    // term is column id 2 of the postings table → physical c2; the
+    // query terms' IN must reach the parquet scan (bucket pruning
+    // happened at file-listing time above it)
+    assert(p.contains("In(c2,"),
+      s"the query-term filter must push to the index scan:\n$p")
+    assert(p.contains("Broadcast"), s"the 7-row query relation must broadcast:\n$p")
+    // top-5/query is a rank cut, not a global materialization
+    assert(p.contains("WindowGroupLimit"), s"rank cut must limit per group:\n$p")
+  }
+
+  test("q92: hybrid fusion runs from the two indexes — corpus never " +
+      "scanned, embeddings only as the 3-row query side, no cartesian") {
+    val p = planOf("q92_hybrid_index")
+    assert(!p.contains("documents.parquet"),
+      s"the BM25 side must come from the postings index:\n$p")
+    // embeddings.parquet may appear ONCE: the 3-row query-vector side
+    // (the corpus vectors come from the vector index's state table)
+    assert("embeddings.parquet".r.findAllIn(p).size <= 1,
+      s"corpus vectors must come from the index state table:\n$p")
+    assert(p.contains("vidx") && p.contains("tidx"),
+      s"both index state tables must be the scan sources:\n$p")
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"),
+      s"only broadcast joins may appear:\n$p")
+  }
+
   test("whole-stage codegen covers the relational queries' hot path") {
     val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
     df.collect() // AQE finalizes (and codegens) the plan only on execution
