@@ -206,6 +206,25 @@ class TextIndexSpec extends AnyFunSuite {
     assert(idx.search(queries, 5).collect().toSeq === expectedBm25(base, queries, 5))
   }
 
+  test("windowed refresh (to a mid snapshot, then head) == one-shot; a " +
+    ">1024-doc churn takes the semi-join previous-length path") {
+    val cat = freshCatalog()
+    val base = mkBase(cat, 0L until 100L)
+    val idx = TextIndex.create(cat, "tx.tidx", base, nBuckets = 8)
+    // 1500 changed ids — above the exact-IN cap, so the previous-length
+    // lookup must take the docs-table semi-join and still delta right
+    base.append(docsDf(1000L until 2500L))
+    val mid = base.meta.currentSnapshot.get.snapshotId
+    base.delete(col("doc_id") < 20)
+    assert(idx.refresh(Some(mid)) === Some(mid))
+    assert(idx.watermark === Some(mid))
+    idx.refresh()
+    val fresh = TextIndex.create(cat, "tx.tidx2", base, nBuckets = 8)
+    assert(idx.corpusStats === fresh.corpusStats)
+    assert(idx.search(queries, 10).collect().toSeq ===
+      fresh.search(queries, 10).collect().toSeq)
+  }
+
   test("`indexes` metadata table: registered indexes list with freshness " +
     "against the base head") {
     val cat = freshCatalog()
