@@ -69,7 +69,11 @@ final class TextIndex private (
   def docsWatermark: Option[Long] = summaryPin(docsTable, WatermarkKey)
 
   /** (n_docs, total_len): corpus constants as of [[docsWatermark]] —
-    * two driver longs off the docs table's snapshot summary. */
+    * two driver longs off the docs table's snapshot summary. Resilient
+    * to snapshot expiry: if every retained docs commit is pin-less
+    * (maintenance-only retention window — compaction snapshots carry no
+    * pins and expiry cuts the ancestry walk), the constants recompute
+    * from the docs table in one aggregate; the next refresh re-pins. */
   def corpusStats: (Long, Long) = {
     val m = docsTable.meta
     var cur = m.currentSnapshot
@@ -79,7 +83,10 @@ final class TextIndex private (
         case _ => cur = cur.get.parentId.flatMap(m.snapshot)
       }
     }
-    (0L, 0L)
+    if (m.currentSnapshot.isEmpty) return (0L, 0L)
+    val r = docsTable.toDF.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("len_d")), lit(0L)).as("len")).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** q66's tokenizer, verbatim: whitespace split of the lowercased text

@@ -225,6 +225,31 @@ class TextIndexSpec extends AnyFunSuite {
       fresh.search(queries, 10).collect().toSeq)
   }
 
+  test("corpus constants survive a maintenance-only retention window: " +
+    "expiry that strands the pins falls back to one docs aggregate") {
+    val cat = freshCatalog()
+    val base = mkBase(cat, 0L until 80L)
+    val idx = TextIndex.create(cat, "tx.tidx", base, nBuckets = 4)
+    val pinned = idx.corpusStats
+    // a compaction commit carries no pins; expiring everything older
+    // leaves ONLY that commit — the summary walk finds nothing
+    idx.docsTable.rewriteDataFiles()
+    idx.docsTable.expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 1)
+    val m = idx.docsTable.meta
+    assert(m.snapshots.size === 1 &&
+      !m.currentSnapshot.get.summary.contains("graft.tindex.n-docs"),
+      "test premise: the retained snapshot must be pin-less")
+    // fallback recomputes the same constants; search still bit-exact
+    assert(idx.corpusStats === pinned)
+    assert(idx.search(queries, 5).collect().toSeq ===
+      expectedBm25(base, queries, 5))
+    // the next refresh re-pins
+    base.append(docsDf(80L until 90L))
+    idx.refresh()
+    assert(idx.docsTable.meta.currentSnapshot.get.summary
+      .contains("graft.tindex.n-docs"))
+  }
+
   test("`indexes` metadata table: registered indexes list with freshness " +
     "against the base head") {
     val cat = freshCatalog()
