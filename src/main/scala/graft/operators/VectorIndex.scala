@@ -62,10 +62,20 @@ final class VectorIndex private (
   def watermark: Option[Long] = summaryPin(state, WatermarkKey)
 
   /** Centroid-table snapshot the current assignments were computed
-    * against — probes read the centroid table AT this snapshot. */
-  def centroidSnapshot: Long = summaryPin(state, CentroidSnapKey).getOrElse(
-    throw new IllegalStateException(
-      s"index ${state.meta.name} has no centroid pin — not a VectorIndex state table"))
+    * against — probes read the centroid table AT this snapshot.
+    * Resilient to snapshot expiry (r13): if every retained index commit
+    * is pin-less (maintenance-only retention window — compaction
+    * snapshots carry no pins and expiry cuts the ancestry walk), the
+    * centroid table's CURRENT snapshot serves instead. That is the
+    * pinned content by construction except inside a torn rebuild (crash
+    * between the centroid rewrite and the index commit), where it costs
+    * probe recall, never scoring correctness — availability wins; the
+    * next refresh/rebuild re-pins. */
+  def centroidSnapshot: Long = summaryPin(state, CentroidSnapKey)
+    .orElse(centroidsTable.meta.currentSnapshot.map(_.snapshotId))
+    .getOrElse(throw new IllegalStateException(
+      s"index ${state.meta.name} has no centroid pin and the centroid " +
+        "table is empty — not a VectorIndex state table"))
 
   /** The pinned centroid matrix, list-ordered. nlist×dim — driver-sized
     * by construction (it becomes plan literals for assignment). */

@@ -229,6 +229,35 @@ class VectorIndexSpec extends AnyFunSuite {
       s"nprobe=1 must find every true twin: ${(twins -- p1).take(5)}")
   }
 
+  test("pins survive a maintenance-only retention window: expiry that " +
+    "strands the centroid pin falls back to the centroid table's head") {
+    val cat = freshCatalog()
+    val base = cat.createTable("db.vxp", StructType(Seq(
+      StructField("id", LongType), StructField("embedding", ArrayType(FloatType)))))
+    base.append(vecDf(0L until 150L))
+    val idx = VectorIndex.create(cat, "db.vxp_i", base, "id", "embedding",
+      nlist = 5, iters = 2)
+    val before = idx.search(vec(7L), k = 5).collect().toSeq
+    // a compaction commit carries no pins; expiring everything older
+    // leaves ONLY it — the summary walk finds neither pin
+    idx.state.rewriteDataFiles()
+    idx.state.expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 1)
+    val m = idx.state.meta
+    assert(m.snapshots.size === 1 &&
+      !m.currentSnapshot.get.summary.contains("graft.vindex.centroids-snapshot"),
+      "test premise: the retained snapshot must be pin-less")
+    // fallback: centroid table's head is the pinned content (no torn
+    // rebuild in flight) — probes keep answering identically
+    assert(idx.search(vec(7L), k = 5).collect().toSeq === before)
+    // the next refresh re-pins both keys
+    base.append(vecDf(150L until 170L))
+    idx.refresh()
+    val s = idx.state.meta.currentSnapshot.get.summary
+    assert(s.contains("graft.vindex.centroids-snapshot") &&
+      s.contains("graft.vindex.base-snapshot"))
+    assert(indexSet(idx) === assignSet(base.toDF, idx.centroids))
+  }
+
   test("ingest-cadence auto-refresh: registered indexes track the base " +
       "head (the startIngest refreshIndexes hook); drop deregisters (r13)") {
     val cat = freshCatalog()
