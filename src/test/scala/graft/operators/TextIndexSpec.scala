@@ -204,6 +204,11 @@ class TextIndexSpec extends AnyFunSuite {
     spark.sql("CALL txc.system.refresh_text_index('tx.tidx_sql')")
     assert(idx.watermark === base.meta.currentSnapshot.map(_.snapshotId))
     assert(idx.search(queries, 5).collect().toSeq === expectedBm25(base, queries, 5))
+    // the `indexes` metadata table is reachable through the SQL suffix
+    // surface like every other kind
+    val row = spark.sql("SELECT kind, fresh FROM txc.tx.base.`indexes`").collect()
+    assert(row.length === 1 && row.head.getString(0) === "text"
+      && row.head.getBoolean(1))
   }
 
   test("windowed refresh (to a mid snapshot, then head) == one-shot; a " +
