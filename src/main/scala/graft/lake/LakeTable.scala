@@ -1369,7 +1369,13 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
           else writeDeleteFiles(liveRows(m0, snap, cands, withMeta = true)
             .filter(kill).select(col("_gd_file"), col("_gd_pos")))
         }
-        if (inserted.isEmpty && eqDel.isEmpty && nullDel.isEmpty) return m0
+        // a row-empty batch still commits when the caller attached summary
+        // metadata: MV/index refresh pins its watermark in extraSummary, and
+        // an early return here (e.g. a compaction-only changelog window on a
+        // merge-on-read index table) would silently drop the pin — the
+        // refresh would then re-read the same window every batch forever
+        if (inserted.isEmpty && eqDel.isEmpty && nullDel.isEmpty &&
+          extraSummary.isEmpty) return m0
         return commitReplace(branch, all ++ inserted, "overwrite",
           extraSummary ++ Map(
             "merge-keys" -> nKeys.toString,

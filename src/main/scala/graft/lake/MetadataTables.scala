@@ -201,7 +201,13 @@ object MetadataTables {
                 val (wm, detail) = kind match {
                   case "vector" =>
                     val idx = graft.operators.VectorIndex.loadVia(table, loc)
-                    (idx.watermark, Map("nlist" -> idx.centroids.size.toString))
+                    // pin_fallback present ⇔ the centroid pin was lost to
+                    // retention and probes serve the centroid-table head
+                    // (recall may degrade inside a torn rebuild)
+                    (idx.watermark,
+                      Map("nlist" -> idx.centroids.size.toString) ++
+                        (if (idx.pinFallback) Map("pin_fallback" -> "true")
+                         else Map.empty))
                   case _ =>
                     val idx = graft.operators.TextIndex.loadVia(table, loc)
                     val (n, tl) = idx.corpusStats

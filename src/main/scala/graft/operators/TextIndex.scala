@@ -37,7 +37,10 @@ import org.apache.spark.sql.types._
   * fenced by ITS OWN watermark and each is deterministic from its
   * changelog window, so a crash between the two leaves the docs step
   * complete and the retry skips straight to the postings step — the
-  * corpus constants can never double-count a window.
+  * corpus constants can never double-count a window. Concurrent readers
+  * are fenced the same way: [[search]] reads the constants pinned at the
+  * POSTINGS watermark, so a query running between the two commits scores
+  * old postings with old constants — never a torn mix.
   *
   * Scoring is the engine's cross-verifiable fixed-point BM25 (see
   * q66_bm25_search in [[graft.queries.TextOps]]): scale 10^6, truncating
@@ -87,6 +90,30 @@ final class TextIndex private (
     val r = docsTable.toDF.agg(count(lit(1)).as("n"),
       coalesce(sum(col("len_d")), lit(0L)).as("len")).head()
     (r.getLong(0), r.getLong(1))
+  }
+
+  /** Corpus constants AS OF a given base watermark: the constants the
+    * docs commit carrying that watermark pinned. [[search]] reads them at
+    * the POSTINGS watermark so a query running between the two refresh
+    * commits (docs+constants landed, postings not yet) scores against the
+    * constants its postings were built with — always internally
+    * consistent, bit-identical to the from-scratch engine at that
+    * snapshot. Falls back to [[corpusStats]] (the head constants) when no
+    * retained docs commit carries the pin (snapshot expiry). */
+  private def corpusStatsAt(pin: Option[Long]): (Long, Long) = {
+    if (pin.isEmpty) return corpusStats
+    val m = docsTable.meta
+    var cur = m.currentSnapshot
+    while (cur.isDefined) {
+      val s = cur.get.summary
+      if (s.get(WatermarkKey).contains(pin.get.toString))
+        (s.get(NDocsKey), s.get(TotalLenKey)) match {
+          case (Some(n), Some(t)) => return (n.toLong, t.toLong)
+          case _ => ()
+        }
+      cur = cur.get.parentId.flatMap(m.snapshot)
+    }
+    corpusStats
   }
 
   /** q66's tokenizer, verbatim: whitespace split of the lowercased text
@@ -194,8 +221,20 @@ final class TextIndex private (
   def search(queries: Seq[(Int, String)], k: Int = 5): DataFrame = {
     require(queries.nonEmpty, "search needs at least one (qid, term)")
     val spark = state.spark
-    val (n, tl) = corpusStats
-    require(n > 0 && tl > 0, "search on an empty index")
+    // constants pinned at the POSTINGS watermark (not the docs head): a
+    // search between the two refresh commits must not score OLD postings
+    // with NEW constants — see [[corpusStatsAt]]
+    val (n, tl) = corpusStatsAt(watermark)
+    // a drained corpus (every doc deleted or updated to NULL text) is an
+    // empty result set, same as the from-scratch engine on an empty corpus
+    if (n <= 0 || tl <= 0) {
+      val idType = state.meta.schema.byName(idCol).get.sparkType
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("qid", LongType),
+          StructField(idCol, idType), StructField("score", LongType),
+          StructField("rk", LongType))))
+    }
     val terms = queries.map(_._2).distinct
     val post = state.read(filter = Some(col("term").isin(terms: _*)))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))

@@ -71,11 +71,32 @@ final class VectorIndex private (
     * between the centroid rewrite and the index commit), where it costs
     * probe recall, never scoring correctness — availability wins; the
     * next refresh/rebuild re-pins. */
-  def centroidSnapshot: Long = summaryPin(state, CentroidSnapKey)
-    .orElse(centroidsTable.meta.currentSnapshot.map(_.snapshotId))
-    .getOrElse(throw new IllegalStateException(
-      s"index ${state.meta.name} has no centroid pin and the centroid " +
-        "table is empty — not a VectorIndex state table"))
+  def centroidSnapshot: Long = summaryPin(state, CentroidSnapKey) match {
+    case Some(pin) => pin
+    case None =>
+      val head = centroidsTable.meta.currentSnapshot.map(_.snapshotId)
+        .getOrElse(throw new IllegalStateException(
+          s"index ${state.meta.name} has no centroid pin and the centroid " +
+            "table is empty — not a VectorIndex state table"))
+      // observable, not just traded off in a scaladoc: inside a torn
+      // rebuild this head serves rewritten centroids against stale
+      // assignments (recall cost, never scoring correctness) — warn and
+      // let the `indexes` metadata table surface it ([[pinFallback]])
+      System.err.println(s"[graft] vector index ${state.meta.name}: centroid " +
+        s"pin unrecoverable from retained snapshots — serving centroid-table " +
+        s"head $head (recall may degrade inside a torn rebuild); the next " +
+        "refresh/rebuild re-pins")
+      head
+  }
+
+  /** True when the centroid pin is unrecoverable from retained index
+    * snapshots and [[centroidSnapshot]] is serving the centroid table's
+    * current head instead (the availability fallback after a
+    * maintenance-only retention window). Surfaced as `pin_fallback` in
+    * the base table's `indexes` metadata table so a torn rebuild — the
+    * one case where the fallback costs probe recall — is operator-visible. */
+  def pinFallback: Boolean = summaryPin(state, CentroidSnapKey).isEmpty &&
+    centroidsTable.meta.currentSnapshot.isDefined
 
   /** The pinned centroid matrix, list-ordered. nlist×dim — driver-sized
     * by construction (it becomes plan literals for assignment). */

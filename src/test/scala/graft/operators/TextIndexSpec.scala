@@ -291,4 +291,62 @@ class TextIndexSpec extends AnyFunSuite {
     assert(!base.meta.properties.contains("graft.tindex.indexes"))
     assert(!cat.tableExists("tx.tidx") && !cat.tableExists("tx.tidx_docs"))
   }
+
+  test("a row-empty changelog window (compaction-only base commit) still " +
+    "pins the watermark on merge-on-read index tables") {
+    val cat = freshCatalog()
+    val base = mkBase(cat, 0L until 60L)
+    val idx = TextIndex.create(cat, "tx.tidx", base, nBuckets = 4)
+    // the configuration the class scaladoc prescribes for high churn
+    idx.state.setProperties(Map("write.merge.mode" -> "merge-on-read"))
+    idx.docsTable.setProperties(Map("write.merge.mode" -> "merge-on-read"))
+    base.rewriteDataFiles() // logical no-op: the changelog window is row-empty
+    val head = base.meta.currentSnapshot.map(_.snapshotId)
+    assert(idx.refresh() === head)
+    assert(idx.watermark === head,
+      "an empty window must still commit the watermark pin")
+    assert(idx.docsWatermark === head)
+    // the freshness signal keys off the same pin, and answers stay exact
+    val row = graft.lake.MetadataTables(cat.loadTable("tx.base"), "indexes")
+      .collect()
+    assert(row.length === 1 && row.head.getBoolean(5),
+      "the `indexes` listing must report the index fresh, not permanently stale")
+    assert(idx.search(queries, 5).collect().toSeq ===
+      expectedBm25(base, queries, 5))
+  }
+
+  test("a drained corpus (every doc deleted) searches to an empty result " +
+    "set, like the from-scratch engine on an empty corpus") {
+    val cat = freshCatalog()
+    val base = mkBase(cat, 0L until 30L)
+    val idx = TextIndex.create(cat, "tx.tidx", base, nBuckets = 4)
+    base.delete(lit(true))
+    idx.refresh()
+    assert(idx.corpusStats === ((0L, 0L)))
+    val got = idx.search(queries, 5)
+    assert(got.columns.toSeq === Seq("qid", "doc_id", "score", "rk"))
+    assert(got.collect().isEmpty)
+  }
+
+  test("a search inside the two-commit refresh window reads the constants " +
+    "pinned at the POSTINGS watermark — old postings, old constants") {
+    val cat = freshCatalog()
+    val base = mkBase(cat, 0L until 60L)
+    val idx = TextIndex.create(cat, "tx.tidx", base, nBuckets = 4)
+    val want = idx.search(queries, 5).collect().toSeq
+    // churn that changes the corpus constants, then the docs half only
+    // (docs+constants committed, postings not — the reader-visible window)
+    base.append(docsDf(100L until 160L))
+    base.delete(col("doc_id") < 10)
+    idx.refreshDocsStep(base.meta.currentSnapshot.get.snapshotId)
+    assert(idx.docsWatermark !== idx.watermark, "test premise: torn window")
+    // internally consistent: identical to the answer BEFORE the docs
+    // commit (old postings scored with old constants), never a transient
+    // mix of new n_docs/total_len over old postings
+    assert(idx.search(queries, 5).collect().toSeq === want)
+    // completing the refresh converges to the live corpus
+    idx.refresh()
+    assert(idx.search(queries, 5).collect().toSeq ===
+      expectedBm25(base, queries, 5))
+  }
 }

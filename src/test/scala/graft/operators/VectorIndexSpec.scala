@@ -258,6 +258,30 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(indexSet(idx) === assignSet(base.toDF, idx.centroids))
   }
 
+  test("pin_fallback is operator-visible: a stranded centroid pin shows " +
+    "up in the `indexes` metadata table detail, and clears on re-pin") {
+    val cat = freshCatalog()
+    val base = cat.createTable("db.vpf", StructType(Seq(
+      StructField("id", LongType), StructField("embedding", ArrayType(FloatType)))))
+    base.append(vecDf(0L until 120L))
+    val idx = VectorIndex.create(cat, "db.vpf_i", base, "id", "embedding",
+      nlist = 4, iters = 1)
+    def detail() = graft.lake.MetadataTables(base, "indexes").collect()
+      .map(_.getMap[String, String](6)).head
+    assert(!idx.pinFallback && !detail().contains("pin_fallback"))
+    // strand the pins: compaction commits carry none, expiry cuts the walk
+    idx.state.rewriteDataFiles()
+    idx.state.expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 1)
+    assert(idx.pinFallback, "test premise: pin stranded")
+    assert(detail().get("pin_fallback").contains("true"),
+      "the fallback must be surfaced, not only traded off in a scaladoc")
+    // the availability fallback keeps serving; the next refresh re-pins
+    // and the signal clears
+    base.append(vecDf(120L until 140L))
+    idx.refresh()
+    assert(!idx.pinFallback && !detail().contains("pin_fallback"))
+  }
+
   test("ingest-cadence auto-refresh: registered indexes track the base " +
       "head (the startIngest refreshIndexes hook); drop deregisters (r13)") {
     val cat = freshCatalog()
