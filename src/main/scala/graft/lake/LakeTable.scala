@@ -2335,15 +2335,70 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
         // the stream's commit rate; with slack the bound is k+slack and
         // expiry runs once per `slack` commits
         val slack = math.max(k / 4, 2)
-        if (meta.snapshots.count(!_.staged) > k + slack) {
+        // floor the retention at the oldest registered SIBLING watermark
+        // (materialized views + vector/text indexes on this table): the
+        // auto-pipeline must not strand the refresh watermarks of the
+        // views/indexes it is itself keeping fresh. Capped (default 4×k,
+        // `graft.maintenance.expire.watermark-floor-cap`) so a
+        // permanently-stuck sibling cannot grow metadata without bound —
+        // past the cap the strand is ALLOWED, and the refresh paths
+        // recover (indexes self-heal with a full-window recompute; views
+        // fail actionably naming rebuild()).
+        val cap = math.max(k, props.get("graft.maintenance.expire.watermark-floor-cap")
+          .flatMap(_.toIntOption).getOrElse(k * 4))
+        val retain = math.min(math.max(k, siblingWatermarkFloor().getOrElse(0)), cap)
+        if (meta.snapshots.count(!_.staged) > retain + slack) {
           val v0 = meta.version
           LakeTable.withConflictRetry() {
-            expireSnapshots(System.currentTimeMillis() + 1, retainLast = k)
+            expireSnapshots(System.currentTimeMillis() + 1, retainLast = retain)
           }
           did |= meta.version != v0
         }
       }
     autoCompact(every, target, partitionFilter, sortBy) || did
+  }
+
+  /** Snapshot-retention floor implied by registered sibling refresh
+    * watermarks: how many of THIS table's newest snapshots must survive
+    * expiry so the OLDEST registered MV/vector-index/text-index watermark
+    * stays a retained ancestor (their incremental refresh resumes from
+    * it). None when nothing is registered, no watermark resolves, or a
+    * recorded watermark is already gone (no floor can save it). Resolution
+    * is best-effort per sibling — a dropped/unreachable state table never
+    * blocks maintenance. Metadata-only. */
+  private def siblingWatermarkFloor(): Option[Int] = {
+    val m0 = meta
+    def pinOf(st: LakeTable, key: String): Option[Long] = {
+      val m = st.meta
+      var cur = m.currentSnapshot
+      while (cur.isDefined) {
+        cur.get.summary.get(key) match {
+          case Some(v) => return v.toLongOption
+          case None => cur = cur.get.parentId.flatMap(m.snapshot)
+        }
+      }
+      None
+    }
+    def wmsAt(routingKey: String, pinKey: String): Seq[Long] =
+      m0.properties.get(routingKey).toSeq.flatMap(_.split(";")).filter(_.nonEmpty)
+        .flatMap { loc =>
+          try pinOf(sibling(loc), pinKey)
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+    val wms = wmsAt(MaterializedAgg.ViewsKey, MaterializedAgg.WatermarkKey) ++
+      wmsAt(graft.operators.VectorIndex.IndexesKey,
+        graft.operators.VectorIndex.WatermarkKey) ++
+      // the text index's docs watermark is always ≥ its postings
+      // watermark, so flooring at the postings pin covers both tables
+      wmsAt(graft.operators.TextIndex.IndexesKey,
+        graft.operators.TextIndex.WatermarkKey)
+    if (wms.isEmpty) return None
+    val ordered = m0.snapshots.filter(!_.staged)
+      .sortBy(s => (s.timestampMs, s.snapshotId)).map(_.snapshotId)
+    wms.flatMap { wm =>
+      val i = ordered.indexOf(wm)
+      if (i < 0) None else Some(ordered.size - i)
+    }.maxOption
   }
 
   /** CALL rewrite_position_deletes: fold merge-on-read delete entries back
@@ -2732,6 +2787,25 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     * per commit in the range — for a backfill over thousands of commits,
     * consume in snapshot windows (or via the streaming source, which
     * batches per trigger) rather than one giant range. */
+  /** True iff `fromSnapshotId` is on the RETAINED parent ancestry of
+    * `toSnapshotId` — the precondition of [[changelog]]. Turns false when
+    * the snapshot was dropped by expire_snapshots or left main via a
+    * rollback; the MV/index refresh paths probe this BEFORE the
+    * changelog's bare require fires, so a retention-stranded watermark
+    * self-heals (indexes: full-window recompute) or fails actionably
+    * (views: an error naming rebuild()) instead of wedging forever.
+    * Metadata-only parent walk, zero I/O. */
+  private[graft] def isAncestorRetained(fromSnapshotId: Long,
+                                        toSnapshotId: Long): Boolean = {
+    val m = meta
+    var cur = m.snapshot(toSnapshotId)
+    while (cur.isDefined) {
+      if (cur.get.snapshotId == fromSnapshotId) return true
+      cur = cur.get.parentId.flatMap(m.snapshot)
+    }
+    false
+  }
+
   /** Metadata-only proof that no existing row became dead in the snapshot
     * window `(from, to]`: every commit in the window only ADDED data
     * files — nothing removed, no positional or equality delete file

@@ -97,6 +97,24 @@ final class MaterializedAgg private[lake] (
     val from = watermark
     if (head.isEmpty || head == from) return from
     val to = head.get
+    // a retention-stranded watermark (its snapshot expired, or main
+    // rolled back past it) can never resume incrementally: overlaying a
+    // from-genesis delta over the EXISTING state would double-count, so
+    // — unlike the presence-based secondary indexes, which self-heal —
+    // the only sound recovery is a rebuild. Fail naming it, not with the
+    // changelog's bare `not an ancestor` require.
+    from.filterNot(f => base.isAncestorRetained(f, to)).foreach { f =>
+      throw new IllegalStateException(
+        s"materialized view ${state.meta.name}: refresh watermark $f is no " +
+          s"longer an ancestor of base snapshot $to — the snapshot was " +
+          "removed by expire_snapshots or left main via a rollback, so " +
+          "incremental deltas cannot resume. Recovery: call rebuild() to " +
+          "recompute the view from the current base contents (query routing " +
+          "already declines this view soundly). Prevention: ingest-cadence " +
+          "auto-expiry floors its retention at registered view/index " +
+          "watermarks; keep manual expire_snapshots retention longer than " +
+          "the view's maximum staleness.")
+    }
     val (delta, merged) = deltaMerge(from, to, eager = true, skipRescan = false)
     state.mergeByKeys(KeyCol, delta.select(KeyCol), merged,
       extraSummary = Map(WatermarkKey -> to.toString))

@@ -174,12 +174,29 @@ final class TextIndex private (
     * current. */
   def refresh(toSnapshotId: Option[Long] = None): Option[Long] = {
     val head = toSnapshotId.orElse(base.meta.currentSnapshot.map(_.snapshotId))
-    val wmP = watermark
-    if (head.isEmpty || head == wmP) return wmP
+    val wmP0 = watermark
+    if (head.isEmpty || head == wmP0) return wmP0
     val to = head.get
+    // retention-stranded watermark: self-heal with a full-window
+    // recompute — exact because the index is presence-based, PROVIDED
+    // every doc currently indexed is re-decided (a key whose delete
+    // predates retained history is absent from the replay and must be
+    // dropped through the key-union). Same discipline in both steps.
+    val stranded = wmP0.exists(f => !base.isAncestorRetained(f, to))
+    if (stranded)
+      System.err.println(s"[graft] text index ${state.meta.name}: watermark " +
+        s"${wmP0.get} is no longer an ancestor of base head $to (snapshot " +
+        "expired or rolled back) — self-healing with a full-window recompute")
     refreshDocsStep(to)
+    val wmP = if (stranded) None else wmP0
     val (changedP, aliveP) = lastState(wmP, to)
-    state.mergeByKeys(idCol, changedP, postingsOf(aliveP),
+    // the key-union reads the POSTINGS table's own ids (column-pruned),
+    // not the docs table's: the docs step above has already healed the
+    // docs table, so a ghost's id survives only in the postings
+    val changed =
+      if (stranded) changedP.union(state.toDF.select(col(idCol)))
+      else changedP
+    state.mergeByKeys(idCol, changed, postingsOf(aliveP),
       extraSummary = Map(WatermarkKey -> to.toString))
     Some(to)
   }
@@ -189,12 +206,22 @@ final class TextIndex private (
     * can drive the crash window — docs committed, postings not — that a
     * real crash between the two commits leaves behind. */
   private[graft] def refreshDocsStep(to: Long): Unit = {
-    val wmD = docsWatermark
-    if (wmD.contains(to)) return
+    val wmD0 = docsWatermark
+    if (wmD0.contains(to)) return
+    // stranded docs watermark: recompute from the retained table start,
+    // re-deciding every doc currently in the docs table. The constants
+    // delta then self-corrects: previousStats over ALL current docs ids
+    // returns exactly (n0, len0), so n0 + n_window − n_old = n_window —
+    // the from-scratch constants.
+    val strandedD = wmD0.exists(f => !base.isAncestorRetained(f, to))
+    val wmD = if (strandedD) None else wmD0
     // the docs window starts at the DOCS watermark: after a crash that
     // left docs ahead of postings, the already-applied sub-window must
     // not have its deltas re-counted
-    val (changed, alive) = lastState(wmD, to)
+    val (changed0, alive) = lastState(wmD, to)
+    val changed =
+      if (strandedD) changed0.union(docsTable.toDF.select(col(idCol)))
+      else changed0
     val stats = docStatsOf(alive)
     val nw = stats.agg(count(lit(1)).as("n"),
       coalesce(sum(col("len_d")), lit(0L)).as("len")).head()

@@ -113,9 +113,24 @@ final class VectorIndex private (
     * current. */
   def refresh(toSnapshotId: Option[Long] = None): Option[Long] = {
     val head = toSnapshotId.orElse(base.meta.currentSnapshot.map(_.snapshotId))
-    val from = watermark
-    if (head.isEmpty || head == from) return from
+    val from0 = watermark
+    if (head.isEmpty || head == from0) return from0
     val to = head.get
+    // retention-stranded watermark (expired by maintenance, or main
+    // rolled back past it): the changelog cannot resume from it, but the
+    // index state is PRESENCE-based, so a full-window recompute from the
+    // retained table start is exact — the same discipline as the
+    // centroid pin-loss fallback. One caveat makes it exact: a key whose
+    // delete predates retained history never appears in the replay, so
+    // every key currently IN the index is merged too (rebuild()'s
+    // key-union) and such ghosts drop out.
+    val stranded = from0.exists(f => !base.isAncestorRetained(f, to))
+    if (stranded)
+      System.err.println(s"[graft] vector index ${state.meta.name}: watermark " +
+        s"${from0.get} is no longer an ancestor of base head $to (snapshot " +
+        "expired or rolled back) — self-healing with a full-window recompute " +
+        "against the pinned centroids")
+    val from = if (stranded) None else from0
     val cl = base.changelog(from, to)
     // a key can change many times inside the window (insert→delete,
     // update chains): only its FINAL state matters to the index. Within
@@ -133,8 +148,12 @@ final class VectorIndex private (
     val assigned = Similarity.ivfAssignWith(alive, centroids, idCol, vecCol)
       .select(col(idCol), col(vecCol), col("list_id").cast(IntegerType))
     // every changed key is deleted; final-alive keys are re-inserted with
-    // their (possibly unchanged) assignment — an idempotent upsert
-    state.mergeByKeys(idCol, cl.select(col(idCol)), assigned,
+    // their (possibly unchanged) assignment — an idempotent upsert. A
+    // self-heal additionally re-decides every key currently indexed.
+    val changedKeys =
+      if (stranded) cl.select(col(idCol)).union(state.toDF.select(col(idCol)))
+      else cl.select(col(idCol))
+    state.mergeByKeys(idCol, changedKeys, assigned,
       extraSummary = Map(WatermarkKey -> to.toString,
         CentroidSnapKey -> centroidSnapshot.toString))
     Some(to)
