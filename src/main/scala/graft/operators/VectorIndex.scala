@@ -54,7 +54,8 @@ import org.apache.spark.sql.types._
   * task-sized files; both compose with the maintenance tiers. */
 final class VectorIndex private (
     val state: LakeTable, val centroidsTable: LakeTable, val base: LakeTable,
-    val idCol: String, val vecCol: String, val metric: String) {
+    val idCol: String, val vecCol: String, val metric: String,
+    val includeCols: Seq[String] = Seq.empty) {
   import VectorIndex._
 
   /** Base snapshot the index content reflects (from the latest index
@@ -140,13 +141,15 @@ final class VectorIndex private (
     val isAlive = col("_change_type").isin("INSERT", "UPDATE_AFTER")
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("_change_ordinal").desc, when(isAlive, 1).otherwise(0).desc)
-    val last = cl.select(col(idCol), col(vecCol), col("_change_type"),
-        col("_change_ordinal"))
+    val last = cl.select((Seq(col(idCol), col(vecCol)) ++
+        includeCols.map(col) ++
+        Seq(col("_change_type"), col("_change_ordinal"))): _*)
       .withColumn("_vx_rn", row_number().over(w))
       .filter(col("_vx_rn") === 1)
-    val alive = last.filter(isAlive).select(col(idCol), col(vecCol))
+    val alive = last.filter(isAlive)
+      .select((Seq(col(idCol), col(vecCol)) ++ includeCols.map(col)): _*)
     val assigned = Similarity.ivfAssignWith(alive, centroids, idCol, vecCol)
-      .select(col(idCol), col(vecCol), col("list_id").cast(IntegerType))
+      .select(stateCols: _*)
     // every changed key is deleted; final-alive keys are re-inserted with
     // their (possibly unchanged) assignment — an idempotent upsert. A
     // self-heal additionally re-decides every key currently indexed.
@@ -159,15 +162,44 @@ final class VectorIndex private (
     Some(to)
   }
 
+  /** The state table's column list in declared order — what every
+    * refresh/rebuild upsert must produce. */
+  private def stateCols: Seq[Column] =
+    (Seq(col(idCol), col(vecCol)) ++ includeCols.map(col)) :+
+      col("list_id").cast(IntegerType)
+
   /** ANN top-k over the index alone: probe-list choice is driver-side
     * (pinned centroids), the scan is metadata-level partition-pruned to
     * the `nprobe` chosen lists, scoring is the codegen'd cosine. The
-    * base table is never touched. */
-  def search(queryVec: Seq[Float], k: Int = 10, nprobe: Int = 4): DataFrame = {
-    val probe = Similarity.probeLists(centroids, queryVec, nprobe)
+    * base table is never touched.
+    *
+    * `filter` (filtered vector search — the RAG shape "nearest WITH
+    * lang='en'"): a predicate over the index's covered columns
+    * (`includeCols`, declared at [[VectorIndex.create]]), applied BEFORE
+    * scoring so cost ∝ selectivity. Probing the unfiltered operating
+    * point's `nprobe` lists under a selective predicate starves the
+    * candidate pool, so nprobe scales by 1/selectivity capped at nlist
+    * (the FAISS/Milvus pre-filter remedy; rationale and cost bound in
+    * [[Similarity.ivfTopKFiltered]]). Selectivity here is one count-only
+    * aggregate over the index (column-pruned to the filter's columns);
+    * at 100 TB derive it from column stats or a sample instead. */
+  def search(queryVec: Seq[Float], k: Int = 10, nprobe: Int = 4,
+             filter: Option[Column] = None): DataFrame = {
+    val cs = centroids
+    val n = filter match {
+      case None => math.min(math.max(nprobe, 1), cs.size)
+      case Some(pred) =>
+        val c = state.toDF.agg(count(lit(1)).as("n"),
+          count(when(pred, 1)).as("kept")).head()
+        val sel = if (c.getLong(0) == 0L) 1.0
+          else math.max(c.getLong(1).toDouble / c.getLong(0), 1e-9)
+        math.min(cs.size, math.max(1, math.ceil(nprobe / sel).toInt))
+    }
+    val probe = Similarity.probeLists(cs, queryVec, n)
     val pruned = state.read(filter =
       Some(col("list_id").isin(probe.map(Int.box): _*)))
-    pruned.select(col(idCol),
+    val cands = filter.map(pruned.filter).getOrElse(pruned)
+    cands.select(col(idCol),
         Similarity.cosine(col(vecCol), typedLit(queryVec)).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
@@ -236,16 +268,17 @@ final class VectorIndex private (
     val head = base.meta.currentSnapshot.map(_.snapshotId)
     if (head.isEmpty) return watermark
     val n = if (nlist > 0) nlist else centroids.size
-    val (assigned, cs) = Similarity.ivfAssign(
-      base.read(snapshotId = head).select(col(idCol), col(vecCol)),
-      n, iters, idCol, vecCol, metric)
+    val src = base.read(snapshotId = head)
+      .select((Seq(col(idCol), col(vecCol)) ++ includeCols.map(col)): _*)
+    val (_, cs) = Similarity.ivfAssign(
+      src.select(col(idCol), col(vecCol)), n, iters, idCol, vecCol, metric)
+    val assigned = Similarity.ivfAssignWith(src, cs, idCol, vecCol)
     centroidsTable.delete(lit(true))
     val cSnap = centroidsTable.append(centroidsDf(state.spark, cs))
       .currentSnapshot.get.snapshotId
     val allKeys = state.toDF.select(col(idCol))
       .union(assigned.select(col(idCol)))
-    state.mergeByKeys(idCol, allKeys,
-      assigned.select(col(idCol), col(vecCol), col("list_id").cast(IntegerType)),
+    state.mergeByKeys(idCol, allKeys, assigned.select(stateCols: _*),
       extraSummary = Map(WatermarkKey -> head.get.toString,
         CentroidSnapKey -> cSnap.toString))
     head
@@ -267,6 +300,7 @@ object VectorIndex {
   private val IdColKey = "graft.vindex.id-col"
   private val VecColKey = "graft.vindex.vec-col"
   private val MetricKey = "graft.vindex.metric"
+  private val IncludeColsKey = "graft.vindex.include-cols"
 
   private def summaryPin(state: LakeTable, key: String): Option[Long] = {
     val m = state.meta
@@ -292,11 +326,19 @@ object VectorIndex {
     * centroids ([[Similarity.ivfAssign]]), persist them, create the
     * identity-partitioned index table, and commit the initial
     * assignments with both pins. `idCol` must uniquely identify a
-    * vector (it is the upsert key of every refresh). */
+    * vector (it is the upsert key of every refresh).
+    *
+    * `includeCols`: base attribute columns COVERED by the index — copied
+    * into the state table (and maintained by every refresh/rebuild) so
+    * filtered search ([[VectorIndex#search]]'s `filter`) predicates them
+    * without ever touching the base. The classic covered-index
+    * trade-off: index bytes grow by the attributes, probes stay
+    * base-free. */
   def create(catalog: LakeCatalog, ident: String, base: LakeTable,
              idCol: String = "vec_id", vecCol: String = "embedding",
              nlist: Int = 16, iters: Int = 3,
-             metric: String = "cosine"): VectorIndex = {
+             metric: String = "cosine",
+             includeCols: Seq[String] = Seq.empty): VectorIndex = {
     val head = base.meta.currentSnapshot.map(_.snapshotId).getOrElse(
       throw new IllegalArgumentException(
         "create the index after the base table has data — centroids are " +
@@ -304,24 +346,34 @@ object VectorIndex {
     val idType = base.meta.schema.byName(idCol).getOrElse(
       throw new IllegalArgumentException(s"base has no column $idCol")).sparkType
     require(base.meta.schema.byName(vecCol).isDefined, s"base has no column $vecCol")
-    val (assigned, cs) = Similarity.ivfAssign(
-      base.read(snapshotId = Some(head)).select(col(idCol), col(vecCol)),
-      nlist, iters, idCol, vecCol, metric)
+    val includeFields = includeCols.map { c =>
+      require(!Set(idCol, vecCol, "list_id")(c), s"include column $c collides")
+      StructField(c, base.meta.schema.byName(c).getOrElse(
+        throw new IllegalArgumentException(s"base has no column $c")).sparkType)
+    }
+    val src = base.read(snapshotId = Some(head))
+      .select((Seq(col(idCol), col(vecCol)) ++ includeCols.map(col)): _*)
+    val (_, cs) = Similarity.ivfAssign(
+      src.select(col(idCol), col(vecCol)), nlist, iters, idCol, vecCol, metric)
     val cT = catalog.createTable(s"${ident}_centroids", StructType(Seq(
       StructField("list_id", IntegerType, nullable = false),
       StructField("embedding", ArrayType(FloatType)))))
     val cSnap = cT.append(centroidsDf(base.spark, cs))
       .currentSnapshot.get.snapshotId
-    val t = catalog.createTable(ident, StructType(Seq(
+    val t = catalog.createTable(ident, StructType((Seq(
       StructField(idCol, idType),
-      StructField(vecCol, ArrayType(FloatType)),
-      StructField("list_id", IntegerType))),
+      StructField(vecCol, ArrayType(FloatType))) ++ includeFields) :+
+      StructField("list_id", IntegerType)),
       partitionBy = Seq("list_id" -> "identity"),
       properties = Map(BaseLocKey -> base.location,
         CentroidsLocKey -> cT.location, IdColKey -> idCol,
-        VecColKey -> vecCol, MetricKey -> metric))
+        VecColKey -> vecCol, MetricKey -> metric) ++
+        (if (includeCols.isEmpty) Map.empty
+         else Map(IncludeColsKey -> includeCols.mkString(","))))
+    val idx0 = new VectorIndex(t, cT, base, idCol, vecCol, metric, includeCols)
+    val assigned = Similarity.ivfAssignWith(src, cs, idCol, vecCol)
     t.mergeByKeys(idCol, assigned.select(col(idCol)).limit(0),
-      assigned.select(col(idCol), col(vecCol), col("list_id").cast(IntegerType)),
+      assigned.select(idx0.stateCols: _*),
       extraSummary = Map(WatermarkKey -> head.toString,
         CentroidSnapKey -> cSnap.toString))
     // register on the base's routing index so ingest-cadence maintenance
@@ -332,7 +384,7 @@ object VectorIndex {
       if (cur.contains(t.location)) props
       else props + (IndexesKey -> (cur :+ t.location).mkString(";"))
     }
-    new VectorIndex(t, cT, base, idCol, vecCol, metric)
+    idx0
   }
 
   /** Reload an index created by [[create]] from its recorded spec. The
@@ -353,7 +405,9 @@ object VectorIndex {
     require(p.contains(BaseLocKey),
       s"${t.meta.name} is not a VectorIndex state table")
     new VectorIndex(t, t.sibling(p(CentroidsLocKey)), t.sibling(p(BaseLocKey)),
-      p(IdColKey), p(VecColKey), p.getOrElse(MetricKey, "cosine"))
+      p(IdColKey), p(VecColKey), p.getOrElse(MetricKey, "cosine"),
+      p.get(IncludeColsKey).map(_.split(",").toSeq.filter(_.nonEmpty))
+        .getOrElse(Seq.empty))
   }
 
   /** Drop the index: BOTH tables removed and the base's routing-index

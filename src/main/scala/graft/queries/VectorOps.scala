@@ -445,16 +445,19 @@ object VectorOps {
       val wh = java.nio.file.Files.createTempDirectory("graft-vindex").toString
       val cat = new graft.lake.LakeCatalog(s, wh)
       val emb = graft.Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
+        .select(col("vec_id"), col("embedding"), col("label"))
       val base = cat.createTable("vx.base", org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("embedding",
           org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)))))
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.IntegerType))))
       base.append(emb.filter(pmod(col("vec_id"), lit(2)) === 0))
+      // label is a COVERED column: q93 filters on it from the index alone
       val idx = graft.operators.VectorIndex.create(cat, "vx.vidx", base,
-        nlist = 8, iters = 2)
+        nlist = 8, iters = 2, includeCols = Seq("label"))
       base.append(emb.filter(pmod(col("vec_id"), lit(2)) === 1))
       idx.refresh()
       idx
@@ -500,6 +503,39 @@ object VectorOps {
       |  CAST(s.dot_q AS DOUBLE) / SQRT(CAST(s.na_q AS DOUBLE) * CAST(nq.nb_q AS DOUBLE)) AS cos_q
       |FROM s, nq
       |ORDER BY cos_q DESC, s.vec_id LIMIT 10""".stripMargin)
+
+  /** Filtered vector search served FROM THE COVERED INDEX (r14): q79's
+    * retrieval shape — top-10 cosine under `label % 7 = 3` — but the
+    * label predicate evaluates on the index's COVERED attribute column
+    * ([[graft.operators.VectorIndex.create]] `includeCols`) BEFORE
+    * scoring, and the base table is never in the plan. Full probe makes
+    * IVF exact, so q79's brute-force DuckDB oracle over the ORIGINAL
+    * parquet hash-gates covered-column maintenance end-to-end: the index
+    * was created on half the corpus and refreshed over the rest, so one
+    * stale or missing label breaks the match. The pruned-probe
+    * selectivity-scaled path (`VectorIndex.search(filter=...)`) is
+    * recall-gated in VectorIndexSpec; PlanSpec gates filter-below-scoring
+    * here. */
+  val q93 = plan("q93_vindex_filtered",
+    fn = (s, dir) => {
+      val idx = ensureIndex(s, dir)
+      val all = idx.centroids.indices.map(Int.box)
+      val q = graft.Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      idx.state.read(filter = Some(col("list_id").isin(all: _*)))
+        .filter(expr("label % 7 = 3") && col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
+          "quantized_dot(embedding, qv) AS dot_q",
+          "quantized_dot(embedding, embedding) AS na_q",
+          "quantized_dot(qv, qv) AS nb_q")
+        .select(col("vec_id"), col("label"), col("dot_q"),
+          (col("dot_q").cast("double") /
+            sqrt(col("na_q").cast("double") * col("nb_q").cast("double")))
+            .as("cos_q"))
+        .orderBy(col("cos_q").desc, col("vec_id")).limit(10)
+    },
+    duckSql = q79.oracle.get)
 
   /** Hybrid RRF served FROM THE PERSISTENT INDEXES (r13 follow-on to
     * q74/q90/q91): the BM25 top-20 comes off the incrementally-maintained
@@ -558,5 +594,5 @@ object VectorOps {
     duckSql = q74.oracle.get)
 
   def specs: Seq[QuerySpec] =
-    Seq(q23, q24, q25, q26, q27, q44, q68, q74, q79, q90, q92)
+    Seq(q23, q24, q25, q26, q27, q44, q68, q74, q79, q90, q92, q93)
 }

@@ -258,6 +258,54 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(indexSet(idx) === assignSet(base.toDF, idx.centroids))
   }
 
+  test("filtered search over covered columns: maintained through refresh " +
+    "and label churn, exact at full probe, recall ≥ 0.8 at two sizes " +
+    "with selectivity-scaled nprobe") {
+    val cat = freshCatalog()
+    def run(tag: String, n: Long): Unit = {
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      def df(ids: Seq[Long], lbl: Long => Int = i => (i % 7).toInt): DataFrame = {
+        val rows = ids.map(i => org.apache.spark.sql.Row(i, vec(i), lbl(i)))
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      }
+      val base = cat.createTable(s"db.vf$tag", schema)
+      base.append(df(0L until n / 2))
+      val idx = VectorIndex.create(cat, s"db.vf${tag}_i", base, "id", "embedding",
+        nlist = 16, iters = 2, includeCols = Seq("label"))
+      // the covered column is MAINTAINED: append the other half, flip
+      // some labels, refresh — the index must serve the new labels
+      base.append(df(n / 2 until n))
+      base.mergeByKey("id", (0L until 10L).map(Long.box),
+        df(0L until 10L, _ => 3))
+      idx.refresh()
+      val stateLabels = idx.state.toDF.filter(col("id") < 10)
+        .select("label").collect().map(_.getInt(0)).toSet
+      assert(stateLabels === Set(3), "refresh must carry covered-column updates")
+      // full probe + filter ≡ brute force over the live base (exactness)
+      val pred = col("label") === 3
+      val q = vec(3L)
+      val exact = idx.search(q, k = 10, nprobe = 16, filter = Some(pred))
+        .collect().map(_.getLong(0)).toSeq
+      val brute = base.toDF.filter(pred)
+        .select(col("id"), Similarity.cosine(col("embedding"),
+          typedLit(q)).as("cos"))
+        .orderBy(col("cos").desc, col("id")).limit(10)
+        .collect().map(_.getLong(0)).toSeq
+      assert(exact === brute, s"full-probe filtered search must be exact ($tag)")
+      // selectivity-scaled pruned probe: nprobe=2 under a ~1/7 filter
+      // scales to 14 of 16 lists — recall must hold at BOTH corpus sizes
+      val approx = idx.search(q, k = 10, nprobe = 2, filter = Some(pred))
+        .collect().map(_.getLong(0)).toSet
+      val recall = approx.intersect(brute.toSet).size.toDouble / brute.size
+      assert(recall >= 0.8, s"filtered recall $recall < 0.8 at n=$n")
+    }
+    run("a", 500L)
+    run("b", 2000L)
+  }
+
   test("pin_fallback is operator-visible: a stranded centroid pin shows " +
     "up in the `indexes` metadata table detail, and clears on re-pin") {
     val cat = freshCatalog()

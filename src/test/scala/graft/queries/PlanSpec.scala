@@ -459,8 +459,9 @@ class PlanSpec extends AnyFunSuite {
       "query side, TakeOrderedAndProject, probe filter pushed") {
     val p = planOf("q90_vector_index")
     assert(p.contains("vidx"), s"the corpus side must scan the INDEX table:\n$p")
-    // list_id is column id 3 → physical name c3 in the index table
-    assert(p.contains("In(c3,"),
+    // list_id is column id 4 (after the covered label column, r14) →
+    // physical name c4 in the index table
+    assert(p.contains("In(c4,"),
       s"the probe-list filter must reach the index scan:\n$p")
     assert(p.contains("Broadcast"), s"the 1-row query vector must broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
@@ -501,6 +502,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Broadcast"), p)
     assert(!p.contains("CartesianProduct"),
       s"only broadcast joins may appear:\n$p")
+  }
+
+  test("q93: filtered search runs from the covered index — base absent, " +
+      "label predicate below the dot-product scoring") {
+    val p = planOf("q93_vindex_filtered")
+    assert(p.contains("vidx"), s"the scan must be the index state table:\n$p")
+    // embeddings.parquet may appear ONCE (the 1-row query side); the
+    // filtered corpus side comes entirely off the covered index
+    assert("embeddings.parquet".r.findAllIn(p).size <= 1,
+      s"the filtered side must come from the index, not the base:\n$p")
+    // the covered-column predicate must sit below the scoring projection
+    // (explain-formatted prints leaf-first: filter detail appears earlier)
+    val filterIdx = p.indexOf("(label")
+    val scoreIdx = p.indexOf("quantized_dot")
+    assert(filterIdx >= 0 && scoreIdx >= 0, p)
+    assert(filterIdx < scoreIdx,
+      s"predicate must be evaluated before dot-product scoring:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
   }
 
   test("whole-stage codegen covers the relational queries' hot path") {
