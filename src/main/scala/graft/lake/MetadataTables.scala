@@ -201,13 +201,21 @@ object MetadataTables {
                 val (wm, detail) = kind match {
                   case "vector" =>
                     val idx = graft.operators.VectorIndex.loadVia(table, loc)
+                    val p = idx.state.meta.properties
                     // pin_fallback present ⇔ the centroid pin was lost to
                     // retention and probes serve the centroid-table head
-                    // (recall may degrade inside a torn rebuild)
+                    // (recall may degrade inside a torn rebuild);
+                    // imbalance = the metadata-only drift estimate;
+                    // drift_* = the ingest loop's threshold-exceeded record
                     (idx.watermark,
-                      Map("nlist" -> idx.centroids.size.toString) ++
+                      Map("nlist" -> idx.centroids.size.toString,
+                        "imbalance" -> f"${idx.imbalanceEstimate}%.2f") ++
                         (if (idx.pinFallback) Map("pin_fallback" -> "true")
-                         else Map.empty))
+                         else Map.empty) ++
+                        p.get(graft.operators.VectorIndex.DriftImbalanceKey)
+                          .map("drift_imbalance" -> _) ++
+                        p.get(graft.operators.VectorIndex.DriftAtKey)
+                          .map("drift_at" -> _))
                   case _ =>
                     val idx = graft.operators.TextIndex.loadVia(table, loc)
                     val (n, tl) = idx.corpusStats

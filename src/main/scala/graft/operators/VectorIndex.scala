@@ -259,6 +259,22 @@ final class VectorIndex private (
     else sizes.max.toDouble * sizes.length / sizes.sum.toDouble
   }
 
+  /** Metadata-only estimate of [[imbalance]]: posting-list populations
+    * summed from the state table's per-partition file row counts — zero
+    * data I/O, priced for a per-ingest-batch policy check
+    * ([[graft.streaming.Changelog.refreshRegisteredIndexes]]) and the
+    * `indexes` metadata listing. Row counts ignore not-yet-compacted
+    * merge-on-read delete masks, so the estimate can lag the exact scan
+    * after heavy deletes; maintenance compaction restores it. */
+  def imbalanceEstimate: Double = {
+    val files = state.meta.currentSnapshot.map(_.files).getOrElse(Seq.empty)
+    if (files.isEmpty) return 1.0
+    val sizes = files.groupBy(_.partitionValues).values
+      .map(_.map(_.rowCount).sum).filter(_ > 0L).toSeq
+    if (sizes.isEmpty) 1.0
+    else sizes.max.toDouble * sizes.length / sizes.sum.toDouble
+  }
+
   /** Full recluster + reassignment at the base head: new k-means
     * centroids appended to the centroid table (after clearing it — old
     * pins still time-travel to their rows), then ONE index commit
@@ -301,6 +317,19 @@ object VectorIndex {
   private val VecColKey = "graft.vindex.vec-col"
   private val MetricKey = "graft.vindex.metric"
   private val IncludeColsKey = "graft.vindex.include-cols"
+  /** STATE-table property: imbalance threshold above which the ingest
+    * loop's per-batch policy reacts (records drift, or rebuilds when
+    * [[RebuildAutoKey]] is true). Policy travels with the index. */
+  private[graft] val ImbalanceThresholdKey = "graft.vindex.rebuild.imbalance-threshold"
+  /** STATE-table property: "true" = the ingest loop rebuilds a drifted
+    * index itself (one recluster per drift episode — the rebuilt index
+    * re-balances, so the trigger disarms until the corpus drifts again). */
+  private[graft] val RebuildAutoKey = "graft.vindex.rebuild.auto"
+  /** Drift health record on the STATE table (threshold exceeded, auto
+    * rebuild off): last estimate + when. Cleared when the estimate drops
+    * back under the threshold. Surfaced by the `indexes` metadata table. */
+  private[graft] val DriftImbalanceKey = "graft.vindex.drift-imbalance"
+  private[graft] val DriftAtKey = "graft.vindex.drift-at"
 
   private def summaryPin(state: LakeTable, key: String): Option[Long] = {
     val m = state.meta

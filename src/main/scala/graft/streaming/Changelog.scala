@@ -329,10 +329,52 @@ object Changelog {
             System.err.println(s"[graft] index refresh skipped for $loc: ${e.getMessage}")
           }
         }
-    each(graft.operators.VectorIndex.IndexesKey)(loc =>
-      graft.operators.VectorIndex.loadVia(table, loc).refresh())
+    each(graft.operators.VectorIndex.IndexesKey) { loc =>
+      val idx = graft.operators.VectorIndex.loadVia(table, loc)
+      idx.refresh()
+      applyDriftPolicy(idx)
+    }
     each(graft.operators.TextIndex.IndexesKey)(loc =>
       graft.operators.TextIndex.loadVia(table, loc).refresh())
+  }
+
+  /** Per-batch drift policy for a refreshed vector index: when its state
+    * table declares `graft.vindex.rebuild.imbalance-threshold` and the
+    * METADATA-ONLY imbalance estimate exceeds it, either rebuild in place
+    * (`graft.vindex.rebuild.auto=true` — one recluster per drift episode:
+    * the rebuilt index re-balances, disarming the trigger until the
+    * corpus drifts again) or record a drift health property the `indexes`
+    * metadata table surfaces. Bounded commit cadence: the record
+    * re-commits only when the 2-decimal estimate changes, and clears once
+    * the estimate is back under the threshold — a steadily-drifted index
+    * costs zero extra commits per batch. */
+  private def applyDriftPolicy(idx: graft.operators.VectorIndex): Unit = {
+    import graft.operators.VectorIndex._
+    val props = idx.state.meta.properties
+    props.get(ImbalanceThresholdKey).flatMap(_.toDoubleOption).foreach { thr =>
+      val est = idx.imbalanceEstimate
+      if (est > thr) {
+        if (props.get(RebuildAutoKey).contains("true")) {
+          System.err.println(s"[graft] vector index ${idx.state.meta.name}: " +
+            f"imbalance estimate $est%.2f > threshold $thr%.2f — auto-rebuilding")
+          idx.rebuild()
+          if (props.contains(DriftImbalanceKey)) {
+            idx.state.updateProperties(_ - DriftImbalanceKey - DriftAtKey)
+            ()
+          }
+        } else {
+          val rec = f"$est%.2f"
+          if (!props.get(DriftImbalanceKey).contains(rec)) {
+            idx.state.updateProperties(_ + (DriftImbalanceKey -> rec) +
+              (DriftAtKey -> System.currentTimeMillis().toString))
+            ()
+          }
+        }
+      } else if (props.contains(DriftImbalanceKey)) {
+        idx.state.updateProperties(_ - DriftImbalanceKey - DriftAtKey)
+        ()
+      }
+    }
   }
 
   def refreshRegisteredViews(table: LakeTable): Unit = {

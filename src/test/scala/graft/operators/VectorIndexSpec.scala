@@ -368,6 +368,59 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(idx.watermark === base.meta.currentSnapshot.map(_.snapshotId))
   }
 
+  test("drift-to-rebuild policy: a drifting corpus trips the metadata-only " +
+    "signal; the ingest loop records it at bounded cost, or auto-rebuilds") {
+    val cat = freshCatalog()
+    val base = cat.createTable("db.vdr", StructType(Seq(
+      StructField("id", LongType), StructField("embedding", ArrayType(FloatType)))))
+    base.append(vecDf(0L until 200L))
+    val idx = VectorIndex.create(cat, "db.vdr_i", base, "id", "embedding",
+      nlist = 4, iters = 2)
+    // exact and metadata-only estimate agree on a fresh CoW index
+    assert(math.abs(idx.imbalanceEstimate - idx.imbalance) < 1e-9)
+    val balanced = idx.imbalanceEstimate
+    idx.state.setProperties(Map(
+      VectorIndex.ImbalanceThresholdKey -> "2.0"))
+    // drift: one dense new region — every vector lands on the same list
+    def driftDf(ids: Seq[Long]): org.apache.spark.sql.DataFrame = {
+      val rows = ids.map(i => org.apache.spark.sql.Row(i,
+        (0 until 8).map(d =>
+          5f + ((i * 31 + d * 7) % 50) * 0.05f + d * 0.001f)))
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType)))))
+    }
+    base.append(driftDf(1000L until 1800L))
+    graft.streaming.Changelog.refreshRegisteredIndexes(base)
+    val p1 = idx.state.meta.properties
+    assert(idx.imbalanceEstimate > 2.0 && idx.imbalanceEstimate > balanced,
+      "test premise: the drift shows in the estimate")
+    assert(p1.contains(VectorIndex.DriftImbalanceKey) &&
+      p1.contains(VectorIndex.DriftAtKey),
+      "threshold exceeded without auto-rebuild must record the drift")
+    // the signal is listed in the `indexes` metadata table detail
+    val detail = graft.lake.MetadataTables(base, "indexes").collect()
+      .map(_.getMap[String, String](6)).head
+    assert(detail.contains("imbalance") && detail.contains("drift_imbalance"))
+    // bounded cost: an unchanged estimate re-commits NOTHING per batch
+    val v1 = idx.state.meta.version
+    graft.streaming.Changelog.refreshRegisteredIndexes(base)
+    assert(idx.state.meta.version === v1,
+      "a steady drift record must not commit once per batch")
+    // arm auto-rebuild: the next pass reclusters, clears the record, and
+    // the rebuilt index is the exact assignment against its NEW centroids
+    idx.state.updateProperties(_ + (VectorIndex.RebuildAutoKey -> "true"))
+    val csBefore = idx.centroids
+    val estBefore = idx.imbalanceEstimate
+    graft.streaming.Changelog.refreshRegisteredIndexes(base)
+    assert(idx.centroids !== csBefore, "auto-rebuild must recluster")
+    assert(!idx.state.meta.properties.contains(VectorIndex.DriftImbalanceKey),
+      "the drift record clears with the rebuild")
+    assert(idx.imbalanceEstimate < estBefore,
+      "reclustering over the drifted corpus must rebalance the lists")
+    assert(indexSet(idx) === assignSet(base.toDF, idx.centroids))
+  }
+
   test("SQL surface: CALL create/refresh/rebuild_vector_index maintain the " +
       "index through the procedure catalog (r13)") {
     val wh = Files.createTempDirectory("graft-vidx-sql").toString
