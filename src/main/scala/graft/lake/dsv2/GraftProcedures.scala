@@ -27,7 +27,8 @@ object GraftProcedures {
     "create_branch", "drop_branch", "create_tag", "drop_tag",
     "build_ivf_index", "build_pq_index", "create_changelog_view",
     "create_vector_index", "refresh_vector_index", "rebuild_vector_index",
-    "create_text_index", "refresh_text_index")
+    "create_text_index", "refresh_text_index",
+    "search_vector_index", "search_text_index")
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
     val b = ProcedureParameter.in(name, dt)
@@ -215,14 +216,20 @@ object GraftProcedures {
         param("id_col", StringType, Some("'vec_id'")),
         param("vec_col", StringType, Some("'embedding'")),
         param("nlist", LongType, Some("16")),
-        param("iters", LongType, Some("3"))),
+        param("iters", LongType, Some("3")),
+        param("include_cols", StringType, Some("''"))),
       row => {
         val idCol = if (row.isNullAt(2)) "vec_id" else row.getString(2)
         val vecCol = if (row.isNullAt(3)) "embedding" else row.getString(3)
         val nlist = if (row.isNullAt(4)) 16 else row.getLong(4).toInt
         val iters = if (row.isNullAt(5)) 3 else row.getLong(5).toInt
+        // include_cols (CSV): covered attribute columns for filtered search
+        val includes =
+          if (row.isNullAt(6) || row.getString(6).isEmpty) Seq.empty[String]
+          else row.getString(6).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
         graft.operators.VectorIndex.create(lake, row.getString(0),
-          lake.loadTable(row.getString(1)), idCol, vecCol, nlist, iters)
+          lake.loadTable(row.getString(1)), idCol, vecCol, nlist, iters,
+          includeCols = includes)
       }))
     case "refresh_vector_index" => Some(proc(name,
       Array(param("index", StringType)),
@@ -256,6 +263,55 @@ object GraftProcedures {
     case "refresh_text_index" => Some(proc(name,
       Array(param("index", StringType)),
       row => graft.operators.TextIndex.load(lake, row.getString(0)).refresh()))
+    // SQL-facing index SEARCH (r14): procedures register the probe's
+    // result as a temp view (the create_changelog_view pattern — Spark 4
+    // procedures return no rows, so the view is the SQL result surface),
+    // bit-identical to the Scala search by construction (it IS the Scala
+    // search). `query` = CSV floats; `filter` = a SQL predicate over the
+    // index's covered columns, evaluated BEFORE scoring.
+    case "search_vector_index" => Some(proc(name,
+      Array(param("index", StringType),
+        param("query", StringType),
+        param("k", LongType, Some("10")),
+        param("nprobe", LongType, Some("4")),
+        param("view_name", StringType, Some("''")),
+        param("filter", StringType, Some("''"))),
+      row => {
+        val idx = graft.operators.VectorIndex.load(lake, row.getString(0))
+        val qv = row.getString(1).split(",").toSeq.map(_.trim.toFloat)
+        val k = if (row.isNullAt(2)) 10 else row.getLong(2).toInt
+        val nprobe = if (row.isNullAt(3)) 4 else row.getLong(3).toInt
+        val view =
+          if (row.isNullAt(4) || row.getString(4).isEmpty)
+            row.getString(0).replace('.', '_') + "_search"
+          else row.getString(4)
+        val pred =
+          if (row.isNullAt(5) || row.getString(5).isEmpty) None
+          else Some(org.apache.spark.sql.functions.expr(row.getString(5)))
+        idx.search(qv, k, nprobe, pred).createOrReplaceTempView(view)
+      }))
+    // `queries` = one query per ';'-separated group of whitespace terms;
+    // qid = the group's 1-based position (matching the Scala
+    // TextIndex.search (qid, term) pairs it expands to).
+    case "search_text_index" => Some(proc(name,
+      Array(param("index", StringType),
+        param("queries", StringType),
+        param("k", LongType, Some("5")),
+        param("view_name", StringType, Some("''"))),
+      row => {
+        val idx = graft.operators.TextIndex.load(lake, row.getString(0))
+        val qs = row.getString(1).split(";").toSeq.map(_.trim).filter(_.nonEmpty)
+          .zipWithIndex.flatMap { case (q, i) =>
+            q.split("\\s+").toSeq.filter(_.nonEmpty).map(t => (i + 1, t))
+          }
+        require(qs.nonEmpty, "search_text_index needs at least one term")
+        val k = if (row.isNullAt(2)) 5 else row.getLong(2).toInt
+        val view =
+          if (row.isNullAt(3) || row.getString(3).isEmpty)
+            row.getString(0).replace('.', '_') + "_search"
+          else row.getString(3)
+        idx.search(qs, k).createOrReplaceTempView(view)
+      }))
     case "build_ivf_index" => Some(proc(name,
       Array(param("table", StringType),
         param("vector_col", StringType, Some("'embedding'")),

@@ -209,6 +209,12 @@ class TextIndexSpec extends AnyFunSuite {
     val row = spark.sql("SELECT kind, fresh FROM txc.tx.base.`indexes`").collect()
     assert(row.length === 1 && row.head.getString(0) === "text"
       && row.head.getBoolean(1))
+    // CALL search: ';'-separated query groups expand to the Scala
+    // search's (qid, term) pairs — the view is bit-identical to it
+    spark.sql("CALL txc.system.search_text_index('tx.tidx_sql', " +
+      "'alpha kappa; gamma zeta; theta', k => 5)")
+    assert(spark.table("tx_tidx_sql_search").collect().toSeq ===
+      idx.search(queries, 5).collect().toSeq)
   }
 
   test("windowed refresh (to a mid snapshot, then head) == one-shot; a " +

@@ -446,5 +446,17 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(idx.centroids.size === 4)
     assert(idx.centroidSnapshot > pin0)
     assert(indexSet(idx) === assignSet(base.toDF, idx.centroids))
+    // CALL search: the registered view is bit-identical to the Scala
+    // search (it IS the Scala search) — plain and filtered
+    val q7 = vec(7L).mkString(",")
+    spark.sql(s"CALL vxc.system.search_vector_index('db.vidx_sql', '$q7', " +
+      "k => 8, nprobe => 3)")
+    assert(spark.table("db_vidx_sql_search").collect().toSeq ===
+      idx.search(vec(7L), 8, 3).collect().toSeq)
+    spark.sql(s"CALL vxc.system.search_vector_index('db.vidx_sql', '$q7', " +
+      "k => 8, nprobe => 2, view_name => 'vs_f', filter => 'id % 2 = 0')")
+    assert(spark.table("vs_f").collect().toSeq ===
+      idx.search(vec(7L), 8, 2,
+        Some(org.apache.spark.sql.functions.expr("id % 2 = 0"))).collect().toSeq)
   }
 }
