@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
 
 import java.nio.charset.StandardCharsets
 import java.util.UUID
@@ -826,7 +827,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
       val kept = d.counts.filter { case (n, _) => liveNames.contains(n) }
       if (kept.isEmpty) None
       else if (kept.size == d.counts.size) Some(d)
-      else Some(d.copy(counts = kept))
+      else Some(d.copy(counts = kept,
+        dv = d.vectors.filter { case (n, _) => kept.contains(n) }))
     }
 
   /** `(_gd_file, _gd_pos)` rows of the given delete files. */
@@ -877,9 +879,14 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
   }
 
   /** Positional-delete mask only (the equality layer sits on top in
-    * [[liveRows]]): files with no entries scan untouched; affected files
-    * anti-join the metadata-sized position set, broadcast while provably
-    * small (Σ metadata counts), shuffle-hash above that. */
+    * [[liveRows]]): files with no entries scan untouched. Affected files
+    * whose every referencing delete file carries a deletion-vector ref
+    * are masked by a per-row bitmap probe inside the scan's codegen
+    * filter ([[DvIsDeleted]]) — no join, no shuffle, no per-query read of
+    * the delete parquet, at any churn level. Files not fully covered
+    * (pre-DV metadata, a skipped oversized build) anti-join the
+    * metadata-sized position set — broadcast while provably small
+    * (Σ metadata counts), shuffle-hash above that. */
   private def maskPositions(m: TableMeta, snap: Option[Snapshot],
                             files: Seq[DataFile], withMeta: Boolean): DataFrame = {
     def finish(df: DataFrame): DataFrame =
@@ -889,20 +896,42 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     val names = files.map(f => fileName(f.path)).toSet
     val affectedNames = dels.flatMap(_.counts.keys).toSet.intersect(names)
     if (affectedNames.isEmpty) return dataFrameFor(m, files, withRowMeta = withMeta)
+    val dvRead = spark.conf.get(DeleteVectors.ReadConf, "true").toBoolean
+    // a data file is DV-covered when every delete file referencing it has
+    // a bitmap ref for it — the refs' union (disjoint by the write-side
+    // anti-join invariant) then equals its full deleted-position set
+    val dvNames =
+      if (!dvRead) Set.empty[String]
+      else affectedNames.filter(n =>
+        dels.forall(d => !d.counts.contains(n) || d.vectors.contains(n)))
+    val ajNames = affectedNames -- dvNames
     val (withDel, plain) =
       files.partition(f => affectedNames.contains(fileName(f.path)))
-    val relevant = dels.filter(_.counts.keys.exists(affectedNames.contains))
-    val src = dataFrameFor(m, withDel, withRowMeta = true)
-    val entries0 = deleteEntriesDf(relevant)
-    // a delete file may also reference files NOT being read here (pruned
-    // or partial scans) — those entries no-op in the anti join
-    val entries =
-      if (relevant.map(_.rowCount).sum <= 4L * 1000 * 1000) broadcast(entries0)
-      else entries0
-    val live = finish(
-      src.join(entries, Seq("_gd_file", "_gd_pos"), "left_anti"))
-    if (plain.isEmpty) live
-    else dataFrameFor(m, plain, withRowMeta = withMeta).unionByName(live)
+    val (dvFiles, ajFiles) = withDel.partition(f => dvNames.contains(fileName(f.path)))
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    if (plain.nonEmpty)
+      parts += dataFrameFor(m, plain, withRowMeta = withMeta)
+    if (dvFiles.nonEmpty) {
+      val refs: Map[String, Seq[DvRef]] = dvNames.iterator
+        .map(n => n -> dels.flatMap(_.vectors.get(n))).toMap
+      val masked = dataFrameFor(m, dvFiles, withRowMeta = true).filter(
+        !DvIsDeleted(col("_gd_file"), col("_gd_pos"), refs,
+          new SerializableConfiguration(hadoopConf)))
+      parts += finish(masked)
+    }
+    if (ajFiles.nonEmpty) {
+      val relevant = dels.filter(_.counts.keys.exists(ajNames.contains))
+      val src = dataFrameFor(m, ajFiles, withRowMeta = true)
+      val entries0 = deleteEntriesDf(relevant)
+      // a delete file may also reference files NOT being read here (pruned
+      // or partial scans, DV-covered siblings) — those entries no-op in
+      // the anti join
+      val entries =
+        if (relevant.map(_.rowCount).sum <= 4L * 1000 * 1000) broadcast(entries0)
+        else entries0
+      parts += finish(src.join(entries, Seq("_gd_file", "_gd_pos"), "left_anti"))
+    }
+    parts.reduce(_ unionByName _)
   }
 
   /** Distinct key tuples of the given equality delete files, as a
@@ -1141,7 +1170,36 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     // rolling must never lose or duplicate a position
     require(out.map(_.rowCount).sum == total,
       s"delete-file roll wrote ${out.map(_.rowCount).sum} of $total entries")
-    out
+    attachDeleteVectors(out)
+  }
+
+  /** Build + attach deletion-vector refs for just-written delete files
+    * (see [[DeleteVectors]]): one bitmap per referenced data file, one
+    * content-addressed bundle per call. Each data file's entries live in
+    * exactly ONE of `out`'s delete files (the roll partitions by file
+    * name), so a ref covers precisely its owner's entries. Any skip —
+    * property off, oversized batch, a cardinality mismatch — leaves refs
+    * absent and the read path on its anti-join fallback: never wrong,
+    * at worst un-accelerated. */
+  private def attachDeleteVectors(out: Seq[DeleteFile]): Seq[DeleteFile] = {
+    val enabled = meta.properties.get(DeleteVectors.EnabledProperty)
+      .forall(_.toBoolean)
+    if (!enabled || out.isEmpty) return out
+    DeleteVectors.buildBitmaps(spark, out.map(_.path)) match {
+      case None =>
+        System.err.println(s"[graft] deletion-vector build skipped: bitmaps " +
+          s"exceed ${DeleteVectors.MaxBundleBytes} bytes for this batch — " +
+          "reads of these files use the anti-join fallback")
+        out
+      case Some(bitmaps) =>
+        val expected = out.flatMap(_.counts).toMap
+        val verified = bitmaps.filter { case (name, bytes) =>
+          expected.get(name).contains(DvBitmap.cardinality(bytes))
+        }
+        val refs = DeleteVectors.writeBundle(fs, dataDir, verified)
+        out.map(d => d.copy(dv = d.counts.keys.flatMap(n =>
+          refs.get(n).map(n -> _)).toMap))
+    }
   }
 
   /** UPDATE SET — copy-on-write rewrite of files that may match
@@ -2023,6 +2081,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     val m0 = meta
     val before = m0.snapshots.flatMap(s =>
       s.files.map(_.path) ++ s.deleteFiles.map(_.path) ++
+        s.deleteFiles.flatMap(_.vectors.values.map(_.bundle)) ++
         s.eqDeleteFiles.map(_.path)).toSet
     val beforeChunks = m0.snapshots.flatMap(s =>
       s.manifests ++ s.manifestList ++ s.deleteManifest).toSet
@@ -2057,6 +2116,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     }
     val live = m2.snapshots.flatMap(s =>
       s.files.map(_.path) ++ s.deleteFiles.map(_.path) ++
+        s.deleteFiles.flatMap(_.vectors.values.map(_.bundle)) ++
         s.eqDeleteFiles.map(_.path)).toSet
     // physical deletion stays INSIDE the table's own directory: files
     // registered in place by add_files live in foreign directories the
@@ -2629,6 +2689,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     val m = meta
     val referenced = m.snapshots.flatMap(s =>
       s.files.map(_.path) ++ s.deleteFiles.map(_.path) ++
+        s.deleteFiles.flatMap(_.vectors.values.map(_.bundle)) ++
         s.eqDeleteFiles.map(_.path))
       .map(p => new Path(p).toUri.getPath).toSet
     val orphans = scala.collection.mutable.ArrayBuffer[String]()

@@ -105,7 +105,7 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("star_fact"), s"the fact table must not be scanned:\n$p")
   }
 
-  test("q83: exported-table read prunes columns, no cartesian; mask is a broadcast anti-join (r10)") {
+  test("q83: exported-table read prunes columns, no cartesian; mask is a DV bitmap probe (r14), anti-join on fallback (r10)") {
     // the no-extensions session reads through the V1Scan fallback, which
     // hides the mask join inside the scan — assert what IS visible there
     val p = planOf("q83_duckdb_export")
@@ -113,8 +113,10 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("lake.ops.exp"), p)
     assert(p.contains("struct<p_partkey:bigint,part_name:string,p_retailprice:double>"),
       s"scan must prune to the three referenced columns:\n$p")
-    // the mask-join SHAPE gate runs on the Scala read path, where the
-    // plan is transparent: a masked MoR read anti-joins the broadcast
+    // the mask SHAPE gate runs on the Scala read path, where the plan is
+    // transparent: a DV-covered MoR read masks with the deletion-vector
+    // bitmap probe INSIDE the scan's filter (r14) — no join at all; with
+    // the DV read path off, the fallback anti-joins the broadcast
     // metadata-sized delete set — never a shuffle or nested loop
     val cat = new graft.lake.LakeCatalog(spark,
       java.nio.file.Files.createTempDirectory("graft-planspec").toString)
@@ -127,10 +129,16 @@ class PlanSpec extends AnyFunSuite {
     t.append((0L until 100L).toDF("id"))
     t.delete(col("id") === 7L)
     val mp = t.toDF.queryExecution.executedPlan.toString
-    assert(mp.contains("LeftAnti"), s"MoR mask must plan as an anti-join:\n$mp")
-    assert(mp.contains("BroadcastHashJoin") || mp.contains("BroadcastExchange"),
-      s"metadata-sized delete set must broadcast:\n$mp")
-    assert(!mp.contains("CartesianProduct") && !mp.contains("BroadcastNestedLoopJoin"), mp)
+    assert(mp.contains("dv_is_deleted"), s"DV-covered mask must bitmap-probe:\n$mp")
+    assert(!mp.toLowerCase.contains("join"), s"DV-covered mask must not join:\n$mp")
+    spark.conf.set(graft.lake.DeleteVectors.ReadConf, "false")
+    try {
+      val ap = t.toDF.queryExecution.executedPlan.toString
+      assert(ap.contains("LeftAnti"), s"fallback mask must plan as an anti-join:\n$ap")
+      assert(ap.contains("BroadcastHashJoin") || ap.contains("BroadcastExchange"),
+        s"metadata-sized delete set must broadcast:\n$ap")
+      assert(!ap.contains("CartesianProduct") && !ap.contains("BroadcastNestedLoopJoin"), ap)
+    } finally spark.conf.unset(graft.lake.DeleteVectors.ReadConf)
   }
 
   test("q21: LSH banding is an equi-join, not a nested-loop over signatures") {
