@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection via importance resampling (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling" — public
+  * method): pick from a large raw pool the documents whose hashed n-gram
+  * profile looks most like a small TARGET corpus, by importance weight
+  * under two smoothed bag-of-buckets models.
+  *
+  *   log w(d) = Σ_b c_b(d) · log( p_target(b) / p_source(b) )
+  *
+  * with `b` ranging over `buckets` hashed token features, `c_b(d)` the
+  * doc's count in bucket b, and add-one smoothing on both models.
+  *
+  * Engine-exact scoring (the same discipline as q66's BM25, TextOps
+  * scaladoc "fixed-point"): the per-bucket log-ratio is quantized ONCE to
+  * a BIGINT at scale 10^6 — `FLOOR(LN(p_t(b) / p_s(b)) · 10^6)` with each
+  * smoothed probability `(cnt+1)/(tot+B)` its own IEEE double division —
+  * and the per-doc score is then an exact integer Σ c_b · logratio_fp.
+  * The only float ops are three divisions and one LN per bucket over
+  * identical inputs on both engines (each step correctly rounded, so
+  * bit-identical; only LN can differ, by ≤1–2 ulp, invisible under the
+  * 10^-6 floor except on a measure-zero boundary); everything downstream
+  * (sums, ranking) is BIGINT, so ties and order can't drift. Bucket hash
+  * = first 3 hex digits of md5(token) (the repo's cross-engine hash
+  * idiom, PipelineOps SimHash oracle) → 4096 buckets.
+  *
+  * Scale shape (100 TB pool): tokenize+bucket is one explode with
+  * map-side-combined counts; both bucket models are B-row aggregates;
+  * the ratio table (B rows) BROADCASTS into the pool-side join; top-k is
+  * a TakeOrderedAndProject. No all-pairs stage, no driver state beyond
+  * B rows. The target corpus is small by definition (DSIR's premise);
+  * the pool pass is embarrassingly parallel.
+  */
+object Dsir {
+
+  val DefaultBuckets = 4096
+  val Scale = 1000000L
+
+  /** (doc_id, bucket, c): hashed-unigram bucket counts per document.
+    * Bucket = first 3 hex digits of md5(lowercased whitespace token). */
+  def bucketCounts(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col(idCol),
+        conv(substring(md5(col("w")), 1, 3), 16, 10).cast("long").as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
+
+  /** (bucket, logratio_fp): fixed-point per-bucket log importance ratio
+    * between the smoothed target and source bucket models. Buckets absent
+    * from BOTH corpora are omitted (their smoothed ratio contributes only
+    * to docs that contain them — and no doc does). */
+  def bucketLogRatios(target: DataFrame, source: DataFrame,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      buckets: Int = DefaultBuckets): DataFrame = {
+    def model(docs: DataFrame) = bucketCounts(docs, textCol, idCol)
+      .groupBy("bucket").agg(sum("c").as("cnt"))
+    val t = model(target).withColumnRenamed("cnt", "cnt_t")
+    val s = model(source).withColumnRenamed("cnt", "cnt_s")
+    val joined = t.join(s, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("cnt_t", "cnt_s"))
+    // totals via 1-row aggregates cross-joined in (window-free, exact).
+    // The ratio is computed as (p_t) / (p_s) with each probability its
+    // own IEEE division — no BIGINT product, so no overflow headroom
+    // limit, and both engines round each step identically.
+    val tTot = t.agg(sum("cnt_t").as("tot_t"))
+    val sTot = s.agg(sum("cnt_s").as("tot_s"))
+    val b = lit(buckets.toLong)
+    joined.crossJoin(broadcast(tTot)).crossJoin(broadcast(sTot))
+      .select(col("bucket"),
+        floor(log(
+          ((col("cnt_t") + 1).cast("double") / (col("tot_t") + b).cast("double")) /
+            ((col("cnt_s") + 1).cast("double") / (col("tot_s") + b).cast("double")))
+          * Scale).cast("long").as("logratio_fp"))
+  }
+
+  /** (doc_id, score): exact BIGINT importance score per pool document —
+    * Σ c_b · logratio_fp over the doc's buckets. The B-row ratio table
+    * broadcasts. */
+  def importanceScores(pool: DataFrame, ratios: DataFrame,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame =
+    bucketCounts(pool, textCol, idCol)
+      .join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c") * col("logratio_fp")).as("score"))
+
+  /** Top-k most target-like pool documents, deterministic
+    * (score DESC, id ASC). */
+  def select(pool: DataFrame, target: DataFrame, k: Int,
+             textCol: String = "text", idCol: String = "doc_id",
+             buckets: Int = DefaultBuckets): DataFrame = {
+    val ratios = bucketLogRatios(target, pool, textCol, idCol, buckets)
+    importanceScores(pool, ratios, textCol, idCol)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

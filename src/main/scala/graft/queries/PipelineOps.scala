@@ -731,7 +731,56 @@ object PipelineOps {
       |  CAST(0 AS BIGINT) AS sum_px FROM wav)
       |SELECT * FROM b UNION ALL SELECT * FROM v ORDER BY fmt""".stripMargin)
 
+  /** DSIR-style data selection ([[graft.operators.Dsir]], Xie et al.
+    * 2023): rank the NON-English-labeled pool by how English-like its
+    * hashed-unigram profile is under two smoothed bucket models
+    * (target = lang='en' docs, source = the pool itself) and keep the
+    * top 200 — the importance-resampling shape that picks pretraining
+    * data matching a target domain. Scoring is engine-exact fixed point
+    * (one LN per bucket over identical doubles, then BIGINT sums — see
+    * the operator scaladoc), so the oracle hash gates the whole pipeline:
+    * tokenize → md5 bucket → two models → ratio table → per-doc score →
+    * deterministic top-k. */
+  val q95 = plan("q95_dsir_select",
+    fn = (s, dir) => {
+      val docs = graft.Tables.load(s, dir, "documents")
+      import org.apache.spark.sql.functions.col
+      graft.operators.Dsir.select(
+          pool = docs.filter(col("lang") =!= "en"),
+          target = docs.filter(col("lang") === "en"),
+          k = 200)
+        .select(col("doc_id"), col("score"))
+    },
+    duckSql = """WITH tok AS (
+      |  SELECT doc_id, lang, w FROM (
+      |    SELECT doc_id, lang,
+      |           unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+      |    FROM documents) WHERE w <> ''),
+      |cnt AS (
+      |  SELECT doc_id, lang,
+      |      (POSITION(substr(md5(w),1,1) IN '0123456789abcdef')-1)*256
+      |    + (POSITION(substr(md5(w),2,1) IN '0123456789abcdef')-1)*16
+      |    + (POSITION(substr(md5(w),3,1) IN '0123456789abcdef')-1) AS bucket,
+      |    COUNT(*) AS c
+      |  FROM tok GROUP BY 1, 2, 3),
+      |tmodel AS (SELECT bucket, SUM(c) AS cnt_t FROM cnt WHERE lang = 'en' GROUP BY 1),
+      |smodel AS (SELECT bucket, SUM(c) AS cnt_s FROM cnt WHERE lang <> 'en' GROUP BY 1),
+      |tot AS (SELECT (SELECT COALESCE(SUM(cnt_t), 0) FROM tmodel) AS tot_t,
+      |               (SELECT COALESCE(SUM(cnt_s), 0) FROM smodel) AS tot_s),
+      |ratio AS (
+      |  SELECT COALESCE(t.bucket, s.bucket) AS bucket,
+      |    CAST(FLOOR(LN(
+      |        (CAST(COALESCE(cnt_t, 0) + 1 AS DOUBLE) / CAST(tot_t + 4096 AS DOUBLE))
+      |      / (CAST(COALESCE(cnt_s, 0) + 1 AS DOUBLE) / CAST(tot_s + 4096 AS DOUBLE))
+      |    ) * 1000000) AS BIGINT) AS logratio_fp
+      |  FROM tmodel t FULL OUTER JOIN smodel s ON t.bucket = s.bucket CROSS JOIN tot)
+      |SELECT c.doc_id, SUM(c.c * r.logratio_fp) AS score
+      |FROM cnt c JOIN ratio r ON c.bucket = r.bucket
+      |WHERE c.lang <> 'en'
+      |GROUP BY c.doc_id
+      |ORDER BY score DESC, c.doc_id LIMIT 200""".stripMargin)
+
   def specs: Seq[QuerySpec] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q47, q48, q49, q50, q53, q54,
-      q60, q61, q62, q67, q69, q78, q84, q85)
+      q60, q61, q62, q67, q69, q78, q84, q85, q95)
 }
