@@ -2735,7 +2735,18 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     * double/decimal/string columns always return None: their stat
     * encodings are pruning-safe but not guaranteed value-exact. */
   def statsMinMax(snap: Snapshot, colName: String): Option[(Option[Long], Option[Long])] = {
-    val m = meta
+    // merge-on-read deletes (positional or equality) make footer bounds
+    // over-approximate (the extreme row may be deleted) — stats can prune
+    // but not vouch
+    if (snap.deleteFiles.nonEmpty || snap.eqDeleteFiles.nonEmpty) return None
+    statsMinMaxOver(meta, snap.files, colName)
+  }
+
+  /** [[statsMinMax]]'s per-file-set core (no delete check — the caller
+    * owns that): exact MIN/MAX over exactly `files`, used both table-wide
+    * and per identity-partition group (GraftTable.metadataGroupedAgg). */
+  private[lake] def statsMinMaxOver(m: TableMeta, files: Seq[DataFile],
+                                    colName: String): Option[(Option[Long], Option[Long])] = {
     def intFamily(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType |
            TimestampType | TimestampNTZType => true
@@ -2743,20 +2754,20 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     }
     val cur = m.schema.byName(colName).orNull
     if (cur == null || !intFamily(cur.sparkType)) return None
-    // merge-on-read deletes (positional or equality) make footer bounds
-    // over-approximate (the extreme row may be deleted) — stats can prune
-    // but not vouch
-    if (snap.deleteFiles.nonEmpty || snap.eqDeleteFiles.nonEmpty) return None
     var lo = Option.empty[Long]
     var hi = Option.empty[Long]
-    val it = snap.files.iterator
+    val it = files.iterator
     while (it.hasNext) {
       val f = it.next()
       if (f.rowCount > 0) {
         val written = m.schemas.find(_.schemaId == f.schemaId).getOrElse(m.schema)
         val wcol = written.byId(cur.id).orNull
         if (wcol == null) {
-          // column added after this file was written: every row reads null
+          // column added after this file was written: rows read the
+          // frozen exists-default — NULL contributes nothing, but a
+          // non-null default makes footer-derived bounds wrong, so stats
+          // can't vouch (the scan fills it via the read mapping)
+          if (cur.existsDefaultSql.exists(_.trim.toUpperCase != "NULL")) return None
         } else if (!intFamily(wcol.sparkType)) return None
         else f.stats.get(wcol.physicalName) match {
           case Some(st) => (st.min, st.max) match {
@@ -2772,6 +2783,41 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
       }
     }
     Some((lo, hi))
+  }
+
+  /** Exact COUNT(col) — non-null row count — over exactly `files`, purely
+    * from footer null counts. Trust discipline per file: decoded bounds
+    * imply every block set its null count (Stats.fromFooter drops bounds
+    * otherwise), and an all-null column proves itself by nullCount ≥
+    * rowCount; anything else declines. Unlike MIN/MAX this holds for ANY
+    * top-level primitive column (bounds are used as a trust proof, not a
+    * value), but like MIN/MAX the caller must reject merge-on-read masks
+    * (deleted rows have unknown null distribution). */
+  private[lake] def statsCountColOver(m: TableMeta, files: Seq[DataFile],
+                                      colName: String): Option[Long] = {
+    val cur = m.schema.byName(colName).orNull
+    if (cur == null) return None
+    var total = 0L
+    val it = files.iterator
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.rowCount > 0) {
+        val written = m.schemas.find(_.schemaId == f.schemaId).getOrElse(m.schema)
+        val wcol = written.byId(cur.id).orNull
+        if (wcol == null) {
+          // rows read the frozen exists-default: a literal NULL adds
+          // nothing; any other SQL would need evaluating — decline
+          if (cur.existsDefaultSql.exists(_.trim.toUpperCase != "NULL"))
+            return None
+        } else f.stats.get(wcol.physicalName) match {
+          case Some(st) if st.min.isDefined || st.max.isDefined =>
+            total += f.rowCount - st.nullCount
+          case Some(st) if st.nullCount >= f.rowCount => () // all-null file
+          case _ => return None // null count not provably exact
+        }
+      }
+    }
+    Some(total)
   }
 
   /** Incremental batch read: rows ADDED strictly after `fromSnapshotId`

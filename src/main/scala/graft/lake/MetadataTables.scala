@@ -85,18 +85,24 @@ object MetadataTables {
         // delete_files table; content mirrors its position/equality
         // distinction): the observability input for when to CALL
         // rewrite_position_deletes
+        // dv_covered_files / dv_bytes: deletion-vector coverage per delete
+        // file ([[DeleteVectors]]) — coverage < referenced_data_files
+        // means some masked reads run the anti-join fallback (pre-DV
+        // metadata or a skipped oversized build)
         val pos = m.currentSnapshot.map(_.deleteFiles).getOrElse(Seq.empty).map { d =>
           ("position", d.path, d.sizeBytes, d.rowCount,
-            d.counts.size.toLong, d.counts, Seq.empty[String])
+            d.counts.size.toLong, d.counts, Seq.empty[String],
+            d.vectors.size.toLong, d.vectors.values.map(_.len.toLong).sum)
         }
         val eq = m.currentSnapshot.map(_.eqDeleteFiles).getOrElse(Seq.empty).map { d =>
           ("equality", d.path, d.sizeBytes, d.rowCount,
             0L, Map.empty[String, Long],
-            d.keyIds.flatMap(id => m.schema.byId(id)).map(_.name))
+            d.keyIds.flatMap(id => m.schema.byId(id)).map(_.name),
+            0L, 0L)
         }
         (pos ++ eq).toDF("content", "file_path", "file_size_in_bytes",
           "record_count", "referenced_data_files", "position_delete_counts",
-          "equality_key_columns")
+          "equality_key_columns", "dv_covered_files", "dv_bytes")
 
       case "all_files" =>
         // every data file referenced by ANY retained snapshot (Iceberg's

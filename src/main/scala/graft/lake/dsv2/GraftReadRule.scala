@@ -78,17 +78,25 @@ case class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // columns — metadataMinMax returns None otherwise and the scan runs)
     sealed trait MetaAgg
     case object CountStar extends MetaAgg
+    case class CountOf(col: String) extends MetaAgg
     case class MinOf(col: String) extends MetaAgg
     case class MaxOf(col: String) extends MetaAgg
     def classify(e: Expression): Option[MetaAgg] = e match {
       case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
           case Count(Seq(Literal(1, _))) => Some(CountStar)
+          case Count(Seq(a: AttributeReference)) => Some(CountOf(a.name))
           case Min(a: AttributeReference) => Some(MinOf(a.name))
           case Max(a: AttributeReference) => Some(MaxOf(a.name))
           case _ => None
         }
       case _ => None
+    }
+    def toTableAgg(a: MetaAgg): GraftTable.MetaAgg = a match {
+      case CountStar => GraftTable.MetaCountStar
+      case CountOf(c) => GraftTable.MetaCountCol(c)
+      case MinOf(c) => GraftTable.MetaMin(c)
+      case MaxOf(c) => GraftTable.MetaMax(c)
     }
     // internal value for a stats bound in the agg output's type domain
     def internal(v: Long, dt: org.apache.spark.sql.types.DataType): Any = dt match {
@@ -108,34 +116,43 @@ case class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
           .getOrElse(agg)
     }
     val counted = routed.transformDown {
-      // metadata-only GROUP BY partition-column COUNT(*): a grouped count
-      // keyed by an IDENTITY partition column reads the answer from the
-      // per-file partition values + footer row counts (the `partitions`
-      // metadata table as a query plan) — zero data files at any table
-      // size. Bails (→ normal scan) under merge-on-read masks, partition
-      // evolution gaps, or non-identity transforms.
+      // metadata-only GROUP BY partition-column aggregation: a grouped
+      // COUNT(*) / COUNT(col) / MIN(col) / MAX(col) keyed by an IDENTITY
+      // partition column reads the answer from the per-file partition
+      // values + footer stats (the `partitions` metadata table as a query
+      // plan) — zero data files at any table size. COUNT(*) stays exact
+      // under merge-on-read POSITION deletes (per-file masked counts
+      // subtract); everything else bails (→ normal scan) under any mask,
+      // partition evolution gaps, non-identity transforms, or stats that
+      // can't vouch (GraftTable.metadataGroupedAgg).
       case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _)
           if agg.resolved && aggExprs.nonEmpty && aggExprs.forall {
             case a: AttributeReference => a.exprId == g.exprId
             case Alias(a: AttributeReference, _) => a.exprId == g.exprId
-            case Alias(ae: AggregateExpression, _)
-                if !ae.isDistinct && ae.filter.isEmpty =>
-              ae.aggregateFunction match {
-                case Count(Seq(Literal(1, _))) => true
-                case _ => false
-              }
-            case _ => false
+            case e => classify(e).isDefined
           } =>
         unwrapScan(child) match {
           case Some((r, gt)) if !writeTargets.contains(r) =>
-            gt.metadataPartitionCounts(g.name) match {
+            val aggOnly = aggExprs.flatMap(classify(_))
+            gt.metadataGroupedAgg(g.name, aggOnly.map(toTableAgg)) match {
               case Some(rows) =>
                 LocalRelation(agg.output.map(_.toAttribute), rows.map {
-                  case (v, n) => InternalRow.fromSeq(aggExprs.map {
-                    case _: AttributeReference => v
-                    case Alias(_: AttributeReference, _) => v
-                    case _ => n
-                  })
+                  case (v, vals) =>
+                    var i = -1
+                    InternalRow.fromSeq(aggExprs.map {
+                      case _: AttributeReference => v
+                      case Alias(_: AttributeReference, _) => v
+                      case e =>
+                        i += 1
+                        (classify(e).get, vals(i)) match {
+                          case (CountStar | CountOf(_), n: java.lang.Long) =>
+                            n.longValue()
+                          case (_, bound: Option[_]) => bound
+                            .map(b => internal(b.asInstanceOf[Long], e.dataType))
+                            .orNull
+                          case (_, other) => other
+                        }
+                    })
                 })
               case None => agg
             }
@@ -149,6 +166,7 @@ case class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val answered = aggExprs.map { e =>
               classify(e).get match {
                 case CountStar => gt.metadataRowCount
+                case CountOf(c) => gt.metadataCountCol(c)
                 case MinOf(c) => gt.metadataMinMax(c).map(mm =>
                   mm._1.map(internal(_, e.dataType)).orNull)
                 case MaxOf(c) => gt.metadataMinMax(c).map(mm =>

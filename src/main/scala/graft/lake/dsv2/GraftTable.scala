@@ -96,16 +96,41 @@ case class GraftTable(
     * (→ scan) under any merge-on-read mask, a partition-evolved file
     * missing the field, or a non-identity transform. Internal values
     * (UTF8String etc.) — ready for a LocalRelation. */
-  def metadataPartitionCounts(colName: String): Option[Seq[(Any, Long)]] = metaKind match {
+  def metadataPartitionCounts(colName: String): Option[Seq[(Any, Long)]] =
+    metadataGroupedAgg(colName, Seq(GraftTable.MetaCountStar)).map(_.map {
+      case (v, Seq(n: java.lang.Long)) => (v, n.longValue())
+      case (v, other) => (v, other.head.asInstanceOf[Long])
+    })
+
+  /** Grouped metadata aggregation by an IDENTITY-partitioned column:
+    * `GROUP BY part_col → COUNT(*) / COUNT(col) / MIN(col) / MAX(col)`
+    * without touching a data file. Per group: COUNT(*) is exact even
+    * under merge-on-read POSITION deletes (per-file masked counts are
+    * exact metadata and subtract — the same argument as
+    * [[metadataRowCount]]); COUNT(col) and MIN/MAX require an unmasked
+    * snapshot and per-file stats that can vouch
+    * ([[graft.lake.LakeTable.statsCountColOver]] /
+    * [[graft.lake.LakeTable.statsMinMaxOver]]). Returns internal values
+    * ready for a LocalRelation — COUNT slots are java.lang.Long, MIN/MAX
+    * slots are Option[Long] (None = null, the all-null group); any
+    * decline anywhere → None → the caller scans. Equality deletes,
+    * partition-evolution gaps, and non-identity transforms always
+    * decline. */
+  def metadataGroupedAgg(groupCol: String,
+                         aggs: Seq[GraftTable.MetaAgg]): Option[Seq[(Any, Seq[Any])]] = metaKind match {
     case Some(_) => None
     case None =>
       val m = lakeTable.meta
       lakeTable.resolveSnapshot(pinnedSnapshotId, pinnedBranch, pinnedTimestampMs) match {
         case None => Some(Seq.empty)
-        case Some(s) if s.deleteFiles.nonEmpty || s.eqDeleteFiles.nonEmpty => None
+        case Some(s) if s.eqDeleteFiles.nonEmpty => None
+        // position deletes: exact for COUNT(*), opaque for null counts and
+        // bounds (the masked rows' values are unknowable from metadata)
+        case Some(s) if s.deleteFiles.nonEmpty &&
+            aggs.exists(_ != GraftTable.MetaCountStar) => None
         case Some(s) =>
-          m.schema.byName(colName).flatMap { c =>
-            val counts = scala.collection.mutable.LinkedHashMap[Any, Long]()
+          m.schema.byName(groupCol).flatMap { c =>
+            val groups = scala.collection.mutable.LinkedHashMap[Any, Vector[graft.lake.DataFile]]()
             // zero-row files contribute no group — including them would
             // fabricate a (value, 0) row a real scan never produces
             val ok = s.files.filter(_.rowCount > 0).forall { f =>
@@ -116,12 +141,62 @@ case class GraftTable(
                 .flatMap(raw =>
                   GraftSpj.internalKeyValue("identity", c.sparkType, raw)) match {
                 case Some(v) =>
-                  counts(v) = counts.getOrElse(v, 0L) + f.rowCount; true
+                  groups(v) = groups.getOrElse(v, Vector.empty) :+ f; true
                 case None => false
               }
             }
-            if (ok) Some(counts.toSeq) else None
+            if (!ok) return None
+            val deleted: Map[String, Long] = s.deleteFiles
+              .flatMap(_.counts).groupMapReduce(_._1)(_._2)(_ + _)
+            def name(p: String) = new org.apache.hadoop.fs.Path(p).getName
+            val rows = groups.toSeq.map { case (v, files) =>
+              val vals = aggs.map {
+                case GraftTable.MetaCountStar =>
+                  val n = files.map(f =>
+                    f.rowCount - deleted.getOrElse(name(f.path), 0L)).sum
+                  java.lang.Long.valueOf(n): Any
+                case GraftTable.MetaCountCol(col) =>
+                  lakeTable.statsCountColOver(m, files, col) match {
+                    case Some(n) => java.lang.Long.valueOf(n): Any
+                    case None => return None
+                  }
+                case GraftTable.MetaMin(col) =>
+                  lakeTable.statsMinMaxOver(m, files, col) match {
+                    case Some((lo, _)) => lo: Any
+                    case None => return None
+                  }
+                case GraftTable.MetaMax(col) =>
+                  lakeTable.statsMinMaxOver(m, files, col) match {
+                    case Some((_, hi)) => hi: Any
+                    case None => return None
+                  }
+              }
+              (v, vals)
+            }
+            // a group whose every row was position-deleted would still
+            // list here — but a real scan produces no such group: drop it
+            // (COUNT(*) = 0 can only arise via deletes, where it is the
+            // only allowed aggregate)
+            Some(rows.filterNot { case (_, vals) =>
+              aggs.zip(vals).exists {
+                case (GraftTable.MetaCountStar, n: java.lang.Long) =>
+                  n.longValue() == 0L
+                case _ => false
+              }
+            })
           }
+      }
+  }
+
+  /** Exact COUNT(col) (non-null rows) from footer null counts; None under
+    * any merge-on-read mask or when a file's stats can't vouch. */
+  def metadataCountCol(colName: String): Option[Long] = metaKind match {
+    case Some(_) => None
+    case None =>
+      lakeTable.resolveSnapshot(pinnedSnapshotId, pinnedBranch, pinnedTimestampMs) match {
+        case None => Some(0L)
+        case Some(s) if s.deleteFiles.nonEmpty || s.eqDeleteFiles.nonEmpty => None
+        case Some(s) => lakeTable.statsCountColOver(lakeTable.meta, s.files, colName)
       }
   }
 
@@ -334,4 +409,14 @@ case class GraftTable(
     case AlwaysFalse() => Some(lit(false))
     case _ => None
   }
+}
+
+object GraftTable {
+  /** Aggregate shapes [[GraftTable.metadataGroupedAgg]] can serve from
+    * snapshot metadata (see [[GraftReadRule]]'s classification). */
+  sealed trait MetaAgg
+  case object MetaCountStar extends MetaAgg
+  final case class MetaCountCol(col: String) extends MetaAgg
+  final case class MetaMin(col: String) extends MetaAgg
+  final case class MetaMax(col: String) extends MetaAgg
 }

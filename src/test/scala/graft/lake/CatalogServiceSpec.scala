@@ -124,6 +124,37 @@ class CatalogServiceSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("deletion vectors over the wire: refs ride the served delete manifest, " +
+    "bundles stay data-plane, masked reads probe without a join") {
+    val (srv, metaRoot, warehouse) = newEnv()
+    try {
+      import spark.implicits._
+      val cat = new RemoteLakeCatalog(spark, warehouse, srv.uri)
+      val t = cat.createTable("db.dvw", StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType))))
+      t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+      t.append((0L until 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+      t.delete(col("id") === 7L)
+      t.delete(col("id") === 8L)
+      // refs committed through the wire authority; bundle bytes in the
+      // warehouse (data plane), ZERO metadata under the table location
+      val dels = t.meta.currentSnapshot.get.deleteFiles
+      assert(dels.size === 2 && dels.forall(d => d.vectors.keySet == d.counts.keySet))
+      dels.flatMap(_.vectors.values).foreach { r =>
+        assert(r.bundle.contains(warehouse), s"bundle must live in the warehouse: ${r.bundle}")
+        assert(Files.exists(Paths.get(
+          new org.apache.hadoop.fs.Path(r.bundle).toUri.getPath)))
+      }
+      assert(!Files.exists(Paths.get(warehouse, "db", "dvw", "metadata")))
+      // a FRESH client (metadata only via the server) reads through the probe
+      val cat2 = new RemoteLakeCatalog(spark, warehouse, srv.uri)
+      val df = cat2.loadTable("db.dvw").toDF
+      assert(df.count() === 98L)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("dv_is_deleted") && !plan.toLowerCase.contains("join"), plan)
+    } finally srv.stop()
+  }
+
   test("SQL surface: a catalog configured with uri runs DDL/DML/reads through the service") {
     val (srv, metaRoot, warehouse) = newEnv()
     try {

@@ -126,6 +126,13 @@ class DeleteVectorSpec extends AnyFunSuite {
     dels.foreach(d => d.dv.foreach { case (n, r) =>
       assert(DvBitmap.cardinality(DeleteVectors.cached(r, conf)) === d.counts(n))
     })
+    // observability: delete_files metadata table reports full coverage
+    val row = MetadataTables(t, "delete_files")
+      .select("content", "referenced_data_files", "dv_covered_files", "dv_bytes")
+      .collect().head
+    assert(row.getString(0) === "position")
+    assert(row.getLong(2) === row.getLong(1), "every referenced file covered")
+    assert(row.getLong(3) > 0L)
   }
 
   test("rolled delete write: refs distributed across the rolled files") {

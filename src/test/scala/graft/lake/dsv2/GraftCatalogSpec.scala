@@ -872,10 +872,15 @@ class GraftCatalogSpec extends AnyFunSuite {
     val f = extSpark.sql("SELECT COUNT(*) AS n FROM lake.db.cnt WHERE id > 1")
     assert(f.head.getLong(0) === 2)
     assert(f.queryExecution.executedPlan.toString.contains("FileScan"), "filtered count scans")
-    // null-sensitive COUNT(col) is not rewritten
+    // null-sensitive COUNT(col) answers from footer null counts (r14):
+    // pre-ADD files contribute zero (rows read null), the new file's
+    // exact nullCount vouches for itself
     sql("ALTER TABLE lake.db.cnt ADD COLUMN v DOUBLE")
     sql("INSERT INTO lake.db.cnt VALUES (4, 1.0)")
-    assert(extSpark.sql("SELECT COUNT(v) AS n FROM lake.db.cnt").head.getLong(0) === 1)
+    val cv = extSpark.sql("SELECT COUNT(v) AS n FROM lake.db.cnt")
+    assert(cv.head.getLong(0) === 1)
+    assert(!cv.queryExecution.executedPlan.toString.contains("FileScan"),
+      s"COUNT(col) must answer from metadata:\n${cv.queryExecution.executedPlan}")
     // DML moves the metadata count
     sql("DELETE FROM lake.db.cnt WHERE id = 1")
     assert(extSpark.sql("SELECT COUNT(*) AS n FROM lake.db.cnt").head.getLong(0) === 3)
@@ -1478,14 +1483,64 @@ class GraftCatalogSpec extends AnyFunSuite {
       "SELECT id % 2 AS par, COUNT(*) AS n FROM lake.db.pcnt GROUP BY id % 2")
     assert(other.queryExecution.executedPlan.toString.contains("FileScan"))
     assert(other.collect().map(_.getLong(1)).sum === 6)
-    // a merge-on-read mask disables the fast path; results stay correct
+    // r14: a merge-on-read POSITION mask no longer disables the fast
+    // path — per-file masked counts are exact metadata and subtract
     sql("ALTER TABLE lake.db.pcnt SET TBLPROPERTIES('write.delete.mode'='merge-on-read')")
     sql("DELETE FROM lake.db.pcnt WHERE id = 3")
     val masked = q()
-    assert(masked.queryExecution.executedPlan.toString.contains("FileScan"),
-      "masked table must fall back to a real scan")
+    assert(!masked.queryExecution.executedPlan.toString.contains("FileScan"),
+      "grouped count under a position mask stays metadata-only " +
+        s"(delete counts are exact):\n${masked.queryExecution.executedPlan}")
     assert(masked.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
       Seq((null, 1L), ("a", 2L), ("b", 2L)))
+  }
+
+  test("grouped MIN/MAX/COUNT(col) by identity partition answer from metadata (r14)") {
+    sql("CREATE DATABASE IF NOT EXISTS lake.db")
+    sql("""CREATE TABLE lake.db.pagg (k BIGINT, v DOUBLE, seg STRING)
+          |PARTITIONED BY (seg)""".stripMargin)
+    sql("""INSERT INTO lake.db.pagg SELECT /*+ REPARTITION(1) */ * FROM VALUES
+          |  (1, 1.0, 'a'), (5, CAST(NULL AS DOUBLE), 'a'),
+          |  (CAST(NULL AS BIGINT), 2.0, 'c'), (3, 3.0, 'b')
+          |  AS v(k, v, seg)""".stripMargin)
+    val q = """SELECT seg, COUNT(*) AS n, COUNT(v) AS nv,
+              |  MIN(k) AS mn, MAX(k) AS mx
+              |FROM lake.db.pagg GROUP BY seg ORDER BY seg""".stripMargin
+    val df = extSpark.sql(q)
+    assert(!df.queryExecution.executedPlan.toString.contains("FileScan"),
+      s"grouped stats aggregation must not scan data files:\n${df.queryExecution.executedPlan}")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4))).toSeq
+    val expected = Seq(("a", 2L, 1L, 1L, 5L), ("b", 1L, 1L, 3L, 3L),
+      ("c", 1L, 1L, null, null))
+    assert(rows(df) === expected)
+    // the no-extensions session scans — same rows (the truth twin)
+    assert(rows(spark.sql(q)) === expected)
+    // ungrouped COUNT(col) of the all-null-in-one-group column
+    val cc = extSpark.sql("SELECT COUNT(v) AS nv, COUNT(k) AS nk FROM lake.db.pagg")
+    assert(!cc.queryExecution.executedPlan.toString.contains("FileScan"))
+    assert(cc.collect().map(r => (r.getLong(0), r.getLong(1))).head === ((3L, 3L)))
+  }
+
+  test("exists-default columns decline the stats fast path — values stay right (r14)") {
+    // regression: MIN/MAX/COUNT(col) of a column added WITH a default
+    // must account for old files' rows reading the default; footer stats
+    // know nothing of them, so the fast path declines and the scan fills
+    // the default via the read mapping
+    sql("CREATE DATABASE IF NOT EXISTS lake.db")
+    sql("CREATE TABLE lake.db.defmm (id BIGINT)")
+    sql("INSERT INTO lake.db.defmm VALUES (1), (2), (3)")
+    sql("ALTER TABLE lake.db.defmm ADD COLUMN w BIGINT DEFAULT 7")
+    sql("INSERT INTO lake.db.defmm VALUES (4, 9)")
+    val df = extSpark.sql(
+      "SELECT MIN(w) AS mn, MAX(w) AS mx, COUNT(w) AS n FROM lake.db.defmm")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .head === ((7L, 9L, 4L)),
+      "old rows read the frozen default 7 — a stats-only answer would say 9/9/1")
+    assert(df.queryExecution.executedPlan.toString.contains("FileScan"),
+      "default-backfilled column must decline the metadata fast path")
   }
 
   test("merge-on-read DELETE via SQL: delete_files table, exact metadata COUNT, " +
