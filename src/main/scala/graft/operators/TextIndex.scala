@@ -61,7 +61,8 @@ import org.apache.spark.sql.types._
   * table — O(docs), never O(postings). */
 final class TextIndex private (
     val state: LakeTable, val docsTable: LakeTable, val base: LakeTable,
-    val idCol: String, val textCol: String) {
+    val idCol: String, val textCol: String,
+    val includeCols: Seq[String] = Seq.empty) {
   import TextIndex._
 
   /** Base snapshot the POSTINGS content reflects. */
@@ -116,6 +117,27 @@ final class TextIndex private (
     corpusStats
   }
 
+  /** The docs-table SNAPSHOT whose content reflects base watermark `pin`
+    * — the same ancestry walk as [[corpusStatsAt]], returned as a
+    * time-travel target. A filtered [[search]] reads its predicate
+    * columns AT this snapshot so the candidate filter, the corpus
+    * constants, and the postings are all pinned to ONE base snapshot —
+    * a query running between the two refresh commits can never mix new
+    * labels with old postings. None (→ read the head) when no retained
+    * docs commit carries the pin (snapshot expiry — same fallback as
+    * the constants). */
+  private def docsSnapshotAt(pin: Option[Long]): Option[Long] = {
+    if (pin.isEmpty) return None
+    val m = docsTable.meta
+    var cur = m.currentSnapshot
+    while (cur.isDefined) {
+      if (cur.get.summary.get(WatermarkKey).contains(pin.get.toString))
+        return Some(cur.get.snapshotId)
+      cur = cur.get.parentId.flatMap(m.snapshot)
+    }
+    None
+  }
+
   /** q66's tokenizer, verbatim: whitespace split of the lowercased text
     * (empty tokens kept — both engines produce them identically). */
   private def tokenized(docs: DataFrame): DataFrame =
@@ -130,10 +152,18 @@ final class TextIndex private (
       .withColumn("len_d", sum(col("tf")).over(Window.partitionBy(col(idCol))))
       .select(col(idCol), col("term"), col("tf"), col("len_d"))
 
-  /** (id, len_d) of the docs in a batch that have ≥1 token (NULL-text
-    * docs have none and stay out of the index — q66's `lens`). */
-  private def docStatsOf(docs: DataFrame): DataFrame =
-    tokenized(docs).groupBy(col(idCol)).agg(count(lit(1)).as("len_d"))
+  /** (id, len_d, covered…) of the docs in a batch that have ≥1 token
+    * (NULL-text docs have none and stay out of the index — q66's
+    * `lens`). Covered columns ride the doc-level forward index — one
+    * value per DOC, never per posting — so a filtered search predicates
+    * them without touching the base (the classic covered-index
+    * trade-off, same as [[VectorIndex]]'s includeCols). */
+  private def docStatsOf(docs: DataFrame): DataFrame = {
+    val lens = tokenized(docs).groupBy(col(idCol)).agg(count(lit(1)).as("len_d"))
+    if (includeCols.isEmpty) lens
+    else lens.join(docs.select((col(idCol) +: includeCols.map(col)): _*), idCol)
+      .select((col(idCol) +: col("len_d") +: includeCols.map(col)): _*)
+  }
 
   /** Last state of every doc changed in the changelog window
     * `(from, to]`: (changed ids, final-alive (id, text) rows). A key
@@ -144,11 +174,12 @@ final class TextIndex private (
     val isAlive = col("_change_type").isin("INSERT", "UPDATE_AFTER")
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("_change_ordinal").desc, when(isAlive, 1).otherwise(0).desc)
-    val last = cl.select(col(idCol), col(textCol), col("_change_type"),
-        col("_change_ordinal"))
+    val last = cl.select((Seq(col(idCol), col(textCol)) ++ includeCols.map(col) ++
+        Seq(col("_change_type"), col("_change_ordinal"))): _*)
       .withColumn("_tx_rn", row_number().over(w))
       .filter(col("_tx_rn") === 1)
-    (last.select(col(idCol)), last.filter(isAlive).select(col(idCol), col(textCol)))
+    (last.select(col(idCol)), last.filter(isAlive)
+      .select((Seq(col(idCol), col(textCol)) ++ includeCols.map(col)): _*))
   }
 
   /** Previous (count, total length) of the changed docs — what the delta
@@ -244,8 +275,19 @@ final class TextIndex private (
     *
     * Fixed-point headroom (same analysis as q66): idf_fp ≤ N·10^6, so
     * scores stay in BIGINT for corpora to ~10^7 docs; drop the idf scale
-    * to 10^3 beyond (ranking unchanged). */
-  def search(queries: Seq[(Int, String)], k: Int = 5): DataFrame = {
+    * to 10^3 beyond (ranking unchanged).
+    *
+    * `filter`: a predicate over the docs table's covered columns
+    * (`includeCols` at [[TextIndex.create]], plus `len_d`/id) restricting
+    * the CANDIDATE set — Lucene/Elasticsearch filter semantics: scoring
+    * statistics (df, the corpus constants) stay index-GLOBAL, only the
+    * ranked set shrinks, so a doc's score is identical filtered or not.
+    * The allowed-id set reads the docs table AT the postings watermark's
+    * pinned snapshot (one doc-level row per doc — no posting-sized or
+    * base-table scan) and meets the term-pruned postings in one id
+    * equi-join AQE broadcasts when the filter is selective. */
+  def search(queries: Seq[(Int, String)], k: Int = 5,
+             filter: Option[Column] = None): DataFrame = {
     require(queries.nonEmpty, "search needs at least one (qid, term)")
     val spark = state.spark
     // constants pinned at the POSTINGS watermark (not the docs head): a
@@ -263,8 +305,18 @@ final class TextIndex private (
           StructField("rk", LongType))))
     }
     val terms = queries.map(_._2).distinct
-    val post = state.read(filter = Some(col("term").isin(terms: _*)))
+    // df off the pruned postings BEFORE any candidate restriction —
+    // index-global statistics are what make filtered scores comparable
+    // to unfiltered ones (and to the from-scratch engine's)
+    val dfd = state.read(filter = Some(col("term").isin(terms: _*)))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val post = filter match {
+      case None => dfd
+      case Some(pred) =>
+        val allowed = docsTable.read(snapshotId = docsSnapshotAt(watermark))
+          .filter(pred).select(col(idCol))
+        dfd.join(allowed, Seq(idCol), "left_semi")
+    }
     val q = spark.createDataFrame(queries).toDF("qid", "term")
     val hit = broadcast(q).join(post, "term")
       .select(col("qid"), col(idCol),
@@ -298,6 +350,7 @@ object TextIndex {
   private val DocsLocKey = "graft.tindex.docs-location"
   private val IdColKey = "graft.tindex.id-col"
   private val TextColKey = "graft.tindex.text-col"
+  private val IncludeColsKey = "graft.tindex.include-cols"
 
   /** Changed-id count above which the previous-length lookup stops
     * collecting keys for an exact IN predicate and semi-joins instead —
@@ -324,7 +377,8 @@ object TextIndex {
     * the same two-step watermark discipline every refresh uses. */
   def create(catalog: LakeCatalog, ident: String, base: LakeTable,
              idCol: String = "doc_id", textCol: String = "text",
-             nBuckets: Int = 32): TextIndex = {
+             nBuckets: Int = 32,
+             includeCols: Seq[String] = Seq.empty): TextIndex = {
     val head = base.meta.currentSnapshot.map(_.snapshotId).getOrElse(
       throw new IllegalArgumentException(
         "create the index after the base table has data"))
@@ -332,9 +386,15 @@ object TextIndex {
       throw new IllegalArgumentException(s"base has no column $idCol")).sparkType
     require(base.meta.schema.byName(textCol).isDefined,
       s"base has no column $textCol")
+    val includeFields = includeCols.map { c =>
+      require(!Set(idCol, textCol, "len_d", "term", "tf")(c),
+        s"include column $c collides")
+      StructField(c, base.meta.schema.byName(c).getOrElse(
+        throw new IllegalArgumentException(s"base has no column $c")).sparkType)
+    }
     val docsT = catalog.createTable(s"${ident}_docs", StructType(Seq(
       StructField(idCol, idType),
-      StructField("len_d", LongType))),
+      StructField("len_d", LongType)) ++ includeFields),
       partitionBy = Seq(idCol -> "bucket[16]"),
       properties = Map(BloomSkip.ColumnsKey -> idCol))
     val t = catalog.createTable(ident, StructType(Seq(
@@ -344,10 +404,12 @@ object TextIndex {
       StructField("len_d", LongType))),
       partitionBy = Seq("term" -> s"bucket[$nBuckets]"),
       properties = Map(BaseLocKey -> base.location, DocsLocKey -> docsT.location,
-        IdColKey -> idCol, TextColKey -> textCol))
-    val idx = new TextIndex(t, docsT, base, idCol, textCol)
+        IdColKey -> idCol, TextColKey -> textCol) ++
+        (if (includeCols.isEmpty) Map.empty
+         else Map(IncludeColsKey -> includeCols.mkString(","))))
+    val idx = new TextIndex(t, docsT, base, idCol, textCol, includeCols)
     val src = base.read(snapshotId = Some(head))
-      .select(col(idCol), col(textCol))
+      .select((Seq(col(idCol), col(textCol)) ++ includeCols.map(col)): _*)
     val stats = idx.docStatsOf(src)
     val agg = stats.agg(count(lit(1)).as("n"),
       coalesce(sum(col("len_d")), lit(0L)).as("len")).head()
@@ -385,7 +447,9 @@ object TextIndex {
     require(p.contains(BaseLocKey),
       s"${t.meta.name} is not a TextIndex state table")
     new TextIndex(t, t.sibling(p(DocsLocKey)), t.sibling(p(BaseLocKey)),
-      p(IdColKey), p(TextColKey))
+      p(IdColKey), p(TextColKey),
+      p.get(IncludeColsKey).map(_.split(",").toSeq.filter(_.nonEmpty))
+        .getOrElse(Seq.empty))
   }
 
   /** Drop the index: both tables removed and the base's routing-index

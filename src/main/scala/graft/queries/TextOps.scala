@@ -641,11 +641,15 @@ object TextOps {
       val wh = java.nio.file.Files.createTempDirectory("graft-tindex").toString
       val cat = new graft.lake.LakeCatalog(s, wh)
       val docs = graft.Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text"), col("lang"))
       val base = cat.createTable("tx.base", StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType))))
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType))))
       base.append(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
-      val idx = graft.operators.TextIndex.create(cat, "tx.tidx", base)
+      // `lang` rides the doc-level forward index (covered column) so the
+      // filtered search (q97) predicates it without touching the base
+      val idx = graft.operators.TextIndex.create(cat, "tx.tidx", base,
+        includeCols = Seq("lang"))
       base.append(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
       idx.refresh()
       idx
@@ -667,6 +671,55 @@ object TextOps {
       1 -> "vector", 1 -> "scan", 2 -> "spark", 2 -> "merge", 2 -> "stream",
       3 -> "window", 3 -> "filter"), k = 5),
     duckSql = q66.oracle.get)
+
+  /** Filtered retrieval from the persistent BM25 index (the RAG
+    * metadata-filter shape: "best matches WHERE lang='de'") — Lucene/ES
+    * filter semantics: df and the corpus constants stay index-GLOBAL,
+    * only the candidate set shrinks, so a doc scores identically
+    * filtered or not and the rank is just the filtered subsequence.
+    * The predicate lands on `lang` COVERED on the doc-level forward
+    * index (one row per doc, maintained by every refresh) and the
+    * allowed ids meet the term-pruned postings in one semi-join — no
+    * base-table or posting-sized scan for the filter at any corpus
+    * size. The oracle recomputes global BM25 from the raw parquet and
+    * filters candidates by joining documents — one stale covered value,
+    * one filtered-out doc leaking into rank, or any df/constants drift
+    * breaks the BIGINT scores bit-for-bit. */
+  val q97 = plan("q97_tindex_filtered",
+    fn = (s, dir) => ensureTextIndex(s, dir).search(Seq(
+      1 -> "vector", 1 -> "scan", 2 -> "spark", 2 -> "merge", 2 -> "stream",
+      3 -> "window", 3 -> "filter"), k = 5,
+      filter = Some(org.apache.spark.sql.functions.col("lang") === "de")),
+    duckSql = """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents),
+      |lens AS (SELECT doc_id, COUNT(*) AS len_d FROM tok GROUP BY doc_id),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |               CAST(SUM(len_d) AS BIGINT) AS total_len FROM lens),
+      |q AS (SELECT qid, w FROM (VALUES
+      |  (1,'vector'), (1,'scan'), (2,'spark'), (2,'merge'), (2,'stream'),
+      |  (3,'window'), (3,'filter')) t(qid, w)),
+      |hit AS (
+      |  SELECT q.qid, tf.doc_id,
+      |    (((n_docs - df.df) * 1000000) // (df.df + 1)) AS idf_fp,
+      |    ((11 * tf.tf * 1000000 * 1000000) //
+      |      ((5 * 1000000 * tf.tf) +
+      |       6 * (250000 + ((3 * 1000000 * lens.len_d * n_docs) // (4 * total_len))))) AS tf_fp
+      |  FROM q JOIN tf ON q.w = tf.w JOIN df ON q.w = df.w
+      |    JOIN lens ON tf.doc_id = lens.doc_id
+      |    JOIN documents d ON tf.doc_id = d.doc_id
+      |  CROSS JOIN tot
+      |  WHERE d.lang = 'de'),
+      |sc AS (SELECT qid, doc_id,
+      |         SUM((idf_fp * tf_fp) // 1000000) AS score
+      |       FROM hit GROUP BY qid, doc_id),
+      |r AS (SELECT qid, doc_id, score,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+      |      FROM sc)
+      |SELECT CAST(qid AS BIGINT) AS qid, doc_id, CAST(score AS BIGINT) AS score,
+      |  CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)
 
   /** N-gram-level benchmark decontamination (the GPT-3 13-gram rule, at
     * 3-gram scale for this corpus): a corpus doc is contaminated if it
@@ -912,5 +965,5 @@ object TextOps {
 
   def specs: Seq[QuerySpec] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q51, q52, q56, q57, q58, q64, q66,
-      q70, q71, q73, q77, q91)
+      q70, q71, q73, q77, q91, q97)
 }

@@ -124,6 +124,71 @@ class CatalogServiceSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("vector index over the wire: create, routing refresh, filtered and " +
+    "full-probe search bit-match a filesystem index; zero warehouse metadata") {
+    val (srv, metaRoot, warehouse) = newEnv()
+    try {
+      // deterministic clustered vectors (same shape as VectorIndexSpec)
+      def vec(id: Long): Seq[Float] = {
+        val c = (id % 5).toInt
+        (0 until 8).map { d =>
+          (if (d == c) 10f else 0f) + ((id * 2654435761L + d * 97) % 7).toFloat * 0.1f
+        }
+      }
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      def df(s: SparkSession, ids: Seq[Long]) = s.createDataFrame(
+        java.util.Arrays.asList(ids.map(i =>
+          org.apache.spark.sql.Row(i, vec(i), (i % 3).toInt)): _*), schema)
+      val cat = new RemoteLakeCatalog(spark, warehouse, srv.uri)
+      val base = cat.createTable("db.vecs", schema)
+      base.append(df(spark, 0L until 40L))
+      val idx = graft.operators.VectorIndex.create(cat, "db.vidx", base,
+        "id", "embedding", nlist = 4, iters = 2, includeCols = Seq("label"))
+      // structural wire proof for all three tables
+      for (t <- Seq("vecs", "vidx", "vidx_centroids")) {
+        assert(!Files.exists(Paths.get(warehouse, "db", t, "metadata")),
+          s"wire table $t must keep no filesystem metadata")
+        assert(Files.exists(Paths.get(metaRoot, "db", t, "v1.json")))
+      }
+      // churn through the ingest loop's routing entry point: the sibling
+      // authority stays wire, the index catches up to the base head
+      base.append(df(spark, 40L until 60L))
+      graft.streaming.Changelog.refreshRegisteredIndexes(base)
+      val reloaded = graft.operators.VectorIndex.load(cat, "db.vidx")
+      assert(reloaded.watermark === base.meta.currentSnapshot.map(_.snapshotId))
+      assert(reloaded.state.toDF.count() === 60)
+      // bit parity at full probe (exactness gate — centroid layouts may
+      // differ between the two indexes, full probe cancels that): the
+      // wire index answers exactly like a filesystem index built fresh
+      // over the same 60 vectors, filtered search included
+      val fsCat = new LakeCatalog(spark,
+        Files.createTempDirectory("graft-wirevec").toString)
+      val fsBase = fsCat.createTable("db.vecs", schema)
+      fsBase.append(df(spark, 0L until 60L))
+      val fsIdx = graft.operators.VectorIndex.create(fsCat, "db.vidx", fsBase,
+        "id", "embedding", nlist = 4, iters = 2, includeCols = Seq("label"))
+      val q = vec(7L)
+      def hits(i: graft.operators.VectorIndex,
+               filter: Option[org.apache.spark.sql.Column]) =
+        i.search(q, k = 10, nprobe = 4, filter = filter)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(hits(reloaded, None) === hits(fsIdx, None))
+      assert(hits(reloaded, Some(col("label") === 1)) ===
+        hits(fsIdx, Some(col("label") === 1)))
+      // the `indexes` metadata table resolves the sibling over the wire
+      val listing = MetadataTables(cat.loadTable("db.vecs"), "indexes").collect()
+      assert(listing.length === 1 && listing.head.getString(2) === "vector"
+        && listing.head.getBoolean(5))
+      // drop through the wire removes both tables and the registration
+      graft.operators.VectorIndex.drop(cat, "db.vidx")
+      assert(!cat.tableExists("db.vidx") && !cat.tableExists("db.vidx_centroids"))
+      assert(!base.meta.properties.contains("graft.vindex.indexes"))
+    } finally srv.stop()
+  }
+
   test("deletion vectors over the wire: refs ride the served delete manifest, " +
     "bundles stay data-plane, masked reads probe without a join") {
     val (srv, metaRoot, warehouse) = newEnv()

@@ -355,4 +355,61 @@ class TextIndexSpec extends AnyFunSuite {
     assert(idx.search(queries, 5).collect().toSeq ===
       expectedBm25(base, queries, 5))
   }
+
+  test("filtered search over a covered column: global scoring statistics, " +
+    "candidates restricted, covered values maintained through churn and " +
+    "pinned across the two-commit window") {
+    val cat = freshCatalog()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType),
+      StructField("lab", StringType)))
+    def df(ids: Seq[Long], lab: Long => String = i => if (i % 3 == 0) "de" else "en") =
+      spark.createDataFrame(java.util.Arrays.asList(
+        ids.map(i => Row(i, text(i), lab(i))): _*), schema)
+    val base = cat.createTable("tx.fbase", schema)
+    base.append(df(0L until 150L))
+    val idx = TextIndex.create(cat, "tx.ftidx", base, nBuckets = 8,
+      includeCols = Seq("lab"))
+    // Lucene/ES filter semantics: a doc's score is IDENTICAL filtered or
+    // not (df + constants global), so truth = the full ranking restricted
+    // to allowed docs, rank renumbered as the subsequence position
+    def expectFiltered(allowed: Long => Boolean, k: Int): Seq[Row] =
+      expectedBm25(base, queries, 10000)
+        .filter(r => allowed(r.getLong(1)))
+        .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        .flatMap { case (_, rows) =>
+          rows.sortBy(_.getLong(3)).take(k).zipWithIndex.map { case (r, i) =>
+            Row(r.getLong(0), r.getLong(1), r.getLong(2), (i + 1).toLong) }
+        }
+    val pred = col("lab") === "de"
+    assert(idx.search(queries, 5, filter = Some(pred)).collect().toSeq ===
+      expectFiltered(_ % 3 == 0, 5))
+    // churn: new docs, some labels flipped, some deleted — refresh must
+    // carry the covered values (a stale label mis-filters silently)
+    base.append(df(200L until 260L))
+    base.mergeByKey("doc_id", (0L until 12L).map(Long.box),
+      df(0L until 12L, _ => "de"))
+    base.delete(col("doc_id").between(60, 80))
+    idx.refresh()
+    def live(i: Long) = (i < 12 || i % 3 == 0) && !(i >= 60 && i <= 80)
+    assert(idx.search(queries, 5, filter = Some(pred)).collect().toSeq ===
+      expectFiltered(live, 5))
+    // torn two-commit window: labels flip in the base, docs half commits,
+    // postings half doesn't — the filter must read the DOCS SNAPSHOT
+    // pinned at the postings watermark (old labels with old postings),
+    // not the docs head (new labels over old postings)
+    val before = idx.search(queries, 5, filter = Some(pred)).collect().toSeq
+    base.mergeByKey("doc_id", (0L until 150L).filter(live).map(Long.box),
+      df((0L until 150L).filter(live), _ => "en"))
+    idx.refreshDocsStep(base.meta.currentSnapshot.get.snapshotId)
+    assert(idx.docsWatermark !== idx.watermark, "test premise: torn window")
+    assert(idx.search(queries, 5, filter = Some(pred)).collect().toSeq === before)
+    // completing the refresh serves the new labels
+    idx.refresh()
+    assert(idx.search(queries, 5, filter = Some(pred)).collect().toSeq ===
+      expectFiltered(i => i >= 200 && i % 3 == 0, 5))
+    // reload from the catalog round-trips the covered-column spec
+    assert(TextIndex.load(cat, "tx.ftidx").includeCols === Seq("lab"))
+  }
 }
