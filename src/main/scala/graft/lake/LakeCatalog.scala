@@ -174,6 +174,80 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     val wh = new Path(warehouse)
     if (!fs.exists(wh)) Seq.empty
     else fs.listStatus(wh).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      // underscore-prefixed namespaces are catalog-internal (`_system`
+      // holds the transaction log) — never user tables
+      .filterNot(_.startsWith("_"))
+  }
+
+  // ---- multi-table transactions (see [[LakeTransaction]]) -----------------
+
+  /** The transaction log's metadata authority: a reserved pseudo-table
+    * `_system.txnlog` — same MetaStore kind as every table of this
+    * catalog, so manifests and decision slots are filesystem files here
+    * and server-side conditional puts in a [[RemoteLakeCatalog]].
+    * Underscore-prefixed namespaces are reserved (hidden from
+    * listNamespaces, rejected by createTable's ident rules only by
+    * convention — nothing else writes there). */
+  private[lake] def txnLogStore: MetaStore = metaStoreFor("_system.txnlog")
+  private[lake] def txnLogLocation: String = tableLocation("_system.txnlog")
+
+  /** Begin a multi-table transaction: stage writes through
+    * `txn.table(ident)`, then `txn.commit()` publishes them on every
+    * participant all-or-nothing (or `txn.rollback()` discards them).
+    * `id`: optional caller-chosen transaction id (alphanumeric/dashes) —
+    * the transactional streaming sink derives attempt-scoped ids whose
+    * PREFIX identifies the writer, so stale attempts' branches are
+    * enumerable; ids must never repeat (the manifest slot is
+    * put-if-absent). */
+  def beginTransaction(id: String = ""): LakeTransaction = {
+    val txnId =
+      if (id.isEmpty) UUID.randomUUID().toString.replace("-", "").take(20)
+      else id
+    require(txnId.matches("[A-Za-z0-9-]+"), s"invalid transaction id $txnId")
+    new LakeTransaction(this, txnId)
+  }
+
+  /** Drive every non-finalized transaction in the log to its outcome —
+    * the operator-facing recovery sweep after a coordinator crash
+    * (blocked writers also self-heal per table once the fence TTL
+    * elapses; this clears ALL participants at once, TTL ignored because
+    * the call is explicit). Returns (txnId -> "commit"|"abort") for each
+    * transaction resolved. */
+  def recoverTransactions(): Map[String, String] = {
+    val store = txnLogStore
+    val names = store.list().map(_._1)
+    val Manifest = "txn-([A-Za-z0-9-]+)\\.manifest".r
+    names.collect {
+      case Manifest(id) if !names.contains(LakeTransaction.doneName(id)) =>
+        val rows = store.read(LakeTransaction.manifestName(id))
+          .split("\n").toSeq.filter(_.nonEmpty)
+        // any participant works as the recovery anchor
+        val anchorLoc = rows.head.split("\t", 4)(0)
+        val anchorIdent = rows.head.split("\t", 4)(1)
+        val anchor = new LakeTable(spark, anchorLoc, metaStoreFor(anchorIdent))
+        LakeTransaction.recover(anchor, id, txnLogLocation)
+        val outcome = store.read(LakeTransaction.decisionName(id)).trim
+        id -> outcome
+    }.toMap
+  }
+
+  /** The per-table snapshots a COMMITTED transaction published:
+    * ident → snapshot id, straight from the transaction's manifest. This
+    * is the cross-table consistency primitive the publish step itself
+    * cannot give (participants become visible one CAS at a time): a
+    * reader that pins each table to these ids — `table.read(snapshotId =
+    * Some(id))` / SQL `VERSION AS OF` — sees every participant exactly
+    * as of the transaction, regardless of publish progress or later
+    * commits. Empty map when the transaction aborted. */
+  def transactionSnapshots(txnId: String): Map[String, Long] = {
+    val store = txnLogStore
+    val dec = LakeTransaction.decisionName(txnId)
+    if (!store.exists(dec) || store.read(dec).trim != "commit") return Map.empty
+    store.read(LakeTransaction.manifestName(txnId))
+      .split("\n").toSeq.filter(_.nonEmpty).map { l =>
+        val Array(_, ident, _, head) = l.split("\t", 4)
+        ident -> head.toLong
+      }.toMap
   }
 
   /** Register `<name>` plus `<name>__snapshots` etc. as temp views — the

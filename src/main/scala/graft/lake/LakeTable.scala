@@ -80,11 +80,17 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     // Bounded-retention tables (retireOldVersions) leave a HOLE below the
     // retention floor, so a stale advisory hint must not be trusted: the
     // forward probe can strand a reader at v1 (always retained — it is
-    // the existence marker) or at the hint itself when the next file was
-    // retired. A FRESH handle therefore confirms with one listing; warm
-    // handles (lastSeenVersion > 0, monotonic, above any hole by
-    // construction) never pay it.
-    if (lastSeenVersion == 0 ||
+    // the existence marker) or at the hint itself when the hinted file
+    // was retired. Retirement deletes DOWNWARD from the floor while files
+    // exist, so the retained set is always {v1} ∪ one contiguous top
+    // range — any EXISTING version > 1 is inside that range and the
+    // forward probe from it reaches the true head. A listing is therefore
+    // needed only in the two genuinely ambiguous cases: a fresh handle
+    // stranded at v ≤ 1 (the hint pointed below the hole, or was
+    // missing), or a hint naming a retired file. Fresh handles on large
+    // tables with an accurate hint pay ZERO listings (measured 17 s for
+    // one listing at 4k commits' metadata on local fs — TxnProbe r14).
+    if ((lastSeenVersion == 0 && v <= 1) ||
         (v >= 1 && !metaStore.exists(versionName(v)))) {
       val pat = "^v(\\d+)\\.json$".r
       v = metaStore.list().flatMap { case (n, _) =>
@@ -137,27 +143,54 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     * already removed) never produce spurious metadata versions. */
   private[lake] def commit(transform: TableMeta => TableMeta): TableMeta = {
     var attempts = 0
+    var recoveryTried = false
     while (attempts < 20) {
       val base = meta
       val applied = transform(base)
       if (applied == base) return base
-      val next = applied.copy(version = base.version + 1)
-      // Chunk new snapshots' file lists BEFORE the version race: reused
-      // parent chunks cost zero bytes, new chunks are content-addressed
-      // (idempotent across retries), and a committed version therefore
-      // never references a missing chunk. The version JSON itself carries
-      // only chunk names — commit bytes are O(churn), not O(history×files).
-      val (inMemory, persisted) = Manifests.assign(next, metaStore)
-      if (metaStore.putIfAbsent(versionName(next.version),
-          Meta.toJson(persisted).getBytes(StandardCharsets.UTF_8))) {
-        metaStore.putOverwrite("version-hint.text",
-          next.version.toString.getBytes(StandardCharsets.UTF_8))
-        lastSeenVersion = math.max(lastSeenVersion, next.version)
-        LakeTable.cacheMeta(s"${metaStore.id}#v${next.version}", inMemory)
-        retireOldVersions(next)
-        return inMemory
+      // multi-table transaction fence: while `graft.txn.fence` is set,
+      // only the transaction protocol's own commits — which clear or take
+      // the fence — may land; any commit leaving it untouched would
+      // interleave between the transaction's decision and its publish.
+      // An expired fence (coordinator died) is resolved in place — the
+      // transaction rolls forward or back per its decision slot — then
+      // this commit retries against the recovered state.
+      val fence = base.properties.get(LakeTransaction.FenceKey)
+      if (fence.isDefined &&
+          applied.properties.get(LakeTransaction.FenceKey) == fence) {
+        val ttl = base.properties.get(LakeTransaction.FenceTtlKey)
+          .flatMap(_.toLongOption)
+          .getOrElse(LakeTransaction.DefaultFenceTtlMs)
+        val txn = fence.get.takeWhile(_ != '\t')
+        if (recoveryTried ||
+            !LakeTransaction.tryRecoverFence(this, fence.get, ttl))
+          throw CommitConflictException(
+            s"table $location is fenced by in-flight multi-table " +
+              s"transaction $txn — retry after it completes, or recover " +
+              "it via LakeCatalog.recoverTransactions() once " +
+              s"${LakeTransaction.FenceTtlKey} has elapsed")
+        recoveryTried = true
+        attempts += 1
+        // fence resolved: loop retries the transform on fresh metadata
+      } else {
+        val next = applied.copy(version = base.version + 1)
+        // Chunk new snapshots' file lists BEFORE the version race: reused
+        // parent chunks cost zero bytes, new chunks are content-addressed
+        // (idempotent across retries), and a committed version therefore
+        // never references a missing chunk. The version JSON itself carries
+        // only chunk names — commit bytes are O(churn), not O(history×files).
+        val (inMemory, persisted) = Manifests.assign(next, metaStore)
+        if (metaStore.putIfAbsent(versionName(next.version),
+            Meta.toJson(persisted).getBytes(StandardCharsets.UTF_8))) {
+          metaStore.putOverwrite("version-hint.text",
+            next.version.toString.getBytes(StandardCharsets.UTF_8))
+          lastSeenVersion = math.max(lastSeenVersion, next.version)
+          LakeTable.cacheMeta(s"${metaStore.id}#v${next.version}", inMemory)
+          retireOldVersions(next)
+          return inMemory
+        }
+        attempts += 1
       }
-      attempts += 1
     }
     throw new IllegalStateException(s"commit contention on $location after 20 attempts")
   }
@@ -513,7 +546,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
           s"(planned from $cur ≠ $base) — re-plan and retry")
     }
 
-  def append(df: DataFrame, toBranch: Option[String] = None): TableMeta = {
+  def append(df: DataFrame, toBranch: Option[String] = None,
+             extraSummary: Map[String, String] = Map.empty): TableMeta = {
     val m0 = mergeSchemaIfEnabled(df)
     requireWapUnambiguous(m0)
     val (df1, idPlan) = assignIdentity(m0, df)
@@ -543,7 +577,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
           parentDels.map(_.rowCount).sum).toString
       ) ++ (if (parentEq.nonEmpty) Map("has-equality-deletes" -> "true") else Map.empty) ++
         wapId.map("wap.id" -> _) ++
-        bloomBundle.map(BloomSkip.BundleSummaryKey -> _)
+        bloomBundle.map(BloomSkip.BundleSummaryKey -> _) ++
+        extraSummary
       // appends only add files: the parent's merge-on-read delete entries
       // all still apply, unpruned; the new files are stamped with this
       // commit's id so no LIVE equality delete (all strictly older) masks

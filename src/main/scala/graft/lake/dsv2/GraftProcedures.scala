@@ -23,7 +23,7 @@ object GraftProcedures {
     "rewrite_position_deletes", "convert_equality_deletes",
     "rewrite_delete_files", "binpack", "auto_maintain", "export_scan",
     "add_files", "migrate", "attach_table", "detach_table",
-    "fast_forward", "remove_orphan_files",
+    "fast_forward", "remove_orphan_files", "recover_transactions",
     "create_branch", "drop_branch", "create_tag", "drop_tag",
     "build_ivf_index", "build_pq_index", "create_changelog_view",
     "create_vector_index", "refresh_vector_index", "rebuild_vector_index",
@@ -164,6 +164,15 @@ object GraftProcedures {
         case r: graft.lake.RemoteLakeCatalog => r.detachTable(row.getString(0)).meta.name
         case _ => throw new UnsupportedOperationException(
           "detach_table needs a wire catalog (spark.sql.catalog.<name>.uri)")
+      }))
+    case "recover_transactions" => Some(proc(name,
+      Array.empty[ProcedureParameter],
+      _ => {
+        val resolved = lake.recoverTransactions()
+        if (resolved.nonEmpty) System.err.println(
+          s"[graft] recovered transactions: " + resolved.map {
+            case (id, outcome) => s"$id=$outcome" }.mkString(", "))
+        resolved.size.toLong
       }))
     case "fast_forward" => Some(proc(name,
       Array(param("table", StringType), param("branch", StringType),

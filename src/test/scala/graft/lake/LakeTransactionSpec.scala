@@ -1,0 +1,257 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Multi-table transactions ([[LakeTransaction]]): all-or-nothing
+  * visibility across tables, strict conflict aborts, fence semantics,
+  * and crash recovery at every protocol window — driven through the
+  * package-private step methods exactly the way a real crash would
+  * leave the system. */
+class LakeTransactionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def df(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "v")
+  }
+
+  private def ids(t: LakeTable): Seq[Long] =
+    t.toDF.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  private def freshCatalog(): LakeCatalog =
+    new LakeCatalog(spark, Files.createTempDirectory("graft-txn").toString)
+
+  private def mk(cat: LakeCatalog, ident: String,
+                 seed: Seq[(Long, String)] = Seq.empty,
+                 props: Map[String, String] = Map.empty): LakeTable = {
+    val t = cat.createTable(ident, schema, properties = props)
+    if (seed.nonEmpty) t.append(df(seed: _*))
+    t
+  }
+
+  test("happy path: staged writes invisible before commit, visible " +
+    "all-or-nothing after; read-your-writes; no residue") {
+    val cat = freshCatalog()
+    val a = mk(cat, "db.ta", Seq(1L -> "a", 2L -> "b"))
+    val b = mk(cat, "db.tb", Seq(10L -> "x"))
+    val c = mk(cat, "db.tc") // empty participant
+    val txn = cat.beginTransaction()
+    txn.table("db.ta").delete(col("id") === 1L)
+    txn.table("db.tb").append(df(11L -> "y"))
+    txn.table("db.tc").append(df(100L -> "z"))
+    // read-your-writes inside the transaction…
+    assert(txn.table("db.ta").toDF.count() === 1)
+    assert(txn.table("db.tb").toDF.count() === 2)
+    // …while main sees nothing
+    assert(ids(a) === Seq(1L, 2L) && ids(b) === Seq(10L) && ids(c) === Seq())
+    txn.commit()
+    assert(ids(a) === Seq(2L) && ids(b) === Seq(10L, 11L) && ids(c) === Seq(100L))
+    // no residue: branches and fences gone, log finalized
+    for (t <- Seq(a, b, c)) {
+      assert(!t.meta.refs.keys.exists(_.startsWith("txn-")))
+      assert(!t.meta.properties.contains(LakeTransaction.FenceKey))
+    }
+    assert(cat.recoverTransactions() === Map.empty)
+  }
+
+  test("rollback discards every staged branch; main untouched") {
+    val cat = freshCatalog()
+    val a = mk(cat, "db.ta", Seq(1L -> "a"))
+    val b = mk(cat, "db.tb", Seq(2L -> "b"))
+    val txn = cat.beginTransaction()
+    txn.table("db.ta").append(df(5L -> "n"))
+    txn.table("db.tb").truncate()
+    txn.rollback()
+    assert(ids(a) === Seq(1L) && ids(b) === Seq(2L))
+    for (t <- Seq(a, b))
+      assert(!t.meta.refs.keys.exists(_.startsWith("txn-")))
+    val e = intercept[IllegalArgumentException](txn.table("db.ta"))
+    assert(e.getMessage.contains("finished"))
+  }
+
+  test("strict serializability: a concurrent main commit on ANY " +
+    "participant aborts the WHOLE transaction with zero residue; the " +
+    "retried transaction succeeds") {
+    val cat = freshCatalog()
+    val a = mk(cat, "db.ta", Seq(1L -> "a"))
+    val b = mk(cat, "db.tb", Seq(2L -> "b"))
+    val txn = cat.beginTransaction()
+    txn.table("db.ta").append(df(5L -> "n"))
+    txn.table("db.tb").append(df(6L -> "m"))
+    // concurrent writer lands on main of ONE participant after staging
+    b.append(df(99L -> "concurrent"))
+    val e = intercept[CommitConflictException](txn.commit())
+    assert(e.getMessage.contains("concurrent commit"))
+    // nothing published anywhere, nothing fenced, branches dropped
+    assert(ids(a) === Seq(1L) && ids(b) === Seq(2L, 99L))
+    for (t <- Seq(a, b)) {
+      assert(!t.meta.properties.contains(LakeTransaction.FenceKey))
+      assert(!t.meta.refs.keys.exists(_.startsWith("txn-")))
+    }
+    // the optimistic retry (fresh state) goes through
+    val txn2 = cat.beginTransaction()
+    txn2.table("db.ta").append(df(5L -> "n"))
+    txn2.table("db.tb").append(df(6L -> "m"))
+    txn2.commit()
+    assert(ids(a) === Seq(1L, 5L) && ids(b) === Seq(2L, 6L, 99L))
+  }
+
+  test("a live fence rejects foreign commits naming the transaction; " +
+    "the coordinator then completes") {
+    val cat = freshCatalog()
+    val a = mk(cat, "db.ta", Seq(1L -> "a")) // default TTL: presumed live
+    val txn = cat.beginTransaction()
+    txn.table("db.ta").append(df(5L -> "n"))
+    val parts = txn.participants
+    txn.writeManifest(parts)
+    txn.fenceAll(parts)
+    val e = intercept[CommitConflictException](a.append(df(7L -> "w")))
+    assert(e.getMessage.contains(txn.txnId))
+    // the (slow, but alive) coordinator finishes normally
+    assert(txn.decide("commit"))
+    txn.publishAll(parts)
+    txn.markDone()
+    assert(ids(a) === Seq(1L, 5L))
+    a.append(df(7L -> "w")) // unblocked
+    assert(ids(a) === Seq(1L, 5L, 7L))
+  }
+
+  test("coordinator death AFTER the commit decision: a blocked writer " +
+    "rolls the transaction FORWARD on every participant (TTL elapsed)") {
+    val cat = freshCatalog()
+    val ttl0 = Map(LakeTransaction.FenceTtlKey -> "0")
+    val a = mk(cat, "db.ta", Seq(1L -> "a"), ttl0)
+    val b = mk(cat, "db.tb", Seq(2L -> "b"), ttl0)
+    val txn = cat.beginTransaction()
+    txn.table("db.ta").delete(col("id") === 1L)
+    txn.table("db.tb").append(df(6L -> "m"))
+    val parts = txn.participants
+    txn.writeManifest(parts)
+    txn.fenceAll(parts)
+    assert(txn.decide("commit"))
+    // coordinator dies here — zero tables published, fences held.
+    // A foreign commit on ONE participant recovers the whole transaction
+    // (decision says commit → roll forward EVERYWHERE), then lands.
+    a.append(df(7L -> "w"))
+    assert(ids(a) === Seq(7L), "txn delete AND the foreign append")
+    assert(ids(b) === Seq(2L, 6L), "the OTHER participant rolled forward too")
+    for (t <- Seq(a, b)) {
+      assert(!t.meta.properties.contains(LakeTransaction.FenceKey))
+      assert(!t.meta.refs.keys.exists(_.startsWith("txn-")))
+    }
+    assert(cat.recoverTransactions() === Map.empty, "done marker written")
+  }
+
+  test("coordinator death BEFORE the decision: a blocked writer resolves " +
+    "the decision slot to abort and rolls the transaction BACK") {
+    val cat = freshCatalog()
+    val ttl0 = Map(LakeTransaction.FenceTtlKey -> "0")
+    val a = mk(cat, "db.ta", Seq(1L -> "a"), ttl0)
+    val b = mk(cat, "db.tb", Seq(2L -> "b"), ttl0)
+    val txn = cat.beginTransaction()
+    txn.table("db.ta").append(df(5L -> "n"))
+    txn.table("db.tb").append(df(6L -> "m"))
+    val parts = txn.participants
+    txn.writeManifest(parts)
+    txn.fenceAll(parts)
+    // dies pre-decision; the breaker aborts via the decision slot
+    a.append(df(7L -> "w"))
+    assert(ids(a) === Seq(1L, 7L), "txn append rolled back, foreign landed")
+    assert(ids(b) === Seq(2L), "other participant rolled back too")
+    // the decision slot is settled: even the returned coordinator
+    // honors the abort (its own decide('commit') loses)
+    assert(!txn.decide("commit"))
+  }
+
+  test("explicit recovery sweep resolves a crashed transaction and is " +
+    "idempotent; a second transaction meeting a fence aborts itself") {
+    val cat = freshCatalog()
+    val a = mk(cat, "db.ta", Seq(1L -> "a"))
+    val b = mk(cat, "db.tb", Seq(2L -> "b"))
+    val t1 = cat.beginTransaction()
+    t1.table("db.ta").append(df(5L -> "n"))
+    t1.table("db.tb").append(df(6L -> "m"))
+    val parts = t1.participants
+    t1.writeManifest(parts)
+    t1.fenceAll(parts)
+    assert(t1.decide("commit"))
+    // a SECOND transaction cannot even STAGE against the fenced table —
+    // its branch-fork commit is a commit like any other (no waiting, no
+    // deadlock; the error names the holder)
+    val t2 = cat.beginTransaction()
+    val e = intercept[CommitConflictException](
+      t2.table("db.ta").append(df(50L -> "q")))
+    assert(e.getMessage.contains("fenced") && e.getMessage.contains(t1.txnId))
+    assert(!a.meta.refs.keys.exists(_.startsWith(s"txn-${t2.txnId}")))
+    // operator sweep: rolls t1 forward (decision = commit), TTL ignored
+    val resolved = cat.recoverTransactions()
+    assert(resolved === Map(t1.txnId -> "commit"))
+    assert(ids(a) === Seq(1L, 5L) && ids(b) === Seq(2L, 6L))
+    assert(cat.recoverTransactions() === Map.empty)
+  }
+
+  test("transaction snapshots expose per-table history honestly: main " +
+    "history records the publish, and time travel to the pre-txn " +
+    "snapshot still answers") {
+    val cat = freshCatalog()
+    val a = mk(cat, "db.ta", Seq(1L -> "a"))
+    val pre = a.meta.currentSnapshot.get.snapshotId
+    val txn = cat.beginTransaction()
+    txn.table("db.ta").append(df(5L -> "n"))
+    txn.table("db.ta").delete(col("id") === 1L)
+    txn.commit()
+    assert(ids(a) === Seq(5L))
+    assert(a.read(snapshotId = Some(pre)).count() === 1)
+    // the published head is the branch's last snapshot (both staged
+    // commits visible at once, never one without the other)
+    assert(a.toDF.count() === 1)
+  }
+
+  test("transactionSnapshots gives a cross-table-consistent read even " +
+    "mid-publish: pinned reads see the txn on EVERY participant while " +
+    "main still shows the other table pre-txn") {
+    val cat = freshCatalog()
+    val a = mk(cat, "db.ta", Seq(1L -> "a"))
+    val b = mk(cat, "db.tb", Seq(2L -> "b"))
+    val txn = cat.beginTransaction()
+    txn.table("db.ta").append(df(5L -> "n"))
+    txn.table("db.tb").append(df(6L -> "m"))
+    val parts = txn.participants
+    txn.writeManifest(parts)
+    txn.fenceAll(parts)
+    assert(txn.decide("commit"))
+    // publish the FIRST participant only — the mid-publish window a
+    // two-table reader can observe (the documented REST-catalog anomaly)
+    LakeTransaction.publishOne(parts.head.table, txn.txnId,
+      s"txn-${txn.txnId}", parts.head.branchHead.get)
+    assert(ids(parts.head.table).size === 2, "first participant visible")
+    assert(ids(parts.last.table).size === 1, "second not yet — the anomaly")
+    // the consistency primitive: pin every participant to the manifest's
+    // snapshot ids — the pair is the TRANSACTION's state on both tables
+    val pins = cat.transactionSnapshots(txn.txnId)
+    assert(pins.keySet === Set("db.ta", "db.tb"))
+    val pinned = pins.map { case (ident, snap) =>
+      ident -> cat.loadTable(ident).read(snapshotId = Some(snap))
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(pinned("db.ta") === Seq(1L, 5L) && pinned("db.tb") === Seq(2L, 6L))
+    // an aborted transaction pins nothing
+    assert(cat.transactionSnapshots("nonexistent") === Map.empty)
+    // finish the publish so the catalog is clean
+    txn.publishAll(parts); txn.markDone()
+    assert(ids(b) === Seq(2L, 6L))
+  }
+}
