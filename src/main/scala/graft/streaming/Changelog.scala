@@ -282,6 +282,116 @@ object Changelog {
       .start()
   }
 
+  /** One sink of a transactional multi-table ingest: `transform` maps the
+    * micro-batch to this table's rows; `mergeKey = Some((key, seqCol))`
+    * applies them as a last-wins changelog merge (rows carry an `op`
+    * column, the [[mergeChangelog]] reduction), `None` appends them. */
+  final case class TxnSink(ident: String,
+                           transform: DataFrame => DataFrame,
+                           mergeKey: Option[(String, String)] = None)
+
+  /** Apply one micro-batch to EVERY sink inside one
+    * [[graft.lake.LakeTransaction]] — a reader can never observe the raw
+    * table ahead of its derived tables (or vice versa), no matter where
+    * the stream crashes. Exactly-once composes from three pieces:
+    *
+    *   - the batch-id MARKER rides every sink's staged commit summary, so
+    *     a replay finds it in main history iff the transaction published
+    *     (all-or-nothing — one marker probe answers for all sinks);
+    *   - a replay first drops any leftover staged branches of THIS
+    *     writer's earlier attempts (branch names share the
+    *     `txn-igst-<writerId>-` prefix). A sink still FENCED by a
+    *     decided-but-unpublished attempt blocks that cleanup commit,
+    *     which routes through the fence-TTL recovery: the crashed
+    *     attempt rolls FORWARD first, and the marker re-check then skips
+    *     the batch — never a double apply;
+    *   - attempt-scoped transaction ids (a fresh random suffix per call)
+    *     keep the put-if-absent manifest/decision slots collision-free
+    *     across retries of the same batch.
+    *
+    * A fence younger than `graft.txn.fence-ttl-ms` makes this throw
+    * [[graft.lake.CommitConflictException]] — the stream's retry policy
+    * re-runs the batch until the crashed coordinator is presumed dead.
+    * Failure mid-call aborts the transaction: no sink shows the batch. */
+  def applyTransactionalBatch(catalog: graft.lake.LakeCatalog,
+                              sinks: Seq[TxnSink], batch: DataFrame,
+                              batchId: Long, writerId: String): Unit = {
+    require(sinks.nonEmpty, "transactional ingest needs at least one sink")
+    require(writerId.nonEmpty && writerId.matches("[A-Za-z0-9]+"),
+      s"writerId must be alphanumeric (got '$writerId')")
+    val marker = markerKey(writerId)
+    val branchPrefix = s"txn-igst-$writerId-"
+    // marker probe over MAIN ancestry only: a crashed attempt's staged
+    // branch snapshots carry the marker too, but they are exactly what
+    // has NOT been applied — counting them would drop the batch
+    def appliedMax(): Option[Long] =
+      sinks.flatMap { s =>
+        val m = catalog.loadTable(s.ident).meta
+        var cur = m.currentSnapshot
+        val found = Seq.newBuilder[Long]
+        while (cur.isDefined) {
+          cur.get.summary.get(marker).foreach(v => found += v.toLong)
+          cur = cur.get.parentId.flatMap(m.snapshot)
+        }
+        found.result()
+      }.maxOption
+    if (batchId >= 0 && appliedMax().exists(_ >= batchId)) return
+    // stale attempts: staged-only branches drop here; a FENCED sink's
+    // drop commit resolves the crashed attempt through the fence-TTL
+    // recovery inside LakeTable.commit before proceeding
+    sinks.foreach { s =>
+      val t = catalog.loadTable(s.ident)
+      t.meta.refs.keys.filter(_.startsWith(branchPrefix)).foreach { b =>
+        t.dropBranch(b, ifExists = true)
+      }
+    }
+    // the recovery above may have rolled a decided attempt FORWARD
+    if (batchId >= 0 && appliedMax().exists(_ >= batchId)) return
+    val txn = catalog.beginTransaction(s"igst-$writerId-b$batchId-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    try {
+      sinks.foreach { s =>
+        val out = s.transform(batch)
+        val stamp =
+          if (batchId >= 0) Map(marker -> batchId.toString) else Map.empty[String, String]
+        s.mergeKey match {
+          case None => txn.table(s.ident).append(out, stamp); ()
+          case Some((key, seqCol)) =>
+            import org.apache.spark.sql.expressions.Window
+            val latest = out.filter(col(key).isNotNull)
+              .withColumn("_rn", row_number().over(
+                Window.partitionBy(col(key)).orderBy(col(seqCol).desc)))
+              .filter(col("_rn") === 1).drop("_rn")
+            val upserts = latest.filter(col("op").isin(Insert, UpdateAfter)).drop("op")
+            txn.table(s.ident).mergeByKeys(key, latest.select(col(key)),
+              upserts, stamp)
+            ()
+        }
+      }
+      txn.commit()
+    } catch { case e: Throwable => txn.rollback(); throw e }
+  }
+
+  /** Start a continuous multi-table transactional ingest: every
+    * micro-batch lands on ALL sinks atomically
+    * ([[applyTransactionalBatch]]) at the reference's 5 s checkpoint
+    * cadence — the raw/derived consistency a single-table sink cannot
+    * give (T7). */
+  def startTransactionalIngest(catalog: graft.lake.LakeCatalog,
+                               parsed: DataFrame, sinks: Seq[TxnSink],
+                               checkpointDir: String,
+                               triggerMs: Long = 5000L): StreamingQuery = {
+    val wid = writerIdFor(checkpointDir)
+    parsed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyTransactionalBatch(catalog, sinks, batch, id, wid)
+      }
+      .start()
+  }
+
   /** Pending (not-yet-committed) refresh failures per view location: a
     * stuck view fails EVERY trigger, and committing a health record per
     * attempt is ~17k metadata commits/day at a 5 s trigger. The record
