@@ -149,15 +149,20 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
       val applied = transform(base)
       if (applied == base) return base
       // multi-table transaction fence: while `graft.txn.fence` is set,
-      // only the transaction protocol's own commits — which clear or take
-      // the fence — may land; any commit leaving it untouched would
-      // interleave between the transaction's decision and its publish.
+      // MAIN must not move except by the transaction protocol's own
+      // commits (which clear or take the fence) — the fenced
+      // transaction's publish sets main := its branch head without
+      // re-reading it, so a foreign main movement between decision and
+      // publish would be silently lost. Commits that leave main alone
+      // (branch staging, branch drops, property updates, another
+      // transaction's rollback) are safe under a fence and pass.
       // An expired fence (coordinator died) is resolved in place — the
       // transaction rolls forward or back per its decision slot — then
       // this commit retries against the recovered state.
       val fence = base.properties.get(LakeTransaction.FenceKey)
       if (fence.isDefined &&
-          applied.properties.get(LakeTransaction.FenceKey) == fence) {
+          applied.properties.get(LakeTransaction.FenceKey) == fence &&
+          applied.refs.get(MainBranch) != base.refs.get(MainBranch)) {
         val ttl = base.properties.get(LakeTransaction.FenceTtlKey)
           .flatMap(_.toLongOption)
           .getOrElse(LakeTransaction.DefaultFenceTtlMs)

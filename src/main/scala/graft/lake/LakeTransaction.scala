@@ -35,9 +35,15 @@ import java.nio.charset.StandardCharsets
   *      commit since stage time aborts the WHOLE transaction before
   *      anything published (Iceberg's retry-at-client semantics; the
   *      caller re-runs the transaction against fresh state). While
-  *      fenced, [[LakeTable.commit]] rejects every commit that does not
-  *      touch the fence property, so between decision and publish no
-  *      foreign commit can interleave.
+  *      fenced, [[LakeTable.commit]] rejects every commit that MOVES
+  *      MAIN without touching the fence — publish sets main := branch
+  *      head without re-reading it, so a foreign main movement between
+  *      decision and publish would be lost. Commits that leave main
+  *      alone (branch staging, branch drops, property updates, another
+  *      transaction's rollback) stay legal under a fence. A fence step
+  *      that meets a DEAD holder's fence resolves it (TTL-gated) and
+  *      retries once, so an abandoned transaction never wedges future
+  *      transactions.
   *   4. DECIDE: put-if-absent of `txn-<id>.decision` ("commit"). This
   *      single slot is the atomic commit point, and it is a RACE shared
   *      with recovery: a fence-breaker decides "abort" through the same
@@ -167,12 +173,12 @@ final class LakeTransaction private[lake] (
 
   private[graft] def fenceAll(parts: Seq[TxnTable]): Unit = parts.foreach { p =>
     val fence = s"$txnId\t${System.currentTimeMillis()}\t$txnLogLoc"
-    p.table.commit { m =>
+    def attempt(): Unit = p.table.commit { m =>
       m.properties.get(FenceKey) match {
         case Some(v) if v.startsWith(txnId + "\t") => m // retry: already ours
-        case Some(v) => throw CommitConflictException(
+        case Some(v) => throw FencedByOther(
           s"table ${p.ident} is fenced by concurrent transaction " +
-            s"${v.takeWhile(_ != '\t')} — transaction $txnId aborts")
+            s"${v.takeWhile(_ != '\t')} — transaction $txnId aborts", v)
         case None =>
           val mainHead = m.snapshotFor(LakeTable.MainBranch).map(_.snapshotId)
           if (mainHead != p.forkPoint) throw CommitConflictException(
@@ -182,6 +188,19 @@ final class LakeTransaction private[lake] (
               "against fresh state")
           m.copy(properties = m.properties + (FenceKey -> fence))
       }
+    }
+    try attempt()
+    catch {
+      case FencedByOther(msg, other) =>
+        // a DEAD holder must not wedge every future transaction: resolve
+        // it once (TTL-gated, same rule as blocked plain writers) and
+        // retry the fence; a LIVE holder still aborts this transaction
+        val ttl = p.table.meta.properties.get(FenceTtlKey)
+          .flatMap(_.toLongOption).getOrElse(DefaultFenceTtlMs)
+        if (!tryRecoverFence(p.table, other, ttl))
+          throw CommitConflictException(msg)
+        try attempt()
+        catch { case FencedByOther(m2, _) => throw CommitConflictException(m2) }
     }
   }
 
@@ -257,6 +276,12 @@ final class TxnTable private[lake] (
 }
 
 object LakeTransaction {
+  /** Internal signal: the fence step found ANOTHER transaction's fence —
+    * distinguished from a plain conflict so [[LakeTransaction#fenceAll]]
+    * can attempt the TTL-gated recovery before aborting. */
+  private[lake] final case class FencedByOther(msg: String, fence: String)
+    extends RuntimeException(msg)
+
   /** Table property a fenced participant carries:
     * `<txnId>\t<fencedAtMs>\t<txnlog location>` — everything a blocked
     * writer needs to find the transaction log and recover. */
@@ -264,7 +289,7 @@ object LakeTransaction {
   /** Fence age beyond which a blocked writer may resolve the transaction
     * itself (abort it pre-decision, roll it forward post-decision). */
   private[graft] val FenceTtlKey = "graft.txn.fence-ttl-ms"
-  private[lake] val DefaultFenceTtlMs = 300000L
+  private[graft] val DefaultFenceTtlMs = 300000L
 
   private[lake] def manifestName(id: String) = s"txn-$id.manifest"
   private[lake] def decisionName(id: String) = s"txn-$id.decision"
@@ -312,7 +337,7 @@ object LakeTransaction {
     * roll it forward everywhere. Returns true when the fence was
     * resolved (the caller's commit retries), false when the transaction
     * is presumed live (the caller throws). */
-  private[lake] def tryRecoverFence(t: LakeTable, fence: String,
+  private[graft] def tryRecoverFence(t: LakeTable, fence: String,
                                     ttlMs: Long): Boolean = {
     val parts = fence.split("\t", 3)
     if (parts.length != 3) return false

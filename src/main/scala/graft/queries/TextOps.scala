@@ -912,6 +912,85 @@ object TextOps {
     * tables on their key for co-located re-scoring); the top/bottom-k
     * are ORDER BY … LIMIT subqueries, which Catalyst executes as
     * TakeOrderedAndProject — no global sort materializes. */
+  /** PII scrubbing gated against an oracle (the CCNet/Dolma-style
+    * redaction pass every pretraining pipeline runs first): the Spark
+    * side is THE OPERATOR — [[graft.operators.TextAnalysis.redactPii]] /
+    * `piiCounts`, codegen'd regexp ops, no UDF — and the DuckDB side
+    * re-expresses its exact patterns in RE2. The synthetic corpus
+    * carries no PII, so the query first INJECTS a deterministic
+    * id-derived contact block into every third document — identically
+    * in both engines — making the scrub verifiable: per-lang redaction
+    * counts plus an md5 fingerprint over the doc-ordered scrubbed
+    * texts, so one missed match, one over-match, or any
+    * replacement-order difference breaks the hash.
+    *
+    * Regex portability: Java regex (Spark) and RE2 (DuckDB) agree on
+    * character classes, bounded quantifiers, `\b`, non-capturing
+    * groups, and leftmost-first matching — the operator's patterns use
+    * nothing else (no backreferences, no lookaround, which RE2 lacks).
+    * DuckDB needs the 'g' flag for replace-all; Spark's regexp_replace
+    * is global.
+    *
+    * Scale shape: one projection pass (whole-stage codegen), one
+    * map-side-combined aggregate; the fingerprint's collect_list is
+    * per-lang (bounded group count), q71's proven pattern. */
+  val q99 = plan("q99_pii_scrub",
+    fn = (s, dir) => {
+      import graft.operators.TextAnalysis
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables.load(s, dir, "documents")
+      val seeded = docs.select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 3 === 0, concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@mail"),
+          (col("doc_id") % 7).cast("string"), lit(".com or +1 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-0199 from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string"), lit(" end")))
+          .otherwise(col("text")).as("t"))
+      seeded
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.piiCounts(col("t")).as("c"),
+          TextAnalysis.redactPii(col("t")).as("clean"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("c.n_email")).cast("long").as("emails"),
+          sum(col("c.n_phone")).cast("long").as("phones"),
+          sum(col("c.n_ip")).cast("long").as("ips"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("clean")))),
+            x => x.getField("clean")), " ")).as("fp"))
+        .orderBy("lang")
+    },
+    duckSql = """WITH seeded AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 3 = 0 THEN concat(text,
+      |      ' contact user', CAST(doc_id AS VARCHAR), '@mail',
+      |      CAST(doc_id % 7 AS VARCHAR), '.com or +1 555-',
+      |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-0199 from 10.',
+      |      CAST(doc_id % 256 AS VARCHAR), '.0.',
+      |      CAST(doc_id % 100 AS VARCHAR), ' end')
+      |    ELSE text END AS t
+      |  FROM documents),
+      |scrubbed AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(regexp_extract_all(t,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      |    CAST(len(regexp_extract_all(t,
+      |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+      |    CAST(len(regexp_extract_all(t,
+      |      '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+      |    regexp_replace(regexp_replace(regexp_replace(t,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+      |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS clean
+      |  FROM seeded)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_email) AS BIGINT) AS emails,
+      |  CAST(SUM(n_phone) AS BIGINT) AS phones,
+      |  CAST(SUM(n_ip) AS BIGINT) AS ips,
+      |  md5(string_agg(clean, ' ' ORDER BY doc_id)) AS fp
+      |FROM scrubbed GROUP BY lang ORDER BY lang""".stripMargin)
+
   val q77 = dialect("q77_bigram_fluency",
     sparkSql = """WITH t AS (
       |  SELECT doc_id, split(lower(trim(text)), '\\s+') AS w FROM documents),
@@ -965,5 +1044,5 @@ object TextOps {
 
   def specs: Seq[QuerySpec] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q51, q52, q56, q57, q58, q64, q66,
-      q70, q71, q73, q77, q91, q97)
+      q70, q71, q73, q77, q91, q97, q99)
 }

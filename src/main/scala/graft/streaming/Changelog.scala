@@ -336,11 +336,23 @@ object Changelog {
         found.result()
       }.maxOption
     if (batchId >= 0 && appliedMax().exists(_ >= batchId)) return
-    // stale attempts: staged-only branches drop here; a FENCED sink's
-    // drop commit resolves the crashed attempt through the fence-TTL
-    // recovery inside LakeTable.commit before proceeding
+    // stale attempts: resolve any fence first (a crashed attempt that
+    // DECIDED rolls forward here, an undecided one rolls back — TTL-gated,
+    // so a live coordinator's fence fails the batch loudly for the
+    // stream's retry policy), then drop leftover staged branches
     sinks.foreach { s =>
       val t = catalog.loadTable(s.ident)
+      t.meta.properties.get(graft.lake.LakeTransaction.FenceKey).foreach { f =>
+        val ttl = t.meta.properties
+          .get(graft.lake.LakeTransaction.FenceTtlKey)
+          .flatMap(_.toLongOption)
+          .getOrElse(graft.lake.LakeTransaction.DefaultFenceTtlMs)
+        if (!graft.lake.LakeTransaction.tryRecoverFence(t, f, ttl))
+          throw graft.lake.CommitConflictException(
+            s"sink ${s.ident} is fenced by in-flight transaction " +
+              s"${f.takeWhile(_ != '\t')} — the batch retries after it " +
+              "completes or its fence TTL elapses")
+      }
       t.meta.refs.keys.filter(_.startsWith(branchPrefix)).foreach { b =>
         t.dropBranch(b, ifExists = true)
       }

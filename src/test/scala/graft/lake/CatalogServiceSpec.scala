@@ -444,6 +444,55 @@ class CatalogServiceSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("multi-table transactions over the wire: manifest/decision slots are " +
+    "server-side conditional puts, publish is all-or-nothing, and a dead " +
+    "coordinator's transaction rolls forward with zero warehouse metadata") {
+    val (srv, metaRoot, warehouse) = newEnv()
+    try {
+      import spark.implicits._
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType)))
+      def df(rows: (Long, String)*) = rows.toDF("id", "v")
+      def ids(t: LakeTable) =
+        t.toDF.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val cat = new RemoteLakeCatalog(spark, warehouse, srv.uri)
+      val a = cat.createTable("db.wa", schema)
+      val b = cat.createTable("db.wb", schema)
+      a.append(df(1L -> "a")); b.append(df(2L -> "b"))
+      // happy path through the wire protocol end-to-end
+      val t1 = cat.beginTransaction()
+      t1.table("db.wa").append(df(5L -> "n"))
+      t1.table("db.wb").delete(col("id") === 2L)
+      t1.commit()
+      assert(ids(a) === Seq(1L, 5L) && ids(b) === Seq())
+      // the structural wire proof extends to the TRANSACTION LOG: the
+      // warehouse holds no metadata for the tables NOR for _system/txnlog
+      for (p <- Seq("db/wa/metadata", "db/wb/metadata", "_system")) {
+        assert(!Files.exists(Paths.get(warehouse, p)),
+          s"wire mode must keep no filesystem metadata at $p")
+      }
+      assert(Files.list(Paths.get(metaRoot, "_system", "txnlog")).count() >= 3,
+        "manifest + decision + done must live in the server's private root")
+      // `_system` stays invisible to the namespace surface
+      assert(!cat.listNamespaces().contains("_system"))
+      // coordinator death AFTER the decision, zero publishes: a foreign
+      // commit on one participant (TTL elapsed) rolls the transaction
+      // forward on BOTH — entirely over the wire
+      a.setProperties(Map(LakeTransaction.FenceTtlKey -> "0"))
+      b.setProperties(Map(LakeTransaction.FenceTtlKey -> "0"))
+      val t2 = cat.beginTransaction()
+      t2.table("db.wa").append(df(7L -> "x"))
+      t2.table("db.wb").append(df(8L -> "y"))
+      val parts = t2.participants
+      t2.writeManifest(parts); t2.fenceAll(parts)
+      assert(t2.decide("commit"))
+      b.append(df(9L -> "z")) // blocked → recovers the whole transaction
+      assert(ids(a) === Seq(1L, 5L, 7L), "other participant rolled forward")
+      assert(ids(b) === Seq(8L, 9L))
+      assert(cat.recoverTransactions() === Map.empty, "log finalized")
+    } finally srv.stop()
+  }
+
   test("maintenance over the wire: expire/rewrite_manifests/binpack commit through " +
       "the service — chunk deletes server-side, data-file GC client-side (r12)") {
     val (srv, metaRoot, warehouse) = newEnv()

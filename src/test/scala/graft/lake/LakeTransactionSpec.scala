@@ -188,12 +188,12 @@ class LakeTransactionSpec extends AnyFunSuite {
     t1.writeManifest(parts)
     t1.fenceAll(parts)
     assert(t1.decide("commit"))
-    // a SECOND transaction cannot even STAGE against the fenced table —
-    // its branch-fork commit is a commit like any other (no waiting, no
-    // deadlock; the error names the holder)
+    // a SECOND transaction may STAGE under the fence (branch writes
+    // leave main alone) but aborts itself at its own fence step — no
+    // waiting, no deadlock, the error names the holder, zero residue
     val t2 = cat.beginTransaction()
-    val e = intercept[CommitConflictException](
-      t2.table("db.ta").append(df(50L -> "q")))
+    t2.table("db.ta").append(df(50L -> "q"))
+    val e = intercept[CommitConflictException](t2.commit())
     assert(e.getMessage.contains("fenced") && e.getMessage.contains(t1.txnId))
     assert(!a.meta.refs.keys.exists(_.startsWith(s"txn-${t2.txnId}")))
     // operator sweep: rolls t1 forward (decision = commit), TTL ignored
@@ -218,6 +218,81 @@ class LakeTransactionSpec extends AnyFunSuite {
     // the published head is the branch's last snapshot (both staged
     // commits visible at once, never one without the other)
     assert(a.toDF.count() === 1)
+  }
+
+  test("concurrency stress: racing transfer transactions and plain " +
+    "writers conserve the ledger — every transaction fully applied or " +
+    "fully absent, no lost updates, no residue") {
+    val cat = freshCatalog()
+    val a = mk(cat, "db.ta", (0L until 20L).map(i => i -> "a"))
+    val b = mk(cat, "db.tb", (100L until 120L).map(i => i -> "b"))
+    // invariant: |ta| + |tb| only changes by the plain writers' appends.
+    // Each transfer txn MOVES one specific row id from ta to tb — a torn
+    // publish would drop or duplicate it; a lost update would resurrect it.
+    val moved = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val plainAppended = new java.util.concurrent.atomic.AtomicLong(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val tasks = (0 until 6).map { worker =>
+      pool.submit(new Runnable { def run(): Unit = {
+        if (worker < 4) {
+          // transfer workers: each owns a disjoint id range — conflicts
+          // come from FENCE/commit interleaving on the SHARED tables
+          (0 until 5).foreach { j =>
+            val id = worker * 5L + j
+            var done = false
+            var tries = 0
+            while (!done && tries < 60) {
+              tries += 1
+              val txn = cat.beginTransaction()
+              try {
+                txn.table("db.ta").delete(col("id") === id)
+                txn.table("db.tb").append(df(id -> "moved"))
+                txn.commit()
+                moved.add(id); done = true
+              } catch { case _: CommitConflictException =>
+                // a STAGING write can hit another transaction's fence too
+                // — the contract is rollback-then-retry (commit cleans up
+                // after itself; rollback after it is a no-op)
+                txn.rollback()
+                // optimistic-txn retry with jittered backoff — first to
+                // decide wins each round, everyone else re-stages
+                Thread.sleep(math.min(200L, 5L * tries) +
+                  scala.util.Random.nextInt(20)) }
+            }
+          }
+        } else {
+          // plain writers: single-table appends racing the fences
+          (0 until 10).foreach { j =>
+            val id = 10000L + worker * 100L + j
+            var done = false
+            while (!done) {
+              try { a.append(df(id -> "w")); plainAppended.incrementAndGet(); done = true }
+              catch { case _: CommitConflictException => Thread.sleep(10L) }
+            }
+          }
+        }
+      }})
+    }
+    tasks.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    import scala.jdk.CollectionConverters._
+    val movedIds = moved.asScala.map(_.longValue).toSet
+    assert(movedIds.size === 20,
+      s"every transfer must eventually commit (got ${movedIds.size})")
+    val aIds = ids(a); val bIds = ids(b)
+    // each moved id is gone from ta and present EXACTLY once in tb
+    movedIds.foreach { id =>
+      assert(!aIds.contains(id), s"moved id $id still in ta")
+      assert(bIds.count(_ == id) === 1, s"moved id $id not exactly-once in tb")
+    }
+    // conservation: nothing else appeared or vanished
+    assert(aIds.size === 20 - movedIds.size + plainAppended.get().toInt)
+    assert(bIds.size === 20 + movedIds.size)
+    for (t <- Seq(a, b)) {
+      assert(!t.meta.refs.keys.exists(_.startsWith("txn-")), "branch residue")
+      assert(!t.meta.properties.contains(LakeTransaction.FenceKey), "fence residue")
+    }
+    assert(cat.recoverTransactions() === Map.empty, "txn log fully finalized")
   }
 
   test("transactionSnapshots gives a cross-table-consistent read even " +
