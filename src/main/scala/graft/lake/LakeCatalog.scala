@@ -5,6 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.StructType
 
 import java.util.UUID
+import scala.jdk.CollectionConverters._
 
 /** Catalog of lake tables under a warehouse directory:
   * `<warehouse>/<namespace>/<table>/`. Mirrors the reference's catalog
@@ -229,6 +230,47 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
         val outcome = store.read(LakeTransaction.decisionName(id)).trim
         id -> outcome
     }.toMap
+  }
+
+  /** Transaction-log listing for operators (surfaced as
+    * `CALL lake.system.list_transactions()`): one row per transaction
+    * with its resolved state — `pending` (manifest written, outcome
+    * undecided — fences may be live), `commit`/`abort` (decision slot
+    * settled, finalization possibly still in flight), suffixed `:done`
+    * once every participant was driven (the done marker). Participants
+    * and the manifest age make a stuck coordinator diagnosable at a
+    * glance. Metadata-only: one txn-log listing + one read per
+    * transaction. */
+  def listTransactions(): org.apache.spark.sql.DataFrame = {
+    val store = txnLogStore
+    val names = store.list()
+    val byName = names.map(_._1).toSet
+    val Manifest = "txn-([A-Za-z0-9-]+)\\.manifest".r
+    val now = System.currentTimeMillis()
+    val rows = names.collect { case (Manifest(id), modMs) =>
+      val decision =
+        if (byName.contains(LakeTransaction.decisionName(id)))
+          store.read(LakeTransaction.decisionName(id)).trim
+        else "pending"
+      val state =
+        if (byName.contains(LakeTransaction.doneName(id))) s"$decision:done"
+        else decision
+      val participants = store.read(LakeTransaction.manifestName(id))
+        .split("\n").toSeq.filter(_.nonEmpty).map(_.split("\t", 4)(1))
+      org.apache.spark.sql.Row(id, state, participants.mkString(","),
+        now - modMs)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("txn_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("state",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("participants",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("age_ms",
+          org.apache.spark.sql.types.LongType))))
   }
 
   /** The per-table snapshots a COMMITTED transaction published:

@@ -1117,7 +1117,11 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
           .filter(!coalesce(condition, lit(false)))
         writeDataFiles(toPhysical(remaining, m0.schema), m0)
       }
-      commitReplace(branch, keep.toSeq ++ rewritten, "delete", Map(
+      // nothing matched — no commit (the MoR branch's guard, CoW twin):
+      // a re-run of the same DELETE (or a TTL sweep with nothing aged)
+      // must not mint an empty snapshot per call
+      if (drop.isEmpty && rewrite.isEmpty) m0
+      else commitReplace(branch, keep.toSeq ++ rewritten, "delete", Map(
         "deleted-data-files" -> drop.size.toString,
         "rewritten-data-files" -> rewrite.size.toString,
         "metadata-only" -> rewrite.isEmpty.toString), base = snap,
@@ -2114,6 +2118,64 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
 
   // ---- maintenance (D19-D21) -------------------------------------------------
 
+  /** Row-level TTL retention sweep (the Cassandra/Bigtable TTL shape, at
+    * lake-table granularity): rows whose `graft.ttl.column` epoch value
+    * is older than `graft.ttl.ms` expire. Two modes
+    * (`graft.ttl.mode`):
+    *
+    *   - `files` (default, the 100 TB mode): drop ONLY whole data files
+    *     whose decoded MAX stat proves every row is expired — one
+    *     metadata-only commit, zero bytes read or written at any table
+    *     size. Rows straddling a file with younger rows persist until
+    *     their whole file ages out (or compaction re-clusters them) —
+    *     the standard file-granular TTL trade-off, stated honestly. A
+    *     time-clustered layout (ingest-ordered appends, or
+    *     `write.sort-order` on the ttl column) makes the lag one file's
+    *     time span.
+    *   - `exact`: a real `DELETE WHERE ttl_col < cutoff` through the
+    *     configured delete mode (CoW rewrite or merge-on-read mask) —
+    *     exact at the cost of touching straddling files.
+    *
+    * `graft.ttl.unit` (s|ms|us|ns, default ms) maps wall-clock to the
+    * column's epoch units (the `events.ts` convention is ns). Runs on
+    * the ingest cadence via [[autoMaintain]] when the properties are
+    * set; returns true iff a commit landed (false = nothing expired —
+    * the sweep is one in-memory stats pass, safe at any cadence). */
+  def ttlExpire(nowMs: Long = System.currentTimeMillis()): Boolean = {
+    val m0 = meta
+    val props = m0.properties
+    val spec = for {
+      cn <- props.get("graft.ttl.column")
+      ttl <- props.get("graft.ttl.ms").flatMap(_.toLongOption)
+    } yield (cn, ttl)
+    if (spec.isEmpty) return false
+    val (cn, ttl) = spec.get
+    val cutoff = props.getOrElse("graft.ttl.unit", "ms") match {
+      case "s" => (nowMs - ttl) / 1000L
+      case "ms" => nowMs - ttl
+      case "us" => (nowMs - ttl) * 1000L
+      case "ns" => (nowMs - ttl) * 1000000L
+      case u => throw new IllegalArgumentException(
+        s"graft.ttl.unit must be s|ms|us|ns (got $u)")
+    }
+    if (props.getOrElse("graft.ttl.mode", "files") == "exact") {
+      val v0 = m0.version
+      delete(col(cn) < lit(cutoff))
+      return meta.version != v0
+    }
+    val snap = m0.currentSnapshot.getOrElse(return false)
+    val p = Pruning.translate(col(cn) < lit(cutoff))
+    val (drop, keep) = snap.files.partition(f =>
+      Pruning.allMatch(p, fileBounds(m0, f)))
+    if (drop.isEmpty) return false
+    commitReplace(MainBranch, keep, "ttl-expire", Map(
+      "deleted-data-files" -> drop.size.toString,
+      "deleted-records" -> drop.map(_.rowCount).sum.toString,
+      "ttl-cutoff" -> cutoff.toString,
+      "metadata-only" -> "true"), base = Some(snap))
+    true
+  }
+
   /** CALL expire_snapshots (D19): drop snapshots older than `olderThanMs`
     * (keeping ref targets and the newest `retainLast`), then delete data
     * files no surviving snapshot references. */
@@ -2411,6 +2473,11 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     val maxEq = intP(maxEqDeleteFiles, "graft.maintenance.max-eq-delete-files", 4)
     val maxPos = intP(maxDeleteFiles, "graft.maintenance.max-delete-files", 8)
     var did = false
+    // row-level TTL retention rides the same cadence — one in-memory
+    // stats pass when idle, one metadata-only commit when files aged out
+    if (props.contains("graft.ttl.column")) {
+      LakeTable.withConflictRetry() { did |= ttlExpire() }
+    }
     if (meta.currentSnapshot.exists(_.eqDeleteFiles.size >= maxEq)) {
       val v0 = meta.version
       LakeTable.withConflictRetry() { convertEqualityDeletes() }

@@ -24,6 +24,7 @@ object GraftProcedures {
     "rewrite_delete_files", "binpack", "auto_maintain", "export_scan",
     "add_files", "migrate", "attach_table", "detach_table",
     "fast_forward", "remove_orphan_files", "recover_transactions",
+    "ttl_expire", "list_transactions",
     "create_branch", "drop_branch", "create_tag", "drop_tag",
     "build_ivf_index", "build_pq_index", "create_changelog_view",
     "create_vector_index", "refresh_vector_index", "rebuild_vector_index",
@@ -165,6 +166,16 @@ object GraftProcedures {
         case _ => throw new UnsupportedOperationException(
           "detach_table needs a wire catalog (spark.sql.catalog.<name>.uri)")
       }))
+    case "ttl_expire" => Some(proc(name,
+      Array(param("table", StringType)),
+      row => lake.loadTable(row.getString(0)).ttlExpire()))
+    case "list_transactions" => Some(proc(name,
+      Array(param("view_name", StringType, Some("'transactions'"))),
+      row => {
+        val view = if (row.isNullAt(0) || row.getString(0).isEmpty)
+          "transactions" else row.getString(0)
+        lake.listTransactions().createOrReplaceTempView(view)
+      }))
     case "recover_transactions" => Some(proc(name,
       Array.empty[ProcedureParameter],
       _ => {
@@ -261,13 +272,18 @@ object GraftProcedures {
         param("base_table", StringType),
         param("id_col", StringType, Some("'doc_id'")),
         param("text_col", StringType, Some("'text'")),
-        param("n_buckets", LongType, Some("32"))),
+        param("n_buckets", LongType, Some("32")),
+        param("include_cols", StringType, Some("''"))),
       row => {
         val idCol = if (row.isNullAt(2)) "doc_id" else row.getString(2)
         val textCol = if (row.isNullAt(3)) "text" else row.getString(3)
         val nBuckets = if (row.isNullAt(4)) 32 else row.getLong(4).toInt
+        // comma-separated covered columns for filtered search (q97 shape)
+        val include =
+          if (row.isNullAt(5)) Seq.empty
+          else row.getString(5).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
         graft.operators.TextIndex.create(lake, row.getString(0),
-          lake.loadTable(row.getString(1)), idCol, textCol, nBuckets)
+          lake.loadTable(row.getString(1)), idCol, textCol, nBuckets, include)
       }))
     case "refresh_text_index" => Some(proc(name,
       Array(param("index", StringType)),
@@ -306,7 +322,8 @@ object GraftProcedures {
       Array(param("index", StringType),
         param("queries", StringType),
         param("k", LongType, Some("5")),
-        param("view_name", StringType, Some("''"))),
+        param("view_name", StringType, Some("''")),
+        param("filter", StringType, Some("''"))),
       row => {
         val idx = graft.operators.TextIndex.load(lake, row.getString(0))
         val qs = row.getString(1).split(";").toSeq.map(_.trim).filter(_.nonEmpty)
@@ -319,7 +336,12 @@ object GraftProcedures {
           if (row.isNullAt(3) || row.getString(3).isEmpty)
             row.getString(0).replace('.', '_') + "_search"
           else row.getString(3)
-        idx.search(qs, k).createOrReplaceTempView(view)
+        // SQL predicate over the covered doc columns (includeCols at
+        // create_text_index) — same semantics as the Scala filter
+        val pred =
+          if (row.isNullAt(4) || row.getString(4).isEmpty) None
+          else Some(org.apache.spark.sql.functions.expr(row.getString(4)))
+        idx.search(qs, k, pred).createOrReplaceTempView(view)
       }))
     case "build_ivf_index" => Some(proc(name,
       Array(param("table", StringType),

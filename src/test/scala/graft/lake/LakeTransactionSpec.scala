@@ -295,6 +295,31 @@ class LakeTransactionSpec extends AnyFunSuite {
     assert(cat.recoverTransactions() === Map.empty, "txn log fully finalized")
   }
 
+  test("listTransactions surfaces the log's resolved states: done " +
+    "transactions, a pending crashed one, and its post-recovery state") {
+    val cat = freshCatalog()
+    val a = mk(cat, "db.ta", Seq(1L -> "a"))
+    val b = mk(cat, "db.tb", Seq(2L -> "b"))
+    val t1 = cat.beginTransaction()
+    t1.table("db.ta").append(df(5L -> "n"))
+    t1.commit()
+    val t2 = cat.beginTransaction()
+    t2.table("db.tb").append(df(6L -> "m"))
+    val parts = t2.participants
+    t2.writeManifest(parts)
+    t2.fenceAll(parts) // crashed mid-flight, undecided
+    val listed = cat.listTransactions().collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(listed(t1.txnId) === (("commit:done", "db.ta")))
+    assert(listed(t2.txnId) === (("pending", "db.tb")))
+    assert(cat.listTransactions().filter("age_ms < 0").count() === 0)
+    // recovery resolves the pending one; the listing reflects it
+    assert(cat.recoverTransactions() === Map(t2.txnId -> "abort"))
+    val after = cat.listTransactions().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after(t2.txnId) === "abort:done")
+  }
+
   test("transactionSnapshots gives a cross-table-consistent read even " +
     "mid-publish: pinned reads see the txn on EVERY participant while " +
     "main still shows the other table pre-txn") {

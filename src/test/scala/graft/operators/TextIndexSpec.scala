@@ -215,6 +215,24 @@ class TextIndexSpec extends AnyFunSuite {
       "'alpha kappa; gamma zeta; theta', k => 5)")
     assert(spark.table("tx_tidx_sql_search").collect().toSeq ===
       idx.search(queries, 5).collect().toSeq)
+    // covered-column round trip through SQL: include_cols at create,
+    // a SQL predicate at search — bit-identical to the Scala filter
+    val fSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType),
+      StructField("lab", StringType)))
+    val fBase = cat.createTable("tx.fbase_sql", fSchema)
+    fBase.append(spark.createDataFrame(java.util.Arrays.asList(
+      (0L until 100L).map(i =>
+        Row(i, text(i), if (i % 3 == 0) "de" else "en")): _*), fSchema))
+    spark.sql("CALL txc.system.create_text_index('tx.ftidx_sql', " +
+      "'tx.fbase_sql', n_buckets => 8, include_cols => 'lab')")
+    val fIdx = TextIndex.load(cat, "tx.ftidx_sql")
+    assert(fIdx.includeCols === Seq("lab"))
+    spark.sql("CALL txc.system.search_text_index('tx.ftidx_sql', " +
+      "'alpha kappa; gamma zeta; theta', k => 5, filter => 'lab = \\'de\\'')")
+    assert(spark.table("tx_ftidx_sql_search").collect().toSeq ===
+      fIdx.search(queries, 5, Some(col("lab") === "de")).collect().toSeq)
   }
 
   test("windowed refresh (to a mid snapshot, then head) == one-shot; a " +
