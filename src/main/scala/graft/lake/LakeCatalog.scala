@@ -180,6 +180,133 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       .filterNot(_.startsWith("_"))
   }
 
+  /** Copy order for a metadata hand-over: content-addressed chunks and
+    * auxiliary files FIRST, then version roots newest→oldest, `v1.json`
+    * dead last. `tableExists`/`loadTable` key on `v1.json`, so a crash at
+    * any point leaves the partial copy INVISIBLE to the destination
+    * catalog — and because every file is immutable once written, a retry
+    * resumes idempotently (see [[copyMetadata]]). */
+  protected def handOverOrder(names: Seq[String]): Seq[String] = {
+    val Version = "v(\\d+)\\.json".r
+    names.filterNot(_ == "version-hint.text").sortBy {
+      case Version(n) => (1, -n.toLong)
+      case _ => (0, 0L)
+    }
+  }
+
+  /** Idempotently copy every metadata file from `from` to `to` in
+    * hand-over order. A name the destination already holds is fine IFF
+    * the bytes match (metadata files are immutable — an identical file is
+    * a crashed earlier attempt's work, resume over it); mismatched bytes
+    * mean a DIFFERENT table or a competing hand-over owns the name, so
+    * every file THIS call won is deleted (best-effort) before rethrowing
+    * — the destination is left exactly as found. Returns the copied
+    * names. */
+  protected def copyMetadata(from: MetaStore, to: MetaStore,
+                           what: String): Seq[String] = {
+    val names = handOverOrder(from.list().map(_._1))
+    val won = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      names.foreach { n =>
+        val bytes = from.read(n)
+        if (to.putIfAbsent(n, bytes.getBytes("UTF-8"))) won += n
+        else require(to.read(n) == bytes,
+          s"$what already holds $n with different content — refusing " +
+            "the hand-over (another table or a competing attach owns it)")
+      }
+    } catch { case e: Throwable =>
+      won.reverse.foreach(n =>
+        try to.delete(n) catch { case _: Exception => () })
+      throw e
+    }
+    from.list().collectFirst { case ("version-hint.text", _) =>
+      to.putOverwrite("version-hint.text",
+        from.read("version-hint.text").getBytes("UTF-8"))
+    }
+    names
+  }
+
+  /** ALTER TABLE … RENAME TO (catalog-level): the metadata authority
+    * moves to the new ident — via the same crash-safe hand-over
+    * [[RemoteLakeCatalog.attachTable]] proved out (copy in
+    * [[handOverOrder]] with `v1.json` dead last, byte-identical resume,
+    * concurrent-commit fence) — while DATA FILES STAY WHERE THEY ARE:
+    * manifests carry absolute paths, so reads, time travel, expiry and
+    * per-file GC keep working against the old directory, and new writes
+    * land under the new location (mixed-directory tables are already the
+    * add_files/migrate norm). Same machinery on filesystem metadata and
+    * the wire catalog.
+    *
+    * Sibling references are LOCATION-keyed (an index's recorded base
+    * location, a base's routing list of state-table locations), so the
+    * rename rewrites the old location to the new one in the property
+    * maps of every sibling the renamed table references — renaming a
+    * base keeps its MVs/indexes refreshing, renaming an index keeps its
+    * base's routing list valid. Like `attach_table`, the hand-over
+    * assumes no concurrent WRITERS on the renamed table (Iceberg's
+    * register_table contract); a commit landing during the copy aborts
+    * the rename with the old table intact. A table fenced by an
+    * in-flight transaction refuses to move. */
+  def renameTable(oldIdent: String, newIdent: String): LakeTable = {
+    require(tableExists(oldIdent), s"table $oldIdent does not exist")
+    require(!tableExists(newIdent), s"table $newIdent already exists")
+    require(newIdent.split("\\.").length >= 2 && newIdent.split("\\.")
+      .forall(_.matches("[A-Za-z0-9._-]+")), s"invalid identifier $newIdent")
+    val oldT = loadTable(oldIdent)
+    require(!oldT.meta.properties.contains(LakeTransaction.FenceKey),
+      s"$oldIdent is fenced by an in-flight transaction — rename after it " +
+        "completes")
+    val from = metaStoreFor(oldIdent)
+    val to = metaStoreFor(newIdent)
+    val copied = copyMetadata(from, to, s"rename target $newIdent")
+    // fence: a commit landing on the old ident during the copy would be
+    // silently lost — hide the new copy again and make the caller retry
+    val appeared = from.list().map(_._1).toSet -- copied.toSet - "version-hint.text"
+    if (appeared.nonEmpty) {
+      try to.delete("v1.json") catch { case _: Exception => () }
+      throw CommitConflictException(
+        s"concurrent commit during rename of $oldIdent (new metadata: " +
+          s"${appeared.toSeq.sorted.mkString(", ")}) — old table kept; " +
+          "retry rename")
+    }
+    val oldLoc = tableLocation(oldIdent)
+    val newLoc = tableLocation(newIdent)
+    // sibling back-references: every ';'-separated location value in the
+    // old properties that resolves as a table gets its OWN properties
+    // rewritten old→new (a base's routing list entries are its state
+    // tables; a state table's base-location is its base)
+    val newT = new LakeTable(spark, newLoc, to)
+    oldT.meta.properties.values.toSeq
+      .flatMap(_.split(";")).filter(_.nonEmpty).distinct
+      .filter(_.startsWith(warehouse + "/"))
+      .foreach { loc =>
+        try {
+          val sib = newT.sibling(loc)
+          if (sib.metaStore.exists("v1.json")) {
+            sib.updateProperties(props => props.map { case (k, v) =>
+              k -> v.split(";").map(x => if (x == oldLoc) newLoc else x)
+                .mkString(";")
+            })
+            ()
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    // authority hand-over: the old ident must stop resolving
+    LakeTable.invalidateLocation(oldLoc)
+    LakeTable.invalidateLocation(from.id)
+    LakeTable.invalidateLocation(newLoc)
+    LakeTable.invalidateLocation(to.id)
+    from match {
+      case h: HttpMetaStore => h.dropTable()
+      case _ => fs.delete(new Path(oldLoc, "metadata"), true); ()
+    }
+    // cosmetic: the metadata's recorded name/location follow the ident
+    // (one commit; messages and exports then name the live identity)
+    loadTable(newIdent).commit(m => m.copy(name = newIdent, location = newLoc,
+      properties = m.properties + ("graft.renamed-from" -> oldIdent)))
+    loadTable(newIdent)
+  }
+
   // ---- multi-table transactions (see [[LakeTransaction]]) -----------------
 
   /** The transaction log's metadata authority: a reserved pseudo-table
@@ -325,52 +452,6 @@ class RemoteLakeCatalog(spark: SparkSession, warehouse: String, val uri: String)
 
   override protected def metaStoreFor(ident: String): MetaStore =
     new HttpMetaStore(uri, ident)
-
-  /** Copy order for a metadata hand-over: content-addressed chunks and
-    * auxiliary files FIRST, then version roots newest→oldest, `v1.json`
-    * dead last. `tableExists`/`loadTable` key on `v1.json`, so a crash at
-    * any point leaves the partial copy INVISIBLE to the destination
-    * catalog — and because every file is immutable once written, a retry
-    * resumes idempotently (see [[copyMetadata]]). */
-  private def handOverOrder(names: Seq[String]): Seq[String] = {
-    val Version = "v(\\d+)\\.json".r
-    names.filterNot(_ == "version-hint.text").sortBy {
-      case Version(n) => (1, -n.toLong)
-      case _ => (0, 0L)
-    }
-  }
-
-  /** Idempotently copy every metadata file from `from` to `to` in
-    * hand-over order. A name the destination already holds is fine IFF
-    * the bytes match (metadata files are immutable — an identical file is
-    * a crashed earlier attempt's work, resume over it); mismatched bytes
-    * mean a DIFFERENT table or a competing hand-over owns the name, so
-    * every file THIS call won is deleted (best-effort) before rethrowing
-    * — the destination is left exactly as found. Returns the copied
-    * names. */
-  private def copyMetadata(from: MetaStore, to: MetaStore,
-                           what: String): Seq[String] = {
-    val names = handOverOrder(from.list().map(_._1))
-    val won = scala.collection.mutable.ArrayBuffer.empty[String]
-    try {
-      names.foreach { n =>
-        val bytes = from.read(n)
-        if (to.putIfAbsent(n, bytes.getBytes("UTF-8"))) won += n
-        else require(to.read(n) == bytes,
-          s"$what already holds $n with different content — refusing " +
-            "the hand-over (another table or a competing attach owns it)")
-      }
-    } catch { case e: Throwable =>
-      won.reverse.foreach(n =>
-        try to.delete(n) catch { case _: Exception => () })
-      throw e
-    }
-    from.list().collectFirst { case ("version-hint.text", _) =>
-      to.putOverwrite("version-hint.text",
-        from.read("version-hint.text").getBytes("UTF-8"))
-    }
-    names
-  }
 
   /** Test seam: runs between the metadata copy and the fence re-list of a
     * hand-over — the window a concurrent commit must be detected in. */

@@ -272,8 +272,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     else { lake.dropTable(s); true }
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // catalog-level hand-over (metadata moves, data stays in place,
+    // sibling references fixed up) — see [[LakeCatalog.renameTable]]
+    lake.renameTable(identString(oldIdent), identString(newIdent))
+    ()
+  }
 
   // ---- namespaces ----------------------------------------------------------
 
