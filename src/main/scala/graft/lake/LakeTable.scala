@@ -2118,6 +2118,104 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
 
   // ---- maintenance (D19-D21) -------------------------------------------------
 
+  /** Integrity audit (the operator's fsck, `CALL lake.system
+    * .verify_table`): does every byte the CURRENT snapshot's metadata
+    * references actually exist, with the size the metadata recorded?
+    * Returns one row per problem — (kind, path, problem) — empty means
+    * the snapshot is fully servable. Checks: data files, positional and
+    * equality delete files (existence + exact size), deletion-vector
+    * refs (bundle exists, byte range inside it), bloom bundles named by
+    * retained snapshot summaries, manifest chunks and the version-file
+    * spine (v1 + a contiguous top range — retirement's invariant).
+    *
+    * Scale shape: file existence/size checks fan out over executors
+    * (one `getFileStatus` per referenced file, partitioned); metadata
+    * checks are driver-side, O(retained snapshots + chunks). Read-only —
+    * safe on a live table; a file a CONCURRENT expiry legitimately
+    * removed can appear as a finding (re-run to confirm). */
+  def verifyIntegrity(): DataFrame = {
+    import org.apache.spark.sql.Row
+    val m0 = meta
+    val snap = m0.currentSnapshot
+    // (kind, path, expected size or -1 = existence only, dv range or null)
+    val fileChecks: Seq[(String, String, Long, Option[(String, Long, Int)])] =
+      snap.toSeq.flatMap { s =>
+        s.files.map(f => ("data", f.path, f.sizeBytes, None)) ++
+          s.deleteFiles.flatMap { d =>
+            ("delete", d.path, d.sizeBytes, None) +:
+              d.vectors.toSeq.map { case (df, r) =>
+                ("dv", df, -1L, Some((r.bundle, r.offset, r.len)))
+              }
+          } ++
+          s.eqDeleteFiles.map(d => ("eq-delete", d.path, d.sizeBytes, None))
+      }
+    val conf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
+    val bad = spark.sparkContext
+      .parallelize(fileChecks, math.max(1, math.min(64, fileChecks.size)))
+      .mapPartitions { it =>
+        it.flatMap { case (kind, path, size, dv) =>
+          try {
+            dv match {
+              case Some((bundle, off, len)) =>
+                val bp = new org.apache.hadoop.fs.Path(bundle)
+                val st = bp.getFileSystem(conf.value).getFileStatus(bp)
+                if (off + len > st.getLen) Some((kind, path,
+                  s"dv range $off+$len exceeds bundle $bundle (${st.getLen} B)"))
+                else None
+              case None =>
+                val p = new org.apache.hadoop.fs.Path(path)
+                val st = p.getFileSystem(conf.value).getFileStatus(p)
+                if (size >= 0 && st.getLen != size) Some((kind, path,
+                  s"size ${st.getLen} B != recorded $size B"))
+                else None
+            }
+          } catch {
+            case _: java.io.FileNotFoundException =>
+              Some((kind, dv.map(_._1).getOrElse(path), "missing"))
+            case e: Exception =>
+              Some((kind, path, s"unreadable: ${e.getMessage}"))
+          }
+        }
+      }.collect().toSeq
+    // driver-side metadata checks
+    val metaBad = Seq.newBuilder[(String, String, String)]
+    m0.snapshots.foreach { s =>
+      Option(s.manifests).getOrElse(Seq.empty).foreach { n =>
+        if (!metaStore.exists(n)) metaBad += (("manifest", n, "missing"))
+      }
+      s.manifestList.foreach { n =>
+        if (!metaStore.exists(n)) metaBad += (("manifest-list", n, "missing"))
+      }
+      s.deleteManifest.foreach { n =>
+        if (!metaStore.exists(n)) metaBad += (("delete-manifest", n, "missing"))
+      }
+      s.summary.get(BloomSkip.BundleSummaryKey).foreach { n =>
+        if (!metaStore.exists(n)) metaBad += (("bloom-bundle", n, "missing"))
+      }
+    }
+    // version spine: v1 always; retained versions form one contiguous
+    // top range (retirement deletes downward — currentVersion's invariant)
+    if (!metaStore.exists("v1.json")) metaBad += (("version", "v1.json", "missing"))
+    val vs = metaStore.list().map(_._1)
+      .flatMap(n => "^v(\\d+)\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt))
+      .sorted
+    val top = vs.filter(_ > 1)
+    if (top.nonEmpty && top.last - top.head + 1 != top.size)
+      metaBad += (("version", s"v${top.head}..v${top.last}",
+        "retained versions above v1 are not contiguous"))
+    val rows = (bad ++ metaBad.result()).map { case (k, p, w) => Row(k, p, w) }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("problem",
+          org.apache.spark.sql.types.StringType))))
+  }
+
   /** Row-level TTL retention sweep (the Cassandra/Bigtable TTL shape, at
     * lake-table granularity): rows whose `graft.ttl.column` epoch value
     * is older than `graft.ttl.ms` expire. Two modes

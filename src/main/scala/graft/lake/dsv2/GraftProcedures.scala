@@ -24,7 +24,7 @@ object GraftProcedures {
     "rewrite_delete_files", "binpack", "auto_maintain", "export_scan",
     "add_files", "migrate", "attach_table", "detach_table",
     "fast_forward", "remove_orphan_files", "recover_transactions",
-    "ttl_expire", "list_transactions",
+    "ttl_expire", "list_transactions", "verify_table",
     "create_branch", "drop_branch", "create_tag", "drop_tag",
     "build_ivf_index", "build_pq_index", "create_changelog_view",
     "create_vector_index", "refresh_vector_index", "rebuild_vector_index",
@@ -165,6 +165,17 @@ object GraftProcedures {
         case r: graft.lake.RemoteLakeCatalog => r.detachTable(row.getString(0)).meta.name
         case _ => throw new UnsupportedOperationException(
           "detach_table needs a wire catalog (spark.sql.catalog.<name>.uri)")
+      }))
+    case "verify_table" => Some(proc(name,
+      Array(param("table", StringType),
+        param("view_name", StringType, Some("''"))),
+      row => {
+        val view = if (row.isNullAt(1) || row.getString(1).isEmpty)
+          row.getString(0).replace('.', '_') + "_verify"
+        else row.getString(1)
+        val report = lake.loadTable(row.getString(0)).verifyIntegrity()
+        report.createOrReplaceTempView(view)
+        report.count()
       }))
     case "ttl_expire" => Some(proc(name,
       Array(param("table", StringType)),

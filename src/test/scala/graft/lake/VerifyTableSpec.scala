@@ -1,0 +1,62 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** Integrity audit ([[LakeTable.verifyIntegrity]] / CALL verify_table):
+  * a clean table reports nothing; every class of missing or mangled
+  * byte the metadata references is reported precisely. */
+class VerifyTableSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("clean table: zero findings across data, MoR masks, DV bundles, " +
+    "blooms and the version spine; corruption is reported per class") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-fsck").toString
+    val cat = new LakeCatalog(spark, wh)
+    val t = cat.createTable("db.t", StructType(Seq(
+      StructField("id", LongType), StructField("k", StringType))),
+      properties = Map(
+        "write.delete.mode" -> "merge-on-read",
+        "graft.bloom.columns" -> "k"))
+    t.append((0L until 50L).map(i => (i, s"k$i")).toDF("id", "k").coalesce(1))
+    t.append((50L until 100L).map(i => (i, s"k$i")).toDF("id", "k").coalesce(1))
+    t.delete(col("id") % 7 === 0) // MoR positional mask + DV bundle
+    assert(t.meta.currentSnapshot.get.deleteFiles.nonEmpty)
+    assert(t.verifyIntegrity().count() === 0, "clean table must be clean")
+    // corrupt: remove one data file, truncate another, remove the most
+    // recent bloom bundle — three distinct finding classes
+    val snap = t.meta.currentSnapshot.get
+    val files = snap.files.map(_.path).sorted
+    Files.delete(Paths.get(files.head.stripPrefix("file:")))
+    val second = Paths.get(files.last.stripPrefix("file:"))
+    Files.write(second, Array[Byte](1, 2, 3))
+    val bloom = t.meta.snapshots.reverse
+      .flatMap(_.summary.get(BloomSkip.BundleSummaryKey)).head
+    Files.delete(Paths.get(wh, "db", "t", "metadata", bloom))
+    val report = t.verifyIntegrity().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(report.length === 3, s"expected 3 findings, got:\n${report.mkString("\n")}")
+    assert(report.exists(f => f._1 == "data" && f._2 == files.head
+      && f._3 == "missing"))
+    assert(report.exists(f => f._1 == "data" && f._2 == files.last
+      && f._3.startsWith("size 3 B !=")))
+    assert(report.exists(f => f._1 == "bloom-bundle" && f._2 == bloom))
+    // SQL surface: CALL registers the report view and returns the count
+    spark.conf.set("spark.sql.catalog.fsck",
+      classOf[graft.lake.dsv2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.fsck.warehouse", wh)
+    org.apache.spark.sql.graftbridge.CatalogBridge.resetCatalogs(spark)
+    spark.sql("CALL fsck.system.verify_table('db.t')")
+    assert(spark.table("db_t_verify").count() === 3)
+  }
+}
