@@ -493,6 +493,28 @@ class CatalogServiceSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("verify_table over the wire: the fsck resolves metadata existence " +
+    "through the service and data bytes on shared storage") {
+    val (srv, _, warehouse) = newEnv()
+    try {
+      import spark.implicits._
+      val cat = new RemoteLakeCatalog(spark, warehouse, srv.uri)
+      val t = cat.createTable("db.vt", StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType))))
+      t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+      t.append(Seq((3L, "c")).toDF("id", "v").coalesce(1))
+      assert(t.verifyIntegrity().count() === 0, "clean wire table is clean")
+      // remove a DATA file behind the table's back (data plane is shared
+      // storage, not the server) — the report names it precisely
+      val victim = t.meta.currentSnapshot.get.files.head.path
+      Files.delete(Paths.get(victim.stripPrefix("file:")))
+      val report = t.verifyIntegrity().collect()
+      assert(report.length === 1 && report.head.getString(0) === "data"
+        && report.head.getString(1) === victim
+        && report.head.getString(2) === "missing")
+    } finally srv.stop()
+  }
+
   test("maintenance over the wire: expire/rewrite_manifests/binpack commit through " +
       "the service — chunk deletes server-side, data-file GC client-side (r12)") {
     val (srv, metaRoot, warehouse) = newEnv()
