@@ -22,10 +22,19 @@ import org.apache.spark.sql.functions._
   * The only float ops are three divisions and one LN per bucket over
   * identical inputs on both engines (each step correctly rounded, so
   * bit-identical; only LN can differ, by ≤1–2 ulp, invisible under the
-  * 10^-6 floor except on a measure-zero boundary); everything downstream
-  * (sums, ranking) is BIGINT, so ties and order can't drift. Bucket hash
-  * = first 3 hex digits of md5(token) (the repo's cross-engine hash
-  * idiom, PipelineOps SimHash oracle) → 4096 buckets.
+  * 10^-6 floor except on a measure-zero boundary — and measurement at
+  * sf0.01 put every active bucket >1e-6 of a grid unit away from a
+  * floor boundary, so LN drift has never been observed in practice);
+  * everything downstream (sums, ranking) is BIGINT, so ties and order
+  * can't drift. The one cross-engine failure actually observed (r14)
+  * was a DTYPE, not a value: DuckDB's un-cast `SUM(BIGINT)` widens to
+  * HUGEINT (→ float64 in the comparison frame) while Spark writes
+  * int64 — every integer-valued oracle aggregate must `CAST(... AS
+  * BIGINT)` (gated repo-wide by tools/check.py's DESCRIBE-based dtype
+  * gate, which rejects HUGEINT/DECIMAL/FLOAT oracle columns and any
+  * oracle-vs-spark dtype-class mismatch). Bucket hash = first
+  * 3 hex digits of md5(token) (the repo's cross-engine hash idiom,
+  * PipelineOps SimHash oracle) → 4096 buckets.
   *
   * Scale shape (100 TB pool): tokenize+bucket is one explode with
   * map-side-combined counts; both bucket models are B-row aggregates;

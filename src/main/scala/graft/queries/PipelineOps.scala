@@ -774,7 +774,7 @@ object PipelineOps {
       |      / (CAST(COALESCE(cnt_s, 0) + 1 AS DOUBLE) / CAST(tot_s + 4096 AS DOUBLE))
       |    ) * 1000000) AS BIGINT) AS logratio_fp
       |  FROM tmodel t FULL OUTER JOIN smodel s ON t.bucket = s.bucket CROSS JOIN tot)
-      |SELECT c.doc_id, SUM(c.c * r.logratio_fp) AS score
+      |SELECT c.doc_id, CAST(SUM(c.c * r.logratio_fp) AS BIGINT) AS score
       |FROM cnt c JOIN ratio r ON c.bucket = r.bucket
       |WHERE c.lang <> 'en'
       |GROUP BY c.doc_id

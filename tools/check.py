@@ -31,6 +31,56 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+# DuckDB result types the driver's comparison frame maps 1:1 onto a Spark
+# parquet dtype. Anything outside — HUGEINT (un-cast SUM(BIGINT)),
+# DECIMAL (un-cast money), FLOAT (float32) — silently widens/narrows in
+# pandas and then hash-mismatches the driver even when every VALUE is
+# identical (the r14 q95 failure class). Oracle SQL must CAST its way
+# into this set.
+ALLOWED_DUCK = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                "BOOLEAN", "VARCHAR", "DATE", "BLOB"}
+ALLOWED_DUCK_PREFIX = ("TIMESTAMP",)  # TIMESTAMP, TIMESTAMP WITH TIME ZONE
+
+
+def dtype_class(duck_type: str) -> str:
+    t = duck_type.upper()
+    if t in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "HUGEINT",
+             "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT", "UHUGEINT"):
+        return "int"
+    if t in ("DOUBLE", "FLOAT") or t.startswith("DECIMAL"):
+        return "float"
+    if t.startswith("TIMESTAMP") or t == "DATE":
+        return "time"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith("STRUCT") or t.endswith("[]") or t.startswith("MAP"):
+        return "nested"
+    return "str" if t == "VARCHAR" else t.lower()
+
+
+def dtype_gate(con, name, sql, spark_glob):
+    """The r15 oracle-dtype guard: DESCRIBE both sides, fail on any
+    oracle column type outside the driver-safe set, and on any
+    class mismatch (int vs float etc.) between oracle and spark."""
+    errs = []
+    exp_t = {r[0]: r[1] for r in
+             con.execute(f"DESCRIBE {sql}").fetchall()}
+    got_t = {r[0]: r[1] for r in con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{spark_glob}')").fetchall()}
+    for c, t in sorted(exp_t.items()):
+        tu = t.upper()
+        if tu not in ALLOWED_DUCK and not tu.startswith(ALLOWED_DUCK_PREFIX) \
+                and dtype_class(t) != "nested":
+            errs.append(f"oracle col {c} has driver-unsafe type {t} "
+                        f"(CAST it: HUGEINT/DECIMAL/FLOAT hash-mismatch)")
+    for c in sorted(set(exp_t) & set(got_t)):
+        ec, gc = dtype_class(exp_t[c]), dtype_class(got_t[c])
+        if ec != gc:
+            errs.append(f"col {c} dtype class: oracle {exp_t[c]} ({ec}) "
+                        f"vs spark {got_t[c]} ({gc})")
+    return errs
+
+
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
@@ -50,6 +100,11 @@ def main():
             continue
         if not glob.glob(f"{path}/*.parquet"):
             print(f"FAIL {name}: no spark output at {path}")
+            n_fail += 1
+            continue
+        dt_errs = dtype_gate(con, name, sql, f"{path}/*.parquet")
+        if dt_errs:
+            print(f"FAIL {name}: dtype gate: " + "; ".join(dt_errs))
             n_fail += 1
             continue
         got = normalize(duckdb.connect().execute(
