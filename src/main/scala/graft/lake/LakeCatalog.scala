@@ -54,6 +54,27 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
             "sparsely across partitions and need the full 64-bit domain")
     }
     val location = tableLocation(ident)
+    // A rename leaves the moved table's live data files under its OLD
+    // location (manifests carry absolute paths) and marks the directory
+    // with a tombstone. Adopting it here would be silent data loss: the
+    // new table's remove_orphan_files sweeps everything under data/ that
+    // ITS metadata doesn't reference — i.e. the renamed table's live
+    // rows. Refuse with the forwarding address.
+    val tomb = new Path(location, LakeCatalog.MovedTombstone)
+    if (fs.exists(tomb)) {
+      val who = try {
+        val in = fs.open(tomb)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").replace('\t', ' ')
+        finally in.close()
+      } catch { case _: Exception => "(unreadable tombstone)" }
+      throw new IllegalArgumentException(
+        s"cannot create table $ident: location $location still holds the " +
+          s"live data files of a table renamed away from here (now: $who). " +
+          s"Drop that table to reclaim the directory, or remove " +
+          s"$location/${LakeCatalog.MovedTombstone} after verifying no " +
+          "table's manifests reference it")
+    }
     // a recreate at a reused location restarts version numbering — stale
     // cached metas from the dropped incarnation must not be served
     LakeTable.invalidateLocation(location)
@@ -148,6 +169,18 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
   }
 
   def dropTable(ident: String): Unit = {
+    // a renamed table's data may still live under its prior locations
+    // (rename moves authority, not bytes) — reclaim them and their
+    // tombstones, or the directories stay unusable forever
+    val priorLocs =
+      try {
+        if (tableExists(ident))
+          loadTable(ident).meta.properties
+            .get(LakeCatalog.RenamedFromLocationsKey)
+            .toSeq.flatMap(_.split(";")).filter(_.nonEmpty)
+            .filter(_.startsWith(warehouse + "/"))
+        else Seq.empty
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
     LakeTable.invalidateLocation(tableLocation(ident))
     metaStoreFor(ident) match {
       case h: HttpMetaStore =>
@@ -156,6 +189,10 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       case _ => ()
     }
     fs.delete(new Path(tableLocation(ident)), true)
+    priorLocs.foreach { loc =>
+      LakeTable.invalidateLocation(loc)
+      fs.delete(new Path(loc), true)
+    }
     ()
   }
 
@@ -274,23 +311,56 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     // sibling back-references: every ';'-separated location value in the
     // old properties that resolves as a table gets its OWN properties
     // rewritten old→new (a base's routing list entries are its state
-    // tables; a state table's base-location is its base)
+    // tables; a state table's base-location is its base). A fix-up
+    // failure ABORTS the rename while the old table is still the
+    // authority (r15; swallowing it would leave an MV/index silently
+    // pointing at a destroyed location): applied fix-ups are reverted
+    // new→old (newLoc is brand new, so no pre-existing value can equal
+    // it), the staged copy is hidden, and the caller retries.
     val newT = new LakeTable(spark, newLoc, to)
-    oldT.meta.properties.values.toSeq
+    val sibLocs = oldT.meta.properties.values.toSeq
       .flatMap(_.split(";")).filter(_.nonEmpty).distinct
       .filter(_.startsWith(warehouse + "/"))
-      .foreach { loc =>
+    val fixedUp = scala.collection.mutable.ArrayBuffer[LakeTable]()
+    val fixFailures = scala.collection.mutable.ArrayBuffer[String]()
+    sibLocs.foreach { loc =>
+      try {
+        val sib = newT.sibling(loc)
+        if (sib.metaStore.exists("v1.json")) {
+          sib.updateProperties(props => props.map { case (k, v) =>
+            k -> v.split(";").map(x => if (x == oldLoc) newLoc else x)
+              .mkString(";")
+          })
+          fixedUp += sib
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          fixFailures += s"$loc: ${e.getMessage}"
+      }
+    }
+    if (fixFailures.nonEmpty) {
+      fixedUp.foreach { sib =>
         try {
-          val sib = newT.sibling(loc)
-          if (sib.metaStore.exists("v1.json")) {
-            sib.updateProperties(props => props.map { case (k, v) =>
-              k -> v.split(";").map(x => if (x == oldLoc) newLoc else x)
-                .mkString(";")
-            })
-            ()
-          }
+          sib.updateProperties(props => props.map { case (k, v) =>
+            k -> v.split(";").map(x => if (x == newLoc) oldLoc else x)
+              .mkString(";")
+          })
+          ()
         } catch { case scala.util.control.NonFatal(_) => () }
       }
+      try to.delete("v1.json") catch { case _: Exception => () }
+      throw new IllegalStateException(
+        s"rename $oldIdent → $newIdent aborted: sibling back-reference " +
+          s"fix-up failed (${fixFailures.mkString("; ")}) — old table " +
+          "intact; fix the sibling and retry")
+    }
+    // Tombstone the old location BEFORE destroying its metadata: the
+    // renamed table's live data files stay under oldLoc/data (manifests
+    // carry absolute paths), so a later createTable at the recycled
+    // ident would adopt that directory and its remove_orphan_files would
+    // garbage-collect another table's LIVE data. createTable refuses a
+    // tombstoned location; dropTable of the renamed table reclaims it.
+    writeTombstone(oldLoc, newIdent, newLoc)
     // authority hand-over: the old ident must stop resolving
     LakeTable.invalidateLocation(oldLoc)
     LakeTable.invalidateLocation(from.id)
@@ -301,10 +371,28 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       case _ => fs.delete(new Path(oldLoc, "metadata"), true); ()
     }
     // cosmetic: the metadata's recorded name/location follow the ident
-    // (one commit; messages and exports then name the live identity)
-    loadTable(newIdent).commit(m => m.copy(name = newIdent, location = newLoc,
-      properties = m.properties + ("graft.renamed-from" -> oldIdent)))
+    // (one commit; messages and exports then name the live identity).
+    // `graft.renamed-from-locations` ACCUMULATES across chained renames
+    // so dropTable can reclaim every directory this table ever lived in.
+    loadTable(newIdent).commit { m =>
+      val priorLocs = m.properties.get(LakeCatalog.RenamedFromLocationsKey)
+        .toSeq.flatMap(_.split(";")).filter(_.nonEmpty)
+      m.copy(name = newIdent, location = newLoc,
+        properties = m.properties +
+          ("graft.renamed-from" -> oldIdent) +
+          (LakeCatalog.RenamedFromLocationsKey ->
+            (priorLocs :+ oldLoc).distinct.mkString(";")))
+    }
     loadTable(newIdent)
+  }
+
+  /** Marker a rename leaves at its OLD location: the directory still
+    * holds the renamed table's live data files, so it must not be
+    * adopted by a new table (whose orphan-file GC would delete them). */
+  private def writeTombstone(loc: String, newIdent: String,
+                             newLoc: String): Unit = {
+    val out = fs.create(new Path(loc, LakeCatalog.MovedTombstone), true)
+    try out.write(s"$newIdent\t$newLoc".getBytes("UTF-8")) finally out.close()
   }
 
   // ---- multi-table transactions (see [[LakeTransaction]]) -----------------
@@ -429,6 +517,18 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     }
     t
   }
+}
+
+object LakeCatalog {
+  /** File a rename leaves at its old location (`<newIdent>\t<newLoc>`):
+    * the directory still holds the renamed table's live data files.
+    * [[LakeCatalog.createTable]] refuses tombstoned locations;
+    * [[LakeCatalog.dropTable]] of the renamed table reclaims them. */
+  private[lake] val MovedTombstone = ".graft-moved"
+  /** ';'-separated list of every prior location a renamed table's data
+    * may still live under — accumulated across chained renames so a
+    * final DROP can reclaim all of them. */
+  private[lake] val RenamedFromLocationsKey = "graft.renamed-from-locations"
 }
 
 /** Wire-protocol client catalog: table METADATA resolves and commits

@@ -92,6 +92,36 @@ class RenameSpec extends AnyFunSuite {
       .search(Seq(1 -> "w3"), 3).collect().toSeq === got.toSeq)
   }
 
+  test("old location is tombstoned: createTable at the recycled ident is " +
+    "refused (its orphan GC would delete the renamed table's live data); " +
+    "dropping the renamed table reclaims every prior location") {
+    val wh = Files.createTempDirectory("graft-ren").toString
+    val cat = new LakeCatalog(spark, wh)
+    val t0 = cat.createTable("db.old", schema)
+    t0.append(df(1L -> "a", 2L -> "b"))
+    val t = cat.renameTable("db.old", "db.neu")
+    val oldDataFile = t.meta.currentSnapshot.get.files.head.path
+    assert(oldDataFile.contains("db/old"), "data stays in place")
+    // the hazard: a recreate at db.old would adopt db/old/data and its
+    // remove_orphan_files would GC db.neu's live rows — refused
+    val e = intercept[IllegalArgumentException](cat.createTable("db.old", schema))
+    assert(e.getMessage.contains("renamed") && e.getMessage.contains("db.neu"))
+    assert(t.toDF.count() === 2, "live data untouched")
+    // chained rename accumulates locations; drop reclaims them all
+    val t2 = cat.renameTable("db.neu", "db.neu2")
+    t2.append(df(3L -> "c"))
+    assert(t2.meta.properties(LakeCatalog.RenamedFromLocationsKey)
+      .split(";").toSet === Set(s"$wh/db/old", s"$wh/db/neu"))
+    intercept[IllegalArgumentException](cat.createTable("db.neu", schema))
+    cat.dropTable("db.neu2")
+    assert(!Files.exists(Paths.get(wh, "db", "old")), "old dir reclaimed")
+    assert(!Files.exists(Paths.get(wh, "db", "neu")), "mid dir reclaimed")
+    // the ident is reusable again after the reclaim
+    val fresh = cat.createTable("db.old", schema)
+    fresh.append(df(9L -> "z"))
+    assert(fresh.toDF.count() === 1)
+  }
+
   test("SQL surface: ALTER TABLE … RENAME TO through the catalog plugin") {
     val wh = Files.createTempDirectory("graft-ren-sql").toString
     spark.conf.set("spark.sql.catalog.renc",
