@@ -81,9 +81,10 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     // retention floor, so a stale advisory hint must not be trusted: the
     // forward probe can strand a reader at v1 (always retained — it is
     // the existence marker) or at the hint itself when the hinted file
-    // was retired. Retirement deletes DOWNWARD from the floor while files
-    // exist, so the retained set is always {v1} ∪ one contiguous top
-    // range — any EXISTING version > 1 is inside that range and the
+    // was retired. Retirement deletes UPWARD from a persisted progress
+    // marker to the floor (retireOldVersions, r15 — crash-proof), so the
+    // retained set is always {v1} ∪ one contiguous top range — any
+    // EXISTING version > 1 is inside that range and the
     // forward probe from it reaches the true head. A listing is therefore
     // needed only in the two genuinely ambiguous cases: a fresh handle
     // stranded at v ≤ 1 (the hint pointed below the hole, or was
@@ -141,7 +142,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     * nothing and returns the base unchanged — so no-op paths (`IF NOT
     * EXISTS` on an existing ref, dropping a ref a concurrent writer
     * already removed) never produce spurious metadata versions. */
-  private[lake] def commit(transform: TableMeta => TableMeta): TableMeta = {
+  private[lake] def commit(transform: TableMeta => TableMeta,
+                           fenceOwner: Option[String] = None): TableMeta = {
     var attempts = 0
     var recoveryTried = false
     while (attempts < 20) {
@@ -149,20 +151,27 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
       val applied = transform(base)
       if (applied == base) return base
       // multi-table transaction fence: while `graft.txn.fence` is set,
-      // MAIN must not move except by the transaction protocol's own
-      // commits (which clear or take the fence) — the fenced
-      // transaction's publish sets main := its branch head without
-      // re-reading it, so a foreign main movement between decision and
-      // publish would be silently lost. Commits that leave main alone
-      // (branch staging, branch drops, property updates, another
-      // transaction's rollback) are safe under a fence and pass.
+      // MAIN must not move — and the fence itself must not be altered or
+      // dropped — except by the owning transaction's own protocol steps
+      // (fence/publish/abort/recover pass their txnId as `fenceOwner`).
+      // The fenced transaction's publish sets main := its branch head
+      // without re-reading it, so a foreign main movement between
+      // decision and publish would be silently lost; and a foreign
+      // transform that REPLACES properties wholesale (CREATE OR REPLACE)
+      // would drop the fence key, which under the old "fence preserved
+      // verbatim" condition slipped past the guard and let publish
+      // resurrect pre-replace content. Commits that leave main AND the
+      // fence alone (branch staging, branch drops, property updates,
+      // another transaction's rollback) are safe under a fence and pass.
       // An expired fence (coordinator died) is resolved in place — the
       // transaction rolls forward or back per its decision slot — then
       // this commit retries against the recovered state.
       val fence = base.properties.get(LakeTransaction.FenceKey)
-      if (fence.isDefined &&
-          applied.properties.get(LakeTransaction.FenceKey) == fence &&
-          applied.refs.get(MainBranch) != base.refs.get(MainBranch)) {
+      val ownedByCaller = fenceOwner.isDefined &&
+        fence.map(_.takeWhile(_ != '\t')) == fenceOwner
+      if (fence.isDefined && !ownedByCaller &&
+          (applied.refs.get(MainBranch) != base.refs.get(MainBranch) ||
+            applied.properties.get(LakeTransaction.FenceKey) != fence)) {
         val ttl = base.properties.get(LakeTransaction.FenceTtlKey)
           .flatMap(_.toLongOption)
           .getOrElse(LakeTransaction.DefaultFenceTtlMs)
@@ -209,20 +218,49 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     * unaffected — snapshots live in the CURRENT version's document, old
     * version files serve only the metadata log. `v1.json` is always
     * retained: it is the catalog's existence marker (tableExists keys on
-    * it). The walk stops at the first already-missing version, so steady
-    * state deletes exactly one file per commit; the first commit after
-    * enabling catches up over the whole backlog once. */
+    * it).
+    *
+    * The walk is bounded by a persisted progress marker
+    * (`retired-below.text` = highest version known retired) and deletes
+    * UPWARD from the marker to the floor — so the retained set is
+    * `{v1} ∪ one contiguous top range` at EVERY instant, crashes
+    * included. (The r14 shape walked DOWNWARD and stopped at the first
+    * already-missing file: a crash mid catch-up left a permanent residue
+    * {v2..k} BELOW the hole, never reclaimed, and a fresh handle whose
+    * stale hint landed in that residue forward-probed to the residue top
+    * and silently served stale metadata — the contiguity invariant
+    * [[currentVersion]]'s zero-listing fast path depends on.) Steady
+    * state costs one marker read, one delete, one marker write per
+    * commit; the first commit after enabling catches up over the whole
+    * backlog once, and already-missing files inside the catch-up range
+    * are skipped, not treated as a stop signal. */
   private def retireOldVersions(next: TableMeta): Unit = {
     if (!next.properties.get("write.metadata.delete-after-commit.enabled")
         .contains("true")) return
     val max = next.properties.get("write.metadata.previous-versions-max")
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(100)
-    var v = next.version - max - 1
-    while (v >= 2 && metaStore.exists(versionName(v))) {
-      try metaStore.delete(versionName(v))
-      catch { case _: Exception => return } // best-effort; next commit retries
-      v -= 1
+    val floor = next.version - max - 1
+    if (floor < 2) return
+    val retiredBelow =
+      try metaStore.read("retired-below.text").trim.toInt
+      catch { case _: Exception => 1 }
+    var v = math.max(retiredBelow + 1, 2)
+    while (v <= floor) {
+      try { if (metaStore.exists(versionName(v))) { metaStore.delete(versionName(v)); () } }
+      catch {
+        case _: Exception =>
+          // best-effort: record progress so far; next commit retries from
+          // here (deletion is upward, so the top range stays contiguous)
+          try metaStore.putOverwrite("retired-below.text",
+            (v - 1).toString.getBytes(StandardCharsets.UTF_8))
+          catch { case _: Exception => () }
+          return
+      }
+      v += 1
     }
+    try metaStore.putOverwrite("retired-below.text",
+      floor.toString.getBytes(StandardCharsets.UTF_8))
+    catch { case _: Exception => () }
   }
 
   // ---- session-conf plumbing (WAP, ref: Integrated Audits c13-c27) --------
@@ -1064,7 +1102,8 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     * DELETE on a 100 TB table stops rewriting gigabyte data files.
     * Compaction (`rewrite_data_files` / `rewrite_position_deletes`)
     * retires the entries. */
-  def delete(condition: Column, toBranch: Option[String] = None): TableMeta = {
+  def delete(condition: Column, toBranch: Option[String] = None,
+             extraSummary: Map[String, String] = Map.empty): TableMeta = {
     val m0 = meta
     requireWapUnambiguous(m0)
     val branch = resolveWriteBranch(toBranch)
@@ -1100,7 +1139,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
       }
       val remaining = keep.toSeq ++ rewrite.toSeq
       if (drop.isEmpty && newDel.isEmpty) m0 // nothing matched — no commit
-      else commitReplace(branch, remaining, "delete", Map(
+      else commitReplace(branch, remaining, "delete", extraSummary ++ Map(
         "deleted-data-files" -> drop.size.toString,
         "added-delete-files" -> newDel.size.toString,
         "added-position-deletes" -> newDel.map(_.rowCount).sum.toString,
@@ -1121,7 +1160,7 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
       // a re-run of the same DELETE (or a TTL sweep with nothing aged)
       // must not mint an empty snapshot per call
       if (drop.isEmpty && rewrite.isEmpty) m0
-      else commitReplace(branch, keep.toSeq ++ rewritten, "delete", Map(
+      else commitReplace(branch, keep.toSeq ++ rewritten, "delete", extraSummary ++ Map(
         "deleted-data-files" -> drop.size.toString,
         "rewritten-data-files" -> rewrite.size.toString,
         "metadata-only" -> rewrite.isEmpty.toString), base = snap,
@@ -2124,9 +2163,13 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     * Returns one row per problem — (kind, path, problem) — empty means
     * the snapshot is fully servable. Checks: data files, positional and
     * equality delete files (existence + exact size), deletion-vector
-    * refs (bundle exists, byte range inside it), bloom bundles named by
-    * retained snapshot summaries, manifest chunks and the version-file
-    * spine (v1 + a contiguous top range — retirement's invariant).
+    * refs (bundle exists, byte range inside it), and — because every
+    * metadata object is content-addressed — manifest chunks, manifest
+    * lists, delete-manifests and bloom bundles are re-read and their
+    * sha256/16 recomputed against the hash their NAME claims (r15:
+    * truncation and bit-flips are reported, not just absence), plus the
+    * version-file spine (v1 + a contiguous top range — retirement's
+    * invariant).
     *
     * Scale shape: file existence/size checks fan out over executors
     * (one `getFileStatus` per referenced file, partitioned); metadata
@@ -2135,7 +2178,18 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     * removed can appear as a finding (re-run to confirm). */
   def verifyIntegrity(): DataFrame = {
     import org.apache.spark.sql.Row
-    val m0 = meta
+    // An fsck must not die on the very corruption it exists to report: if
+    // manifest inflation fails (corrupt/truncated chunk), fall back to the
+    // UNRESOLVED root document — per-file checks then cover only what the
+    // root itself carries, but the content-addressed metadata checks below
+    // still pinpoint the damaged object, plus one finding for the failure.
+    val (m0, resolveFailure) =
+      try (meta, None)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          (Meta.fromJson(metaStore.read(versionName(currentVersion))),
+            Some(s"metadata resolve failed: ${e.getMessage}"))
+      }
     val snap = m0.currentSnapshot
     // (kind, path, expected size or -1 = existence only, dv range or null)
     val fileChecks: Seq[(String, String, Long, Option[(String, Long, Int)])] =
@@ -2177,24 +2231,48 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
           }
         }
       }.collect().toSeq
-    // driver-side metadata checks
+    // driver-side metadata checks. Every metadata object is
+    // CONTENT-ADDRESSED (`<prefix>-<sha256/16>.json`), so integrity goes
+    // beyond existence: re-read each body through the MetaStore seam
+    // (wire mode included) and recompute the hash its name claims — a
+    // truncated or bit-flipped chunk is reported precisely, not served.
+    // Names are deduped first (consecutive snapshots share chunks), so
+    // this is O(distinct retained objects) reads, not O(snapshots×chunks).
     val metaBad = Seq.newBuilder[(String, String, String)]
-    m0.snapshots.foreach { s =>
-      Option(s.manifests).getOrElse(Seq.empty).foreach { n =>
-        if (!metaStore.exists(n)) metaBad += (("manifest", n, "missing"))
-      }
-      s.manifestList.foreach { n =>
-        if (!metaStore.exists(n)) metaBad += (("manifest-list", n, "missing"))
-      }
-      s.deleteManifest.foreach { n =>
-        if (!metaStore.exists(n)) metaBad += (("delete-manifest", n, "missing"))
-      }
-      s.summary.get(BloomSkip.BundleSummaryKey).foreach { n =>
-        if (!metaStore.exists(n)) metaBad += (("bloom-bundle", n, "missing"))
+    def verifyAddressed(kind: String, name: String): Option[(String, String, String)] = {
+      val hex = name.substring(name.lastIndexOf('-') + 1).stripSuffix(".json")
+      try {
+        val got = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(metaStore.read(name).getBytes(StandardCharsets.UTF_8))
+          .take(8).map(b => f"$b%02x").mkString
+        if (got != hex) Some((kind, name,
+          s"content hash $got != addressed $hex (truncated or corrupted)"))
+        else None
+      } catch {
+        case e: Exception =>
+          Some((kind, name,
+            if (!metaStore.exists(name)) "missing"
+            else s"unreadable: ${e.getMessage}"))
       }
     }
+    val addressed = scala.collection.mutable.LinkedHashSet[(String, String)]()
+    m0.snapshots.foreach { s =>
+      Option(s.manifests).getOrElse(Seq.empty)
+        .foreach(n => addressed += (("manifest", n)))
+      s.manifestList.foreach(n => addressed += (("manifest-list", n)))
+      s.deleteManifest.foreach(n => addressed += (("delete-manifest", n)))
+      // a large write records SEVERAL bundles, comma-separated — checking
+      // the joined string as one name would report a false "missing"
+      s.summary.get(BloomSkip.BundleSummaryKey).foreach(v =>
+        v.split(",").filter(_.nonEmpty)
+          .foreach(n => addressed += (("bloom-bundle", n))))
+    }
+    addressed.foreach { case (kind, n) => verifyAddressed(kind, n).foreach(metaBad += _) }
+    resolveFailure.foreach(msg =>
+      metaBad += (("metadata", versionName(m0.version), msg)))
     // version spine: v1 always; retained versions form one contiguous
-    // top range (retirement deletes downward — currentVersion's invariant)
+    // top range (retirement deletes upward from a persisted marker —
+    // currentVersion's zero-listing invariant)
     if (!metaStore.exists("v1.json")) metaBad += (("version", "v1.json", "missing"))
     val vs = metaStore.list().map(_._1)
       .flatMap(n => "^v(\\d+)\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt))
@@ -2257,8 +2335,21 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
         s"graft.ttl.unit must be s|ms|us|ns (got $u)")
     }
     if (props.getOrElse("graft.ttl.mode", "files") == "exact") {
+      // Piggyback the files-mode stats pass before paying for a DELETE:
+      // an expired row can only live in a file whose decoded MIN stat is
+      // below the cutoff, so when no file's is, this tick is a NO-OP —
+      // zero commits, zero scans (r15; without this a hot table on the
+      // autoMaintain cadence paid a CoW rewrite-sized DELETE plan per
+      // tick even when nothing could have expired yet). Equality-delete
+      // masks don't undermine the skip: masks only HIDE rows, they never
+      // age one below a file's recorded minimum.
+      val snap0 = m0.currentSnapshot.getOrElse(return false)
+      val pred = Pruning.translate(col(cn) < lit(cutoff))
+      if (!snap0.files.exists(f => Pruning.mayMatch(pred, fileBounds(m0, f))))
+        return false
       val v0 = m0.version
-      delete(col(cn) < lit(cutoff))
+      delete(col(cn) < lit(cutoff), extraSummary = Map(
+        "ttl-cutoff" -> cutoff.toString, "ttl-mode" -> "exact"))
       return meta.version != v0
     }
     val snap = m0.currentSnapshot.getOrElse(return false)

@@ -96,6 +96,13 @@ final class LakeTransaction private[lake] (
       new TxnTable(catalog.loadTable(ident), ident, branchName))
   }
 
+  /** The staged branch for `ident` iff this transaction has WRITTEN it —
+    * the read-your-writes routing [[SqlTransactions.readBranch]] uses
+    * (an unwritten enlistee still reads main, like [[TxnTable.toDF]]). */
+  private[lake] def stagedBranchFor(ident: String): Option[String] =
+    if (!finished && enlisted.get(ident).exists(_.written)) Some(branchName)
+    else None
+
   /** Written participants in publish order (sorted by location — the
     * deadlock-free fence order). Package-visible so the spec can drive
     * the protocol steps one at a time (crash windows). */
@@ -173,7 +180,7 @@ final class LakeTransaction private[lake] (
 
   private[graft] def fenceAll(parts: Seq[TxnTable]): Unit = parts.foreach { p =>
     val fence = s"$txnId\t${System.currentTimeMillis()}\t$txnLogLoc"
-    def attempt(): Unit = p.table.commit { m =>
+    def attempt(): Unit = p.table.commit(fenceOwner = Some(txnId), transform = { m =>
       m.properties.get(FenceKey) match {
         case Some(v) if v.startsWith(txnId + "\t") => m // retry: already ours
         case Some(v) => throw FencedByOther(
@@ -188,7 +195,7 @@ final class LakeTransaction private[lake] (
               "against fresh state")
           m.copy(properties = m.properties + (FenceKey -> fence))
       }
-    }
+    })
     try attempt()
     catch {
       case FencedByOther(msg, other) =>
@@ -270,9 +277,10 @@ final class TxnTable private[lake] (
   def mergeByKey(key: String, keys: Seq[Any], upserts: DataFrame): TableMeta =
     table.mergeByKey(key, keys, upserts, toBranch = ensureBranch())
   def mergeByKeys(key: String, keyDf: DataFrame, upserts: DataFrame,
-                  extraSummary: Map[String, String] = Map.empty): TableMeta =
+                  extraSummary: Map[String, String] = Map.empty,
+                  nullKeyDelete: Option[Column] = None): TableMeta =
     table.mergeByKeys(key, keyDf, upserts, extraSummary,
-      toBranch = ensureBranch())
+      toBranch = ensureBranch(), nullKeyDelete = nullKeyDelete)
 }
 
 object LakeTransaction {
@@ -300,7 +308,7 @@ object LakeTransaction {
     * recovering writers replay freely. */
   private[lake] def publishOne(t: LakeTable, txnId: String, branch: String,
                                branchHead: Long): Unit = {
-    t.commit { m =>
+    t.commit(fenceOwner = Some(txnId), transform = { m =>
       m.properties.get(FenceKey) match {
         case Some(v) if v.startsWith(txnId + "\t") =>
           require(m.snapshot(branchHead).isDefined,
@@ -313,21 +321,21 @@ object LakeTransaction {
               System.currentTimeMillis(), branchHead, LakeTable.MainBranch))
         case _ => m // already completed (recovery or coordinator won)
       }
-    }
+    })
     ()
   }
 
   /** Idempotent per-table abort: fence cleared if this transaction's,
     * staged branch dropped; main untouched. */
   private[lake] def abortOne(t: LakeTable, txnId: String, branch: String): Unit = {
-    t.commit { m =>
+    t.commit(fenceOwner = Some(txnId), transform = { m =>
       val m1 =
         if (m.properties.get(FenceKey).exists(_.startsWith(txnId + "\t")))
           m.copy(properties = m.properties - FenceKey)
         else m
       if (m1.refs.get(branch).exists(_.kind != "tag")) m1.copy(refs = m1.refs - branch)
       else m1
-    }
+    })
     ()
   }
 

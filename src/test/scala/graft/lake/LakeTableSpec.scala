@@ -1497,6 +1497,43 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.toDF.count() === 40100)
   }
 
+  test("version retirement heals residue below a hole (r15): catch-up " +
+      "walks PAST already-missing files, so the retained set returns to " +
+      "{v1} ∪ one contiguous top range and a stale hint can't serve " +
+      "stale metadata through the zero-listing fast path") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val t = cat.createTable("db.vres", StructType(Seq(
+      StructField("id", LongType))))
+    for (i <- 1 to 20) t.append(Seq(i.toLong).toDF("id"))
+    val metaDir = Paths.get(t.location, "metadata")
+    def versions() = Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.matches("v\\d+\\.json")).toSeq
+      .map(_.stripPrefix("v").stripSuffix(".json").toInt).sorted
+    // simulate the r14 crash shape: a downward catch-up that died mid-walk
+    // leaves a HOLE (v8..v12 deleted) with live residue v2..v7 below it
+    for (v <- 8 to 12) Files.delete(metaDir.resolve(s"v$v.json"))
+    t.updateProperties(_ ++ Map(
+      "write.metadata.delete-after-commit.enabled" -> "true",
+      "write.metadata.previous-versions-max" -> "5"))
+    t.append(Seq(99L).toDF("id")) // triggers the catch-up
+    val vs = versions()
+    assert(vs.head === 1, "v1 always survives")
+    // contiguity: exactly {1} ∪ one top range — the residue is gone
+    assert(vs.tail === (vs.tail.head to vs.max).toSeq,
+      s"retained set must be v1 + one contiguous top range: $vs")
+    assert(vs.tail.head > 7, s"residue v2..v7 must be reclaimed: $vs")
+    // a stale hint pointing into the former residue resolves to the head
+    val hfs = new org.apache.hadoop.fs.Path(t.location)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val hout = hfs.create(new org.apache.hadoop.fs.Path(
+      t.location, "metadata/version-hint.text"), true)
+    hout.write("3".getBytes("UTF-8")); hout.close()
+    LakeTable.invalidateLocation(t.location)
+    assert(cat.loadTable("db.vres").toDF.count() === 21,
+      "fresh handle with a residue-era hint must reach the true head")
+  }
+
   test("bounded metadata for continuous ingest: version-file retention + " +
       "auto snapshot expiry keep both growth axes flat (r13)") {
     import spark.implicits._

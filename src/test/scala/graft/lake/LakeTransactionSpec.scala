@@ -129,6 +129,38 @@ class LakeTransactionSpec extends AnyFunSuite {
     assert(ids(a) === Seq(1L, 5L, 7L))
   }
 
+  test("CREATE OR REPLACE during a fence window is refused: a wholesale " +
+    "property replace must not drop a foreign fence (r15 guard — the old " +
+    "guard only fired when the fence key survived the transform verbatim)") {
+    val cat = freshCatalog()
+    val a = mk(cat, "db.ta", Seq(1L -> "a"))
+    val txn = cat.beginTransaction()
+    txn.table("db.ta").append(df(5L -> "n"))
+    val parts = txn.participants
+    txn.writeManifest(parts)
+    txn.fenceAll(parts)
+    // CREATE OR REPLACE TABLE AS SELECT replaces properties wholesale and
+    // resets refs — both would destroy the in-flight transaction's state
+    val pendingSchema = a.meta.schema.copy(schemaId = a.meta.schema.schemaId + 1)
+    val pendingSpec = PartitionSpec(a.meta.defaultSpecId + 1, Seq.empty)
+    val e = intercept[CommitConflictException](
+      a.replaceTable(pendingSchema, pendingSpec, Map.empty, Seq.empty))
+    assert(e.getMessage.contains(txn.txnId))
+    // a fence-ALTERING commit that leaves main alone is equally refused
+    // (dropping a foreign fence would make the owner's publish a no-op,
+    // silently losing its staged writes)
+    val e2 = intercept[CommitConflictException](a.commit(m =>
+      m.copy(properties = m.properties - LakeTransaction.FenceKey)))
+    assert(e2.getMessage.contains(txn.txnId))
+    // fence intact; the live coordinator completes normally
+    assert(a.meta.properties.get(LakeTransaction.FenceKey)
+      .exists(_.startsWith(txn.txnId + "\t")))
+    assert(txn.decide("commit"))
+    txn.publishAll(parts)
+    txn.markDone()
+    assert(ids(a) === Seq(1L, 5L))
+  }
+
   test("coordinator death AFTER the commit decision: a blocked writer " +
     "rolls the transaction FORWARD on every participant (TTL elapsed)") {
     val cat = freshCatalog()

@@ -72,14 +72,59 @@ class TtlSpec extends AnyFunSuite {
   }
 
   test("exact mode: a real DELETE through the configured delete mode — " +
-    "expired rows gone even inside straddling files") {
+    "expired rows gone even inside straddling files; the sweep summary " +
+    "records the cutoff") {
     val now = 1000000L
     val t = mk(Map("graft.ttl.column" -> "ts", "graft.ttl.ms" -> "1000",
       "graft.ttl.mode" -> "exact"))
     t.append(df(1L -> 100L, 2L -> 999500L)) // one straddling file
     assert(t.ttlExpire(now))
     assert(t.toDF.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // observability: the DELETE snapshot carries the sweep's identity
+    val s = t.meta.currentSnapshot.get
+    assert(s.summary("ttl-mode") === "exact")
+    assert(s.summary("ttl-cutoff") === (now - 1000L).toString)
     assert(!t.ttlExpire(now), "second sweep at the same clock is a no-op")
+  }
+
+  test("exact mode no-op tick (r15): when no file's MIN stat crosses the " +
+    "cutoff the sweep skips on the stats pass alone — zero commits AND " +
+    "zero scan jobs (a hot table on the autoMaintain cadence must not " +
+    "pay a DELETE plan per tick)") {
+    val now = 1000000L
+    val t = mk(Map("graft.ttl.column" -> "ts", "graft.ttl.ms" -> "1000",
+      "graft.ttl.mode" -> "exact"))
+    t.append(df(1L -> 999500L, 2L -> 999900L)) // all comfortably young
+    t.append(df(3L -> 999600L))
+    val v0 = t.meta.version
+    // count only THIS thread's jobs (suites share the context and may run
+    // in parallel): ttlExpire runs on the calling thread, so any scan it
+    // submits inherits the job group set here
+    val group = "ttl-noop-probe"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (Option(j.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == group)) {
+          jobs.incrementAndGet(); ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "ttl no-op tick probe")
+    try {
+      assert(!t.ttlExpire(now), "nothing can have expired")
+      Thread.sleep(500) // listener bus is async — let it drain
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(t.meta.version === v0, "no-op tick must not commit")
+    assert(jobs.get() === 0, s"no-op tick must not run a scan (ran ${jobs.get()} jobs)")
+    // …and once a row CAN have expired, the same table sweeps for real
+    assert(t.ttlExpire(now + 1000600L))
+    assert(t.toDF.count() === 0)
   }
 
   test("unit mapping: an epoch-ns column (the events.ts convention) " +

@@ -59,4 +59,41 @@ class VerifyTableSpec extends AnyFunSuite {
     spark.sql("CALL fsck.system.verify_table('db.t')")
     assert(spark.table("db_t_verify").count() === 3)
   }
+
+  test("content verification (r15): a truncated manifest chunk and a " +
+    "bit-flipped bloom bundle are each reported precisely — the name's " +
+    "content hash no longer matches the bytes") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-fsck").toString
+    val cat = new LakeCatalog(spark, wh)
+    val t = cat.createTable("db.c", StructType(Seq(
+      StructField("id", LongType), StructField("k", StringType))),
+      properties = Map("graft.bloom.columns" -> "k"))
+    t.append((0L until 40L).map(i => (i, s"k$i")).toDF("id", "k").coalesce(1))
+    t.append((40L until 80L).map(i => (i, s"k$i")).toDF("id", "k").coalesce(1))
+    assert(t.verifyIntegrity().count() === 0)
+    val metaDir = Paths.get(wh, "db", "c", "metadata")
+    val chunk = t.meta.currentSnapshot.get.manifests.head
+    val bloom = t.meta.snapshots.reverse
+      .flatMap(_.summary.get(BloomSkip.BundleSummaryKey)).head
+    // truncate the chunk (drop the trailing half)
+    val chunkBytes = Files.readAllBytes(metaDir.resolve(chunk))
+    Files.write(metaDir.resolve(chunk),
+      java.util.Arrays.copyOf(chunkBytes, chunkBytes.length / 2))
+    // flip one bit inside the bloom bundle (length unchanged — an
+    // existence/size check would miss this entirely)
+    val bloomBytes = Files.readAllBytes(metaDir.resolve(bloom))
+    bloomBytes(bloomBytes.length / 2) =
+      (bloomBytes(bloomBytes.length / 2) ^ 0x01).toByte
+    Files.write(metaDir.resolve(bloom), bloomBytes)
+    // fresh handle so the chunk cache can't mask the damage
+    LakeTable.invalidateLocation(t.location)
+    val report = new LakeTable(spark, t.location).verifyIntegrity().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .filter(f => f._1 == "manifest" || f._1 == "bloom-bundle")
+    assert(report.exists(f => f._1 == "manifest" && f._2 == chunk &&
+      f._3.contains("content hash")), s"truncated chunk not caught:\n${report.mkString("\n")}")
+    assert(report.exists(f => f._1 == "bloom-bundle" && f._2 == bloom &&
+      f._3.contains("content hash")), s"bit-flip not caught:\n${report.mkString("\n")}")
+  }
 }
