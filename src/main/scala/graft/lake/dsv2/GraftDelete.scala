@@ -39,9 +39,14 @@ case class DeleteGraftCommand(
 
   override def run(spark: SparkSession): Seq[Row] = {
     // branch-suffixed targets (db.t.branch_x) pin the write branch —
-    // without it the DELETE would silently rewrite main
+    // without it the DELETE would silently rewrite main; an active SQL
+    // transaction routes to its staged branch instead (fork recorded)
     graft.lake.LakeTable.withConflictRetry() {
-      gt.lakeTable.delete(GraftUpdate.rebase(condition), toBranch = gt.pinnedBranch)
+      gt.txnRoute match {
+        case Some(tt) => tt.delete(GraftUpdate.rebase(condition))
+        case None => gt.lakeTable.delete(GraftUpdate.rebase(condition),
+          toBranch = gt.pinnedBranch)
+      }
     }
     Seq.empty
   }

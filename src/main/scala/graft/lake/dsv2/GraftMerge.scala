@@ -137,10 +137,10 @@ case class MergeIntoGraftCommand(
     // wrong rows)
     val tgtKeys =
       if (kb.isNullAt(0)) // no non-null source keys → nothing can match
-        gt.lakeTable.read(branch = gt.pinnedBranch)
+        gt.lakeTable.read(branch = gt.effectiveBranch)
           .select(col(targetKeyName).as("_tk")).filter(lit(false))
       else GraftMerge.matchedKeyScan(gt.lakeTable, targetKeyName, kb.get(0), kb.get(1),
-        branch = gt.pinnedBranch)
+        branch = gt.effectiveBranch)
     // cached: `marked` (source query + matched-ness join) is consumed once
     // per winning action branch plus once for the delete-key set — without
     // the cache an expensive source query re-executes 3-5 times
@@ -188,7 +188,7 @@ case class MergeIntoGraftCommand(
       // sync must at least read every target key.
       val nmbsKeys = notMatchedBySourceActions.headOption.map {
         case DeleteAction(cond) =>
-          val tdf = gt.lakeTable.read(branch = gt.pinnedBranch)
+          val tdf = gt.lakeTable.read(branch = gt.effectiveBranch)
           val condCol = cond.map(e => coalesce(ColumnBridge.column(e.transform {
             case a: AttributeReference => ColumnBridge.expression(tdf(a.name))
           }), lit(false))).getOrElse(lit(true))
@@ -211,9 +211,13 @@ case class MergeIntoGraftCommand(
           throw new IllegalStateException(s"untranslatable NMBS action $other")
       }
       val keyDf = nmbsKeys.foldLeft(matchedDeleteKeys)(_ unionByName _)
-      gt.lakeTable.mergeByKeys(targetKeyName, keyDf, upserts,
-        Map("merged-by" -> "sql-merge-into"), toBranch = gt.pinnedBranch,
-        nullKeyDelete = nullCond)
+      gt.txnRoute match {
+        case Some(tt) => tt.mergeByKeys(targetKeyName, keyDf, upserts,
+          Map("merged-by" -> "sql-merge-into"), nullKeyDelete = nullCond)
+        case None => gt.lakeTable.mergeByKeys(targetKeyName, keyDf, upserts,
+          Map("merged-by" -> "sql-merge-into"), toBranch = gt.pinnedBranch,
+          nullKeyDelete = nullCond)
+      }
     } finally { marked.unpersist(); () }
     Seq.empty
   }

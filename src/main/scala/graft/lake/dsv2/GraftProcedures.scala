@@ -24,6 +24,7 @@ object GraftProcedures {
     "rewrite_delete_files", "binpack", "auto_maintain", "export_scan",
     "add_files", "migrate", "attach_table", "detach_table",
     "fast_forward", "remove_orphan_files", "recover_transactions",
+    "begin_transaction", "commit_transaction", "rollback_transaction",
     "ttl_expire", "list_transactions", "verify_table",
     "create_branch", "drop_branch", "create_tag", "drop_tag",
     "build_ivf_index", "build_pq_index", "create_changelog_view",
@@ -187,6 +188,25 @@ object GraftProcedures {
           "transactions" else row.getString(0)
         lake.listTransactions().createOrReplaceTempView(view)
       }))
+    // SQL multi-table transactions (D40 via session-conf routing — see
+    // [[graft.lake.SqlTransactions]]): begin pins `spark.graft.txn.id`;
+    // every INSERT/UPDATE/DELETE/MERGE then stages on the txn branch and
+    // reads-your-writes; commit publishes all-or-nothing or raises the
+    // protocol's conflict error; rollback discards.
+    case "begin_transaction" => Some(proc(name,
+      Array(param("id", StringType, Some("''"))),
+      row => {
+        val id = if (row.isNullAt(0)) "" else row.getString(0)
+        val txnId = graft.lake.SqlTransactions.begin(lake, id)
+        System.err.println(s"[graft] transaction $txnId begun " +
+          s"(session conf ${graft.lake.SqlTransactions.ConfKey})")
+      }))
+    case "commit_transaction" => Some(proc(name,
+      Array.empty[ProcedureParameter],
+      _ => graft.lake.SqlTransactions.commit(lake.spark)))
+    case "rollback_transaction" => Some(proc(name,
+      Array.empty[ProcedureParameter],
+      _ => graft.lake.SqlTransactions.rollback(lake.spark)))
     case "recover_transactions" => Some(proc(name,
       Array.empty[ProcedureParameter],
       _ => {

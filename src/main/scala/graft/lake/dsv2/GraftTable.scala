@@ -41,6 +41,35 @@ case class GraftTable(
 
   override def name(): String = identName
 
+  /** Active SQL-transaction WRITE routing ([[graft.lake.SqlTransactions]]):
+    * while the session carries `spark.graft.txn.id`, every write stages on
+    * the transaction's branch through its [[graft.lake.TxnTable]] (fork
+    * point recorded) instead of committing to main. Pinned identifiers and
+    * path tables refuse — silently writing main inside a transaction would
+    * break its all-or-nothing contract. */
+  private[dsv2] def txnRoute: Option[graft.lake.TxnTable] = {
+    val cur = graft.lake.SqlTransactions.current(lakeTable.spark)
+    if (cur.isEmpty) None
+    else {
+      require(!identName.contains("`"),
+        s"path-based table $identName cannot participate in a SQL " +
+          "transaction (no catalog identity to enlist) — use a catalog table")
+      require(pinnedBranch.isEmpty && pinnedSnapshotId.isEmpty &&
+        pinnedTimestampMs.isEmpty,
+        s"cannot write to a pinned version/branch of $identName inside a " +
+          "SQL transaction — writes stage on the transaction branch")
+      cur.map(_.table(identName))
+    }
+  }
+
+  /** Branch reads resolve against: the pinned branch, or — inside an
+    * active SQL transaction that has WRITTEN this table — the staged txn
+    * branch (read-your-writes). Untouched tables keep reading main. */
+  private[dsv2] def effectiveBranch: Option[String] =
+    pinnedBranch.orElse(
+      if (pinnedSnapshotId.isDefined || pinnedTimestampMs.isDefined) None
+      else graft.lake.SqlTransactions.readBranch(lakeTable.spark, identName))
+
   /** (groupBy, aggs) when this table is a materialized-view STATE table —
     * such tables READ as the finalized view, never as raw merge state. */
   private def ivmSpec = graft.lake.MaterializedAgg.viewSpec(lakeTable.meta.properties)
@@ -62,7 +91,7 @@ case class GraftTable(
   def readDataFrame(): DataFrame = metaKind match {
     case Some(k) => lakeTable.metadataTable(k)
     case None =>
-      val raw = lakeTable.read(pinnedSnapshotId, pinnedBranch, pinnedTimestampMs)
+      val raw = lakeTable.read(pinnedSnapshotId, effectiveBranch, pinnedTimestampMs)
       ivmSpec.fold(raw) { case (g, a) =>
         graft.lake.MaterializedAgg.presentState(raw, g, a) }
   }
@@ -76,7 +105,7 @@ case class GraftTable(
     // so the metadata count stays exact for it too
     case Some(_) => None
     case None =>
-      lakeTable.resolveSnapshot(pinnedSnapshotId, pinnedBranch, pinnedTimestampMs) match {
+      lakeTable.resolveSnapshot(pinnedSnapshotId, effectiveBranch, pinnedTimestampMs) match {
         // equality deletes mask an unknowable row count (a key may hit 0..n
         // rows) — only a scan can answer
         case Some(s) if s.eqDeleteFiles.nonEmpty => None
@@ -121,7 +150,7 @@ case class GraftTable(
     case Some(_) => None
     case None =>
       val m = lakeTable.meta
-      lakeTable.resolveSnapshot(pinnedSnapshotId, pinnedBranch, pinnedTimestampMs) match {
+      lakeTable.resolveSnapshot(pinnedSnapshotId, effectiveBranch, pinnedTimestampMs) match {
         case None => Some(Seq.empty)
         case Some(s) if s.eqDeleteFiles.nonEmpty => None
         // position deletes: exact for COUNT(*), opaque for null counts and
@@ -193,7 +222,7 @@ case class GraftTable(
   def metadataCountCol(colName: String): Option[Long] = metaKind match {
     case Some(_) => None
     case None =>
-      lakeTable.resolveSnapshot(pinnedSnapshotId, pinnedBranch, pinnedTimestampMs) match {
+      lakeTable.resolveSnapshot(pinnedSnapshotId, effectiveBranch, pinnedTimestampMs) match {
         case None => Some(0L)
         case Some(s) if s.deleteFiles.nonEmpty || s.eqDeleteFiles.nonEmpty => None
         case Some(s) => lakeTable.statsCountColOver(lakeTable.meta, s.files, colName)
@@ -206,7 +235,7 @@ case class GraftTable(
   def metadataMinMax(colName: String): Option[(Option[Long], Option[Long])] = metaKind match {
     case Some(_) => None
     case None =>
-      lakeTable.resolveSnapshot(pinnedSnapshotId, pinnedBranch, pinnedTimestampMs) match {
+      lakeTable.resolveSnapshot(pinnedSnapshotId, effectiveBranch, pinnedTimestampMs) match {
         case Some(s) => lakeTable.statsMinMax(s, colName)
         case None => Some((None, None)) // empty table: MIN/MAX are null
       }
@@ -325,10 +354,10 @@ case class GraftTable(
                 case None if ivmSpec.isDefined =>
                   val (g, a) = ivmSpec.get
                   val v = graft.lake.MaterializedAgg.presentState(
-                    lakeTable.read(pinnedSnapshotId, pinnedBranch, pinnedTimestampMs),
+                    lakeTable.read(pinnedSnapshotId, effectiveBranch, pinnedTimestampMs),
                     g, a)
                   cond.map(v.filter).getOrElse(v)
-                case None => lakeTable.read(pinnedSnapshotId, pinnedBranch,
+                case None => lakeTable.read(pinnedSnapshotId, effectiveBranch,
                   pinnedTimestampMs, filter = cond)
               }
               val projected =
@@ -360,8 +389,13 @@ case class GraftTable(
             // INSERT OVERWRITE must be ONE atomic commit — truncate+append
             // would expose an empty intermediate snapshot to readers and a
             // failure between the two would lose the table.
-            if (overwriteAll) lakeTable.overwrite(data, toBranch = pinnedBranch)
-            else lakeTable.append(data, toBranch = pinnedBranch)
+            txnRoute match {
+              case Some(tt) =>
+                if (overwriteAll) tt.overwrite(data) else tt.append(data)
+              case None =>
+                if (overwriteAll) lakeTable.overwrite(data, toBranch = pinnedBranch)
+                else lakeTable.append(data, toBranch = pinnedBranch)
+            }
             ()
           }
       }
@@ -382,7 +416,10 @@ case class GraftTable(
     // a branch-suffixed identifier (db.t.branch_x) pins the write target:
     // without this the delete would silently land on main
     graft.lake.LakeTable.withConflictRetry() {
-      lakeTable.delete(cond, toBranch = pinnedBranch)
+      txnRoute match {
+        case Some(tt) => tt.delete(cond)
+        case None => lakeTable.delete(cond, toBranch = pinnedBranch)
+      }
     }
     ()
   }

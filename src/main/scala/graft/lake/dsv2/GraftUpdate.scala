@@ -54,12 +54,15 @@ case class UpdateGraftCommand(
 
   override def run(spark: SparkSession): Seq[Row] = {
     // branch-suffixed targets (db.t.branch_x) pin the write branch —
-    // without it the UPDATE would silently rewrite main
+    // without it the UPDATE would silently rewrite main; an active SQL
+    // transaction routes to its staged branch instead (fork recorded)
     graft.lake.LakeTable.withConflictRetry() {
-      gt.lakeTable.update(
-        assignments.map { case (n, e) => n -> GraftUpdate.rebase(e) }.toMap,
-        condition.map(GraftUpdate.rebase),
-        toBranch = gt.pinnedBranch)
+      val asg = assignments.map { case (n, e) => n -> GraftUpdate.rebase(e) }.toMap
+      val cond = condition.map(GraftUpdate.rebase)
+      gt.txnRoute match {
+        case Some(tt) => tt.update(asg, cond)
+        case None => gt.lakeTable.update(asg, cond, toBranch = gt.pinnedBranch)
+      }
     }
     Seq.empty
   }

@@ -1571,4 +1571,61 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT COUNT(*) FROM lake.mor.t").head.getLong(0) === 99)
     assert(sql("SELECT COUNT(*) FROM lake.mor.t WHERE id = 42").head.getLong(0) === 0)
   }
+
+  test("SQL multi-table transactions (r15): the q98 ledger move runs " +
+    "PURELY via CALL begin/commit_transaction — rollback discards, " +
+    "read-your-writes inside, all-or-nothing after, and a concurrent " +
+    "main commit aborts the SQL commit with zero residue") {
+    import graft.lake.{CommitConflictException, LakeCatalog, LakeTransaction}
+    // the extensions session: UPDATE/arbitrary-predicate DELETE translate
+    // through GraftUpdate/GraftDelete, exactly the notebook setup
+    val sqlx = (q: String) => extSpark.sql(q)
+    sqlx("CREATE DATABASE IF NOT EXISTS lake.txndb")
+    sqlx("CREATE TABLE lake.txndb.open (k BIGINT, amt DOUBLE)")
+    sqlx("CREATE TABLE lake.txndb.done (k BIGINT, amt DOUBLE)")
+    sqlx("""INSERT INTO lake.txndb.open VALUES
+          |(1, 10.0), (2, 20.0), (3, 30.0), (9, 90.0), (18, 180.0)""".stripMargin)
+    def n(t: String) = sqlx(s"SELECT COUNT(*) FROM lake.txndb.$t").head.getLong(0)
+    // 1) staged-then-ROLLED-BACK move: effects absent from both tables
+    sqlx("CALL lake.system.begin_transaction()")
+    sqlx("INSERT INTO lake.txndb.done SELECT k, amt FROM lake.txndb.open WHERE k % 9 = 0")
+    sqlx("DELETE FROM lake.txndb.open WHERE k % 9 = 0")
+    // read-your-writes INSIDE the transaction…
+    assert(n("open") === 3 && n("done") === 2)
+    // …while a plain session keeps seeing main
+    assert(sql("SELECT COUNT(*) FROM lake.txndb.open").head.getLong(0) === 5)
+    sqlx("CALL lake.system.rollback_transaction()")
+    assert(n("open") === 5 && n("done") === 0, "rollback must discard all")
+    // 2) the real move, committed — plus an UPDATE to exercise that path
+    sqlx("CALL lake.system.begin_transaction()")
+    sqlx("INSERT INTO lake.txndb.done SELECT k, amt FROM lake.txndb.open WHERE k % 9 = 0")
+    sqlx("UPDATE lake.txndb.done SET amt = amt + 1.0 WHERE k = 9")
+    sqlx("DELETE FROM lake.txndb.open WHERE k % 9 = 0")
+    sqlx("CALL lake.system.commit_transaction()")
+    assert(n("open") === 3 && n("done") === 2)
+    assert(sqlx("SELECT amt FROM lake.txndb.done WHERE k = 9").head.getDouble(0) === 91.0)
+    // 3) fence-abort: a concurrent engine commits to main on a participant
+    // between staging and CALL commit → the protocol aborts the whole
+    // transaction; both tables keep their pre-transaction content
+    sqlx("CALL lake.system.begin_transaction()")
+    sqlx("DELETE FROM lake.txndb.open WHERE k = 1")
+    assert(n("open") === 2, "read-your-writes before the conflict")
+    val wh = spark.conf.get("spark.sql.catalog.lake.warehouse")
+    import spark.implicits._
+    new LakeCatalog(spark, wh).loadTable("txndb.open")
+      .append(Seq((777L, 7.0)).toDF("k", "amt")) // foreign main commit
+    val e = intercept[Exception](sqlx("CALL lake.system.commit_transaction()"))
+    assert(e.isInstanceOf[CommitConflictException] ||
+      Option(e.getCause).exists(_.isInstanceOf[CommitConflictException]) ||
+      e.getMessage.contains("concurrent commit"),
+      s"expected the protocol's conflict error, got: $e")
+    // zero residue: conf cleared, no fence, no txn branches, content intact
+    assert(extSpark.conf.getOption(graft.lake.SqlTransactions.ConfKey)
+      .forall(_.isEmpty))
+    val open = new LakeCatalog(spark, wh).loadTable("txndb.open")
+    assert(!open.meta.properties.contains(LakeTransaction.FenceKey))
+    assert(!open.meta.refs.keys.exists(_.startsWith("txn-")))
+    assert(n("open") === 4, "foreign append visible, staged delete discarded")
+    assert(n("done") === 2)
+  }
 }
