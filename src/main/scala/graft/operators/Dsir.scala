@@ -48,16 +48,31 @@ object Dsir {
   val DefaultBuckets = 4096
   val Scale = 1000000L
 
-  /** (doc_id, bucket, c): hashed-unigram bucket counts per document.
-    * Bucket = first 3 hex digits of md5(lowercased whitespace token). */
+  /** (doc_id, bucket, c): hashed n-gram bucket counts per document.
+    * Bucket = first 3 hex digits of md5(feature), where a feature is a
+    * lowercased whitespace token (`ngrams = 1`) or `ngrams` ADJACENT
+    * tokens joined by one space (Xie et al.'s headline config is hashed
+    * BIGRAMS — n-gram order carries target-style phrasing a bag of
+    * unigrams can't). Empty split artifacts are dropped BEFORE gram
+    * construction so both engines build identical windows; a doc shorter
+    * than `ngrams` tokens contributes nothing. One fused projection —
+    * the n-gram window is an in-row `transform`/`slice`, no self-join. */
   def bucketCounts(docs: DataFrame, textCol: String = "text",
-                   idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol),
-        explode(split(lower(col(textCol)), "\\s+")).as("w"))
-      .filter(length(col("w")) > 0)
+                   idCol: String = "doc_id", ngrams: Int = 1): DataFrame = {
+    require(ngrams >= 1 && ngrams <= 4, s"ngrams must be 1..4 (got $ngrams)")
+    val toks = filter(split(lower(col(textCol)), "\\s+"),
+      t => length(t) > 0)
+    val feats =
+      if (ngrams == 1) toks
+      else when(size(toks) >= ngrams,
+        transform(sequence(lit(0), size(toks) - ngrams),
+          i => array_join(slice(toks, i + 1, lit(ngrams)), " ")))
+        .otherwise(array())
+    docs.select(col(idCol), explode(feats).as("w"))
       .select(col(idCol),
         conv(substring(md5(col("w")), 1, 3), 16, 10).cast("long").as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
+  }
 
   /** (bucket, logratio_fp): fixed-point per-bucket log importance ratio
     * between the smoothed target and source bucket models. Buckets absent
@@ -65,11 +80,23 @@ object Dsir {
     * to docs that contain them — and no doc does). */
   def bucketLogRatios(target: DataFrame, source: DataFrame,
                       textCol: String = "text", idCol: String = "doc_id",
-                      buckets: Int = DefaultBuckets): DataFrame = {
-    def model(docs: DataFrame) = bucketCounts(docs, textCol, idCol)
-      .groupBy("bucket").agg(sum("c").as("cnt"))
-    val t = model(target).withColumnRenamed("cnt", "cnt_t")
-    val s = model(source).withColumnRenamed("cnt", "cnt_s")
+                      buckets: Int = DefaultBuckets,
+                      ngrams: Int = 1): DataFrame =
+    ratiosFromCounts(bucketCounts(target, textCol, idCol, ngrams),
+      bucketCounts(source, textCol, idCol, ngrams), buckets)
+
+  /** Ratio table from PRE-COMPUTED per-doc bucket counts — lets
+    * [[select]] feed the same pool aggregate into both the source model
+    * and the scoring join (one tokenize+hash pass over the pool, the
+    * 100 TB side; the shared (id, bucket) shuffle dedupes via Spark's
+    * ReuseExchange). */
+  private[operators] def ratiosFromCounts(targetCounts: DataFrame,
+                                          sourceCounts: DataFrame,
+                                          buckets: Int): DataFrame = {
+    def model(counts: DataFrame) =
+      counts.groupBy("bucket").agg(sum("c").as("cnt"))
+    val t = model(targetCounts).withColumnRenamed("cnt", "cnt_t")
+    val s = model(sourceCounts).withColumnRenamed("cnt", "cnt_s")
     val joined = t.join(s, Seq("bucket"), "full_outer")
       .na.fill(0L, Seq("cnt_t", "cnt_s"))
     // totals via 1-row aggregates cross-joined in (window-free, exact).
@@ -92,8 +119,9 @@ object Dsir {
     * broadcasts. */
   def importanceScores(pool: DataFrame, ratios: DataFrame,
                        textCol: String = "text",
-                       idCol: String = "doc_id"): DataFrame =
-    bucketCounts(pool, textCol, idCol)
+                       idCol: String = "doc_id",
+                       ngrams: Int = 1): DataFrame =
+    bucketCounts(pool, textCol, idCol, ngrams)
       .join(broadcast(ratios), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(sum(col("c") * col("logratio_fp")).as("score"))
@@ -102,9 +130,17 @@ object Dsir {
     * (score DESC, id ASC). */
   def select(pool: DataFrame, target: DataFrame, k: Int,
              textCol: String = "text", idCol: String = "doc_id",
-             buckets: Int = DefaultBuckets): DataFrame = {
-    val ratios = bucketLogRatios(target, pool, textCol, idCol, buckets)
-    importanceScores(pool, ratios, textCol, idCol)
+             buckets: Int = DefaultBuckets, ngrams: Int = 1): DataFrame = {
+    // ONE pool pass (r15): the same (doc_id, bucket, c) aggregate feeds
+    // the source model AND the per-doc scores — tokenize+md5 over the
+    // pool (the expensive, 100 TB side) runs once instead of twice, and
+    // the shared shuffle dedupes via ReuseExchange.
+    val poolCounts = bucketCounts(pool, textCol, idCol, ngrams)
+    val ratios = ratiosFromCounts(
+      bucketCounts(target, textCol, idCol, ngrams), poolCounts, buckets)
+    poolCounts.join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c") * col("logratio_fp")).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }

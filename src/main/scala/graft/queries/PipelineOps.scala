@@ -780,7 +780,60 @@ object PipelineOps {
       |GROUP BY c.doc_id
       |ORDER BY score DESC, c.doc_id LIMIT 200""".stripMargin)
 
+  /** q95's DSIR selection re-run over hashed BIGRAM profiles (Xie et
+    * al.'s headline config — `ngrams = 2` in
+    * [[graft.operators.Dsir.select]]): adjacent lowercased tokens join
+    * with one space before hashing, so phrase structure (not just
+    * vocabulary) drives the importance weights. The oracle rebuilds the
+    * same bigrams relationally (list_filter → generate_series window →
+    * array_to_string), with the identical fixed-point discipline and the
+    * BIGINT-cast final sum the r14 dtype lesson mandates. Same 100 TB
+    * shape as q95: one fused projection per doc, a 4096-row broadcast
+    * ratio table, TakeOrderedAndProject. */
+  val q101 = plan("q101_dsir_bigram",
+    fn = (s, dir) => {
+      val docs = graft.Tables.load(s, dir, "documents")
+      import org.apache.spark.sql.functions.col
+      graft.operators.Dsir.select(
+          pool = docs.filter(col("lang") =!= "en"),
+          target = docs.filter(col("lang") === "en"),
+          k = 200, ngrams = 2)
+        .select(col("doc_id"), col("score"))
+    },
+    duckSql = """WITH tokl AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                t -> len(t) > 0) AS ts
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, lang,
+      |    array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+1], ' ') AS w
+      |  FROM tokl, UNNEST(generate_series(1, len(ts)-1)) AS g(i)),
+      |cnt AS (
+      |  SELECT doc_id, lang,
+      |      (POSITION(substr(md5(w),1,1) IN '0123456789abcdef')-1)*256
+      |    + (POSITION(substr(md5(w),2,1) IN '0123456789abcdef')-1)*16
+      |    + (POSITION(substr(md5(w),3,1) IN '0123456789abcdef')-1) AS bucket,
+      |    COUNT(*) AS c
+      |  FROM tok GROUP BY 1, 2, 3),
+      |tmodel AS (SELECT bucket, SUM(c) AS cnt_t FROM cnt WHERE lang = 'en' GROUP BY 1),
+      |smodel AS (SELECT bucket, SUM(c) AS cnt_s FROM cnt WHERE lang <> 'en' GROUP BY 1),
+      |tot AS (SELECT (SELECT COALESCE(SUM(cnt_t), 0) FROM tmodel) AS tot_t,
+      |               (SELECT COALESCE(SUM(cnt_s), 0) FROM smodel) AS tot_s),
+      |ratio AS (
+      |  SELECT COALESCE(t.bucket, s.bucket) AS bucket,
+      |    CAST(FLOOR(LN(
+      |        (CAST(COALESCE(cnt_t, 0) + 1 AS DOUBLE) / CAST(tot_t + 4096 AS DOUBLE))
+      |      / (CAST(COALESCE(cnt_s, 0) + 1 AS DOUBLE) / CAST(tot_s + 4096 AS DOUBLE))
+      |    ) * 1000000) AS BIGINT) AS logratio_fp
+      |  FROM tmodel t FULL OUTER JOIN smodel s ON t.bucket = s.bucket CROSS JOIN tot)
+      |SELECT c.doc_id, CAST(SUM(c.c * r.logratio_fp) AS BIGINT) AS score
+      |FROM cnt c JOIN ratio r ON c.bucket = r.bucket
+      |WHERE c.lang <> 'en'
+      |GROUP BY c.doc_id
+      |ORDER BY score DESC, c.doc_id LIMIT 200""".stripMargin)
+
   def specs: Seq[QuerySpec] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q47, q48, q49, q50, q53, q54,
-      q60, q61, q62, q67, q69, q78, q84, q85, q95)
+      q60, q61, q62, q67, q69, q78, q84, q85, q95, q101)
 }

@@ -55,6 +55,56 @@ class DsirSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("bigram scores equal a naive local recomputation (r15: Xie et " +
+    "al.'s headline config is hashed bigrams)") {
+    val target = docs(1L -> "the cat sat", 2L -> "the dog  sat")
+    val pool = docs(
+      10L -> "  the cat ran", 11L -> "zebra quux flurb",
+      12L -> "the the the", 13L -> "x") // one-token doc: zero bigrams
+    val got = Dsir.importanceScores(pool,
+        Dsir.bucketLogRatios(target, pool, ngrams = 2), ngrams = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    def toks(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    def grams(s: String) = toks(s).sliding(2).filter(_.size == 2)
+      .map(_.mkString(" ")).toSeq
+    def bucket(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(md.take(3), 16)
+    }
+    def model(texts: Seq[String]) =
+      texts.flatMap(grams).groupBy(bucket).map { case (b, ws) => b -> ws.size.toLong }
+    val tm = model(Seq("the cat sat", "the dog  sat"))
+    val poolTexts = Map(10L -> "  the cat ran", 11L -> "zebra quux flurb",
+      12L -> "the the the", 13L -> "x")
+    val sm = model(poolTexts.values.toSeq)
+    val (tt, st) = (tm.values.sum, sm.values.sum)
+    def lr(b: Long): Long = math.floor(math.log(
+      ((tm.getOrElse(b, 0L) + 1).toDouble / (tt + 4096)) /
+        ((sm.getOrElse(b, 0L) + 1).toDouble / (st + 4096))) * 1e6).toLong
+    val expect = poolTexts.collect { case (id, text) if grams(text).nonEmpty =>
+      id -> grams(text).map(bucket).groupBy(identity)
+        .map { case (b, bs) => bs.size.toLong * lr(b) }.sum
+    }
+    assert(got === expect, "docs with zero bigrams contribute no score row")
+    assert(!got.contains(13L))
+  }
+
+  test("bigram selection prefers target PHRASING over shared vocabulary " +
+    "in scrambled order") {
+    // both pool docs use exactly the target's vocabulary — only word
+    // ORDER differs, so unigram profiles tie and only bigrams separate
+    val target = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta")
+    val pool = docs(
+      20L -> "alpha beta gamma delta",  // target phrasing
+      21L -> "delta gamma beta alpha")  // same bag, scrambled order
+    val top = Dsir.select(pool, target, k = 1, ngrams = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(top === Seq(20L),
+      s"bigram profile must separate phrasing, got $top")
+  }
+
   test("selection prefers target-like docs; deterministic tie-break") {
     val target = docs(1L -> "alpha beta gamma", 2L -> "alpha beta delta")
     val pool = docs(
