@@ -171,27 +171,60 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
   def dropTable(ident: String): Unit = {
     // a renamed table's data may still live under its prior locations
     // (rename moves authority, not bytes) — reclaim them and their
-    // tombstones, or the directories stay unusable forever
-    val priorLocs =
+    // tombstones, or the directories stay unusable forever. Clones make
+    // dropping DIRECTIONAL: a table with live clones refuses (its bytes
+    // are another table's content), and dropping a clone deregisters it
+    // from every ancestor so their GC stops sparing its bytes.
+    val (priorLocs, ancestors) =
       try {
-        if (tableExists(ident))
-          loadTable(ident).meta.properties
-            .get(LakeCatalog.RenamedFromLocationsKey)
+        if (tableExists(ident)) {
+          val t = loadTable(ident)
+          val props = t.meta.properties
+          val liveClones = props.getOrElse(LakeCatalog.CloneLocationsKey, "")
+            .split(";").filter(_.nonEmpty).toSeq
+            .filter { loc =>
+              try t.sibling(loc).metaStore.exists("v1.json")
+              catch { case scala.util.control.NonFatal(_) => true } // fail closed
+            }
+          if (liveClones.nonEmpty) throw new IllegalStateException(
+            s"cannot drop $ident: live clones still read its data files " +
+              s"(${liveClones.mkString(", ")}) — drop them first")
+          (props.get(LakeCatalog.RenamedFromLocationsKey)
             .toSeq.flatMap(_.split(";")).filter(_.nonEmpty)
-            .filter(_.startsWith(warehouse + "/"))
-        else Seq.empty
-      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
-    LakeTable.invalidateLocation(tableLocation(ident))
+            .filter(_.startsWith(warehouse + "/")),
+            cloneChain(t).drop(1))
+        } else (Seq.empty, Seq.empty)
+      } catch {
+        case e: IllegalStateException => throw e
+        case scala.util.control.NonFatal(_) => (Seq.empty, Seq.empty)
+      }
+    val myLoc = tableLocation(ident)
+    LakeTable.invalidateLocation(myLoc)
     metaStoreFor(ident) match {
       case h: HttpMetaStore =>
         LakeTable.invalidateLocation(h.id)
         h.dropTable() // metadata authority first, then the data bytes
       case _ => ()
     }
-    fs.delete(new Path(tableLocation(ident)), true)
+    fs.delete(new Path(myLoc), true)
     priorLocs.foreach { loc =>
       LakeTable.invalidateLocation(loc)
       fs.delete(new Path(loc), true)
+    }
+    // deregister this clone from every ancestor's clone list
+    ancestors.foreach { anc =>
+      try {
+        anc.updateProperties { p =>
+          p.get(LakeCatalog.CloneLocationsKey) match {
+            case Some(v) =>
+              val kept = v.split(";").filter(_.nonEmpty).filterNot(_ == myLoc)
+              if (kept.isEmpty) p - LakeCatalog.CloneLocationsKey
+              else p + (LakeCatalog.CloneLocationsKey -> kept.mkString(";"))
+            case None => p
+          }
+        }
+        ()
+      } catch { case scala.util.control.NonFatal(_) => () } // stale entries are pruned by liveness checks
     }
     ()
   }
@@ -386,6 +419,147 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     loadTable(newIdent)
   }
 
+
+  /** Zero-copy table CLONE (Delta's SHALLOW CLONE / Iceberg's
+    * snapshot-procedure shape): one metadata commit creates `dstIdent`
+    * whose first snapshot references the SOURCE's data, delete and DV
+    * files at their absolute paths — no bytes move at any table size.
+    * Schema, partition spec, sort order, identity high-water and table
+    * properties carry over; bloom bundles (content-addressed, resolved
+    * against the owning table's metaStore) are copied object-for-object
+    * so skipping and verify_table work on the clone from birth. The two
+    * tables then diverge freely: each commits to its own metadata, new
+    * writes land under each table's own directory (the mixed-directory
+    * layout add_files/migrate/rename already normalized).
+    *
+    * GC safety — the footgun Delta documents as "don't VACUUM a cloned
+    * source" is CLOSED structurally: the clone registers its location in
+    * `graft.clone-locations` on the source AND on every table up the
+    * source's own clone chain (a clone-of-a-clone references bytes in
+    * every ancestor directory). [[LakeTable.expireSnapshots]] and
+    * [[LakeTable.removeOrphanFiles]] union the live sets of registered
+    * clones before any physical deletion — failing CLOSED (abort) if a
+    * registered clone's metadata cannot be read — and
+    * [[LakeCatalog.dropTable]] refuses to drop a table with live clones.
+    * Dropping the clone deregisters it everywhere and frees the source.
+    *
+    * `asOfSnapshotId` clones a historical snapshot (CLONE ... VERSION AS
+    * OF); default is the current one. */
+  def cloneTable(srcIdent: String, dstIdent: String,
+                 asOfSnapshotId: Option[Long] = None): LakeTable = {
+    require(tableExists(srcIdent), s"table $srcIdent does not exist")
+    require(!tableExists(dstIdent), s"table $dstIdent already exists")
+    require(dstIdent.split("\\.").length >= 2 && dstIdent.split("\\.")
+      .forall(_.matches("[A-Za-z0-9._-]+")), s"invalid identifier $dstIdent")
+    val src = loadTable(srcIdent)
+    val sm = src.meta
+    require(!sm.properties.contains(LakeTransaction.FenceKey),
+      s"$srcIdent is fenced by an in-flight transaction — clone after it " +
+        "completes")
+    val snap = asOfSnapshotId match {
+      case Some(id) => sm.snapshot(id).getOrElse(throw new IllegalArgumentException(
+        s"snapshot $id not found in $srcIdent"))
+      case None => sm.currentSnapshot.getOrElse(throw new IllegalArgumentException(
+        s"$srcIdent has no snapshot to clone"))
+    }
+    val dstLoc = tableLocation(dstIdent)
+    require(!fs.exists(new Path(dstLoc, LakeCatalog.MovedTombstone)),
+      s"cannot clone into $dstLoc: the location still holds a renamed " +
+        "table's live data (tombstoned)")
+    LakeTable.invalidateLocation(dstLoc)
+    val now = System.currentTimeMillis()
+    val cloneSnap = snap.copy(
+      snapshotId = 1L, parentId = None, timestampMs = now,
+      operation = "clone",
+      summary = Map(
+        "operation" -> "clone",
+        "cloned-from" -> srcIdent,
+        "cloned-from-location" -> src.location,
+        "source-snapshot-id" -> snap.snapshotId.toString,
+        "total-records" -> snap.files.map(_.rowCount).sum.toString) ++
+        snap.summary.get(BloomSkip.BundleSummaryKey)
+          .map(BloomSkip.BundleSummaryKey -> _),
+      staged = false,
+      manifests = Seq.empty, manifestList = None, deleteManifest = None)
+    // properties travel minus identity bookkeeping that must not:
+    // another table's fence, rename/clone registrations, WAP session state
+    val carried = sm.properties -
+      LakeTransaction.FenceKey -
+      LakeCatalog.CloneLocationsKey -
+      LakeCatalog.RenamedFromLocationsKey - "graft.renamed-from" +
+      ("graft.cloned-from" -> srcIdent) +
+      (LakeCatalog.ClonedFromLocationKey -> src.location)
+    val meta0 = TableMeta(
+      formatVersion = 1,
+      tableId = UUID.randomUUID().toString,
+      name = dstIdent,
+      location = dstLoc,
+      schemas = sm.schemas,
+      currentSchemaId = sm.currentSchemaId,
+      partitionSpecs = sm.partitionSpecs,
+      defaultSpecId = sm.defaultSpecId,
+      snapshots = Seq(cloneSnap),
+      refs = Map("main" -> Ref(1L)),
+      history = Seq(HistoryEntry(now, 1L, "main")),
+      properties = carried,
+      lastColumnId = sm.lastColumnId,
+      lastSnapshotId = 1L,
+      version = 1)
+    val store = metaStoreFor(dstIdent)
+    // bloom bundles resolve against the OWNING table's metaStore — copy
+    // the content-addressed objects so the clone's skipping + fsck work
+    snap.summary.get(BloomSkip.BundleSummaryKey).toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty).foreach { n =>
+        if (!store.exists(n)) {
+          store.putIfAbsent(n,
+            src.metaStore.read(n).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          ()
+        }
+      }
+    val (_, persisted) = Manifests.assign(meta0, store)
+    require(store.putIfAbsent("v1.json",
+      Meta.toJson(persisted).getBytes("UTF-8")),
+      s"table $dstIdent already exists")
+    store.putOverwrite("version-hint.text", "1".getBytes("UTF-8"))
+    // register on the source and every ancestor up its clone chain: a
+    // clone-of-a-clone references bytes in every ancestor's directory,
+    // and each ancestor's own GC must know
+    cloneChain(src).foreach { anc =>
+      anc.updateProperties { p =>
+        val cur = p.getOrElse(LakeCatalog.CloneLocationsKey, "")
+          .split(";").filter(_.nonEmpty)
+        p + (LakeCatalog.CloneLocationsKey ->
+          (cur :+ dstLoc).distinct.mkString(";"))
+      }
+      ()
+    }
+    loadTable(dstIdent)
+  }
+
+  /** `t` plus every ancestor reachable via `graft.cloned-from-location`
+    * links (live tables only; dropTable's live-clone refusal keeps the
+    * chain intact while any descendant exists). */
+  private def cloneChain(t: LakeTable): Seq[LakeTable] = {
+    val out = scala.collection.mutable.ArrayBuffer(t)
+    var cur = t
+    var hops = 0
+    while (hops < 64) {
+      cur.meta.properties.get(LakeCatalog.ClonedFromLocationKey) match {
+        case Some(loc) if loc.nonEmpty =>
+          val anc = try {
+            val a = cur.sibling(loc)
+            if (a.metaStore.exists("v1.json")) Some(a) else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+          anc match {
+            case Some(a) => out += a; cur = a; hops += 1
+            case None => hops = 64
+          }
+        case _ => hops = 64
+      }
+    }
+    out.toSeq
+  }
+
   /** Marker a rename leaves at its OLD location: the directory still
     * holds the renamed table's live data files, so it must not be
     * adopted by a new table (whose orphan-file GC would delete them). */
@@ -529,6 +703,14 @@ object LakeCatalog {
     * may still live under — accumulated across chained renames so a
     * final DROP can reclaim all of them. */
   private[lake] val RenamedFromLocationsKey = "graft.renamed-from-locations"
+  /** ';'-separated locations of live CLONES whose snapshots reference
+    * this table's data files — expire/orphan sweeps spare their bytes
+    * and dropTable refuses while any is live. */
+  private[lake] val CloneLocationsKey = "graft.clone-locations"
+  /** Location of the table this one was cloned FROM (one hop; the chain
+    * walks the links) — location-keyed, so the rename fix-up machinery
+    * keeps it valid. */
+  private[lake] val ClonedFromLocationKey = "graft.cloned-from-location"
 }
 
 /** Wire-protocol client catalog: table METADATA resolves and commits

@@ -2365,6 +2365,28 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     true
   }
 
+  /** Every path a REGISTERED CLONE of this table still references
+    * (union over all retained snapshots of each live clone) — physical
+    * deletion in [[expireSnapshots]] / [[removeOrphanFiles]] must spare
+    * these even when this table's own metadata no longer references
+    * them. FAILS CLOSED: a registered clone whose metadata exists but
+    * cannot be read aborts the caller (deleting on a read failure would
+    * be silent data loss in ANOTHER table); a clone whose v1.json is
+    * gone was dropped and is skipped. Scheme-less paths, matching the
+    * callers' comparison convention. */
+  private def cloneLivePaths(m: TableMeta): Set[String] =
+    m.properties.getOrElse(LakeCatalog.CloneLocationsKey, "")
+      .split(";").filter(_.nonEmpty).toSeq
+      .flatMap { loc =>
+        val c = sibling(loc)
+        if (!c.metaStore.exists("v1.json")) Seq.empty
+        else c.meta.snapshots.flatMap(s =>
+          s.files.map(_.path) ++ s.deleteFiles.map(_.path) ++
+            s.deleteFiles.flatMap(_.vectors.values.map(_.bundle)) ++
+            s.eqDeleteFiles.map(_.path))
+      }
+      .map(p => new Path(p).toUri.getPath).toSet
+
   /** CALL expire_snapshots (D19): drop snapshots older than `olderThanMs`
     * (keeping ref targets and the newest `retainLast`), then delete data
     * files no surviving snapshot references. */
@@ -2415,8 +2437,13 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     // referenced them must never reach into the source dir (the data-loss
     // footgun Iceberg's add_files docs warn about, closed here)
     val owned = new Path(location).toUri.getPath + "/"
+    // registered clones still reference bytes in THIS directory even
+    // after this table's snapshots stop doing so — spare them (fails
+    // closed if a clone's metadata is unreadable, see cloneLivePaths)
+    val cloneLive = cloneLivePaths(m2)
     (before -- live).foreach { p =>
-      if (new Path(p).toUri.getPath.startsWith(owned))
+      val raw = new Path(p).toUri.getPath
+      if (raw.startsWith(owned) && !cloneLive.contains(raw))
         fs.delete(new Path(p), false)
     }
     // Manifest chunks are SHARED across snapshots (that's the point), so a
@@ -2989,12 +3016,16 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
         s.eqDeleteFiles.map(_.path))
       .map(p => new Path(p).toUri.getPath).toSet
     val orphans = scala.collection.mutable.ArrayBuffer[String]()
+    // a registered clone's snapshots reference files in this directory
+    // that THIS table's metadata may no longer know — never orphans
+    val referencedByClones = cloneLivePaths(m)
     if (fs.exists(dataDir)) {
       val it = fs.listFiles(dataDir, false)
       while (it.hasNext) {
         val st = it.next()
         val p = st.getPath.toUri.getPath
-        if (!referenced.contains(p) && st.getModificationTime < olderThanMs) {
+        if (!referenced.contains(p) && !referencedByClones.contains(p) &&
+            st.getModificationTime < olderThanMs) {
           if (fs.delete(st.getPath, false)) orphans += p
         }
       }

@@ -25,6 +25,7 @@ object GraftProcedures {
     "add_files", "migrate", "attach_table", "detach_table",
     "fast_forward", "remove_orphan_files", "recover_transactions",
     "begin_transaction", "commit_transaction", "rollback_transaction",
+    "clone_table",
     "ttl_expire", "list_transactions", "verify_table",
     "create_branch", "drop_branch", "create_tag", "drop_tag",
     "build_ivf_index", "build_pq_index", "create_changelog_view",
@@ -207,6 +208,17 @@ object GraftProcedures {
     case "rollback_transaction" => Some(proc(name,
       Array.empty[ProcedureParameter],
       _ => graft.lake.SqlTransactions.rollback(lake.spark)))
+    // zero-copy shallow clone (Delta CLONE / Iceberg snapshot-procedure
+    // shape): one metadata commit, data in place, GC-safe via clone
+    // registration — see [[graft.lake.LakeCatalog.cloneTable]]
+    case "clone_table" => Some(proc(name,
+      Array(param("source", StringType), param("target", StringType),
+        param("snapshot_id", LongType, Some("-1"))),
+      row => {
+        val asOf = if (row.isNullAt(2) || row.getLong(2) < 0) None
+          else Some(row.getLong(2))
+        lake.cloneTable(row.getString(0), row.getString(1), asOf)
+      }))
     case "recover_transactions" => Some(proc(name,
       Array.empty[ProcedureParameter],
       _ => {

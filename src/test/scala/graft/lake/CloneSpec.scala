@@ -1,0 +1,146 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** Zero-copy CLONE ([[LakeCatalog.cloneTable]] / CALL clone_table): one
+  * metadata commit, no data bytes move, independent divergence after —
+  * and the GC-safety contract that makes shallow clones SAFE: the
+  * source's expire/orphan sweeps spare every byte a registered clone
+  * still references, and the source refuses to drop while clones live. */
+class CloneSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def df(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "v").coalesce(1)
+  }
+
+  private def ids(t: LakeTable): Seq[Long] =
+    t.toDF.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("clone reads the source's files in place; both sides diverge " +
+    "independently; time travel and AS-OF cloning work") {
+    val wh = Files.createTempDirectory("graft-clone").toString
+    val cat = new LakeCatalog(spark, wh)
+    val src = cat.createTable("db.src", schema)
+    src.append(df(1L -> "a", 2L -> "b"))
+    val snap1 = src.meta.currentSnapshot.get.snapshotId
+    src.append(df(3L -> "c"))
+    val t = cat.cloneTable("db.src", "db.cl")
+    // zero copy: the clone's snapshot references the SOURCE's files
+    assert(t.meta.currentSnapshot.get.files.map(_.path)
+      .forall(_.contains("db/src")), "clone must reference source files in place")
+    assert(ids(t) === Seq(1L, 2L, 3L))
+    assert(t.verifyIntegrity().count() === 0)
+    // divergence: writes on either side are invisible to the other
+    t.append(df(10L -> "x"))
+    src.delete(col("id") === 1L)
+    assert(ids(t) === Seq(1L, 2L, 3L, 10L), "clone keeps its view")
+    assert(ids(src) === Seq(2L, 3L), "source keeps its view")
+    assert(t.meta.currentSnapshot.get.files.exists(_.path.contains("db/cl")),
+      "clone's new writes land under its own directory")
+    // AS-OF clone pins a historical snapshot
+    val old = cat.cloneTable("db.src", "db.cl_old", asOfSnapshotId = Some(snap1))
+    assert(ids(old) === Seq(1L, 2L))
+  }
+
+  test("GC safety: source expire + orphan sweeps spare clone-referenced " +
+    "bytes; dropTable(source) refuses while clones live; dropping the " +
+    "clone deregisters and frees the source") {
+    val wh = Files.createTempDirectory("graft-clone").toString
+    val cat = new LakeCatalog(spark, wh)
+    val src = cat.createTable("db.src", schema)
+    src.append(df(1L -> "a", 2L -> "b"))
+    src.append(df(3L -> "c", 4L -> "d"))
+    val t = cat.cloneTable("db.src", "db.cl")
+    // source rewrites everything (CoW delete touches both files), then
+    // expires history and sweeps orphans with a FUTURE cutoff — without
+    // clone protection this deletes every byte the clone reads
+    src.delete(col("id") % 2 === 0)
+    src.expireSnapshots(System.currentTimeMillis() + 3600000L, retainLast = 1)
+    src.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 3600000L)
+    assert(ids(src) === Seq(1L, 3L))
+    assert(ids(t) === Seq(1L, 2L, 3L, 4L), "clone survives source GC")
+    assert(t.verifyIntegrity().count() === 0, "every clone byte servable")
+    // the source cannot be dropped out from under the clone
+    val e = intercept[IllegalStateException](cat.dropTable("db.src"))
+    assert(e.getMessage.contains("db/cl"))
+    assert(cat.tableExists("db.src"))
+    // dropping the clone deregisters; the source is then free
+    cat.dropTable("db.cl")
+    assert(!cat.loadTable("db.src").meta.properties
+      .get(LakeCatalog.CloneLocationsKey).exists(_.nonEmpty))
+    cat.dropTable("db.src")
+    assert(!cat.tableExists("db.src"))
+  }
+
+  test("clone chain: a clone of a clone registers on EVERY ancestor, so " +
+    "each ancestor's GC spares the grandchild's bytes") {
+    val wh = Files.createTempDirectory("graft-clone").toString
+    val cat = new LakeCatalog(spark, wh)
+    val a = cat.createTable("db.a", schema)
+    a.append(df(1L -> "a"))
+    val b = cat.cloneTable("db.a", "db.b")
+    b.append(df(2L -> "b")) // b adds its own file
+    val c = cat.cloneTable("db.b", "db.c") // references a's AND b's bytes
+    assert(ids(c) === Seq(1L, 2L))
+    // a's registration must include c (c reads a's file 1)
+    assert(cat.loadTable("db.a").meta.properties(LakeCatalog.CloneLocationsKey)
+      .split(";").toSet === Set(s"$wh/db/b", s"$wh/db/c"))
+    // a rewrites + GCs: c must still read a's original byte
+    a.delete(col("id") === 1L)
+    a.expireSnapshots(System.currentTimeMillis() + 3600000L, retainLast = 1)
+    a.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 3600000L)
+    assert(ids(c) === Seq(1L, 2L))
+    assert(c.verifyIntegrity().count() === 0)
+  }
+
+  test("properties carry over minus the other table's bookkeeping; bloom " +
+    "bundles are copied so skipping + fsck work on the clone; MoR masks " +
+    "clone correctly") {
+    val wh = Files.createTempDirectory("graft-clone").toString
+    val cat = new LakeCatalog(spark, wh)
+    val src = cat.createTable("db.src", schema, properties = Map(
+      "graft.bloom.columns" -> "v",
+      "write.delete.mode" -> "merge-on-read",
+      "custom.prop" -> "kept"))
+    src.append(df(1L -> "a", 2L -> "b", 3L -> "c"))
+    src.delete(col("id") === 2L) // MoR positional mask
+    assert(src.meta.currentSnapshot.get.deleteFiles.nonEmpty)
+    val t = cat.cloneTable("db.src", "db.cl")
+    assert(ids(t) === Seq(1L, 3L), "MoR mask travels with the snapshot")
+    assert(t.meta.properties("custom.prop") === "kept")
+    assert(!t.meta.properties.contains(LakeCatalog.CloneLocationsKey))
+    assert(t.meta.properties("graft.cloned-from") === "db.src")
+    assert(t.verifyIntegrity().count() === 0,
+      "bloom bundles must be copied into the clone's metaStore")
+  }
+
+  test("SQL surface: CALL clone_table through the procedure catalog") {
+    val wh = Files.createTempDirectory("graft-clone-sql").toString
+    spark.conf.set("spark.sql.catalog.cln",
+      classOf[graft.lake.dsv2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cln.warehouse", wh)
+    org.apache.spark.sql.graftbridge.CatalogBridge.resetCatalogs(spark)
+    spark.sql("CREATE TABLE cln.db.src (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO cln.db.src VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CALL cln.system.clone_table('db.src', 'db.twin')")
+    assert(spark.sql("SELECT COUNT(*) FROM cln.db.twin").head.getLong(0) === 2)
+    spark.sql("INSERT INTO cln.db.twin VALUES (3, 'c')")
+    assert(spark.sql("SELECT COUNT(*) FROM cln.db.src").head.getLong(0) === 2)
+    assert(spark.sql("SELECT COUNT(*) FROM cln.db.twin").head.getLong(0) === 3)
+  }
+}
