@@ -833,7 +833,50 @@ object PipelineOps {
       |GROUP BY c.doc_id
       |ORDER BY score DESC, c.doc_id LIMIT 200""".stripMargin)
 
+  /** Dedup-aware sampling weights (SlimPajama / RefinedWeb methodology —
+    * public): instead of HARD-dropping near-duplicates, keep them all but
+    * weight each document 1/|cluster| so duplicated content isn't
+    * over-represented in the training mix. Clusters here come from a
+    * boilerplate-prefix fingerprint (md5 of the first 60 lowercased
+    * chars — the shared-prefix near-dup shape web corpora exhibit);
+    * the report gives, per language, raw docs, cluster count, and the
+    * EFFECTIVE character mass Σ n_chars/|cluster|.
+    *
+    * Cross-engine exactness: the fractional weight is applied as ONE
+    * fixed-point integer division per doc — `(n_chars·10^6) DIV k` —
+    * then summed as BIGINT, so no float addition order can drift
+    * (Spark `DIV` ≡ DuckDB `//` on BIGINT). Scale shape: two key
+    * aggregations; the doc→cluster-size join is co-partitioned on the
+    * fingerprint (the GROUP BY already shuffled both sides on fp), so
+    * no second shuffle and no broadcast of an O(clusters) table;
+    * clusters are never materialized as row sets. */
+  val q103 = dialect("q103_dedup_weights",
+    sparkSql = """WITH c AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    md5(substring(lower(text), 1, 60)) AS fp
+      |  FROM documents),
+      |sz AS (SELECT fp, COUNT(*) AS k FROM c GROUP BY fp)
+      |SELECT c.lang,
+      |  COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT c.fp) AS n_clusters,
+      |  CAST(SUM((c.n_chars * CAST(1000000 AS BIGINT)) DIV sz.k) AS BIGINT)
+      |    AS eff_chars_fp
+      |FROM c JOIN sz ON c.fp = sz.fp
+      |GROUP BY c.lang ORDER BY c.lang""".stripMargin,
+    duckSql = """WITH c AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    md5(substring(lower(text), 1, 60)) AS fp
+      |  FROM documents),
+      |sz AS (SELECT fp, COUNT(*) AS k FROM c GROUP BY fp)
+      |SELECT c.lang,
+      |  COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT c.fp) AS n_clusters,
+      |  CAST(SUM((c.n_chars * CAST(1000000 AS BIGINT)) // sz.k) AS BIGINT)
+      |    AS eff_chars_fp
+      |FROM c JOIN sz ON c.fp = sz.fp
+      |GROUP BY c.lang ORDER BY c.lang""".stripMargin)
+
   def specs: Seq[QuerySpec] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q47, q48, q49, q50, q53, q54,
-      q60, q61, q62, q67, q69, q78, q84, q85, q95, q101)
+      q60, q61, q62, q67, q69, q78, q84, q85, q95, q101, q103)
 }
