@@ -129,6 +129,37 @@ class CloneSpec extends AnyFunSuite {
       "bloom bundles must be copied into the clone's metaStore")
   }
 
+  test("rename composes with clones: renaming the SOURCE rewrites the " +
+    "clone's back-reference (location-keyed fix-up) and its GC keeps " +
+    "protecting the clone; renaming the CLONE updates the source's " +
+    "registration") {
+    val wh = Files.createTempDirectory("graft-clone").toString
+    val cat = new LakeCatalog(spark, wh)
+    val src = cat.createTable("db.src", schema)
+    src.append(df(1L -> "a", 2L -> "b"))
+    val t = cat.cloneTable("db.src", "db.cl")
+    // rename the source: the clone's cloned-from-location must follow
+    val src2 = cat.renameTable("db.src", "db.src2")
+    assert(cat.loadTable("db.cl").meta.properties(
+      LakeCatalog.ClonedFromLocationKey) === src2.location)
+    // hostile GC from the renamed source still spares the clone
+    src2.delete(col("id") === 1L)
+    src2.expireSnapshots(System.currentTimeMillis() + 3600000L, retainLast = 1)
+    src2.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 3600000L)
+    assert(ids(cat.loadTable("db.cl")) === Seq(1L, 2L))
+    assert(cat.loadTable("db.cl").verifyIntegrity().count() === 0)
+    // rename the clone: the source's registration must follow, so its
+    // GC union resolves the clone at the NEW location
+    cat.renameTable("db.cl", "db.cl2")
+    assert(cat.loadTable("db.src2").meta.properties(
+      LakeCatalog.CloneLocationsKey).split(";").toSeq === Seq(s"$wh/db/cl2"))
+    src2.append(df(9L -> "z"))
+    src2.expireSnapshots(System.currentTimeMillis() + 3600000L, retainLast = 1)
+    src2.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 3600000L)
+    assert(ids(cat.loadTable("db.cl2")) === Seq(1L, 2L))
+    assert(cat.loadTable("db.cl2").verifyIntegrity().count() === 0)
+  }
+
   test("SQL surface: CALL clone_table through the procedure catalog") {
     val wh = Files.createTempDirectory("graft-clone-sql").toString
     spark.conf.set("spark.sql.catalog.cln",
