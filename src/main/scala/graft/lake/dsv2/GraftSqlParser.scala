@@ -34,6 +34,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val plan = GraftSqlParser.parseBranchDdl(sqlText, delegate)
       .orElse(GraftSqlParser.parsePartitionFieldDdl(sqlText, delegate))
       .orElse(GraftSqlParser.parseMaterializedViewDdl(sqlText, delegate))
+      .orElse(GraftTxnSql.parse(sqlText))
       .getOrElse(delegate.parsePlan(sqlText))
     // view DDL/reads on graft catalogs rewrite at PARSE time: the
     // analyzer's ResolveSessionCatalog rejects v2-catalog view DDL before
@@ -303,6 +304,84 @@ case class PartitionFieldDdlCommand(nameParts: Seq[String], add: Boolean,
         current.filterNot(_ == colName -> transform)
       }
     t.replacePartitionSpec(next)
+    Seq.empty
+  }
+}
+
+object GraftTxnSql {
+  // ANSI spellings for the multi-table transaction surface
+  // ([[graft.lake.SqlTransactions]] — the CALL procedures' twins). Bare
+  // `BEGIN` is NOT intercepted: Spark 4's SQL scripting owns
+  // `BEGIN … END` compound blocks, so only the explicit
+  // BEGIN/START TRANSACTION forms route here. Spark has no COMMIT /
+  // ROLLBACK statements of its own (the stock parser rejects them), so
+  // intercepting those bare forms shadows nothing.
+  private val BeginTxn =
+    """(?is)\s*(?:BEGIN|START)\s+TRANSACTION\s*;?\s*""".r
+  private val CommitTxn =
+    """(?is)\s*COMMIT(?:\s+(?:TRANSACTION|WORK))?\s*;?\s*""".r
+  private val RollbackTxn =
+    """(?is)\s*ROLLBACK(?:\s+(?:TRANSACTION|WORK))?\s*;?\s*""".r
+
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case BeginTxn() => Some(BeginTxnCommand())
+    case CommitTxn() => Some(CommitTxnCommand())
+    case RollbackTxn() => Some(RollbackTxnCommand())
+    case _ => None
+  }
+
+  /** The LakeCatalog a bare (catalog-less) transaction statement binds
+    * to: the session's CURRENT catalog when it is a graft catalog,
+    * otherwise the single configured graft catalog — ambiguity or
+    * absence errors with the explicit alternatives. */
+  private[dsv2] def resolveLake(spark: SparkSession): graft.lake.LakeCatalog = {
+    val cm = spark.sessionState.catalogManager
+    cm.currentCatalog match {
+      case g: GraftCatalog => g.lake
+      case _ =>
+        val prefix = "spark.sql.catalog."
+        val names = spark.conf.getAll.toSeq.collect {
+          case (k, v) if k.startsWith(prefix) &&
+            !k.stripPrefix(prefix).contains(".") &&
+            v == classOf[GraftCatalog].getName => k.stripPrefix(prefix)
+        }.sorted
+        names match {
+          case Seq(one) => cm.catalog(one) match {
+            case g: GraftCatalog => g.lake
+            case other => throw new IllegalStateException(
+              s"catalog $one did not initialize as a graft catalog: $other")
+          }
+          case Seq() => throw new IllegalStateException(
+            "BEGIN TRANSACTION needs a graft catalog: register one " +
+              "(spark.sql.catalog.<name> = graft.lake.dsv2.GraftCatalog) " +
+              "or CALL <cat>.system.begin_transaction()")
+          case many => throw new IllegalStateException(
+            s"BEGIN TRANSACTION is ambiguous across graft catalogs " +
+              s"(${many.mkString(", ")}) — USE <catalog> first, or " +
+              "CALL <cat>.system.begin_transaction()")
+        }
+    }
+  }
+}
+
+case class BeginTxnCommand() extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val txnId = graft.lake.SqlTransactions.begin(GraftTxnSql.resolveLake(spark))
+    System.err.println(s"[graft] transaction $txnId begun")
+    Seq.empty
+  }
+}
+
+case class CommitTxnCommand() extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.lake.SqlTransactions.commit(spark)
+    Seq.empty
+  }
+}
+
+case class RollbackTxnCommand() extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.lake.SqlTransactions.rollback(spark)
     Seq.empty
   }
 }

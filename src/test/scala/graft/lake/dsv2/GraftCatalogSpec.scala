@@ -1628,4 +1628,31 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(n("open") === 4, "foreign append visible, staged delete discarded")
     assert(n("done") === 2)
   }
+
+  test("ANSI transaction syntax (r15): BEGIN TRANSACTION / COMMIT / " +
+    "ROLLBACK parse through the extension and bind to the current " +
+    "graft catalog") {
+    val sqlx = (q: String) => extSpark.sql(q)
+    sqlx("CREATE DATABASE IF NOT EXISTS lake.txnsql")
+    sqlx("CREATE TABLE lake.txnsql.t (k BIGINT)")
+    sqlx("INSERT INTO lake.txnsql.t VALUES (1), (2)")
+    sqlx("USE lake") // bind bare BEGIN to this catalog unambiguously
+    try {
+      sqlx("BEGIN TRANSACTION")
+      sqlx("DELETE FROM lake.txnsql.t WHERE k = 1")
+      sqlx("INSERT INTO lake.txnsql.t VALUES (3)")
+      assert(sqlx("SELECT COUNT(*) FROM lake.txnsql.t").head.getLong(0) === 2)
+      sqlx("ROLLBACK")
+      assert(sqlx("SELECT k FROM lake.txnsql.t ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L, 2L), "rollback discards")
+      sqlx("START TRANSACTION")
+      sqlx("DELETE FROM lake.txnsql.t WHERE k = 1")
+      sqlx("COMMIT")
+      assert(sqlx("SELECT k FROM lake.txnsql.t ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq === Seq(2L), "commit publishes")
+      // COMMIT with no open transaction errors usefully
+      val e = intercept[Exception](sqlx("COMMIT"))
+      assert(e.getMessage.contains("no active transaction"))
+    } finally sqlx("USE spark_catalog")
+  }
 }
