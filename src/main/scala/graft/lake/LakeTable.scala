@@ -2201,7 +2201,13 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
                 ("dv", df, -1L, Some((r.bundle, r.offset, r.len)))
               }
           } ++
-          s.eqDeleteFiles.map(d => ("eq-delete", d.path, d.sizeBytes, None))
+          s.eqDeleteFiles.map(d => ("eq-delete", d.path, d.sizeBytes, None)) ++
+          // DV bundles are content-addressed (`dv-<sha256/16>.bin` over the
+          // concatenated bitmaps) — verify the BYTES against the name, not
+          // just per-ref ranges: a bit-flipped bundle serves wrong masks at
+          // the right length (r15). Deduped; hashed executor-side.
+          s.deleteFiles.flatMap(_.vectors.values.map(_.bundle)).distinct
+            .map(b => ("dv-bundle", b, -2L, None))
       }
     val conf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
     val bad = spark.sparkContext
@@ -2215,6 +2221,19 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
                 val st = bp.getFileSystem(conf.value).getFileStatus(bp)
                 if (off + len > st.getLen) Some((kind, path,
                   s"dv range $off+$len exceeds bundle $bundle (${st.getLen} B)"))
+                else None
+              case None if size == -2L =>
+                val p = new org.apache.hadoop.fs.Path(path)
+                val pfs = p.getFileSystem(conf.value)
+                val st = pfs.getFileStatus(p)
+                val buf = new Array[Byte](st.getLen.toInt)
+                val in = pfs.open(p)
+                try in.readFully(0L, buf) finally in.close()
+                val got = java.security.MessageDigest.getInstance("SHA-256")
+                  .digest(buf).take(8).map(b => f"$b%02x").mkString
+                val want = p.getName.stripPrefix("dv-").stripSuffix(".bin")
+                if (got != want) Some((kind, path,
+                  s"content hash $got != addressed $want (corrupted bitmaps)"))
                 else None
               case None =>
                 val p = new org.apache.hadoop.fs.Path(path)

@@ -515,6 +515,48 @@ class CatalogServiceSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("zero-copy clone over the wire (r15): the clone's metadata — " +
+    "manifest chunks AND copied bloom bundles — lands server-side, data " +
+    "stays in place on shared storage, and the source's GC spares the " +
+    "clone's bytes through the wire-resolved registration") {
+    val (srv, metaRoot, warehouse) = newEnv()
+    try {
+      import spark.implicits._
+      val cat = new RemoteLakeCatalog(spark, warehouse, srv.uri)
+      val src = cat.createTable("db.cs", StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType))),
+        properties = Map("graft.bloom.columns" -> "v"))
+      src.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+      src.append(Seq((3L, "c")).toDF("id", "v").coalesce(1))
+      val t = cat.cloneTable("db.cs", "db.ct")
+      assert(t.toDF.orderBy("id").collect().map(_.getLong(0)).toSeq ===
+        Seq(1L, 2L, 3L))
+      // structural wire proof: the clone has ZERO metadata under its
+      // location; its chunks + copied bloom bundles live at the server
+      assert(!Files.exists(Paths.get(warehouse, "db", "ct", "metadata")))
+      assert(Files.exists(Paths.get(metaRoot, "db", "ct", "v1.json")))
+      val serverObjs = {
+        val st = Files.list(Paths.get(metaRoot, "db", "ct"))
+        try st.iterator().asScala.map(_.getFileName.toString).toSet
+        finally st.close()
+      }
+      assert(serverObjs.exists(_.startsWith("manifest-")), "chunks server-side")
+      assert(serverObjs.exists(_.startsWith("bloom-")), "bloom bundles copied server-side")
+      assert(t.verifyIntegrity().count() === 0, "fsck-clean from birth")
+      // hostile source GC through the wire: clone bytes must survive
+      src.delete(col("id") === 1L)
+      src.expireSnapshots(System.currentTimeMillis() + 3600000L, retainLast = 1)
+      src.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 3600000L)
+      assert(t.toDF.count() === 3, "clone survives wire-mode source GC")
+      assert(t.verifyIntegrity().count() === 0)
+      // drop refused while the clone lives; freed after
+      intercept[IllegalStateException](cat.dropTable("db.cs"))
+      cat.dropTable("db.ct")
+      cat.dropTable("db.cs")
+      assert(!cat.tableExists("db.cs") && !cat.tableExists("db.ct"))
+    } finally srv.stop()
+  }
+
   test("maintenance over the wire: expire/rewrite_manifests/binpack commit through " +
       "the service — chunk deletes server-side, data-file GC client-side (r12)") {
     val (srv, metaRoot, warehouse) = newEnv()

@@ -96,4 +96,35 @@ class VerifyTableSpec extends AnyFunSuite {
     assert(report.exists(f => f._1 == "bloom-bundle" && f._2 == bloom &&
       f._3.contains("content hash")), s"bit-flip not caught:\n${report.mkString("\n")}")
   }
+
+  test("DV bundle content (r15): a bit-flipped deletion-vector bundle at " +
+    "UNCHANGED length — which serves wrong masks past every range check — " +
+    "is caught by the content hash its name claims") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-fsck").toString
+    val cat = new LakeCatalog(spark, wh)
+    val t = cat.createTable("db.dv", StructType(Seq(
+      StructField("id", LongType), StructField("k", StringType))),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    t.append((0L until 100L).map(i => (i, s"k$i")).toDF("id", "k").coalesce(1))
+    t.delete(org.apache.spark.sql.functions.col("id") % 7 === 0)
+    val bundles = t.meta.currentSnapshot.get.deleteFiles
+      .flatMap(_.vectors.values.map(_.bundle)).distinct
+    assume(bundles.nonEmpty, "setup must produce a DV bundle")
+    assert(t.verifyIntegrity().count() === 0)
+    val bp = Paths.get(bundles.head.stripPrefix("file:"))
+    val bytes = Files.readAllBytes(bp)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x01).toByte
+    Files.write(bp, bytes)
+    // drop the local-FS CRC sidecar: on an object store there is none,
+    // and the point is that OUR content hash catches the flip — not
+    // Hadoop's ChecksumFileSystem (which would preempt it here)
+    val crc = bp.getParent.resolve("." + bp.getFileName.toString + ".crc")
+    Files.deleteIfExists(crc)
+    val report = t.verifyIntegrity().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(report.exists(f => f._1 == "dv-bundle" &&
+      f._2 == bundles.head && f._3.contains("content hash")),
+      s"DV bit-flip not caught:\n${report.mkString("\n")}")
+  }
 }
