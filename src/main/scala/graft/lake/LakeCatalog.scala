@@ -462,6 +462,12 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       case None => sm.currentSnapshot.getOrElse(throw new IllegalArgumentException(
         s"$srcIdent has no snapshot to clone"))
     }
+    // a WAP-STAGED snapshot is unpublished by contract (invisible until
+    // its audit cherry-picks it) — cloning it into a fresh table's main
+    // would launder unaudited data past the gate
+    require(!snap.staged,
+      s"snapshot ${snap.snapshotId} of $srcIdent is WAP-staged " +
+        "(unaudited) — publish it via cherrypick before cloning it")
     val dstLoc = tableLocation(dstIdent)
     require(!fs.exists(new Path(dstLoc, LakeCatalog.MovedTombstone)),
       s"cannot clone into $dstLoc: the location still holds a renamed " +
@@ -516,15 +522,16 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
           ()
         }
       }
-    val (_, persisted) = Manifests.assign(meta0, store)
-    require(store.putIfAbsent("v1.json",
-      Meta.toJson(persisted).getBytes("UTF-8")),
-      s"table $dstIdent already exists")
-    store.putOverwrite("version-hint.text", "1".getBytes("UTF-8"))
-    // register on the source and every ancestor up its clone chain: a
-    // clone-of-a-clone references bytes in every ancestor's directory,
-    // and each ancestor's own GC must know
-    cloneChain(src).foreach { anc =>
+    // Register on the source and every ancestor up its clone chain BEFORE
+    // publishing the clone's v1: a clone-of-a-clone references bytes in
+    // every ancestor's directory, and each ancestor's GC must know before
+    // any reader can depend on the clone. Registering first shrinks the
+    // register-vs-expire race to the property-commit latency (the same
+    // residual window Iceberg's register_table has against vacuum — a
+    // sweep that RESOLVED its clone set before this commit landed can
+    // still reclaim; one already running is unaffected by any ordering).
+    val ancestors = cloneChain(src)
+    ancestors.foreach { anc =>
       anc.updateProperties { p =>
         val cur = p.getOrElse(LakeCatalog.CloneLocationsKey, "")
           .split(";").filter(_.nonEmpty)
@@ -532,6 +539,33 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
           (cur :+ dstLoc).distinct.mkString(";"))
       }
       ()
+    }
+    try {
+      val (_, persisted) = Manifests.assign(meta0, store)
+      require(store.putIfAbsent("v1.json",
+        Meta.toJson(persisted).getBytes("UTF-8")),
+        s"table $dstIdent already exists")
+      store.putOverwrite("version-hint.text", "1".getBytes("UTF-8"))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // creation failed: best-effort deregistration keeps the ancestors'
+        // clone lists free of a location that will never hold a table
+        ancestors.foreach { anc =>
+          try {
+            anc.updateProperties { p =>
+              p.get(LakeCatalog.CloneLocationsKey) match {
+                case Some(v) =>
+                  val kept = v.split(";").filter(_.nonEmpty)
+                    .filterNot(_ == dstLoc)
+                  if (kept.isEmpty) p - LakeCatalog.CloneLocationsKey
+                  else p + (LakeCatalog.CloneLocationsKey -> kept.mkString(";"))
+                case None => p
+              }
+            }
+            ()
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+        throw e
     }
     loadTable(dstIdent)
   }

@@ -129,6 +129,25 @@ class CloneSpec extends AnyFunSuite {
       "bloom bundles must be copied into the clone's metaStore")
   }
 
+  test("cloning a WAP-staged snapshot is refused — it would launder " +
+    "unaudited data past the audit gate; the published head clones fine") {
+    val wh = Files.createTempDirectory("graft-clone").toString
+    val cat = new LakeCatalog(spark, wh)
+    val src = cat.createTable("db.w", schema,
+      properties = Map("write.wap.enabled" -> "true"))
+    src.append(df(1L -> "a"))
+    spark.conf.set("spark.wap.id", "audit-1")
+    try { src.append(df(2L -> "b")); () }
+    finally spark.conf.unset("spark.wap.id")
+    val staged = cat.loadTable("db.w").meta.snapshots.find(_.staged)
+    assert(staged.isDefined, "setup must stage a WAP snapshot")
+    val e = intercept[IllegalArgumentException](
+      cat.cloneTable("db.w", "db.wc", Some(staged.get.snapshotId)))
+    assert(e.getMessage.contains("WAP-staged"))
+    val t = cat.cloneTable("db.w", "db.wc")
+    assert(ids(t) === Seq(1L), "only the published head clones")
+  }
+
   test("rename composes with clones: renaming the SOURCE rewrites the " +
     "clone's back-reference (location-keyed fix-up) and its GC keeps " +
     "protecting the clone; renaming the CLONE updates the source's " +
