@@ -37,16 +37,33 @@ object SqlTransactions {
 
   private val active = new ConcurrentHashMap[String, LakeTransaction]()
 
-  private def currentId(spark: SparkSession): Option[String] =
+  /** The session whose conf owns the transaction: the EXECUTING one.
+    * Callers pass whatever handle they hold (a catalog's init-time
+    * session, a table's load-time session) — but a catalog initialized
+    * under session A and used from session B must bind the transaction
+    * to B, or `begin` and the write-path routing would consult different
+    * confs and silently disagree. */
+  private def sessionOf(s: SparkSession): SparkSession =
+    SparkSession.getActiveSession.getOrElse(s)
+
+  private def currentId(spark0: SparkSession): Option[String] = {
+    val spark = sessionOf(spark0)
     try spark.conf.getOption(ConfKey).filter(_.nonEmpty)
     catch { case _: Exception => None }
+  }
 
   /** The active transaction, if the session names one that is still live. */
   def current(spark: SparkSession): Option[LakeTransaction] =
     currentId(spark).flatMap(id => Option(active.get(id)))
 
+  /** The transaction id this session's conf names, live or not — write
+    * paths key their routing decision on THIS (and then go through
+    * [[route]], which fails loudly on a dangling id) rather than on
+    * [[current]], which silently reads None for a dangling id. */
+  def activeId(spark: SparkSession): Option[String] = currentId(spark)
+
   def begin(lake: LakeCatalog, id: String = ""): String = {
-    val spark = lake.spark
+    val spark = sessionOf(lake.spark)
     current(spark).foreach(t => throw new IllegalStateException(
       s"transaction ${t.txnId} is already active in this session — commit " +
         "or roll it back first (nested transactions are not supported)"))
@@ -70,15 +87,28 @@ object SqlTransactions {
     finally clear(spark, txn.txnId)
   }
 
-  private def clear(spark: SparkSession, id: String): Unit = {
+  private def clear(spark0: SparkSession, id: String): Unit = {
     active.remove(id)
-    try spark.conf.unset(ConfKey) catch { case _: Exception => () }
+    try sessionOf(spark0).conf.unset(ConfKey) catch { case _: Exception => () }
   }
 
   /** WRITE routing: the staged [[TxnTable]] for `ident` when this session
-    * has an active transaction (enlists the table on first use). */
+    * has an active transaction (enlists the table on first use).
+    *
+    * A conf that names a transaction NOT live in this process (the JVM
+    * that began it died, or the id leaked across sessions) fails LOUDLY:
+    * silently falling through to main would break the all-or-nothing
+    * contract the user believes they are inside. Reads ([[readBranch]])
+    * stay permissive — reading main is always safe. */
   def route(spark: SparkSession, ident: String): Option[TxnTable] =
-    current(spark).map(_.table(ident))
+    currentId(spark).map { id =>
+      Option(active.get(id)).getOrElse(throw new IllegalStateException(
+        s"this session names transaction $id (${ConfKey}) but it is not " +
+          "live in this process — the writer that began it completed or " +
+          "died (its staged branches recover via CALL " +
+          "recover_transactions / fence TTL). Unset the conf or CALL " +
+          "begin_transaction() to start fresh")).table(ident)
+    }
 
   /** READ routing: the staged branch for `ident` iff the active
     * transaction has WRITTEN it (read-your-writes); None otherwise, so

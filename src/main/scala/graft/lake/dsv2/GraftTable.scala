@@ -48,8 +48,10 @@ case class GraftTable(
     * path tables refuse — silently writing main inside a transaction would
     * break its all-or-nothing contract. */
   private[dsv2] def txnRoute: Option[graft.lake.TxnTable] = {
-    val cur = graft.lake.SqlTransactions.current(lakeTable.spark)
-    if (cur.isEmpty) None
+    // key on the session's txn CONF, not on a live lookup: a dangling id
+    // (the JVM that began it died) must fail the write loudly in route(),
+    // never silently fall through to main
+    if (graft.lake.SqlTransactions.activeId(lakeTable.spark).isEmpty) None
     else {
       require(!identName.contains("`"),
         s"path-based table $identName cannot participate in a SQL " +
@@ -58,7 +60,7 @@ case class GraftTable(
         pinnedTimestampMs.isEmpty,
         s"cannot write to a pinned version/branch of $identName inside a " +
           "SQL transaction — writes stage on the transaction branch")
-      cur.map(_.table(identName))
+      graft.lake.SqlTransactions.route(lakeTable.spark, identName)
     }
   }
 

@@ -1653,6 +1653,19 @@ class GraftCatalogSpec extends AnyFunSuite {
       // COMMIT with no open transaction errors usefully
       val e = intercept[Exception](sqlx("COMMIT"))
       assert(e.getMessage.contains("no active transaction"))
+      // a DANGLING txn conf (the process that began it is gone) must
+      // fail writes loudly, never silently fall through to main
+      extSpark.conf.set(graft.lake.SqlTransactions.ConfKey, "txn-from-a-dead-jvm")
+      try {
+        val e2 = intercept[Exception](
+          sqlx("INSERT INTO lake.txnsql.t VALUES (99)"))
+        def chain(t: Throwable): Seq[String] =
+          if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+        assert(chain(e2).exists(m => m != null && m.contains("not live")),
+          s"dangling txn conf must fail the write: $e2")
+        assert(sqlx("SELECT COUNT(*) FROM lake.txnsql.t").head.getLong(0) === 1,
+          "nothing may have landed on main")
+      } finally extSpark.conf.unset(graft.lake.SqlTransactions.ConfKey)
     } finally sqlx("USE spark_catalog")
   }
 }
