@@ -328,6 +328,16 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
         "completes")
     val from = metaStoreFor(oldIdent)
     val to = metaStoreFor(newIdent)
+    // the target location may still hold a PREVIOUSLY-RENAMED table's live
+    // data files (rename moves authority, not bytes) — adopting it would
+    // let this table's remove_orphan_files garbage-collect another table's
+    // live rows, the exact hole the tombstone closes for createTable and
+    // cloneTable. Same refusal here.
+    require(!fs.exists(new Path(tableLocation(newIdent), LakeCatalog.MovedTombstone)),
+      s"cannot rename to $newIdent: location ${tableLocation(newIdent)} " +
+        "still holds the live data files of a table renamed away from " +
+        "there (tombstoned) — drop that table to reclaim the directory " +
+        "first")
     val copied = copyMetadata(from, to, s"rename target $newIdent")
     // fence: a commit landing on the old ident during the copy would be
     // silently lost — hide the new copy again and make the caller retry
@@ -351,8 +361,21 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     // new→old (newLoc is brand new, so no pre-existing value can equal
     // it), the staged copy is hidden, and the caller retries.
     val newT = new LakeTable(spark, newLoc, to)
-    val sibLocs = oldT.meta.properties.values.toSeq
-      .flatMap(_.split(";")).filter(_.nonEmpty).distinct
+    // Location-keyed back-references live in two kinds of sibling:
+    //  (a) tables this one's properties POINT AT (MV routing lists, an
+    //      index's base location, the direct clone parent, registered
+    //      clones) — their property values under the warehouse;
+    //  (b) every ANCESTOR up the clone chain beyond the direct parent: a
+    //      clone registers its location in graft.clone-locations on ALL
+    //      ancestors (cloneTable), but its own properties only name the
+    //      direct parent — without walking the chain here, a grandparent
+    //      would keep the STALE old location, its liveness check would
+    //      read the renamed-away (destroyed) metadata as a dropped clone,
+    //      and its expire/orphan GC could reclaim files this table still
+    //      references.
+    val sibLocs = (oldT.meta.properties.values.toSeq
+      .flatMap(_.split(";")).filter(_.nonEmpty) ++
+      cloneChain(oldT).drop(1).map(_.location)).distinct
       .filter(_.startsWith(warehouse + "/"))
     val fixedUp = scala.collection.mutable.ArrayBuffer[LakeTable]()
     val fixFailures = scala.collection.mutable.ArrayBuffer[String]()

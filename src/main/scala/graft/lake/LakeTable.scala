@@ -1035,9 +1035,14 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
 
   /** Resolve which snapshot a read sees: explicit snapshot-id > explicit
     * branch > session `spark.wap.branch` > main (S3-S5, D16). Staged WAP
-    * snapshots are only visible via explicit snapshot-id (D15). */
+    * snapshots are only visible via explicit snapshot-id (D15).
+    * Snapshot id 0 is the BEFORE-ANY-SNAPSHOT sentinel (real ids start at
+    * 1): it resolves to None — the empty table — so a repeatable-read pin
+    * taken on a then-empty table stays empty even after foreign commits
+    * ([[SqlTransactions.readPin]]). */
   def resolveSnapshot(snapshotId: Option[Long] = None, branch: Option[String] = None,
                       asOfTimestampMs: Option[Long] = None): Option[Snapshot] = {
+    if (snapshotId.contains(0L)) return None
     val m = meta
     snapshotId.map(id => m.snapshot(id).getOrElse(
         throw new IllegalArgumentException(s"no snapshot $id")))
@@ -2223,14 +2228,23 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
                   s"dv range $off+$len exceeds bundle $bundle (${st.getLen} B)"))
                 else None
               case None if size == -2L =>
+                // STREAM the digest over a fixed buffer: materializing the
+                // whole bundle dies with NegativeArraySizeException past
+                // 2 GiB (getLen.toInt wraps) — an fsck must not crash on
+                // exactly the large inputs it exists to check
                 val p = new org.apache.hadoop.fs.Path(path)
                 val pfs = p.getFileSystem(conf.value)
-                val st = pfs.getFileStatus(p)
-                val buf = new Array[Byte](st.getLen.toInt)
+                val md = java.security.MessageDigest.getInstance("SHA-256")
                 val in = pfs.open(p)
-                try in.readFully(0L, buf) finally in.close()
-                val got = java.security.MessageDigest.getInstance("SHA-256")
-                  .digest(buf).take(8).map(b => f"$b%02x").mkString
+                try {
+                  val buf = new Array[Byte](1 << 20)
+                  var n = in.read(buf)
+                  while (n >= 0) {
+                    if (n > 0) md.update(buf, 0, n)
+                    n = in.read(buf)
+                  }
+                } finally in.close()
+                val got = md.digest().take(8).map(b => f"$b%02x").mkString
                 val want = p.getName.stripPrefix("dv-").stripSuffix(".bin")
                 if (got != want) Some((kind, path,
                   s"content hash $got != addressed $want (corrupted bitmaps)"))
@@ -2286,7 +2300,53 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
         v.split(",").filter(_.nonEmpty)
           .foreach(n => addressed += (("bloom-bundle", n))))
     }
-    addressed.foreach { case (kind, n) => verifyAddressed(kind, n).foreach(metaBad += _) }
+    // Filesystem metastores fan the per-object hashing over executors
+    // through the same RDD shape as the file checks — at 10× retained
+    // chunks the driver would otherwise re-read every object serially.
+    // Wire mode keeps the driver loop: the catalog service is the
+    // metadata authority and executors hold no client to it. Raw-byte
+    // hashing ≡ the seam's UTF-8 round trip for well-formed objects, and
+    // a corrupt object mismatches its address either way.
+    val addressedSeq = addressed.toSeq
+    metaStore match {
+      case _: FsMetaStore if addressedSeq.nonEmpty =>
+        val loc = location
+        metaBad ++= spark.sparkContext
+          .parallelize(addressedSeq,
+            math.max(1, math.min(64, addressedSeq.size)))
+          .mapPartitions { it =>
+            it.flatMap { case (kind, name) =>
+              val hex = name.substring(name.lastIndexOf('-') + 1)
+                .stripSuffix(".json")
+              val p = new org.apache.hadoop.fs.Path(s"$loc/metadata/$name")
+              try {
+                val pfs = p.getFileSystem(conf.value)
+                val md = java.security.MessageDigest.getInstance("SHA-256")
+                val in = pfs.open(p)
+                try {
+                  val buf = new Array[Byte](1 << 20)
+                  var n = in.read(buf)
+                  while (n >= 0) {
+                    if (n > 0) md.update(buf, 0, n)
+                    n = in.read(buf)
+                  }
+                } finally in.close()
+                val got = md.digest().take(8).map(b => f"$b%02x").mkString
+                if (got != hex) Some((kind, name,
+                  s"content hash $got != addressed $hex (truncated or corrupted)"))
+                else None
+              } catch {
+                case _: java.io.FileNotFoundException =>
+                  Some((kind, name, "missing"))
+                case e: Exception =>
+                  Some((kind, name, s"unreadable: ${e.getMessage}"))
+              }
+            }
+          }.collect()
+      case _ =>
+        addressedSeq.foreach { case (kind, n) =>
+          verifyAddressed(kind, n).foreach(metaBad += _) }
+    }
     resolveFailure.foreach(msg =>
       metaBad += (("metadata", versionName(m0.version), msg)))
     // version spine: v1 always; retained versions form one contiguous

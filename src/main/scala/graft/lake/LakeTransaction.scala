@@ -98,10 +98,27 @@ final class LakeTransaction private[lake] (
 
   /** The staged branch for `ident` iff this transaction has WRITTEN it —
     * the read-your-writes routing [[SqlTransactions.readBranch]] uses
-    * (an unwritten enlistee still reads main, like [[TxnTable.toDF]]). */
-  private[lake] def stagedBranchFor(ident: String): Option[String] =
-    if (!finished && enlisted.get(ident).exists(_.written)) Some(branchName)
+    * (an unwritten enlistee still reads main, like [[TxnTable.toDF]]).
+    * `location`, when given, must match the enlisted table's physical
+    * location: a same-named table in a DIFFERENT catalog is untouched by
+    * this transaction and must keep reading its own main, not resolve a
+    * branch that only exists on the enlisted table. */
+  private[lake] def stagedBranchFor(ident: String,
+                                    location: Option[String] = None): Option[String] =
+    if (!finished && enlisted.get(ident).exists(t =>
+      t.written && location.forall(_ == t.table.location))) Some(branchName)
     else None
+
+  /** Repeatable-read pins, keyed by physical table LOCATION (ident is
+    * catalog-relative and two catalogs may share one): the snapshot id a
+    * table's FIRST in-transaction read observed (0 = empty table — the
+    * before-any-snapshot sentinel [[LakeTable.resolveSnapshot]] reads as
+    * empty). Later reads of the same table re-use the pin, so a foreign
+    * commit mid-transaction stays invisible under
+    * `spark.graft.txn.repeatable-read` ([[SqlTransactions.readPin]]). */
+  private val readPins = scala.collection.mutable.HashMap.empty[String, Long]
+  private[lake] def pinForRead(location: String, head: => Long): Long =
+    readPins.synchronized { readPins.getOrElseUpdate(location, head) }
 
   /** Written participants in publish order (sorted by location — the
     * deadlock-free fence order). Package-visible so the spec can drive

@@ -24,7 +24,15 @@ import java.util.concurrent.ConcurrentHashMap
   * points recorded, writes staged on the txn branch — and every dsv2
   * READ of a table the transaction has written resolves the staged
   * branch (read-your-writes), while untouched tables and other sessions
-  * keep reading main. `commit_transaction` publishes everywhere or
+  * keep reading main — HONEST per-table snapshot visibility, not
+  * repeatable read, by default. Setting
+  * `spark.graft.txn.repeatable-read=true` before BEGIN upgrades reads:
+  * each untouched table pins the snapshot its FIRST in-transaction read
+  * observed ([[readPin]]), so foreign commits stay invisible until
+  * COMMIT/ROLLBACK. Writes are unaffected either way: a staged write
+  * forks from live main and the commit-time fork-point check rejects
+  * conflicting interleavings, so the pin narrows read anomalies without
+  * weakening the write-side protocol. `commit_transaction` publishes everywhere or
   * aborts with the protocol's conflict error; `rollback_transaction`
   * discards. A session crash without either leaves the staged branches
   * for `CALL recover_transactions()` / fence-TTL self-healing — exactly
@@ -112,7 +120,38 @@ object SqlTransactions {
 
   /** READ routing: the staged branch for `ident` iff the active
     * transaction has WRITTEN it (read-your-writes); None otherwise, so
-    * untouched tables keep reading main. */
-  def readBranch(spark: SparkSession, ident: String): Option[String] =
-    current(spark).flatMap(_.stagedBranchFor(ident))
+    * untouched tables keep reading main. `location` guards against a
+    * same-named table in a different catalog resolving the enlisted
+    * table's branch (which does not exist on it). */
+  def readBranch(spark: SparkSession, ident: String,
+                 location: Option[String] = None): Option[String] =
+    current(spark).flatMap(_.stagedBranchFor(ident, location))
+
+  /** Session conf opting SQL-transaction reads into REPEATABLE READ:
+    * while true, the first in-transaction read of each UNTOUCHED table
+    * pins its snapshot, and later reads re-use the pin — a foreign commit
+    * mid-transaction stays invisible until COMMIT/ROLLBACK. Default
+    * (false) keeps the documented per-table live-main visibility. */
+  val RepeatableReadKey = "spark.graft.txn.repeatable-read"
+
+  /** REPEATABLE-READ pin for a read of `table` as `ident`: the snapshot
+    * id its first in-transaction read observed (0 = table was empty —
+    * resolves to the empty pre-snapshot state), or None when no
+    * transaction is active, the conf is off, or the transaction has
+    * WRITTEN this table (read-your-writes on the staged branch wins —
+    * the one case a transaction legitimately sees state newer than its
+    * pins). Pins are location-keyed, so two catalogs' same-named tables
+    * pin independently. Writes are NOT pinned: a staged write forks from
+    * live main and the commit-time fork-point check keeps the published
+    * result serializable (documented at [[SqlTransactions]]). */
+  def readPin(table: LakeTable, ident: String): Option[Long] = {
+    val spark = sessionOf(table.spark)
+    current(spark) match {
+      case Some(txn) if spark.conf.getOption(RepeatableReadKey).contains("true") &&
+          txn.stagedBranchFor(ident, Some(table.location)).isEmpty =>
+        Some(txn.pinForRead(table.location,
+          table.meta.currentSnapshot.map(_.snapshotId).getOrElse(0L)))
+      case _ => None
+    }
+  }
 }

@@ -60,7 +60,22 @@ case class GraftTable(
         pinnedTimestampMs.isEmpty,
         s"cannot write to a pinned version/branch of $identName inside a " +
           "SQL transaction — writes stage on the transaction branch")
-      graft.lake.SqlTransactions.route(lakeTable.spark, identName)
+      val routed = graft.lake.SqlTransactions.route(lakeTable.spark, identName)
+      // route() resolves the ident against the catalog the transaction
+      // BEGAN on — with two graft catalogs registered, a same-named table
+      // in the other catalog would silently enlist (and stage onto) the
+      // wrong physical table. The location is the physical identity:
+      // verify it and fail loudly on a mismatch.
+      routed.foreach { tt =>
+        require(tt.table.location == lakeTable.location,
+          s"write to $identName at ${lakeTable.location} inside the " +
+            s"active SQL transaction, but the transaction (begun on a " +
+            s"different catalog) resolves $identName to " +
+            s"${tt.table.location} — cross-catalog writes inside one " +
+            "transaction are not supported; COMMIT/ROLLBACK first or " +
+            "write through the transaction's own catalog")
+      }
+      routed
     }
   }
 
@@ -70,7 +85,23 @@ case class GraftTable(
   private[dsv2] def effectiveBranch: Option[String] =
     pinnedBranch.orElse(
       if (pinnedSnapshotId.isDefined || pinnedTimestampMs.isDefined) None
-      else graft.lake.SqlTransactions.readBranch(lakeTable.spark, identName))
+      else graft.lake.SqlTransactions.readBranch(lakeTable.spark, identName,
+        Some(lakeTable.location)))
+
+  /** Snapshot reads resolve against: the pinned snapshot id (`VERSION AS
+    * OF`), or — inside an active SQL transaction running with
+    * `spark.graft.txn.repeatable-read=true` — the snapshot this table's
+    * FIRST in-transaction read observed (0 = was empty), so a foreign
+    * commit mid-transaction stays invisible to the transaction's reads.
+    * Read-your-writes wins for tables the transaction has written
+    * ([[SqlTransactions.readPin]] yields None there; [[effectiveBranch]]
+    * routes the staged branch). Explicit time-travel pins opt OUT of the
+    * repeatable-read pin — the user asked for a specific version. */
+  private[dsv2] def effectiveSnapshotId: Option[Long] =
+    pinnedSnapshotId.orElse(
+      if (pinnedBranch.isDefined || pinnedTimestampMs.isDefined ||
+        metaKind.isDefined) None
+      else graft.lake.SqlTransactions.readPin(lakeTable, identName))
 
   /** (groupBy, aggs) when this table is a materialized-view STATE table —
     * such tables READ as the finalized view, never as raw merge state. */
@@ -93,7 +124,7 @@ case class GraftTable(
   def readDataFrame(): DataFrame = metaKind match {
     case Some(k) => lakeTable.metadataTable(k)
     case None =>
-      val raw = lakeTable.read(pinnedSnapshotId, effectiveBranch, pinnedTimestampMs)
+      val raw = lakeTable.read(effectiveSnapshotId, effectiveBranch, pinnedTimestampMs)
       ivmSpec.fold(raw) { case (g, a) =>
         graft.lake.MaterializedAgg.presentState(raw, g, a) }
   }
@@ -107,7 +138,7 @@ case class GraftTable(
     // so the metadata count stays exact for it too
     case Some(_) => None
     case None =>
-      lakeTable.resolveSnapshot(pinnedSnapshotId, effectiveBranch, pinnedTimestampMs) match {
+      lakeTable.resolveSnapshot(effectiveSnapshotId, effectiveBranch, pinnedTimestampMs) match {
         // equality deletes mask an unknowable row count (a key may hit 0..n
         // rows) — only a scan can answer
         case Some(s) if s.eqDeleteFiles.nonEmpty => None
@@ -152,7 +183,7 @@ case class GraftTable(
     case Some(_) => None
     case None =>
       val m = lakeTable.meta
-      lakeTable.resolveSnapshot(pinnedSnapshotId, effectiveBranch, pinnedTimestampMs) match {
+      lakeTable.resolveSnapshot(effectiveSnapshotId, effectiveBranch, pinnedTimestampMs) match {
         case None => Some(Seq.empty)
         case Some(s) if s.eqDeleteFiles.nonEmpty => None
         // position deletes: exact for COUNT(*), opaque for null counts and
@@ -224,7 +255,7 @@ case class GraftTable(
   def metadataCountCol(colName: String): Option[Long] = metaKind match {
     case Some(_) => None
     case None =>
-      lakeTable.resolveSnapshot(pinnedSnapshotId, effectiveBranch, pinnedTimestampMs) match {
+      lakeTable.resolveSnapshot(effectiveSnapshotId, effectiveBranch, pinnedTimestampMs) match {
         case None => Some(0L)
         case Some(s) if s.deleteFiles.nonEmpty || s.eqDeleteFiles.nonEmpty => None
         case Some(s) => lakeTable.statsCountColOver(lakeTable.meta, s.files, colName)
@@ -237,7 +268,7 @@ case class GraftTable(
   def metadataMinMax(colName: String): Option[(Option[Long], Option[Long])] = metaKind match {
     case Some(_) => None
     case None =>
-      lakeTable.resolveSnapshot(pinnedSnapshotId, effectiveBranch, pinnedTimestampMs) match {
+      lakeTable.resolveSnapshot(effectiveSnapshotId, effectiveBranch, pinnedTimestampMs) match {
         case Some(s) => lakeTable.statsMinMax(s, colName)
         case None => Some((None, None)) // empty table: MIN/MAX are null
       }
@@ -342,7 +373,7 @@ case class GraftTable(
             // the default (spark.sql.defaultSizeInBytes = huge) makes the
             // planner refuse to broadcast small lake tables in joins
             override def sizeInBytes: Long = {
-              val files = lakeTable.resolveSnapshot(pinnedSnapshotId,
+              val files = lakeTable.resolveSnapshot(effectiveSnapshotId,
                 pinnedBranch, pinnedTimestampMs).map(_.files).getOrElse(Seq.empty)
               math.max(1L, files.map(_.sizeBytes).sum)
             }
@@ -356,10 +387,10 @@ case class GraftTable(
                 case None if ivmSpec.isDefined =>
                   val (g, a) = ivmSpec.get
                   val v = graft.lake.MaterializedAgg.presentState(
-                    lakeTable.read(pinnedSnapshotId, effectiveBranch, pinnedTimestampMs),
+                    lakeTable.read(effectiveSnapshotId, effectiveBranch, pinnedTimestampMs),
                     g, a)
                   cond.map(v.filter).getOrElse(v)
-                case None => lakeTable.read(pinnedSnapshotId, effectiveBranch,
+                case None => lakeTable.read(effectiveSnapshotId, effectiveBranch,
                   pinnedTimestampMs, filter = cond)
               }
               val projected =

@@ -179,6 +179,46 @@ class CloneSpec extends AnyFunSuite {
     assert(cat.loadTable("db.cl2").verifyIntegrity().count() === 0)
   }
 
+  test("renaming a GRANDCHILD clone rewrites its registration in EVERY " +
+    "ancestor (chain-deep, not one-hop): the grandparent's GC keeps " +
+    "sparing the renamed clone's bytes and dropTable keeps refusing") {
+    val wh = Files.createTempDirectory("graft-clone").toString
+    val cat = new LakeCatalog(spark, wh)
+    val a = cat.createTable("db.a", schema)
+    a.append(df(1L -> "a"))
+    val b = cat.cloneTable("db.a", "db.b")
+    b.append(df(2L -> "b"))
+    cat.cloneTable("db.b", "db.c")
+    // c's own properties only name its direct parent b, but the rename
+    // must also fix the GRANDPARENT a's registration — a stale entry
+    // there reads the destroyed old metadata as a dropped clone and GC
+    // reclaims bytes db.c2 still references
+    cat.renameTable("db.c", "db.c2")
+    assert(cat.loadTable("db.a").meta.properties(LakeCatalog.CloneLocationsKey)
+      .split(";").toSet === Set(s"$wh/db/b", s"$wh/db/c2"),
+      "grandparent registration must follow the rename")
+    assert(cat.loadTable("db.b").meta.properties(LakeCatalog.CloneLocationsKey)
+      .split(";").toSet === Set(s"$wh/db/c2"))
+    // hostile GC from the grandparent: rewrite + expire all history +
+    // future-cutoff orphan sweep — one reclaimed byte fails the read
+    val a2 = cat.loadTable("db.a")
+    a2.delete(col("id") === 1L)
+    a2.expireSnapshots(System.currentTimeMillis() + 3600000L, retainLast = 1)
+    a2.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 3600000L)
+    assert(ids(cat.loadTable("db.c2")) === Seq(1L, 2L))
+    assert(cat.loadTable("db.c2").verifyIntegrity().count() === 0)
+    // and the grandparent still refuses to drop while the renamed
+    // grandchild lives
+    val e = intercept[IllegalStateException](cat.dropTable("db.a"))
+    assert(e.getMessage.contains("db/c2"))
+    // dropping the renamed grandchild deregisters it everywhere
+    cat.dropTable("db.c2")
+    assert(cat.loadTable("db.a").meta.properties(LakeCatalog.CloneLocationsKey)
+      .split(";").toSet === Set(s"$wh/db/b"))
+    assert(!cat.loadTable("db.b").meta.properties
+      .contains(LakeCatalog.CloneLocationsKey))
+  }
+
   test("SQL surface: CALL clone_table through the procedure catalog") {
     val wh = Files.createTempDirectory("graft-clone-sql").toString
     spark.conf.set("spark.sql.catalog.cln",

@@ -122,6 +122,29 @@ class RenameSpec extends AnyFunSuite {
     assert(fresh.toDF.count() === 1)
   }
 
+  test("renaming ONTO a tombstoned location is refused — adopting a " +
+    "renamed-away table's live data dir is the same hazard for rename " +
+    "as for createTable/cloneTable") {
+    val wh = Files.createTempDirectory("graft-ren").toString
+    val cat = new LakeCatalog(spark, wh)
+    val t0 = cat.createTable("db.victim", schema)
+    t0.append(df(1L -> "a", 2L -> "b"))
+    cat.renameTable("db.victim", "db.moved") // db/victim now tombstoned
+    val other = cat.createTable("db.other", schema)
+    other.append(df(9L -> "z"))
+    // renaming db.other onto the recycled ident would adopt db/victim's
+    // directory; its orphan GC would then reclaim db.moved's live rows
+    val e = intercept[IllegalArgumentException](
+      cat.renameTable("db.other", "db.victim"))
+    assert(e.getMessage.contains("tombstoned"))
+    assert(cat.loadTable("db.other").toDF.count() === 1, "rename aborted clean")
+    assert(cat.loadTable("db.moved").toDF.count() === 2, "victim data intact")
+    // dropping the moved table reclaims the location; rename then works
+    cat.dropTable("db.moved")
+    val renamed = cat.renameTable("db.other", "db.victim")
+    assert(renamed.toDF.count() === 1)
+  }
+
   test("SQL surface: ALTER TABLE … RENAME TO through the catalog plugin") {
     val wh = Files.createTempDirectory("graft-ren-sql").toString
     spark.conf.set("spark.sql.catalog.renc",

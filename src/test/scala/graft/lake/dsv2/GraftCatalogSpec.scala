@@ -1668,4 +1668,92 @@ class GraftCatalogSpec extends AnyFunSuite {
       } finally extSpark.conf.unset(graft.lake.SqlTransactions.ConfKey)
     } finally sqlx("USE spark_catalog")
   }
+
+  test("cross-catalog guard (r16): a write to another catalog's " +
+    "same-named table inside an active transaction fails loudly instead " +
+    "of silently enlisting the wrong physical table") {
+    val sqlx = (q: String) => extSpark.sql(q)
+    val wh2 = Files.createTempDirectory("graft-dsv2-wh2").toString
+    extSpark.conf.set("spark.sql.catalog.lake2", classOf[GraftCatalog].getName)
+    extSpark.conf.set("spark.sql.catalog.lake2.warehouse", wh2)
+    org.apache.spark.sql.graftbridge.CatalogBridge.resetCatalogs(extSpark)
+    sqlx("CREATE DATABASE IF NOT EXISTS lake.xdb")
+    sqlx("CREATE TABLE lake.xdb.t (k BIGINT)")
+    sqlx("INSERT INTO lake.xdb.t VALUES (1)")
+    sqlx("CREATE DATABASE IF NOT EXISTS lake2.xdb")
+    sqlx("CREATE TABLE lake2.xdb.t (k BIGINT)")
+    sqlx("INSERT INTO lake2.xdb.t VALUES (10)")
+    sqlx("USE lake")
+    try {
+      sqlx("BEGIN TRANSACTION")
+      sqlx("INSERT INTO lake.xdb.t VALUES (2)") // enlists xdb.t on lake
+      // same ident, OTHER catalog: the txn began on lake, so routing
+      // would stage this onto lake's xdb.t — must refuse instead
+      val e = intercept[Exception](sqlx("INSERT INTO lake2.xdb.t VALUES (11)"))
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+      assert(chain(e).exists(m => m != null && m.contains("cross-catalog")),
+        s"cross-catalog write must fail loudly: $e")
+      // and lake2's table must NOT resolve the staged read branch that
+      // only exists on lake's table (it is untouched: reads its own main)
+      assert(sqlx("SELECT COUNT(*) FROM lake2.xdb.t").head.getLong(0) === 1)
+      sqlx("ROLLBACK")
+      assert(sqlx("SELECT COUNT(*) FROM lake.xdb.t").head.getLong(0) === 1)
+      assert(sqlx("SELECT COUNT(*) FROM lake2.xdb.t").head.getLong(0) === 1)
+    } finally {
+      sqlx("USE spark_catalog")
+      extSpark.conf.unset("spark.sql.catalog.lake2")
+      org.apache.spark.sql.graftbridge.CatalogBridge.resetCatalogs(extSpark)
+    }
+  }
+
+  test("repeatable read (r16): under spark.graft.txn.repeatable-read, a " +
+    "foreign commit mid-transaction is invisible to the transaction's " +
+    "SELECTs until COMMIT/ROLLBACK; read-your-writes still wins") {
+    val sqlx = (q: String) => extSpark.sql(q)
+    sqlx("CREATE DATABASE IF NOT EXISTS lake.rrdb")
+    sqlx("CREATE TABLE lake.rrdb.t (k BIGINT)")
+    sqlx("CREATE TABLE lake.rrdb.fresh (k BIGINT)") // empty at txn begin
+    sqlx("CREATE TABLE lake.rrdb.mine (k BIGINT)")
+    sqlx("INSERT INTO lake.rrdb.t VALUES (1), (2)")
+    sqlx("USE lake")
+    extSpark.conf.set(graft.lake.SqlTransactions.RepeatableReadKey, "true")
+    try {
+      sqlx("BEGIN TRANSACTION")
+      // first read pins the snapshot (and pins `fresh` to its empty state)
+      assert(sqlx("SELECT COUNT(*) FROM lake.rrdb.t").head.getLong(0) === 2)
+      assert(sqlx("SELECT COUNT(*) FROM lake.rrdb.fresh").head.getLong(0) === 0)
+      // foreign commits from ANOTHER session land on main mid-transaction
+      sql("INSERT INTO lake.rrdb.t VALUES (3)")
+      sql("INSERT INTO lake.rrdb.fresh VALUES (7)")
+      assert(sqlx("SELECT COUNT(*) FROM lake.rrdb.t").head.getLong(0) === 2,
+        "pinned read must not see the foreign commit")
+      assert(sqlx("SELECT COUNT(*) FROM lake.rrdb.fresh").head.getLong(0) === 0,
+        "a table pinned EMPTY stays empty inside the transaction")
+      // read-your-writes beats the pin for tables the txn writes
+      sqlx("INSERT INTO lake.rrdb.mine VALUES (5)")
+      assert(sqlx("SELECT COUNT(*) FROM lake.rrdb.mine").head.getLong(0) === 1)
+      sqlx("ROLLBACK")
+      // pins die with the transaction: live main is visible again
+      assert(sqlx("SELECT COUNT(*) FROM lake.rrdb.t").head.getLong(0) === 3)
+      assert(sqlx("SELECT COUNT(*) FROM lake.rrdb.fresh").head.getLong(0) === 1)
+      assert(sqlx("SELECT COUNT(*) FROM lake.rrdb.mine").head.getLong(0) === 0)
+      // explicit time travel opts OUT of the pin — the user asked for a
+      // specific version, inside a transaction or not
+      sqlx("BEGIN TRANSACTION")
+      assert(sqlx("SELECT COUNT(*) FROM lake.rrdb.t").head.getLong(0) === 3,
+        "pin captured at 3 rows")
+      sql("INSERT INTO lake.rrdb.t VALUES (4)")
+      assert(sqlx("SELECT COUNT(*) FROM lake.rrdb.t").head.getLong(0) === 3)
+      val head = new graft.lake.LakeCatalog(spark,
+        spark.conf.get("spark.sql.catalog.lake.warehouse"))
+        .loadTable("rrdb.t").meta.currentSnapshot.get.snapshotId
+      assert(sqlx(s"SELECT COUNT(*) FROM lake.rrdb.t VERSION AS OF $head")
+        .head.getLong(0) === 4, "explicit VERSION AS OF bypasses the pin")
+      sqlx("ROLLBACK")
+    } finally {
+      extSpark.conf.unset(graft.lake.SqlTransactions.RepeatableReadKey)
+      sqlx("USE spark_catalog")
+    }
+  }
 }
