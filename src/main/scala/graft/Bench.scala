@@ -85,6 +85,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val bestTotal = ok.map(_._3).sum
+    // heavy subtotal (r16): at 100+ queries the per-query median is
+    // ~0.3 s and the ±15-20% spread band is larger than most individual
+    // queries, so a regression in a heavy query can hide inside the
+    // noise of the long tail. Track the >0.5 s cohort separately —
+    // that's where round-over-round regressions are actually resolvable.
+    val heavy = ok.filter(_._2 > 0.5)
+    val heavyTotal = heavy.map(_._2).sum
     // median over queries of per-query (max-min)/median: the measurement
     // precision WITHIN this JVM. Cross-invocation totals additionally move
     // ~10% from per-JVM JIT/codegen differences (measured on byte-identical
@@ -110,6 +117,7 @@ object Bench {
     val failedField = if (bad.isEmpty) "" else s""""failed":$failedJson,"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs_per_query":$runs,"best_total":$bestTotal,$failedField""" +
+      f""""heavy_total_s":$heavyTotal%.2f,"heavy_n":${heavy.size},""" +
       f""""within_run_spread_pct":$noisePct%.1f,"contended_run":$contended,""" +
       s""""sweep_attempts":$attempts,"queries_best":$bests,""" +
       s""""setup":{"build_ivf_index":$setupSecs},"recall":$recall,"sf":"$sfDir"}""")
@@ -119,6 +127,7 @@ object Bench {
     // here so any tail capture stays self-contained.
     println(f"""BENCH_SUMMARY {"total_s":$total%.2f,"best_total_s":$bestTotal%.2f,""" +
       s""""n_queries":${ok.size},"n_failed":${bad.size},""" +
+      f""""heavy_total_s":$heavyTotal%.2f,"heavy_n":${heavy.size},""" +
       f""""within_run_spread_pct":$noisePct%.1f,"contended_run":$contended,""" +
       s""""sweep_attempts":$attempts,""" +
       s""""runs_per_query":$runs,"recall":$recall,"sf":"$sfDir"}""")

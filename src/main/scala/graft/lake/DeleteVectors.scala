@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, input_file_name}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -189,44 +189,57 @@ object DeleteVectors {
     * covers ~2^31 deleted rows dense. */
   val MaxBundleBytes: Long = 256L * 1024 * 1024
 
-  /** Build one bitmap per data file from the just-written delete-entry
-    * parquet `paths`. Entries for one data file may span paths; the job
-    * repartitions by file so each bitmap is built from one sorted run.
+  /** Build one bitmap per (OWNING delete file, data file) pair from the
+    * just-written delete-entry parquet `paths`. Keying by the pair (r16,
+    * was data file alone) lets the r16 range-partitioned roll split a
+    * data file's positions across two delete files and still attach each
+    * delete file a ref covering exactly ITS OWN entries — the read path
+    * already unions masks across a data file's referencing delete files.
+    * One job: group by (source, file) with sorted runs per partition.
     * Returns None when the collected bundle would exceed
     * [[MaxBundleBytes]]. */
-  def buildBitmaps(spark: SparkSession, paths: Seq[String]): Option[Seq[(String, Array[Byte])]] = {
+  def buildBitmaps(spark: SparkSession, paths: Seq[String])
+      : Option[Seq[((String, String), Array[Byte])]] = {
     if (paths.isEmpty) return Some(Seq.empty)
     val entries = spark.read.schema(LakeTable.DeleteEntrySchema).parquet(paths: _*)
+      .select(input_file_name().as("_src"), col("file_name"), col("pos"))
     val parts = math.max(1, math.min(paths.size, 64))
-    val perFile = entries.repartition(parts, col("file_name"))
-      .sortWithinPartitions("file_name", "pos")
+    val perFile = entries.repartition(parts, col("_src"), col("file_name"))
+      .sortWithinPartitions("_src", "file_name", "pos")
       .mapPartitions { it =>
-        val out = scala.collection.mutable.ArrayBuffer[(String, Array[Byte])]()
-        var cur: String = null
+        val out = scala.collection.mutable.ArrayBuffer[((String, String), Array[Byte])]()
+        var cur: (String, String) = null
         val buf = scala.collection.mutable.ArrayBuffer[Long]()
         def flush(): Unit = if (cur != null && buf.nonEmpty) {
           out += ((cur, DvBitmap.build(buf.toArray)))
           buf.clear()
         }
         it.foreach { r =>
-          val f = r.getString(0)
-          if (f != cur) { flush(); cur = f }
-          buf += r.getLong(1)
+          // basename: the owning delete file is identified the way
+          // DeleteFile.counts keys are — by final path segment
+          val src = r.getString(0)
+          val base = src.substring(src.lastIndexOf('/') + 1)
+          val k = (base, r.getString(1))
+          if (k != cur) { flush(); cur = k }
+          buf += r.getLong(2)
         }
         flush()
         out.iterator
       }(org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.BINARY))
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.STRING),
+        org.apache.spark.sql.Encoders.BINARY))
       .collect().toSeq
     val total = perFile.iterator.map(_._2.length.toLong).sum
     if (total > MaxBundleBytes) None else Some(perFile)
   }
 
   /** Concatenate bitmaps into one content-addressed bundle under `dir`,
-    * returning the per-file refs. Content addressing makes a retried
+    * returning the per-key refs. Content addressing makes a retried
     * commit write the identical object — putIfAbsent semantics for free. */
-  def writeBundle(fs: FileSystem, dir: Path,
-                  bitmaps: Seq[(String, Array[Byte])]): Map[String, DvRef] = {
+  def writeBundle[K](fs: FileSystem, dir: Path,
+                     bitmaps: Seq[(K, Array[Byte])]): Map[K, DvRef] = {
     if (bitmaps.isEmpty) return Map.empty
     val totalLen = bitmaps.iterator.map(_._2.length).sum
     val all = new Array[Byte](totalLen)

@@ -1228,8 +1228,17 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     val parts = math.min((total + targetRecords - 1) / targetRecords, 1024L).toInt max 1
     val tmp = new Path(location, s"tmp-del-${UUID.randomUUID().toString.take(8)}")
     val named = entries.select(col("_gd_file").as("file_name"), col("_gd_pos").as("pos"))
+    // RANGE partition on (file_name, pos), not hash on file_name: a giant
+    // DELETE touching FEW data files (the common shape — positions
+    // concentrate where the predicate matches) can hash every distinct
+    // file name into one partition and silently defeat the roll (observed:
+    // 3 files → 1 of 5 partitions, ~4% of runs by UUID name luck). Ranges
+    // split the position space evenly whatever the key cardinality, while
+    // keeping each data file's positions CONTIGUOUS — a data file still
+    // lands in at most two delete files, so the per-file ref count stays
+    // O(1), not O(parts).
     (if (parts == 1) named.coalesce(1)
-     else named.repartition(parts, col("file_name"))
+     else named.repartitionByRange(parts, col("file_name"), col("pos"))
        .sortWithinPartitions("file_name", "pos"))
       .write.mode("overwrite").parquet(tmp.toString)
     val written = listParquet(fs, tmp)
@@ -1262,10 +1271,12 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
   }
 
   /** Build + attach deletion-vector refs for just-written delete files
-    * (see [[DeleteVectors]]): one bitmap per referenced data file, one
-    * content-addressed bundle per call. Each data file's entries live in
-    * exactly ONE of `out`'s delete files (the roll partitions by file
-    * name), so a ref covers precisely its owner's entries. Any skip —
+    * (see [[DeleteVectors]]): one bitmap per (delete file, data file)
+    * pair, one content-addressed bundle per call. Keying by the PAIR
+    * (r16) means a rolled write whose range boundaries split one data
+    * file's positions across two delete files still attaches each delete
+    * file a ref covering exactly its own entries — the read path unions
+    * a data file's masks across its referencing delete files. Any skip —
     * property off, oversized batch, a cardinality mismatch — leaves refs
     * absent and the read path on its anti-join fallback: never wrong,
     * at worst un-accelerated. */
@@ -1280,13 +1291,21 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
           "reads of these files use the anti-join fallback")
         out
       case Some(bitmaps) =>
-        val expected = out.flatMap(_.counts).toMap
-        val verified = bitmaps.filter { case (name, bytes) =>
-          expected.get(name).contains(DvBitmap.cardinality(bytes))
+        // expected cardinalities keyed (delete-file basename, data file) —
+        // exactly how each DeleteFile's own counts map reads
+        val expected: Map[(String, String), Long] = out.flatMap { d =>
+          val base = fileName(d.path)
+          d.counts.map { case (n, c) => (base, n) -> c }
+        }.toMap
+        val verified = bitmaps.filter { case (k, bytes) =>
+          expected.get(k).contains(DvBitmap.cardinality(bytes))
         }
         val refs = DeleteVectors.writeBundle(fs, dataDir, verified)
-        out.map(d => d.copy(dv = d.counts.keys.flatMap(n =>
-          refs.get(n).map(n -> _)).toMap))
+        out.map { d =>
+          val base = fileName(d.path)
+          d.copy(dv = d.counts.keys.flatMap(n =>
+            refs.get((base, n)).map(n -> _)).toMap)
+        }
     }
   }
 

@@ -34,6 +34,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val plan = GraftSqlParser.parseBranchDdl(sqlText, delegate)
       .orElse(GraftSqlParser.parsePartitionFieldDdl(sqlText, delegate))
       .orElse(GraftSqlParser.parseMaterializedViewDdl(sqlText, delegate))
+      .orElse(GraftSqlParser.parseCloneDdl(sqlText, delegate))
       .orElse(GraftTxnSql.parse(sqlText))
       .getOrElse(delegate.parsePlan(sqlText))
     // view DDL/reads on graft catalogs rewrite at PARSE time: the
@@ -237,6 +238,26 @@ object GraftSqlParser {
           delegate.parseMultipartIdentifier(view), ifExists != null))
       case _ => None
     }
+
+  private val CloneDdl =
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+($MvIdent)\\s+SHALLOW\\s+CLONE\\s+($MvIdent)\\s*(?:VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""".r
+
+  /** Some(command) for Delta's DDL-first clone spelling (r16):
+    * `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]` →
+    * [[graft.lake.LakeCatalog.cloneTable]] (same semantics as
+    * `CALL <cat>.system.clone_table`, including the WAP-staged refusal,
+    * tombstoned-location refusal and chain-deep GC registration). DEEP
+    * CLONE is deliberately absent — a deep copy is CREATE TABLE AS
+    * SELECT, already native. */
+  def parseCloneDdl(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
+    sqlText match {
+      case CloneDdl(dst, src, version) =>
+        Some(ShallowCloneCommand(
+          delegate.parseMultipartIdentifier(dst),
+          delegate.parseMultipartIdentifier(src),
+          Option(version).map(_.toLong)))
+      case _ => None
+    }
 }
 
 /** Runs a branch/tag DDL against the graft catalog owning the table. */
@@ -304,6 +325,40 @@ case class PartitionFieldDdlCommand(nameParts: Seq[String], add: Boolean,
         current.filterNot(_ == colName -> transform)
       }
     t.replacePartitionSpec(next)
+    Seq.empty
+  }
+}
+
+/** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]`: zero-copy
+  * clone through the catalog owning both idents. Source and destination
+  * must resolve to the SAME graft catalog — a cross-catalog clone would
+  * put the clone's GC registration where the other catalog's sweeps
+  * never look. */
+case class ShallowCloneCommand(dstParts: Seq[String], srcParts: Seq[String],
+                               asOfSnapshotId: Option[Long])
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cm = spark.sessionState.catalogManager
+    def resolve(parts: Seq[String]) = parts match {
+      case head +: rest if rest.nonEmpty && cm.isCatalogRegistered(head) =>
+        (cm.catalog(head), rest)
+      case _ => (cm.currentCatalog, parts)
+    }
+    val (dcat, dparts) = resolve(dstParts)
+    val (scat, sparts) = resolve(srcParts)
+    val gc = dcat match {
+      case g: GraftCatalog => g
+      case other => throw new UnsupportedOperationException(
+        s"SHALLOW CLONE requires a graft catalog, got '${other.name}'")
+    }
+    require(scat eq dcat,
+      s"SHALLOW CLONE source and destination must live in the same " +
+        s"catalog (got '${scat.name}' and '${dcat.name}') — the clone's " +
+        "GC registration must be visible to the source's expire/orphan " +
+        "sweeps")
+    gc.lake.cloneTable(sparts.mkString("."), dparts.mkString("."),
+      asOfSnapshotId)
     Seq.empty
   }
 }

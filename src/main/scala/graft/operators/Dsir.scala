@@ -55,10 +55,32 @@ object Dsir {
     * BIGRAMS — n-gram order carries target-style phrasing a bag of
     * unigrams can't). Empty split artifacts are dropped BEFORE gram
     * construction so both engines build identical windows; a doc shorter
-    * than `ngrams` tokens contributes nothing. One fused projection —
-    * the n-gram window is an in-row `transform`/`slice`, no self-join. */
+    * than `ngrams` tokens contributes nothing.
+    *
+    * The gram window runs in the native single-pass
+    * [[graft.functions.HashedGrams]] generator, which emits the BUCKET
+    * directly (r16; the bucket is the md5 digest's top 12 bits — no hex
+    * round trip, no per-gram string materialization). DsirSpec proves it
+    * row-identical to the composable-HOF form ([[bucketCountsHof]]),
+    * which the DuckDB oracle twins mirror. */
   def bucketCounts(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", ngrams: Int = 1): DataFrame = {
+    require(ngrams >= 1 && ngrams <= 4, s"ngrams must be 1..4 (got $ngrams)")
+    val buckets = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.HashedGrams(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol)),
+        ngrams))
+    docs.select(col(idCol), buckets.as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
+  }
+
+  /** The composable-HOF twin of [[bucketCounts]] — the form the DuckDB
+    * oracles rebuild relationally. Kept as the parity reference (DsirSpec
+    * gates native ≡ HOF on every row); the native generator is the hot
+    * path. */
+  private[graft] def bucketCountsHof(docs: DataFrame, textCol: String = "text",
+                                     idCol: String = "doc_id",
+                                     ngrams: Int = 1): DataFrame = {
     require(ngrams >= 1 && ngrams <= 4, s"ngrams must be 1..4 (got $ngrams)")
     val toks = filter(split(lower(col(textCol)), "\\s+"),
       t => length(t) > 0)

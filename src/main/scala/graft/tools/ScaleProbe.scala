@@ -222,6 +222,40 @@ object ScaleProbe {
         f""""corpus_rows":$total,"kept":$kept,"dropped":${total - kept}}""")
     }
 
+    // DSIR growth (r16): a FIXED target corpus scored against a 1x vs Nx
+    // pool with hashed bigrams (q101's shape, the bench's heaviest
+    // query). The claim under test: the pool pass is the ONLY stage that
+    // grows — one tokenize+hash pass feeding both the source model and
+    // the scores, with the 4096-row ratio table broadcast — so wall and
+    // shuffle grow ~linearly in pool bytes (per-byte flat), never N²
+    // (no all-pairs, no pool-side re-pass). top-k is constant output.
+    for (scale <- Seq(1, scaleN)) {
+      val pool = scaledDocuments(spark, scale)
+      val target = spark.table("documents_base")
+        .filter(col("doc_id") % 97 < 5).select(col("doc_id"), col("text"))
+      var stable = 0; var last = (-1L, -1L); var waited = 0
+      while (stable < 2 && waited < 3000) {
+        Thread.sleep(100); waited += 100
+        val cur = (shuffleRead.get(), shuffleWrite.get())
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      shuffleRead.set(0L); shuffleWrite.set(0L)
+      val t0 = System.nanoTime()
+      val picked = graft.operators.Dsir
+        .select(pool, target, k = 200, ngrams = 2).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      stable = 0; last = (-1L, -1L); waited = 0
+      while (stable < 2 && waited < 10000) {
+        Thread.sleep(250); waited += 250
+        val cur = (shuffleRead.get(), shuffleWrite.get())
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      val (r, w) = (shuffleRead.getAndSet(0L), shuffleWrite.getAndSet(0L))
+      println(f"""{"probe":"dsir_bigram","scale":$scale,"secs":$secs%.2f,""" +
+        f""""picked":$picked,"shuffle_read_mb":${r / 1e6}%.1f,""" +
+        f""""shuffle_write_mb":${w / 1e6}%.1f}""")
+    }
+
     // storage-partitioned join: the SAME co-bucketed orders⋈customer
     // aggregate with SPJ off vs on. The claim under test: SPJ removes the
     // join-input shuffles entirely — shuffle bytes collapse to the

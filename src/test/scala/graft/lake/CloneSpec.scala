@@ -219,6 +219,72 @@ class CloneSpec extends AnyFunSuite {
       .contains(LakeCatalog.CloneLocationsKey))
   }
 
+  test("SQL DDL (r16): CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF " +
+    "n] drives the q102 shape purely via SQL — hostile source GC spares " +
+    "the clone, tombstoned locations refuse") {
+    val wh = Files.createTempDirectory("graft-clone-ddl").toString
+    // the DDL spelling needs the parser extension (like branch DDL)
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions()(_))
+      .create()
+    prevDefault match {
+      case Some(d) => SparkSession.setDefaultSession(d)
+      case None => SparkSession.clearDefaultSession()
+    }
+    prevActive match {
+      case Some(a) => SparkSession.setActiveSession(a)
+      case None => SparkSession.clearActiveSession()
+    }
+    s.conf.set("spark.sql.catalog.cds",
+      classOf[graft.lake.dsv2.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.cds.warehouse", wh)
+    try {
+      s.sql("CREATE DATABASE IF NOT EXISTS cds.db")
+      s.sql("CREATE TABLE cds.db.src (id BIGINT, v STRING)")
+      s.sql("INSERT INTO cds.db.src VALUES (1, 'a'), (2, 'b')")
+      val cat = new LakeCatalog(s, wh)
+      val snap1 = cat.loadTable("db.src").meta.currentSnapshot.get.snapshotId
+      s.sql("INSERT INTO cds.db.src VALUES (3, 'c')")
+      s.sql("CREATE TABLE cds.db.twin SHALLOW CLONE cds.db.src")
+      assert(s.sql("SELECT COUNT(*) FROM cds.db.twin").head.getLong(0) === 3)
+      // AS-OF clone pins a historical snapshot
+      s.sql(s"CREATE TABLE cds.db.old SHALLOW CLONE cds.db.src VERSION AS OF $snap1")
+      assert(s.sql("SELECT COUNT(*) FROM cds.db.old").head.getLong(0) === 2)
+      // zero copy: the twin references the source's files in place
+      assert(cat.loadTable("db.twin").meta.currentSnapshot.get.files
+        .forall(_.path.contains("db/src")))
+      // q102's hostile-GC shape, via SQL procedures: rewrite + expire all
+      // history + future-cutoff orphan sweep on the SOURCE
+      s.sql("DELETE FROM cds.db.src WHERE id = 1")
+      val future = System.currentTimeMillis() + 3600000L
+      s.sql(s"CALL cds.system.expire_snapshots('db.src', ${future}L, 1L)")
+      s.sql(s"CALL cds.system.remove_orphan_files('db.src', ${future}L)")
+      assert(s.sql("SELECT id FROM cds.db.twin ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L),
+        "one reclaimed byte would fail this read")
+      assert(cat.loadTable("db.twin").verifyIntegrity().count() === 0)
+      // tombstoned destination refuses: rename db.old away, then try to
+      // clone onto the recycled ident whose directory still holds data
+      cat.renameTable("db.old", "db.old2")
+      val e = intercept[Exception](
+        s.sql("CREATE TABLE cds.db.old SHALLOW CLONE cds.db.src"))
+      assert(e.getMessage.contains("tombstoned") ||
+        Option(e.getCause).exists(_.getMessage.contains("tombstoned")))
+      // cross-catalog clone refuses (GC registration would be invisible)
+      val e2 = intercept[Exception](
+        s.sql("CREATE TABLE spark_catalog.default.x SHALLOW CLONE cds.db.src"))
+      assert(e2.getMessage.contains("graft") ||
+        e2.getMessage.contains("catalog"))
+    } finally {
+      s.conf.unset("spark.sql.catalog.cds")
+    }
+  }
+
   test("SQL surface: CALL clone_table through the procedure catalog") {
     val wh = Files.createTempDirectory("graft-clone-sql").toString
     spark.conf.set("spark.sql.catalog.cln",

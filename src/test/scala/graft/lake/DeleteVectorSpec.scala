@@ -143,6 +143,19 @@ class DeleteVectorSpec extends AnyFunSuite {
     val dels = t.meta.currentSnapshot.get.deleteFiles
     assert(dels.size > 1, s"expected a rolled write, got ${dels.size}")
     dels.foreach(d => assert(d.dv.keySet === d.counts.keySet))
+    // the r16 range roll SPLITS a data file's positions across delete
+    // files (5 ranges over 3 files ⇒ at least one file spans two); each
+    // owner carries a ref for exactly its own slice and the probe read
+    // unions them — no anti-join fallback
+    val owners = dels.flatMap(_.counts.keys)
+    assert(owners.size > owners.distinct.size,
+      s"expected a data file split across delete files, got $owners")
+    dels.foreach(d => d.counts.foreach { case (n, c) =>
+      assert(DvBitmap.cardinality(DeleteVectors.cached(d.dv(n),
+        spark.sessionState.newHadoopConf())) === c,
+        s"ref of $n must cover exactly its owner's slice")
+    })
+    assert(!hasJoin(t.toDF), "full pair coverage must probe, not anti-join")
     assert(ids(t.toDF) === (0L until 300L).filterNot(_ % 3 == 0))
   }
 

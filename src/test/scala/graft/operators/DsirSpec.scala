@@ -105,6 +105,32 @@ class DsirSpec extends AnyFunSuite {
       s"bigram profile must separate phrasing, got $top")
   }
 
+  test("native HashedGrams path ≡ composable-HOF path, row for row " +
+    "(r16: the generator emits the md5 top-12-bits bucket directly)") {
+    import spark.implicits._
+    val rows = Seq[(Long, String)](
+      1L -> "The Cat SAT on the mat",
+      2L -> "  leading and   multiple   spaces  ",
+      3L -> "tabs\tand\nnewlines\r\nmixed nbsp", //   is NOT \s
+      4L -> "unicode: Grüße ÖL straße ÉTÉ ĲS",
+      5L -> "x",                    // one token: zero bigrams
+      6L -> "",                     // empty: zero everything
+      7L -> "repeat repeat repeat repeat",
+      8L -> "punct, still. one;token:each!") ++
+      Seq((9L, null.asInstanceOf[String]))
+    val df = rows.toDF("doc_id", "text")
+    for (n <- 1 to 4) {
+      val native = Dsir.bucketCounts(df, ngrams = n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val hof = Dsir.bucketCountsHof(df, ngrams = n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(native.toSeq === hof.toSeq, s"ngrams=$n")
+    }
+    // buckets stay inside the 4096-bucket domain
+    val all = Dsir.bucketCounts(df).select("bucket").collect().map(_.getLong(0))
+    assert(all.forall(b => b >= 0 && b < 4096))
+  }
+
   test("selection prefers target-like docs; deterministic tie-break") {
     val target = docs(1L -> "alpha beta gamma", 2L -> "alpha beta delta")
     val pool = docs(
