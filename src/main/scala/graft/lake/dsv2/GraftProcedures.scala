@@ -60,13 +60,21 @@ object GraftProcedures {
     case "rewrite_data_files" => Some(proc(name,
       Array(param("table", StringType),
         param("target_file_size_bytes", LongType, Some((512L * 1024 * 1024).toString)),
-        param("sort_by", StringType, Some("''"))),
+        param("sort_by", StringType, Some("''")),
+        param("where", StringType, Some("''"))),
       row => {
         val target = if (row.isNullAt(1)) 512L * 1024 * 1024 else row.getLong(1)
         val sortBy =
           if (row.isNullAt(2) || row.getString(2).isEmpty) Seq.empty[String]
           else row.getString(2).split(",").toSeq.map(_.trim)
-        lake.loadTable(row.getString(0)).rewriteDataFiles(target, sortBy)
+        // where: a full SQL predicate (r16, Iceberg's rewrite where) —
+        // scopes the rewrite to files whose stats MAY match; content is
+        // unchanged whatever the predicate (whole-file granularity)
+        val where =
+          if (row.isNullAt(3) || row.getString(3).isEmpty) None
+          else Some(org.apache.spark.sql.functions.expr(row.getString(3)))
+        lake.loadTable(row.getString(0))
+          .rewriteDataFiles(target, sortBy, where = where)
       }))
     // selective small-files compaction (rewrite_data_files strategy=binpack
     // as its own named procedure): `where` scopes to a partition tuple

@@ -35,6 +35,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       .orElse(GraftSqlParser.parsePartitionFieldDdl(sqlText, delegate))
       .orElse(GraftSqlParser.parseMaterializedViewDdl(sqlText, delegate))
       .orElse(GraftSqlParser.parseCloneDdl(sqlText, delegate))
+      .orElse(GraftSqlParser.parseRestoreDdl(sqlText, delegate))
+      .orElse(GraftSqlParser.parseVacuumDdl(sqlText, delegate))
       .orElse(GraftTxnSql.parse(sqlText))
       .getOrElse(delegate.parsePlan(sqlText))
     // view DDL/reads on graft catalogs rewrite at PARSE time: the
@@ -258,6 +260,54 @@ object GraftSqlParser {
           Option(version).map(_.toLong)))
       case _ => None
     }
+
+  private val RestoreDdl =
+    s"""(?is)\\s*RESTORE\\s+TABLE\\s+($MvIdent)\\s+TO\\s+(VERSION|TIMESTAMP)\\s+AS\\s+OF\\s+(?:(\\d+)|'([^']+)')\\s*;?\\s*""".r
+
+  /** Delta's `RESTORE TABLE t TO VERSION AS OF n` / `TO TIMESTAMP AS OF
+    * <epoch-ms | 'yyyy-mm-dd hh:mm:ss[.f]'>` (r16): move main back to a
+    * historical snapshot — one metadata commit, the DDL-first spelling of
+    * `CALL <cat>.system.rollback_to_snapshot`. History stays append-only
+    * (the rollback is itself a history entry), so a mis-restore is
+    * restorable; expire/GC retention is untouched. The timestamp string
+    * form parses in the JVM's session zone (`Timestamp.valueOf`). */
+  def parseRestoreDdl(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
+    sqlText match {
+      case RestoreDdl(ident, kind, num, str) =>
+        val byVersion = kind.equalsIgnoreCase("VERSION")
+        if (byVersion && num == null)
+          parseError(sqlText, "VERSION AS OF takes a numeric snapshot id")
+        Some(RestoreTableCommand(
+          delegate.parseMultipartIdentifier(ident),
+          snapshotId = if (byVersion) Some(num.toLong) else None,
+          timestampMs =
+            if (byVersion) None
+            else if (num != null) Some(num.toLong)
+            else Some(java.sql.Timestamp.valueOf(str).getTime)))
+      case _ => None
+    }
+
+  private val VacuumDdl =
+    s"""(?is)\\s*VACUUM\\s+($MvIdent)\\s*(?:RETAIN\\s+(\\d+)\\s+HOURS\\s*)?(DRY\\s+RUN)?\\s*;?\\s*""".r
+
+  /** Delta's `VACUUM t [RETAIN n HOURS] [DRY RUN]` (r16): expire
+    * snapshots older than the horizon, then remove orphan files older
+    * than it — the expire+orphan two-step the procedures expose, in the
+    * spelling operators actually type. Default retention 168 h (Delta's
+    * 7 days). DRY RUN touches nothing (no expire either) and lists the
+    * files already unreferenced at the cutoff — a lower bound on what a
+    * real vacuum frees, since the real one expires old snapshots first.
+    * Clone-aware like the procedures (registered clones' live sets
+    * spared, failing closed). */
+  def parseVacuumDdl(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
+    sqlText match {
+      case VacuumDdl(ident, hours, dry) =>
+        Some(VacuumTableCommand(
+          delegate.parseMultipartIdentifier(ident),
+          retainHours = Option(hours).map(_.toLong).getOrElse(168L),
+          dryRun = dry != null))
+      case _ => None
+    }
 }
 
 /** Runs a branch/tag DDL against the graft catalog owning the table. */
@@ -360,6 +410,68 @@ case class ShallowCloneCommand(dstParts: Seq[String], srcParts: Seq[String],
     gc.lake.cloneTable(sparts.mkString("."), dparts.mkString("."),
       asOfSnapshotId)
     Seq.empty
+  }
+}
+
+/** Shared ident→(graft catalog, table) resolution for the DDL commands. */
+private[dsv2] object GraftDdlResolve {
+  def apply(spark: SparkSession, nameParts: Seq[String],
+            what: String): (GraftCatalog, String) = {
+    val cm = spark.sessionState.catalogManager
+    val (cat, tableParts) = nameParts match {
+      case head +: rest if rest.nonEmpty && cm.isCatalogRegistered(head) =>
+        (cm.catalog(head), rest)
+      case _ => (cm.currentCatalog, nameParts)
+    }
+    cat match {
+      case g: GraftCatalog => (g, tableParts.mkString("."))
+      case other => throw new UnsupportedOperationException(
+        s"$what requires a graft catalog, got '${other.name}'")
+    }
+  }
+}
+
+/** `RESTORE TABLE t TO VERSION|TIMESTAMP AS OF …` → one metadata commit
+  * moving main back (the rollback procedure's DDL spelling). */
+case class RestoreTableCommand(nameParts: Seq[String],
+                               snapshotId: Option[Long],
+                               timestampMs: Option[Long])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (gc, ident) = GraftDdlResolve(spark, nameParts, "RESTORE TABLE")
+    val t = gc.lake.loadTable(ident)
+    val target = snapshotId.getOrElse {
+      val ts = timestampMs.get
+      t.resolveSnapshot(asOfTimestampMs = Some(ts)).map(_.snapshotId)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no snapshot of $ident at or before timestamp $ts"))
+    }
+    t.rollbackTo(target)
+    Seq.empty
+  }
+}
+
+/** `VACUUM t [RETAIN n HOURS] [DRY RUN]` → expire snapshots older than
+  * the horizon, then remove (or, dry, just LIST) orphan files older than
+  * it. Returns one row per removed/listed path so `spark.sql("VACUUM
+  * …").show()` reads like Delta's. */
+case class VacuumTableCommand(nameParts: Seq[String], retainHours: Long,
+                              dryRun: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "path", org.apache.spark.sql.types.StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (gc, ident) = GraftDdlResolve(spark, nameParts, "VACUUM")
+    val t = gc.lake.loadTable(ident)
+    val cutoff = System.currentTimeMillis() - retainHours * 3600_000L
+    // DRY RUN touches nothing — including the expire step — so it lists
+    // the files ALREADY unreferenced at this horizon (a lower bound on a
+    // real vacuum, which expires old snapshots first and may free more)
+    if (!dryRun) t.expireSnapshots(cutoff)
+    val removed = t.removeOrphanFiles(olderThanMs = cutoff, dryRun = dryRun)
+    removed.map(Row(_))
   }
 }
 

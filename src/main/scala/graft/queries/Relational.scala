@@ -475,7 +475,52 @@ object Relational {
 
   val flagship: QuerySpec = q04
 
+  /** SCD TYPE-2 history build from an event stream (r16) — the Delta Live
+    * Tables `APPLY CHANGES … STORED AS SCD TYPE 2` / classic Kimball
+    * shape: per entity (`user_id`), collapse consecutive events with the
+    * SAME tracked state (`event_type`) into one VERSION row carrying
+    * `valid_from` / `valid_to` (NULL = current), the run's event count
+    * and an `is_current` flag. Gaps-and-islands via LAG(state) ≠ state
+    * marking run STARTS, then LEAD over the starts for the validity
+    * horizon — no self-join, no group-by re-shuffle: every window shares
+    * (PARTITION BY user_id ORDER BY ts, event_id), so the whole history
+    * builds in ONE exchange + ONE sort (PlanSpec-gated), which is the
+    * 100 TB shape — cost is the one entity-keyed shuffle a CDC table
+    * already pays. `ts` is epoch-ns BIGINT both sides (q35's contract).
+    * Reference shape: IcebergStream.java's upsert keeps LAST state only;
+    * this keeps the full auditable history. */
+  val q104 = dialect("q104_scd2_history",
+    sparkSql = """WITH x AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
+      |         THEN 1 ELSE 0 END AS chg,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      |  FROM events),
+      |s AS (SELECT * FROM x WHERE chg = 1)
+      |SELECT user_id, event_type AS state, ts AS valid_from,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  CAST(COALESCE(LEAD(rn) OVER (PARTITION BY user_id ORDER BY ts, event_id), cnt + 1) - rn AS BIGINT) AS n_events,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM s ORDER BY user_id, valid_from""".stripMargin,
+    duckSql = """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type FROM events),
+      |x AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
+      |         THEN 1 ELSE 0 END AS chg,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      |  FROM e),
+      |s AS (SELECT * FROM x WHERE chg = 1)
+      |SELECT user_id, event_type AS state, ts AS valid_from,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  CAST(COALESCE(LEAD(rn) OVER (PARTITION BY user_id ORDER BY ts, event_id), cnt + 1) - rn AS BIGINT) AS n_events,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM s ORDER BY user_id, valid_from""".stripMargin)
+
   def specs: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q28, q29, q30, q34, q35, q45, q46,
-    q55, q72, q80, q81)
+    q55, q72, q80, q81, q104)
 }

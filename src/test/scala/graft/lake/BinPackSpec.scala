@@ -271,4 +271,46 @@ class BinPackSpec extends AnyFunSuite {
     t.binPack(targetSizeBytes = files(t).map(_.sizeBytes).max - 1)
     assert(ids(t.read(snapshotId = Some(head0))) === (0L until 1040L))
   }
+
+  test("rewrite_data_files(where) (r16): only may-match files rewritten " +
+    "— others keep exact entries; content unchanged; the slice can " +
+    "re-sort without an O(table) rewrite; masked files excluded") {
+    val cat = freshCatalog()
+    val t = cat.createTable("b.w1", schema)
+    // three appends with disjoint id ranges → per-file id bounds
+    t.append(rows(0 until 400, "a").coalesce(1))
+    t.append(rows(400 until 800, "b").coalesce(1))
+    t.append(rows(800 until 1200, "c").coalesce(1))
+    val before = files(t)
+    assert(before.size === 3)
+    // scope: only the id<400 file may match (per-file id bounds disjoint)
+    t.rewriteDataFiles(sortBy = Seq("id"),
+      where = Some(col("id") < 150L))
+    val after = files(t)
+    // the two non-matching files keep their EXACT metadata entries
+    val keptPaths = after.map(_.path).toSet
+    assert(before.count(f => keptPaths.contains(f.path)) === 2,
+      s"exactly the two out-of-range files stay; got ${after.map(_.path)}")
+    assert(ids(t.toDF) === (0L until 1200L), "content unchanged")
+    val summary = t.meta.currentSnapshot.get.summary
+    assert(summary("where-rewritten-files") === "1")
+    assert(summary("sort-order") === "id")
+    // no-op predicate → zero commits
+    val v0 = t.meta.version
+    t.rewriteDataFiles(where = Some(col("id") > 999999L))
+    assert(t.meta.version === v0, "no may-match files ⇒ no commit")
+    // MoR-masked file is excluded even when its stats match
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    t.delete(col("id") === 500L)
+    assert(t.meta.currentSnapshot.get.deleteFiles.nonEmpty)
+    val v1 = t.meta.version
+    t.rewriteDataFiles(where = Some(col("id") === 500L))
+    assert(t.meta.version === v1,
+      "masked file must be excluded (rewrite_position_deletes' job)")
+    assert(ids(t.toDF) === ((0L until 1200L).filterNot(_ == 500L)))
+    // CALL surface: predicate-scoped rewrite through the procedure args
+    t.call("rewrite_data_files", Map("where" -> "id >= 800"))
+    assert(ids(t.toDF) === ((0L until 1200L).filterNot(_ == 500L)))
+    assert(t.meta.currentSnapshot.get.summary("where-rewritten-files") === "1")
+  }
 }

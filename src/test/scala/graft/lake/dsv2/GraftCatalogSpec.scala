@@ -1669,6 +1669,42 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally sqlx("USE spark_catalog")
   }
 
+  test("RESTORE TABLE / VACUUM DDL (r16): Delta's spellings through the " +
+    "parser extension — restore moves main back restorably, vacuum " +
+    "expires+reclaims with RETAIN/DRY RUN semantics") {
+    val sqlx = (q: String) => extSpark.sql(q)
+    sqlx("CREATE DATABASE IF NOT EXISTS lake.rvdb")
+    sqlx("CREATE TABLE lake.rvdb.t (k BIGINT)")
+    sqlx("INSERT INTO lake.rvdb.t VALUES (1), (2)")
+    sqlx("INSERT INTO lake.rvdb.t VALUES (3)")
+    val wh = spark.conf.get("spark.sql.catalog.lake.warehouse")
+    val t = new graft.lake.LakeCatalog(spark, wh).loadTable("rvdb.t")
+    val snaps = t.meta.snapshots.map(_.snapshotId)
+    assert(snaps.size === 2)
+    // RESTORE TO VERSION: main moves back, history stays append-only
+    sqlx(s"RESTORE TABLE lake.rvdb.t TO VERSION AS OF ${snaps.head}")
+    assert(sqlx("SELECT COUNT(*) FROM lake.rvdb.t").head.getLong(0) === 2)
+    // mis-restore is restorable: forward to the later snapshot again
+    sqlx(s"RESTORE TABLE lake.rvdb.t TO VERSION AS OF ${snaps.last}")
+    assert(sqlx("SELECT COUNT(*) FROM lake.rvdb.t").head.getLong(0) === 3)
+    // RESTORE TO TIMESTAMP (epoch-ms form): at the first snapshot's time
+    val ts1 = t.meta.snapshots.head.timestampMs
+    sqlx(s"RESTORE TABLE lake.rvdb.t TO TIMESTAMP AS OF $ts1")
+    assert(sqlx("SELECT COUNT(*) FROM lake.rvdb.t").head.getLong(0) === 2)
+    sqlx(s"RESTORE TABLE lake.rvdb.t TO VERSION AS OF ${snaps.last}")
+    // VACUUM: make an orphan (the restored-away snapshot keeps both
+    // snapshots' files live — so first expire history via a real vacuum)
+    // DRY RUN with default retention: nothing young gets listed/deleted
+    assert(sqlx("VACUUM lake.rvdb.t DRY RUN").collect().isEmpty)
+    val before = sqlx("SELECT COUNT(*) FROM lake.rvdb.t").head.getLong(0)
+    // RETAIN 0 HOURS: everything unreferenced frees immediately; the
+    // live snapshot's files survive and the table stays fully readable
+    sqlx("VACUUM lake.rvdb.t RETAIN 0 HOURS")
+    assert(sqlx("SELECT COUNT(*) FROM lake.rvdb.t").head.getLong(0) === before)
+    assert(new graft.lake.LakeCatalog(spark, wh).loadTable("rvdb.t")
+      .verifyIntegrity().count() === 0)
+  }
+
   test("cross-catalog guard (r16): a write to another catalog's " +
     "same-named table inside an active transaction fails loudly instead " +
     "of silently enlisting the wrong physical table") {

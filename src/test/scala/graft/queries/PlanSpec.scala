@@ -276,6 +276,19 @@ class PlanSpec extends AnyFunSuite {
       s"document frequency must come from a window, not a shingle self-join:\n$p")
   }
 
+  test("q104: SCD2 history rides ONE data shuffle — all three window " +
+    "passes share the user_id exchange and sort (r16)") {
+    val p = planOf("q104_scd2_history")
+    // 2 Exchange nodes max (each named twice in formatted output): the
+    // user_id hash exchange + the final ORDER BY range exchange. A third
+    // would mean the run-start LEAD pass re-shuffled instead of reusing
+    // the gaps-and-islands pass's (user_id; ts, event_id) ordering.
+    assert("Exchange".r.findAllIn(p).size <= 4,
+      s"SCD2 must build in one entity-keyed shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"gaps-and-islands, not a self-join:\n$p")
+  }
+
   test("q54: sessionize rides ONE data shuffle — windows and both group-bys share it") {
     val p = planOf("q54_sessionize")
     // 2 Exchange nodes max (each named twice in formatted output: tree +
