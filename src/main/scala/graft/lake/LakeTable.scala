@@ -3641,6 +3641,14 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
 
   // ---- properties (D9) --------------------------------------------------------
 
+  /** `ANALYZE TABLE … COMPUTE STATISTICS` ([[Analyze]]): per-column
+    * NDV/null/min/max/length stats for the current snapshot, persisted
+    * in the `graft.stats` property and served to the planner via the
+    * DSv2 scan's `columnStats()` while fresh. */
+  def analyzeTable(columns: Seq[String] = Seq.empty, exactNdv: Boolean = false,
+                   noscan: Boolean = false): Analyze.TableStats =
+    Analyze.run(this, columns, exactNdv, noscan)
+
   def setProperties(props: Map[String, String]): TableMeta =
     commit(m => m.copy(properties = m.properties ++ props))
   def unsetProperties(keys: Seq[String]): TableMeta =

@@ -12,7 +12,7 @@ object MetadataTables {
   val kinds: Seq[String] =
     Seq("snapshots", "files", "partitions", "history", "refs", "manifests",
       "delete_files", "position_deletes", "all_files", "all_delete_files",
-      "metadata_log_entries", "materialized_views", "indexes")
+      "metadata_log_entries", "materialized_views", "indexes", "stats")
 
   def apply(table: LakeTable, kind: String): DataFrame = {
     val spark = table.spark
@@ -239,6 +239,25 @@ object MetadataTables {
           indexRows(graft.operators.TextIndex.IndexesKey, "text"))
           .toDF("state_location", "index", "kind", "watermark",
             "base_snapshot", "fresh", "detail")
+
+      case "stats" =>
+        // ANALYZE output ([[Analyze]]): one row per analyzed column, with
+        // the snapshot the stats describe and a staleness flag against
+        // the current head (stale stats stay queryable — the operator
+        // signal for "re-run ANALYZE" — but the planner ignores them)
+        val cur = m.currentSnapshot.map(_.snapshotId)
+        val rows: Seq[(Long, Long, String, String, Option[Long], Long,
+          Option[String], Option[String], Option[Long], Option[Long],
+          Boolean, Boolean)] = Analyze.of(m).map { ts =>
+          ts.columns.map { c =>
+            (ts.snapshotId, ts.rowCount, c.name, c.dataType, c.ndv,
+              c.nullCount, c.min, c.max, c.avgLen, c.maxLen,
+              ts.exactNdv, !cur.contains(ts.snapshotId))
+          }
+        }.getOrElse(Seq.empty)
+        rows.toDF("snapshot_id", "row_count", "column", "data_type", "ndv",
+            "null_count", "min", "max", "avg_len", "max_len", "exact_ndv",
+            "stale")
 
       case other =>
         throw new IllegalArgumentException(

@@ -4,7 +4,7 @@ import graft.lake.LakeCatalog
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.Scan
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType, DataType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 
 import java.util.Collections
 
@@ -26,7 +26,7 @@ object GraftProcedures {
     "fast_forward", "remove_orphan_files", "recover_transactions",
     "begin_transaction", "commit_transaction", "rollback_transaction",
     "clone_table",
-    "ttl_expire", "list_transactions", "verify_table",
+    "ttl_expire", "list_transactions", "verify_table", "analyze_table",
     "create_branch", "drop_branch", "create_tag", "drop_tag",
     "build_ivf_index", "build_pq_index", "create_changelog_view",
     "create_vector_index", "refresh_vector_index", "rebuild_vector_index",
@@ -46,6 +46,16 @@ object GraftProcedures {
     case "cherrypick_snapshot" => Some(proc(name,
       Array(param("table", StringType), param("snapshot_id", LongType)),
       row => lake.loadTable(row.getString(0)).cherrypick(row.getLong(1))))
+    case "analyze_table" => Some(proc(name,
+      Array(param("table", StringType),
+        param("columns", StringType, Some("''")),
+        param("exact_ndv", BooleanType, Some("false"))),
+      row => {
+        val cols = if (row.isNullAt(1) || row.getString(1).isEmpty) Seq.empty[String]
+                   else row.getString(1).split(",").toSeq.map(_.trim)
+        lake.loadTable(row.getString(0)).analyzeTable(cols,
+          exactNdv = !row.isNullAt(2) && row.getBoolean(2))
+      }))
     case "expire_snapshots" => Some(proc(name,
       Array(param("table", StringType),
         param("older_than", LongType, Some("-1")),

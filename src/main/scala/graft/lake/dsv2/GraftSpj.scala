@@ -467,6 +467,45 @@ class GraftBatchScan(
       OptionalLong.of(math.max(1L, liveFiles.map(_.sizeBytes).sum))
     override def numRows(): OptionalLong =
       OptionalLong.of(liveFiles.map(_.rowCount).sum)
+    // ANALYZE-collected per-column stats ([[graft.lake.Analyze]]), served
+    // only when FRESH (they describe exactly this snapshot) and UNFILTERED
+    // (pushed filters change the scanned distribution; stale or filtered
+    // stats would silently skew CBO's join-cardinality estimates). min/max
+    // are reported for integral columns, where the string-stored bound
+    // parses back losslessly.
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (pushed.isEmpty) {
+        val fresh = graft.lake.Analyze.fresh(m, snap.map(_.snapshotId))
+        fresh.foreach(_.columns.foreach { c =>
+          val integral = c.dataType == "bigint" || c.dataType == "int" ||
+            c.dataType == "smallint" || c.dataType == "tinyint"
+          out.put(Expressions.column(c.name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): OptionalLong =
+                c.ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+              override def nullCount(): OptionalLong = OptionalLong.of(c.nullCount)
+              override def min(): java.util.Optional[Object] =
+                if (integral) java.util.Optional.ofNullable(
+                  c.min.map(v => java.lang.Long.valueOf(v.toLong): Object).orNull)
+                else java.util.Optional.empty()
+              override def max(): java.util.Optional[Object] =
+                if (integral) java.util.Optional.ofNullable(
+                  c.max.map(v => java.lang.Long.valueOf(v.toLong): Object).orNull)
+                else java.util.Optional.empty()
+              override def avgLen(): OptionalLong =
+                c.avgLen.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+              override def maxLen(): OptionalLong =
+                c.maxLen.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+            })
+        })
+      }
+      out
+    }
   }
 
   // ---- runtime filtering (the DSv2 dynamic-partition-pruning hook) --------

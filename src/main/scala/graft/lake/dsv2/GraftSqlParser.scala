@@ -37,6 +37,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       .orElse(GraftSqlParser.parseCloneDdl(sqlText, delegate))
       .orElse(GraftSqlParser.parseRestoreDdl(sqlText, delegate))
       .orElse(GraftSqlParser.parseVacuumDdl(sqlText, delegate))
+      .orElse(GraftSqlParser.parseAnalyzeDdl(sqlText, delegate))
       .orElse(GraftTxnSql.parse(sqlText))
       .getOrElse(delegate.parsePlan(sqlText))
     // view DDL/reads on graft catalogs rewrite at PARSE time: the
@@ -308,6 +309,31 @@ object GraftSqlParser {
           dryRun = dry != null))
       case _ => None
     }
+
+  private val AnalyzeDdl =
+    s"""(?is)\\s*ANALYZE\\s+TABLE\\s+($MvIdent)\\s+COMPUTE\\s+STATISTICS\\s*(?:(NOSCAN)|FOR\\s+ALL\\s+COLUMNS|FOR\\s+COLUMNS\\s+((?:`[^`]+`|\\w+)(?:\\s*,\\s*(?:`[^`]+`|\\w+))*))?\\s*;?\\s*""".r
+
+  /** Spark's own `ANALYZE TABLE t COMPUTE STATISTICS [NOSCAN | FOR
+    * COLUMNS c, … | FOR ALL COLUMNS]` grammar, routed to [[Analyze]] for
+    * graft tables (stock Spark rejects ANALYZE on v2 tables outright).
+    * Only intercepts idents that resolve to a graft catalog AT PARSE
+    * TIME — everything else falls through to the delegate so session-
+    * catalog ANALYZE keeps its native behavior. */
+  def parseAnalyzeDdl(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
+    sqlText match {
+      case AnalyzeDdl(ident, noscan, cols) =>
+        val parts = delegate.parseMultipartIdentifier(ident)
+        val graftOwned = org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+          try { GraftDdlResolve(s, parts, "ANALYZE TABLE"); true }
+          catch { case _: Exception => false }
+        }
+        if (!graftOwned) None
+        else Some(GraftAnalyzeCommand(parts,
+          columns = Option(cols).toSeq.flatMap(_.split(",").toSeq)
+            .map(_.trim.stripPrefix("`").stripSuffix("`")),
+          noscan = noscan != null))
+      case _ => None
+    }
 }
 
 /** Runs a branch/tag DDL against the graft catalog owning the table. */
@@ -428,6 +454,21 @@ private[dsv2] object GraftDdlResolve {
       case other => throw new UnsupportedOperationException(
         s"$what requires a graft catalog, got '${other.name}'")
     }
+  }
+}
+
+/** `ANALYZE TABLE t COMPUTE STATISTICS …` on a graft table →
+  * [[graft.lake.Analyze.run]]. Exact-NDV audit mode is opt-in via the
+  * session conf `spark.graft.analyze.exact-ndv=true` (Spark's grammar has
+  * no spelling for it; the default HLL pass is the 100 TB path). */
+case class GraftAnalyzeCommand(nameParts: Seq[String], columns: Seq[String],
+                               noscan: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (gc, ident) = GraftDdlResolve(spark, nameParts, "ANALYZE TABLE")
+    val exact = spark.conf.getOption("spark.graft.analyze.exact-ndv")
+      .exists(_.equalsIgnoreCase("true"))
+    gc.lake.loadTable(ident).analyzeTable(columns, exactNdv = exact, noscan = noscan)
+    Seq.empty
   }
 }
 

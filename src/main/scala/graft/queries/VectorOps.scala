@@ -593,6 +593,120 @@ object VectorOps {
     },
     duckSql = q74.oracle.get)
 
+  /** The DuckDB twin of [[graft.operators.Clustering]]'s Lloyd loop:
+    * iterations unrolled into CTEs over the LONG-FORMAT vectors
+    * (1-based `generate_subscripts` — only internal consistency matters),
+    * assignment = relational argmin with the same (distance, cid)
+    * tie-break, update = `SUM // COUNT` (truncation ≡ Spark DIV), empty
+    * clusters carried by the LEFT JOIN + COALESCE. */
+  private def kmeansOracle(k: Int, iters: Int, scale: Int,
+                           profileTail: Boolean = true): String = {
+    val head = s"""WITH x AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * $scale) AS BIGINT) AS q
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+      |  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+      |c0 AS (SELECT s.cid, x.i, CAST(x.q AS BIGINT) AS cv
+      |       FROM seeds s JOIN x ON x.vec_id = s.vec_id)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""d$t AS (SELECT x.vec_id, c.cid, CAST(SUM((x.q - c.cv) * (x.q - c.cv)) AS BIGINT) AS d
+         |  FROM x JOIN c${t - 1} c ON x.i = c.i GROUP BY 1, 2),
+         |a$t AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d$t)
+         |  WHERE rn = 1),
+         |u$t AS (SELECT a.cid, x.i, CAST(CAST(SUM(x.q) AS BIGINT) // COUNT(*) AS BIGINT) AS cv
+         |  FROM a$t a JOIN x ON x.vec_id = a.vec_id GROUP BY 1, 2),
+         |c$t AS (SELECT c.cid, c.i, CAST(COALESCE(u.cv, c.cv) AS BIGINT) AS cv
+         |  FROM c${t - 1} c LEFT JOIN u$t u ON c.cid = u.cid AND c.i = u.i)""".stripMargin
+    }.mkString(",\n")
+    val f = iters + 1
+    val asgn = s"""d$f AS (SELECT x.vec_id, c.cid, CAST(SUM((x.q - c.cv) * (x.q - c.cv)) AS BIGINT) AS d
+      |  FROM x JOIN c$iters c ON x.i = c.i GROUP BY 1, 2),
+      |asgn AS (SELECT vec_id, cid, d FROM (
+      |    SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d$f)
+      |  WHERE rn = 1)""".stripMargin
+    val tail =
+      if (profileTail) s"""$asgn,
+        |lab AS (SELECT a.cid, e.label, COUNT(*) AS ln
+        |  FROM asgn a JOIN embeddings e ON a.vec_id = e.vec_id GROUP BY 1, 2),
+        |top AS (SELECT cid, label AS top_label, CAST(ln AS BIGINT) AS top_label_n FROM (
+        |    SELECT cid, label, ln, row_number() OVER (PARTITION BY cid ORDER BY ln DESC, label) AS rn FROM lab)
+        |  WHERE rn = 1),
+        |agg AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(SUM(d) AS BIGINT) AS inertia_q
+        |  FROM asgn GROUP BY 1)
+        |SELECT agg.cid AS cluster_id, n_vecs, inertia_q, top_label, top_label_n
+        |FROM agg JOIN top ON agg.cid = top.cid ORDER BY cluster_id""".stripMargin
+      // representative tail (q107): the 2 most-central vectors per cluster
+      else s"""$asgn
+        |SELECT cluster_id, rk, vec_id, dist_q, label FROM (
+        |  SELECT a.cid AS cluster_id, a.vec_id, a.d AS dist_q, e.label,
+        |    CAST(row_number() OVER (PARTITION BY a.cid ORDER BY a.d, a.vec_id) AS BIGINT) AS rk
+        |  FROM asgn a JOIN embeddings e ON a.vec_id = e.vec_id) r
+        |WHERE rk <= 2 ORDER BY cluster_id, rk""".stripMargin
+    s"$head,\n$rounds,\n$tail"
+  }
+
+  /** Corpus topic map: exact-arithmetic k-means over the embeddings
+    * ([[graft.operators.Clustering]] — quantize-once, 3 Lloyd rounds from
+    * the k lowest-id seeds), profiled per cluster (size, exact inertia,
+    * majority label). The oracle re-derives every iteration relationally,
+    * so the hash gates seeding, assignment tie-breaks, the integer-mean
+    * update, empty-cluster carry, AND the final profile in one statement.
+    * Scale shape: per round = one codegen'd pass (broadcast k·dim literal
+    * matrix, no join) + a k·dim-row partial agg; driver state O(k·dim). */
+  /** Train once per (session, dir) — q105 and q107 share the map, like a
+    * real pipeline would (the model is k·dim longs; training is the
+    * 3-pass Lloyd loop). */
+  private val kmModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Clustering.KMeansModel]()
+  private def kmeansFor(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val emb = graft.Tables.load(s, dir, "embeddings")
+    val model = kmModels.computeIfAbsent(System.identityHashCode(s) + "|" + dir,
+      _ => graft.operators.Clustering.kmeansTrain(
+        emb, "embedding", "vec_id", k = 8, iters = 3))
+    graft.operators.Clustering.assign(emb, "embedding", model)
+  }
+
+  val q105 = plan("q105_kmeans_topics",
+    fn = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val km = kmeansFor(s, dir)
+      val agg = km.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_vecs"), sum("dist_q").as("inertia_q"))
+      val top = km.groupBy("cluster_id", "label").agg(count(lit(1)).as("ln"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("cluster_id"))
+          .orderBy(col("ln").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("label").as("top_label"),
+          col("ln").as("top_label_n"))
+      agg.join(top, Seq("cluster_id"))
+        .select(col("cluster_id"), col("n_vecs"), col("inertia_q"),
+          col("top_label"), col("top_label_n"))
+        .orderBy("cluster_id")
+    },
+    duckSql = kmeansOracle(k = 8, iters = 3, scale = 1024))
+
+  /** Cluster-representative selection (prototype / coreset sampling —
+    * the "pick the most central exemplars per topic" step of cluster-
+    * balanced curation): same trained map as q105, top-2 most-central
+    * vectors per cluster with their EXACT quantized distances crossing
+    * engines. Scale shape: assignment pass + a k-group top-2 window over
+    * (cluster, dist) — WindowGroupLimit pushes rank<=2 map-side. */
+  val q107 = plan("q107_cluster_sample",
+    fn = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val km = kmeansFor(s, dir)
+      km.withColumn("rk", row_number().over(Window.partitionBy(col("cluster_id"))
+          .orderBy(col("dist_q"), col("vec_id"))).cast("long"))
+        .filter(col("rk") <= 2)
+        .select(col("cluster_id"), col("rk"), col("vec_id"),
+          col("dist_q"), col("label"))
+        .orderBy("cluster_id", "rk")
+    },
+    duckSql = kmeansOracle(k = 8, iters = 3, scale = 1024, profileTail = false))
+
   def specs: Seq[QuerySpec] =
-    Seq(q23, q24, q25, q26, q27, q44, q68, q74, q79, q90, q92, q93)
+    Seq(q23, q24, q25, q26, q27, q44, q68, q74, q79, q90, q92, q93, q105, q107)
 }

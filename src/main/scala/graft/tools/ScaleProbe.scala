@@ -256,6 +256,34 @@ object ScaleProbe {
         f""""shuffle_write_mb":${w / 1e6}%.1f}""")
     }
 
+    // k-means growth (r16, q105/q107's operator): FIXED k·dim model
+    // trained over a 1x vs Nx vector set. The claim under test: each
+    // Lloyd round is ONE codegen'd assignment pass (broadcast centroid
+    // literal, no join) + a partial agg whose shuffle payload is k·dim
+    // rows PER TASK — so wall grows ~linearly in rows and shuffle bytes
+    // stay ~flat (task-count-bound, never row-bound). Driver state is
+    // k·dim longs at any size.
+    for (scale <- Seq(1, scaleN)) {
+      val vecs = scaledEmbeddings(spark, scale)
+      shuffleRead.set(0L); shuffleWrite.set(0L)
+      val t0 = System.nanoTime()
+      val model = graft.operators.Clustering.kmeansTrain(
+        vecs, "embedding", "vec_id", k = 8, iters = 3)
+      val assigned = graft.operators.Clustering.assign(vecs, "embedding", model)
+        .groupBy("cluster_id").count().count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      var stable = 0; var last = (-1L, -1L); var waited = 0
+      while (stable < 2 && waited < 10000) {
+        Thread.sleep(250); waited += 250
+        val cur = (shuffleRead.get(), shuffleWrite.get())
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      val (r, w) = (shuffleRead.getAndSet(0L), shuffleWrite.getAndSet(0L))
+      println(f"""{"probe":"kmeans","scale":$scale,"secs":$secs%.2f,""" +
+        f""""clusters":$assigned,"inertia_last":${model.inertiaTrace.last},""" +
+        f""""shuffle_read_mb":${r / 1e6}%.1f,"shuffle_write_mb":${w / 1e6}%.1f}""")
+    }
+
     // storage-partitioned join: the SAME co-bucketed orders⋈customer
     // aggregate with SPJ off vs on. The claim under test: SPJ removes the
     // join-input shuffles entirely — shuffle bytes collapse to the

@@ -1,0 +1,192 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** ANALYZE TABLE column statistics ([[Analyze]]): exact-mode values
+  * match a first-principles recomputation, approx NDV lands in band,
+  * staleness flips on commit, the SQL grammar routes to graft tables
+  * only, and the DSv2 scan serves FRESH stats to the planner. */
+class AnalyzeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("grp", StringType),
+    StructField("v", DoubleType)))
+
+  private def mk(name: String): LakeTable = {
+    val cat = new LakeCatalog(spark,
+      Files.createTempDirectory("graft-analyze").toString)
+    cat.createTable(name, schema)
+  }
+
+  private def rows(n: Int): DataFrame = {
+    import spark.implicits._
+    (1 to n).map { i =>
+      (i.toLong, if (i % 7 == 0) null else s"g${i % 5}", i * 1.5)
+    }.toDF("id", "grp", "v")
+  }
+
+  test("exact mode matches a first-principles recomputation") {
+    val t = mk("t.exact")
+    t.append(rows(100))
+    val st = t.analyzeTable(exactNdv = true)
+    assert(st.rowCount === 100L)
+    assert(st.exactNdv)
+    val byName = st.columns.map(c => c.name -> c).toMap
+    assert(byName("id").ndv === Some(100L))
+    assert(byName("id").nullCount === 0L)
+    assert(byName("id").min === Some("1"))
+    assert(byName("id").max === Some("100"))
+    assert(byName("id").avgLen === None)
+    // grp: 5 distinct non-null values, 14 nulls (7,14,…,98)
+    assert(byName("grp").ndv === Some(5L))
+    assert(byName("grp").nullCount === 14L)
+    assert(byName("grp").min === Some("g0"))
+    assert(byName("grp").max === Some("g4"))
+    assert(byName("grp").avgLen === Some(2L))
+    assert(byName("grp").maxLen === Some(2L))
+    assert(byName("v").min === Some("1.5"))
+    assert(byName("v").max === Some("150.0"))
+  }
+
+  test("approx NDV within the HLL++ band; subset + bad columns refuse") {
+    val t = mk("t.approx")
+    t.append(rows(1000))
+    val st = t.analyzeTable(columns = Seq("id", "grp"))
+    assert(st.columns.map(_.name) === Seq("id", "grp"))
+    val ndv = st.columns.head.ndv.get
+    assert(math.abs(ndv - 1000L) <= 100L, s"approx ndv $ndv too far from 1000")
+    val e1 = intercept[IllegalArgumentException](t.analyzeTable(Seq("nope")))
+    assert(e1.getMessage.contains("no such column"))
+  }
+
+  test("stats metadata table + staleness flips on commit; NOSCAN runs zero jobs") {
+    val t = mk("t.meta")
+    t.append(rows(50))
+    t.analyzeTable(exactNdv = true)
+    val fresh = t.metadataTable("stats")
+    assert(fresh.where("stale").count() === 0L)
+    assert(fresh.where("column = 'id' AND ndv = 50 AND row_count = 50").count() === 1L)
+
+    t.append(rows(10)) // new snapshot — stats now stale
+    assert(t.metadataTable("stats").where("NOT stale").count() === 0L)
+    assert(Analyze.fresh(t.meta,
+      t.meta.currentSnapshot.map(_.snapshotId)).isEmpty)
+
+    // NOSCAN: zero Spark jobs, row count from file metadata. Count only
+    // THIS thread's jobs via a job group (suites share the context).
+    val group = "analyze-noscan-probe"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (Option(j.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == group)) {
+          jobs.incrementAndGet(); ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "analyze noscan probe")
+    try {
+      val st = t.analyzeTable(noscan = true)
+      Thread.sleep(500) // listener bus is async — let it drain
+      assert(st.rowCount === 60L)
+      assert(st.columns.isEmpty)
+      assert(jobs.get() === 0, "NOSCAN must not launch jobs")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
+  test("SQL grammar routes graft idents to Analyze; others delegate; " +
+    "DSv2 scan serves fresh stats and drops stale ones") {
+    val wh = Files.createTempDirectory("graft-analyze-ddl").toString
+    // the DDL spelling needs the parser extension (like branch DDL)
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions()(_))
+      .create()
+    try {
+      s.conf.set("spark.sql.catalog.ana",
+        classOf[graft.lake.dsv2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.ana.warehouse", wh)
+      s.sql("CREATE DATABASE IF NOT EXISTS ana.db")
+      s.sql("CREATE TABLE ana.db.astats (id BIGINT, s STRING) USING graft " +
+        "PARTITIONED BY (bucket(4, id))")
+      s.sql("INSERT INTO ana.db.astats VALUES (1, 'aa'), (2, 'bb'), (3, NULL)")
+      s.conf.set("spark.graft.analyze.exact-ndv", "true")
+      s.sql("ANALYZE TABLE ana.db.astats COMPUTE STATISTICS FOR ALL COLUMNS")
+      val stats = s.sql(
+        "SELECT column, ndv, null_count, min, max FROM ana.db.astats.stats ORDER BY column")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getString(4)))
+      assert(stats === Array(
+        ("id", 3L, 0L, "1", "3"),
+        ("s", 2L, 1L, "aa", "bb")))
+
+      // the DSv2 scan reports the fresh stats to the planner
+      val gc = s.sessionState.catalogManager.catalog("ana")
+        .asInstanceOf[graft.lake.dsv2.GraftCatalog]
+      def scanStats() = {
+        val gt = gc.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array("db"), "astats")).asInstanceOf[graft.lake.dsv2.GraftTable]
+        new graft.lake.dsv2.GraftBatchScanBuilder(s, gt).build()
+          .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+          .estimateStatistics()
+      }
+      val cs = scanStats().columnStats()
+      assert(cs.size() === 2)
+      val idStat = cs.entrySet().stream()
+        .filter(e => e.getKey.fieldNames()(0) == "id").findFirst().get().getValue
+      assert(idStat.distinctCount().getAsLong === 3L)
+      assert(idStat.min().get() === java.lang.Long.valueOf(1L))
+      assert(idStat.max().get() === java.lang.Long.valueOf(3L))
+      val sStat = cs.entrySet().stream()
+        .filter(e => e.getKey.fieldNames()(0) == "s").findFirst().get().getValue
+      assert(sStat.nullCount().getAsLong === 1L)
+      assert(sStat.avgLen().getAsLong === 2L)
+      assert(!sStat.min().isPresent, "string bounds are not reported as objects")
+
+      // FOR COLUMNS subset
+      s.sql("ANALYZE TABLE ana.db.astats COMPUTE STATISTICS FOR COLUMNS id")
+      assert(s.sql("SELECT column FROM ana.db.astats.stats").collect()
+        .map(_.getString(0)).toSeq === Seq("id"))
+      // NOSCAN
+      s.sql("ANALYZE TABLE ana.db.astats COMPUTE STATISTICS NOSCAN")
+      assert(s.sql("SELECT count(*) FROM ana.db.astats.stats").head.getLong(0) === 0L)
+
+      // stale after a new commit → scan reports NO column stats
+      s.sql("ANALYZE TABLE ana.db.astats COMPUTE STATISTICS FOR ALL COLUMNS")
+      s.sql("INSERT INTO ana.db.astats VALUES (4, 'z')")
+      assert(scanStats().columnStats().isEmpty)
+
+      // a non-graft ident parses to Spark's own ANALYZE plan (delegation)
+      val plan = s.sessionState.sqlParser.parsePlan(
+        "ANALYZE TABLE spark_catalog.default.nosuch COMPUTE STATISTICS")
+      assert(!plan.isInstanceOf[graft.lake.dsv2.GraftAnalyzeCommand])
+    } finally {
+      prevDefault match {
+        case Some(d) => SparkSession.setDefaultSession(d)
+        case None => SparkSession.clearDefaultSession()
+      }
+      prevActive match {
+        case Some(a) => SparkSession.setActiveSession(a)
+        case None => SparkSession.clearActiveSession()
+      }
+    }
+  }
+}
