@@ -85,7 +85,7 @@ object Analyze {
     val snap = table.resolveSnapshot().getOrElse(
       throw new IllegalStateException(
         s"ANALYZE ${table.meta.name}: table has no snapshot"))
-    val schema = table.read().schema
+    val schema = table.read(snapshotId = Some(snap.snapshotId)).schema
     val targets: Seq[StructField] =
       if (columns.isEmpty) schema.fields.toSeq.filter(f => analyzable(f.dataType))
       else columns.map { c =>
@@ -102,7 +102,10 @@ object Analyze {
         TableStats(snap.snapshotId, snap.files.map(_.rowCount).sum,
           exactNdv = false, columns = Seq.empty)
       } else {
-        val df = table.read()
+        // pin the scan to the snapshot being stamped: a concurrent commit
+        // (or WAP/branch session routing) must not let the stats describe
+        // different bytes than their stamp claims
+        val df = table.read(snapshotId = Some(snap.snapshotId))
         val aggs = targets.flatMap { f =>
           val c = col(s"`${f.name}`")
           val ndv = if (exactNdv) count_distinct(c) else approx_count_distinct(c)

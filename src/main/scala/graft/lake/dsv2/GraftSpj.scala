@@ -489,14 +489,15 @@ class GraftBatchScan(
               override def distinctCount(): OptionalLong =
                 c.ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty())
               override def nullCount(): OptionalLong = OptionalLong.of(c.nullCount)
-              override def min(): java.util.Optional[Object] =
-                if (integral) java.util.Optional.ofNullable(
-                  c.min.map(v => java.lang.Long.valueOf(v.toLong): Object).orNull)
-                else java.util.Optional.empty()
-              override def max(): java.util.Optional[Object] =
-                if (integral) java.util.Optional.ofNullable(
-                  c.max.map(v => java.lang.Long.valueOf(v.toLong): Object).orNull)
-                else java.util.Optional.empty()
+              // tolerate an unparseable persisted bound (hand-edited
+              // property, schema drift): drop the bound, never crash
+              // planning over an optimizer hint
+              private def parsed(s: Option[String]): java.util.Optional[Object] =
+                if (!integral) java.util.Optional.empty()
+                else java.util.Optional.ofNullable(s.flatMap(v =>
+                  scala.util.Try(java.lang.Long.valueOf(v.toLong): Object).toOption).orNull)
+              override def min(): java.util.Optional[Object] = parsed(c.min)
+              override def max(): java.util.Optional[Object] = parsed(c.max)
               override def avgLen(): OptionalLong =
                 c.avgLen.map(OptionalLong.of).getOrElse(OptionalLong.empty())
               override def maxLen(): OptionalLong =

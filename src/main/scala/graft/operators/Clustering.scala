@@ -72,15 +72,19 @@ object Clustering {
         col("_id"),
         NearestCentroidInt(col("_qv"), cents).as("_a"),
         col("_qv"))
-      trace += assigned.agg(sum(col("_a.dist_q"))).head.getLong(0)
-      // Update: long-format partial agg — shuffle payload is k·dim
-      // partial (sum, count) rows per task (map-side combine), k·dim
-      // final rows to the driver.
-      val upd = assigned
-        .select(col("_a.cluster_id").as("_c"), posexplode(col("_qv")).as(Seq("_i", "_v")))
+      // ONE job per round: the update agg also carries each group's
+      // member-distance sum (identical for every dim index of a cluster —
+      // read off index 0), so the inertia trace costs no extra pass.
+      // Shuffle payload is k·dim partial (sum, count, dsum) rows per task
+      // (map-side combine), k·dim final rows to the driver.
+      val rows = assigned
+        .select(col("_a.cluster_id").as("_c"), col("_a.dist_q").as("_d"),
+          posexplode(col("_qv")).as(Seq("_i", "_v")))
         .groupBy(col("_c"), col("_i"))
-        .agg(sum(col("_v")).as("_s"), count(lit(1)).as("_n"))
+        .agg(sum(col("_v")).as("_s"), count(lit(1)).as("_n"), sum(col("_d")).as("_dsum"))
         .collect()
+      trace += rows.filter(_.getInt(1) == 0).map(_.getLong(4)).sum
+      val upd = rows
         .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
         .toMap
       cents = cents.zipWithIndex.map { case (old, c) =>
