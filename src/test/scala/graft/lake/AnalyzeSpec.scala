@@ -174,6 +174,25 @@ class AnalyzeSpec extends AnyFunSuite {
       s.sql("INSERT INTO ana.db.astats VALUES (4, 'z')")
       assert(scanStats().columnStats().isEmpty)
 
+      // END-TO-END CBO visibility: with SPJ keeping the DSv2 relation and
+      // CBO enabled, the optimized plan's attribute stats carry the NDV —
+      // the actual consumer of ANALYZE at plan time
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        s.sql("ANALYZE TABLE ana.db.astats COMPUTE STATISTICS FOR ALL COLUMNS")
+        val stats = s.sql("SELECT id, s FROM ana.db.astats")
+          .queryExecution.optimizedPlan.stats
+        val idNdv = stats.attributeStats.collectFirst {
+          case (a, cs) if a.name == "id" => cs.distinctCount
+        }.flatten
+        assert(idNdv.exists(_.toLong == 4L),
+          s"CBO attribute stats missing the analyzed NDV: $stats")
+      } finally {
+        s.conf.unset("spark.sql.cbo.enabled")
+        s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+
       // a non-graft ident parses to Spark's own ANALYZE plan (delegation)
       val plan = s.sessionState.sqlParser.parsePlan(
         "ANALYZE TABLE spark_catalog.default.nosuch COMPUTE STATISTICS")
