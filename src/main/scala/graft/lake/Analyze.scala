@@ -1,7 +1,10 @@
 package graft.lake
 
 import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.databind.annotation.JsonDeserialize
 import com.fasterxml.jackson.module.scala.{ClassTagExtensions, DefaultScalaModule}
+import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -17,30 +20,46 @@ import org.apache.spark.sql.types._
   * one thing footers cannot give: DISTINCT counts, which is what
   * join-cardinality estimation actually needs.
   *
+  * NDV is a DataSketches HLL sketch (lgK=12, the engine Spark's own
+  * `hll_sketch_agg` uses), and the SKETCH is what persists — which makes
+  * the stats MERGEABLE: [[incremental]] re-analyzes only the files
+  * APPENDED since the stamp (HLL register-max union, exact min/max/null
+  * folding), so stats maintenance on an append-only table costs the
+  * churn, never the table. Any logical row removal (delete files, DV
+  * growth, rewrites) falls back to a full pass — sketches cannot
+  * subtract. `exactNdv = true` is the audit mode (n distinct aggregates
+  * plan an Expand that multiplies the scan by the column count —
+  * documented cost, used by the q106 oracle; not incrementally
+  * maintainable). NOSCAN runs ZERO jobs: row count and size come off the
+  * snapshot's file metadata.
+  *
   * Persistence: ONE compact JSON blob in the `graft.stats` table
   * property, stamped with the analyzed snapshot id. Stats are snapshot-
   * scoped facts, not live state — readers decide staleness by comparing
   * the stamp with the snapshot they scan (the `stats` metadata table
   * exposes a `stale` flag; the DSv2 scan only reports FRESH stats).
+  * Size honesty: each sketch is ~2.7 KB base64 and the property map
+  * rides every version document — on a very wide table, ANALYZE the
+  * join/filter columns (`FOR COLUMNS`), not all hundreds.
   *
-  * 100 TB shape: default NDV is `approx_count_distinct` (HyperLogLog++,
-  * one non-distinct pass over the table for ALL columns together — no
-  * Expand, partial-aggregated map-side). `exactNdv = true` is the
-  * audit mode (n distinct aggregates plan an Expand that multiplies the
-  * scan by the column count — documented cost, only for oracles and
-  * small tables). NOSCAN runs ZERO jobs: row count and size come off the
-  * snapshot's file metadata.
+  * Maintenance hookup: `graft.analyze.auto = true` runs [[incremental]]
+  * on the [[LakeTable.autoMaintain]] cadence — fresh stats are a no-op
+  * (zero commits), appends pay one churn-sized pass.
   */
 object Analyze {
 
   /** Table property carrying the serialized [[TableStats]]. */
   val PropKey = "graft.stats"
+  /** Property: maintain stats incrementally on the autoMaintain cadence. */
+  val AutoKey = "graft.analyze.auto"
+  /** HLL lgConfigK — matches Spark's `hll_sketch_agg` default. */
+  val LgK = 12
 
   final case class AnalyzedColumn(
       name: String,
       dataType: String,
       // contentAs guards against Jackson's erasure default (Option[Integer])
-      @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
       ndv: Option[Long],
       nullCount: Long,
       /** min/max as Spark `CAST(col AS STRING)` of the column value —
@@ -49,16 +68,29 @@ object Analyze {
       max: Option[String],
       /** length stats (string/binary columns only): truncated mean and
         * max of `length(col)` over non-null rows. */
-      @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
       avgLen: Option[Long],
-      @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
-      maxLen: Option[Long])
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
+      maxLen: Option[Long],
+      /** total `length(col)` over non-null rows — what makes avgLen
+        * mergeable across incremental passes. */
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
+      sumLen: Option[Long] = None,
+      /** base64 DataSketches HLL sketch backing `ndv` (absent in
+        * exact-NDV audit mode — exact counts cannot merge). */
+      sketch: Option[String] = None,
+      /** base64 DataSketches KLL quantile sketch (numeric columns only):
+        * mergeable value distribution, from which the DSv2 scan derives
+        * equi-height histogram bins for CBO range selectivity. */
+      kll: Option[String] = None)
 
   final case class TableStats(
       snapshotId: Long,
       rowCount: Long,
       exactNdv: Boolean,
-      columns: Seq[AnalyzedColumn])
+      columns: Seq[AnalyzedColumn],
+      /** "full" | "incremental" | "noscan" — how the last pass ran. */
+      mode: String = "full")
 
   private val mapper: ObjectMapper with ClassTagExtensions = {
     val m = new ObjectMapper() with ClassTagExtensions
@@ -76,8 +108,137 @@ object Analyze {
   }
   private def sized(dt: DataType): Boolean =
     dt == StringType || dt == BinaryType
+  /** Columns that get a KLL value-distribution sketch. */
+  private def quantiled(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+  /** KLL k: ~1.65% rank error, ~3 KB serialized at stream length 1e9. */
+  val KllK = 200
 
-  /** Compute + persist stats for the CURRENT main snapshot. `columns`
+  /** Same rounding as Spark's `hll_sketch_estimate`. */
+  private def estimate(sketch: Array[Byte]): Long =
+    Math.round(HllSketch.heapify(sketch).getEstimate)
+
+  private def b64(bytes: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(bytes)
+  private def unb64(s: String): Array[Byte] =
+    java.util.Base64.getDecoder.decode(s)
+
+  /** Register-max union: adds no error beyond the sketch's own (±0.8%
+    * at lgK=12). The union estimate can differ from a single-pass sketch
+    * by a hair when the sides straddle the sparse→dense transition —
+    * same error bounds, not bit-equality (AnalyzeSpec gates the band). */
+  private def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val u = new Union(LgK)
+    u.update(HllSketch.heapify(a))
+    u.update(HllSketch.heapify(b))
+    u.getResult(TgtHllType.HLL_8).toUpdatableByteArray
+  }
+
+  /** ONE aggregation pass over `df` for `targets`, folding `prev`'s
+    * bounds/counters in so the returned columns are already merged.
+    * (`prev` empty = a plain full pass.) */
+  private def pass(df: DataFrame, targets: Seq[StructField], exactNdv: Boolean,
+                   prev: Map[String, AnalyzedColumn],
+                   prevRows: Long): (Long, Seq[AnalyzedColumn]) = {
+    val aggs = targets.flatMap { f =>
+      val c = col(s"`${f.name}`")
+      val p = prev.get(f.name)
+      // hll_sketch_agg accepts int/bigint/string/binary only; every other
+      // atomic type is sketched through its canonical string form (the
+      // cast is injective per value, so distinct counts are preserved)
+      val sketchable = f.dataType match {
+        case IntegerType | LongType | StringType | BinaryType => c
+        case _ => c.cast("string")
+      }
+      val ndvAgg: Column =
+        if (exactNdv) count_distinct(c).cast("long")
+        else hll_sketch_agg(sketchable, lit(LgK))
+      val minAgg = p.flatMap(_.min) match {
+        case Some(m) => least(min(c), lit(m).cast(f.dataType)).cast("string")
+        case None => min(c).cast("string")
+      }
+      val maxAgg = p.flatMap(_.max) match {
+        case Some(m) => greatest(max(c), lit(m).cast(f.dataType)).cast("string")
+        case None => max(c).cast("string")
+      }
+      Seq(ndvAgg, sum(c.isNull.cast("long")), minAgg, maxAgg) ++
+        (if (sized(f.dataType))
+           Seq(sum(length(c).cast("long")),
+             p.flatMap(_.maxLen) match {
+               case Some(m) => greatest(max(length(c)).cast("long"), lit(m))
+               case None => max(length(c)).cast("long")
+             })
+         else Seq.empty) ++
+        (if (quantiled(f.dataType))
+           Seq(graft.functions.KllQuantilesAgg(c.cast("double"), KllK))
+         else Seq.empty)
+    }
+    val row: Row = df.agg(count(lit(1)).as("_rows"), aggs: _*).head()
+    val rows = prevRows + row.getLong(0)
+    var i = 1
+    val cols = targets.map { f =>
+      val p = prev.get(f.name)
+      val (ndv, sk) =
+        if (exactNdv) (Some(row.getLong(i)), None)
+        else {
+          // an all-null slice aggregates to a null sketch — carry the
+          // prior one (or report 0 distinct when there has never been one)
+          val fresh = Option(row.getAs[Array[Byte]](i))
+          val merged = (p.flatMap(_.sketch).map(unb64), fresh) match {
+            case (Some(old), Some(nw)) => Some(union(old, nw))
+            case (old, nw) => nw.orElse(old)
+          }
+          (Some(merged.map(estimate).getOrElse(0L)), merged.map(b64))
+        }
+      val nulls = (if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)) +
+        p.map(_.nullCount).getOrElse(0L)
+      val mn = Option(row.get(i + 2)).map(_.toString)
+      val mx = Option(row.get(i + 3)).map(_.toString)
+      i += 4
+      val (sl, ml) =
+        if (sized(f.dataType)) {
+          val sumLen = (if (row.isNullAt(i)) 0L else row.getLong(i)) +
+            p.flatMap(_.sumLen).getOrElse(0L)
+          val maxLen = if (row.isNullAt(i + 1)) None else Some(row.getLong(i + 1))
+          i += 2
+          (Some(sumLen), maxLen)
+        } else (None, None)
+      val kll =
+        if (quantiled(f.dataType)) {
+          val fresh = Option(row.getAs[Array[Byte]](i))
+            .filterNot(graft.functions.KllQuantilesAgg.isEmpty)
+          i += 1
+          (p.flatMap(_.kll).map(unb64), fresh) match {
+            case (Some(old), Some(nw)) =>
+              Some(b64(graft.functions.KllQuantilesAgg.merge(old, nw, KllK)))
+            case (old, nw) => nw.map(b64).orElse(old.map(b64))
+          }
+        } else None
+      val nonNull = rows - nulls
+      AnalyzedColumn(f.name, f.dataType.simpleString,
+        ndv = ndv, nullCount = nulls, min = mn, max = mx,
+        avgLen = sl.filter(_ => nonNull > 0).map(_ / nonNull), maxLen = ml,
+        sumLen = sl, sketch = sk, kll = kll)
+    }
+    (rows, cols)
+  }
+
+  /** Resolve + validate the target columns against the current schema. */
+  private def targetsOf(schema: StructType, columns: Seq[String],
+                        table: String): Seq[StructField] =
+    if (columns.isEmpty) schema.fields.toSeq.filter(f => analyzable(f.dataType))
+    else columns.map { c =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"ANALYZE: no such column '$c' in $table"))
+      if (!analyzable(f.dataType)) throw new IllegalArgumentException(
+        s"ANALYZE: column '$c' has un-analyzable type ${f.dataType.simpleString}")
+      f
+    }
+
+  /** Full compute + persist for the CURRENT main snapshot. `columns`
     * empty = all analyzable columns; naming an un-analyzable or unknown
     * column fails loudly. Returns the persisted stats. */
   def run(table: LakeTable, columns: Seq[String] = Seq.empty,
@@ -85,61 +246,106 @@ object Analyze {
     val snap = table.resolveSnapshot().getOrElse(
       throw new IllegalStateException(
         s"ANALYZE ${table.meta.name}: table has no snapshot"))
-    val schema = table.read(snapshotId = Some(snap.snapshotId)).schema
-    val targets: Seq[StructField] =
-      if (columns.isEmpty) schema.fields.toSeq.filter(f => analyzable(f.dataType))
-      else columns.map { c =>
-        val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
-          throw new IllegalArgumentException(
-            s"ANALYZE: no such column '$c' in ${table.meta.name}"))
-        if (!analyzable(f.dataType)) throw new IllegalArgumentException(
-          s"ANALYZE: column '$c' has un-analyzable type ${f.dataType.simpleString}")
-        f
-      }
-
     val stats =
       if (noscan) {
         TableStats(snap.snapshotId, snap.files.map(_.rowCount).sum,
-          exactNdv = false, columns = Seq.empty)
+          exactNdv = false, columns = Seq.empty, mode = "noscan")
       } else {
         // pin the scan to the snapshot being stamped: a concurrent commit
         // (or WAP/branch session routing) must not let the stats describe
         // different bytes than their stamp claims
         val df = table.read(snapshotId = Some(snap.snapshotId))
-        val aggs = targets.flatMap { f =>
-          val c = col(s"`${f.name}`")
-          val ndv = if (exactNdv) count_distinct(c) else approx_count_distinct(c)
-          Seq(ndv.cast("long"), sum(c.isNull.cast("long")),
-            min(c).cast("string"), max(c).cast("string")) ++
-            (if (sized(f.dataType))
-               Seq(sum(length(c).cast("long")), max(length(c)).cast("long"))
-             else Seq.empty)
-        }
-        val row = df.agg(count(lit(1)).as("_rows"), aggs: _*).head()
-        var i = 1
-        val cols = targets.map { f =>
-          val ndv = row.getLong(i)
-          val nulls = if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)
-          val mn = Option(row.get(i + 2)).map(_.toString)
-          val mx = Option(row.get(i + 3)).map(_.toString)
-          i += 4
-          val (al, ml) =
-            if (sized(f.dataType)) {
-              val sumLen = if (row.isNullAt(i)) None else Some(row.getLong(i))
-              val maxLen = if (row.isNullAt(i + 1)) None else Some(row.getLong(i + 1))
-              i += 2
-              val nonNull = row.getLong(0) - nulls
-              (sumLen.filter(_ => nonNull > 0).map(_ / nonNull), maxLen)
-            } else (None, None)
-          AnalyzedColumn(f.name, f.dataType.simpleString,
-            ndv = Some(ndv), nullCount = nulls, min = mn, max = mx,
-            avgLen = al, maxLen = ml)
-        }
-        TableStats(snap.snapshotId, row.getLong(0), exactNdv, cols)
+        val targets = targetsOf(df.schema, columns, table.meta.name)
+        val (rows, cols) = pass(df, targets, exactNdv, Map.empty, 0L)
+        TableStats(snap.snapshotId, rows, exactNdv, cols, mode = "full")
       }
-
     table.updateProperties(_ + (PropKey -> toJson(stats)))
     stats
+  }
+
+  /** Churn-cost refresh: if everything since the stamped snapshot is
+    * pure APPEND (file set grew, delete/DV sets untouched, schema
+    * unchanged for the new files), scan ONLY the appended files and
+    * merge — HLL union for NDV, exact folding for the rest. Anything
+    * else (row removal, schema drift, expired stamp, exact-mode or
+    * missing prior stats) falls back to [[run]]. Fresh stats are a
+    * NO-OP: zero jobs, zero commits. */
+  def incremental(table: LakeTable): TableStats = {
+    val m = table.meta
+    val head = table.resolveSnapshot().getOrElse(
+      throw new IllegalStateException(
+        s"ANALYZE ${m.name}: table has no snapshot"))
+    def full(cols: Seq[String]) = run(table, cols)
+    of(m) match {
+      case None => full(Seq.empty)
+      case Some(prev) if prev.snapshotId == head.snapshotId => prev // fresh: no-op
+      case Some(prev) if prev.exactNdv || prev.mode == "noscan" =>
+        full(prev.columns.map(_.name))
+      case Some(prev) =>
+        val cols = prev.columns.map(_.name)
+        def restamp(): TableStats = {
+          val r = prev.copy(snapshotId = head.snapshotId)
+          table.updateProperties(_ + (PropKey -> toJson(r)))
+          r
+        }
+        // content-preserving maintenance chain (compaction, delete-file
+        // rewrites — every op committed as "replace" preserves logical
+        // rows by construction): the stats still describe the head's
+        // content, so RESTAMP without scanning a byte
+        if (chainOps(m, prev.snapshotId, head).exists(
+            ops => ops.nonEmpty && ops.forall(_ == "replace")))
+          return restamp()
+        m.snapshots.find(_.snapshotId == prev.snapshotId) match {
+          case None => full(cols) // stamp expired from history
+          case Some(stamped)
+            // any logical row removal breaks mergeability
+            if stamped.deleteFiles != head.deleteFiles ||
+               stamped.eqDeleteFiles != head.eqDeleteFiles =>
+            full(cols)
+          case Some(stamped) =>
+            val stampedPaths = stamped.files.map(_.path).toSet
+            val headPaths = head.files.map(_.path).toSet
+            if (!stampedPaths.subsetOf(headPaths)) full(cols) // rewrite/CoW
+            else {
+              val appended = head.files.filterNot(f => stampedPaths(f.path))
+              val schema = table.read(snapshotId = Some(head.snapshotId)).schema
+              val targets =
+                try targetsOf(schema, cols, m.name)
+                catch { case _: IllegalArgumentException => return full(Seq.empty) }
+              val typesMatch = targets.map(f => f.name -> f.dataType.simpleString) ==
+                prev.columns.map(c => c.name -> c.dataType)
+              if (!typesMatch) full(cols)
+              else if (appended.isEmpty) restamp() // same content, newer snapshot
+              else {
+                val df = table.dataFrameForLive(m, Some(head), appended)
+                val prevBy = prev.columns.map(c => c.name -> c).toMap
+                val (rows, merged) =
+                  pass(df, targets, exactNdv = false, prevBy, prev.rowCount)
+                val stats = TableStats(head.snapshotId, rows, exactNdv = false,
+                  merged, mode = "incremental")
+                table.updateProperties(_ + (PropKey -> toJson(stats)))
+                stats
+              }
+            }
+        }
+    }
+  }
+
+  /** Operations on the parent chain from `from` (exclusive) to `to`
+    * (inclusive), newest first; None when the walk cannot reach `from`
+    * (rollback, expired history, divergent branch). */
+  private def chainOps(m: TableMeta, from: Long, to: Snapshot): Option[Seq[String]] = {
+    val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+    var cur = to
+    val ops = Seq.newBuilder[String]
+    while (cur.snapshotId != from) {
+      ops += cur.operation
+      cur.parentId.flatMap(byId.get) match {
+        case Some(p) => cur = p
+        case None => return None
+      }
+    }
+    Some(ops.result())
   }
 
   /** The persisted stats, if any. */

@@ -2925,7 +2925,19 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
           did |= meta.version != v0
         }
       }
-    autoCompact(every, target, partitionFilter, sortBy) || did
+    did |= autoCompact(every, target, partitionFilter, sortBy)
+    // column-stats freshness rides the same cadence (graft.analyze.auto),
+    // LAST so the tick leaves stats fresh over whatever the tiers above
+    // committed: fresh stats are a no-op (zero jobs, zero commits), a
+    // content-preserving maintenance chain (compaction, delete-file
+    // rewrites) RESTAMPS without scanning, pure appends pay one
+    // churn-sized pass + HLL union, anything else a full re-analyze
+    if (props.get(Analyze.AutoKey).contains("true")) {
+      val v0 = meta.version
+      LakeTable.withConflictRetry() { Analyze.incremental(this); () }
+      did |= meta.version != v0
+    }
+    did
   }
 
   /** Snapshot-retention floor implied by registered sibling refresh

@@ -49,12 +49,16 @@ object GraftProcedures {
     case "analyze_table" => Some(proc(name,
       Array(param("table", StringType),
         param("columns", StringType, Some("''")),
-        param("exact_ndv", BooleanType, Some("false"))),
+        param("exact_ndv", BooleanType, Some("false")),
+        param("incremental", BooleanType, Some("false"))),
       row => {
-        val cols = if (row.isNullAt(1) || row.getString(1).isEmpty) Seq.empty[String]
-                   else row.getString(1).split(",").toSeq.map(_.trim)
-        lake.loadTable(row.getString(0)).analyzeTable(cols,
-          exactNdv = !row.isNullAt(2) && row.getBoolean(2))
+        val t = lake.loadTable(row.getString(0))
+        if (!row.isNullAt(3) && row.getBoolean(3)) graft.lake.Analyze.incremental(t)
+        else {
+          val cols = if (row.isNullAt(1) || row.getString(1).isEmpty) Seq.empty[String]
+                     else row.getString(1).split(",").toSeq.map(_.trim)
+          t.analyzeTable(cols, exactNdv = !row.isNullAt(2) && row.getBoolean(2))
+        }
       }))
     case "expire_snapshots" => Some(proc(name,
       Array(param("table", StringType),

@@ -502,6 +502,40 @@ class GraftBatchScan(
                 c.avgLen.map(OptionalLong.of).getOrElse(OptionalLong.empty())
               override def maxLen(): OptionalLong =
                 c.maxLen.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+              // equi-height bins off the persisted KLL sketch (numeric
+              // columns): boundaries at ranks i/16, per-bin NDV the
+              // uniform share of the column NDV — the standard
+              // equi-height assumption CBO's range selectivity uses
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                c.kll.flatMap { b =>
+                  scala.util.Try {
+                    val nBins = 16
+                    val bytes = java.util.Base64.getDecoder.decode(b)
+                    val qs = graft.functions.KllQuantilesAgg.quantiles(
+                      bytes, (0 to nBins).map(_.toDouble / nBins).toArray)
+                    if (qs.isEmpty) None
+                    else {
+                      val n = graft.functions.KllQuantilesAgg.count(bytes)
+                      val binNdv = math.max(1L, c.ndv.getOrElse(nBins.toLong) / nBins)
+                      val theBins = (0 until nBins).map { bi =>
+                        new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                          override def lo(): Double = qs(bi)
+                          override def hi(): Double = qs(bi + 1)
+                          override def ndv(): Long = binNdv
+                        }
+                      }.toArray
+                      Some(new org.apache.spark.sql.connector.read.colstats.Histogram {
+                        override def height(): Double = n.toDouble / nBins
+                        override def bins(): Array[
+                          org.apache.spark.sql.connector.read.colstats.HistogramBin] = theBins
+                      })
+                    }
+                  }.toOption.flatten
+                } match {
+                  case Some(h) => java.util.Optional.of(h)
+                  case None => java.util.Optional.empty()
+                }
             })
         })
       }

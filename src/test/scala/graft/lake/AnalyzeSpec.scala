@@ -56,6 +56,12 @@ class AnalyzeSpec extends AnyFunSuite {
     assert(byName("grp").maxLen === Some(2L))
     assert(byName("v").min === Some("1.5"))
     assert(byName("v").max === Some("150.0"))
+    // KLL value distribution rides numeric columns (exact mode included)
+    val kll = java.util.Base64.getDecoder.decode(byName("id").kll.get)
+    val p = graft.functions.KllQuantilesAgg.quantiles(kll, Array(0.0, 0.5, 1.0))
+    assert(p(0) === 1.0 && p(2) === 100.0)
+    assert(math.abs(p(1) - 50.0) <= 2.0, s"median drift: ${p(1)}")
+    assert(byName("grp").kll === None, "strings carry no quantile sketch")
   }
 
   test("approx NDV within the HLL++ band; subset + bad columns refuse") {
@@ -108,6 +114,109 @@ class AnalyzeSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental: pure appends merge at churn cost and equal a full " +
+    "re-analyze; fresh stats are a zero-commit no-op; row removal falls " +
+    "back to full; autoMaintain rides the cadence") {
+    val t = mk("t.incr")
+    t.append(rows(400))
+    val first = t.analyzeTable() // full, sketch-backed
+    assert(first.mode === "full")
+
+    // fresh → no-op: same object back, NO new version
+    val v0 = t.meta.version
+    assert(Analyze.incremental(t) === first)
+    assert(t.meta.version === v0, "fresh incremental must not commit")
+
+    // pure append → incremental merge; everything EXACT equals a full
+    // re-analyze, and the union NDV stays inside the sketch's own error
+    // band (union adds none — but sparse/dense transitions mean "same
+    // bounds", not bit-equality)
+    import spark.implicits._
+    t.append((401 to 700).map(i =>
+      (i.toLong, if (i % 7 == 0) null else s"g${i % 11}", i * 1.5))
+      .toDF("id", "grp", "v"))
+    val inc = Analyze.incremental(t)
+    assert(inc.mode === "incremental")
+    assert(inc.snapshotId === t.meta.currentSnapshot.get.snapshotId)
+    val fullAgain = t.analyzeTable()
+    assert(inc.rowCount === fullAgain.rowCount)
+    inc.columns.zip(fullAgain.columns).foreach { case (a, b) =>
+      val (ia, ib) = (a.ndv.get, b.ndv.get)
+      assert(math.abs(ia - ib) <= math.max(2L, ib / 50),
+        s"union ndv $ia outside the full-pass band $ib on ${a.name}")
+      assert(a.nullCount === b.nullCount)
+      assert(a.min === b.min); assert(a.max === b.max)
+      assert(a.sumLen === b.sumLen); assert(a.maxLen === b.maxLen)
+      assert(a.avgLen === b.avgLen)
+      // merged KLL stays in the sketch's rank-error band of the full pass
+      (a.kll, b.kll) match {
+        case (Some(ka), Some(kb)) =>
+          def p50(s: String) = graft.functions.KllQuantilesAgg.quantiles(
+            java.util.Base64.getDecoder.decode(s), Array(0.5))(0)
+          val (qa, qb) = (p50(ka), p50(kb))
+          assert(math.abs(qa - qb) <= math.max(1.0, math.abs(qb) * 0.05),
+            s"merged p50 $qa vs full $qb on ${a.name}")
+        case (None, None) =>
+        case other => fail(s"kll presence drift on ${a.name}: $other")
+      }
+    }
+    // the true counts: id fully distinct (700), grp 11 non-null values
+    assert(math.abs(inc.columns.find(_.name == "id").get.ndv.get - 700L) <= 21L)
+    assert(inc.columns.find(_.name == "grp").get.ndv === Some(11L))
+    // …and the scan sees them as fresh
+    assert(Analyze.fresh(t.meta, t.meta.currentSnapshot.map(_.snapshotId)).isDefined)
+
+    // row removal → sketches cannot subtract → full fallback, still correct
+    t.delete(org.apache.spark.sql.functions.col("id") <= 100)
+    val afterDelete = Analyze.incremental(t)
+    assert(afterDelete.mode === "full")
+    assert(afterDelete.rowCount === 600L)
+    assert(afterDelete.columns.find(_.name == "id").get.min === Some("101"))
+
+    // autoMaintain hookup: property on + stale stats → refreshed on tick
+    t.setProperties(Map(Analyze.AutoKey -> "true",
+      "graft.maintenance.every-commits" -> "1"))
+    t.append((701 to 720).map(i => (i.toLong, s"x$i", 1.0)).toDF("id", "grp", "v"))
+    t.autoMaintain() // may also compact — analyze runs LAST, so stats land fresh
+    val auto = Analyze.of(t.meta).get
+    assert(auto.snapshotId === t.meta.currentSnapshot.get.snapshotId,
+      "autoMaintain must have refreshed the stats to the head")
+    assert(auto.columns.find(_.name == "id").get.max === Some("720"))
+
+    // content-preserving maintenance alone → RESTAMP, zero scan jobs
+    val group = "analyze-restamp-probe"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (Option(j.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == group)) {
+          jobs.incrementAndGet(); ()
+        }
+      }
+    }
+    // two tiny appends (merged into the stats), then compaction: the
+    // chain since the stamp is pure "replace"
+    t.append(Seq((721L, "y1", 1.0)).toDF("id", "grp", "v"))
+    t.append(Seq((722L, "y2", 1.0)).toDF("id", "grp", "v"))
+    Analyze.incremental(t)
+    t.rewriteDataFiles(targetSizeBytes = 64L * 1024 * 1024) // rows unchanged
+    val preStamp = Analyze.of(t.meta).get
+    assert(preStamp.snapshotId !== t.meta.currentSnapshot.get.snapshotId)
+    spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "restamp probe")
+    val restamped = try {
+      val r = Analyze.incremental(t)
+      Thread.sleep(500) // listener bus is async
+      r
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(jobs.get() === 0, "content-preserving chain must restamp without scanning")
+    assert(restamped.snapshotId === t.meta.currentSnapshot.get.snapshotId)
+    assert(restamped.columns === preStamp.columns)
+  }
+
   test("SQL grammar routes graft idents to Analyze; others delegate; " +
     "DSv2 scan serves fresh stats and drops stale ones") {
     val wh = Files.createTempDirectory("graft-analyze-ddl").toString
@@ -155,6 +264,12 @@ class AnalyzeSpec extends AnyFunSuite {
       assert(idStat.distinctCount().getAsLong === 3L)
       assert(idStat.min().get() === java.lang.Long.valueOf(1L))
       assert(idStat.max().get() === java.lang.Long.valueOf(3L))
+      // equi-height histogram derived from the persisted KLL sketch
+      val hist = idStat.histogram()
+      assert(hist.isPresent, "numeric column must report a histogram")
+      assert(hist.get().bins().length === 16)
+      assert(hist.get().bins()(0).lo() === 1.0)
+      assert(hist.get().bins()(15).hi() === 3.0)
       val sStat = cs.entrySet().stream()
         .filter(e => e.getKey.fieldNames()(0) == "s").findFirst().get().getValue
       assert(sStat.nullCount().getAsLong === 1L)
