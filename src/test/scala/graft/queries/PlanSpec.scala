@@ -543,6 +543,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
   }
 
+  test("q105/q107: k-means assignment is a pure projection — centroids ride " +
+    "as plan literals, no join or exchange before the per-row assign (r16)") {
+    // explain-formatted prints the tree header first, then per-node
+    // detail sections in LEAF-FIRST numbering — ordering assertions run
+    // on the details substring
+    def details(p: String): String = p.substring(math.max(0, p.indexOf("\n(1) ")))
+    val p = planOf("q105_kmeans_topics")
+    val d = details(p)
+    val assignIdx = d.indexOf("nearest_centroid_int")
+    val exchangeIdx = d.indexOf("Exchange")
+    assert(assignIdx >= 0, p)
+    assert(exchangeIdx < 0 || assignIdx < exchangeIdx,
+      s"assignment must precede any exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+
+    // q107's per-cluster top-2 prunes map-side (WindowGroupLimit before
+    // the exchange), so only ≤2 rows per cluster per task shuffle
+    val d7 = details(planOf("q107_cluster_sample"))
+    val wgl = d7.indexOf("WindowGroupLimit")
+    val ex7 = d7.indexOf("Exchange")
+    assert(wgl >= 0 && ex7 > wgl,
+      s"rank<=2 must prune before the shuffle:\n$d7")
+  }
+
   test("whole-stage codegen covers the relational queries' hot path") {
     val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
     df.collect() // AQE finalizes (and codegens) the plan only on execution
