@@ -155,14 +155,22 @@ object Analyze {
       val ndvAgg: Column =
         if (exactNdv) count_distinct(c).cast("long")
         else hll_sketch_agg(sketchable, lit(LgK))
-      val minAgg = p.flatMap(_.min) match {
-        case Some(m) => least(min(c), lit(m).cast(f.dataType)).cast("string")
-        case None => min(c).cast("string")
-      }
-      val maxAgg = p.flatMap(_.max) match {
-        case Some(m) => greatest(max(c), lit(m).cast(f.dataType)).cast("string")
-        case None => max(c).cast("string")
-      }
+      // binary columns carry no bounds: CAST(binary AS STRING) is lossy
+      // for invalid UTF-8, so a stored bound could not be folded back
+      // losslessly on the next incremental pass
+      val boundable = f.dataType != BinaryType
+      val minAgg =
+        if (!boundable) lit(null).cast("string")
+        else p.flatMap(_.min) match {
+          case Some(m) => least(min(c), lit(m).cast(f.dataType)).cast("string")
+          case None => min(c).cast("string")
+        }
+      val maxAgg =
+        if (!boundable) lit(null).cast("string")
+        else p.flatMap(_.max) match {
+          case Some(m) => greatest(max(c), lit(m).cast(f.dataType)).cast("string")
+          case None => max(c).cast("string")
+        }
       Seq(ndvAgg, sum(c.isNull.cast("long")), minAgg, maxAgg) ++
         (if (sized(f.dataType))
            Seq(sum(length(c).cast("long")),

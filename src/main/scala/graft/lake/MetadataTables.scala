@@ -248,16 +248,22 @@ object MetadataTables {
         val cur = m.currentSnapshot.map(_.snapshotId)
         val rows: Seq[(Long, Long, String, String, Option[Long], Long,
           Option[String], Option[String], Option[Long], Option[Long],
+          Option[Double], Option[Double], Option[Double],
           Boolean, Boolean)] = Analyze.of(m).map { ts =>
           ts.columns.map { c =>
+            // quartiles off the persisted KLL sketch (numeric columns)
+            val q = c.kll.map(b => graft.functions.KllQuantilesAgg.quantiles(
+              java.util.Base64.getDecoder.decode(b), Array(0.25, 0.5, 0.75)))
+              .filter(_.length == 3)
             (ts.snapshotId, ts.rowCount, c.name, c.dataType, c.ndv,
               c.nullCount, c.min, c.max, c.avgLen, c.maxLen,
+              q.map(_(0)), q.map(_(1)), q.map(_(2)),
               ts.exactNdv, !cur.contains(ts.snapshotId))
           }
         }.getOrElse(Seq.empty)
         rows.toDF("snapshot_id", "row_count", "column", "data_type", "ndv",
-            "null_count", "min", "max", "avg_len", "max_len", "exact_ndv",
-            "stale")
+            "null_count", "min", "max", "avg_len", "max_len",
+            "p25", "p50", "p75", "exact_ndv", "stale")
 
       case other =>
         throw new IllegalArgumentException(

@@ -38,6 +38,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       .orElse(GraftSqlParser.parseRestoreDdl(sqlText, delegate))
       .orElse(GraftSqlParser.parseVacuumDdl(sqlText, delegate))
       .orElse(GraftSqlParser.parseAnalyzeDdl(sqlText, delegate))
+      .orElse(GraftSqlParser.parseOptimizeDdl(sqlText, delegate))
       .orElse(GraftTxnSql.parse(sqlText))
       .getOrElse(delegate.parsePlan(sqlText))
     // view DDL/reads on graft catalogs rewrite at PARSE time: the
@@ -310,6 +311,27 @@ object GraftSqlParser {
       case _ => None
     }
 
+  private val OptimizeDdl =
+    s"""(?is)\\s*OPTIMIZE\\s+($MvIdent)\\s*(?:WHERE\\s+(.+?)\\s*)?(?:ZORDER\\s+BY\\s*\\(?\\s*((?:`[^`]+`|\\w+)(?:\\s*,\\s*(?:`[^`]+`|\\w+))*)\\s*\\)?\\s*)?;?\\s*""".r
+
+  /** Delta's `OPTIMIZE t [WHERE pred] [ZORDER BY (c, …)]` (r16): the
+    * DDL-first spelling of the compaction procedures. Bare OPTIMIZE =
+    * small-file binpack; WHERE scopes a rewrite to may-match files (the
+    * r16 predicate-scoped rewrite — whole-file granularity, content
+    * provably unchanged); ZORDER BY = the clustering rewrite. OPTIMIZE
+    * is not Spark grammar, so interception shadows nothing; a non-graft
+    * ident fails at run time naming the requirement. */
+  def parseOptimizeDdl(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
+    sqlText match {
+      case OptimizeDdl(ident, where, zorder) =>
+        Some(OptimizeTableCommand(
+          delegate.parseMultipartIdentifier(ident),
+          where = Option(where).map(_.trim).filter(_.nonEmpty),
+          zorderBy = Option(zorder).toSeq.flatMap(_.split(",").toSeq)
+            .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)))
+      case _ => None
+    }
+
   private val AnalyzeDdl =
     s"""(?is)\\s*ANALYZE\\s+TABLE\\s+($MvIdent)\\s+COMPUTE\\s+STATISTICS\\s*(?:(NOSCAN)|FOR\\s+ALL\\s+COLUMNS|FOR\\s+COLUMNS\\s+((?:`[^`]+`|\\w+)(?:\\s*,\\s*(?:`[^`]+`|\\w+))*))?\\s*;?\\s*""".r
 
@@ -454,6 +476,34 @@ private[dsv2] object GraftDdlResolve {
       case other => throw new UnsupportedOperationException(
         s"$what requires a graft catalog, got '${other.name}'")
     }
+  }
+}
+
+/** `OPTIMIZE t [WHERE pred] [ZORDER BY (…)]` → binpack (bare) or the
+  * predicate-scoped / z-order rewrite. Returns one metrics row like
+  * Delta's OPTIMIZE. */
+case class OptimizeTableCommand(nameParts: Seq[String], where: Option[String],
+                                zorderBy: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "rewritten_files", org.apache.spark.sql.types.LongType, nullable = false)(),
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "added_files", org.apache.spark.sql.types.LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (gc, ident) = GraftDdlResolve(spark, nameParts, "OPTIMIZE")
+    val t = gc.lake.loadTable(ident)
+    val v0 = t.meta.currentSnapshot.map(_.snapshotId)
+    val m =
+      if (where.isEmpty && zorderBy.isEmpty) t.binPack()
+      else t.rewriteDataFiles(
+        zorderBy = zorderBy,
+        where = where.map(org.apache.spark.sql.functions.expr))
+    val s = m.currentSnapshot.filterNot(s => v0.contains(s.snapshotId))
+    def n(k: String) = s.flatMap(_.summary.get(k)).flatMap(_.toLongOption).getOrElse(0L)
+    Seq(Row(math.max(n("rewritten-data-files"), n("binpack-rewritten-files")),
+      n("added-data-files")))
   }
 }
 
