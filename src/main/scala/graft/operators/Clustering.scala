@@ -42,7 +42,12 @@ import graft.functions.NearestCentroidInt
   */
 object Clustering {
 
-  /** `floor(x * scale)` per element, as exact fixed-point longs. */
+  /** `floor(x * scale)` per element, as exact fixed-point longs.
+    *
+    * NULL vectors: excluded from training (they contribute to no
+    * centroid — the update explode emits nothing for them) and assigned
+    * a NULL `cluster_id`/`dist_q` by [[assign]] — filter them upstream
+    * if the corpus map must be total. */
   def quantize(vec: Column, scale: Int): Column =
     transform(vec, x => floor(x.cast("double") * scale).cast("long"))
 
@@ -59,8 +64,10 @@ object Clustering {
                   k: Int, iters: Int, scale: Int = 1024): KMeansModel = {
     val q = df.select(col(idCol).as("_id"), quantize(col(vecCol), scale).as("_qv"))
 
-    // Seeds: k lowest ids — TakeOrderedAndProject, k rows to the driver.
-    var cents: IndexedSeq[Seq[Long]] = q.orderBy(col("_id")).limit(k)
+    // Seeds: k lowest NON-NULL ids — TakeOrderedAndProject, k rows to
+    // the driver (null vectors train nothing, so they may not seed).
+    var cents: IndexedSeq[Seq[Long]] = q.filter(col("_qv").isNotNull)
+      .orderBy(col("_id")).limit(k)
       .select("_qv").collect()
       .map(_.getSeq[Long](0).toIndexedSeq: Seq[Long]).toIndexedSeq
     require(cents.nonEmpty, s"kmeans: need ≥1 vector, got 0")

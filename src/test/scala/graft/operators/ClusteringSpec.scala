@@ -114,6 +114,22 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got(2L) === 0) // tie → lowest cid
   }
 
+  test("null vectors train nothing and assign null (documented contract)") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Some(Seq(0.0f, 0.0f))),
+      (1L, Some(Seq(1.0f, 1.0f))),
+      (2L, None: Option[Seq[Float]])).toDF("id", "v")
+    val m = Clustering.kmeansTrain(df, "v", "id", k = 2, iters = 2)
+    // training ignored the null row: same centroids as without it
+    val m2 = Clustering.kmeansTrain(df.filter("v IS NOT NULL"), "v", "id", k = 2, iters = 2)
+    assert(m.centroids === m2.centroids)
+    val got = Clustering.assign(df, "v", m)
+      .select("id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got(0L).isDefined && got(1L).isDefined && got(2L).isEmpty)
+  }
+
   test("k larger than the row count degrades to row count") {
     val pts = Seq(0L -> Seq(0.0f), 1L -> Seq(1.0f))
     val m = Clustering.kmeansTrain(vecs(pts: _*), "v", "id", k = 5, iters = 1)
