@@ -25,8 +25,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
   * reference object, so generated code size is constant in k and each
   * Lloyd iteration swaps the matrix without growing the plan. Null array
   * → null; null elements count as 0; a vector shorter than the centroid
-  * treats missing dims as 0 (both sides iterate max(len) — matching the
-  * oracle's long-format full outer join on the dim index).
+  * treats missing dims as 0 (both sides iterate max(len)). The DuckDB
+  * oracle mirrors the null-ELEMENT zero-fill with `COALESCE(q, 0)` over
+  * an inner join on the dim index — NOT a full outer join — so a
+  * zero-length vector has no long-format rows there at all; see
+  * `VectorOps.kmeansOracle` for the documented empty-vector asymmetry.
   *
   * Centroids are held as `Seq[Seq[Long]]` (value equality) so identical
   * expressions are `semanticEquals` — see NearestCentroid's note on CSE.

@@ -53,8 +53,23 @@ object GraftProcedures {
         param("incremental", BooleanType, Some("false"))),
       row => {
         val t = lake.loadTable(row.getString(0))
-        if (!row.isNullAt(3) && row.getBoolean(3)) graft.lake.Analyze.incremental(t)
-        else {
+        if (!row.isNullAt(3) && row.getBoolean(3)) {
+          // Incremental re-analyze merges the prior stamp's column set and
+          // sketch mode; a caller also passing columns/exact_ndv would get
+          // neither honored — fail loudly (ANALYZE's bad-column style)
+          // rather than silently ignore the arguments.
+          if (!row.isNullAt(1) && row.getString(1).nonEmpty)
+            throw new IllegalArgumentException(
+              "analyze_table: incremental => true re-analyzes the column set " +
+              "of the prior stamp; the 'columns' argument is not honored — " +
+              "run a full analyze_table(columns => ...) instead")
+          if (!row.isNullAt(2) && row.getBoolean(2))
+            throw new IllegalArgumentException(
+              "analyze_table: incremental => true merges persisted HLL/KLL " +
+              "sketches; 'exact_ndv => true' is not honored — run a full " +
+              "analyze_table(exact_ndv => true) instead")
+          graft.lake.Analyze.incremental(t)
+        } else {
           val cols = if (row.isNullAt(1) || row.getString(1).isEmpty) Seq.empty[String]
                      else row.getString(1).split(",").toSeq.map(_.trim)
           t.analyzeTable(cols, exactNdv = !row.isNullAt(2) && row.getBoolean(2))

@@ -320,17 +320,39 @@ object GraftSqlParser {
     * r16 predicate-scoped rewrite — whole-file granularity, content
     * provably unchanged); ZORDER BY = the clustering rewrite. OPTIMIZE
     * is not Spark grammar, so interception shadows nothing; a non-graft
-    * ident fails at run time naming the requirement. */
+    * ident fails at run time naming the requirement.
+    *
+    * Parse hardening (r17): the captured column list is tokenized
+    * backtick-aware (a backticked name may contain commas), and a WHERE
+    * predicate is validated via `delegate.parseExpression` AT PARSE TIME
+    * — the regex cuts the predicate lazily at the first `ZORDER BY`
+    * token, so a predicate whose text contains the literal `ZORDER BY`
+    * (e.g. inside a string literal) would otherwise be silently
+    * truncated; validation turns that into a loud ParseException naming
+    * the limitation instead of a mis-scoped rewrite. */
   def parseOptimizeDdl(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
       case OptimizeDdl(ident, where, zorder) =>
+        val pred = Option(where).map(_.trim).filter(_.nonEmpty)
+        pred.foreach { p =>
+          try delegate.parseExpression(p)
+          catch { case e: Exception => parseError(sqlText,
+            s"OPTIMIZE WHERE predicate failed to parse: '$p' (${e.getMessage}). " +
+            "Note: a predicate containing the literal text 'ZORDER BY' is " +
+            "truncated there — rewrite it without that token sequence.") }
+        }
         Some(OptimizeTableCommand(
           delegate.parseMultipartIdentifier(ident),
-          where = Option(where).map(_.trim).filter(_.nonEmpty),
-          zorderBy = Option(zorder).toSeq.flatMap(_.split(",").toSeq)
+          where = pred,
+          zorderBy = Option(zorder).toSeq
+            .flatMap(z => ZorderColToken.findAllIn(z).toSeq)
             .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)))
       case _ => None
     }
+
+  /** Backtick-aware column token: a backticked name (commas allowed
+    * inside) or a bare word — mirrors the alternation in [[OptimizeDdl]]. */
+  private val ZorderColToken = "`[^`]+`|\\w+".r
 
   private val AnalyzeDdl =
     s"""(?is)\\s*ANALYZE\\s+TABLE\\s+($MvIdent)\\s+COMPUTE\\s+STATISTICS\\s*(?:(NOSCAN)|FOR\\s+ALL\\s+COLUMNS|FOR\\s+COLUMNS\\s+((?:`[^`]+`|\\w+)(?:\\s*,\\s*(?:`[^`]+`|\\w+))*))?\\s*;?\\s*""".r
@@ -502,8 +524,8 @@ case class OptimizeTableCommand(nameParts: Seq[String], where: Option[String],
         where = where.map(org.apache.spark.sql.functions.expr))
     val s = m.currentSnapshot.filterNot(s => v0.contains(s.snapshotId))
     def n(k: String) = s.flatMap(_.summary.get(k)).flatMap(_.toLongOption).getOrElse(0L)
-    Seq(Row(math.max(n("rewritten-data-files"), n("binpack-rewritten-files")),
-      n("added-data-files")))
+    Seq(Row(Seq("rewritten-data-files", "binpack-rewritten-files",
+      "where-rewritten-files").map(n).max, n("added-data-files")))
   }
 }
 

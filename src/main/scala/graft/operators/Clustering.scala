@@ -64,9 +64,12 @@ object Clustering {
                   k: Int, iters: Int, scale: Int = 1024): KMeansModel = {
     val q = df.select(col(idCol).as("_id"), quantize(col(vecCol), scale).as("_qv"))
 
-    // Seeds: k lowest NON-NULL ids — TakeOrderedAndProject, k rows to
-    // the driver (null vectors train nothing, so they may not seed).
-    var cents: IndexedSeq[Seq[Long]] = q.filter(col("_qv").isNotNull)
+    // Seeds: k lowest NON-NULL, NON-EMPTY ids — TakeOrderedAndProject,
+    // k rows to the driver (null vectors train nothing, so they may not
+    // seed; an empty vector would seed a zero-dim centroid, equally
+    // useless — both excluded, matching the DuckDB oracle's seed CTE).
+    var cents: IndexedSeq[Seq[Long]] = q
+      .filter(col("_qv").isNotNull && size(col("_qv")) > 0)
       .orderBy(col("_id")).limit(k)
       .select("_qv").collect()
       .map(_.getSeq[Long](0).toIndexedSeq: Seq[Long]).toIndexedSeq

@@ -598,16 +598,32 @@ object VectorOps {
     * (1-based `generate_subscripts` — only internal consistency matters),
     * assignment = relational argmin with the same (distance, cid)
     * tie-break, update = `SUM // COUNT` (truncation ≡ Spark DIV), empty
-    * clusters carried by the LEFT JOIN + COALESCE. */
+    * clusters carried by the LEFT JOIN + COALESCE.
+    *
+    * Null-handling parity (r17, per ADVICE): seeds exclude NULL/empty
+    * embeddings on BOTH sides (kmeansTrain seeds only non-null non-empty
+    * `_qv`; the seeds CTE filters `embedding IS NOT NULL AND
+    * len(embedding) > 0`), and NULL array ELEMENTS coalesce to 0 in the
+    * `x` CTE — matching [[graft.functions.NearestCentroidInt]]'s
+    * zero-fill contract in the distance terms, the update's
+    * `SUM`-skips-NULL ≡ `SUM`-adds-0 identity, and the JVM's
+    * unbox(null)=0 in seed collection. Known residual asymmetry,
+    * documented not patched: an EMPTY (len=0) non-seed vector produces
+    * no `x` rows, so the oracle drops it from assignment entirely while
+    * [[graft.operators.Clustering.assign]] zero-fills it to the
+    * nearest-origin centroid; the shipped embeddings tables contain no
+    * empty vectors and `assign`'s scaladoc tells callers to filter. */
   private def kmeansOracle(k: Int, iters: Int, scale: Int,
                            profileTail: Boolean = true): String = {
     val head = s"""WITH x AS (
       |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
-      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * $scale) AS BIGINT) AS q
+      |    CAST(FLOOR(COALESCE(CAST(unnest(embedding) AS DOUBLE), 0) * $scale) AS BIGINT) AS q
       |  FROM embeddings),
       |seeds AS (
       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
-      |  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+      |  FROM (SELECT DISTINCT vec_id FROM embeddings
+      |        WHERE embedding IS NOT NULL AND len(embedding) > 0
+      |        ORDER BY vec_id LIMIT $k)),
       |c0 AS (SELECT s.cid, x.i, CAST(x.q AS BIGINT) AS cv
       |       FROM seeds s JOIN x ON x.vec_id = s.vec_id)""".stripMargin
     val rounds = (1 to iters).map { t =>
@@ -659,11 +675,25 @@ object VectorOps {
   /** Train once per (session, dir) — q105 and q107 share the map, like a
     * real pipeline would (the model is k·dim longs; training is the
     * 3-pass Lloyd loop). */
-  private val kmModels =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Clustering.KMeansModel]()
+  // Keyed by the LIVE session object (WeakHashMap: a GC'd session's
+  // entries vanish with it), dir inside — identityHashCode is not unique
+  // across GC'd sessions and could serve a stale model for a regenerated
+  // dir. Access is synchronized on the map (WeakHashMap isn't
+  // thread-safe); training runs outside the lock.
+  private val kmModels = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, graft.operators.Clustering.KMeansModel]]()
   private def kmeansFor(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val emb = graft.Tables.load(s, dir, "embeddings")
-    val model = kmModels.computeIfAbsent(System.identityHashCode(s) + "|" + dir,
+    val perSession = kmModels.synchronized {
+      var m = kmModels.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Clustering.KMeansModel]()
+        kmModels.put(s, m)
+      }
+      m
+    }
+    val model = perSession.computeIfAbsent(dir,
       _ => graft.operators.Clustering.kmeansTrain(
         emb, "embedding", "vec_id", k = 8, iters = 3))
     graft.operators.Clustering.assign(emb, "embedding", model)

@@ -213,6 +213,23 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT COUNT(*) FROM lake.db.proc").head.getLong(0) === 5)
   }
 
+  test("CALL analyze_table: incremental refuses columns/exact_ndv (r17)") {
+    sql("CREATE TABLE lake.db.anx (id BIGINT, v STRING)")
+    sql("INSERT INTO lake.db.anx VALUES (1, 'a'), (2, 'b')")
+    sql("CALL lake.system.analyze_table(table => 'db.anx')")
+    // incremental alone: fine
+    sql("INSERT INTO lake.db.anx VALUES (3, 'c')")
+    sql("CALL lake.system.analyze_table(table => 'db.anx', incremental => true)")
+    // incremental + columns / + exact_ndv: the args would be silently
+    // ignored (the merge reuses the prior stamp's set and mode) — refuse
+    val e1 = intercept[Exception](sql(
+      "CALL lake.system.analyze_table(table => 'db.anx', columns => 'id', incremental => true)"))
+    assert(e1.getMessage.contains("columns"), e1.getMessage)
+    val e2 = intercept[Exception](sql(
+      "CALL lake.system.analyze_table(table => 'db.anx', exact_ndv => true, incremental => true)"))
+    assert(e2.getMessage.contains("exact_ndv"), e2.getMessage)
+  }
+
   test("CALL fast_forward publishes a branch; tags readable via VERSION AS OF") {
     sql("CREATE TABLE lake.db.ff (id BIGINT)")
     sql("INSERT INTO lake.db.ff VALUES (1), (2)")
