@@ -33,14 +33,21 @@ import org.apache.spark.sql.types._
   * maintainable). NOSCAN runs ZERO jobs: row count and size come off the
   * snapshot's file metadata.
   *
-  * Persistence: ONE compact JSON blob in the `graft.stats` table
-  * property, stamped with the analyzed snapshot id. Stats are snapshot-
-  * scoped facts, not live state — readers decide staleness by comparing
-  * the stamp with the snapshot they scan (the `stats` metadata table
-  * exposes a `stale` flag; the DSv2 scan only reports FRESH stats).
-  * Size honesty: each sketch is ~2.7 KB base64 and the property map
-  * rides every version document — on a very wide table, ANALYZE the
-  * join/filter columns (`FOR COLUMNS`), not all hundreds.
+  * Persistence (r17 split): the `graft.stats` table property carries the
+  * SCALAR stats (stamp, NDV, bounds, lengths) plus a reference to ONE
+  * content-addressed `stats-<sha256/16>.json` metadata object holding
+  * the HLL/KLL sketch blobs (~2.7 KB base64 each). The property rides
+  * every version document and every wire round trip, so before the split
+  * a wide analyzed table paid sketch-bytes × commits in version-JSON
+  * growth; now the version document grows O(columns) scalars and the
+  * sketch bytes are written ONCE per distinct stats content (putIfAbsent
+  * — commit retries and zero-job restamps reuse the identical object).
+  * The object is covered by verify_table (content hash) and the orphan
+  * sweep (live iff the current property references it), like manifest
+  * chunks and bloom bundles. Stats are snapshot-scoped facts, not live
+  * state — readers decide staleness by comparing the stamp with the
+  * snapshot they scan (the `stats` metadata table exposes a `stale`
+  * flag; the DSv2 scan only reports FRESH stats).
   *
   * Maintenance hookup: `graft.analyze.auto = true` runs [[incremental]]
   * on the [[LakeTable.autoMaintain]] cadence — fresh stats are a no-op
@@ -90,7 +97,18 @@ object Analyze {
       exactNdv: Boolean,
       columns: Seq[AnalyzedColumn],
       /** "full" | "incremental" | "noscan" — how the last pass ran. */
-      mode: String = "full")
+      mode: String = "full",
+      /** Name of the content-addressed `stats-<sha>.json` metadata object
+        * holding this stamp's HLL/KLL sketch blobs; None when no column
+        * carries a sketch (noscan, exact-NDV-only legacy) or for legacy
+        * stamps that inlined the blobs in the property. */
+      sketchRef: Option[String] = None)
+
+  /** Per-column entry of the sketches object: the blobs stripped from
+    * the property form. */
+  final case class SketchBlob(
+      sketch: Option[String] = None,
+      kll: Option[String] = None)
 
   private val mapper: ObjectMapper with ClassTagExtensions = {
     val m = new ObjectMapper() with ClassTagExtensions
@@ -100,6 +118,71 @@ object Analyze {
   }
   def toJson(s: TableStats): String = mapper.writeValueAsString(s)
   def fromJson(json: String): TableStats = mapper.readValue[TableStats](json)
+
+  /** Persist `stats`: sketch blobs to a content-addressed metadata
+    * object, scalars + ref to the `graft.stats` property. Returns the
+    * HYDRATED stats (sketches attached) for the caller. Idempotent on
+    * the object (same content → same name → putIfAbsent no-op), so
+    * zero-job restamps stay zero-job on the object side too. */
+  private def persist(table: LakeTable, stats: TableStats): TableStats = {
+    val withBlobs = stats.columns.filter(c => c.sketch.isDefined || c.kll.isDefined)
+    val stamped =
+      if (withBlobs.isEmpty) stats.copy(sketchRef = None)
+      else {
+        val json = mapper.writeValueAsString(
+          withBlobs.map(c => c.name -> SketchBlob(c.sketch, c.kll)).toMap)
+        val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val name = "stats-" + java.security.MessageDigest.getInstance("SHA-256")
+          .digest(bytes).take(8).map(b => f"$b%02x").mkString + ".json"
+        if (!table.metaStore.exists(name)) {
+          table.metaStore.putIfAbsent(name, bytes); ()
+        }
+        stats.copy(sketchRef = Some(name))
+      }
+    val lean = stamped.copy(
+      columns = stamped.columns.map(_.copy(sketch = None, kll = None)))
+    table.updateProperties(_ + (PropKey -> toJson(lean)))
+    stamped
+  }
+
+  // Sketches objects are immutable (content-addressed): a process-wide
+  // cache keyed by (store id, name) makes per-plan hydration free after
+  // the first read — the BloomSkip bundle-cache pattern.
+  private val sketchCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Map[String, SketchBlob]]()
+
+  /** [[of]] with sketch blobs re-attached from the content-addressed
+    * object. Legacy inline-sketch stamps pass through unchanged. A
+    * missing/corrupt sketches object degrades to scalar-only stats —
+    * the planner must never crash over an optimizer hint; verify_table
+    * is where the corruption gets REPORTED. */
+  def hydrated(meta: TableMeta, store: MetaStore): Option[TableStats] =
+    of(meta).map(attach(store, _))
+
+  private def attach(store: MetaStore, ts: TableStats): TableStats =
+    ts.sketchRef match {
+      case None => ts
+      case Some(ref) =>
+        scala.util.Try {
+          val blobs = sketchCache.computeIfAbsent((store.id, ref),
+            _ => mapper.readValue[Map[String, SketchBlob]](store.read(ref)))
+          ts.copy(columns = ts.columns.map { c =>
+            blobs.get(c.name)
+              .map(b => c.copy(sketch = b.sketch, kll = b.kll))
+              .getOrElse(c)
+          })
+        }.getOrElse(ts)
+    }
+
+  /** [[hydrated]] over a table handle. */
+  def hydrated(table: LakeTable): Option[TableStats] =
+    hydrated(table.meta, table.metaStore)
+
+  /** [[fresh]] + sketch hydration — the DSv2 scan's entry point (the
+    * staleness check costs no object read; stale stats hydrate nothing). */
+  def freshHydrated(meta: TableMeta, store: MetaStore,
+                    snapshotId: Option[Long]): Option[TableStats] =
+    fresh(meta, snapshotId).map(attach(store, _))
 
   /** Columns whose stats the planner can use (atomic, orderable). */
   private def analyzable(dt: DataType): Boolean = dt match {
@@ -267,8 +350,7 @@ object Analyze {
         val (rows, cols) = pass(df, targets, exactNdv, Map.empty, 0L)
         TableStats(snap.snapshotId, rows, exactNdv, cols, mode = "full")
       }
-    table.updateProperties(_ + (PropKey -> toJson(stats)))
-    stats
+    persist(table, stats)
   }
 
   /** Churn-cost refresh: if everything since the stamped snapshot is
@@ -284,18 +366,17 @@ object Analyze {
       throw new IllegalStateException(
         s"ANALYZE ${m.name}: table has no snapshot"))
     def full(cols: Seq[String]) = run(table, cols)
-    of(m) match {
+    // hydrated: the merge unions the PRIOR sketches, which live in the
+    // content-addressed object, not the property
+    hydrated(table) match {
       case None => full(Seq.empty)
       case Some(prev) if prev.snapshotId == head.snapshotId => prev // fresh: no-op
       case Some(prev) if prev.exactNdv || prev.mode == "noscan" =>
         full(prev.columns.map(_.name))
       case Some(prev) =>
         val cols = prev.columns.map(_.name)
-        def restamp(): TableStats = {
-          val r = prev.copy(snapshotId = head.snapshotId)
-          table.updateProperties(_ + (PropKey -> toJson(r)))
-          r
-        }
+        def restamp(): TableStats =
+          persist(table, prev.copy(snapshotId = head.snapshotId))
         // content-preserving maintenance chain (compaction, delete-file
         // rewrites — every op committed as "replace" preserves logical
         // rows by construction): the stats still describe the head's
@@ -329,10 +410,8 @@ object Analyze {
                 val prevBy = prev.columns.map(c => c.name -> c).toMap
                 val (rows, merged) =
                   pass(df, targets, exactNdv = false, prevBy, prev.rowCount)
-                val stats = TableStats(head.snapshotId, rows, exactNdv = false,
-                  merged, mode = "incremental")
-                table.updateProperties(_ + (PropKey -> toJson(stats)))
-                stats
+                persist(table, TableStats(head.snapshotId, rows,
+                  exactNdv = false, merged, mode = "incremental"))
               }
             }
         }

@@ -2319,6 +2319,10 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
         v.split(",").filter(_.nonEmpty)
           .foreach(n => addressed += (("bloom-bundle", n))))
     }
+    // the ANALYZE sketches object is referenced from the PROPERTY, not a
+    // snapshot — one live object per table, hash-verified like the rest
+    Analyze.of(m0).flatMap(_.sketchRef)
+      .foreach(n => addressed += (("stats-sketches", n)))
     // Filesystem metastores fan the per-object hashing over executors
     // through the same RDD shape as the file checks — at 10× retained
     // chunks the driver would otherwise re-read every object serially.
@@ -3244,12 +3248,17 @@ class LakeTable private[lake] (val spark: SparkSession, val location: String,
     val liveBundles = m.snapshots
       .flatMap(_.summary.get(BloomSkip.BundleSummaryKey))
       .flatMap(_.split(",")).filter(_.nonEmpty).toSet
+    // the ANALYZE sketches object is live while the current property
+    // references it; superseded ones (re-analyze moved the ref) age out
+    val liveStats = Analyze.of(m).flatMap(_.sketchRef).toSet
     metaStore.list().foreach { case (name, modified) =>
       val deadChunk = name.startsWith("manifest-") && name.endsWith(".json") &&
         !liveChunks.contains(name)
       val deadBundle = name.startsWith("bloom-") && name.endsWith(".json") &&
         !liveBundles.contains(name)
-      if ((deadChunk || deadBundle) && modified < olderThanMs) {
+      val deadStats = name.startsWith("stats-") && name.endsWith(".json") &&
+        !liveStats.contains(name)
+      if ((deadChunk || deadBundle || deadStats) && modified < olderThanMs) {
         if (!dryRun) metaStore.delete(name)
         orphans += s"${metaStore.id}/metadata/$name"
       }

@@ -249,7 +249,7 @@ object MetadataTables {
         val rows: Seq[(Long, Long, String, String, Option[Long], Long,
           Option[String], Option[String], Option[Long], Option[Long],
           Option[Double], Option[Double], Option[Double],
-          Boolean, Boolean)] = Analyze.of(m).map { ts =>
+          Boolean, Boolean)] = Analyze.hydrated(table).map { ts =>
           ts.columns.map { c =>
             // quartiles off the persisted KLL sketch (numeric columns)
             val q = c.kll.map(b => graft.functions.KllQuantilesAgg.quantiles(

@@ -468,34 +468,71 @@ class GraftBatchScan(
     override def numRows(): OptionalLong =
       OptionalLong.of(liveFiles.map(_.rowCount).sum)
     // ANALYZE-collected per-column stats ([[graft.lake.Analyze]]), served
-    // only when FRESH (they describe exactly this snapshot) and UNFILTERED
-    // (pushed filters change the scanned distribution; stale or filtered
-    // stats would silently skew CBO's join-cardinality estimates). min/max
-    // are reported for integral columns, where the string-stored bound
-    // parses back losslessly.
+    // only when FRESH (they describe exactly this snapshot) and the scan
+    // still COVERS the whole snapshot. Pushed filters here are pruning
+    // hints (every filter stays residual — Spark re-checks above), so
+    // they only skew the stats when file pruning actually DROPPED a file
+    // (then numRows describes the pruned subset while column stats
+    // describe the table, and the residual Filter's selectivity estimate
+    // would double-count). When nothing pruned (r17 widening — the
+    // common case for a selective filter over value-scattered files),
+    // serving stats is exactly what lets FilterEstimation shrink the
+    // filtered side below the broadcast threshold. min/max are reported
+    // for every type whose string-stored bound parses back losslessly:
+    // integrals, double/float/decimal, date, timestamps (strings/binary
+    // carry no object bounds).
     override def columnStats(): java.util.Map[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
       val out = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      if (pushed.isEmpty) {
-        val fresh = graft.lake.Analyze.fresh(m, snap.map(_.snapshotId))
+      val coversSnapshot = pushed.isEmpty ||
+        liveFiles.size == snap.map(_.files.size).getOrElse(0)
+      if (coversSnapshot) {
+        val fresh = graft.lake.Analyze.freshHydrated(
+          m, lake.metaStore, snap.map(_.snapshotId))
         fresh.foreach(_.columns.foreach { c =>
-          val integral = c.dataType == "bigint" || c.dataType == "int" ||
-            c.dataType == "smallint" || c.dataType == "tinyint"
           out.put(Expressions.column(c.name),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
               override def distinctCount(): OptionalLong =
                 c.ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty())
               override def nullCount(): OptionalLong = OptionalLong.of(c.nullCount)
-              // tolerate an unparseable persisted bound (hand-edited
-              // property, schema drift): drop the bound, never crash
-              // planning over an optimizer hint
+              // Bounds parse back from the portable CAST-AS-STRING form to
+              // the catalyst-internal value CBO expects: integrals → Long,
+              // double/float/decimal numerics, date → epoch days,
+              // timestamps → epoch micros (session-zone parse, mirroring
+              // the CAST that produced the string; r17 — was integral-only,
+              // leaving range selectivity on double/date/timestamp filter
+              // columns histogram-only). Tolerate an unparseable persisted
+              // bound (hand-edited property, schema drift): drop the
+              // bound, never crash planning over an optimizer hint.
+              private def parseBound(raw: String): Option[Object] = scala.util.Try {
+                import org.apache.spark.unsafe.types.UTF8String
+                val dtu = org.apache.spark.sql.catalyst.util.DateTimeUtils
+                (c.dataType match {
+                  case "bigint" | "int" | "smallint" | "tinyint" =>
+                    Some(java.lang.Long.valueOf(raw.toLong))
+                  case "double" => Some(java.lang.Double.valueOf(raw.toDouble))
+                  case "float" => Some(java.lang.Float.valueOf(raw.toFloat))
+                  case d if d.startsWith("decimal(") =>
+                    Some(org.apache.spark.sql.types.Decimal(BigDecimal(raw)))
+                  case "date" =>
+                    dtu.stringToDate(UTF8String.fromString(raw))
+                      .map(d => java.lang.Integer.valueOf(d))
+                  case "timestamp" =>
+                    dtu.stringToTimestamp(UTF8String.fromString(raw),
+                      java.time.ZoneId.of(org.apache.spark.sql.internal.SQLConf
+                        .get.sessionLocalTimeZone))
+                      .map(t => java.lang.Long.valueOf(t))
+                  case "timestamp_ntz" =>
+                    dtu.stringToTimestampWithoutTimeZone(UTF8String.fromString(raw))
+                      .map(t => java.lang.Long.valueOf(t))
+                  case _ => None
+                }): Option[Object]
+              }.toOption.flatten
               private def parsed(s: Option[String]): java.util.Optional[Object] =
-                if (!integral) java.util.Optional.empty()
-                else java.util.Optional.ofNullable(s.flatMap(v =>
-                  scala.util.Try(java.lang.Long.valueOf(v.toLong): Object).toOption).orNull)
+                java.util.Optional.ofNullable(s.flatMap(parseBound).orNull)
               override def min(): java.util.Optional[Object] = parsed(c.min)
               override def max(): java.util.Optional[Object] = parsed(c.max)
               override def avgLen(): OptionalLong =

@@ -58,13 +58,35 @@ object Bpe {
     * training when the best remaining pair is rarer than it.
     * Deterministic: candidates are ranked (freq DESC, pair ASC). */
   def train(hist: DataFrame, numMerges: Int,
-            candidatesPerRound: Int = 64, minFreq: Long = 2): Model = {
+            candidatesPerRound: Int = 64, minFreq: Long = 2,
+            storageLevel: Option[org.apache.spark.storage.StorageLevel] = None)
+      : Model = {
     require(numMerges >= 0 && candidatesPerRound >= 1)
+    // storageLevel (r17): pin the evolving words frame at the caller's
+    // level and UNPERSIST every pinned generation before returning —
+    // localCheckpoint (the default) pins at Spark's fixed local-checkpoint
+    // level and leaks each generation until RDD GC. Same round loop,
+    // bit-identical merges either way.
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def pin(df: DataFrame, eager: Boolean): DataFrame = storageLevel match {
+      case Some(lvl) =>
+        val p = df.persist(lvl)
+        if (eager) { p.count(); () }
+        pinned += p
+        p
+      case None => df.localCheckpoint(eager)
+    }
+    try trainRounds(numMerges, candidatesPerRound, minFreq, hist, pin)
+    finally pinned.foreach(_.unpersist(blocking = false))
+  }
+
+  private def trainRounds(numMerges: Int, candidatesPerRound: Int,
+                          minFreq: Long, hist: DataFrame,
+                          pin: (DataFrame, Boolean) => DataFrame): Model = {
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     // symbols: the word as its character array
-    var words = hist.select(
-      split(col("word"), "").as("symbols"), col("freq"))
-      .localCheckpoint(eager = false)
+    var words = pin(hist.select(
+      split(col("word"), "").as("symbols"), col("freq")), false)
     var rounds = 0
     while (merges.size < numMerges) {
       val remaining = numMerges - merges.size
@@ -93,7 +115,8 @@ object Bpe {
       rounds += 1
       if (rounds % 4 == 0)
         // truncate the chained-aggregate lineage like the CC loop does
-        words = words.localCheckpoint(eager = true)
+        // (persist mode: materialize a fresh pinned generation instead)
+        words = pin(words, true)
     }
     Model(merges.toSeq)
   }

@@ -75,6 +75,35 @@ class AnalyzeSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("no such column"))
   }
 
+  test("sketch blobs live in a content-addressed stats object, not the " +
+    "version document (r17)") {
+    val t = mk("t.lean")
+    t.append(rows(200))
+    val st = t.analyzeTable()
+    // callers get hydrated stats…
+    assert(st.columns.exists(_.sketch.isDefined))
+    assert(st.columns.exists(_.kll.isDefined))
+    assert(st.sketchRef.exists(r => r.startsWith("stats-") && r.endsWith(".json")))
+    // …but the PROPERTY (which rides every version JSON and wire round
+    // trip) carries only scalars + the object ref
+    val lean = Analyze.fromJson(t.meta.properties(Analyze.PropKey))
+    assert(lean.columns.forall(c => c.sketch.isEmpty && c.kll.isEmpty))
+    assert(lean.sketchRef === st.sketchRef)
+    assert(t.meta.properties(Analyze.PropKey).length < 4096,
+      "property must stay O(columns) scalars, not sketch bytes")
+    // hydration round-trips the blobs from the object
+    val hyd = Analyze.hydrated(t).get
+    assert(hyd.columns.map(c => (c.name, c.sketch, c.kll)) ===
+      st.columns.map(c => (c.name, c.sketch, c.kll)))
+    // version-document size stays flat across repeated re-analyzes: the
+    // object is content-addressed and referenced, never inlined
+    val len0 = t.meta.properties(Analyze.PropKey).length
+    t.append(rows(10)); t.analyzeTable()
+    t.append(rows(10)); t.analyzeTable()
+    val len2 = t.meta.properties(Analyze.PropKey).length
+    assert(math.abs(len2 - len0) < 256, s"property grew $len0 -> $len2")
+  }
+
   test("stats metadata table + staleness flips on commit; NOSCAN runs zero jobs") {
     val t = mk("t.meta")
     t.append(rows(50))
@@ -200,7 +229,7 @@ class AnalyzeSpec extends AnyFunSuite {
     t.append(Seq((722L, "y2", 1.0)).toDF("id", "grp", "v"))
     Analyze.incremental(t)
     t.rewriteDataFiles(targetSizeBytes = 64L * 1024 * 1024) // rows unchanged
-    val preStamp = Analyze.of(t.meta).get
+    val preStamp = Analyze.hydrated(t).get
     assert(preStamp.snapshotId !== t.meta.currentSnapshot.get.snapshotId)
     spark.sparkContext.addSparkListener(listener)
     spark.sparkContext.setJobGroup(group, "restamp probe")
@@ -312,6 +341,97 @@ class AnalyzeSpec extends AnyFunSuite {
       val plan = s.sessionState.sqlParser.parsePlan(
         "ANALYZE TABLE spark_catalog.default.nosuch COMPUTE STATISTICS")
       assert(!plan.isInstanceOf[graft.lake.dsv2.GraftAnalyzeCommand])
+
+      // ---- THE PLAN FLIP (r17): fresh stats change a join strategy ----
+      // Both join inputs exceed the broadcast threshold by raw size and by
+      // CBO's no-stats row-width estimate. The facts side carries a 1%
+      // range filter on a DOUBLE column. Without ANALYZE stats,
+      // FilterEstimation has no bounds → selectivity 1.0 → shuffle join.
+      // With fresh stats, the widened double min/max + histogram put the
+      // filtered side at ~1% → under the threshold → broadcast join.
+      // This is the gate the feature exists for at 100 TB: it FAILS if
+      // estimateStatistics stops reporting column stats, if the
+      // double-bounds gate regresses to integral-only, or if the
+      // covers-snapshot widening stops serving stats under a residual
+      // pushed filter.
+      import s.implicits._
+      val n = 4000
+      // v scattered across insertion order so every written file spans the
+      // full value range — file pruning must drop nothing, or the scan
+      // (correctly) refuses to serve table-level stats
+      val factsSrc = (0 until n).map { i =>
+        (i.toLong, ((i * 2654435761L) % n).toDouble, f"p$i%04d" + "x" * 28)
+      }.toDF("k", "v", "pad")
+        .withColumn("d", org.apache.spark.sql.functions.expr(
+          "date_add(date'2020-01-01', cast(k % 100 as int))"))
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestampadd(SECOND, cast(k as int), timestamp'2020-01-01 00:00:00')"))
+      factsSrc.createOrReplaceTempView("cbo_facts_src")
+      (0 until n).map(i => (i.toLong, f"q$i%04d" + "y" * 28)).toDF("k", "pad")
+        .createOrReplaceTempView("cbo_dims_src")
+      // bucket-partitioned + v2 bucketing on: the relation stays DSv2
+      // (GraftBatchScan), which is where columnStats() serves — the
+      // substituted parquet path has no ANALYZE channel
+      s.sql("CREATE TABLE ana.db.cfacts (k BIGINT, v DOUBLE, pad STRING, " +
+        "d DATE, ts TIMESTAMP) USING graft PARTITIONED BY (bucket(4, k))")
+      s.sql("INSERT INTO ana.db.cfacts SELECT * FROM cbo_facts_src")
+      s.sql("CREATE TABLE ana.db.cdims (k BIGINT, pad STRING) USING graft " +
+        "PARTITIONED BY (bucket(4, k))")
+      s.sql("INSERT INTO ana.db.cdims SELECT * FROM cbo_dims_src")
+
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false") // isolate the static planner
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", (32 * 1024).toString)
+      // 10% selectivity: low enough to flip the broadcast decision, high
+      // enough that no file's ~250 scattered v-values can all sit below
+      // the cut (file pruning must drop nothing, or the scan correctly
+      // refuses to serve whole-table stats under the pruned read)
+      def joinPlan() = s.sql(
+        "SELECT f.k, f.v, d.pad FROM ana.db.cfacts f " +
+          "JOIN ana.db.cdims d ON f.k = d.k WHERE f.v > " + (n - 400) + ".0")
+        .queryExecution.executedPlan
+      def broadcasts(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect { case b: org.apache.spark.sql.execution.joins
+          .BroadcastHashJoinExec => b }
+      try {
+        assert(broadcasts(joinPlan()).isEmpty,
+          s"without stats both sides must exceed the threshold:\n${joinPlan()}")
+        s.sql("ANALYZE TABLE ana.db.cfacts COMPUTE STATISTICS FOR ALL COLUMNS")
+        s.sql("ANALYZE TABLE ana.db.cdims COMPUTE STATISTICS FOR ALL COLUMNS")
+        val flipped = joinPlan()
+        assert(broadcasts(flipped).nonEmpty,
+          s"fresh ANALYZE stats must flip the join to broadcast:\n$flipped")
+      } finally {
+        s.conf.unset("spark.sql.cbo.enabled")
+        s.conf.unset("spark.sql.adaptive.enabled")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+
+      // widened bounds serve as typed objects: double, date (epoch days),
+      // timestamp (epoch micros) — deltas asserted, so the check is
+      // timezone-independent
+      def boundsOf(table: String, colName: String) = {
+        val gt = gc.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array("db"), table)).asInstanceOf[graft.lake.dsv2.GraftTable]
+        val cs = new graft.lake.dsv2.GraftBatchScanBuilder(s, gt).build()
+          .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+          .estimateStatistics().columnStats()
+        val st = cs.entrySet().stream()
+          .filter(e => e.getKey.fieldNames()(0) == colName).findFirst().get().getValue
+        (st.min().get(), st.max().get())
+      }
+      val (vmin, vmax) = boundsOf("cfacts", "v")
+      assert(vmin === java.lang.Double.valueOf(0.0) &&
+        vmax === java.lang.Double.valueOf((n - 1).toDouble))
+      val (dmin, dmax) = boundsOf("cfacts", "d")
+      assert(dmin.isInstanceOf[java.lang.Integer] &&
+        dmax.asInstanceOf[java.lang.Integer] - dmin.asInstanceOf[java.lang.Integer] === 99)
+      val (tmin, tmax) = boundsOf("cfacts", "ts")
+      assert(tmin.isInstanceOf[java.lang.Long] &&
+        tmax.asInstanceOf[java.lang.Long] - tmin.asInstanceOf[java.lang.Long]
+          === (n - 1).toLong * 1000000L)
     } finally {
       prevDefault match {
         case Some(d) => SparkSession.setDefaultSession(d)

@@ -97,6 +97,46 @@ class VerifyTableSpec extends AnyFunSuite {
       f._3.contains("content hash")), s"bit-flip not caught:\n${report.mkString("\n")}")
   }
 
+  test("stats sketches object (r17): a bit-flipped ANALYZE sketches " +
+    "object is reported by content hash; GC spares the live one and " +
+    "sweeps a superseded one") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-fsck").toString
+    val cat = new LakeCatalog(spark, wh)
+    val t = cat.createTable("db.s", StructType(Seq(
+      StructField("id", LongType), StructField("k", StringType))))
+    t.append((0L until 60L).map(i => (i, s"k${i % 7}")).toDF("id", "k").coalesce(1))
+    val ref0 = t.analyzeTable().sketchRef.get
+    assert(t.verifyIntegrity().count() === 0)
+    // supersede: new data, re-analyze → new object, old one unreferenced
+    t.append((60L until 90L).map(i => (i, s"k${i % 11}")).toDF("id", "k").coalesce(1))
+    val ref1 = t.analyzeTable().sketchRef.get
+    assert(ref1 !== ref0, "different content must address a different object")
+    val metaDir = Paths.get(wh, "db", "s", "metadata")
+    assert(Files.exists(metaDir.resolve(ref0)) && Files.exists(metaDir.resolve(ref1)))
+    // orphan sweep: superseded object goes, live one stays
+    val swept = t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 1000)
+    assert(swept.exists(_.endsWith(ref0)), s"superseded $ref0 not swept: $swept")
+    assert(!Files.exists(metaDir.resolve(ref0)))
+    assert(Files.exists(metaDir.resolve(ref1)), "live sketches object swept!")
+    assert(t.verifyIntegrity().count() === 0, "sweep must not break the table")
+    // bit-flip the live object: fsck reports it, the planner degrades
+    // to scalar-only stats instead of crashing
+    val bytes = Files.readAllBytes(metaDir.resolve(ref1))
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x01).toByte
+    Files.write(metaDir.resolve(ref1), bytes)
+    LakeTable.invalidateLocation(t.location)
+    val t2 = new LakeTable(spark, t.location)
+    val report = t2.verifyIntegrity().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .filter(_._1 == "stats-sketches")
+    assert(report.exists(f => f._2 == ref1 && f._3.contains("content hash")),
+      s"flipped stats object not caught:\n${report.mkString("\n")}")
+    val degraded = Analyze.hydrated(t2).get
+    assert(degraded.columns.nonEmpty &&
+      degraded.columns.forall(c => c.ndv.isDefined))
+  }
+
   test("DV bundle content (r15): a bit-flipped deletion-vector bundle at " +
     "UNCHANGED length — which serves wrong masks past every range check — " +
     "is caught by the content hash its name claims") {
