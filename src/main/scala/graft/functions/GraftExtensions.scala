@@ -81,6 +81,17 @@ object GraftExtensions {
         }
         WinnowFingerprints(args.head, intLit(args(1), "k"), intLit(args(2), "w"), rolling)
       }),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_sig takes (text, n)")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig n must be an integer literal, got $other")
+        }
+        MinHashSig(args.head, n)
+      }),
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => {

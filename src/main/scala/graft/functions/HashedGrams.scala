@@ -83,19 +83,25 @@ case class HashedGrams(child: Expression, n: Int)
           w
         }
       if (words.length < n) Nil
-      else (0 to words.length - n).iterator.map { k =>
-        val gram =
-          if (n == 1) words(k)
-          else {
-            val sb = new java.lang.StringBuilder(words(k))
-            var j = 1
-            while (j < n) { sb.append(' ').append(words(k + j)); j += 1 }
-            sb.toString
-          }
-        val d = md5.digest(
-          gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        // first 3 hex digits of the md5 = the digest's top 12 bits
-        InternalRow((((d(0) & 0xff) << 4) | ((d(1) & 0xf0) >>> 4)).toLong)
+      else {
+        // r17: md5 fed incrementally per word ≡ md5 of the joined gram
+        // string (UTF-8 of "w_k … w_{k+n-1}" is exactly the word byte
+        // runs with single 0x20s between) — each word's bytes are
+        // computed ONCE per doc and no gram string is ever built
+        val wb = new Array[Array[Byte]](words.length)
+        var i = 0
+        while (i < words.length) {
+          wb(i) = words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          i += 1
+        }
+        (0 to words.length - n).iterator.map { k =>
+          md5.update(wb(k))
+          var j = 1
+          while (j < n) { md5.update(' '.toByte); md5.update(wb(k + j)); j += 1 }
+          val d = md5.digest()
+          // first 3 hex digits of the md5 = the digest's top 12 bits
+          InternalRow((((d(0) & 0xff) << 4) | ((d(1) & 0xf0) >>> 4)).toLong)
+        }
       }
     }
   }

@@ -125,9 +125,18 @@ object TextOps {
       |  FROM g GROUP BY doc_id""".stripMargin
 
   /** MinHash signatures (k=4 salted md5 minima over 3-word shingles) —
-    * engine-portable hex minima. */
+    * engine-portable hex minima.
+    *
+    * Spark side (r17): the fused [[graft.functions.MinHashSig]] generator
+    * computes all four minima in one streaming pass per document — no
+    * shingle explode, no per-shingle concat/hex strings, no group-by
+    * shuffle (4 Exchange → 1, the ORDER BY). DsirSpec-style parity with
+    * the SQL pipeline is gated in OperatorsSpec; the DuckDB oracle still
+    * rebuilds the signature relationally, so the hash gates exactness. */
   val q20 = dialect("q20_minhash_signatures",
-    sparkSql = s"WITH g AS (\n$sparkShingles)\n$sigSelect ORDER BY doc_id",
+    sparkSql = """SELECT doc_id, h1, h2, h3, h4
+      |FROM documents LATERAL VIEW minhash_sig(text, 3) m
+      |ORDER BY doc_id""".stripMargin,
     duckSql = s"WITH g AS (\n$duckShingles)\n$sigSelect ORDER BY doc_id")
 
   /** MinHash-LSH near-dup candidate pairs: 2 bands × 2 rows — docs
@@ -141,23 +150,20 @@ object TextOps {
     * hash join on the band bucket; GROUP BY dedups pairs colliding in
     * both bands. Same result set, linear-ish work — the 100 TB plan. */
   val q21 = dialect("q21_minhash_lsh_pairs",
-    sparkSql = s"""WITH g AS (
-      |$sparkShingles),
-      |sig AS ($sigSelect),
-      |banded AS (
-      |  -- inline() unpivots bands in ONE pass over sig (Spark inlines
-      |  -- CTEs, so a UNION ALL would recompute the signature pipeline
-      |  -- once per branch per join side)
+    sparkSql = """WITH banded AS (
+      |  -- signature = ONE streaming pass per doc (native minhash_sig,
+      |  -- r17 — no shingle explode, no group-by shuffle); inline()
+      |  -- unpivots bands in the same projection
       |  SELECT doc_id, inline(array(
       |    struct(1 AS band, concat(h1, h2) AS bucket),
       |    struct(2 AS band, concat(h3, h4) AS bucket)))
-      |  FROM sig
+      |  FROM documents LATERAL VIEW minhash_sig(text, 3) m
       |)
       |-- SHUFFLE_HASH (r12): the two sides are the SAME subquery — shuffled
       |-- by (band, bucket) they are canonically identical, so AQE computes
-      |-- the shingle+md5+min pipeline ONCE and ReusedExchanges the other
-      |-- side; a broadcast side would run it twice (and broadcasting an
-      |-- unbounded signature table is wrong at 100 TB)
+      |-- the signature pipeline ONCE and ReusedExchanges the other side; a
+      |-- broadcast side would run it twice (and broadcasting an unbounded
+      |-- signature table is wrong at 100 TB)
       |SELECT /*+ SHUFFLE_HASH(a, b) */ a.doc_id AS id_a, b.doc_id AS id_b
       |FROM banded a JOIN banded b
       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -253,16 +259,18 @@ object TextOps {
         // emit-once (PPJoin's trick, r12): a pair sharing k prefix tokens
         // would surface k times; keep only the row whose join token is
         // the FIRST common prefix token (arrays are sorted, so that is
-        // element 1 of the prefix intersect). This replaces a
+        // the smallest common prefix element). This replaces a
         // (gid_a, gid_b) dedupe aggregation that sorted candidate rows
         // carrying the full ws/ids payloads — the most expensive exchange
         // in the old plan — with a per-row filter, and it runs BEFORE the
         // verify so multiplicity never reaches the intersect either.
-        .filter(col("tok") === element_at(array_intersect(
-          slice(col("wa"), lit(1),
-            col("na") - floor((col("na") * 9 + 9) / 10.0).cast("int") + 1),
-          slice(col("wb"), lit(1),
-            col("nb") - floor((col("nb") * 9 + 9) / 10.0).cast("int") + 1)), 1))
+        // r17: the filter term is the native zero-allocation merge walk
+        // [[graft.functions.FirstCommonPrefixToken]] (the old
+        // element_at(array_intersect(slice, slice), 1) form allocated two
+        // slices and a hash set per candidate row — same value, see its
+        // scaladoc for the prefix-bound equivalence).
+        .filter(col("tok") ===
+          graft.functions.FirstCommonPrefixToken.of(col("wa"), col("wb")))
         .select(col("gid_a"), col("gid_b"), col("ids_a"), col("ids_b"),
           graft.functions.SortedIntersectCount.count(col("wa"), col("wb")).as("i"),
           col("na"), col("nb"))
@@ -413,9 +421,17 @@ object TextOps {
     * shuffle by xxhash64(shingle) to narrow the exchange — semantics
     * identical. */
   val q52 = dialect("q52_dup_ngram_frac",
+    // r17: ONE shingle-keyed exchange serves both the doc-distinct
+    // aggregate and the df window — hash(sh) co-locates every (doc_id,
+    // sh) duplicate (partitioning on a subset of the grouping keys
+    // satisfies the distinct's distribution), so the explicit repartition
+    // replaces the old distinct exchange on (doc_id, sh) AND the window's
+    // re-exchange on sh: 3 exploded-stream shuffles → 2. Results
+    // identical; the oracle is unchanged.
     sparkSql = s"""WITH g AS (
       |$sparkShingles),
-      |d AS (SELECT DISTINCT doc_id, sh FROM g),
+      |d AS (SELECT DISTINCT doc_id, sh
+      |      FROM (SELECT /*+ REPARTITION(sh) */ doc_id, sh FROM g) r),
       |w AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY sh) AS df FROM d)
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
       |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
@@ -446,11 +462,16 @@ object TextOps {
     * term; the scalar doc count broadcasts. Vocabulary-sized keys
     * throughout — nothing driver-side, no per-doc state. */
   val q56 = dialect("q56_tfidf_terms",
+    // r17: tok is doc-distinct by construction (array_distinct), so
+    // per-term doc frequency = Σ over sources of tf — df re-aggregates
+    // the (source, term) counts instead of re-exploding the corpus into
+    // a COUNT(DISTINCT doc_id) Expand; tf's exchange is shared by both
+    // consumers at runtime. Results bit-identical, oracle unchanged.
     sparkSql = """WITH tok AS (
       |  SELECT doc_id, source, explode(array_distinct(split(lower(text), '\\s+'))) AS w
       |  FROM documents),
       |tf AS (SELECT source, w, COUNT(*) AS tf FROM tok GROUP BY source, w),
-      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+      |df AS (SELECT w, SUM(tf) AS df FROM tf GROUP BY w),
       |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
       |r AS (
       |  SELECT source, w, tf, df, tf * n_docs DIV df AS score,
@@ -569,24 +590,47 @@ object TextOps {
     * i.e. corpora to ~10^7 docs at S=10^6; beyond that drop S to 10^3
     * on the idf side (same ranking, both engines change together). */
   val q66 = dialect("q66_bm25_search",
-    sparkSql = """WITH tok AS (
-      |  SELECT doc_id, explode(split(lower(text), '\\s+')) AS w FROM documents),
-      |lens AS (SELECT doc_id, COUNT(*) AS len_d FROM tok GROUP BY doc_id),
-      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
-      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
-      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |               CAST(SUM(len_d) AS BIGINT) AS total_len FROM lens),
+    // r17 restructure (results bit-identical, oracle unchanged):
+    //  - tf explodes ONCE and filters to the 7 query terms BEFORE the
+    //    aggregation (only postings of queried terms are ever counted —
+    //    the inverted-index access pattern, now in the from-scratch plan
+    //    too); df rides the SAME tiny aggregate as a count window keyed
+    //    by term (for a query term, #tf-rows per term ≡ COUNT(DISTINCT
+    //    doc_id) since tf is one row per (doc, term)).
+    //  - len_d = size(split(...)) — a per-row projection; COUNT(*) of the
+    //    exploded tokens per doc is by definition the token-array size,
+    //    so the doc-length table needs NO explode and NO shuffle.
+    //  - the corpus totals aggregate the same size() projection.
+    // Plan effect: 4 Generate + 2 fat aggregates (one of them a
+    // COUNT(DISTINCT) Expand) + 26 Exchange-ish nodes → 1 Generate, all
+    // aggregates keyed by ≤7 terms, the heavy corpus never shuffles.
+    sparkSql = """WITH tf AS (
+      |  SELECT doc_id, w, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, explode(split(lower(text), '\\s+')) AS w FROM documents) e
+      |  WHERE w IN ('vector','scan','spark','merge','stream','window','filter')
+      |  GROUP BY doc_id, w),
+      |tfd AS (SELECT doc_id, w, tf,
+      |               COUNT(*) OVER (PARTITION BY w) AS df FROM tf),
+      |lens AS (SELECT doc_id,
+      |                CAST(size(split(lower(text), '\\s+')) AS BIGINT) AS len_d
+      |         FROM documents),
+      |-- COUNT(text), not COUNT(*): the exploded form counted only docs
+      |-- with at least one token row, i.e. non-NULL text (split of any
+      |-- non-NULL string yields >= 1 element)
+      |tot AS (SELECT CAST(COUNT(text) AS BIGINT) AS n_docs,
+      |               CAST(SUM(size(split(lower(text), '\\s+'))) AS BIGINT) AS total_len
+      |        FROM documents),
       |q AS (SELECT qid, w FROM VALUES
       |  (1,'vector'), (1,'scan'), (2,'spark'), (2,'merge'), (2,'stream'),
       |  (3,'window'), (3,'filter') AS t(qid, w)),
       |hit AS (
-      |  SELECT q.qid, tf.doc_id,
-      |    (((n_docs - df.df) * 1000000) DIV (df.df + 1)) AS idf_fp,
-      |    ((11 * tf.tf * 1000000 * 1000000) DIV
-      |      ((5 * 1000000 * tf.tf) +
+      |  SELECT q.qid, tfd.doc_id,
+      |    (((n_docs - tfd.df) * 1000000) DIV (tfd.df + 1)) AS idf_fp,
+      |    ((11 * tfd.tf * 1000000 * 1000000) DIV
+      |      ((5 * 1000000 * tfd.tf) +
       |       6 * (250000 + ((3 * 1000000 * lens.len_d * n_docs) DIV (4 * total_len))))) AS tf_fp
-      |  FROM q JOIN tf ON q.w = tf.w JOIN df ON q.w = df.w
-      |    JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN tot),
+      |  FROM q JOIN tfd ON q.w = tfd.w
+      |    JOIN lens ON tfd.doc_id = lens.doc_id CROSS JOIN tot),
       |sc AS (SELECT qid, doc_id,
       |         SUM((idf_fp * tf_fp) DIV 1000000) AS score
       |       FROM hit GROUP BY qid, doc_id),
@@ -992,6 +1036,12 @@ object TextOps {
       |FROM scrubbed GROUP BY lang ORDER BY lang""".stripMargin)
 
   val q77 = dialect("q77_bigram_fluency",
+    // r17: the bigram count joins back to the bigram stream it was
+    // aggregated from — a count WINDOW keyed by the bigram serves the
+    // identical BIGINT count off ONE exchange of the stream, instead of
+    // recomputing the whole explode for the c2 aggregate and shuffling
+    // both sides of a self-join (2 Generate + 2 Exchange saved; results
+    // bit-identical, DuckDB oracle unchanged).
     sparkSql = """WITH t AS (
       |  SELECT doc_id, split(lower(trim(text)), '\\s+') AS w FROM documents),
       |tok AS (SELECT wx AS w FROM t LATERAL VIEW explode(w) e AS wx),
@@ -1001,10 +1051,10 @@ object TextOps {
       |         concat(element_at(w, pos), ' ', element_at(w, pos + 1)) AS b
       |       FROM t LATERAL VIEW explode(sequence(1, size(w) - 1)) e AS pos
       |       WHERE size(w) >= 2),
-      |c2 AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
-      |p AS (SELECT bg.doc_id,
-      |        (((c2.c + 1) * 1000000) DIV (c1.c + v.v)) AS p_fp
-      |      FROM bg JOIN c2 ON bg.b = c2.b JOIN c1 ON bg.w1 = c1.w CROSS JOIN v),
+      |bgc AS (SELECT doc_id, w1, COUNT(*) OVER (PARTITION BY b) AS c2 FROM bg),
+      |p AS (SELECT bgc.doc_id,
+      |        (((bgc.c2 + 1) * 1000000) DIV (c1.c + v.v)) AS p_fp
+      |      FROM bgc JOIN c1 ON bgc.w1 = c1.w CROSS JOIN v),
       |sc AS (SELECT doc_id, SUM(p_fp) DIV COUNT(*) AS fluency_fp
       |       FROM p GROUP BY doc_id),
       |top AS (SELECT doc_id, fluency_fp FROM sc

@@ -280,24 +280,35 @@ object VectorOps {
     * FULL OUTER JOIN touches ≤ 20 rows per query per side — driver-free
     * and constant-size however big the corpus is. */
   val q74 = dialect("q74_hybrid_rrf",
-    sparkSql = s"""WITH tok AS (
-      |  SELECT doc_id, explode(split(lower(text), '\\\\s+')) AS w FROM documents),
-      |lens AS (SELECT doc_id, COUNT(*) AS len_d FROM tok GROUP BY doc_id),
-      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
-      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
-      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |               CAST(SUM(len_d) AS BIGINT) AS total_len FROM lens),
+    // BM25 side restructured like q66 (r17): tf explodes once and filters
+    // to the query terms BEFORE aggregating; df is a count window over
+    // that tiny aggregate; doc lengths and corpus totals come from
+    // size(split(...)) projections with no explode. Results bit-identical
+    // (see q66's CTE comments); DuckDB oracle unchanged.
+    sparkSql = s"""WITH tf AS (
+      |  SELECT doc_id, w, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, explode(split(lower(text), '\\\\s+')) AS w FROM documents) e
+      |  WHERE w IN ('vector','scan','spark','merge','stream','window','filter')
+      |  GROUP BY doc_id, w),
+      |tfd AS (SELECT doc_id, w, tf,
+      |               COUNT(*) OVER (PARTITION BY w) AS df FROM tf),
+      |lens AS (SELECT doc_id,
+      |                CAST(size(split(lower(text), '\\\\s+')) AS BIGINT) AS len_d
+      |         FROM documents),
+      |tot AS (SELECT CAST(COUNT(text) AS BIGINT) AS n_docs,
+      |               CAST(SUM(size(split(lower(text), '\\\\s+'))) AS BIGINT) AS total_len
+      |        FROM documents),
       |q AS (SELECT qid, w FROM VALUES
       |  (1,'vector'), (1,'scan'), (2,'spark'), (2,'merge'), (2,'stream'),
       |  (3,'window'), (3,'filter') AS t(qid, w)),
       |hit AS (
-      |  SELECT q.qid, tf.doc_id,
-      |    (((n_docs - df.df) * 1000000) DIV (df.df + 1)) AS idf_fp,
-      |    ((11 * tf.tf * 1000000 * 1000000) DIV
-      |      ((5 * 1000000 * tf.tf) +
+      |  SELECT q.qid, tfd.doc_id,
+      |    (((n_docs - tfd.df) * 1000000) DIV (tfd.df + 1)) AS idf_fp,
+      |    ((11 * tfd.tf * 1000000 * 1000000) DIV
+      |      ((5 * 1000000 * tfd.tf) +
       |       6 * (250000 + ((3 * 1000000 * lens.len_d * n_docs) DIV (4 * total_len))))) AS tf_fp
-      |  FROM q JOIN tf ON q.w = tf.w JOIN df ON q.w = df.w
-      |    JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN tot),
+      |  FROM q JOIN tfd ON q.w = tfd.w
+      |    JOIN lens ON tfd.doc_id = lens.doc_id CROSS JOIN tot),
       |sc AS (SELECT qid, doc_id, SUM((idf_fp * tf_fp) DIV 1000000) AS score
       |       FROM hit GROUP BY qid, doc_id),
       |tb AS (SELECT qid, doc_id, rb FROM (
