@@ -16,8 +16,34 @@ object Relational {
 
   /** TPC-H Q1-style pricing summary — A1/A2 aggregation shapes
     * (ref: Getting Started.ipynb c9/c25 counts; Berlin Buzzwords c12). */
-  val q01 = both("q01_pricing_summary",
-    """SELECT l_returnflag, l_linestatus,
+  // r17 Spark side: the decimal MULTIPLY chains ran on java.math.BigDecimal
+  // per row (a (18,2)×(18,2) product carries precision 37 — past Spark's
+  // compact-long Decimal, so every row allocated BigDecimals); the money
+  // columns are exact 2-decimal values, so Σ p·(1−d) ≡ Σ pc·(100−dc)/10⁴
+  // in plain BIGINT cents (pc = p·100 recovered exactly: p is the double
+  // nearest k/100, so p·100 is within ~k·2⁻⁵² of the integer k and the
+  // +0.5-truncate rounds to exactly k; products stay ≤ ~10¹¹/row, sums
+  // ≤ ~10¹⁷ « 2⁶³). ONE exact decimal division per GROUP rescales, and
+  // CAST(exact rational AS DOUBLE) is the identical correctly-rounded
+  // value the oracle's decimal-sum-then-cast produces. Single-column
+  // decimal sums (no multiply) stay compact-long and are unchanged.
+  val q01 = dialect("q01_pricing_summary",
+    sparkSql = """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(pc * (100 - dc)) AS DECIMAL(38,4)) / 10000 AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(pc * (100 - dc) * (100 + tc)) AS DECIMAL(38,6)) / 1000000 AS DOUBLE) AS sum_charge,
+      |  COUNT(*) AS count_order
+      |FROM (
+      |  SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
+      |    CAST(l_extendedprice * 100 + 0.5 AS BIGINT) AS pc,
+      |    CAST(l_discount * 100 + 0.5 AS BIGINT) AS dc,
+      |    CAST(l_tax * 100 + 0.5 AS BIGINT) AS tc
+      |  FROM lineitem
+      |  WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00') t
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    duckSql = """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
@@ -39,9 +65,22 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin)
 
-  /** 3-way equi-join fact×fact×dim with revenue agg — J-shapes + A2. */
-  val q03 = both("q03_revenue_by_segment",
-    """SELECT c_mktsegment,
+  /** 3-way equi-join fact×fact×dim with revenue agg — J-shapes + A2.
+    * Spark side (r17): integer-cents revenue — see q01's comment; the
+    * plan (two broadcast joins, one lineitem scan) was already optimal,
+    * the per-row BigDecimal multiply was the remaining cost. */
+  val q03 = dialect("q03_revenue_by_segment",
+    sparkSql = """SELECT c_mktsegment,
+      |  CAST(CAST(SUM(CAST(l_extendedprice * 100 + 0.5 AS BIGINT)
+      |        * (100 - CAST(l_discount * 100 + 0.5 AS BIGINT))) AS DECIMAL(38,4))
+      |       / 10000 AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin,
+    duckSql = """SELECT c_mktsegment,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_items
       |FROM customer

@@ -63,13 +63,19 @@ object TextOps {
       |  CAST(LENGTH(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) AS punct_ratio
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)
 
-  private def markers(lang: String): String = lang match {
-    case "de" => "'der','und','das','ist'"
-    case "en" => "'the','and','of','is'"
-    case "es" => "'el','los','que','es'"
-    case "fr" => "'le','les','et','est'"
-    case "zh" => "'的','是','了','在'"
-  }
+  /** Marker-word sets for q19's language-ID voting — ONE definition feeds
+    * both the native [[graft.functions.MarkerCounts]] expression (Spark
+    * side) and the SQL IN-lists (DuckDB oracle), so they cannot drift. */
+  private val markerSets: Seq[(String, Seq[String])] = Seq(
+    "s_de" -> Seq("der", "und", "das", "ist"),
+    "s_en" -> Seq("the", "and", "of", "is"),
+    "s_es" -> Seq("el", "los", "que", "es"),
+    "s_fr" -> Seq("le", "les", "et", "est"),
+    "s_zh" -> Seq("的", "是", "了", "在"))
+
+  private def markers(lang: String): String =
+    markerSets.collectFirst { case (n, ws) if n == s"s_$lang" =>
+      ws.map(w => s"'$w'").mkString(",") }.get
 
   private def langCase: String =
     """CASE
@@ -81,18 +87,28 @@ object TextOps {
       |    ELSE 'und' END""".stripMargin
 
   /** Language-ID by marker-word voting (n-gram heuristic), confusion
-    * counts vs the labeled lang. */
-  val q19 = dialect("q19_langid_confusion",
-    sparkSql = s"""WITH m AS (
-      |  SELECT doc_id, lang,
-      |    size(filter(split(lower(text), '\\\\s+'), w -> w IN (${markers("de")}))) AS s_de,
-      |    size(filter(split(lower(text), '\\\\s+'), w -> w IN (${markers("en")}))) AS s_en,
-      |    size(filter(split(lower(text), '\\\\s+'), w -> w IN (${markers("es")}))) AS s_es,
-      |    size(filter(split(lower(text), '\\\\s+'), w -> w IN (${markers("fr")}))) AS s_fr,
-      |    size(filter(split(lower(text), '\\\\s+'), w -> w IN (${markers("zh")}))) AS s_zh
-      |  FROM documents),
-      |p AS (SELECT lang, $langCase AS lang_pred FROM m)
-      |SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+    * counts vs the labeled lang.
+    *
+    * Spark side (r17): the five `size(filter(split(lower(text))))` score
+    * columns are ONE native [[graft.functions.MarkerCounts]] pass —
+    * higher-order functions are CodegenFallback, so the old form paid
+    * five interpreted lambda walks AND five regex splits per document
+    * (fallbacks can't share the split subexpression). Results
+    * bit-identical (MarkerCountsSpec parity gate); oracle unchanged. */
+  val q19 = plan("q19_langid_confusion",
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.registerAll(s, dir)
+      s.table("documents")
+        .select(col("lang"),
+          graft.functions.MarkerCounts.of(col("text"), markerSets).as("m"))
+        .select(col("lang"), col("m.s_de").as("s_de"), col("m.s_en").as("s_en"),
+          col("m.s_es").as("s_es"), col("m.s_fr").as("s_fr"),
+          col("m.s_zh").as("s_zh"))
+        .selectExpr("lang", s"$langCase AS lang_pred")
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    },
     duckSql = s"""WITH m AS (
       |  SELECT doc_id, lang,
       |    len(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w IN (${markers("de")}))) AS s_de,
@@ -823,6 +839,12 @@ object TextOps {
     * 100 TB the block-hash key space is corpus-sized but uniformly
     * distributed — the exchange shards cleanly. */
   val q71 = dialect("q71_boilerplate_strip",
+    // r17: the block-df aggregate + join back to the block stream is two
+    // windows over ONE block-keyed exchange — COUNT(DISTINCT doc_id) per
+    // blk ≡ MAX(DENSE_RANK() ORDER BY doc_id) per blk, and both windows
+    // share the (blk; doc_id) sort. Saves a full recompute of the block
+    // explode and a shuffle join (2 Generate + a join → 1 Generate);
+    // results bit-identical, oracle unchanged.
     sparkSql = """WITH t AS (
       |  SELECT doc_id, lang, split(trim(text), '\\s+') AS w FROM documents),
       |b AS (
@@ -830,9 +852,13 @@ object TextOps {
       |    array_join(slice(w, pos * 8 + 1, 8), ' ') AS blk
       |  FROM t LATERAL VIEW explode(sequence(0,
       |    CAST(ceil(size(w) / 8.0) AS INT) - 1)) e AS pos),
-      |df AS (SELECT blk, COUNT(DISTINCT doc_id) AS df FROM b GROUP BY blk),
-      |k AS (SELECT b.doc_id, b.lang, b.pos, b.blk
-      |      FROM b JOIN df ON b.blk = df.blk WHERE df.df = 1)
+      |k AS (SELECT doc_id, lang, pos, blk FROM (
+      |        SELECT doc_id, lang, pos, blk,
+      |          MAX(dr) OVER (PARTITION BY blk) AS nd
+      |        FROM (SELECT doc_id, lang, pos, blk,
+      |                DENSE_RANK() OVER (PARTITION BY blk ORDER BY doc_id) AS dr
+      |              FROM b) x) y
+      |      WHERE nd = 1)
       |SELECT doc_id, lang,
       |  CAST(COUNT(*) AS BIGINT) AS n_kept,
       |  md5(array_join(transform(array_sort(collect_list(struct(pos, blk))),
