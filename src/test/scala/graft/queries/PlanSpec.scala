@@ -365,6 +365,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p) // explode of the native expression's array
   }
 
+  test("q64: the pair join's two sides share ONE fingerprint+window pass — " +
+      "runtime ReusedExchange (r17)") {
+    val df = QueryRegistry.byName("q64_winnow_overlap").fn(spark, sfDir)
+    df.collect() // AQE reuse materializes at runtime, not in the initial plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"the symmetric join sides must reuse one winnow exchange:\n$p")
+  }
+
+  test("q77: the top/bot UNION branches share ONE scoring pipeline — " +
+      "runtime ReusedExchange of the per-doc fluency aggregate (r17)") {
+    val df = QueryRegistry.byName("q77_bigram_fluency").fn(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"fluent/junk bands must not recompute the scoring pipeline:\n$p")
+  }
+
   test("q65: storage-partitioned join shuffles NEITHER bucketed input") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
