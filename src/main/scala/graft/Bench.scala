@@ -191,6 +191,30 @@ object Bench {
       f""""contended_run":$contended,""" +
       s""""sweep_attempts":$attempts,"queries_best":$bests,""" +
       s""""setup":{"build_ivf_index":$setupSecs},"recall":$recall,"sf":"$sfDir"}""")
+    // r18: persist the full per-query JSON to a file too. The round
+    // artifact keeps only a 2000-char TAIL of stdout, which truncates the
+    // per-query map — PERF_r17 lost its entire round-over-round baseline
+    // to that (prev_bench_ok=false, every query "new_in_bench"). The file
+    // gives the next round a committed, complete baseline regardless of
+    // how stdout is captured. Best-effort (after all timing, never fails
+    // the bench); path overridable for sandboxed runs.
+    try {
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/last_run.json")
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, java.util.Arrays.asList(
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+          s""""runs_per_query":$runs,"best_total":$bestTotal,$failedField""" +
+          f""""heavy_total_s":$heavyTotal%.2f,"heavy_n":${heavy.size},""" +
+          f""""within_run_spread_pct":$noisePct%.1f,"heavy_spread_pct":$heavyNoisePct%.1f,""" +
+          f""""heavy_trim_spread_pct":$heavyTrimPct%.1f,"spin_inflation_pct":$spinPct%.1f,""" +
+          f""""contended_run":$contended,""" +
+          s""""sweep_attempts":$attempts,""" +
+          s""""setup":{"build_ivf_index":$setupSecs},"recall":$recall,"sf":"$sfDir"}"""),
+        java.nio.charset.StandardCharsets.UTF_8)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] could not persist bench/last_run.json: ${e.getMessage}")
+    }
     // compact second line: the round artifact captures the TAIL of stdout,
     // and r7's full JSON lost its head (headline total, q01-q03, the
     // contended flag) to truncation. Everything verdict-critical repeats

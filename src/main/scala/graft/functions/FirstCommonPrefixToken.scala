@@ -54,8 +54,11 @@ case class FirstCommonPrefixToken(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements(); val ny = y.numElements()
-    val px = nx - (9 * nx + 9) / 10 + 1
-    val py = ny - (9 * ny + 9) / 10 + 1
+    // clamp to the array length: for n = 0 the bound evaluates to 1 and
+    // the walk would read element 0 of an empty array (r17 advice); for
+    // every n >= 1 the bound is already <= n, so the clamp is a no-op
+    val px = (nx - (9 * nx + 9) / 10 + 1).min(nx)
+    val py = (ny - (9 * ny + 9) / 10 + 1).min(ny)
     var i = 0; var j = 0
     while (i < px && j < py) {
       if (x.isNullAt(i)) i += 1
@@ -77,8 +80,10 @@ case class FirstCommonPrefixToken(left: Expression, right: Expression)
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       val found = ctx.freshName("found")
       s"""
-         |int $px = $a.numElements(); $px = $px - (9 * $px + 9) / 10 + 1;
-         |int $py = $b.numElements(); $py = $py - (9 * $py + 9) / 10 + 1;
+         |int $px = $a.numElements();
+         |$px = java.lang.Math.min($px - (9 * $px + 9) / 10 + 1, $px);
+         |int $py = $b.numElements();
+         |$py = java.lang.Math.min($py - (9 * $py + 9) / 10 + 1, $py);
          |int $i = 0, $j = 0; boolean $found = false;
          |while (!$found && $i < $px && $j < $py) {
          |  if ($a.isNullAt($i)) { $i++; }

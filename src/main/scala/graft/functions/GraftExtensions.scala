@@ -66,21 +66,12 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
-      (args: Seq[Expression]) => {
-        require(args.length == 3 || args.length == 4,
-          "winnow_fingerprints takes (text, k, w[, rolling])")
-        def intLit(e: Expression, what: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"winnow_fingerprints $what must be an integer literal, got $other")
-        }
-        val rolling = if (args.length < 4) false else args(3) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
-          case other => throw new IllegalArgumentException(
-            s"winnow_fingerprints rolling must be a boolean literal, got $other")
-        }
-        WinnowFingerprints(args.head, intLit(args(1), "k"), intLit(args(2), "w"), rolling)
-      }),
+      (args: Seq[Expression]) => winnowFromArgs(args, asLong = false)),
+    // array<bigint> twin: identical fingerprints as unsigned-32-bit longs
+    // (numeric order ≡ hex lexicographic order) — q64 pairs on 8-byte keys
+    (FunctionIdentifier("winnow_fingerprints_long"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints_long"),
+      (args: Seq[Expression]) => winnowFromArgs(args, asLong = true)),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => {
@@ -94,15 +85,40 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "word_shingles takes (text, n)")
-        val n = args(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"word_shingles n must be an integer literal, got $other")
-        }
-        WordShingles(args.head, n)
-      }))
+      (args: Seq[Expression]) => shinglesFromArgs(args, distinct = false)),
+    // per-document-distinct twin: each shingle once per doc, so the
+    // exploded stream IS the (doc_id, sh)-distinct set — no dedup
+    // aggregate, no pre-dedup shuffle (q52)
+    (FunctionIdentifier("word_shingles_distinct"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles_distinct"),
+      (args: Seq[Expression]) => shinglesFromArgs(args, distinct = true)))
+
+  private def shinglesFromArgs(args: Seq[Expression], distinct: Boolean): Expression = {
+    require(args.length == 2, "word_shingles takes (text, n)")
+    val n = args(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"word_shingles n must be an integer literal, got $other")
+    }
+    WordShingles(args.head, n, distinct)
+  }
+
+  private def winnowFromArgs(args: Seq[Expression], asLong: Boolean): Expression = {
+    require(args.length == 3 || args.length == 4,
+      "winnow_fingerprints takes (text, k, w[, rolling])")
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"winnow_fingerprints $what must be an integer literal, got $other")
+    }
+    val rolling = if (args.length < 4) false else args(3) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+      case other => throw new IllegalArgumentException(
+        s"winnow_fingerprints rolling must be a boolean literal, got $other")
+    }
+    WinnowFingerprints(args.head, intLit(args(1), "k"), intLit(args(2), "w"),
+      rolling, asLong)
+  }
 
   /** Register on a live session (temp-function registry). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

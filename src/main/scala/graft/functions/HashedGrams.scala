@@ -84,20 +84,39 @@ case class HashedGrams(child: Expression, n: Int)
         }
       if (words.length < n) Nil
       else {
-        // r17: md5 fed incrementally per word ≡ md5 of the joined gram
-        // string (UTF-8 of "w_k … w_{k+n-1}" is exactly the word byte
-        // runs with single 0x20s between) — each word's bytes are
-        // computed ONCE per doc and no gram string is ever built
-        val wb = new Array[Array[Byte]](words.length)
+        // r18 (refines the r17 word-by-word feed, whose 2n−1 small
+        // update() calls per gram cost more than they saved — the r17
+        // driver bench flagged q101): the words are joined ONCE per doc
+        // into a byte buffer with single 0x20 separators — exactly the
+        // UTF-8 of every joined gram string — so gram k is the contiguous
+        // slice [start(k), start(k+n−1)+len(k+n−1)) and each gram costs
+        // ONE md5.update(buf, off, len) + digest. No per-gram string, no
+        // per-gram re-encode, and the digest's internal buffering runs
+        // once per gram instead of 2n−1 times.
+        val m = words.length
+        val wb = new Array[Array[Byte]](m)
+        var total = 0
         var i = 0
-        while (i < words.length) {
+        while (i < m) {
           wb(i) = words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          total += wb(i).length
           i += 1
         }
-        (0 to words.length - n).iterator.map { k =>
-          md5.update(wb(k))
-          var j = 1
-          while (j < n) { md5.update(' '.toByte); md5.update(wb(k + j)); j += 1 }
+        val buf = new Array[Byte](total + m - 1)
+        val start = new Array[Int](m)
+        var off = 0
+        i = 0
+        while (i < m) {
+          if (i > 0) { buf(off) = ' '; off += 1 }
+          start(i) = off
+          System.arraycopy(wb(i), 0, buf, off, wb(i).length)
+          off += wb(i).length
+          i += 1
+        }
+        (0 to m - n).iterator.map { k =>
+          val from = start(k)
+          val until = start(k + n - 1) + wb(k + n - 1).length
+          md5.update(buf, from, until - from)
           val d = md5.digest()
           // first 3 hex digits of the md5 = the digest's top 12 bits
           InternalRow((((d(0) & 0xff) << 4) | ((d(1) & 0xf0) >>> 4)).toLong)

@@ -65,30 +65,46 @@ case class MinHashSig(child: Expression, n: Int)
       // limit -1 matches Spark SQL split(): trailing empties are kept
       val words = text.split("\\s+", -1)
       val mins = new Array[Array[Byte]](MinHashSig.K)
-      // md5 over the concatenation fed incrementally ≡ md5 of the joined
-      // shingle string (UTF-8 bytes of "w_i w_{i+1} …" are exactly the
-      // word byte runs with single 0x20s between) — so each word's bytes
-      // are computed ONCE per doc, and no shingle string is ever built
       def takeMin(s: Int): Unit = {
         val d = md5.digest()
         if (mins(s) == null || MinHashSig.ltUnsigned(d, mins(s))) mins(s) = d
       }
       if (words.length >= n) {
-        val wb = new Array[Array[Byte]](words.length)
+        // r18 (refines the r17 word-by-word feed — its 2n small update()
+        // calls per salted shingle cost more than they saved): join the
+        // words ONCE into a byte buffer with single 0x20 separators —
+        // exactly the UTF-8 of every joined shingle string — so shingle i
+        // is the contiguous slice [start(i), start(i+n−1)+len(i+n−1))
+        // and each salted digest costs TWO update calls (salt, slice).
+        val m = words.length
+        val wb = new Array[Array[Byte]](m)
+        var total = 0
         var i = 0
-        while (i < words.length) {
+        while (i < m) {
           wb(i) = words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          total += wb(i).length
+          i += 1
+        }
+        val buf = new Array[Byte](total + m - 1)
+        val start = new Array[Int](m)
+        var off = 0
+        i = 0
+        while (i < m) {
+          if (i > 0) { buf(off) = ' '; off += 1 }
+          start(i) = off
+          System.arraycopy(wb(i), 0, buf, off, wb(i).length)
+          off += wb(i).length
           i += 1
         }
         i = 0
-        val last = words.length - n
+        val last = m - n
         while (i <= last) {
+          val from = start(i)
+          val len = start(i + n - 1) + wb(i + n - 1).length - from
           var s = 0
           while (s < MinHashSig.K) {
             md5.update(MinHashSig.Salts(s))
-            md5.update(wb(i))
-            var j = 1
-            while (j < n) { md5.update(' '.toByte); md5.update(wb(i + j)); j += 1 }
+            md5.update(buf, from, len)
             takeMin(s)
             s += 1
           }

@@ -23,8 +23,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * interpreted lambdas per shingle — one java split + rolling mkString
   * here is a single pass per row. Generators run inside GenerateExec, so
   * CodegenFallback costs only the generator call itself.
+  *
+  * `distinct = true` (`word_shingles_distinct`, r18) additionally emits
+  * each shingle ONCE per document (first-occurrence order). Because a
+  * source row is one document, this makes `SELECT DISTINCT doc_id, sh`
+  * over the exploded stream a per-row no-shuffle rewrite: the distinct
+  * AGGREGATE (and its exchange over the full shingle stream — which r17's
+  * q52 REPARTITION(sh) form concentrated onto hot shingles) disappears
+  * from the plan, and any later shingle-keyed exchange carries exactly
+  * one row per (doc, shingle) — the minimum a df window can consume, so
+  * a boilerplate shingle's partition holds its distinct-doc postings
+  * only, never its raw occurrence stream.
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = false)
     extends UnaryExpression with Generator with CodegenFallback {
 
   require(n >= 1, s"shingle size must be >= 1, got $n")
@@ -34,6 +45,9 @@ case class WordShingles(child: Expression, n: Int)
     case other => TypeCheckResult.TypeCheckFailure(
       s"word_shingles requires a string column, got ${other.simpleString}")
   }
+
+  override def prettyName: String =
+    if (distinct) "word_shingles_distinct" else "word_shingles"
 
   override def elementSchema: StructType =
     StructType(Seq(StructField("sh", StringType)))
@@ -45,14 +59,25 @@ case class WordShingles(child: Expression, n: Int)
       val text = raw.asInstanceOf[UTF8String].toString
       // limit -1 matches Spark SQL split(): trailing empties are kept
       val words = text.split("\\s+", -1)
-      if (words.length >= n)
-        (0 to words.length - n).iterator.map { i =>
+      if (words.length >= n) {
+        val all = (0 to words.length - n).iterator.map { i =>
           val sb = new java.lang.StringBuilder(words(i))
           var j = 1
           while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
-          InternalRow(UTF8String.fromString(sb.toString))
+          sb.toString
         }
-      else Iterator.single(InternalRow(raw.asInstanceOf[UTF8String]))
+        if (!distinct) all.map(s => InternalRow(UTF8String.fromString(s)))
+        else {
+          val seen = new java.util.LinkedHashSet[String]()
+          all.foreach(seen.add)
+          val it = seen.iterator()
+          new Iterator[InternalRow] {
+            override def hasNext: Boolean = it.hasNext
+            override def next(): InternalRow =
+              InternalRow(UTF8String.fromString(it.next()))
+          }
+        }
+      } else Iterator.single(InternalRow(raw.asInstanceOf[UTF8String]))
     }
   }
 

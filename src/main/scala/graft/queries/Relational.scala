@@ -21,18 +21,29 @@ object Relational {
   // compact-long Decimal, so every row allocated BigDecimals); the money
   // columns are exact 2-decimal values, so Σ p·(1−d) ≡ Σ pc·(100−dc)/10⁴
   // in plain BIGINT cents (pc = p·100 recovered exactly: p is the double
-  // nearest k/100, so p·100 is within ~k·2⁻⁵² of the integer k and the
-  // +0.5-truncate rounds to exactly k; products stay ≤ ~10¹¹/row, sums
-  // ≤ ~10¹⁷ « 2⁶³). ONE exact decimal division per GROUP rescales, and
+  // nearest k/100 and NON-NEGATIVE — TPC-H money columns — so p·100 is
+  // within ~k·2⁻⁵² of the integer k and the +0.5-truncate rounds to
+  // exactly k; a negative amount would mis-truncate by one cent, which
+  // is why the +0.5 idiom is confined to these columns). Products stay
+  // ≤ ~10¹¹/row. ONE exact decimal division per GROUP rescales, and
   // CAST(exact rational AS DOUBLE) is the identical correctly-rounded
   // value the oracle's decimal-sum-then-cast produces. Single-column
   // decimal sums (no multiply) stay compact-long and are unchanged.
+  //
+  // r18 (advice): the SUM itself runs in DECIMAL(38,0), not BIGINT — a
+  // BIGINT sum of ~1.2e11/row products wraps (non-ANSI) or throws (ANSI)
+  // once a group exceeds ~8e7 rows, i.e. around SF 50-100. The per-row
+  // cast is Decimal.fromLong (compact; each add of two < 10¹⁸ compacts
+  // can't overflow a long, and Spark promotes the buffer to BigDecimal
+  // only past 18 digits), so the r17 no-per-row-BigDecimal property
+  // holds until a PARTIAL sum passes 10¹⁸ — ~10⁷ rows per task, far
+  // above any real task size. Headroom is now 10³⁸.
   val q01 = dialect("q01_pricing_summary",
     sparkSql = """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(CAST(SUM(pc * (100 - dc)) AS DECIMAL(38,4)) / 10000 AS DOUBLE) AS sum_disc_price,
-      |  CAST(CAST(SUM(pc * (100 - dc) * (100 + tc)) AS DECIMAL(38,6)) / 1000000 AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(SUM(CAST(pc * (100 - dc) AS DECIMAL(38,0))) AS DECIMAL(38,4)) / 10000 AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(pc * (100 - dc) * (100 + tc) AS DECIMAL(38,0))) AS DECIMAL(38,6)) / 1000000 AS DOUBLE) AS sum_charge,
       |  COUNT(*) AS count_order
       |FROM (
       |  SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
@@ -66,13 +77,15 @@ object Relational {
       |ORDER BY l_returnflag""".stripMargin)
 
   /** 3-way equi-join fact×fact×dim with revenue agg — J-shapes + A2.
-    * Spark side (r17): integer-cents revenue — see q01's comment; the
-    * plan (two broadcast joins, one lineitem scan) was already optimal,
-    * the per-row BigDecimal multiply was the remaining cost. */
+    * Spark side (r17): integer-cents revenue — see q01's comment (incl.
+    * the r18 DECIMAL(38,0) sum: one revenue group over ~6e8 rows would
+    * overflow a BIGINT sum); the plan (two broadcast joins, one lineitem
+    * scan) was already optimal, the per-row BigDecimal multiply was the
+    * remaining cost. */
   val q03 = dialect("q03_revenue_by_segment",
     sparkSql = """SELECT c_mktsegment,
-      |  CAST(CAST(SUM(CAST(l_extendedprice * 100 + 0.5 AS BIGINT)
-      |        * (100 - CAST(l_discount * 100 + 0.5 AS BIGINT))) AS DECIMAL(38,4))
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice * 100 + 0.5 AS BIGINT)
+      |        * (100 - CAST(l_discount * 100 + 0.5 AS BIGINT)) AS DECIMAL(38,0))) AS DECIMAL(38,4))
       |       / 10000 AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_items
       |FROM customer

@@ -140,6 +140,21 @@ object TextOps {
       |       MIN(md5('3' || sh)) AS h3, MIN(md5('4' || sh)) AS h4
       |  FROM g GROUP BY doc_id""".stripMargin
 
+  /** The 7-term, 3-query BM25 workload shared by q66, q74 (text side),
+    * and the index-served twins q91/q97. ONE definition (r18 advice): the
+    * q66/q74 pre-aggregation `w IN (...)` prune and the `VALUES` query
+    * relation must name the same terms — editing one without the other
+    * silently drops hits instead of failing. */
+  private[queries] val BmQueries: Seq[(Int, String)] = Seq(
+    1 -> "vector", 1 -> "scan", 2 -> "spark", 2 -> "merge", 2 -> "stream",
+    3 -> "window", 3 -> "filter")
+  /** `'vector','scan',…` — the scan-side term prune. */
+  private[queries] val BmTermsIn: String =
+    BmQueries.map(_._2).distinct.map(w => s"'$w'").mkString(",")
+  /** `(1,'vector'), (1,'scan'), …` — the VALUES query relation rows. */
+  private[queries] val BmValuesRows: String =
+    BmQueries.map { case (q, w) => s"($q,'$w')" }.mkString(", ")
+
   /** MinHash signatures (k=4 salted md5 minima over 3-word shingles) —
     * engine-portable hex minima.
     *
@@ -437,17 +452,20 @@ object TextOps {
     * shuffle by xxhash64(shingle) to narrow the exchange — semantics
     * identical. */
   val q52 = dialect("q52_dup_ngram_frac",
-    // r17: ONE shingle-keyed exchange serves both the doc-distinct
-    // aggregate and the df window — hash(sh) co-locates every (doc_id,
-    // sh) duplicate (partitioning on a subset of the grouping keys
-    // satisfies the distinct's distribution), so the explicit repartition
-    // replaces the old distinct exchange on (doc_id, sh) AND the window's
-    // re-exchange on sh: 3 exploded-stream shuffles → 2. Results
-    // identical; the oracle is unchanged.
-    sparkSql = s"""WITH g AS (
-      |$sparkShingles),
-      |d AS (SELECT DISTINCT doc_id, sh
-      |      FROM (SELECT /*+ REPARTITION(sh) */ doc_id, sh FROM g) r),
+    // r18: the (doc_id, sh) DISTINCT is a PER-DOCUMENT dedup (one source
+    // row per doc_id), so it runs inside the generator —
+    // word_shingles_distinct emits each shingle once per doc — and the
+    // distinct aggregate vanishes from the plan entirely. ONE
+    // shingle-keyed exchange remains (under the df window), and it
+    // carries exactly one row per (doc, shingle): a boilerplate shingle's
+    // window partition holds its distinct-doc postings, never its raw
+    // occurrence stream — the skew hazard of r17's REPARTITION(sh) form
+    // (which shuffled the un-deduped stream by sh) is gone, and so is
+    // one full exploded-stream shuffle (r17's 2 → 1). Results identical;
+    // the oracle is unchanged. Skew gated by PlanSpec "q52: dedup runs
+    // before the shuffle".
+    sparkSql = s"""WITH d AS (
+      |  SELECT doc_id, word_shingles_distinct(text, 3) AS sh FROM documents),
       |w AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY sh) AS df FROM d)
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
       |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
@@ -538,8 +556,17 @@ object TextOps {
     * DuckDB materializes grams via unnest(range), windows via the same
     * ROWS frame, so the full selection structure is hash-compared. */
   val q64 = dialect("q64_winnow_overlap",
+    // r18: fingerprints pair as native BIGINTs (winnow_fingerprints_long
+    // emits the same unsigned-32-bit values the hex strings encode; h is
+    // internal — the output columns are doc pairs + counts, so results
+    // are bit-identical and the oracle is unchanged). The explode → df
+    // window → self-join pipeline now moves 8-byte longs instead of
+    // 16-byte UTF8Strings and hashes/compares longs at every exchange,
+    // window sort, and join probe. The r17 conv(h,16,10) attempt measured
+    // SLOWER because it re-parsed the hex per row (a0dbc62); emitting the
+    // long natively has no parse to pay.
     sparkSql = """WITH fp AS (
-      |  SELECT doc_id, explode(winnow_fingerprints(text, 8, 4)) AS h FROM documents),
+      |  SELECT doc_id, explode(winnow_fingerprints_long(text, 8, 4)) AS h FROM documents),
       |flt AS (
       |  SELECT doc_id, h FROM (
       |    SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM fp) t
@@ -620,10 +647,12 @@ object TextOps {
     // Plan effect: 4 Generate + 2 fat aggregates (one of them a
     // COUNT(DISTINCT) Expand) + 26 Exchange-ish nodes → 1 Generate, all
     // aggregates keyed by ≤7 terms, the heavy corpus never shuffles.
-    sparkSql = """WITH tf AS (
+    // raw interpolator: keeps the '\\s+' literals un-escaped while the
+    // shared BmTermsIn/BmValuesRows constants render the term workload
+    sparkSql = raw"""WITH tf AS (
       |  SELECT doc_id, w, COUNT(*) AS tf FROM (
       |    SELECT doc_id, explode(split(lower(text), '\\s+')) AS w FROM documents) e
-      |  WHERE w IN ('vector','scan','spark','merge','stream','window','filter')
+      |  WHERE w IN ($BmTermsIn)
       |  GROUP BY doc_id, w),
       |tfd AS (SELECT doc_id, w, tf,
       |               COUNT(*) OVER (PARTITION BY w) AS df FROM tf),
@@ -636,9 +665,7 @@ object TextOps {
       |tot AS (SELECT CAST(COUNT(text) AS BIGINT) AS n_docs,
       |               CAST(SUM(size(split(lower(text), '\\s+'))) AS BIGINT) AS total_len
       |        FROM documents),
-      |q AS (SELECT qid, w FROM VALUES
-      |  (1,'vector'), (1,'scan'), (2,'spark'), (2,'merge'), (2,'stream'),
-      |  (3,'window'), (3,'filter') AS t(qid, w)),
+      |q AS (SELECT qid, w FROM VALUES $BmValuesRows AS t(qid, w)),
       |hit AS (
       |  SELECT q.qid, tfd.doc_id,
       |    (((n_docs - tfd.df) * 1000000) DIV (tfd.df + 1)) AS idf_fp,
@@ -689,15 +716,13 @@ object TextOps {
     * INCREMENTALLY — created over the even-id half of the corpus, the
     * odd half appended to the base afterwards, one `refresh()` catching
     * the postings and corpus constants up through the changelog. */
-  private val tindexes =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.TextIndex]()
+  private val tindexes = new graft.SessionCache[graft.operators.TextIndex]()
 
   private[queries] def ensureTextIndex(s: org.apache.spark.sql.SparkSession,
                                        dir: String): graft.operators.TextIndex = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val key = System.identityHashCode(s) + "|" + dir
-    tindexes.computeIfAbsent(key, { _ =>
+    tindexes.getOrElseUpdate(s, dir)({
       val wh = java.nio.file.Files.createTempDirectory("graft-tindex").toString
       val cat = new graft.lake.LakeCatalog(s, wh)
       val docs = graft.Tables.load(s, dir, "documents")
@@ -727,9 +752,7 @@ object TextOps {
     * read end-to-end: one stale posting, one missing doc, or one
     * double-counted length breaks the BIGINT scores bit-for-bit. */
   val q91 = plan("q91_bm25_index",
-    fn = (s, dir) => ensureTextIndex(s, dir).search(Seq(
-      1 -> "vector", 1 -> "scan", 2 -> "spark", 2 -> "merge", 2 -> "stream",
-      3 -> "window", 3 -> "filter"), k = 5),
+    fn = (s, dir) => ensureTextIndex(s, dir).search(BmQueries, k = 5),
     duckSql = q66.oracle.get)
 
   /** Filtered retrieval from the persistent BM25 index (the RAG
@@ -746,9 +769,7 @@ object TextOps {
     * one filtered-out doc leaking into rank, or any df/constants drift
     * breaks the BIGINT scores bit-for-bit. */
   val q97 = plan("q97_tindex_filtered",
-    fn = (s, dir) => ensureTextIndex(s, dir).search(Seq(
-      1 -> "vector", 1 -> "scan", 2 -> "spark", 2 -> "merge", 2 -> "stream",
-      3 -> "window", 3 -> "filter"), k = 5,
+    fn = (s, dir) => ensureTextIndex(s, dir).search(BmQueries, k = 5,
       filter = Some(org.apache.spark.sql.functions.col("lang") === "de")),
     duckSql = """WITH tok AS (
       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents),

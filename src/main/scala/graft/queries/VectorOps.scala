@@ -184,9 +184,11 @@ object VectorOps {
 
   /** IVF index build is a once-per-table offline step (like building any
     * secondary index); memoize the centroid matrix per (session, dir) so
-    * repeated queries measure the probe, not an index rebuild. */
-  private val ivfCentroids =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Float]]]()
+    * repeated queries measure the probe, not an index rebuild. Keyed by
+    * the live session object (r18, [[graft.SessionCache]]) — the old
+    * identityHashCode key could serve a stale index after a session was
+    * GC'd and its hash reused. */
+  private val ivfCentroids = new graft.SessionCache[Seq[Seq[Float]]]()
 
   /** Build (or reuse) the IVF index for `dir` — the NAMED offline step,
     * the parquet-dir twin of `CALL lake.system.build_ivf_index`. Bench
@@ -201,11 +203,9 @@ object VectorOps {
   private val IvfNlist = 32
   private val IvfNprobe = 16
 
-  def ensureIvfIndex(s: org.apache.spark.sql.SparkSession, dir: String): Seq[Seq[Float]] = {
-    val key = System.identityHashCode(s) + "|" + dir
-    ivfCentroids.computeIfAbsent(key,
-      _ => Similarity.ivfAssign(graft.Tables.load(s, dir, "embeddings"), nlist = IvfNlist)._2)
-  }
+  def ensureIvfIndex(s: org.apache.spark.sql.SparkSession, dir: String): Seq[Seq[Float]] =
+    ivfCentroids.getOrElseUpdate(s, dir)(
+      Similarity.ivfAssign(graft.Tables.load(s, dir, "embeddings"), nlist = IvfNlist)._2)
 
   /** IVF-style partitioned ANN probe (approximate; rows-only check). */
   val q27 = planOnly("q27_ann_ivf", (s, dir) => {
@@ -288,7 +288,7 @@ object VectorOps {
     sparkSql = s"""WITH tf AS (
       |  SELECT doc_id, w, COUNT(*) AS tf FROM (
       |    SELECT doc_id, explode(split(lower(text), '\\\\s+')) AS w FROM documents) e
-      |  WHERE w IN ('vector','scan','spark','merge','stream','window','filter')
+      |  WHERE w IN (${TextOps.BmTermsIn})
       |  GROUP BY doc_id, w),
       |tfd AS (SELECT doc_id, w, tf,
       |               COUNT(*) OVER (PARTITION BY w) AS df FROM tf),
@@ -298,9 +298,7 @@ object VectorOps {
       |tot AS (SELECT CAST(COUNT(text) AS BIGINT) AS n_docs,
       |               CAST(SUM(size(split(lower(text), '\\\\s+'))) AS BIGINT) AS total_len
       |        FROM documents),
-      |q AS (SELECT qid, w FROM VALUES
-      |  (1,'vector'), (1,'scan'), (2,'spark'), (2,'merge'), (2,'stream'),
-      |  (3,'window'), (3,'filter') AS t(qid, w)),
+      |q AS (SELECT qid, w FROM VALUES ${TextOps.BmValuesRows} AS t(qid, w)),
       |hit AS (
       |  SELECT q.qid, tfd.doc_id,
       |    (((n_docs - tfd.df) * 1000000) DIV (tfd.df + 1)) AS idf_fp,
@@ -445,13 +443,11 @@ object VectorOps {
     * is created over half the corpus, the other half is appended to the
     * base afterwards, and one `refresh()` catches the index up through
     * the changelog. q90 then answers from the index alone. */
-  private val vindexes =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.VectorIndex]()
+  private val vindexes = new graft.SessionCache[graft.operators.VectorIndex]()
 
   private def ensureIndex(s: org.apache.spark.sql.SparkSession,
                           dir: String): graft.operators.VectorIndex = {
-    val key = System.identityHashCode(s) + "|" + dir
-    vindexes.computeIfAbsent(key, { _ =>
+    vindexes.getOrElseUpdate(s, dir)({
       graft.Tables.registerAll(s, dir)
       val wh = java.nio.file.Files.createTempDirectory("graft-vindex").toString
       val cat = new graft.lake.LakeCatalog(s, wh)
@@ -686,26 +682,15 @@ object VectorOps {
   /** Train once per (session, dir) — q105 and q107 share the map, like a
     * real pipeline would (the model is k·dim longs; training is the
     * 3-pass Lloyd loop). */
-  // Keyed by the LIVE session object (WeakHashMap: a GC'd session's
-  // entries vanish with it), dir inside — identityHashCode is not unique
-  // across GC'd sessions and could serve a stale model for a regenerated
-  // dir. Access is synchronized on the map (WeakHashMap isn't
-  // thread-safe); training runs outside the lock.
-  private val kmModels = new java.util.WeakHashMap[
-    org.apache.spark.sql.SparkSession,
-    java.util.concurrent.ConcurrentHashMap[String, graft.operators.Clustering.KMeansModel]]()
+  // Keyed by the LIVE session object ([[graft.SessionCache]], the r16
+  // WeakHashMap discipline now shared by every index/model memo) —
+  // identityHashCode is not unique across GC'd sessions and could serve
+  // a stale model for a regenerated dir.
+  private val kmModels = new graft.SessionCache[graft.operators.Clustering.KMeansModel]()
   private def kmeansFor(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val emb = graft.Tables.load(s, dir, "embeddings")
-    val perSession = kmModels.synchronized {
-      var m = kmModels.get(s)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Clustering.KMeansModel]()
-        kmModels.put(s, m)
-      }
-      m
-    }
-    val model = perSession.computeIfAbsent(dir,
-      _ => graft.operators.Clustering.kmeansTrain(
+    val model = kmModels.getOrElseUpdate(s, dir)(
+      graft.operators.Clustering.kmeansTrain(
         emb, "embedding", "vec_id", k = 8, iters = 3))
     graft.operators.Clustering.assign(emb, "embedding", model)
   }

@@ -49,6 +49,8 @@ class FirstCommonPrefixTokenSpec extends AnyFunSuite {
     import spark.implicits._
     val cases: Seq[(Seq[Long], Seq[Long])] = Seq(
       (Seq.empty[Long], Seq.empty[Long]),
+      (Seq.empty[Long], Seq(1L, 2L, 3L)),
+      (Seq(5L, 6L), Seq.empty[Long]),
       (Seq(1L), Seq(1L)),
       (Seq(1L), Seq(2L)),
       (Seq(1L, 2L, 3L, 4L, 5L), Seq(1L, 2L, 3L, 4L, 5L)),
@@ -77,5 +79,14 @@ class FirstCommonPrefixTokenSpec extends AnyFunSuite {
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
     assert(e.eval(null) === viaCodegen)
     assert(viaCodegen === 3L)
+  }
+
+  test("empty input arrays return null on the interpreted path (r18 clamp — " +
+      "the unclamped bound read element 0 of a zero-length array)") {
+    def lit(xs: Seq[Long]) = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      xs, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+    assert(FirstCommonPrefixToken(lit(Seq.empty), lit(Seq.empty)).eval(null) == null)
+    assert(FirstCommonPrefixToken(lit(Seq.empty), lit(Seq(1L, 2L))).eval(null) == null)
+    assert(FirstCommonPrefixToken(lit(Seq(1L, 2L)), lit(Seq.empty)).eval(null) == null)
   }
 }

@@ -107,6 +107,31 @@ class WinnowSpec extends AnyFunSuite {
     assert(WinnowFingerprints.ofString("a" * (k + w - 1), k, w).size == 1)
   }
 
+  test("long variant: numeric fingerprints == hex fingerprints parsed base-16, same order") {
+    for (_ <- 1 to 100) {
+      val doc = randomDoc(5 + rnd.nextInt(400))
+      for (rolling <- Seq(false, true)) {
+        val hexes = WinnowFingerprints.ofString(doc, k, w, rolling)
+        val longs = WinnowFingerprints.ofStringLong(doc, k, w, rolling)
+        assert(longs == hexes.map(java.lang.Long.parseLong(_, 16)),
+          s"rolling=$rolling doc=$doc")
+        assert(longs == longs.sorted && longs.forall(v => v >= 0 && v <= 0xffffffffL))
+      }
+    }
+  }
+
+  test("SQL registration: winnow_fingerprints_long matches the string form element-wise") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT winnow_fingerprints('The quick brown fox jumps over the lazy dog', 8, 4) AS f,
+        |       winnow_fingerprints_long('The quick brown fox jumps over the lazy dog', 8, 4) AS fl
+        |""".stripMargin).head()
+    val hexes = row.getSeq[String](0)
+    val longs = row.getSeq[Long](1)
+    assert(longs == hexes.map(java.lang.Long.parseLong(_, 16)))
+    assert(longs.nonEmpty)
+  }
+
   test("SQL registration: winnow_fingerprints runs and respects the rolling flag") {
     GraftExtensions.register(spark)
     val row = spark.sql(

@@ -276,6 +276,57 @@ class PlanSpec extends AnyFunSuite {
       s"document frequency must come from a window, not a shingle self-join:\n$p")
   }
 
+  test("q52: the (doc_id, sh) dedup runs INSIDE the generator, before any " +
+      "shuffle — no distinct aggregate, one exploded-stream exchange (r18)") {
+    val p = planOf("q52_dup_ngram_frac")
+    assert(p.contains("word_shingles_distinct"),
+      s"per-doc distinct generator expected:\n$p")
+    // exactly 2 Exchange NODES (each named twice in formatted output):
+    // the sh hash exchange under the df window + nothing else before the
+    // TakeOrdered — the r16 plan had 3 (distinct + window + group-by),
+    // r17 had 2 with the RAW stream concentrated on hash(sh)
+    assert("Exchange".r.findAllIn(p).size <= 4,
+      s"expected one sh exchange + one doc_id exchange at most:\n$p")
+    // only the final per-doc rollup aggregates (partial+final, each node
+    // named twice in formatted output = 4 mentions); the r16/r17 plans
+    // carried 2 more HashAggregate nodes for the (doc_id, sh) distinct
+    assert("HashAggregate".r.findAllIn(p).size <= 4,
+      s"the (doc_id, sh) distinct aggregate should be gone:\n$p")
+  }
+
+  test("q52: a hot shingle shuffles its distinct-doc postings only — " +
+      "shuffle records == |distinct (doc_id, sh)|, not the raw stream (r18)") {
+    import org.apache.spark.sql.functions._
+    // synthetic skew: every doc shares one boilerplate shingle, with raw
+    // multiplicity ~4x per doc ("hot hot hot hot hot hot" → 4 identical
+    // 3-grams per doc)
+    import spark.implicits._
+    val docs = (0L until 200L)
+      .map(i => (i, s"hot hot hot hot hot hot unique$i tail$i"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("skew_docs")
+    graft.functions.GraftExtensions.register(spark)
+    // count shuffle records via a listener (robust to AQE's plan wrapping)
+    val written = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        written.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sql(
+        """SELECT doc_id, sh FROM (
+          |  SELECT doc_id, word_shingles_distinct(text, 3) AS sh FROM skew_docs) d
+          |DISTRIBUTE BY sh""".stripMargin).collect()
+      org.apache.spark.sql.graftbridge.ListenerBridge.flush(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // 8 words/doc → 6 raw 3-grams, of which "hot hot hot" repeats 4x:
+    // distinct = {hot hot hot, hot hot uniqueN, hot uniqueN tailN} = 3
+    assert(written.get == 200L * 3,
+      s"the sh shuffle must carry deduped rows (got ${written.get}, raw would be ${200L * 6})")
+  }
+
   test("q104: SCD2 history rides ONE data shuffle — all three window " +
     "passes share the user_id exchange and sort (r16)") {
     val p = planOf("q104_scd2_history")
