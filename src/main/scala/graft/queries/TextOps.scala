@@ -228,8 +228,14 @@ object TextOps {
     * pass a pipeline runs anyway. Completeness: collapse is lossless and
     * the prefix filter is a theorem, so the result set is exactly the
     * oracle's. */
-  val q22 = plan("q22_jaccard_pairs",
-    fn = (s, dir) => {
+  /** Shared by q22/q58 (r18): verified duplicate-GROUP pairs — one row
+    * per (gid_a, gid_b) with member-id arrays and the exact jaccard —
+    * i.e. everything up to but excluding the doc-pair expansion. q22
+    * expands to doc pairs; q58 aggregates the counts ALGEBRAICALLY from
+    * the group rows (below), so its cost no longer carries the output
+    * expansion at any scale. */
+  private def jaccardGroupPairs(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.functions._
       graft.Tables.registerAll(s, dir)
       // words → distinct xxhash64 longs, sorted: set ops run on 8-byte
@@ -308,6 +314,13 @@ object TextOps {
         .select(col("gid_a"), col("gid_b"), col("ids_a"), col("ids_b"),
           (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
         .filter(col("jaccard") >= 0.9)
+      gp
+  }
+
+  val q22 = plan("q22_jaccard_pairs",
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val gp = jaccardGroupPairs(s, dir)
       // expansion: cross-group pairs are disjoint id sets (emit once as
       // least/greatest); a self-pair's two explodes enumerate each
       // unordered doc pair twice — keep the da < db copy only
@@ -347,11 +360,29 @@ object TextOps {
     * sides cast the SUM back to BIGINT (DuckDB sums BIGINT into
     * HUGEINT). */
   val q58 = plan("q58_jaccard_count",
+    // r18: the count and sum are computed ALGEBRAICALLY from the verified
+    // GROUP pairs — a cross pair (gid_a ≠ gid_b, disjoint id sets)
+    // expands to |ids_a|·|ids_b| doc pairs, a self pair (gid_a = gid_b)
+    // to C(|ids|, 2), each carrying the same floor(j·1e6) — so the
+    // doc-pair explode (2.46 M rows at sf0.1, output-proportional at
+    // any scale) never runs for the count-only twin. Results identical
+    // (same multiset, summed in closed form); oracle unchanged. q58's
+    // wall clock is now OUTPUT-SIZE-INDEPENDENT: it measures exactly the
+    // collapse → prefix-filter → verify compute, sharpening the q22−q58
+    // diagnostic (the gap is now expansion + materialization, not just
+    // materialization).
     fn = (s, dir) => {
       import org.apache.spark.sql.functions._
-      q22.fn(s, dir)
-        .agg(count(lit(1)).cast("long").as("n_pairs"),
-          sum(floor(col("jaccard") * 1e6).cast("long")).cast("long").as("j_sum"))
+      val gp = jaccardGroupPairs(s, dir)
+      val na = size(col("ids_a")).cast("long")
+      val nb = size(col("ids_b")).cast("long")
+      // n(n−1) is even, so the shift is the exact C(n,2) (Column./ would
+      // coerce to double)
+      val cnt = when(col("gid_a") === col("gid_b"), shiftright(na * (na - 1), 1))
+        .otherwise(na * nb)
+      gp.select(cnt.as("cnt"), floor(col("jaccard") * 1e6).cast("long").as("jq"))
+        .agg(sum(col("cnt")).cast("long").as("n_pairs"),
+          sum(col("cnt") * col("jq")).cast("long").as("j_sum"))
     },
     duckSql = s"""WITH pairs AS (
       |${q22.oracle.get}
@@ -460,10 +491,11 @@ object TextOps {
     // carries exactly one row per (doc, shingle): a boilerplate shingle's
     // window partition holds its distinct-doc postings, never its raw
     // occurrence stream — the skew hazard of r17's REPARTITION(sh) form
-    // (which shuffled the un-deduped stream by sh) is gone, and so is
-    // one full exploded-stream shuffle (r17's 2 → 1). Results identical;
-    // the oracle is unchanged. Skew gated by PlanSpec "q52: dedup runs
-    // before the shuffle".
+    // (which shuffled the un-deduped stream by sh and ran the whole
+    // dedup aggregate ON the hot partition) is gone, along with both
+    // HashAggregate nodes of the distinct. Results identical; the
+    // oracle is unchanged. Skew gated by PlanSpec's shuffle-records
+    // test.
     sparkSql = s"""WITH d AS (
       |  SELECT doc_id, word_shingles_distinct(text, 3) AS sh FROM documents),
       |w AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY sh) AS df FROM d)
@@ -1082,37 +1114,55 @@ object TextOps {
       |  md5(string_agg(clean, ' ' ORDER BY doc_id)) AS fp
       |FROM scrubbed GROUP BY lang ORDER BY lang""".stripMargin)
 
-  val q77 = dialect("q77_bigram_fluency",
+  val q77 = plan("q77_bigram_fluency",
     // r17: the bigram count joins back to the bigram stream it was
     // aggregated from — a count WINDOW keyed by the bigram serves the
     // identical BIGINT count off ONE exchange of the stream, instead of
     // recomputing the whole explode for the c2 aggregate and shuffling
     // both sides of a self-join (2 Generate + 2 Exchange saved; results
     // bit-identical, DuckDB oracle unchanged).
-    sparkSql = """WITH t AS (
-      |  SELECT doc_id, split(lower(trim(text)), '\\s+') AS w FROM documents),
-      |tok AS (SELECT wx AS w FROM t LATERAL VIEW explode(w) e AS wx),
-      |c1 AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
-      |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
-      |bg AS (SELECT doc_id, element_at(w, pos) AS w1,
-      |         concat(element_at(w, pos), ' ', element_at(w, pos + 1)) AS b
-      |       FROM t LATERAL VIEW explode(sequence(1, size(w) - 1)) e AS pos
-      |       WHERE size(w) >= 2),
-      |bgc AS (SELECT doc_id, w1, COUNT(*) OVER (PARTITION BY b) AS c2 FROM bg),
-      |p AS (SELECT bgc.doc_id,
-      |        (((bgc.c2 + 1) * 1000000) DIV (c1.c + v.v)) AS p_fp
-      |      FROM bgc JOIN c1 ON bgc.w1 = c1.w CROSS JOIN v),
-      |sc AS (SELECT doc_id, SUM(p_fp) DIV COUNT(*) AS fluency_fp
-      |       FROM p GROUP BY doc_id),
-      |top AS (SELECT doc_id, fluency_fp FROM sc
-      |        ORDER BY fluency_fp DESC, doc_id LIMIT 10),
-      |bot AS (SELECT doc_id, fluency_fp FROM sc
-      |        ORDER BY fluency_fp ASC, doc_id LIMIT 10)
-      |SELECT band, doc_id, CAST(fluency_fp AS BIGINT) AS fluency_fp FROM (
-      |  SELECT 'fluent' AS band, doc_id, fluency_fp FROM top
-      |  UNION ALL
-      |  SELECT 'junk' AS band, doc_id, fluency_fp FROM bot)
-      |ORDER BY band, doc_id""".stripMargin,
+    //
+    // r18: the tiny per-doc score table (one BIGINT row per doc)
+    // MATERIALIZES behind an eager localCheckpoint before the top/bot
+    // passes. The r17 UNION form planned the whole scoring pipeline
+    // under BOTH branches — runtime ReusedExchange deduped the final
+    // aggregate's exchange, but each branch still re-ran the post-
+    // shuffle aggregate + its TakeOrdered over it, and the static plan
+    // carried two copies of everything (2× codegen). Interleaved A/B
+    // (tools/FluencyAB, parity-asserted): mat 0.65/0.81 s vs union
+    // 0.78/0.89 s medians at sf0.1. The same trade measured NEGATIVE
+    // for q22's collapse in r12 — the difference is sc's size (one row
+    // per doc, trivially checkpointable) vs q22's payload-heavy groups.
+    // The materialization is inside the timed fn — recomputed from
+    // parquet on every invocation, nothing persists across runs.
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.registerAll(s, dir)
+      val sc = s.sql("""WITH t AS (
+        |  SELECT doc_id, split(lower(trim(text)), '\\s+') AS w FROM documents),
+        |tok AS (SELECT wx AS w FROM t LATERAL VIEW explode(w) e AS wx),
+        |c1 AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+        |bg AS (SELECT doc_id, element_at(w, pos) AS w1,
+        |         concat(element_at(w, pos), ' ', element_at(w, pos + 1)) AS b
+        |       FROM t LATERAL VIEW explode(sequence(1, size(w) - 1)) e AS pos
+        |       WHERE size(w) >= 2),
+        |bgc AS (SELECT doc_id, w1, COUNT(*) OVER (PARTITION BY b) AS c2 FROM bg),
+        |p AS (SELECT bgc.doc_id,
+        |        (((bgc.c2 + 1) * 1000000) DIV (c1.c + v.v)) AS p_fp
+        |      FROM bgc JOIN c1 ON bgc.w1 = c1.w CROSS JOIN v)
+        |SELECT doc_id, SUM(p_fp) DIV COUNT(*) AS fluency_fp
+        |FROM p GROUP BY doc_id""".stripMargin)
+        .localCheckpoint() // eager; one row per doc
+      val top = sc.orderBy(col("fluency_fp").desc, col("doc_id")).limit(10)
+        .select(lit("fluent").as("band"), col("doc_id"), col("fluency_fp"))
+      val bot = sc.orderBy(col("fluency_fp").asc, col("doc_id")).limit(10)
+        .select(lit("junk").as("band"), col("doc_id"), col("fluency_fp"))
+      top.unionAll(bot)
+        .select(col("band"), col("doc_id"),
+          col("fluency_fp").cast("long").as("fluency_fp"))
+        .orderBy("band", "doc_id")
+    },
     duckSql = """WITH t AS (
       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
       |  FROM documents),

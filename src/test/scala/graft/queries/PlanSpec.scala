@@ -175,6 +175,21 @@ class PlanSpec extends AnyFunSuite {
       s"the symmetric join sides must reuse one exchange:\n$p")
   }
 
+  test("q58: algebraic group-pair count equals the aggregate over q22's " +
+      "expanded doc pairs (r18 — the doc-pair explode no longer runs)") {
+    import org.apache.spark.sql.functions._
+    val viaExpansion = QueryRegistry.byName("q22_jaccard_pairs").fn(spark, sfDir)
+      .agg(count(lit(1)).cast("long"),
+        sum(floor(col("jaccard") * 1e6).cast("long")).cast("long")).head
+    val direct = QueryRegistry.byName("q58_jaccard_count").fn(spark, sfDir).head
+    assert(direct.getLong(0) === viaExpansion.getLong(0))
+    assert(direct.getLong(1) === viaExpansion.getLong(1))
+    // and the count-only plan must not contain the two-level expansion
+    val p = planOf("q58_jaccard_count")
+    assert("Generate".r.findAllIn(p).size <= 4, // 2 prefix explodes (tree+detail)
+      s"q58 must not expand doc pairs:\n$p")
+  }
+
   test("q22: prefix filtering is complete — matches brute-force jaccard on sf0.001") {
     import org.apache.spark.sql.functions._
     val out = QueryRegistry.byName("q22_jaccard_pairs").fn(spark, sfDir)
@@ -425,13 +440,17 @@ class PlanSpec extends AnyFunSuite {
       s"the symmetric join sides must reuse one winnow exchange:\n$p")
   }
 
-  test("q77: the top/bot UNION branches share ONE scoring pipeline — " +
-      "runtime ReusedExchange of the per-doc fluency aggregate (r17)") {
+  test("q77: the top/bot branches read the MATERIALIZED per-doc score " +
+      "table — the scoring pipeline exists once, above the checkpoint (r18)") {
     val df = QueryRegistry.byName("q77_bigram_fluency").fn(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("ReusedExchange"),
+    // the bigram explode/window/join pipeline ran once inside fn() (the
+    // eager localCheckpoint); the final plan must only rank checkpointed
+    // rows — any Generate/Window here means a branch re-planned scoring
+    assert(!p.contains("Generate") && !p.contains("Window"),
       s"fluent/junk bands must not recompute the scoring pipeline:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
   }
 
   test("q65: storage-partitioned join shuffles NEITHER bucketed input") {
