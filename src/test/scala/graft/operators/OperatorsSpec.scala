@@ -539,6 +539,14 @@ class OperatorsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(planStr.contains("might_contain"), s"plan must probe the bloom:\n$planStr")
     assert(!planStr.contains("UDF"), "no UDF in the decontamination plan")
+    // r18: the distinct key set materializes once (eager localCheckpoint)
+    // and is shared by the bloom build and the verify join — the output
+    // plan must read the checkpointed keys, not re-plan the eval
+    // scan + fingerprint + distinct under the anti join
+    assert(planStr.contains("ExistingRDD"),
+      s"anti join must read the checkpointed key set:\n$planStr")
+    assert(!planStr.contains("HashAggregate"),
+      s"eval distinct must not re-plan under the verify join:\n$planStr")
   }
 
   test("bloom build never collects eval rows: filter bytes bounded") {

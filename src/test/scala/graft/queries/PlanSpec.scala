@@ -260,6 +260,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q62: bloom decontamination shares one materialized eval key set") {
+    val p = planOf("q62_bloom_decontaminate")
+    assert(p.contains("might_contain"), s"bloom probe missing:\n$p")
+    assert(p.contains("LeftAnti"), p)
+    // the verify join's right side reads the checkpointed distinct keys
+    // (built once, shared with the eager bloom-build job) — the main
+    // plan scans parquet only for the two corpus branches (miss + hit),
+    // and carries no eval-side distinct re-aggregation. Formatted dumps
+    // mention each node twice (tree + details).
+    assert(p.contains("ExistingRDD"), s"checkpointed key scan missing:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size <= 4,
+      s"expected only the two corpus scans:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size <= 4,
+      s"only the final groupBy aggregate pair may remain:\n$p")
+  }
+
   test("q42: range join is a bin-bucketed equi-join, not a nested loop") {
     // naive point BETWEEN lo AND hi has no equi-key and plans as
     // BroadcastNestedLoopJoin — quadratic comparisons. Bin bucketing gives
